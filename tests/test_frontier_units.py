@@ -1,0 +1,99 @@
+"""Unit tests: SURT canonicalization + deterministic membership filters."""
+
+import random
+
+from warcio_ray.frontier.filters import CountingBloom, CuckooFilter, SeenSet
+from warcio_ray.frontier.surt import (
+    canonicalize,
+    host_of,
+    surt,
+    url_hash64,
+    url_to_hash64,
+)
+
+
+def test_canonicalize():
+    assert canonicalize("HTTP://Example.COM:80/a/../b/./c?z=1&a=2#frag") == \
+        "http://example.com/b/c?a=2&z=1"
+    assert canonicalize("https://example.com:443/") == "https://example.com/"
+    assert canonicalize("https://example.com:8443/x") == "https://example.com:8443/x"
+    assert canonicalize("http://example.com") == "http://example.com/"
+    # %7e decodes to ~ (unreserved); %2e%2e becomes .. and pops the segment
+    assert canonicalize("http://example.com/%7euser/%2e%2e") == \
+        "http://example.com/"
+    assert canonicalize("http://example.com/%7euser") == \
+        "http://example.com/~user"
+    assert canonicalize("no-scheme/path") is None
+    # opaque URIs keep their form (and are not crawlable -> surt None)
+    assert canonicalize("dns:example.com") == "dns:example.com"
+    assert surt("dns:example.com") is None
+
+
+def test_surt():
+    assert surt("http://www.Example.com/Path?b=2&a=1") == \
+        "com,example)/Path?a=1&b=2"
+    assert surt("http://sub.www.example.com/") == "com,example,www,sub)/"
+    assert surt("http://www.example.com:8080/x") == "com,example:8080)/x"
+    # www stripped only when enough labels remain
+    assert surt("http://www.com/") == "com,www)/"
+
+
+def test_hash_stability():
+    # stable across calls and processes (no PYTHONHASHSEED dependence)
+    assert url_hash64("com,example)/") == url_hash64("com,example)/")
+    h = url_to_hash64("http://www.example.com/")
+    assert h == url_to_hash64("http://EXAMPLE.com:80/")
+    assert isinstance(h, int) and 0 <= h < 2 ** 64
+
+
+def test_host_of():
+    assert host_of("http://User@WWW.Foo.COM:8080/x") == "www.foo.com"
+    assert host_of("garbage") is None
+
+
+def test_counting_bloom_roundtrip():
+    bloom = CountingBloom(m_bits=1 << 14, k=4, seed=42)
+    keys = [url_hash64(f"com,h{i})/") for i in range(1000)]
+    for k in keys:
+        bloom.add(k)
+    assert all(bloom.might_contain(k) for k in keys)
+    other = [url_hash64(f"org,x{i})/") for i in range(1000)]
+    fp = sum(bloom.might_contain(k) for k in other)
+    assert fp < 100  # ~sane false-positive rate
+    blob = bloom.to_bytes()
+    back = CountingBloom.from_bytes(blob)
+    assert back.to_bytes() == blob
+    bloom.remove(keys[0])
+    # removal decrements but other keys still resolve
+    assert all(bloom.might_contain(k) for k in keys[1:])
+
+
+def test_cuckoo_roundtrip_and_determinism():
+    def build():
+        f = CuckooFilter(n_buckets=1 << 12, seed=7)
+        for i in range(8000):
+            f.add(url_hash64(f"com,h{i})/"))
+        return f
+
+    a, b = build(), build()
+    assert a.to_bytes() == b.to_bytes()  # same sequence -> same bits
+    assert a.n_failed == 0
+    assert all(a.contains(url_hash64(f"com,h{i})/")) for i in range(8000))
+    back = CuckooFilter.from_bytes(a.to_bytes())
+    assert back.to_bytes() == a.to_bytes()
+    assert a.remove(url_hash64("com,h0)/"))
+    assert not a.contains(url_hash64("com,h0)/"))
+
+
+def test_seen_set_contract():
+    s = SeenSet.create(expected_items=5000, seed=3)
+    rng = random.Random(42)
+    keys = [rng.getrandbits(64) for _ in range(3000)]
+    first = [s.add_if_new(k) for k in keys]
+    assert all(first)  # all new on first sight (no FP at this density)
+    again = [s.add_if_new(k) for k in keys]
+    assert not any(again)  # all seen on second sight (no false negatives)
+    blob = s.to_bytes()
+    back = SeenSet.from_bytes(blob)
+    assert back.to_bytes() == blob
+    assert all(k in back for k in keys)
