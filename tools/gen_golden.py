@@ -228,10 +228,20 @@ def main():
     # truncated file: cut the valid.warc mid-payload of last record
     files["trunc.warc"] = files["valid.warc"][:-40]
 
-    # bad payload digest: flip digest chars in one record
-    bad = files["valid.warc"].replace(
-        b"WARC-Payload-Digest: sha1:B6QJ6BNJ", b"WARC-Payload-Digest: sha1:AAAJ6BNJ", 1)
-    files["bad-digest.warc"] = bad
+    # bad digests: flip the first response's payload digest and the second
+    # response's block digest (revisit digests are never checked, so avoid
+    # touching those)
+    import re as _re
+
+    def flip_first(blob, header):
+        rx = _re.compile(header + rb": sha1:([A-Z2-7]{8})")
+        return rx.sub(header + rb": sha1:AAAAAAAB", blob, count=1)
+
+    bad = flip_first(files["valid.warc"], rb"WARC-Payload-Digest")
+    # second block digest (first is warcinfo's, whose payload check is absent)
+    parts = bad.split(b"WARC-Block-Digest: sha1:")
+    parts[2] = b"AAAAAAAB" + parts[2][8:]
+    files["bad-digest.warc"] = b"WARC-Block-Digest: sha1:".join(parts)
 
     # non-chunked gzip: whole valid.warc as ONE gzip member
     comp = zlib.compressobj(9, zlib.DEFLATED, zlib.MAX_WBITS + 16)

@@ -102,10 +102,13 @@ def build_pages(sf_dir: str, force: bool = False) -> str:
     """
     import ray.data
 
+    import shutil
+
     out = pages_dir(sf_dir)
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker) and not force:
         return out
+    shutil.rmtree(out, ignore_errors=True)  # stale/partial output
     n_docs = n_documents(sf_dir)
     ds = ray.data.read_parquet(documents_path(sf_dir),
                                columns=["doc_id", "text", "lang"])

@@ -42,3 +42,84 @@ def index_records(records: Iterable[ParsedRecord], fields: Iterable[str],
                   filename: str = "") -> List[Dict[str, str]]:
     fields = list(fields)
     return [index_record(r, fields, filename) for r in records]
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level index: projection over the T2 warc_records table
+# ---------------------------------------------------------------------------
+
+DEFAULT_FIELDS = ("offset", "warc-type", "warc-target-uri")
+
+
+def _project_batch(batch, fields):
+    """Vectorized-ish projection of index fields from T2 columns.
+
+    offset/length/filename come straight from columns; header fields need
+    a per-row scan of the ordered header lists (cheap: few headers each).
+    """
+    import pyarrow as pa
+
+    n = len(batch)
+    out = {}
+    warc_headers = batch["warc_headers"].to_pylist()
+    http_headers = batch["http_headers"].to_pylist()
+    for field in fields:
+        if field == "offset":
+            out[field] = [str(v) if v is not None else None
+                          for v in batch["offset"].to_pylist()]
+        elif field == "length":
+            out[field] = [str(v) if v is not None else None
+                          for v in batch["length"].to_pylist()]
+        elif field == "filename":
+            out[field] = [os.path.basename(f) if f else None
+                          for f in batch["filename"].to_pylist()]
+        elif field == "http:status":
+            rec_types = batch["rec_type"].to_pylist()
+            lines = batch["http_statusline"].to_pylist()
+            out[field] = [
+                (line.split(" ", 1)[0] if line and rt in ("response", "revisit")
+                 else None)
+                for rt, line in zip(rec_types, lines)]
+        elif field.startswith("http:"):
+            want = field[5:].lower()
+            vals = []
+            for hdrs in http_headers:
+                v = None
+                if hdrs:
+                    for h in hdrs:
+                        if h["name"].lower() == want:
+                            v = h["value"]
+                            break
+                vals.append(v)
+            out[field] = vals
+        else:
+            want = field.lower()
+            vals = []
+            for hdrs in warc_headers:
+                v = None
+                if hdrs:
+                    for h in hdrs:
+                        if h["name"].lower() == want:
+                            v = h["value"]
+                            break
+                vals.append(v)
+            out[field] = vals
+    return pa.table({k: pa.array(v, pa.string()) for k, v in out.items()})
+
+
+def index_dataset(paths, fields=DEFAULT_FIELDS, verify_http: bool = False):
+    """Archives -> dataset of index projections (write_json for NDJSON).
+
+    Skips http parsing when no http: field is requested, exactly like the
+    reference indexer's fast path (indexer.py:19).
+    """
+    from warcio_ray.codec.records import ParseOptions
+    from warcio_ray.sources.warc import read_warc
+
+    fields = list(fields)
+    record_parse = any(f.startswith("http:") for f in fields)
+    opts = ParseOptions(no_record_parse=not record_parse,
+                        verify_http=verify_http, arc2warc=True)
+    ds = read_warc(paths, parse_options=opts)
+    return ds.map_batches(_project_batch, batch_format="pyarrow",
+                          fn_kwargs={"fields": fields})
