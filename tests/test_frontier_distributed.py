@@ -1,0 +1,68 @@
+"""Distributed crawl == single-node reference crawl, bit-identical.
+
+The north-rule determinism gate: same seed list + politeness budget =>
+identical crawl order and URL-seen set, plus kill/resume equivalence.
+"""
+
+import pyarrow.parquet as pq
+import pytest
+
+from warcio_ray.frontier.distributed import crawl_distributed
+from warcio_ray.frontier.reference import crawl_reference
+from warcio_ray.frontier.rounds import CrawlConfig
+from warcio_ray.html import render_page
+from warcio_ray.pages import links_for, url_for
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages():
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text", "lang"])
+    n = t.num_rows
+    out = {}
+    for doc_id, text, lang in zip(t["doc_id"].to_pylist(),
+                                  t["text"].to_pylist(),
+                                  t["lang"].to_pylist()):
+        url = url_for(doc_id)
+        out[url] = render_page(text, url, lang, doc_id, links_for(doc_id, n))
+    return out
+
+
+def seeds():
+    return [(url_for(i), 1.0) for i in range(8)]
+
+
+ROBOTS = {"site3.example": "User-agent: *\nDisallow: /doc/3\n"}
+
+
+def config(max_rounds=5):
+    return CrawlConfig(max_rounds=max_rounds, num_shards=4,
+                       num_host_shards=2, host_capacity=3.0, host_refill=3.0)
+
+
+def test_distributed_matches_reference(ray_session, pages):
+    ref = crawl_reference(seeds(), pages.get, config(),
+                          robots_fn=lambda h: ROBOTS.get(h))
+    dist = crawl_distributed(seeds(), pages, config(),
+                             robots_bodies=ROBOTS)
+    assert dist.order == ref.order          # identical crawl order (bitwise)
+    assert dist.admitted == ref.admitted    # identical URL-seen set
+    assert dist.counters == ref.counters
+    assert len(dist.order) > 20
+
+
+def test_distributed_checkpoint_resume(ray_session, pages, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    full = crawl_distributed(seeds(), pages, config(5), robots_bodies=ROBOTS)
+
+    # "crash" after 2 rounds, then resume to completion
+    crawl_distributed(seeds(), pages, config(2), robots_bodies=ROBOTS,
+                      checkpoint_dir=ckpt)
+    resumed = crawl_distributed(seeds(), pages, config(5),
+                                robots_bodies=ROBOTS,
+                                checkpoint_dir=ckpt, resume=True)
+    assert resumed.order == full.order
+    assert resumed.admitted == full.admitted
+    assert resumed.counters == full.counters

@@ -1,0 +1,430 @@
+"""Distributed crawl: sharded actors for frontier state, Dataset stages
+for the wide work.
+
+Mapping (SURVEY §2.6 / §7):
+  * URL-seen set  -> ``SeenShardActor`` per url-hash shard (counting bloom
+    + cuckoo), reached via ``groupby("shard").map_groups`` so each shard's
+    candidates hit its actor in the canonical (-priority, surt) order
+  * politeness    -> ``PolitenessShardActor`` per host-hash shard (token
+    buckets + robots cache + deferred queues)
+  * fetch + parse + link extraction -> ``map_batches`` over the scheduled
+    rows with the pages table broadcast once via ``ray.put`` (the
+    bench-scale alternative — hash-join on url against the pages dataset —
+    is the same stage with a repartition instead of a broadcast)
+  * OPIC cash aggregation -> ``groupby("url_hash").map_groups`` summing in
+    (src_shard, src_seq) order, bitwise-identical to the reference
+
+Only tiny url rows ever shuffle; html payloads stay inside the fetch
+stage. Crawl order and the final seen-set are bit-identical to
+``reference.crawl_reference`` under the same config — enforced by
+tests/test_frontier_distributed.py.
+
+Checkpointing: after each round the driver writes every actor's snapshot
+plus the next-round candidates to ``checkpoint_dir/round=K/``; resuming
+rebuilds actors from the latest complete round and replays forward,
+producing the same final state as an uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import pandas as pd
+
+from warcio_ray.frontier.filters import SeenSet
+from warcio_ray.frontier.politeness import (
+    HostState,
+    RobotsRules,
+    TokenBucket,
+    path_of_url,
+)
+from warcio_ray.frontier.rounds import (
+    Candidate,
+    CrawlConfig,
+    make_candidate,
+    politeness_select,
+    seeds_to_candidates,
+)
+from warcio_ray.frontier.surt import url_hash64
+
+CAND_COLUMNS = ["url_hash", "url", "surt", "host", "priority"]
+
+
+def _actor_classes():
+    """Define actor classes lazily so importing this module needs no Ray."""
+    import ray
+
+    @ray.remote(num_cpus=0.25)
+    class SeenShardActor:
+        """One url-hash shard of the seen set."""
+
+        def __init__(self, expected: int, seed: int,
+                     snapshot: Optional[bytes] = None):
+            self.seen = (SeenSet.from_bytes(snapshot) if snapshot
+                         else SeenSet.create(expected, seed=seed))
+
+        def filter_new(self, rows: List[tuple]) -> List[tuple]:
+            """rows pre-sorted by (-priority, surt); returns admitted."""
+            return [r for r in rows if self.seen.add_if_new(int(r[0]))]
+
+        def snapshot(self) -> bytes:
+            return self.seen.to_bytes()
+
+    @ray.remote(num_cpus=0.25)
+    class PolitenessShardActor:
+        """One host-hash shard of politeness state."""
+
+        def __init__(self, config: CrawlConfig,
+                     robots_bodies: Optional[Dict[str, str]] = None,
+                     snapshot: Optional[bytes] = None):
+            self.config = config
+            self.robots_bodies = robots_bodies or {}
+            self.hosts: Dict[str, HostState] = {}
+            if snapshot:
+                self._restore(snapshot)
+
+        def _host_state(self, host: str) -> HostState:
+            if host not in self.hosts:
+                self.hosts[host] = HostState(
+                    bucket=TokenBucket(self.config.host_capacity,
+                                       self.config.host_refill,
+                                       self.config.host_capacity),
+                    robots=RobotsRules.parse(self.robots_bodies.get(host)))
+            return self.hosts[host]
+
+        def enqueue_and_select(self, rows: List[tuple]) -> Tuple[List[tuple], int]:
+            """Admitted candidate rows (url_hash, url, surt, host, priority)
+            -> (selected rows, robots_denied count). Keeps deferrals."""
+            denied = 0
+            touched = set()
+            for url_hash, url, s, host, priority in rows:
+                st = self._host_state(host)
+                if not st.robots.allowed(path_of_url(url)):
+                    denied += 1
+                    continue
+                st.pending.append((priority, s, int(url_hash), url))
+            selected: List[tuple] = []
+            for host in sorted(self.hosts):
+                st = self.hosts[host]
+                if not st.pending:
+                    continue
+                st.bucket.start_round()
+                grant = st.bucket.take(len(st.pending))
+                chosen, deferred = politeness_select(st.pending, grant)
+                st.pending = deferred
+                for priority, s, h, url in chosen:
+                    selected.append((h, url, s, host, priority))
+            return selected, denied
+
+        def has_pending(self) -> bool:
+            return any(st.pending for st in self.hosts.values())
+
+        def snapshot(self) -> bytes:
+            return pickle.dumps({
+                host: (st.bucket.capacity, st.bucket.refill, st.bucket.tokens,
+                       st.robots.rules, st.robots.crawl_delay, st.pending)
+                for host, st in self.hosts.items()}, protocol=4)
+
+        def _restore(self, blob: bytes) -> None:
+            for host, (cap, refill, tokens, rules, delay, pending) in \
+                    pickle.loads(blob).items():
+                self.hosts[host] = HostState(
+                    bucket=TokenBucket(cap, refill, tokens),
+                    robots=RobotsRules(rules=rules, crawl_delay=delay),
+                    pending=list(pending))
+
+    return SeenShardActor, PolitenessShardActor
+
+
+class _PageFetcher:
+    """Actor-pool fetch stage: broadcast pages dict loaded ONCE per actor
+    (``ray.get`` of the driver's ``ray.put``), then per-batch lookups +
+    link extraction. Emits crawl-order rows augmented with contributions.
+    """
+
+    def __init__(self, pages_ref, config: CrawlConfig):
+        import ray
+
+        from warcio_ray.html import extract_links
+        self.pages = ray.get(pages_ref)
+        self.config = config
+        self.extract_links = extract_links
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for row in batch.itertuples(index=False):
+            html = self.pages.get(row.url)
+            links = self.extract_links(html) if html is not None else []
+            out_rows.append((row.shard, row.seq, row.url_hash, row.url,
+                             row.host, row.priority, html is not None,
+                             links))
+        return pd.DataFrame(out_rows, columns=[
+            "shard", "seq", "url_hash", "url", "host", "priority",
+            "hit", "links"])
+
+
+@dataclass
+class DistributedCrawlResult:
+    order: List[tuple] = field(default_factory=list)
+    admitted: List[int] = field(default_factory=list)
+    counters: Dict[str, int] = field(default_factory=dict)
+    rounds: int = 0
+
+
+def _candidates_df(cands: Sequence[Candidate]) -> pd.DataFrame:
+    return pd.DataFrame(
+        [(c.url_hash, c.url, c.surt, c.host, c.priority) for c in cands],
+        columns=CAND_COLUMNS)
+
+
+def crawl_distributed(seeds: Sequence[Tuple[str, float]],
+                      pages: Dict[str, bytes],
+                      config: Optional[CrawlConfig] = None,
+                      robots_bodies: Optional[Dict[str, str]] = None,
+                      checkpoint_dir: Optional[str] = None,
+                      resume: bool = False,
+                      fetch_concurrency: int = 2) -> DistributedCrawlResult:
+    """Run the crawl distributed; bit-identical to the reference crawl.
+
+    ``pages`` is the simulated web (url -> html bytes), broadcast once.
+    ``checkpoint_dir`` enables per-round snapshots; ``resume=True`` picks
+    up from the latest complete round found there.
+    """
+    import ray
+    import ray.data
+
+    config = config or CrawlConfig()
+    SeenShardActor, PolitenessShardActor = _actor_classes()
+    uid = uuid.uuid4().hex[:8]
+
+    start_round = 0
+    result = DistributedCrawlResult(
+        counters={"fetched": 0, "misses": 0, "robots_denied": 0,
+                  "duplicates": 0, "discovered": 0})
+    seen_snaps: List[Optional[bytes]] = [None] * config.num_shards
+    pol_snaps: List[Optional[bytes]] = [None] * config.num_host_shards
+    cand_df = _candidates_df(seeds_to_candidates(seeds))
+
+    if resume and checkpoint_dir:
+        latest = _latest_round(checkpoint_dir)
+        if latest is not None:
+            start_round, seen_snaps, pol_snaps, cand_df, result = \
+                _load_checkpoint(checkpoint_dir, latest)
+
+    seen_actors = [SeenShardActor.remote(config.seen_expected,
+                                         config.seen_seed + s,
+                                         snapshot=seen_snaps[s])
+                   for s in range(config.num_shards)]
+    pol_actors = [PolitenessShardActor.remote(config, robots_bodies,
+                                              snapshot=pol_snaps[p])
+                  for p in range(config.num_host_shards)]
+    pages_ref = ray.put(pages)
+
+    try:
+        rnd = start_round
+        while rnd < config.max_rounds:
+            if cand_df.empty and not any(ray.get(
+                    [a.has_pending.remote() for a in pol_actors])):
+                break
+            cand_df, round_rows = _run_round(
+                rnd, cand_df, seen_actors, pol_actors, pages_ref,
+                config, result, fetch_concurrency)
+            rnd += 1
+            result.rounds = rnd
+            if checkpoint_dir:
+                _write_checkpoint(checkpoint_dir, rnd, seen_actors,
+                                  pol_actors, cand_df, result)
+    finally:
+        for a in seen_actors + pol_actors:
+            ray.kill(a)
+    return result
+
+
+def _run_round(rnd: int, cand_df: pd.DataFrame, seen_actors, pol_actors,
+               pages_ref, config: CrawlConfig,
+               result: DistributedCrawlResult,
+               fetch_concurrency: int) -> Tuple[pd.DataFrame, List[tuple]]:
+    import ray
+    import ray.data
+
+    # 1. seen filter: shard-partitioned, canonical order inside each shard
+    admitted_rows: List[tuple] = []
+    n_in = len(cand_df)
+    if n_in:
+        cand_df = cand_df.assign(
+            shard=(cand_df["url_hash"].astype("uint64") % config.num_shards))
+        filter_refs = []
+        for shard, grp in cand_df.groupby("shard"):
+            grp = grp.sort_values(["priority", "surt"],
+                                  ascending=[False, True])
+            rows = list(grp[CAND_COLUMNS].itertuples(index=False, name=None))
+            filter_refs.append(seen_actors[int(shard)].filter_new.remote(rows))
+        for rows in ray.get(filter_refs):
+            admitted_rows.extend(rows)
+    result.counters["duplicates"] += n_in - len(admitted_rows)
+    # seen-hash lineage in admission order (shard asc, then canonical order)
+    admitted_rows.sort(key=lambda r: (int(r[0]) % config.num_shards,
+                                      -r[4], r[2]))
+    result.admitted.extend(int(r[0]) for r in admitted_rows)
+
+    # 2+3. politeness: host-shard partitioned enqueue + select
+    select_refs = []
+    by_hs: Dict[int, List[tuple]] = {}
+    for r in admitted_rows:
+        by_hs.setdefault(config.host_shard_of(r[3]), []).append(r)
+    for p, actor in enumerate(pol_actors):
+        select_refs.append(actor.enqueue_and_select.remote(by_hs.get(p, [])))
+    selected: List[tuple] = []
+    for rows, denied in ray.get(select_refs):
+        selected.extend(rows)
+        result.counters["robots_denied"] += denied
+
+    if not selected:
+        return pd.DataFrame(columns=CAND_COLUMNS), []
+
+    # 4. schedule: per url-hash shard, (-priority, surt) order, seq 0..
+    sched = pd.DataFrame(selected, columns=CAND_COLUMNS)
+    sched["shard"] = sched["url_hash"].astype("uint64") % config.num_shards
+    sched = sched.sort_values(["shard", "priority", "surt"],
+                              ascending=[True, False, True],
+                              kind="mergesort").reset_index(drop=True)
+    sched["seq"] = sched.groupby("shard").cumcount()
+
+    # 5. fetch + parse + link extraction (the wide Dataset stage)
+    ds = ray.data.from_pandas(sched[["shard", "seq", "url_hash", "url",
+                                     "host", "priority"]])
+    fetched = ds.map_batches(
+        _PageFetcher, batch_format="pandas", batch_size=256,
+        concurrency=fetch_concurrency, num_cpus=0.5,
+        fn_constructor_kwargs={"pages_ref": pages_ref, "config": config},
+    ).to_pandas()
+
+    # crawl-order rows for this round
+    fetched = fetched.sort_values(["shard", "seq"]).reset_index(drop=True)
+    round_rows = [(rnd, int(r.shard), int(r.seq), int(r.url_hash), r.url,
+                   r.host, float(r.priority))
+                  for r in fetched.itertuples(index=False)]
+    result.order.extend(round_rows)
+    hits = int(fetched["hit"].sum())
+    result.counters["fetched"] += hits
+    result.counters["misses"] += len(fetched) - hits
+
+    # 6. OPIC contribution aggregation, deterministic sum order
+    contribs: List[tuple] = []
+    for r in fetched.itertuples(index=False):
+        links = r.links
+        if not r.hit or links is None or len(links) == 0:
+            continue
+        result.counters["discovered"] += len(links)
+        cash = (float(r.priority) * config.damping) / len(links)
+        for u in links:
+            contribs.append((u, int(r.shard), int(r.seq), cash))
+    next_cands = _aggregate_distributed(contribs, config)
+    return next_cands, round_rows
+
+
+def _aggregate_distributed(contribs: List[tuple],
+                           config: CrawlConfig) -> pd.DataFrame:
+    """Canonicalize + aggregate contributions with a Dataset groupby so
+    the heavy link-dedup runs distributed; sums follow (src_shard,
+    src_seq) order for bitwise-stable floats."""
+    import ray.data
+
+    if not contribs:
+        return pd.DataFrame(columns=CAND_COLUMNS)
+
+    def canon_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in batch.itertuples(index=False):
+            c = make_candidate(r.dst_url, 0.0)
+            if c is None:
+                continue
+            rows.append((c.url_hash, c.url, c.surt, c.host,
+                         r.src_shard, r.src_seq, r.cash))
+        return pd.DataFrame(rows, columns=[
+            "url_hash", "url", "surt", "host", "src_shard", "src_seq",
+            "cash"])
+
+    def sum_group(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.sort_values(["src_shard", "src_seq"], kind="mergesort")
+        total = 0.0
+        for v in grp["cash"].to_numpy():
+            total += float(v)
+        first = grp.iloc[0]
+        return pd.DataFrame([[first["url_hash"], first["url"], first["surt"],
+                              first["host"], total]], columns=CAND_COLUMNS)
+
+    df = pd.DataFrame(contribs,
+                      columns=["dst_url", "src_shard", "src_seq", "cash"])
+    ds = ray.data.from_pandas(df)
+    out = ds.map_batches(canon_batch, batch_format="pandas") \
+        .groupby("url_hash") \
+        .map_groups(sum_group, batch_format="pandas") \
+        .to_pandas()
+    if out.empty:
+        return pd.DataFrame(columns=CAND_COLUMNS)
+    return out.sort_values("url_hash").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# checkpointing: one directory per completed round
+# ---------------------------------------------------------------------------
+
+def _round_dir(checkpoint_dir: str, rnd: int) -> str:
+    return os.path.join(checkpoint_dir, f"round={rnd:05d}")
+
+
+def _write_checkpoint(checkpoint_dir: str, rnd: int, seen_actors, pol_actors,
+                      cand_df: pd.DataFrame,
+                      result: DistributedCrawlResult) -> None:
+    import ray
+
+    d = _round_dir(checkpoint_dir, rnd)
+    tmp = d + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    seen = ray.get([a.snapshot.remote() for a in seen_actors])
+    pol = ray.get([a.snapshot.remote() for a in pol_actors])
+    for i, blob in enumerate(seen):
+        with open(os.path.join(tmp, f"seen-{i:04d}.bin"), "wb") as f:
+            f.write(blob)
+    for i, blob in enumerate(pol):
+        with open(os.path.join(tmp, f"pol-{i:04d}.bin"), "wb") as f:
+            f.write(blob)
+    with open(os.path.join(tmp, "driver.pkl"), "wb") as f:
+        pickle.dump({"round": rnd, "candidates": cand_df,
+                     "order": result.order, "admitted": result.admitted,
+                     "counters": result.counters}, f, protocol=4)
+    shutil.rmtree(d, ignore_errors=True)
+    os.replace(tmp, d)  # atomic round completion
+
+
+def _latest_round(checkpoint_dir: str) -> Optional[int]:
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    rounds = [int(name.split("=")[1]) for name in os.listdir(checkpoint_dir)
+              if name.startswith("round=") and not name.endswith(".tmp")]
+    return max(rounds) if rounds else None
+
+
+def _load_checkpoint(checkpoint_dir: str, rnd: int):
+    d = _round_dir(checkpoint_dir, rnd)
+    seen = []
+    pol = []
+    for name in sorted(os.listdir(d)):
+        path = os.path.join(d, name)
+        if name.startswith("seen-"):
+            seen.append(open(path, "rb").read())
+        elif name.startswith("pol-"):
+            pol.append(open(path, "rb").read())
+    with open(os.path.join(d, "driver.pkl"), "rb") as f:
+        drv = pickle.load(f)
+    result = DistributedCrawlResult(order=drv["order"],
+                                    admitted=drv["admitted"],
+                                    counters=drv["counters"], rounds=rnd)
+    return rnd, seen, pol, drv["candidates"], result
