@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in warcio_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data ops); ``oracle_sql()`` carries the
+DuckDB-equivalent SQL for every SQL-expressible one, with column names
+matched EXACTLY. Aggregated float columns are rounded identically on both
+sides (sum order differs between engines at the ulp level).
 """
 
 from __future__ import annotations
@@ -18,27 +15,389 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: deterministic distributed crawl over the synthesized
+    pages of sf0.001 — returns the crawl-order table."""
+    from warcio_ray.frontier.rounds import CrawlConfig
+    from warcio_ray.pipelines.crawl import crawl_pages
+
+    return crawl_pages(SF_SMOKE, CrawlConfig(max_rounds=3))
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _round_cols(df, cols, ndigits=2):
+    import pandas as pd
+
+    if not isinstance(df, pd.DataFrame):
+        df = df.to_pandas()
+    for c in cols:
+        df[c] = df[c].round(ndigits)
+    return df
+
+
+def _host_series(doc_id):
+    """Vectorized mirror of warcio_ray.pages.host_id_for (keep in sync
+    with the CASE expression in oracle_sql)."""
+    import numpy as np
+
+    b = doc_id % 100
+    host_id = np.select([b < 30, b < 45, b < 55, b < 62], [0, 1, 2, 3],
+                        default=b)
+    return np.char.add(np.char.add("site", host_id.astype("U21")),
+                       ".example")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q1(sf_dir: str):
+    from warcio_ray.ops.relational import pricing_summary
+    return _round_cols(pricing_summary(sf_dir),
+                       ["sum_qty", "sum_price", "revenue"])
+
+
+def _orders_by_segment(sf_dir: str):
+    from warcio_ray.ops.relational import orders_by_segment
+    return _round_cols(orders_by_segment(sf_dir), ["total_price"])
+
+
+def _top_customers(sf_dir: str):
+    from warcio_ray.ops.relational import top_customers
+    return _round_cols(top_customers(sf_dir, k=10), ["total_price"])
+
+
+def _events_hourly(sf_dir: str):
+    from warcio_ray.ops.relational import events_hourly
+    return _round_cols(events_hourly(sf_dir), ["sum_value"])
+
+
+def _sessionize(sf_dir: str):
+    from warcio_ray.ops.relational import sessionize_events
+    return sessionize_events(sf_dir).to_pandas()
+
+
+def _token_stats(sf_dir: str):
+    import ray.data
+
+    from warcio_ray.ops.textstats import token_stats_batch
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(token_stats_batch, batch_format="pandas")
+
+
+def _exact_dedup(sf_dir: str):
+    import ray.data
+
+    from warcio_ray.ops.dedup import exact_dedup
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+def _host_counts(sf_dir: str):
+    import ray.data
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def hosts(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"host": _host_series(batch["doc_id"].to_numpy())})
+
+    from ray.data.aggregate import Count
+    return ds.map_batches(hosts, batch_format="pandas") \
+        .groupby("host").aggregate(Count(alias_name="n_pages"))
+
+
+def _top_hosts(sf_dir: str):
+    out = _host_counts(sf_dir).to_pandas()
+    return out.sort_values(["n_pages", "host"],
+                           ascending=[False, True]).head(5).reset_index(drop=True)
+
+
+def _knn_top10(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from warcio_ray.ops.knn import knn_bruteforce
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(
+        t.filter(__import__("pyarrow").compute.equal(t["vec_id"], 0))
+        ["embedding"][0].as_py(), dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = knn_bruteforce(ds, q, k=10)
+    return pd.DataFrame({"vec_id": out["vec_id"].astype("int64")})
+
+
+def _lang_confusion(sf_dir: str):
+    import ray.data
+
+    from warcio_ray.ops.textstats import LangIdStage
+    from ray.data.aggregate import Count
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    preds = ds.map_batches(LangIdStage, batch_format="pandas",
+                           batch_size=256, concurrency=2)
+    return preds.groupby(["lang", "lang_pred"]).aggregate(
+        Count(alias_name="n"))
+
+
+def _fingerprints(sf_dir: str):
+    import ray.data
+
+    from warcio_ray.ops.textstats import fingerprint_batch
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pandas")
+
+
+def _minhash_pairs(sf_dir: str):
+    import ray.data
+
+    from warcio_ray.ops.dedup import minhash_lsh_dedup
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    pairs, _clusters = minhash_lsh_dedup(ds, threshold=0.5)
+    return pairs[["a", "b"]] if len(pairs) else pairs
+
+
+def _simhash_pairs(sf_dir: str):
+    import ray.data
+
+    from warcio_ray.ops.dedup import simhash_dedup
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return simhash_dedup(ds, max_hamming=8)
+
+
+def _embedding_neardup(sf_dir: str):
+    import ray.data
+
+    from warcio_ray.ops.knn import embedding_neardup
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = embedding_neardup(ds, threshold=0.8)
+    return out[["a", "b"]] if len(out) else out
+
+
+def _extract_text_verify(sf_dir: str):
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import verify_text_stage
+
+    ds = read_pages(sf_dir, columns=["html", "text"])
+    import pandas as pd
+    total = ds.map_batches(verify_text_stage, batch_format="pyarrow") \
+        .to_pandas().sum()
+    return pd.DataFrame({"match_count": [int(total["match_count"])],
+                         "mismatch_count": [int(total["mismatch_count"])]})
+
+
+def _crawl_order(sf_dir: str):
+    from warcio_ray.frontier.rounds import CrawlConfig
+    from warcio_ray.pipelines.crawl import crawl_pages
+
+    df = crawl_pages(sf_dir, CrawlConfig(max_rounds=3))
+    # uint64 url_hash confuses some consumers; project the stable columns
+    return df[["round", "shard", "seq", "url", "host"]]
+
+
+def _warc_rec_types(sf_dir: str):
+    """pages -> WARC shards -> datasource parse -> rec_type counts
+    (end-to-end codec + datasource + sink)."""
+    import os
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from warcio_ray.pages import read_pages, pages_dir
+    from warcio_ray.sinks.warc import write_warc
+    from warcio_ray.sources.warc import read_warc
+    import pyarrow as pa
+
+    out_dir = os.path.join("/tmp/warcio_ray/warcout",
+                           os.path.basename(sf_dir.rstrip("/")))
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        from warcio_ray.codec.build import build_record
+        from warcio_ray.codec.headers import HeaderBlock
+        from warcio_ray.sinks.warc import serialize_table
+        import shutil
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
+        pages = read_pages(sf_dir, columns=["url", "html", "warc_ts"])
+
+        def to_warc(batch: pa.Table, out_dir=out_dir):
+            from warcio_ray.codec.build import serialize_record
+            import hashlib
+            blobs = []
+            for row in batch.to_pylist():
+                ts = row["warc_ts"]
+                date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                rid = "<urn:uuid:" + hashlib.md5(
+                    row["url"].encode()).hexdigest() + ">"
+                http = HeaderBlock(protocol="HTTP/1.0", statusline="200 OK",
+                                   pairs=[("Content-Type",
+                                           "text/html; charset=UTF-8")])
+                rec = build_record(row["url"], "response",
+                                   payload=row["html"], http_headers=http,
+                                   id_fn=lambda: rid,
+                                   date_fn=lambda m, d=date: d)
+                blobs.append(serialize_record(rec, gzip=True))
+            name = hashlib.md5(b"".join(
+                u.encode() for u in batch["url"].to_pylist())).hexdigest()[:12]
+            with open(os.path.join(out_dir, f"shard-{name}.warc.gz"), "wb") as f:
+                f.write(b"".join(blobs))
+            return pa.table({"n": pa.array([len(blobs)], pa.int64())})
+
+        pages.map_batches(to_warc, batch_format="pyarrow",
+                          batch_size=256).to_pandas()
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    paths = [os.path.join(out_dir, p) for p in sorted(os.listdir(out_dir))
+             if p.endswith(".warc.gz")]
+    ds = read_warc(paths)
+    return ds.groupby("rec_type").aggregate(Count(alias_name="n"))
+
+
+def _media_features(sf_dir: str):
+    from warcio_ray.ops.multimodal import decode_media, media_from_pages
+
+    out = decode_media(media_from_pages(sf_dir), fake=True).to_pandas()
+    return out[["media_id", "kind", "width", "height"]] \
+        .sort_values("media_id").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # relational / dataflow primitives
+        "q1_pricing_summary": _q1,
+        "orders_by_segment": _orders_by_segment,
+        "top_customers": _top_customers,
+        "events_hourly": _events_hourly,
+        "sessionize_events": _sessionize,
+        # text analysis
+        "token_stats": _token_stats,
+        "lang_confusion": _lang_confusion,
+        "doc_fingerprints": _fingerprints,
+        # dedup family
+        "exact_dedup": _exact_dedup,
+        "minhash_pairs": _minhash_pairs,
+        "simhash_pairs": _simhash_pairs,
+        "embedding_neardup": _embedding_neardup,
+        # similarity search
+        "knn_top10": _knn_top10,
+        # pages / crawl / warc
+        "host_counts": _host_counts,
+        "top_hosts": _top_hosts,
+        "extract_text_verify": _extract_text_verify,
+        "crawl_order": _crawl_order,
+        "warc_rec_types": _warc_rec_types,
+        # multimodal plumbing
+        "media_features": _media_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — names/aliases match the Ray outputs exactly
+# ---------------------------------------------------------------------------
+
+_HOST_CASE = ("'site' || CAST(CASE WHEN doc_id%100<30 THEN 0 "
+              "WHEN doc_id%100<45 THEN 1 WHEN doc_id%100<55 THEN 2 "
+              "WHEN doc_id%100<62 THEN 3 ELSE doc_id%100 END AS VARCHAR) "
+              "|| '.example'")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_segment": """
+            SELECT c.c_mktsegment,
+                   ROUND(SUM(o.o_totalprice), 2) AS total_price,
+                   COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "top_customers": """
+            SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY o_custkey
+            ORDER BY SUM(o_totalprice) DESC, o_custkey LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "sessionize_events": """
+            WITH e AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN ts - lag(ts) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (
+              SELECT user_id, ts, event_id,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+              FROM e)
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sess
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   array_length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                   length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_punct,
+                   length(text) AS char_len,
+                   CAST(length(text) AS DOUBLE)
+                     / (array_length(regexp_extract_all(text, '\\S+')) + 1)
+                     AS score
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "host_counts": f"""
+            SELECT {_HOST_CASE} AS host, COUNT(*) AS n_pages
+            FROM documents GROUP BY 1
+        """,
+        "top_hosts": f"""
+            SELECT host, n_pages FROM (
+              SELECT {_HOST_CASE} AS host, COUNT(*) AS n_pages
+              FROM documents GROUP BY 1)
+            ORDER BY n_pages DESC, host LIMIT 5
+        """,
+        "knn_top10": """
+            SELECT vec_id FROM embeddings
+            ORDER BY list_cosine_similarity(embedding,
+                (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                vec_id
+            LIMIT 10
+        """,
+        # minhash_pairs / simhash_pairs / embedding_neardup / lang_confusion
+        # / doc_fingerprints / extract_text_verify / crawl_order /
+        # warc_rec_types / media_features are not SQL-expressible
+        # (sketches, heuristics, stateful crawl, codec) -> rows-only checks.
+    }

@@ -1,0 +1,129 @@
+"""Training-data ops: dedup, knn, textstats, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def docs_ds(ray):
+    import ray.data
+    return ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def test_token_stats_matches_python(ray_session):
+    from warcio_ray.ops.textstats import token_stats_batch
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["a b  c", "", "one. two! three?"]})
+    out = token_stats_batch(df)
+    assert list(out["n_tokens"]) == [3, 0, 3]
+    assert list(out["n_punct"]) == [0, 0, 3]
+    assert out["score"][0] == 6 / 4
+
+
+def test_exact_dedup_finds_duplicates(ray_session):
+    import ray.data
+
+    from warcio_ray.ops.dedup import exact_dedup
+
+    df = pd.DataFrame({"doc_id": [5, 1, 2, 3],
+                       "text": ["dup", "dup", "uniq", "dup"]})
+    out = exact_dedup(ray.data.from_pandas(df)).to_pandas()
+    assert len(out) == 2
+    assert set(out["doc_id"]) == {1, 2}  # min doc_id survives
+
+
+def test_minhash_detects_near_duplicates(ray_session):
+    import ray.data
+
+    from warcio_ray.ops.dedup import minhash_lsh_dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words entirely unrelated content " * 8
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": [base, near, far]})
+    pairs, clusters = minhash_lsh_dedup(ray.data.from_pandas(df),
+                                        threshold=0.5)
+    assert {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])} == {(0, 1)}
+    c = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    assert c[0] == c[1] == 0
+
+
+def test_simhash_pairs(ray_session):
+    import ray.data
+
+    from warcio_ray.ops.dedup import simhash_batch, simhash_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    near = base.replace("theta", "thetaX")
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": [base, near, "zz yy xx ww vv uu " * 6]})
+    out = simhash_dedup(ray.data.from_pandas(df), max_hamming=8)
+    assert (0, 1) in {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+    # signature is deterministic
+    s1 = simhash_batch(df)["simhash"]
+    s2 = simhash_batch(df)["simhash"]
+    assert (s1 == s2).all()
+
+
+def test_knn_bruteforce_exact(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from warcio_ray.ops.knn import knn_bruteforce
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    q = mat[0]
+    # ground truth with plain numpy
+    qn = q / np.linalg.norm(q)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = mn @ qn
+    expect = set(t["vec_id"].to_numpy()[np.argsort(-cos)[:10]])
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    got = knn_bruteforce(ds, q, k=10)
+    assert set(got["vec_id"]) == expect
+    assert got["score"].iloc[0] == pytest.approx(1.0)
+
+
+def test_embedding_neardup_vs_bruteforce(ray_session):
+    import ray.data
+
+    from warcio_ray.ops.knn import embedding_neardup
+
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=(20, 16))
+    # vectors 0 and 1 nearly identical
+    base[1] = base[0] + 0.001 * rng.normal(size=16)
+    df = pd.DataFrame({"vec_id": range(20),
+                       "embedding": [v.astype(np.float32) for v in base]})
+    out = embedding_neardup(ray.data.from_pandas(df), threshold=0.95,
+                            bands=2, n_planes=16)
+    assert (0, 1) in {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+
+
+def test_media_decode_plumbing(ray_session):
+    import ray.data
+
+    from warcio_ray.ops.multimodal import MediaDecodeStage, decode_media
+
+    df = pd.DataFrame({"media_id": [1, 2], "kind": ["image", "image"],
+                       "payload": [b"abc", b"defg"], "mime": ["x", "x"]})
+    out = decode_media(ray.data.from_pandas(df), fake=True).to_pandas()
+    assert list(out.columns) == ["media_id", "kind", "width", "height",
+                                 "features"]
+    assert (out["width"] > 0).all()
+    # deterministic
+    stage = MediaDecodeStage(fake=True)
+    a = stage._decode_fake(b"abc")
+    b = stage._decode_fake(b"abc")
+    assert a[0] == b[0] and a[1] == b[1] and np.array_equal(a[2], b[2])
+    # real path is an explicit stub
+    with pytest.raises(NotImplementedError):
+        MediaDecodeStage(fake=False)

@@ -1,0 +1,124 @@
+"""Relational pipelines demonstrating the engine's shuffle-minimizing
+groupby/join/sort patterns on the TPC-H-ish tables. Every column name
+matches the oracle SQL in __ray_entry__ exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def pricing_summary(sf_dir: str):
+    """Q1-style: partial aggregation inside map_batches (one row per key
+    per batch) then a tiny groupby — the shuffle moves partials, not rows."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        revenue = pc.multiply(batch["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        batch = batch.append_column("revenue", revenue)
+        df = batch.to_pandas()
+        out = df.groupby(["l_returnflag", "l_linestatus"], as_index=False) \
+            .agg(sum_qty=("l_quantity", "sum"),
+                 sum_price=("l_extendedprice", "sum"),
+                 revenue=("revenue", "sum"),
+                 n=("l_quantity", "size"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price", alias_name="sum_price"),
+        Sum("revenue", alias_name="revenue"),
+        Sum("n", alias_name="n"))
+
+
+def orders_by_segment(sf_dir: str):
+    """Broadcast join: customer (small) shipped once via ray.put, orders
+    stream through map_batches — no shuffle."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+
+    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(cust_ref)
+        seg = batch["o_custkey"].map(lookup)
+        return pd.DataFrame({"c_mktsegment": seg,
+                             "o_totalprice": batch["o_totalprice"]})
+
+    joined = ds.map_batches(join_batch, batch_format="pandas")
+    return joined.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="total_price"),
+        Count(alias_name="n_orders"))
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """Aggregate + global top-k (sort desc, deterministic tiebreak)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+    totals = ds.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_price"))
+    return totals.sort(["total_price", "o_custkey"],
+                       descending=[True, False]).limit(k)
+
+
+def events_hourly(sf_dir: str):
+    """Stream-shaped: tumbling 1-hour windows per event_type
+    (groupby key + floor(ts) — ray_guide streaming pattern)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.table({"event_type": batch["event_type"],
+                         "hour": hour, "value": batch["value"]})
+
+    return ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]).aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"))
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user: sort-within-group + gap split (pandas
+    merge/groupby inside map_groups, the reference-free streaming op)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id"])
+
+    def sessions(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.sort_values(["ts", "event_id"])
+        gaps = grp["ts"].diff().dt.total_seconds().fillna(0)
+        session = (gaps > gap_minutes * 60).cumsum()
+        out = grp.groupby(session).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "size"))
+        return out.reset_index(drop=True)
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")

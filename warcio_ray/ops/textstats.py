@@ -1,0 +1,124 @@
+"""Text analysis operators over the documents table.
+
+All hot paths are vectorized (pandas str kernels / numpy); each operator
+is a map_batches stage emitting per-doc rows whose SQL-expressible
+columns are mirrored exactly in __ray_entry__.oracle_sql.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# token counting + quality scoring (SQL-mirrorable)
+# ---------------------------------------------------------------------------
+
+def token_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """doc_id, n_tokens, n_punct, char_len, score.
+
+    Mirror SQL:  n_tokens = array_length(regexp_extract_all(text,'\\S+'))
+                 n_punct  = length(regexp_replace(text,'[^.!?]','','g'))
+                 score    = CAST(char_len AS DOUBLE) / (n_tokens + 1)
+    """
+    text = batch["text"].astype("string")
+    n_tokens = text.str.count(r"\S+").fillna(0).astype("int64")
+    n_punct = text.str.count(r"[.!?]").fillna(0).astype("int64")
+    char_len = text.str.len().fillna(0).astype("int64")
+    score = char_len.astype("float64") / (n_tokens + 1).astype("float64")
+    return pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
+                         "n_tokens": n_tokens, "n_punct": n_punct,
+                         "char_len": char_len, "score": score})
+
+
+# ---------------------------------------------------------------------------
+# language identification (n-gram / stopword heuristic; deterministic)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS: Dict[str, frozenset] = {
+    "en": frozenset("the a of and to in is it you that was for on are as with his they at".split()),
+    "de": frozenset("der die das und ist ich nicht sie mit ein auf für den von zu".split()),
+    "fr": frozenset("le la les des et est une un que pour dans qui sur pas".split()),
+    "es": frozenset("el la los las y es una un que por con para del se no".split()),
+    "it": frozenset("il la le gli e è una un che per con del non si".split()),
+}
+_LANGS = sorted(_STOPWORDS)
+_WORD_RX = re.compile(r"[a-zA-ZäöüßéèêàáíóúñçÀ-ÿ]+")
+
+
+class LangIdStage:
+    """Actor-pool stage: stopword profiles compiled once per actor
+    (__init__), scored per batch. Ties break alphabetically, unknown ->
+    'und' — fully deterministic."""
+
+    def __init__(self):
+        self.profiles = [(lang, _STOPWORDS[lang]) for lang in _LANGS]
+        self.word_rx = _WORD_RX
+
+    def predict_one(self, text: str) -> str:
+        words = [w.lower() for w in self.word_rx.findall(text or "")][:500]
+        if not words:
+            return "und"
+        best_lang, best_hits = "und", 0
+        for lang, stops in self.profiles:
+            hits = sum(1 for w in words if w in stops)
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        return best_lang
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = [self.predict_one(t) for t in batch["text"]]
+        return pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
+                             "lang": batch["lang"],
+                             "lang_pred": preds})
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (winnowing over rolling hashes)
+# ---------------------------------------------------------------------------
+
+_B = 1315423911  # rolling hash base (fixed)
+_MASK = (1 << 61) - 1
+
+
+def _rolling_kgram_hashes(tokens: List[int], k: int) -> np.ndarray:
+    """Stable polynomial rolling hash of token k-grams (vectorized)."""
+    if len(tokens) < k:
+        return np.empty(0, dtype=np.uint64)
+    arr = np.array(tokens, dtype=np.uint64)
+    out = np.zeros(len(arr) - k + 1, dtype=np.uint64)
+    acc = np.zeros_like(out)
+    for i in range(k):
+        acc = (acc * np.uint64(_B) + arr[i:len(arr) - k + 1 + i]) & np.uint64(_MASK)
+    out = acc
+    return out
+
+
+def fingerprint_batch(batch: pd.DataFrame, k: int = 5,
+                      window: int = 4) -> pd.DataFrame:
+    """Winnowing fingerprints: k-gram rolling hashes -> per-window minima
+    -> sorted unique fingerprint set. Emits doc_id, n_fps, min_fp, max_fp
+    (the full set would be an explode at scale)."""
+    import zlib
+
+    doc_ids, n_fps, min_fp, max_fp = [], [], [], []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        toks = [zlib.crc32(w.encode()) for w in (text or "").split()]
+        hashes = _rolling_kgram_hashes(toks, k)
+        if len(hashes) == 0:
+            fps = np.empty(0, dtype=np.uint64)
+        elif len(hashes) <= window:
+            fps = np.array([hashes.min()], dtype=np.uint64)
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(hashes, window)
+            fps = np.unique(sw.min(axis=1))
+        doc_ids.append(int(doc_id))
+        n_fps.append(int(len(fps)))
+        min_fp.append(int(fps.min()) if len(fps) else 0)
+        max_fp.append(int(fps.max()) if len(fps) else 0)
+    return pd.DataFrame({"doc_id": doc_ids, "n_fps": n_fps,
+                         "min_fp": np.array(min_fp, dtype=np.uint64),
+                         "max_fp": np.array(max_fp, dtype=np.uint64)})
