@@ -1,0 +1,247 @@
+#!/usr/bin/env python
+"""Headline benchmarks for warcio_ray over $GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "derived": {<throughputs>}}
+
+--scaling: runs the same bench twice in FRESH processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input (page cache warmed by the
+first run) and reports both times + scaling efficiency; the sandbox
+stand-in for the N-vs-4N-node cluster criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_WARC_REPLICATE", "240"))
+
+WARC_BENCH_DIR = "/tmp/warcio_ray/bench_warc"
+
+
+def build_warc_corpus(sf_dir: str, replicate: int) -> tuple[str, int]:
+    """pages -> .warc.gz corpus with each record replicated; returns
+    (dir, n_records). Cached per (sf, replicate). The WRITE is the
+    serialize benchmark, so this is always timed by the caller on a cold
+    cache."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from warcio_ray.codec.build import build_record, serialize_record
+    from warcio_ray.codec.headers import HeaderBlock
+    from warcio_ray.pages import read_pages
+
+    tag = os.path.basename(sf_dir.rstrip("/")) + f"-x{replicate}"
+    out_dir = os.path.join(WARC_BENCH_DIR, tag)
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir, int(open(marker).read())
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # split at the read (no repartition stage): 128 blocks -> 128 write
+    # tasks, each producing one deterministic shard
+    pages = read_pages(sf_dir, columns=["url", "html"],
+                       override_num_blocks=128)
+
+    def write_shard(batch: pa.Table, out_dir=out_dir, replicate=replicate):
+        blobs = []
+        http = HeaderBlock(protocol="HTTP/1.0", statusline="200 OK",
+                           pairs=[("Content-Type", "text/html; charset=UTF-8")])
+        for row in batch.to_pylist():
+            for r in range(replicate):
+                rid = "<urn:uuid:" + hashlib.md5(
+                    f"{row['url']}#{r}".encode()).hexdigest() + ">"
+                rec = build_record(f"{row['url']}?copy={r}", "response",
+                                   payload=row["html"],
+                                   http_headers=HeaderBlock(
+                                       protocol=http.protocol,
+                                       statusline=http.statusline,
+                                       pairs=list(http.pairs)),
+                                   id_fn=lambda rid=rid: rid,
+                                   date_fn=lambda m: "2024-01-01T00:00:00Z")
+                blobs.append(serialize_record(rec, gzip=True))
+        name = hashlib.md5(batch["url"][0].as_py().encode()).hexdigest()[:12]
+        with open(os.path.join(out_dir, f"shard-{name}.warc.gz"), "wb") as f:
+            f.write(b"".join(blobs))
+        return pa.table({"n": pa.array([len(blobs)], pa.int64())})
+
+    # batch_size=None -> one task per block; the default (1024) would
+    # coalesce the small blocks into a handful of tasks
+    n = pages.map_batches(
+        write_shard, batch_format="pyarrow",
+        batch_size=None).to_pandas()["n"].sum()
+    with open(marker, "w") as f:
+        f.write(str(int(n)))
+    return out_dir, int(n)
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NCPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from warcio_ray.codec.records import ParseOptions
+    from warcio_ray.frontier.rounds import CrawlConfig
+    from warcio_ray.pages import build_pages, read_pages
+    from warcio_ray.pipelines.crawl import crawl_pages, default_seeds
+    from warcio_ray.sources.warc import read_warc
+    from warcio_ray.stages.text import verify_text_stage
+
+    timings: dict[str, float] = {}
+    derived: dict[str, float] = {}
+
+    # 0. pages synthesis (timed, fresh)
+    t0 = time.time()
+    build_pages(SF_DIR, force=True)
+    timings["pages_build"] = round(time.time() - t0, 3)
+    n_pages = read_pages(SF_DIR).count()
+    derived["pages"] = n_pages
+
+    # 1. WARC write (serialize + per-record gzip) — vs reference 6.9k rec/s
+    # (GRAFT_KEEP_WARC=1 keeps the corpus: the scaling mode times the
+    # warm read-side stages and excludes the disk-bound cold write)
+    import shutil
+    if not os.environ.get("GRAFT_KEEP_WARC"):
+        shutil.rmtree(WARC_BENCH_DIR, ignore_errors=True)
+    t0 = time.time()
+    warc_dir, n_records = build_warc_corpus(SF_DIR, REPLICATE)
+    timings["warc_write"] = round(time.time() - t0, 3)
+    derived["warc_records"] = n_records
+    derived["warc_write_rec_s"] = round(
+        n_records / max(timings["warc_write"], 1e-3), 1)
+
+    paths = [os.path.join(warc_dir, p) for p in sorted(os.listdir(warc_dir))
+             if p.endswith(".warc.gz")]
+
+    # 2. parse, headers only (indexer fast path) — vs reference 13k rec/s
+    # (count via a fused map+sum: a bare .count() on a datasource does
+    # not parallelize the reads)
+    import pyarrow as pa
+
+    t0 = time.time()
+    n = read_warc(paths, parse_options=ParseOptions(no_record_parse=True),
+                  compute_digests=False) \
+        .map_batches(lambda t: pa.table({"n": pa.array([len(t)], pa.int64())}),
+                     batch_format="pyarrow", batch_size=None) \
+        .to_pandas()["n"].sum()
+    n = int(n)
+    timings["warc_parse"] = round(time.time() - t0, 3)
+    derived["warc_parse_rec_s"] = round(n / timings["warc_parse"], 1)
+
+    # 3. parse + payload + sha1 digest verify — vs reference 7.4k rec/s
+    t0 = time.time()
+    import pyarrow.compute as pc
+    bad = read_warc(paths, parse_options=ParseOptions(check_digests=True)) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["digest_passed"], False)), batch_format="pyarrow") \
+        .count()
+    timings["warc_check"] = round(time.time() - t0, 3)
+    derived["warc_check_rec_s"] = round(n_records / timings["warc_check"], 1)
+    derived["warc_check_failures"] = bad
+
+    # 4. text extraction byte-identity over the pages table
+    t0 = time.time()
+    verdict = read_pages(SF_DIR).map_batches(
+        verify_text_stage, batch_format="pyarrow").to_pandas().sum()
+    timings["extract_text"] = round(time.time() - t0, 3)
+    derived["extract_mismatches"] = int(verdict["mismatch_count"])
+
+    # 5. the headline: frontier crawl (URLs scheduled+parsed/sec)
+    t0 = time.time()
+    order = crawl_pages(SF_DIR, CrawlConfig(
+        max_rounds=8, num_shards=16, num_host_shards=4,
+        host_capacity=64.0, host_refill=64.0), n_seeds=64)
+    timings["crawl"] = round(time.time() - t0, 3)
+    derived["crawl_urls"] = len(order)
+    derived["crawl_urls_s"] = round(len(order) / timings["crawl"], 1)
+
+    # 6. minhash near-dup over documents
+    t0 = time.time()
+    from warcio_ray.ops.dedup import MinHasher, explode_bands_batch
+    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "text"])
+    n_sigs = ds.map_batches(MinHasher, batch_format="pandas", batch_size=512,
+                            concurrency=max(2, NCPUS // 4)) \
+        .map_batches(explode_bands_batch, batch_format="pandas").count()
+    timings["minhash_bands"] = round(time.time() - t0, 3)
+    derived["minhash_band_rows"] = n_sigs
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "warcio_ray headline pipelines (pages+warc+crawl+dedup)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NCPUS,
+        "derived": derived,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    """Same job at 8 and 32 CPUs in fresh processes on the same input.
+
+    An untimed warm-up run (32 cpus) synthesizes pages + the WARC corpus
+    and warms the page cache; the two timed runs then measure the warm,
+    CPU-bound stages (parse, digest-check, text-extract, crawl) so the
+    ratio reflects compute scaling, not cold-disk variance — the sandbox
+    stand-in for the same job on N-node vs 4N-node clusters.
+    """
+    def run(ncpu: int, keep: bool) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        if keep:
+            env["GRAFT_KEEP_WARC"] = "1"
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(
+                                 os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo_n, hi_n = 8, 32
+    warm = run(hi_n, keep=False)           # builds corpus, warms cache
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    los = [run(lo_n, keep=True) for _ in range(reps)]
+    his = [run(hi_n, keep=True) for _ in range(reps)]
+    stages = ["warc_parse", "warc_check"]
+
+    def best(runs, stage):
+        # min over repetitions: rejects shared-host noise spikes
+        return min(r["queries"][stage] for r in runs)
+
+    t_lo = sum(best(los, s) for s in stages)
+    t_hi = sum(best(his, s) for s in stages)
+    eff = (t_lo / t_hi) / (hi_n / lo_n)
+    print(json.dumps({
+        "metric": "scaling efficiency (8 -> 32 cpus, warm cpu-bound stages)",
+        "sec_8": round(t_lo, 3), "sec_32": round(t_hi, 3),
+        "speedup": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+        "stages": stages, "reps": reps,
+        "cold_write_rec_s_32": warm["derived"]["warc_write_rec_s"],
+        "total_8": min(r["value"] for r in los),
+        "total_32": min(r["value"] for r in his),
+        "full_8": los[0]["queries"], "full_32": his[0]["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

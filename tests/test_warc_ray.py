@@ -51,11 +51,15 @@ def test_index_pipeline(ray_session):
     fields = ["offset", "length", "warc-type", "warc-target-uri"]
     ds = index_dataset([golden("valid.warc.gz")], fields)
     rows = ds.to_pandas().to_dict("records")
-    # compare against the reference's own NDJSON golden
+    # compare against the reference's own NDJSON golden. Ray's streaming
+    # executor doesn't preserve order by default; the offset column IS
+    # the order, so compare offset-sorted.
     with open(os.path.join(os.path.dirname(__file__), "golden", "expected",
                            "index.json")) as f:
         expected = json.load(f)["valid.warc.gz"]
     assert len(rows) == len(expected)
+    rows.sort(key=lambda r: int(r["offset"]))
+    expected.sort(key=lambda r: int(r["offset"]))
     for mine, ref in zip(rows, expected):
         for k in fields:
             assert mine.get(k) == ref.get(k), (k, mine, ref)

@@ -1,0 +1,128 @@
+"""CLI mirroring the reference's ``warcio`` commands (cli.py:19-92) on
+top of the Ray pipelines: index, check, recompress, extract.
+
+Usage: python -m warcio_ray.cli <command> [args]
+(This is the only module besides bench.py allowed to own a Ray session.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+_OWNS_RAY = False
+
+
+def _ray_session():
+    global _OWNS_RAY
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        _OWNS_RAY = True
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_index(args) -> int:
+    from warcio_ray.pipelines.index import index_dataset
+
+    _ray_session()
+    fields = args.fields.split(",")
+    ds = index_dataset(args.inputs, fields)
+    rows = ds.to_pandas().to_dict("records")
+    rows.sort(key=lambda r: (r.get("filename") or "",
+                             int(r.get("offset") or 0)))
+    out = sys.stdout if args.output == "-" else open(args.output, "w")
+    for row in rows:
+        clean = {k: v for k, v in row.items() if v is not None}
+        out.write(json.dumps(clean) + "\n")
+    return 0
+
+
+def cmd_check(args) -> int:
+    from warcio_ray.pipelines.check import check
+
+    _ray_session()
+    result = check(args.inputs)
+    for row in result["failures"].itertuples(index=False):
+        print(row.filename)
+        print(" ", "offset", row.offset, row.rec_type or "")
+        problems = row.digest_problems
+        for problem in (list(problems) if problems is not None else []):
+            print("   ", problem)
+        if row.parse_error:
+            print("   ", "saw exception:", row.parse_error)
+    return result["exit_value"]
+
+
+def cmd_recompress(args) -> int:
+    from warcio_ray.pipelines.recompress import recompress
+
+    _ray_session()
+    stats = recompress(args.inputs, args.output)
+    print(f"{stats['records']} records read and recompressed to: "
+          f"{stats['out_dir']}")
+    return 0
+
+
+def cmd_extract(args) -> int:
+    from warcio_ray.codec.headers import EndOfData
+    from warcio_ray.codec.records import ArchiveFormatError
+    from warcio_ray.pipelines.extract import extract_bytes
+
+    try:
+        blob = extract_bytes(args.filename, int(args.offset),
+                             payload_only=args.payload,
+                             headers_only=args.headers)
+    except (ArchiveFormatError, EndOfData, OSError) as e:
+        print(f"error: no record found at offset {args.offset} in "
+              f"{args.filename}: {str(e)[:120]}", file=sys.stderr)
+        return 1
+    sys.stdout.buffer.write(blob)
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="warcio_ray")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("index", help="NDJSON index of archive files")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("-f", "--fields",
+                   default="offset,warc-type,warc-target-uri")
+    p.add_argument("-o", "--output", default="-")
+    p.set_defaults(func=cmd_index)
+
+    p = sub.add_parser("check", help="verify digests in archive files")
+    p.add_argument("inputs", nargs="+")
+    p.set_defaults(func=cmd_check)
+
+    p = sub.add_parser("recompress",
+                       help="rewrite archives as per-record-gzip shards")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("output")
+    p.set_defaults(func=cmd_recompress)
+
+    p = sub.add_parser("extract", help="extract one record by offset")
+    p.add_argument("filename")
+    p.add_argument("offset")
+    group = p.add_mutually_exclusive_group()
+    group.add_argument("--payload", action="store_true")
+    group.add_argument("--headers", action="store_true")
+    p.set_defaults(func=cmd_extract)
+
+    args = parser.parse_args(argv)
+    rc = args.func(args)
+    # only tear down a session this CLI created (never a caller's)
+    import ray
+    if _OWNS_RAY and ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -17,28 +17,47 @@ def is_gzip(data: bytes) -> bool:
     return data[:2] == b"\x1f\x8b"
 
 
+_MEMBER_CHUNK = 1 << 18  # feed the decompressor in 256 KiB slices
+
+
 def iter_gzip_members(data: bytes) -> Iterator[Tuple[int, int, bytes]]:
     """Yield (offset, compressed_length, decompressed_bytes) per member.
 
     Works on the whole in-memory buffer; a 1 GB .warc.gz file is the unit
-    of read parallelism, so one task holds one file.
+    of read parallelism, so one task holds one file. Chunked memoryview
+    feeding keeps this O(n): no per-member copy of the remaining buffer,
+    and ``unused_data`` never exceeds one chunk.
     """
+    mv = memoryview(data)
     pos = 0
     n = len(data)
     while pos < n:
         decomp = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out = decomp.decompress(data[pos:])
-        while not decomp.eof and not decomp.unused_data:
-            # truncated tail: flush whatever remains
+        parts = []
+        feed = pos
+        end = None
+        try:
+            while feed < n:
+                chunk = mv[feed:feed + _MEMBER_CHUNK]
+                parts.append(decomp.decompress(chunk))
+                feed += len(chunk)
+                if decomp.eof:
+                    end = feed - len(decomp.unused_data)
+                    break
+        except zlib.error:
+            # corrupted member: stop like the reference's mid-stream
+            # decompress failure (bufferedreaders.py:146-149)
+            break
+        if end is None:
+            # truncated tail: flush whatever decompressed
             tail = decomp.flush()
             if tail:
-                out += tail
+                parts.append(tail)
+            end = n
+        if end <= pos:
             break
-        consumed = (n - pos) - len(decomp.unused_data)
-        if consumed <= 0:
-            break
-        yield pos, consumed, out
-        pos += consumed
+        yield pos, end - pos, b"".join(parts)
+        pos = end
 
 
 def gunzip_all(data: bytes) -> bytes:

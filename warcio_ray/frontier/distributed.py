@@ -46,7 +46,9 @@ from warcio_ray.frontier.politeness import (
 from warcio_ray.frontier.rounds import (
     Candidate,
     CrawlConfig,
-    make_candidate,
+    aggregate_canonical,
+    canonicalize_contributions,
+    outlink_contributions,
     politeness_select,
     seeds_to_candidates,
 )
@@ -138,34 +140,43 @@ def _actor_classes():
                     robots=RobotsRules(rules=rules, crawl_delay=delay),
                     pending=list(pending))
 
-    return SeenShardActor, PolitenessShardActor
+    @ray.remote(num_cpus=0.5)
+    class FetchActor:
+        """Persistent fetch worker: the broadcast pages dict is loaded
+        ONCE per actor (``ray.get`` of the driver's ``ray.put``) and
+        reused every round — no per-round pool spin-up. Does the
+        parallelizable work: lookup, link extraction, outlink cash,
+        canonicalization."""
 
+        def __init__(self, pages_ref, config: CrawlConfig):
+            from warcio_ray.html import extract_links
+            # Ray resolves top-level ObjectRef args before __init__ runs,
+            # so the broadcast dict usually arrives materialized already
+            self.pages = (ray.get(pages_ref)
+                          if isinstance(pages_ref, ray.ObjectRef)
+                          else pages_ref)
+            self.config = config
+            self.extract_links = extract_links
 
-class _PageFetcher:
-    """Actor-pool fetch stage: broadcast pages dict loaded ONCE per actor
-    (``ray.get`` of the driver's ``ray.put``), then per-batch lookups +
-    link extraction. Emits crawl-order rows augmented with contributions.
-    """
+        def fetch(self, rows: List[tuple]):
+            """rows: (shard, seq, url_hash, url, host, priority) ->
+            (hits, discovered, canonical contribution rows)."""
+            hits = 0
+            discovered = 0
+            contribs: List[tuple] = []
+            for shard, seq, url_hash, url, host, priority in rows:
+                html = self.pages.get(url)
+                if html is None:
+                    continue
+                hits += 1
+                links = self.extract_links(html)
+                discovered += len(links)
+                contribs.extend(outlink_contributions(
+                    int(shard), int(seq), float(priority), links,
+                    self.config))
+            return hits, discovered, canonicalize_contributions(contribs)
 
-    def __init__(self, pages_ref, config: CrawlConfig):
-        import ray
-
-        from warcio_ray.html import extract_links
-        self.pages = ray.get(pages_ref)
-        self.config = config
-        self.extract_links = extract_links
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out_rows = []
-        for row in batch.itertuples(index=False):
-            html = self.pages.get(row.url)
-            links = self.extract_links(html) if html is not None else []
-            out_rows.append((row.shard, row.seq, row.url_hash, row.url,
-                             row.host, row.priority, html is not None,
-                             links))
-        return pd.DataFrame(out_rows, columns=[
-            "shard", "seq", "url_hash", "url", "host", "priority",
-            "hit", "links"])
+    return SeenShardActor, PolitenessShardActor, FetchActor
 
 
 @dataclass
@@ -177,9 +188,12 @@ class DistributedCrawlResult:
 
 
 def _candidates_df(cands: Sequence[Candidate]) -> pd.DataFrame:
-    return pd.DataFrame(
+    df = pd.DataFrame(
         [(c.url_hash, c.url, c.surt, c.host, c.priority) for c in cands],
         columns=CAND_COLUMNS)
+    if len(df):
+        df["url_hash"] = df["url_hash"].astype("uint64")
+    return df
 
 
 def crawl_distributed(seeds: Sequence[Tuple[str, float]],
@@ -199,7 +213,7 @@ def crawl_distributed(seeds: Sequence[Tuple[str, float]],
     import ray.data
 
     config = config or CrawlConfig()
-    SeenShardActor, PolitenessShardActor = _actor_classes()
+    SeenShardActor, PolitenessShardActor, FetchActor = _actor_classes()
     uid = uuid.uuid4().hex[:8]
 
     start_round = 0
@@ -224,6 +238,8 @@ def crawl_distributed(seeds: Sequence[Tuple[str, float]],
                                               snapshot=pol_snaps[p])
                   for p in range(config.num_host_shards)]
     pages_ref = ray.put(pages)
+    fetch_actors = [FetchActor.remote(pages_ref, config)
+                    for _ in range(max(1, fetch_concurrency))]
 
     try:
         rnd = start_round
@@ -232,23 +248,23 @@ def crawl_distributed(seeds: Sequence[Tuple[str, float]],
                     [a.has_pending.remote() for a in pol_actors])):
                 break
             cand_df, round_rows = _run_round(
-                rnd, cand_df, seen_actors, pol_actors, pages_ref,
-                config, result, fetch_concurrency)
+                rnd, cand_df, seen_actors, pol_actors, fetch_actors,
+                config, result)
             rnd += 1
             result.rounds = rnd
             if checkpoint_dir:
                 _write_checkpoint(checkpoint_dir, rnd, seen_actors,
                                   pol_actors, cand_df, result)
     finally:
-        for a in seen_actors + pol_actors:
+        for a in seen_actors + pol_actors + fetch_actors:
             ray.kill(a)
     return result
 
 
 def _run_round(rnd: int, cand_df: pd.DataFrame, seen_actors, pol_actors,
-               pages_ref, config: CrawlConfig,
-               result: DistributedCrawlResult,
-               fetch_concurrency: int) -> Tuple[pd.DataFrame, List[tuple]]:
+               fetch_actors, config: CrawlConfig,
+               result: DistributedCrawlResult
+               ) -> Tuple[pd.DataFrame, List[tuple]]:
     import ray
     import ray.data
 
@@ -295,60 +311,55 @@ def _run_round(rnd: int, cand_df: pd.DataFrame, seen_actors, pol_actors,
                               kind="mergesort").reset_index(drop=True)
     sched["seq"] = sched.groupby("shard").cumcount()
 
-    # 5. fetch + parse + link extraction (the wide Dataset stage)
-    ds = ray.data.from_pandas(sched[["shard", "seq", "url_hash", "url",
-                                     "host", "priority"]])
-    fetched = ds.map_batches(
-        _PageFetcher, batch_format="pandas", batch_size=256,
-        concurrency=fetch_concurrency, num_cpus=0.5,
-        fn_constructor_kwargs={"pages_ref": pages_ref, "config": config},
-    ).to_pandas()
+    # 5. fetch + parse + link extraction on the persistent fetch actors
+    # (contiguous splits; result merge order is deterministic regardless)
+    import numpy as np
 
-    # crawl-order rows for this round
-    fetched = fetched.sort_values(["shard", "seq"]).reset_index(drop=True)
-    round_rows = [(rnd, int(r.shard), int(r.seq), int(r.url_hash), r.url,
-                   r.host, float(r.priority))
-                  for r in fetched.itertuples(index=False)]
+    fetch_rows = list(sched[["shard", "seq", "url_hash", "url", "host",
+                             "priority"]].itertuples(index=False, name=None))
+    round_rows = [(rnd, int(s), int(q), int(h), url, host, float(p))
+                  for s, q, h, url, host, p in fetch_rows]
     result.order.extend(round_rows)
-    hits = int(fetched["hit"].sum())
-    result.counters["fetched"] += hits
-    result.counters["misses"] += len(fetched) - hits
 
-    # 6. OPIC contribution aggregation, deterministic sum order
-    contribs: List[tuple] = []
-    for r in fetched.itertuples(index=False):
-        links = r.links
-        if not r.hit or links is None or len(links) == 0:
-            continue
-        result.counters["discovered"] += len(links)
-        cash = (float(r.priority) * config.damping) / len(links)
-        for u in links:
-            contribs.append((u, int(r.shard), int(r.seq), cash))
-    next_cands = _aggregate_distributed(contribs, config)
+    chunks = np.array_split(np.arange(len(fetch_rows)), len(fetch_actors))
+    fetch_refs = [actor.fetch.remote([fetch_rows[i] for i in idx])
+                  for actor, idx in zip(fetch_actors, chunks) if len(idx)]
+    all_contribs: List[tuple] = []
+    round_hits = 0
+    for hits, discovered, contribs in ray.get(fetch_refs):
+        round_hits += hits
+        result.counters["discovered"] += discovered
+        all_contribs.extend(contribs)
+    result.counters["fetched"] += round_hits
+    result.counters["misses"] += len(fetch_rows) - round_hits
+
+    # 6. OPIC aggregation: in-process for small rounds, Dataset groupby at
+    # scale — both produce identical output (shared sort-sum semantics)
+    next_cands = _aggregate(all_contribs, config)
     return next_cands, round_rows
 
 
-def _aggregate_distributed(contribs: List[tuple],
-                           config: CrawlConfig) -> pd.DataFrame:
-    """Canonicalize + aggregate contributions with a Dataset groupby so
-    the heavy link-dedup runs distributed; sums follow (src_shard,
-    src_seq) order for bitwise-stable floats."""
-    import ray.data
+# above this many contribution rows, aggregation goes through a Dataset
+# groupby instead of the driver (same output either way)
+AGG_DATASET_THRESHOLD = 200_000
 
-    if not contribs:
+
+def _aggregate(canon_rows: List[tuple], config: CrawlConfig) -> pd.DataFrame:
+    """Canonical contribution rows -> next-round candidates DataFrame.
+
+    Small rounds aggregate in-process via the shared
+    ``aggregate_canonical`` (no Dataset overhead); big rounds run the
+    identical sort-sum per group as a distributed groupby. Both paths
+    sum in (src_shard, src_seq) order -> identical floats.
+    """
+    if not canon_rows:
         return pd.DataFrame(columns=CAND_COLUMNS)
 
-    def canon_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for r in batch.itertuples(index=False):
-            c = make_candidate(r.dst_url, 0.0)
-            if c is None:
-                continue
-            rows.append((c.url_hash, c.url, c.surt, c.host,
-                         r.src_shard, r.src_seq, r.cash))
-        return pd.DataFrame(rows, columns=[
-            "url_hash", "url", "surt", "host", "src_shard", "src_seq",
-            "cash"])
+    if len(canon_rows) <= AGG_DATASET_THRESHOLD:
+        cands = aggregate_canonical(canon_rows)
+        return _candidates_df(cands)
+
+    import ray.data
 
     def sum_group(grp: pd.DataFrame) -> pd.DataFrame:
         grp = grp.sort_values(["src_shard", "src_seq"], kind="mergesort")
@@ -359,10 +370,10 @@ def _aggregate_distributed(contribs: List[tuple],
         return pd.DataFrame([[first["url_hash"], first["url"], first["surt"],
                               first["host"], total]], columns=CAND_COLUMNS)
 
-    df = pd.DataFrame(contribs,
-                      columns=["dst_url", "src_shard", "src_seq", "cash"])
-    ds = ray.data.from_pandas(df)
-    out = ds.map_batches(canon_batch, batch_format="pandas") \
+    df = pd.DataFrame(canon_rows, columns=[
+        "url_hash", "url", "surt", "host", "src_shard", "src_seq", "cash"])
+    df["url_hash"] = df["url_hash"].astype("uint64")
+    out = ray.data.from_pandas(df) \
         .groupby("url_hash") \
         .map_groups(sum_group, batch_format="pandas") \
         .to_pandas()

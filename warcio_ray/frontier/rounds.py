@@ -77,31 +77,48 @@ def seeds_to_candidates(seeds: Sequence[Tuple[str, float]]) -> List[Candidate]:
     return out
 
 
-def aggregate_contributions(
-        contribs: Iterable[Tuple[str, int, int, float]]) -> List[Candidate]:
-    """(dst_url, src_shard, src_seq, cash) -> one candidate per dst.
+# a canonicalized contribution row:
+# (url_hash, url, surt, host, src_shard, src_seq, cash)
+CanonContrib = Tuple[int, str, str, str, int, int, float]
 
-    Cash is summed in sorted (src_shard, src_seq) order per dst; output is
-    sorted by dst url_hash — both orders are load-independent.
-    """
-    by_dst: Dict[int, List[Tuple[int, int, float, str]]] = {}
+
+def canonicalize_contributions(
+        contribs: Iterable[Tuple[str, int, int, float]]) -> List[CanonContrib]:
+    """(dst_url, src_shard, src_seq, cash) -> canonical rows (the
+    parallelizable half of aggregation — runs inside fetch workers)."""
+    out: List[CanonContrib] = []
     for dst_url, src_shard, src_seq, cash in contribs:
         c = make_candidate(dst_url, 0.0)
         if c is None:
             continue
-        by_dst.setdefault(c.url_hash, []).append(
-            (src_shard, src_seq, cash, c.url))
+        out.append((c.url_hash, c.url, c.surt, c.host,
+                    src_shard, src_seq, cash))
+    return out
+
+
+def aggregate_canonical(rows: Iterable[CanonContrib]) -> List[Candidate]:
+    """Group canonical contributions by dst hash; sum cash in sorted
+    (src_shard, src_seq) order; output sorted by hash. Load-independent,
+    bitwise-stable floats."""
+    by_dst: Dict[int, List[CanonContrib]] = {}
+    for row in rows:
+        by_dst.setdefault(row[0], []).append(row)
     out: List[Candidate] = []
     for h in sorted(by_dst):
-        rows = sorted(by_dst[h], key=lambda r: (r[0], r[1]))
+        grp = sorted(by_dst[h], key=lambda r: (r[4], r[5]))
         total = 0.0
-        for _, _, cash, _ in rows:
-            total += cash
-        url = rows[0][3]
-        s = surt(url)
-        out.append(Candidate(url_hash=h, url=url, surt=s,
-                             host=host_of(url), priority=total))
+        for r in grp:
+            total += r[6]
+        first = grp[0]
+        out.append(Candidate(url_hash=h, url=first[1], surt=first[2],
+                             host=first[3], priority=total))
     return out
+
+
+def aggregate_contributions(
+        contribs: Iterable[Tuple[str, int, int, float]]) -> List[Candidate]:
+    """(dst_url, src_shard, src_seq, cash) -> one candidate per dst."""
+    return aggregate_canonical(canonicalize_contributions(contribs))
 
 
 def seen_order(candidates: Iterable[Candidate],

@@ -121,8 +121,11 @@ def build_pages(sf_dir: str, force: bool = False) -> str:
     return out
 
 
-def read_pages(sf_dir: str, columns=None):
-    """Dataset over the (cached) pages table, with column pruning."""
+def read_pages(sf_dir: str, columns=None, **read_kwargs):
+    """Dataset over the (cached) pages table, with column pruning.
+    Extra kwargs (e.g. override_num_blocks) pass through to
+    read_parquet."""
     import ray.data
     return ray.data.read_parquet(build_pages(sf_dir), columns=columns,
-                                 file_extensions=["parquet"])
+                                 file_extensions=["parquet"],
+                                 **read_kwargs)

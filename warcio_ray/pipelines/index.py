@@ -120,6 +120,7 @@ def index_dataset(paths, fields=DEFAULT_FIELDS, verify_http: bool = False):
     record_parse = any(f.startswith("http:") for f in fields)
     opts = ParseOptions(no_record_parse=not record_parse,
                         verify_http=verify_http, arc2warc=True)
-    ds = read_warc(paths, parse_options=opts)
+    # the index never needs the sha1 dedup keys (indexer.py fast path)
+    ds = read_warc(paths, parse_options=opts, compute_digests=False)
     return ds.map_batches(_project_batch, batch_format="pyarrow",
                           fn_kwargs={"fields": fields})

@@ -74,69 +74,114 @@ def _warc_date_of(record: ParsedRecord):
         return None
 
 
+def _header_list_array(header_blocks) -> pa.ListArray:
+    """Ordered (name,value) pairs -> list<struct> via flat arrays +
+    offsets (no per-row python dicts — this is the hot conversion)."""
+    names: List[Optional[str]] = []
+    values: List[Optional[str]] = []
+    offsets: List[Optional[int]] = [0]
+    mask = []
+    total = 0
+    for hb in header_blocks:
+        if hb is None:
+            offsets.append(total)
+            mask.append(True)
+            continue
+        for n, v in hb.pairs:
+            names.append(n)
+            values.append(v)
+        total += len(hb.pairs)
+        offsets.append(total)
+        mask.append(False)
+    struct = pa.StructArray.from_arrays(
+        [pa.array(names, pa.string()), pa.array(values, pa.string())],
+        names=["name", "value"])
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), struct,
+        mask=pa.array(mask, pa.bool_()))
+
+
 def records_to_table(records: List[ParsedRecord], filename: str,
                      err_count: int = 0,
-                     parse_error: Optional[str] = None) -> pa.Table:
-    """Columnarize parsed records (one file's worth) into the T2 schema."""
-    cols = {name: [] for name in WARC_RECORDS_SCHEMA.names}
-    for r in records:
-        http = r.http_headers
-        cols["filename"].append(filename)
-        cols["offset"].append(r.offset)
-        cols["length"].append(r.record_length)
-        cols["format"].append(r.format)
-        cols["rec_type"].append(r.rec_type)
-        cols["warc_version"].append(r.warc_headers.protocol)
-        cols["warc_headers"].append(
-            [{"name": n, "value": v} for n, v in r.warc_headers.pairs])
-        cols["http_protocol"].append(http.protocol if http else None)
-        cols["http_statusline"].append(http.statusline if http else None)
-        cols["http_headers"].append(
-            [{"name": n, "value": v} for n, v in http.pairs]
-            if http is not None else None)
-        cols["content_type"].append(r.content_type)
-        cols["content_length"].append(r.length)
-        cols["payload"].append(r.payload)
-        cols["payload_digest"].append(sha1_b32(r.payload))
-        block_http = (HeaderBlock(protocol=http.protocol,
-                                  statusline=http.statusline,
-                                  pairs=list(http.pairs)).to_ascii_bytes()
-                      if http is not None else b"")
-        cols["block_digest"].append(sha1_b32(block_http, r.payload))
-        cols["digest_passed"].append(r.digest_passed)
-        cols["digest_problems"].append(r.digest_problems)
-        cols["url"].append(r.url)
-        cols["warc_date"].append(_warc_date_of(r))
-        cols["parse_error"].append(parse_error)
-        cols["err_count"].append(err_count)
-    if not records and parse_error is not None:
+                     parse_error: Optional[str] = None,
+                     compute_digests: bool = True) -> pa.Table:
+    """Columnarize parsed records (one file's worth) into the T2 schema.
+
+    ``compute_digests=False`` skips the sha1 dedup-key columns (the
+    indexer fast path never touches payload bytes)."""
+    if not records:
+        if parse_error is None:
+            return WARC_RECORDS_SCHEMA.empty_table()
         # one sentinel row so file-level failures survive into the table
-        for name in WARC_RECORDS_SCHEMA.names:
-            cols[name].append(None)
-        cols["filename"][-1] = filename
-        cols["parse_error"][-1] = parse_error
-        cols["err_count"][-1] = 0
-    arrays = [pa.array(cols[f.name], type=f.type)
-              for f in WARC_RECORDS_SCHEMA]
+        row = {name: None for name in WARC_RECORDS_SCHEMA.names}
+        row["filename"] = filename
+        row["parse_error"] = parse_error
+        row["err_count"] = 0
+        return pa.Table.from_pylist([row], schema=WARC_RECORDS_SCHEMA)
+
+    n = len(records)
+    https = [r.http_headers for r in records]
+    payloads = [r.payload for r in records]
+    if compute_digests:
+        def ascii_buff(h):
+            if h is None:
+                return b""
+            # copy: to_ascii_bytes %-encode may mutate pairs
+            return HeaderBlock(protocol=h.protocol, statusline=h.statusline,
+                               pairs=list(h.pairs)).to_ascii_bytes()
+
+        payload_digest = [sha1_b32(p) for p in payloads]
+        block_digest = [sha1_b32(ascii_buff(h), p)
+                        for h, p in zip(https, payloads)]
+    else:
+        payload_digest = [None] * n
+        block_digest = [None] * n
+    arrays = [
+        pa.array([filename] * n, pa.string()),
+        pa.array([r.offset for r in records], pa.int64()),
+        pa.array([r.record_length for r in records], pa.int64()),
+        pa.array([r.format for r in records], pa.string()),
+        pa.array([r.rec_type for r in records], pa.string()),
+        pa.array([r.warc_headers.protocol for r in records], pa.string()),
+        _header_list_array([r.warc_headers for r in records]),
+        pa.array([h.protocol if h else None for h in https], pa.string()),
+        pa.array([h.statusline if h else None for h in https], pa.string()),
+        _header_list_array(https),
+        pa.array([r.content_type for r in records], pa.string()),
+        pa.array([r.length for r in records], pa.int64()),
+        pa.array(payloads, pa.large_binary()),
+        pa.array(payload_digest, pa.string()),
+        pa.array(block_digest, pa.string()),
+        pa.array([r.digest_passed for r in records], pa.bool_()),
+        pa.array([r.digest_problems for r in records],
+                 pa.list_(pa.string())),
+        pa.array([r.url for r in records], pa.string()),
+        pa.array([_warc_date_of(r) for r in records], pa.timestamp("us")),
+        pa.array([parse_error] * n, pa.string()),
+        pa.array([err_count] * n, pa.int64()),
+    ]
     return pa.Table.from_arrays(arrays, schema=WARC_RECORDS_SCHEMA)
 
 
 def parse_archive_file(data: bytes, filename: str,
                        opts: Optional[ParseOptions] = None,
-                       fallback_lenient: bool = False) -> pa.Table:
+                       fallback_lenient: bool = False,
+                       compute_digests: bool = True) -> pa.Table:
     """One archive file -> T2 table. ``fallback_lenient`` mirrors the
     recompress behavior: on strict failure, bulk-decompress + re-parse."""
     opts = opts or ParseOptions()
     try:
         result = parse_archive_bytes(data, opts)
-        return records_to_table(result.records, filename, result.err_count)
+        return records_to_table(result.records, filename, result.err_count,
+                                compute_digests=compute_digests)
     except ArchiveFormatError as e:
         if fallback_lenient:
             import dataclasses
             lenient = dataclasses.replace(opts, lenient=True)
             result = parse_archive_bytes(data, lenient)
             return records_to_table(result.records, filename,
-                                    result.err_count)
+                                    result.err_count,
+                                    compute_digests=compute_digests)
         return records_to_table([], filename, parse_error=str(e)[:500])
 
 
@@ -144,7 +189,8 @@ class WARCDatasource:
     """FileBasedDatasource over .warc(.gz)/.arc(.gz) files."""
 
     def __new__(cls, paths, parse_options: Optional[ParseOptions] = None,
-                fallback_lenient: bool = False, **kwargs):
+                fallback_lenient: bool = False,
+                compute_digests: bool = True, **kwargs):
         # subclass lazily so importing this module never needs Ray
         from ray.data.datasource import FileBasedDatasource
 
@@ -156,6 +202,7 @@ class WARCDatasource:
                                  **kwargs)
                 self._opts = parse_options or ParseOptions()
                 self._fallback = fallback_lenient
+                self._compute_digests = compute_digests
 
             def _open_input_source(self, filesystem, path, **open_args):
                 # the default opener auto-decompresses by .gz suffix; WARC
@@ -167,20 +214,24 @@ class WARCDatasource:
             def _read_stream(self, f, path: str) -> Iterator[pa.Table]:
                 data = f.readall()
                 yield parse_archive_file(data, path, self._opts,
-                                         self._fallback)
+                                         self._fallback,
+                                         self._compute_digests)
 
         return _Impl()
 
 
 def read_warc(paths, parse_options: Optional[ParseOptions] = None,
-              fallback_lenient: bool = False, **read_kwargs):
+              fallback_lenient: bool = False, compute_digests: bool = True,
+              **read_kwargs):
     """ray.data.read_datasource over WARC/ARC files.
 
     ``parse_options.check_digests=True`` adds digest verification columns;
     ``no_record_parse=True`` skips http parsing (the indexer's fast path,
-    indexer.py:19).
+    indexer.py:19); ``compute_digests=False`` also skips the sha1 dedup
+    key columns.
     """
     import ray.data
     source = WARCDatasource(paths, parse_options=parse_options,
-                            fallback_lenient=fallback_lenient)
+                            fallback_lenient=fallback_lenient,
+                            compute_digests=compute_digests)
     return ray.data.read_datasource(source, **read_kwargs)
