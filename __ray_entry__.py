@@ -274,6 +274,26 @@ def _warc_rec_types(sf_dir: str):
     return ds.groupby("rec_type").aggregate(Count(alias_name="n"))
 
 
+def _revisit_dedup(sf_dir: str):
+    """Payload-digest dedup over the pages-derived WARC corpus: rec_type
+    counts after duplicates are rewritten to revisit records (warcio's
+    dedup primitive, recordbuilder.py:62-80)."""
+    import os
+
+    from ray.data.aggregate import Count
+
+    from warcio_ray.pipelines.revisit import rewrite_duplicates_as_revisits
+    from warcio_ray.sources.warc import read_warc
+
+    _warc_rec_types(sf_dir)  # ensure the corpus exists
+    out_dir = os.path.join("/tmp/warcio_ray/warcout",
+                           os.path.basename(sf_dir.rstrip("/")))
+    paths = [os.path.join(out_dir, p) for p in sorted(os.listdir(out_dir))
+             if p.endswith(".warc.gz")]
+    out = rewrite_duplicates_as_revisits(read_warc(paths))
+    return out.groupby("rec_type").aggregate(Count(alias_name="n"))
+
+
 def _media_features(sf_dir: str):
     from warcio_ray.ops.multimodal import decode_media, media_from_pages
 
@@ -307,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text_verify": _extract_text_verify,
         "crawl_order": _crawl_order,
         "warc_rec_types": _warc_rec_types,
+        "revisit_dedup": _revisit_dedup,
         # multimodal plumbing
         "media_features": _media_features,
     }

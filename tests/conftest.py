@@ -11,5 +11,8 @@ def ray_session():
     import ray.data
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    # nested list<struct> header columns are not tensors; uniform-length
+    # batches otherwise trip the TensorArray cast in to_pandas()
+    ctx.enable_tensor_extension_casting = False
     yield ray
     ray.shutdown()

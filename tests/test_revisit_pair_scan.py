@@ -1,0 +1,120 @@
+"""Revisit dedup pipeline, req/resp pairing, scan-fetch equivalence."""
+
+import pandas as pd
+import pytest
+
+from warcio_ray.codec import ParseOptions, parse_archive_bytes, serialize_record
+from warcio_ray.codec.build import build_record
+from warcio_ray.codec.headers import HeaderBlock
+from warcio_ray.sinks.warc import pair_request_response
+
+FIXED_ID = "<urn:uuid:12345678-feb0-11e6-8f83-68a86d1772ce>"
+
+
+def _fixed_id():
+    return FIXED_ID
+
+
+def _fixed_date(use_micros=False):
+    return "2000-01-01T00:00:00Z"
+
+
+def _response(url, payload, date="2000-01-01T00:00:00Z"):
+    http = HeaderBlock(protocol="HTTP/1.0", statusline="200 OK",
+                       pairs=[("Content-Type", "text/plain")])
+    return build_record(url, "response", payload=payload, http_headers=http,
+                        id_fn=_fixed_id, date_fn=lambda m, d=date: d)
+
+
+def test_revisit_dedup_pipeline(ray_session, tmp_path):
+    import glob
+    import os
+
+    from warcio_ray.pipelines.revisit import (
+        find_revisit_targets,
+        rewrite_duplicates_as_revisits,
+    )
+    from warcio_ray.sources.warc import read_warc
+
+    # corpus: 3 urls sharing one payload + 1 unique
+    recs = [
+        _response("http://a.example/1", b"same payload",
+                  "2000-01-01T00:00:00Z"),
+        _response("http://a.example/2", b"same payload",
+                  "2000-01-02T00:00:00Z"),
+        _response("http://a.example/3", b"same payload",
+                  "2000-01-03T00:00:00Z"),
+        _response("http://a.example/u", b"unique payload"),
+    ]
+    path = str(tmp_path / "dup.warc.gz")
+    with open(path, "wb") as f:
+        for r in recs:
+            f.write(serialize_record(r, gzip=True))
+
+    ds = read_warc([path])
+    targets = find_revisit_targets(ds)
+    assert len(targets) == 1
+    assert targets.iloc[0]["refers_to_uri"] == "http://a.example/1"
+
+    # note: id_fn must be worker-importable (the default uuid fn is);
+    # test-module functions aren't on worker sys.path
+    out = rewrite_duplicates_as_revisits(read_warc([path])).to_pandas()
+    by_type = out["rec_type"].value_counts().to_dict()
+    assert by_type == {"response": 2, "revisit": 2}
+    revs = out[out["rec_type"] == "revisit"]
+    assert set(revs["url"]) == {"http://a.example/2", "http://a.example/3"}
+    # revisit rows carry the shared digest + refers-to headers
+    hdrs = {h["name"]: h["value"] for h in revs.iloc[0]["warc_headers"]}
+    assert hdrs["WARC-Refers-To-Target-URI"] == "http://a.example/1"
+    assert hdrs["WARC-Payload-Digest"].startswith("sha1:")
+    assert "revisit/identical-payload-digest" in hdrs["WARC-Profile"]
+
+
+def test_pair_request_response_round_trip():
+    resp = _response("http://x.example/p", b"hello")
+    http_req = HeaderBlock(protocol="GET", statusline="/p HTTP/1.0",
+                           pairs=[("Host", "x.example")])
+    req = build_record("http://other/", "request", http_headers=http_req,
+                       id_fn=_fixed_id, date_fn=_fixed_date)
+    pair_request_response(req, resp)
+    assert req.warc_headers.get("WARC-Target-URI") == "http://x.example/p"
+    assert req.warc_headers.get("WARC-Concurrent-To") == FIXED_ID
+    blob = serialize_record(resp, gzip=True) + serialize_record(req, gzip=True)
+    back = parse_archive_bytes(blob, ParseOptions(check_digests=True))
+    assert [r.rec_type for r in back.records] == ["response", "request"]
+    assert back.records[1].url == "http://x.example/p"
+
+
+def test_scan_fetch_matches_broadcast_fetch(ray_session):
+    """fetch_round_via_scan == FetchActor.fetch for the same schedule."""
+    import ray
+
+    from warcio_ray.frontier.distributed import _actor_classes
+    from warcio_ray.frontier.rounds import CrawlConfig
+    from warcio_ray.pipelines.crawl import (
+        fetch_round_via_scan,
+        load_pages_dict,
+    )
+    from warcio_ray.pages import url_for
+
+    sf = "/root/testdata/sf0.001"
+    pages = load_pages_dict(sf)
+    config = CrawlConfig(num_shards=4)
+    sched = pd.DataFrame({
+        "shard": [0, 1, 2],
+        "seq": [0, 0, 1],
+        "url_hash": [1, 2, 3],
+        "url": [url_for(3), url_for(7), url_for(123)],
+        "host": ["h", "h", "h"],
+        "priority": [1.0, 0.5, 0.25],
+    })
+    _, _, FetchActor = _actor_classes()
+    actor = FetchActor.remote(ray.put(pages), config)
+    rows = list(sched[["shard", "seq", "url_hash", "url", "host",
+                       "priority"]].itertuples(index=False, name=None))
+    hits_b, _disc, canon_b = ray.get(actor.fetch.remote(rows))
+    ray.kill(actor)
+
+    hits_s, canon_s = fetch_round_via_scan(sf, sched, config)
+    assert hits_s == hits_b
+    assert sorted(canon_s) == sorted(canon_b)

@@ -44,9 +44,28 @@ def row_to_record(row: dict) -> ParsedRecord:
         url=row.get("url"))
 
 
-def serialize_table(batch: pa.Table, gzip: bool = True) -> bytes:
-    return b"".join(serialize_record(row_to_record(row), gzip=gzip)
+def serialize_table(batch: pa.Table, gzip: bool = True,
+                    header_filter=None) -> bytes:
+    return b"".join(serialize_record(row_to_record(row), gzip=gzip,
+                                     header_filter=header_filter)
                     for row in batch.to_pylist())
+
+
+def pair_request_response(request: "ParsedRecord",
+                          response: "ParsedRecord") -> None:
+    """Link a request to its response the way the reference writer does
+    (warcwriter.py:22-33): copy WARC-Target-URI/WARC-Date from the
+    response, add WARC-Concurrent-To with the response's record id.
+    Write response first, then request."""
+    url = response.warc_headers.get("WARC-Target-URI")
+    date = response.warc_headers.get("WARC-Date")
+    if url is not None:
+        request.warc_headers.replace("WARC-Target-URI", url)
+    if date is not None:
+        request.warc_headers.replace("WARC-Date", date)
+    resp_id = response.warc_headers.get("WARC-Record-ID")
+    if resp_id:
+        request.warc_headers.add("WARC-Concurrent-To", resp_id)
 
 
 class WARCDatasink:
