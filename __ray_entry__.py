@@ -152,7 +152,7 @@ def _lang_confusion(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang"])
     preds = ds.map_batches(LangIdStage, batch_format="pandas",
-                           batch_size=256, concurrency=2)
+                           batch_size=256, concurrency=2, num_cpus=0.5)
     return preds.groupby(["lang", "lang_pred"]).aggregate(
         Count(alias_name="n"))
 

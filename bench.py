@@ -174,8 +174,10 @@ def run_bench() -> dict:
     from warcio_ray.ops.dedup import MinHasher, explode_bands_batch
     ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
                                columns=["doc_id", "text"])
+    # num_cpus=0.5 so the pool can never reserve the whole session and
+    # starve the read stage (deadlocked a 2-cpu session otherwise)
     n_sigs = ds.map_batches(MinHasher, batch_format="pandas", batch_size=512,
-                            concurrency=max(2, NCPUS // 4)) \
+                            concurrency=max(2, NCPUS // 4), num_cpus=0.5) \
         .map_batches(explode_bands_batch, batch_format="pandas").count()
     timings["minhash_bands"] = round(time.time() - t0, 3)
     derived["minhash_band_rows"] = n_sigs
@@ -213,7 +215,8 @@ def run_scaling() -> None:
                                  os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    lo_n, hi_n = 8, 32
+    levels = os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(",")
+    lo_n, hi_n = int(levels[0]), int(levels[1])
     warm = run(hi_n, keep=False)           # builds corpus, warms cache
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     los = [run(lo_n, keep=True) for _ in range(reps)]
@@ -228,15 +231,18 @@ def run_scaling() -> None:
     t_hi = sum(best(his, s) for s in stages)
     eff = (t_lo / t_hi) / (hi_n / lo_n)
     print(json.dumps({
-        "metric": "scaling efficiency (8 -> 32 cpus, warm cpu-bound stages)",
-        "sec_8": round(t_lo, 3), "sec_32": round(t_hi, 3),
+        "metric": f"scaling efficiency ({lo_n} -> {hi_n} cpus, "
+                  "warm cpu-bound stages)",
+        "cpus_lo": lo_n, "cpus_hi": hi_n,
+        f"sec_{lo_n}": round(t_lo, 3), f"sec_{hi_n}": round(t_hi, 3),
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
         "stages": stages, "reps": reps,
-        "cold_write_rec_s_32": warm["derived"]["warc_write_rec_s"],
-        "total_8": min(r["value"] for r in los),
-        "total_32": min(r["value"] for r in his),
-        "full_8": los[0]["queries"], "full_32": his[0]["queries"],
+        "cold_write_rec_s_hi": warm["derived"]["warc_write_rec_s"],
+        f"total_{lo_n}": min(r["value"] for r in los),
+        f"total_{hi_n}": min(r["value"] for r in his),
+        f"full_{lo_n}": los[0]["queries"],
+        f"full_{hi_n}": his[0]["queries"],
     }))
 
 

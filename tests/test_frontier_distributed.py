@@ -53,6 +53,18 @@ def test_distributed_matches_reference(ray_session, pages):
     assert len(dist.order) > 20
 
 
+def test_parallelism_invariance(ray_session, pages):
+    """Crawl order + seen set must not depend on the worker count — the
+    sandbox stand-in for N-node vs 4N-node cluster equivalence."""
+    a = crawl_distributed(seeds(), pages, config(), robots_bodies=ROBOTS,
+                          fetch_concurrency=1)
+    b = crawl_distributed(seeds(), pages, config(), robots_bodies=ROBOTS,
+                          fetch_concurrency=4)
+    assert a.order == b.order
+    assert a.admitted == b.admitted
+    assert a.counters == b.counters
+
+
 def test_distributed_checkpoint_resume(ray_session, pages, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     full = crawl_distributed(seeds(), pages, config(5), robots_bodies=ROBOTS)

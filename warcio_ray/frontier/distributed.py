@@ -30,7 +30,6 @@ from __future__ import annotations
 import os
 import pickle
 import shutil
-import uuid
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -61,7 +60,10 @@ def _actor_classes():
     """Define actor classes lazily so importing this module needs no Ray."""
     import ray
 
-    @ray.remote(num_cpus=0.25)
+    # state actors reserve ~no CPU: they are RPC-driven index holders, and
+    # reserving real CPUs deadlocks small sessions (16 shards x 0.25 cpu
+    # exceeded a 2-cpu session before any work ran)
+    @ray.remote(num_cpus=0.01)
     class SeenShardActor:
         """One url-hash shard of the seen set."""
 
@@ -77,7 +79,7 @@ def _actor_classes():
         def snapshot(self) -> bytes:
             return self.seen.to_bytes()
 
-    @ray.remote(num_cpus=0.25)
+    @ray.remote(num_cpus=0.01)
     class PolitenessShardActor:
         """One host-hash shard of politeness state."""
 
@@ -103,7 +105,6 @@ def _actor_classes():
             """Admitted candidate rows (url_hash, url, surt, host, priority)
             -> (selected rows, robots_denied count). Keeps deferrals."""
             denied = 0
-            touched = set()
             for url_hash, url, s, host, priority in rows:
                 st = self._host_state(host)
                 if not st.robots.allowed(path_of_url(url)):
@@ -214,7 +215,6 @@ def crawl_distributed(seeds: Sequence[Tuple[str, float]],
 
     config = config or CrawlConfig()
     SeenShardActor, PolitenessShardActor, FetchActor = _actor_classes()
-    uid = uuid.uuid4().hex[:8]
 
     start_round = 0
     result = DistributedCrawlResult(

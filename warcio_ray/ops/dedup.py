@@ -146,6 +146,7 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
 
     sigs = ds.map_batches(MinHasher, batch_format="pandas",
                           batch_size=512, concurrency=concurrency,
+                          num_cpus=0.5,  # never reserve the whole session
                           fn_constructor_kwargs={"num_perm": num_perm,
                                                  "shingle_k": shingle_k})
     bands_ds = sigs.map_batches(explode_bands_batch, batch_format="pandas",
