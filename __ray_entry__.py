@@ -270,8 +270,18 @@ def _warc_rec_types(sf_dir: str):
 
     paths = [os.path.join(out_dir, p) for p in sorted(os.listdir(out_dir))
              if p.endswith(".warc.gz")]
-    ds = read_warc(paths)
+    ds = read_warc(paths).select_columns(["rec_type"])
     return ds.groupby("rec_type").aggregate(Count(alias_name="n"))
+
+
+def _distinct_langs(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang"])
+    langs = sorted(ds.unique("lang"))
+    return pd.DataFrame({"lang": langs})
 
 
 def _revisit_dedup(sf_dir: str):
@@ -291,7 +301,10 @@ def _revisit_dedup(sf_dir: str):
     paths = [os.path.join(out_dir, p) for p in sorted(os.listdir(out_dir))
              if p.endswith(".warc.gz")]
     out = rewrite_duplicates_as_revisits(read_warc(paths))
-    return out.groupby("rec_type").aggregate(Count(alias_name="n"))
+    # project the key first: keeps nested/binary columns out of the
+    # shuffle AND out of driver-side pandas conversions
+    return out.select_columns(["rec_type"]) \
+        .groupby("rec_type").aggregate(Count(alias_name="n"))
 
 
 def _media_features(sf_dir: str):
@@ -324,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pages / crawl / warc
         "host_counts": _host_counts,
         "top_hosts": _top_hosts,
+        "distinct_langs": _distinct_langs,
         "extract_text_verify": _extract_text_verify,
         "crawl_order": _crawl_order,
         "warc_rec_types": _warc_rec_types,
@@ -409,6 +423,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT {_HOST_CASE} AS host, COUNT(*) AS n_pages
               FROM documents GROUP BY 1)
             ORDER BY n_pages DESC, host LIMIT 5
+        """,
+        "distinct_langs": """
+            SELECT DISTINCT lang FROM documents
         """,
         "knn_top10": """
             SELECT vec_id FROM embeddings

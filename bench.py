@@ -164,7 +164,7 @@ def run_bench() -> dict:
     t0 = time.time()
     order = crawl_pages(SF_DIR, CrawlConfig(
         max_rounds=8, num_shards=16, num_host_shards=4,
-        host_capacity=64.0, host_refill=64.0), n_seeds=64)
+        host_capacity=64.0, host_refill=64.0), n_seeds=256)
     timings["crawl"] = round(time.time() - t0, 3)
     derived["crawl_urls"] = len(order)
     derived["crawl_urls_s"] = round(len(order) / timings["crawl"], 1)
