@@ -182,6 +182,88 @@ def split_status_prefix(statusline: str, prefixes: Sequence[str]) -> Optional[Tu
     return None
 
 
+# a blank(ish) line terminates a header block: newline, optional
+# spaces/tabs, newline (whitespace-only lines rstrip to '' like blanks)
+_BLOCK_TERM_RX = re.compile(rb"\n[ \t]*\r?\n")
+
+
+def _parse_header_block_fast(cur: ByteCursor, prefixes: Sequence[str],
+                             verify: bool) -> Optional[HeaderBlock]:
+    """Whole-block fast path: slice to the blank-line terminator, decode
+    once, split once. Returns None when the block needs the per-line
+    slow path (blank statusline, non-utf8 bytes). Semantics are
+    line-for-line identical to the slow path (same rstrip/continuation/
+    nameless-line rules, total_len in decoded characters)."""
+    data = cur.data
+    start = cur.pos
+    m = _BLOCK_TERM_RX.search(data, start)
+    end = m.end() if m else len(data)
+    block = data[start:end]
+    if not block:
+        raise EndOfData()
+    try:
+        text = block.decode("utf-8")
+    except UnicodeDecodeError:
+        return None  # per-line latin-1 fallback needed
+
+    raw_lines = text.split("\n")
+    if text.endswith("\n"):
+        raw_lines.pop()
+    statusline = raw_lines[0].rstrip()
+    if not statusline:
+        return None  # empty-statusline corner: slow path handles exactly
+
+    first_nl = data.find(b"\n", start)
+    first_len = (first_nl + 1 - start) if first_nl != -1 else len(data) - start
+
+    if verify:
+        split = split_status_prefix(statusline, prefixes)
+        if split is None:
+            # mimic the slow path: only the first line was consumed
+            cur.pos = start + first_len
+            raise HeaderParseError(
+                f"Expected Status Line starting with {list(prefixes)} - "
+                f"Found: {statusline}",
+                raw_lines[0] + ("\n" if first_nl != -1 else ""))
+    else:
+        parts = statusline.split(" ", 1)
+        split = (parts[0], parts[1] if len(parts) > 1 else "")
+
+    cur.pos = end
+    pairs: List[Tuple[str, str]] = []
+    idx = 1
+    n = len(raw_lines)
+
+    def nxt_line() -> Optional[str]:
+        nonlocal idx
+        if idx >= n:
+            return None
+        s = raw_lines[idx].rstrip()
+        idx += 1
+        return s
+
+    line = nxt_line()
+    while line:
+        name_value = line.split(":", 1)
+        if len(name_value) == 2:
+            name = name_value[0].rstrip(" \t")
+            value: Optional[str] = name_value[1].lstrip()
+        else:
+            name = name_value[0]
+            value = None
+        nxt = nxt_line()
+        while nxt and nxt.startswith((" ", "\t")):
+            if value is not None:
+                value += nxt
+            nxt = nxt_line()
+        if value is not None:
+            pairs.append((name, value))
+        line = nxt
+
+    return HeaderBlock(protocol=split[0], statusline=split[1].strip(),
+                       pairs=pairs, total_len=len(text))
+
+
 def parse_header_block(cur: ByteCursor,
                        prefixes: Sequence[str],
                        verify: bool = True,
@@ -193,6 +275,9 @@ def parse_header_block(cur: ByteCursor,
     reference threads ``next_line``, archiveiterator.py:118).
     """
     if first_line is None:
+        fast = _parse_header_block_fast(cur, prefixes, verify)
+        if fast is not None:
+            return fast
         first_line = decode_line(cur.readline())
 
     total = len(first_line)
