@@ -403,6 +403,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": """
             SELECT doc_id,
                    array_length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                   array_length(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+')) AS n_bpe_tokens,
                    length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_punct,
                    length(text) AS char_len,
                    CAST(length(text) AS DOUBLE)

@@ -65,6 +65,26 @@ def test_parallelism_invariance(ray_session, pages):
     assert a.counters == b.counters
 
 
+def test_order_dir_parquet(ray_session, pages, tmp_path):
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    odir = str(tmp_path / "order")
+    res = crawl_distributed(seeds(), pages, config(3), robots_bodies=ROBOTS,
+                            order_dir=odir)
+    files = sorted(glob.glob(odir + "/round=*.parquet"))
+    assert len(files) == res.rounds
+    rows = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                     ignore_index=True)
+    assert len(rows) == len(res.order)
+    # parquet order record matches the in-memory order exactly
+    got = list(rows.itertuples(index=False, name=None))
+    want = [(r[0], r[1], r[2], r[3], r[4], r[5], r[6]) for r in res.order]
+    assert got == want
+
+
 def test_distributed_checkpoint_resume(ray_session, pages, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     full = crawl_distributed(seeds(), pages, config(5), robots_bodies=ROBOTS)

@@ -203,12 +203,16 @@ def crawl_distributed(seeds: Sequence[Tuple[str, float]],
                       robots_bodies: Optional[Dict[str, str]] = None,
                       checkpoint_dir: Optional[str] = None,
                       resume: bool = False,
-                      fetch_concurrency: int = 2) -> DistributedCrawlResult:
+                      fetch_concurrency: int = 2,
+                      order_dir: Optional[str] = None) -> DistributedCrawlResult:
     """Run the crawl distributed; bit-identical to the reference crawl.
 
     ``pages`` is the simulated web (url -> html bytes), broadcast once.
     ``checkpoint_dir`` enables per-round snapshots; ``resume=True`` picks
-    up from the latest complete round found there.
+    up from the latest complete round found there. ``order_dir`` streams
+    the crawl order to one parquet file per round (deterministic names,
+    atomic rename) — at real scale that file set, not driver memory, is
+    the order record; reruns overwrite byte-identically.
     """
     import ray
     import ray.data
@@ -250,6 +254,8 @@ def crawl_distributed(seeds: Sequence[Tuple[str, float]],
             cand_df, round_rows = _run_round(
                 rnd, cand_df, seen_actors, pol_actors, fetch_actors,
                 config, result)
+            if order_dir:
+                _write_round_order(order_dir, rnd, round_rows)
             rnd += 1
             result.rounds = rnd
             if checkpoint_dir:
@@ -380,6 +386,32 @@ def _aggregate(canon_rows: List[tuple], config: CrawlConfig) -> pd.DataFrame:
     if out.empty:
         return pd.DataFrame(columns=CAND_COLUMNS)
     return out.sort_values("url_hash").reset_index(drop=True)
+
+
+ORDER_SCHEMA_COLS = ["round", "shard", "seq", "url_hash", "url", "host",
+                     "priority"]
+
+
+def _write_round_order(order_dir: str, rnd: int, rows: List[tuple]) -> None:
+    """One parquet file per round, written atomically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(order_dir, exist_ok=True)
+    df = pd.DataFrame(rows, columns=ORDER_SCHEMA_COLS)
+    table = pa.table({
+        "round": pa.array(df["round"], pa.int32()),
+        "shard": pa.array(df["shard"], pa.int32()),
+        "seq": pa.array(df["seq"], pa.int64()),
+        "url_hash": pa.array(df["url_hash"].astype("uint64"), pa.uint64()),
+        "url": pa.array(df["url"], pa.string()),
+        "host": pa.array(df["host"], pa.string()),
+        "priority": pa.array(df["priority"], pa.float64()),
+    })
+    final = os.path.join(order_dir, f"round={rnd:05d}.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
 
 
 # ---------------------------------------------------------------------------

@@ -17,20 +17,29 @@ import pandas as pd
 # token counting + quality scoring (SQL-mirrorable)
 # ---------------------------------------------------------------------------
 
+# BPE-ish pre-tokenizer: letter runs, single digits, punct runs — the
+# shape GPT-style byte-pair encoders split on (stdlib-re and RE2/DuckDB
+# compatible; no \p{L} classes, which stdlib `re` lacks)
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
 def token_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """doc_id, n_tokens, n_punct, char_len, score.
+    """doc_id, n_tokens, n_bpe_tokens, n_punct, char_len, score.
 
     Mirror SQL:  n_tokens = array_length(regexp_extract_all(text,'\\S+'))
+                 n_bpe_tokens = array_length(regexp_extract_all(text, BPE))
                  n_punct  = length(regexp_replace(text,'[^.!?]','','g'))
                  score    = CAST(char_len AS DOUBLE) / (n_tokens + 1)
     """
     text = batch["text"].astype("string")
     n_tokens = text.str.count(r"\S+").fillna(0).astype("int64")
+    n_bpe = text.str.count(BPE_TOKEN_PATTERN).fillna(0).astype("int64")
     n_punct = text.str.count(r"[.!?]").fillna(0).astype("int64")
     char_len = text.str.len().fillna(0).astype("int64")
     score = char_len.astype("float64") / (n_tokens + 1).astype("float64")
     return pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
-                         "n_tokens": n_tokens, "n_punct": n_punct,
+                         "n_tokens": n_tokens, "n_bpe_tokens": n_bpe,
+                         "n_punct": n_punct,
                          "char_len": char_len, "score": score})
 
 
