@@ -145,7 +145,8 @@ def run_bench() -> dict:
     # 3. parse + payload + sha1 digest verify — vs reference 7.4k rec/s
     t0 = time.time()
     import pyarrow.compute as pc
-    bad = read_warc(paths, parse_options=ParseOptions(check_digests=True)) \
+    bad = read_warc(paths, parse_options=ParseOptions(check_digests=True),
+                    compute_digests=False) \
         .map_batches(lambda t: t.filter(
             pc.equal(t["digest_passed"], False)), batch_format="pyarrow") \
         .count()

@@ -28,9 +28,13 @@ def _failures_only(batch: pa.Table) -> pa.Table:
 
 
 def check_dataset(paths, **read_kwargs):
-    """Dataset of failure rows (empty == all digests pass)."""
+    """Dataset of failure rows (empty == all digests pass).
+
+    compute_digests=False: verification sha1s run inside the codec; the
+    separate dedup-key digest columns would hash every payload a second
+    time for nothing."""
     ds = read_warc(paths, parse_options=ParseOptions(check_digests=True),
-                   **read_kwargs)
+                   compute_digests=False, **read_kwargs)
     return ds.map_batches(_failures_only, batch_format="pyarrow")
 
 

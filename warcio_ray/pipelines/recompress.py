@@ -24,7 +24,9 @@ def recompress_dataset(paths, arc2warc: bool = True,
                        parse_options: Optional[ParseOptions] = None):
     """Parsed records from archives, tolerating broken compression."""
     opts = parse_options or ParseOptions(arc2warc=arc2warc)
-    return read_warc(paths, parse_options=opts, fallback_lenient=True)
+    # digest columns are recomputed by the serializer anyway
+    return read_warc(paths, parse_options=opts, fallback_lenient=True,
+                     compute_digests=False)
 
 
 def recompress(paths, out_dir: str, arc2warc: bool = True,
