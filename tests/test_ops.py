@@ -41,16 +41,39 @@ def test_minhash_detects_near_duplicates(ray_session):
 
     from warcio_ray.ops.dedup import minhash_lsh_dedup
 
-    base = "the quick brown fox jumps over the lazy dog " * 8
-    near = base.replace("lazy", "sleepy")
+    # a HIGH-jaccard near-dup (J ~= 0.85): at J == threshold the LSH
+    # S-curve is a coin flip by design, so the fixture stays above it
+    base = " ".join(f"word{i}" for i in range(40))
+    near = base.replace("word39", "changed")
     far = "completely different words entirely unrelated content " * 8
     df = pd.DataFrame({"doc_id": [0, 1, 2],
                        "text": [base, near, far]})
     pairs, clusters = minhash_lsh_dedup(ray.data.from_pandas(df),
                                         threshold=0.5)
     assert {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])} == {(0, 1)}
+    assert pairs.attrs["lsh_dropped_ids"] == 0
     c = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
     assert c[0] == c[1] == 0
+
+
+def test_minhash_hot_bucket_capped(ray_session):
+    """A pathological bucket (many identical docs) must not go O(n^2):
+    the bucket is truncated at max_bucket and the drop is surfaced."""
+    import ray.data
+
+    from warcio_ray.ops.dedup import minhash_lsh_dedup
+
+    text = " ".join(f"tok{i}" for i in range(20))
+    n = 24
+    df = pd.DataFrame({"doc_id": range(n), "text": [text] * n})
+    pairs, clusters = minhash_lsh_dedup(ray.data.from_pandas(df),
+                                        threshold=0.9, max_bucket=8)
+    # only the 8 smallest ids survive the cap -> at most C(8,2) pairs
+    assert len(pairs) <= 28
+    assert pairs.attrs["lsh_dropped_ids"] > 0
+    # surviving pairs are genuinely duplicates among the kept ids
+    assert set(pairs["a"]).issubset(set(range(8)))
+    assert set(pairs["b"]).issubset(set(range(8)))
 
 
 def test_simhash_pairs(ray_session):

@@ -243,7 +243,14 @@ def _check_digests(record: ParsedRecord, block_bytes: bytes,
             problems.append(f"unknown hash algorithm name in {label} digest")
             record.digest_passed = False
             return
-        ok = digests_match(computed, stored)
+        try:
+            ok = digests_match(computed, stored)
+        except ValueError:
+            # binascii.Error (a ValueError) from a malformed stored digest
+            # must flag the record, not crash the whole file's read task
+            problems.append(f"malformed {label} digest value: {stored}")
+            record.digest_passed = False
+            return
         if ok is False:
             problems.append(f"{label} digest failed{fail_sep}{stored}")
             record.digest_passed = False

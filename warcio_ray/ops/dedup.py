@@ -4,23 +4,28 @@ embedding near-dup.
 Scale shapes (SURVEY §2.6 / ray_guide aggregation notes):
   * exact: content-hash column in map_batches -> groupby(hash) keep-first.
     Only (hash, id) rows shuffle, never text.
-  * MinHash-LSH: shingle -> minhash signature per batch -> explode to
+  * MinHash-LSH: shingle -> minhash signature per batch (Arrow
+    fixed_size_list column, zero-copy) -> explode to
     (band_id, band_hash, doc_id) rows -> groupby bands -> candidate pairs
-    -> Jaccard verify -> connected components by iterated min-label
-    propagation (a groupby per iteration, no driver-side union-find on
-    the big set).
-  * SimHash: 64-bit signature, banded into 4x16-bit chunks for candidate
-    generation, verified by Hamming distance.
+    (hot buckets CAPPED, drops accounted explicitly, never silent) ->
+    distributed pair dedup -> Jaccard verify via a hash JOIN of the pair
+    set back against the documents table (only candidate texts ever
+    shuffle; the corpus is never materialized on the driver) -> connected
+    components on the (small) verified set.
+  * SimHash: 64-bit signature, melted to 4x16-bit band rows in ONE pass,
+    single groupby for candidates, Hamming verified in a vectorized
+    map_batches.
 All hashing is seeded/stable (md5 / blake2b) — no PYTHONHASHSEED.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -50,83 +55,141 @@ def exact_dedup(ds, id_col: str = "doc_id"):
 
 _MERSENNE = (1 << 61) - 1
 
+# LSH buckets above this many distinct ids are truncated (the smallest
+# ids are kept) and the drop is surfaced in the result — one hot bucket
+# (all-empty docs, boilerplate) otherwise goes O(n^2)
+MAX_BUCKET = 512
+
+# sentinel rows (a = b = _DROP_SENTINEL) carry per-bucket drop counts
+# through the pair stream so truncation is accounted, never silent
+_DROP_SENTINEL = -1
+
+
+def _shingle_set(text: str, k: int) -> set:
+    toks = (text or "").split()
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
 
 class MinHasher:
     """Stateful minhash stage: permutation parameters generated once per
-    actor from a fixed seed (actor-pool __init__ pattern)."""
+    actor from a fixed seed (actor-pool __init__ pattern). Emits the
+    signature as an Arrow fixed_size_list<uint64> column (hashable
+    schema, vectorized banding downstream)."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3,
                  seed: int = 1234):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        # a < 2^32 and shingle hashes < 2^32, so a*x < 2^64 never wraps in
+        # uint64; (a*x mod p) + b < 2^62 also fits -> a TRUE (a*x+b) mod p
+        # universal family (a,b < p would wrap mod 2^64 before the mod-p)
+        self.a = rng.randint(1, 1 << 32, size=num_perm, dtype=np.uint64)
         self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.k = shingle_k
 
     def shingles(self, text: str) -> np.ndarray:
-        toks = (text or "").split()
-        if len(toks) < self.k:
-            grams = [" ".join(toks)] if toks else []
-        else:
-            grams = [" ".join(toks[i:i + self.k])
-                     for i in range(len(toks) - self.k + 1)]
-        out = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                            "big") & _MERSENNE for g in set(grams)),
-            dtype=np.uint64, count=len(set(grams)))
-        return out
+        uniq = _shingle_set(text, self.k)
+        return np.fromiter(
+            (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=4).digest(),
+                            "big") for g in uniq),
+            dtype=np.uint64, count=len(uniq))
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingles(text)
         if len(sh) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
-        # (a*x + b) mod p, min over shingles — vectorized outer product
-        prod = (sh[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
+        # (a*x + b) mod p, min over shingles — vectorized outer product;
+        # exact in uint64 because a, x < 2^32 (see __init__)
+        prod = (sh[None, :] * self.a[:, None]) % np.uint64(_MERSENNE)
+        prod = (prod + self.b[:, None]) % np.uint64(_MERSENNE)
         return prod.min(axis=1)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in batch["text"]])
-        return pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
-                             "signature": list(sigs)})
+    def __call__(self, batch) -> pa.Table:
+        if isinstance(batch, pa.Table):
+            doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            texts = batch["text"].to_pylist()
+        else:
+            doc_ids = batch["doc_id"].to_numpy()
+            texts = list(batch["text"])
+        if len(texts):
+            sigs = np.stack([self.signature(t) for t in texts])
+        else:
+            sigs = np.zeros((0, self.num_perm), dtype=np.uint64)
+        sig_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1), pa.uint64()), self.num_perm)
+        return pa.table({"doc_id": pa.array(doc_ids.astype("int64")),
+                         "signature": sig_arr})
 
 
-def explode_bands_batch(batch: pd.DataFrame, bands: int = 16) -> pd.DataFrame:
-    """signature -> (band_id, band_hash, doc_id) rows (the LSH keys)."""
-    rows_per_band = len(batch["signature"].iloc[0]) // bands
-    out_doc, out_band, out_hash = [], [], []
-    for doc_id, sig in zip(batch["doc_id"], batch["signature"]):
-        sig = np.asarray(sig, dtype=np.uint64)
+def _mix_bands(mat: np.ndarray, bands: int) -> np.ndarray:
+    """(n, num_perm) uint64 -> (n, bands) uint64 band hashes, fully
+    vectorized (splitmix-style fold per band, wrapping mul is fine for
+    bucketing)."""
+    n, num_perm = mat.shape
+    rpb = num_perm // bands
+    out = np.empty((n, bands), dtype=np.uint64)
+    C = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
         for b in range(bands):
-            chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
-            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-            out_doc.append(int(doc_id))
-            out_band.append(b)
-            out_hash.append(int.from_bytes(h, "big"))
-    return pd.DataFrame({"band_id": out_band,
-                         "band_hash": np.array(out_hash, dtype=np.uint64),
-                         "doc_id": out_doc})
+            h = np.full(n, np.uint64(b + 1), dtype=np.uint64)
+            for c in range(rpb):
+                h = (h ^ mat[:, b * rpb + c]) * C
+                h ^= h >> np.uint64(29)
+            out[:, b] = h
+    return out
 
 
-def _pairs_from_bucket(grp: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(set(int(d) for d in grp["doc_id"]))
-    if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": []}, dtype="int64")
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"a": a, "b": b})
+def explode_bands_batch(batch: pa.Table, bands: int = 16) -> pa.Table:
+    """signature -> (band_id, band_hash, doc_id) rows (the LSH keys)."""
+    if isinstance(batch, pd.DataFrame):  # tolerate pandas callers
+        batch = pa.Table.from_pandas(batch)
+    n = len(batch)
+    sig = batch["signature"].combine_chunks()
+    num_perm = sig.type.list_size
+    mat = np.asarray(sig.flatten()).reshape(n, num_perm)
+    hashes = _mix_bands(mat, bands)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+    # row-major reshape: doc0's bands 0..B-1, then doc1's, ...
+    return pa.table({
+        "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+        "band_hash": pa.array(hashes.reshape(-1), pa.uint64()),
+        "doc_id": pa.array(np.repeat(doc_ids, bands)),
+    })
+
+
+_PAIRS_SCHEMA = {"a": "int64", "b": "int64", "n_dropped": "int64"}
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame({k: pd.Series(dtype=v)
+                         for k, v in _PAIRS_SCHEMA.items()})
+
+
+def _pairs_from_bucket(grp: pd.DataFrame,
+                       max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
+    ids = np.unique(grp["doc_id"].to_numpy())
+    dropped = 0
+    if len(ids) > max_bucket:
+        dropped = int(len(ids) - max_bucket)
+        ids = ids[:max_bucket]
+    frames = []
+    if len(ids) >= 2:
+        ai, bi = np.triu_indices(len(ids), k=1)
+        frames.append(pd.DataFrame({"a": ids[ai], "b": ids[bi],
+                                    "n_dropped": 0}))
+    if dropped:
+        frames.append(pd.DataFrame({"a": [_DROP_SENTINEL],
+                                    "b": [_DROP_SENTINEL],
+                                    "n_dropped": [dropped]}))
+    if not frames:
+        return _empty_pairs()
+    return pd.concat(frames, ignore_index=True).astype(_PAIRS_SCHEMA)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
-    def grams(t):
-        toks = (t or "").split()
-        if len(toks) < k:
-            return {" ".join(toks)} if toks else set()
-        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
-
-    ga, gb = grams(text_a), grams(text_b)
+    ga, gb = _shingle_set(text_a, k), _shingle_set(text_b, k)
     if not ga and not gb:
         return 1.0
     inter = len(ga & gb)
@@ -134,47 +197,125 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return inter / union if union else 0.0
 
 
-def minhash_lsh_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
-                      bands: int = 16, shingle_k: int = 3,
-                      concurrency: int = 2):
-    """Full near-dup pipeline. Returns (pairs_df, clusters_df):
-    verified duplicate pairs and doc_id -> cluster_id (min-id labels via
-    label propagation). Text travels only into the verify step, fetched
-    via a broadcast id->text lookup (candidate pairs are rare).
-    """
+def _dedup_pairs(pairs_ds, extra_cols: Tuple[str, ...] = ()):
+    """Distributed (a, b) pair dedup: groupby keeps the first row per
+    pair (extra columns ride along). Splits off the drop-sentinel rows;
+    returns (deduped pairs Dataset, total dropped ids)."""
+    import pyarrow.compute as pc
+
+    # pairs are bucket-capped -> bounded; materialize once so the two
+    # filter branches below don't re-execute the whole upstream pipeline
+    pairs_ds = pairs_ds.materialize()
+    dropped = pairs_ds.filter(
+        expr=f"a == {_DROP_SENTINEL}") \
+        .map_batches(lambda t: pa.table(
+            {"n": pa.array([int(pc.sum(t["n_dropped"]).as_py() or 0)],
+                           pa.int64())}), batch_format="pyarrow")
+    real = pairs_ds.filter(expr=f"a != {_DROP_SENTINEL}")
+
+    cols = ["a", "b", *extra_cols]
+
+    def first_row(grp: pd.DataFrame) -> pd.DataFrame:
+        return grp.iloc[:1][cols]
+
+    deduped = real.groupby(["a", "b"]).map_groups(
+        first_row, batch_format="pandas")
+    dropped_df = dropped.to_pandas()  # empty filter result has no columns
+    n_dropped = int(dropped_df["n"].sum()) if "n" in dropped_df.columns else 0
+    return deduped, n_dropped
+
+
+def _join_texts_to_pairs(pairs_ds, ds, num_partitions: int = 8):
+    """Hash-join candidate pairs back to their texts — the scale-safe
+    verify fetch (VERDICT r1 item 2): flat_map pairs to (doc_id, a, b)
+    rows, inner-join on doc_id against the documents table pre-filtered
+    (broadcast id set) to candidate ids, regroup by pair. Only candidate
+    texts ever shuffle; nothing corpus-sized reaches the driver."""
     import ray
 
-    sigs = ds.map_batches(MinHasher, batch_format="pandas",
+    # candidate id set is small (pairs are rare, buckets capped): collect
+    # just the distinct ids to broadcast-filter the corpus scan
+    ids_df = pairs_ds.map_batches(
+        lambda t: pa.table({"doc_id": pa.concat_arrays([
+            t["a"].combine_chunks().cast(pa.int64()),
+            t["b"].combine_chunks().cast(pa.int64())]).unique()}),
+        batch_format="pyarrow").to_pandas()
+    id_set = frozenset(int(x) for x in ids_df["doc_id"].unique())
+    id_ref = ray.put(id_set)
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(id_ref)
+        mask = pa.array([int(d) in wanted
+                         for d in batch["doc_id"].to_pylist()],
+                        pa.bool_())
+        return batch.filter(mask)
+
+    cand_docs = ds.map_batches(keep_candidates, batch_format="pyarrow")
+
+    def pairs_to_sides(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+            "pair_a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "pair_b": pa.array(np.concatenate([b, b]), pa.int64()),
+        })
+
+    sides = pairs_ds.map_batches(pairs_to_sides, batch_format="pyarrow")
+    return sides.join(cand_docs, join_type="inner",
+                      num_partitions=num_partitions, on=("doc_id",))
+
+
+def minhash_lsh_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
+                      bands: int = 16, shingle_k: int = 3,
+                      concurrency: int = 2,
+                      max_bucket: int = MAX_BUCKET):
+    """Full near-dup pipeline. Returns (pairs_df, clusters_df):
+    verified duplicate pairs and doc_id -> cluster_id (min-id labels via
+    label propagation). ``pairs_df.attrs['lsh_dropped_ids']`` carries the
+    number of ids truncated out of hot LSH buckets (0 normally)."""
+    sigs = ds.map_batches(MinHasher, batch_format="pyarrow",
                           batch_size=512, concurrency=concurrency,
                           num_cpus=0.5,  # never reserve the whole session
                           fn_constructor_kwargs={"num_perm": num_perm,
                                                  "shingle_k": shingle_k})
-    bands_ds = sigs.map_batches(explode_bands_batch, batch_format="pandas",
+    bands_ds = sigs.map_batches(explode_bands_batch, batch_format="pyarrow",
                                 fn_kwargs={"bands": bands})
-    cand = bands_ds.groupby(["band_id", "band_hash"]) \
-        .map_groups(_pairs_from_bucket, batch_format="pandas") \
-        .to_pandas().drop_duplicates().reset_index(drop=True)
+    raw_pairs = bands_ds.groupby(["band_id", "band_hash"]) \
+        .map_groups(_pairs_from_bucket, batch_format="pandas",
+                    fn_kwargs={"max_bucket": max_bucket})
+    cand, n_dropped = _dedup_pairs(raw_pairs)
+    cand = cand.materialize()  # small, capped; reused for ids + join sides
+    if cand.count() == 0:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64")})
+        empty.attrs["lsh_dropped_ids"] = n_dropped
+        return empty, _connected_components(empty)
 
-    if cand.empty:
-        return cand, pd.DataFrame({"doc_id": [], "cluster_id": []},
-                                  dtype="int64")
+    joined = _join_texts_to_pairs(cand.select_columns(["a", "b"]),
+                                  ds.select_columns(["doc_id", "text"]))
 
-    # verify candidates with true n-gram Jaccard (broadcast texts)
-    texts = dict(zip(ds.to_pandas()["doc_id"], ds.to_pandas()["text"]))
-    texts_ref = ray.put(texts)
+    def verify_group(grp: pd.DataFrame, threshold=threshold,
+                     k=shingle_k) -> pd.DataFrame:
+        if len(grp) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        by_id = dict(zip(grp["doc_id"], grp["text"]))
+        a = int(grp["pair_a"].iloc[0])
+        b = int(grp["pair_b"].iloc[0])
+        if ngram_jaccard(by_id.get(a), by_id.get(b), k) >= threshold:
+            return pd.DataFrame({"a": [a], "b": [b]})
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
 
-    def verify(batch: pd.DataFrame, threshold=threshold, k=shingle_k):
-        lookup = ray.get(texts_ref)
-        keep = [ngram_jaccard(lookup.get(a), lookup.get(b), k) >= threshold
-                for a, b in zip(batch["a"], batch["b"])]
-        return batch[pd.Series(keep, index=batch.index)]
-
-    import ray.data
-    verified = ray.data.from_pandas(cand) \
-        .map_batches(verify, batch_format="pandas").to_pandas()
-
+    verified = joined.groupby(["pair_a", "pair_b"]) \
+        .map_groups(verify_group, batch_format="pandas").to_pandas()
+    verified = verified.sort_values(["a", "b"]).reset_index(drop=True) \
+        if len(verified) else pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                            "b": pd.Series(dtype="int64")})
+    verified.attrs["lsh_dropped_ids"] = n_dropped
     clusters = _connected_components(verified)
-    return verified.reset_index(drop=True), clusters
+    return verified, clusters
 
 
 def _connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
@@ -214,23 +355,55 @@ def _connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """64-bit SimHash over whitespace tokens + 4x16-bit band keys."""
+    """64-bit SimHash over whitespace tokens. Token hashes are computed
+    once per distinct token in the batch; the per-doc bit accumulation is
+    vectorized via unpackbits (no per-bit Python loop)."""
+    vocab: dict = {}
+
+    def tok_hash(w: str) -> int:
+        h = vocab.get(w)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            vocab[w] = h
+        return h
+
     out_id, out_sim = [], []
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
     for doc_id, text in zip(batch["doc_id"], batch["text"]):
-        acc = np.zeros(64, dtype=np.int64)
-        for w in (text or "").split():
-            h = np.uint64(int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"))
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        sim = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        toks = (text or "").split()
+        if toks:
+            hs = np.fromiter((tok_hash(w) for w in toks), dtype=np.uint64,
+                             count=len(toks))
+            # bits: (n_words, 64), little-endian bit order per uint64
+            bits = np.unpackbits(
+                hs.view(np.uint8).reshape(-1, 8), axis=1,
+                bitorder="little").astype(np.int32)
+            acc = 2 * bits.sum(axis=0) - len(toks)
+            sim = int(((acc > 0).astype(np.uint64) * weights).sum())
+        else:
+            sim = 0
         out_id.append(int(doc_id))
         out_sim.append(sim)
-    df = pd.DataFrame({"doc_id": out_id,
-                       "simhash": np.array(out_sim, dtype=np.uint64)})
+    return pd.DataFrame({"doc_id": np.array(out_id, dtype="int64"),
+                         "simhash": np.array(out_sim, dtype=np.uint64)})
+
+
+def melt_simhash_bands(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, simhash) -> 4 rows (band_id, band_key, doc_id, simhash):
+    ONE pass, one downstream groupby for all bands."""
+    sims = batch["simhash"].to_numpy(dtype=np.uint64)
+    ids = batch["doc_id"].to_numpy(dtype="int64")
+    n = len(batch)
+    frames = []
     for b in range(4):
-        df[f"band{b}"] = (df["simhash"] >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-    return df
+        frames.append(pd.DataFrame({
+            "band_id": np.full(n, b, dtype=np.int32),
+            "band_key": ((sims >> np.uint64(16 * b)) & np.uint64(0xFFFF)),
+            "doc_id": ids,
+            "simhash": sims,
+        }))
+    return pd.concat(frames, ignore_index=True)
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -239,36 +412,62 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
 
 
-def simhash_dedup(ds, max_hamming: int = 3):
-    """SimHash near-dup: band-bucket candidates, Hamming-verified pairs."""
-    sims = ds.map_batches(simhash_batch, batch_format="pandas")
+def _simhash_pairs_in_bucket(grp: pd.DataFrame,
+                             max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
+    sub = grp[["doc_id", "simhash"]].drop_duplicates("doc_id") \
+        .sort_values("doc_id")
+    dropped = 0
+    if len(sub) > max_bucket:
+        dropped = int(len(sub) - max_bucket)
+        sub = sub.iloc[:max_bucket]
+    ids = sub["doc_id"].to_numpy(dtype="int64")
+    sims = sub["simhash"].to_numpy(dtype=np.uint64)
     frames = []
-    for b in range(4):
-        grp = sims.groupby(f"band{b}").map_groups(
-            _simhash_pairs_in_bucket, batch_format="pandas")
-        frames.append(grp.to_pandas())
-    pairs = pd.concat(frames, ignore_index=True).drop_duplicates(
-        subset=["a", "b"]).reset_index(drop=True)
-    if pairs.empty:
-        return pairs
-    keep = hamming64(pairs["sim_a"].to_numpy(dtype=np.uint64),
-                     pairs["sim_b"].to_numpy(dtype=np.uint64)) <= max_hamming
-    return pairs[keep][["a", "b"]].sort_values(["a", "b"]).reset_index(drop=True)
-
-
-def _simhash_pairs_in_bucket(grp: pd.DataFrame) -> pd.DataFrame:
-    rows = sorted(zip(grp["doc_id"].astype("int64"),
-                      grp["simhash"].astype("uint64")))
-    if len(rows) < 2:
+    if len(ids) >= 2:
+        ai, bi = np.triu_indices(len(ids), k=1)
+        frames.append(pd.DataFrame({
+            "a": ids[ai], "b": ids[bi],
+            "sim_a": sims[ai], "sim_b": sims[bi],
+            "n_dropped": np.zeros(len(ai), dtype="int64")}))
+    if dropped:
+        frames.append(pd.DataFrame({
+            "a": [_DROP_SENTINEL], "b": [_DROP_SENTINEL],
+            "sim_a": np.array([0], dtype=np.uint64),
+            "sim_b": np.array([0], dtype=np.uint64),
+            "n_dropped": [dropped]}))
+    if not frames:
         return pd.DataFrame({"a": pd.Series(dtype="int64"),
                              "b": pd.Series(dtype="int64"),
                              "sim_a": pd.Series(dtype="uint64"),
-                             "sim_b": pd.Series(dtype="uint64")})
-    a, b, sa, sb = [], [], [], []
-    for i in range(len(rows)):
-        for j in range(i + 1, len(rows)):
-            a.append(rows[i][0]); sa.append(rows[i][1])
-            b.append(rows[j][0]); sb.append(rows[j][1])
-    return pd.DataFrame({"a": a, "b": b,
-                         "sim_a": np.array(sa, dtype=np.uint64),
-                         "sim_b": np.array(sb, dtype=np.uint64)})
+                             "sim_b": pd.Series(dtype="uint64"),
+                             "n_dropped": pd.Series(dtype="int64")})
+    return pd.concat(frames, ignore_index=True)
+
+
+def simhash_dedup(ds, max_hamming: int = 3,
+                  max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
+    """SimHash near-dup: melted band rows -> one groupby -> distributed
+    pair dedup -> vectorized Hamming verify. Returns sorted (a, b) with
+    ``attrs['lsh_dropped_ids']`` drop accounting."""
+    sims = ds.map_batches(simhash_batch, batch_format="pandas")
+    melted = sims.map_batches(melt_simhash_bands, batch_format="pandas")
+    raw_pairs = melted.groupby(["band_id", "band_key"]).map_groups(
+        _simhash_pairs_in_bucket, batch_format="pandas",
+        fn_kwargs={"max_bucket": max_bucket})
+    deduped, n_dropped = _dedup_pairs(raw_pairs,
+                                      extra_cols=("sim_a", "sim_b"))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch[["a", "b"]]
+        keep = hamming64(batch["sim_a"].to_numpy(dtype=np.uint64),
+                         batch["sim_b"].to_numpy(dtype=np.uint64)) \
+            <= max_hamming
+        return batch[keep][["a", "b"]]
+
+    out = deduped.map_batches(verify, batch_format="pandas").to_pandas()
+    out = out.sort_values(["a", "b"]).reset_index(drop=True) if len(out) \
+        else pd.DataFrame({"a": pd.Series(dtype="int64"),
+                           "b": pd.Series(dtype="int64")})
+    out.attrs["lsh_dropped_ids"] = n_dropped
+    return out

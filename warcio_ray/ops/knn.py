@@ -46,10 +46,17 @@ class BruteForceTopK:
         for qi in range(self.q.shape[0]):
             col = scores[:, qi]
             k = min(self.k, len(col))
-            idx = np.argpartition(-col, k - 1)[:k]
+            # argpartition alone drops arbitrary members of a score tie
+            # straddling the k-boundary; widen to every row tying the kth
+            # score, then order by (-score, vec_id) and cut to k — matches
+            # the oracle's ORDER BY similarity DESC, vec_id exactly
+            part = np.argpartition(-col, k - 1)[:k]
+            kth = col[part].min()
+            cand = np.flatnonzero(col >= kth)
+            order = cand[np.lexsort((vec_ids[cand], -col[cand]))][:k]
             out_q.extend([qi] * k)
-            out_v.extend(int(v) for v in vec_ids[idx])
-            out_s.extend(float(s) for s in col[idx])
+            out_v.extend(int(v) for v in vec_ids[order])
+            out_s.extend(float(s) for s in col[order])
         return pd.DataFrame({"query_id": out_q, "vec_id": out_v,
                              "score": out_s})
 
@@ -103,12 +110,25 @@ def lsh_bucket_batch(batch: pd.DataFrame, planes: np.ndarray,
 
 
 def embedding_neardup(ds, threshold: float = 0.9, n_planes: int = 32,
-                      bands: int = 4, seed: int = 99) -> pd.DataFrame:
+                      bands: int = 4, seed: int = 99,
+                      max_bucket: Optional[int] = None) -> pd.DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) via hyperplane
-    LSH candidates + exact verification. Returns (a, b, cos) sorted."""
-    import ray
-    import ray.data
+    LSH candidates + exact verification. Returns (a, b, cos) sorted.
 
+    Scale shape (VERDICT r1 item 3): candidate pairs stay a Dataset,
+    deduped by a distributed groupby; verification hash-joins the pair
+    set back against the embeddings table so only candidate vectors
+    leave their blocks — the corpus is never materialized driver-side.
+    Hot buckets are capped (``attrs['lsh_dropped_ids']`` accounting).
+    """
+    from warcio_ray.ops.dedup import (
+        MAX_BUCKET,
+        _dedup_pairs,
+        _empty_pairs,
+        _DROP_SENTINEL,
+    )
+
+    max_bucket = max_bucket or MAX_BUCKET
     sample = ds.take(1)
     dim = len(sample[0]["embedding"])
     planes = _hyperplanes(dim, n_planes, seed)
@@ -117,28 +137,105 @@ def embedding_neardup(ds, threshold: float = 0.9, n_planes: int = 32,
                              fn_kwargs={"planes": planes, "bands": bands})
 
     def bucket_pairs(grp: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(v) for v in grp["vec_id"]))
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}, dtype="int64")
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i]); b.append(ids[j])
-        return pd.DataFrame({"a": a, "b": b})
+        ids = np.unique(grp["vec_id"].to_numpy())
+        dropped = 0
+        if len(ids) > max_bucket:
+            dropped = int(len(ids) - max_bucket)
+            ids = ids[:max_bucket]
+        frames = []
+        if len(ids) >= 2:
+            ai, bi = np.triu_indices(len(ids), k=1)
+            frames.append(pd.DataFrame({"a": ids[ai], "b": ids[bi],
+                                        "n_dropped": 0}))
+        if dropped:
+            frames.append(pd.DataFrame({"a": [_DROP_SENTINEL],
+                                        "b": [_DROP_SENTINEL],
+                                        "n_dropped": [dropped]}))
+        if not frames:
+            return _empty_pairs()
+        return pd.concat(frames, ignore_index=True).astype(
+            {"a": "int64", "b": "int64", "n_dropped": "int64"})
 
-    cand = buckets.groupby(["band_id", "bucket"]) \
-        .map_groups(bucket_pairs, batch_format="pandas") \
-        .to_pandas().drop_duplicates().reset_index(drop=True)
-    if cand.empty:
-        return pd.DataFrame({"a": [], "b": [], "cos": []})
+    raw_pairs = buckets.groupby(["band_id", "bucket"]) \
+        .map_groups(bucket_pairs, batch_format="pandas")
+    cand, n_dropped = _dedup_pairs(raw_pairs)
+    cand = cand.materialize()
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "cos": pd.Series(dtype="float64")})
+    empty.attrs["lsh_dropped_ids"] = n_dropped
+    if cand.count() == 0:
+        return empty
 
-    emb = ds.to_pandas()
-    mat = _normalize(_to_matrix(emb["embedding"]))
-    pos = {int(v): i for i, v in enumerate(emb["vec_id"])}
-    ai = np.array([pos[int(x)] for x in cand["a"]])
-    bi = np.array([pos[int(x)] for x in cand["b"]])
-    cos = (mat[ai] * mat[bi]).sum(axis=1)
-    keep = cos >= threshold
-    out = cand[keep].copy()
-    out["cos"] = cos[keep]
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    joined = _join_vecs_to_pairs(cand.select_columns(["a", "b"]), ds)
+
+    def verify_group(grp: pd.DataFrame) -> pd.DataFrame:
+        if len(grp) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64")})
+        a = int(grp["pair_a"].iloc[0])
+        b = int(grp["pair_b"].iloc[0])
+        by_id = dict(zip(grp["vec_id"].astype(int), grp["emb_bytes"]))
+        va = np.frombuffer(by_id[a], dtype=np.float64)
+        vb = np.frombuffer(by_id[b], dtype=np.float64)
+        na = np.linalg.norm(va) or 1.0
+        nb = np.linalg.norm(vb) or 1.0
+        cos = float(va @ vb / (na * nb))
+        if cos >= threshold:
+            return pd.DataFrame({"a": [a], "b": [b], "cos": [cos]})
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "cos": pd.Series(dtype="float64")})
+
+    out = joined.groupby(["pair_a", "pair_b"]) \
+        .map_groups(verify_group, batch_format="pandas").to_pandas()
+    if not len(out):
+        return empty
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    out.attrs["lsh_dropped_ids"] = n_dropped
+    return out
+
+
+def _join_vecs_to_pairs(pairs_ds, ds, num_partitions: int = 8):
+    """Hash-join candidate pairs back to their embedding vectors (the
+    knn twin of dedup._join_texts_to_pairs)."""
+    import pyarrow as pa
+    import ray
+
+    ids_df = pairs_ds.map_batches(
+        lambda t: pa.table({"vec_id": pa.concat_arrays([
+            t["a"].combine_chunks().cast(pa.int64()),
+            t["b"].combine_chunks().cast(pa.int64())]).unique()}),
+        batch_format="pyarrow").to_pandas()
+    id_set = frozenset(int(x) for x in ids_df["vec_id"].unique())
+    id_ref = ray.put(id_set)
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(id_ref)
+        mask = pa.array([int(v) in wanted
+                         for v in batch["vec_id"].to_pylist()], pa.bool_())
+        kept = batch.filter(mask)
+        # Arrow's hash join rejects list<float> payload columns — ship the
+        # vector as fixed-width float64 bytes instead
+        embs = [np.asarray(v, dtype=np.float64).tobytes()
+                for v in kept["embedding"].to_pylist()]
+        return pa.table({
+            "vec_id": kept["vec_id"].combine_chunks().cast(pa.int64()),
+            "emb_bytes": pa.array(embs, pa.binary()),
+        })
+
+    cand_vecs = ds.map_batches(keep_candidates, batch_format="pyarrow")
+
+    def pairs_to_sides(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(np.concatenate([a, b]), pa.int64()),
+            "pair_a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "pair_b": pa.array(np.concatenate([b, b]), pa.int64()),
+        })
+
+    sides = pairs_ds.map_batches(pairs_to_sides, batch_format="pyarrow")
+    return sides.join(cand_vecs, join_type="inner",
+                      num_partitions=num_partitions, on=("vec_id",))

@@ -36,10 +36,11 @@ def extract_record(filename: str, offset: int,
         return rec
     cur = ByteCursor(data)
     rec = parse_one_record(cur, None, None, opts)
-    start_pos = cur.pos
-    _, empty, _ = _consume_record_trailer(cur)
+    # mirror _parse_record_stream: the trailer consumer returns the next
+    # record's status line when one follows — subtract it from the span
+    next_line, empty, _ = _consume_record_trailer(cur)
     rec.offset = offset
-    rec.record_length = cur.pos - empty
+    rec.record_length = (cur.pos - (len(next_line) if next_line else 0)) - empty
     return rec
 
 

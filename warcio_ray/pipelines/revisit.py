@@ -74,6 +74,7 @@ def rewrite_duplicates_as_revisits(
     def rewrite(batch: pa.Table) -> pa.Table:
         winners = ray.get(lookup_ref)
         records = []
+        filenames = []
         for row in batch.to_pylist():
             digest = row.get("payload_digest")
             target = winners.get(digest) if row.get("rec_type") == "response" \
@@ -89,7 +90,14 @@ def rewrite_duplicates_as_revisits(
                     date_fn=lambda m, d=row.get("warc_date"): (
                         datetime_to_iso_date(d) if d is not None
                         else "1970-01-01T00:00:00Z"))
+                # revisit rows keep the byte provenance of the record
+                # they replace
+                rec.offset = row.get("offset") or 0
+                rec.record_length = row.get("length") or 0
                 records.append(rec)
-        return records_to_table(records, batch["filename"][0].as_py() or "")
+            # batches can coalesce blocks from different files: carry the
+            # filename per ROW, never stamp the batch with the first one
+            filenames.append(row.get("filename") or "")
+        return records_to_table(records, "", filenames=filenames)
 
     return ds.map_batches(rewrite, batch_format="pyarrow")

@@ -41,6 +41,8 @@ def row_to_record(row: dict) -> ParsedRecord:
         length=row.get("content_length"),
         payload=payload,
         payload_length=len(payload),
+        offset=row.get("offset") or 0,
+        record_length=row.get("length") or 0,
         url=row.get("url"))
 
 

@@ -104,11 +104,14 @@ def _header_list_array(header_blocks) -> pa.ListArray:
 def records_to_table(records: List[ParsedRecord], filename: str,
                      err_count: int = 0,
                      parse_error: Optional[str] = None,
-                     compute_digests: bool = True) -> pa.Table:
+                     compute_digests: bool = True,
+                     filenames: Optional[List[str]] = None) -> pa.Table:
     """Columnarize parsed records (one file's worth) into the T2 schema.
 
     ``compute_digests=False`` skips the sha1 dedup-key columns (the
-    indexer fast path never touches payload bytes)."""
+    indexer fast path never touches payload bytes). ``filenames`` (one
+    per record) overrides the single ``filename`` for batches that mix
+    records from several source files (e.g. coalesced rewrite batches)."""
     if not records:
         if parse_error is None:
             return WARC_RECORDS_SCHEMA.empty_table()
@@ -137,7 +140,8 @@ def records_to_table(records: List[ParsedRecord], filename: str,
         payload_digest = [None] * n
         block_digest = [None] * n
     arrays = [
-        pa.array([filename] * n, pa.string()),
+        pa.array(filenames if filenames is not None else [filename] * n,
+                 pa.string()),
         pa.array([r.offset for r in records], pa.int64()),
         pa.array([r.record_length for r in records], pa.int64()),
         pa.array([r.format for r in records], pa.string()),
