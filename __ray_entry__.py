@@ -173,7 +173,7 @@ def _minhash_pairs(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     pairs, _clusters = minhash_lsh_dedup(ds, threshold=0.5)
-    return pairs[["a", "b"]] if len(pairs) else pairs
+    return pairs[["a", "b"]]
 
 
 def _simhash_pairs(sf_dir: str):
@@ -192,7 +192,7 @@ def _embedding_neardup(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     out = embedding_neardup(ds, threshold=0.8)
-    return out[["a", "b"]] if len(out) else out
+    return out[["a", "b"]]
 
 
 def _extract_text_verify(sf_dir: str):

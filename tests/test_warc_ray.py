@@ -92,3 +92,45 @@ def test_warc_sink_round_trip(ray_session, tmp_path):
     shards = sorted(glob.glob(out_dir + "/part-*.warc.gz"))
     blob = b"".join(open(s, "rb").read() for s in shards)
     assert blob == original  # byte-identical round trip through Arrow
+
+
+def test_chunked_yield_bounded_and_lossless(ray_session):
+    """iter_archive_tables emits bounded chunks whose concatenation
+    equals the whole-file parse (VERDICT r1 item 4)."""
+    import pyarrow as pa
+
+    from warcio_ray.sources.warc import (
+        iter_archive_tables,
+        parse_archive_file,
+    )
+
+    data = open(golden("valid.warc.gz"), "rb").read()
+    whole = parse_archive_file(data, "f.warc.gz")
+
+    tables = list(iter_archive_tables(data, "f.warc.gz", chunk_records=5))
+    assert len(tables) > 1
+    assert all(len(t) <= 5 for t in tables)
+    cat = pa.concat_tables(tables)
+    assert cat.num_rows == whole.num_rows
+    # columns identical except err_count is per-chunk (sums to the total)
+    for col in whole.column_names:
+        if col == "err_count":
+            continue
+        assert cat[col].to_pylist() == whole[col].to_pylist(), col
+
+    # byte-bound: chunk_bytes=1 flushes after every payload-bearing
+    # record (zero-payload records coalesce until one arrives)
+    tiny = list(iter_archive_tables(data, "f.warc.gz", chunk_bytes=1))
+    n_payload = sum(1 for v in whole["payload"].to_pylist() if v)
+    assert len(tiny) >= n_payload
+    assert pa.concat_tables(tiny).num_rows == whole.num_rows
+
+
+def test_chunked_yield_strict_error_sentinel(ray_session):
+    from warcio_ray.sources.warc import iter_archive_tables
+
+    data = open(golden("bad-non-chunked.warc.gz"), "rb").read()
+    tables = list(iter_archive_tables(data, "bad.warc.gz"))
+    assert len(tables) == 1
+    df = tables[0].to_pandas()
+    assert len(df) == 1 and df["parse_error"][0]

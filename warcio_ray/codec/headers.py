@@ -93,18 +93,26 @@ class HeaderBlock:
     statusline: str = ""
     pairs: List[Tuple[str, str]] = field(default_factory=list)
     total_len: int = 0
+    # lazy lowered-name index for get(): parse-side code calls get() ~5x
+    # per record and the linear .lower() scan showed up hot in profiles
+    _idx: Optional[dict] = field(default=None, repr=False, compare=False)
 
     # -- case-insensitive access ------------------------------------------
     def get(self, name: str, default: Optional[str] = None) -> Optional[str]:
-        low = name.lower()
-        for n, v in self.pairs:
-            if n.lower() == low:
-                return v
-        return default
+        idx = self._idx
+        if idx is None:
+            idx = {}
+            for n, v in self.pairs:
+                low = n.lower()
+                if low not in idx:  # first occurrence wins, like the scan
+                    idx[low] = v
+            self._idx = idx
+        return idx.get(name.lower(), default)
 
     def replace(self, name: str, value: str) -> None:
         """Replace the *last* matching header in place, else append
         (mirrors statusandheaders.py:48-61 which scans from the end)."""
+        self._idx = None
         low = name.lower()
         for i in range(len(self.pairs) - 1, -1, -1):
             if self.pairs[i][0].lower() == low:
@@ -115,6 +123,7 @@ class HeaderBlock:
     def remove(self, name: str) -> bool:
         """Remove the last matching header only (statusandheaders.py:63-75
         deletes a single entry scanning from the end)."""
+        self._idx = None
         low = name.lower()
         for i in range(len(self.pairs) - 1, -1, -1):
             if self.pairs[i][0].lower() == low:
@@ -123,6 +132,7 @@ class HeaderBlock:
         return False
 
     def add(self, name: str, value: str) -> None:
+        self._idx = None
         self.pairs.append((name, value))
 
     def statuscode(self) -> str:
@@ -154,6 +164,8 @@ class HeaderBlock:
             return self.to_str().encode("ascii") + b"\r\n"
 
     def _percent_encode_non_ascii(self, encoding: str = "UTF-8") -> None:
+        self._idx = None
+
         def enc_param(m: re.Match) -> str:
             return "*={0}''".format(encoding) + quote(m.group(1))
 
@@ -234,15 +246,9 @@ def _parse_header_block_fast(cur: ByteCursor, prefixes: Sequence[str],
     idx = 1
     n = len(raw_lines)
 
-    def nxt_line() -> Optional[str]:
-        nonlocal idx
-        if idx >= n:
-            return None
-        s = raw_lines[idx].rstrip()
-        idx += 1
-        return s
-
-    line = nxt_line()
+    # inlined line loop (a nxt_line() closure here showed up hot)
+    line = raw_lines[1].rstrip() if n > 1 else None
+    idx = 2
     while line:
         name_value = line.split(":", 1)
         if len(name_value) == 2:
@@ -251,11 +257,13 @@ def _parse_header_block_fast(cur: ByteCursor, prefixes: Sequence[str],
         else:
             name = name_value[0]
             value = None
-        nxt = nxt_line()
-        while nxt and nxt.startswith((" ", "\t")):
+        nxt = raw_lines[idx].rstrip() if idx < n else None
+        idx += 1
+        while nxt and nxt[0] in " \t":
             if value is not None:
                 value += nxt
-            nxt = nxt_line()
+            nxt = raw_lines[idx].rstrip() if idx < n else None
+            idx += 1
         if value is not None:
             pairs.append((name, value))
         line = nxt

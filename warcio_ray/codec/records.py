@@ -354,19 +354,17 @@ class ArchiveParseResult:
     err_count: int = 0
 
 
-def _parse_record_stream(data: bytes, opts: ParseOptions,
-                         known_format: Optional[str],
-                         base_offset: int = 0,
-                         compressed: bool = False,
-                         max_records: Optional[int] = None
-                         ) -> Tuple[List[ParsedRecord], int, Optional[str]]:
-    """Scan a decompressed buffer for consecutive records."""
+def _iter_record_stream(data: bytes, opts: ParseOptions,
+                        known_format: Optional[str],
+                        base_offset: int = 0,
+                        compressed: bool = False):
+    """Scan a decompressed buffer for consecutive records, yielding
+    (record, err_inc) pairs as they parse (the streaming primitive the
+    chunked datasource builds on)."""
     cur = ByteCursor(data)
-    records: List[ParsedRecord] = []
-    err_count = 0
     next_line: Optional[bytes] = None
     fmt_cache = known_format
-    while max_records is None or len(records) < max_records:
+    while True:
         start = cur.pos - (len(next_line) if next_line else 0)
         try:
             rec = parse_one_record(
@@ -377,12 +375,34 @@ def _parse_record_stream(data: bytes, opts: ParseOptions,
         if not opts.arc2warc:
             fmt_cache = rec.format
         next_line, empty_size, err_inc = _consume_record_trailer(cur)
-        err_count += err_inc
         end = cur.pos - (len(next_line) if next_line else 0)
         rec.offset = base_offset + start
         rec.record_length = (end - start) - (0 if compressed else empty_size)
+        yield rec, err_inc
+        if next_line is None:
+            # trailer hit end-of-buffer: skip the wasted parse attempt
+            # whose only outcome would be EndOfData (hot-path profiling
+            # showed it doubled parse_one_record calls per gzip member)
+            break
+
+
+def _parse_record_stream(data: bytes, opts: ParseOptions,
+                         known_format: Optional[str],
+                         base_offset: int = 0,
+                         compressed: bool = False,
+                         max_records: Optional[int] = None
+                         ) -> Tuple[List[ParsedRecord], int, Optional[str]]:
+    """List-collecting wrapper over ``_iter_record_stream`` (per-member
+    parses use ``max_records`` for the multi-record-gzip check)."""
+    records: List[ParsedRecord] = []
+    err_count = 0
+    for rec, err_inc in _iter_record_stream(data, opts, known_format,
+                                            base_offset, compressed):
         records.append(rec)
-    return records, err_count, next_line
+        err_count += err_inc
+        if max_records is not None and len(records) >= max_records:
+            break
+    return records, err_count, None
 
 
 def parse_archive_bytes(data: bytes,
@@ -397,20 +417,37 @@ def parse_archive_bytes(data: bytes,
     recompress fallback path).
     """
     opts = opts or ParseOptions()
-    if not is_gzip(data):
-        records, err_count, _ = _parse_record_stream(
-            data, opts, known_format, compressed=False)
-        return ArchiveParseResult(records, err_count)
-
     records: List[ParsedRecord] = []
     err_count = 0
+    for rec, err_inc in iter_archive_records(data, opts, known_format):
+        if rec is not None:  # record-less members can still carry errors
+            records.append(rec)
+        err_count += err_inc
+    return ArchiveParseResult(records, err_count)
+
+
+def iter_archive_records(data: bytes,
+                         opts: Optional[ParseOptions] = None,
+                         known_format: Optional[str] = None):
+    """Streaming form of ``parse_archive_bytes``: yields
+    (record, err_inc) one record at a time so a datasource can emit
+    bounded Arrow chunks instead of one whole-file table — a ~1 GB
+    Common-Crawl WARC never holds its full decompressed payload in a
+    single block."""
+    opts = opts or ParseOptions()
+    if not is_gzip(data):
+        yield from _iter_record_stream(data, opts, known_format,
+                                       compressed=False)
+        return
+
     fmt_cache = known_format
     for offset, comp_len, member in iter_gzip_members(data):
         found, errs, _ = _parse_record_stream(
             member, opts, fmt_cache, compressed=True,
             max_records=None if opts.lenient else 2)
-        err_count += errs
         if not found:
+            if errs:
+                yield None, errs  # trailer warnings with no record
             continue
         if len(found) > 1 and not opts.lenient:
             raise ArchiveFormatError(GZIP_MULTI_RECORD_MSG)
@@ -420,8 +457,8 @@ def parse_archive_bytes(data: bytes,
             found[0].offset = offset
             found[0].record_length = comp_len
         # lenient multi-record members keep decompressed-relative offsets
-        records.extend(found)
-    return ArchiveParseResult(records, err_count)
+        for i, rec in enumerate(found):
+            yield rec, errs if i == 0 else 0
 
 
 # ---------------------------------------------------------------------------

@@ -64,14 +64,19 @@ WARC_RECORDS_SCHEMA = pa.schema([
 ])
 
 
-def _warc_date_of(record: ParsedRecord):
+def _warc_date_of(record: ParsedRecord, memo: Optional[dict] = None):
     value = record.warc_headers.get("WARC-Date")
     if value is None:
         return None
+    if memo is not None and value in memo:
+        return memo[value]
     try:
-        return iso_date_to_datetime(value)
+        out = iso_date_to_datetime(value)
     except Exception:
-        return None
+        out = None
+    if memo is not None:
+        memo[value] = out
+    return out
 
 
 def _header_list_array(header_blocks) -> pa.ListArray:
@@ -123,15 +128,22 @@ def records_to_table(records: List[ParsedRecord], filename: str,
         return pa.Table.from_pylist([row], schema=WARC_RECORDS_SCHEMA)
 
     n = len(records)
+    _date_memo: dict = {}  # archives repeat WARC-Date values heavily
     https = [r.http_headers for r in records]
     payloads = [r.payload for r in records]
     if compute_digests:
         def ascii_buff(h):
             if h is None:
                 return b""
-            # copy: to_ascii_bytes %-encode may mutate pairs
-            return HeaderBlock(protocol=h.protocol, statusline=h.statusline,
-                               pairs=list(h.pairs)).to_ascii_bytes()
+            try:
+                # fast path: to_str() never mutates; ascii headers are
+                # the overwhelming majority
+                return h.to_str().encode("ascii") + b"\r\n"
+            except UnicodeEncodeError:
+                # copy: to_ascii_bytes %-encode mutates pairs
+                return HeaderBlock(protocol=h.protocol,
+                                   statusline=h.statusline,
+                                   pairs=list(h.pairs)).to_ascii_bytes()
 
         payload_digest = [sha1_b32(p) for p in payloads]
         block_digest = [sha1_b32(ascii_buff(h), p)
@@ -160,7 +172,8 @@ def records_to_table(records: List[ParsedRecord], filename: str,
         pa.array([r.digest_problems for r in records],
                  pa.list_(pa.string())),
         pa.array([r.url for r in records], pa.string()),
-        pa.array([_warc_date_of(r) for r in records], pa.timestamp("us")),
+        pa.array([_warc_date_of(r, _date_memo) for r in records],
+                 pa.timestamp("us")),
         pa.array([parse_error] * n, pa.string()),
         pa.array([err_count] * n, pa.int64()),
     ]
@@ -187,6 +200,65 @@ def parse_archive_file(data: bytes, filename: str,
                                     result.err_count,
                                     compute_digests=compute_digests)
         return records_to_table([], filename, parse_error=str(e)[:500])
+
+
+# chunked-yield thresholds: a read task emits a table every N records or
+# M decompressed payload bytes, whichever first — a ~1 GB .warc.gz never
+# materializes its full decompressed payload in one block (x32 concurrent
+# tasks that would be an OOM at real input sizes)
+CHUNK_RECORDS = 512
+CHUNK_BYTES = 64 * 1024 * 1024
+
+
+def iter_archive_tables(data: bytes, filename: str,
+                        opts: Optional[ParseOptions] = None,
+                        fallback_lenient: bool = False,
+                        compute_digests: bool = True,
+                        chunk_records: int = CHUNK_RECORDS,
+                        chunk_bytes: int = CHUNK_BYTES) -> Iterator[pa.Table]:
+    """One archive file -> stream of bounded T2 tables.
+
+    ``err_count`` is stamped per CHUNK (the errors attributed to that
+    chunk's records); summing the column over a file gives the same
+    total the reference's iterator would report. ``fallback_lenient``
+    keeps whole-file semantics (the rare broken-compression repair path
+    must re-parse from scratch, so it cannot stream)."""
+    opts = opts or ParseOptions()
+    if fallback_lenient:
+        yield parse_archive_file(data, filename, opts,
+                                 fallback_lenient=True,
+                                 compute_digests=compute_digests)
+        return
+
+    from warcio_ray.codec.records import iter_archive_records
+
+    buf: List[ParsedRecord] = []
+    buf_bytes = 0
+    errs = 0
+    emitted = False
+    try:
+        for rec, err_inc in iter_archive_records(data, opts):
+            errs += err_inc
+            if rec is None:
+                continue
+            buf.append(rec)
+            buf_bytes += len(rec.payload)
+            if len(buf) >= chunk_records or buf_bytes >= chunk_bytes:
+                yield records_to_table(buf, filename, errs,
+                                       compute_digests=compute_digests)
+                buf, buf_bytes, errs = [], 0, 0
+                emitted = True
+    except ArchiveFormatError as e:
+        if emitted:
+            raise  # can't retract already-yielded chunks; surface it
+        # whole-file-failure contract: a strict error turns the file into
+        # one sentinel row (parsed-so-far records discarded, exactly like
+        # the pre-chunking parse_archive_file behavior)
+        yield records_to_table([], filename, parse_error=str(e)[:500])
+        return
+    if buf or not emitted:
+        yield records_to_table(buf, filename, errs,
+                               compute_digests=compute_digests)
 
 
 class WARCDatasource:
@@ -217,9 +289,9 @@ class WARCDatasource:
 
             def _read_stream(self, f, path: str) -> Iterator[pa.Table]:
                 data = f.readall()
-                yield parse_archive_file(data, path, self._opts,
-                                         self._fallback,
-                                         self._compute_digests)
+                yield from iter_archive_tables(
+                    data, path, self._opts, self._fallback,
+                    self._compute_digests)
 
         return _Impl()
 
