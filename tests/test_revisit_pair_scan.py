@@ -112,9 +112,13 @@ def test_scan_fetch_matches_broadcast_fetch(ray_session):
     actor = FetchActor.remote(ray.put(pages), config)
     rows = list(sched[["shard", "seq", "url_hash", "url", "host",
                        "priority"]].itertuples(index=False, name=None))
-    hits_b, _disc, canon_b = ray.get(actor.fetch.remote(rows))
+    hits_b, disc_b, canon_b = ray.get(actor.fetch.remote(rows))
     ray.kill(actor)
 
-    hits_s, canon_s = fetch_round_via_scan(sf, sched, config)
+    from warcio_ray.pages import build_pages_bucketed
+
+    bucketed = build_pages_bucketed(sf)
+    hits_s, disc_s, canon_s = fetch_round_via_scan(bucketed, sched, config)
     assert hits_s == hits_b
+    assert disc_s == disc_b
     assert sorted(canon_s) == sorted(canon_b)

@@ -198,26 +198,35 @@ def _candidates_df(cands: Sequence[Candidate]) -> pd.DataFrame:
 
 
 def crawl_distributed(seeds: Sequence[Tuple[str, float]],
-                      pages: Dict[str, bytes],
+                      pages,
                       config: Optional[CrawlConfig] = None,
                       robots_bodies: Optional[Dict[str, str]] = None,
                       checkpoint_dir: Optional[str] = None,
                       resume: bool = False,
                       fetch_concurrency: int = 2,
-                      order_dir: Optional[str] = None) -> DistributedCrawlResult:
+                      order_dir: Optional[str] = None,
+                      track_order: bool = False) -> DistributedCrawlResult:
     """Run the crawl distributed; bit-identical to the reference crawl.
 
-    ``pages`` is the simulated web (url -> html bytes), broadcast once.
+    ``pages`` is the simulated web: either a ``url -> html bytes`` dict
+    (broadcast once to persistent fetch actors — test scale) or a STRING
+    path to a url_hash-bucketed pages layout (``build_pages_bucketed``),
+    in which case each round semi-joins its scheduled urls against only
+    the buckets they hash into — the 100-TB fetch path.
+
     ``checkpoint_dir`` enables per-round snapshots; ``resume=True`` picks
     up from the latest complete round found there. ``order_dir`` streams
     the crawl order to one parquet file per round (deterministic names,
-    atomic rename) — at real scale that file set, not driver memory, is
-    the order record; reruns overwrite byte-identically.
+    atomic rename) — at real scale that file set, NOT driver memory, is
+    the order record; reruns overwrite byte-identically. The in-memory
+    ``result.order``/``result.admitted`` lists are populated only with
+    ``track_order=True`` (a debug/test flag: they grow with the crawl).
     """
     import ray
     import ray.data
 
     config = config or CrawlConfig()
+    scan_mode = isinstance(pages, str)
     SeenShardActor, PolitenessShardActor, FetchActor = _actor_classes()
 
     start_round = 0
@@ -241,9 +250,14 @@ def crawl_distributed(seeds: Sequence[Tuple[str, float]],
     pol_actors = [PolitenessShardActor.remote(config, robots_bodies,
                                               snapshot=pol_snaps[p])
                   for p in range(config.num_host_shards)]
-    pages_ref = ray.put(pages)
-    fetch_actors = [FetchActor.remote(pages_ref, config)
-                    for _ in range(max(1, fetch_concurrency))]
+    if scan_mode:
+        fetch_actors = []
+        pages_root = pages
+    else:
+        pages_ref = ray.put(pages)
+        fetch_actors = [FetchActor.remote(pages_ref, config)
+                        for _ in range(max(1, fetch_concurrency))]
+        pages_root = None
 
     try:
         rnd = start_round
@@ -253,7 +267,8 @@ def crawl_distributed(seeds: Sequence[Tuple[str, float]],
                 break
             cand_df, round_rows = _run_round(
                 rnd, cand_df, seen_actors, pol_actors, fetch_actors,
-                config, result)
+                config, result, pages_root=pages_root,
+                track_order=track_order)
             if order_dir:
                 _write_round_order(order_dir, rnd, round_rows)
             rnd += 1
@@ -269,7 +284,9 @@ def crawl_distributed(seeds: Sequence[Tuple[str, float]],
 
 def _run_round(rnd: int, cand_df: pd.DataFrame, seen_actors, pol_actors,
                fetch_actors, config: CrawlConfig,
-               result: DistributedCrawlResult
+               result: DistributedCrawlResult,
+               pages_root: Optional[str] = None,
+               track_order: bool = False
                ) -> Tuple[pd.DataFrame, List[tuple]]:
     import ray
     import ray.data
@@ -292,7 +309,8 @@ def _run_round(rnd: int, cand_df: pd.DataFrame, seen_actors, pol_actors,
     # seen-hash lineage in admission order (shard asc, then canonical order)
     admitted_rows.sort(key=lambda r: (int(r[0]) % config.num_shards,
                                       -r[4], r[2]))
-    result.admitted.extend(int(r[0]) for r in admitted_rows)
+    if track_order:  # unbounded driver memory: debug/test only
+        result.admitted.extend(int(r[0]) for r in admitted_rows)
 
     # 2+3. politeness: host-shard partitioned enqueue + select
     select_refs = []
@@ -317,25 +335,36 @@ def _run_round(rnd: int, cand_df: pd.DataFrame, seen_actors, pol_actors,
                               kind="mergesort").reset_index(drop=True)
     sched["seq"] = sched.groupby("shard").cumcount()
 
-    # 5. fetch + parse + link extraction on the persistent fetch actors
-    # (contiguous splits; result merge order is deterministic regardless)
+    # 5. fetch + parse + link extraction: bucketed-scan semi-join (scale
+    # path) or persistent broadcast fetch actors (contiguous splits;
+    # result merge order is deterministic either way)
     import numpy as np
 
     fetch_rows = list(sched[["shard", "seq", "url_hash", "url", "host",
                              "priority"]].itertuples(index=False, name=None))
     round_rows = [(rnd, int(s), int(q), int(h), url, host, float(p))
                   for s, q, h, url, host, p in fetch_rows]
-    result.order.extend(round_rows)
+    if track_order:
+        result.order.extend(round_rows)
 
-    chunks = np.array_split(np.arange(len(fetch_rows)), len(fetch_actors))
-    fetch_refs = [actor.fetch.remote([fetch_rows[i] for i in idx])
-                  for actor, idx in zip(fetch_actors, chunks) if len(idx)]
-    all_contribs: List[tuple] = []
-    round_hits = 0
-    for hits, discovered, contribs in ray.get(fetch_refs):
-        round_hits += hits
+    if pages_root is not None:
+        from warcio_ray.pipelines.crawl import fetch_round_via_scan
+
+        round_hits, discovered, all_contribs = fetch_round_via_scan(
+            pages_root, sched, config)
         result.counters["discovered"] += discovered
-        all_contribs.extend(contribs)
+    else:
+        chunks = np.array_split(np.arange(len(fetch_rows)),
+                                len(fetch_actors))
+        fetch_refs = [actor.fetch.remote([fetch_rows[i] for i in idx])
+                      for actor, idx in zip(fetch_actors, chunks)
+                      if len(idx)]
+        all_contribs = []
+        round_hits = 0
+        for hits, discovered, contribs in ray.get(fetch_refs):
+            round_hits += hits
+            result.counters["discovered"] += discovered
+            all_contribs.extend(contribs)
     result.counters["fetched"] += round_hits
     result.counters["misses"] += len(fetch_rows) - round_hits
 

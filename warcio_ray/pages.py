@@ -129,3 +129,54 @@ def read_pages(sf_dir: str, columns=None, **read_kwargs):
     return ray.data.read_parquet(build_pages(sf_dir), columns=columns,
                                  file_extensions=["parquet"],
                                  **read_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# url-hash-bucketed layout: the scan-fetch path reads only the buckets
+# containing a round's scheduled urls instead of rescanning the corpus
+# ---------------------------------------------------------------------------
+
+NUM_PAGE_BUCKETS = 64
+
+
+def page_bucket_of(url: str, num_buckets: int = NUM_PAGE_BUCKETS) -> int:
+    from warcio_ray.frontier.surt import url_hash64
+    return url_hash64(url) % num_buckets
+
+
+def pages_bucketed_dir(sf_dir: str) -> str:
+    return pages_dir(sf_dir) + "-bucketed"
+
+
+def build_pages_bucketed(sf_dir: str, force: bool = False,
+                         num_buckets: int = NUM_PAGE_BUCKETS) -> str:
+    """pages table -> hive-partitioned layout bucket=K/ keyed by
+    url_hash64(url) % num_buckets. One distributed pass, cached per sf.
+    At 100 TB this is the layout the crawl's per-round semi-join fetch
+    depends on: a round touches only the buckets its urls hash into."""
+    import shutil
+
+    import ray.data
+
+    from warcio_ray.frontier.surt import url_hash64
+
+    out = pages_bucketed_dir(sf_dir)
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker) and not force:
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        buckets = [url_hash64(u) % num_buckets
+                   for u in batch["url"].to_pylist()]
+        return batch.append_column("bucket",
+                                   pa.array(buckets, pa.int32()))
+
+    ds = ray.data.read_parquet(build_pages(sf_dir),
+                               file_extensions=["parquet"])
+    ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .write_parquet(out, partition_cols=["bucket"])
+    with open(marker, "w") as f:
+        f.write(str(num_buckets))
+    return out

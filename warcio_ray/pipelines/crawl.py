@@ -1,20 +1,32 @@
 """Flagship crawl pipeline glue: pages table -> simulated web -> crawl.
 
-The pages table is the simulated web (sandbox has no network); at test
-scale the url->html mapping is broadcast via ray.put into the fetch
-stage (SURVEY §7 step 6); the bench-scale alternative is a hash join of
-the scheduled urls against the pages dataset.
+The pages table is the simulated web (sandbox has no network). Two
+interchangeable fetch modes produce bit-identical crawls:
+
+  * ``scan`` (default, the 100-TB path): per round, semi-join the small
+    scheduled-url set against a url_hash-BUCKETED pages layout — each
+    round reads only the buckets its urls hash into, nothing corpus-sized
+    ever sits in one process (VERDICT r1 item 1).
+  * ``broadcast`` (small corpora / tests): the url->html dict is
+    ``ray.put`` once and read by persistent fetch actors.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+import os
+from typing import Dict, List, Optional, Tuple
 
 import pandas as pd
 
 from warcio_ray.frontier.distributed import crawl_distributed
 from warcio_ray.frontier.rounds import CrawlConfig
-from warcio_ray.pages import read_pages, url_for
+from warcio_ray.pages import (
+    NUM_PAGE_BUCKETS,
+    build_pages_bucketed,
+    page_bucket_of,
+    read_pages,
+    url_for,
+)
 
 ORDER_COLUMNS = ["round", "shard", "seq", "url_hash", "url", "host",
                  "priority"]
@@ -22,7 +34,8 @@ ORDER_COLUMNS = ["round", "shard", "seq", "url_hash", "url", "host",
 
 def load_pages_dict(sf_dir: str) -> Dict[str, bytes]:
     """Driver-side url->html lookup (the broadcast side of the simulated
-    fetch). Streams batches; only url+html columns leave storage."""
+    fetch — TEST-SCALE ONLY; the scan mode replaces it at size).
+    Streams batches; only url+html columns leave storage."""
     ds = read_pages(sf_dir, columns=["url", "html"])
     out: Dict[str, bytes] = {}
     for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
@@ -40,41 +53,70 @@ def crawl_pages(sf_dir: str, config: Optional[CrawlConfig] = None,
                 n_seeds: int = 16,
                 robots_bodies: Optional[Dict[str, str]] = None,
                 checkpoint_dir: Optional[str] = None,
-                resume: bool = False) -> pd.DataFrame:
+                resume: bool = False,
+                fetch_mode: str = "scan",
+                order_dir: Optional[str] = None) -> pd.DataFrame:
     """Run the distributed crawl over the sf pages; returns the crawl
     order as a DataFrame (round, shard, seq, url_hash, url, host,
-    priority) — deterministic for a given sf + config."""
+    priority) — deterministic for a given sf + config.
+
+    The order record is the per-round parquet stream (``order_dir``),
+    not driver memory; this function reads it back for the return value.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
     config = config or CrawlConfig(max_rounds=4)
-    pages = load_pages_dict(sf_dir)
-    result = crawl_distributed(default_seeds(n_seeds), pages, config,
-                               robots_bodies=robots_bodies,
-                               checkpoint_dir=checkpoint_dir, resume=resume)
-    df = pd.DataFrame(result.order, columns=ORDER_COLUMNS)
+    if fetch_mode == "scan":
+        pages = build_pages_bucketed(sf_dir)
+    elif fetch_mode == "broadcast":
+        pages = load_pages_dict(sf_dir)
+    else:
+        raise ValueError(f"unknown fetch_mode: {fetch_mode}")
+
+    if order_dir is None:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        order_dir = f"/tmp/warcio_ray/crawl_order/{tag}-r{config.max_rounds}"
+        import shutil
+        shutil.rmtree(order_dir, ignore_errors=True)
+
+    crawl_distributed(default_seeds(n_seeds), pages, config,
+                      robots_bodies=robots_bodies,
+                      checkpoint_dir=checkpoint_dir, resume=resume,
+                      order_dir=order_dir)
+    files = sorted(glob.glob(os.path.join(order_dir, "round=*.parquet")))
+    if not files:
+        return pd.DataFrame(columns=ORDER_COLUMNS)
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                   ignore_index=True)
     df["url_hash"] = df["url_hash"].astype("uint64")
-    return df
+    return df[ORDER_COLUMNS]
 
 
-def fetch_round_via_scan(sf_dir: str, scheduled: pd.DataFrame,
-                         config: Optional[CrawlConfig] = None):
-    """The bench-scale fetch alternative: instead of broadcasting the
-    whole pages dict, semi-join the (small) scheduled-url set against the
-    pages dataset — a filter-pushdown scan that streams, never
-    materializing pages in one process. Produces the same (hits,
-    canonical contribution rows) as FetchActor.fetch for the same
-    scheduled rows, so the two fetch modes are interchangeable per round.
+def fetch_round_via_scan(pages_root: str, scheduled: pd.DataFrame,
+                         config: Optional[CrawlConfig] = None,
+                         num_buckets: int = NUM_PAGE_BUCKETS
+                         ) -> Tuple[int, int, List[tuple]]:
+    """The bench-scale fetch: semi-join the (small) scheduled-url set
+    against the BUCKETED pages layout. Only the buckets containing
+    scheduled urls are read (filter pushdown at the file level); the
+    scheduled lookup is broadcast (it is one round's worth of urls).
+    Returns (hits, discovered, canonical contribution rows) — the same
+    triple FetchActor.fetch produces for the same scheduled rows, so the
+    two fetch modes are interchangeable per round.
 
     scheduled columns: shard, seq, url_hash, url, host, priority.
     """
     import pyarrow as pa
-    import pyarrow.compute as pc
     import ray
+    import ray.data
 
     from warcio_ray.frontier.rounds import (
         canonicalize_contributions,
         outlink_contributions,
     )
     from warcio_ray.html import extract_links
-    from warcio_ray.pages import read_pages
 
     config = config or CrawlConfig()
     wanted = dict(zip(scheduled["url"],
@@ -82,34 +124,61 @@ def fetch_round_via_scan(sf_dir: str, scheduled: pd.DataFrame,
                           scheduled["priority"])))
     wanted_ref = ray.put(wanted)
 
+    buckets = sorted({page_bucket_of(u, num_buckets) for u in wanted})
+    paths = [os.path.join(pages_root, f"bucket={b}") for b in buckets]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        return 0, 0, []
+
     def scan_batch(batch: pa.Table) -> pa.Table:
         lookup = ray.get(wanted_ref)
         urls = batch["url"].to_pylist()
         keep = [i for i, u in enumerate(urls) if u in lookup]
         rows = []
+        n_links_hit = []
         for i in keep:
             url = urls[i]
             shard, seq, priority = lookup[url]
             links = extract_links(batch["html"][i].as_py())
+            n_links_hit.append(len(links))
             canon = canonicalize_contributions(outlink_contributions(
                 int(shard), int(seq), float(priority), links, config))
             for c in canon:
                 rows.append((url,) + c)
+        # one stats row per hit (kind=0) + canon rows (kind=1): hits and
+        # discovered counts survive even when no link canonicalizes
+        n_stats = len(keep)
         return pa.table({
-            "src_url": pa.array([r[0] for r in rows], pa.string()),
-            "url_hash": pa.array([r[1] for r in rows], pa.uint64()),
-            "url": pa.array([r[2] for r in rows], pa.string()),
-            "surt": pa.array([r[3] for r in rows], pa.string()),
-            "host": pa.array([r[4] for r in rows], pa.string()),
-            "src_shard": pa.array([r[5] for r in rows], pa.int64()),
-            "src_seq": pa.array([r[6] for r in rows], pa.int64()),
-            "cash": pa.array([r[7] for r in rows], pa.float64()),
+            "kind": pa.array([0] * n_stats + [1] * len(rows), pa.int8()),
+            "src_url": pa.array([urls[i] for i in keep]
+                                + [r[0] for r in rows], pa.string()),
+            "n_links": pa.array(n_links_hit + [0] * len(rows), pa.int64()),
+            "url_hash": pa.array([0] * n_stats + [r[1] for r in rows],
+                                 pa.uint64()),
+            "url": pa.array([""] * n_stats + [r[2] for r in rows],
+                            pa.string()),
+            "surt": pa.array([""] * n_stats + [r[3] for r in rows],
+                             pa.string()),
+            "host": pa.array([""] * n_stats + [r[4] for r in rows],
+                             pa.string()),
+            "src_shard": pa.array([0] * n_stats + [r[5] for r in rows],
+                                  pa.int64()),
+            "src_seq": pa.array([0] * n_stats + [r[6] for r in rows],
+                                pa.int64()),
+            "cash": pa.array([0.0] * n_stats + [r[7] for r in rows],
+                             pa.float64()),
         })
 
-    ds = read_pages(sf_dir, columns=["url", "html"])
+    ds = ray.data.read_parquet(paths, columns=["url", "html"],
+                               file_extensions=["parquet"])
     out = ds.map_batches(scan_batch, batch_format="pyarrow").to_pandas()
-    hits = out["src_url"].nunique() if len(out) else 0
-    canon_rows = [tuple(r) for r in out[
+    if not len(out):
+        return 0, 0, []
+    stats = out[out["kind"] == 0]
+    hits = int(stats["src_url"].nunique())
+    discovered = int(stats["n_links"].sum())
+    canon = out[out["kind"] == 1]
+    canon_rows = [tuple(r) for r in canon[
         ["url_hash", "url", "surt", "host", "src_shard", "src_seq",
          "cash"]].itertuples(index=False, name=None)]
-    return hits, canon_rows
+    return hits, discovered, canon_rows
