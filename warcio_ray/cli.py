@@ -30,16 +30,29 @@ def _ray_session():
 def cmd_index(args) -> int:
     from warcio_ray.pipelines.index import index_dataset
 
-    _ray_session()
+    ray = _ray_session()
+    import ray.data
     fields = args.fields.split(",")
-    ds = index_dataset(args.inputs, fields)
-    rows = ds.to_pandas().to_dict("records")
-    rows.sort(key=lambda r: (r.get("filename") or "",
-                             int(r.get("offset") or 0)))
-    out = sys.stdout if args.output == "-" else open(args.output, "w")
-    for row in rows:
-        clean = {k: v for k, v in row.items() if v is not None}
-        out.write(json.dumps(clean) + "\n")
+    # stream batches straight to the sink (the reference emits a per-file
+    # NDJSON stream; driver-side sort of the whole index would not scale).
+    # preserve_order keeps blocks in input-path + in-file offset order.
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        ds = index_dataset(args.inputs, fields)
+        out = sys.stdout if args.output == "-" else open(args.output, "w")
+        try:
+            for batch in ds.iter_batches(batch_size=1024,
+                                         batch_format="pyarrow"):
+                for row in batch.to_pylist():
+                    clean = {k: v for k, v in row.items() if v is not None}
+                    out.write(json.dumps(clean) + "\n")
+        finally:
+            if out is not sys.stdout:
+                out.close()
+    finally:
+        ctx.execution_options.preserve_order = prev
     return 0
 
 
