@@ -308,11 +308,41 @@ def _revisit_dedup(sf_dir: str):
 
 
 def _media_features(sf_dir: str):
-    from warcio_ray.ops.multimodal import decode_media, media_from_pages
+    """Multimodal decode plumbing, hard-oracled: the fake kernel derives
+    width/height from md5(text) so DuckDB can recompute them exactly."""
+    from warcio_ray.ops.multimodal import decode_media, media_from_documents
 
-    out = decode_media(media_from_pages(sf_dir), fake=True).to_pandas()
-    return out[["media_id", "kind", "width", "height"]] \
+    out = decode_media(media_from_documents(sf_dir), fake=True,
+                       hash_algo="md5").to_pandas()
+    out = out[["media_id", "kind", "width", "height"]] \
         .sort_values("media_id").reset_index(drop=True)
+    out["width"] = out["width"].astype("int64")
+    out["height"] = out["height"].astype("int64")
+    return out
+
+
+def _jaccard_pairs(sf_dir: str):
+    import ray.data
+
+    from warcio_ray.ops.dedup import jaccard_similarity_join
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return jaccard_similarity_join(ds, threshold=0.5)[["a", "b"]]
+
+
+def _asof_click_purchase(sf_dir: str):
+    from warcio_ray.ops.relational import asof_join_events
+    return asof_join_events(sf_dir, "click", "purchase")
+
+
+def _event_range_counts(sf_dir: str):
+    from warcio_ray.ops.relational import range_count_events
+    return range_count_events(sf_dir, window_minutes=5)
+
+
+def _top_orders_per_segment(sf_dir: str):
+    from warcio_ray.ops.relational import top_orders_per_segment
+    return top_orders_per_segment(sf_dir, k=3)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -323,6 +353,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _top_customers,
         "events_hourly": _events_hourly,
         "sessionize_events": _sessionize,
+        "asof_click_purchase": _asof_click_purchase,
+        "event_range_counts": _event_range_counts,
+        "top_orders_per_segment": _top_orders_per_segment,
         # text analysis
         "token_stats": _token_stats,
         "lang_confusion": _lang_confusion,
@@ -330,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup": _exact_dedup,
         "minhash_pairs": _minhash_pairs,
+        "jaccard_pairs": _jaccard_pairs,
         "simhash_pairs": _simhash_pairs,
         "embedding_neardup": _embedding_neardup,
         # similarity search
@@ -429,6 +463,62 @@ def oracle_sql() -> dict[str, str]:
         "distinct_langs": """
             SELECT DISTINCT lang FROM documents
         """,
+        "asof_click_purchase": """
+            SELECT c.event_id AS event_id, c.user_id AS user_id,
+                   c.ts AS ts, p.ts AS matched_ts
+            FROM (SELECT * FROM events WHERE event_type='click') c
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type='purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "event_range_counts": """
+            SELECT e1.event_id AS event_id,
+                   (SELECT count(*) FROM events e2
+                    WHERE e2.user_id = e1.user_id AND e2.ts < e1.ts
+                      AND e2.ts >= e1.ts - INTERVAL 5 MINUTE) AS n_recent
+            FROM events e1
+        """,
+        "top_orders_per_segment": """
+            SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+              SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                     row_number() OVER (PARTITION BY c.c_mktsegment
+                         ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+            WHERE rn <= 3
+        """,
+        "jaccard_pairs": r"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(text, '\S+') AS t
+                          FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) = 0 THEN []
+                          WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct(list_transform(
+                               range(1, len(t)-1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                     END AS g
+              FROM toks),
+            sizes AS (SELECT doc_id, len(g) AS n FROM grams),
+            pairs AS (
+              SELECT ia.doc_id AS a, ib.doc_id AS b, count(*) AS c
+              FROM (SELECT doc_id, unnest(g) AS gram FROM grams) ia
+              JOIN (SELECT doc_id, unnest(g) AS gram FROM grams) ib
+                USING (gram)
+              WHERE ia.doc_id < ib.doc_id GROUP BY 1, 2)
+            SELECT a, b FROM pairs
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE 2*c >= (sa.n + sb.n - c)
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id, 'image' AS kind,
+                   1 + CAST(('0x' || substr(md5(text),1,8)) AS BIGINT)
+                       % 4096 AS width,
+                   1 + CAST(('0x' || substr(md5(text),9,8)) AS BIGINT)
+                       % 4096 AS height
+            FROM documents
+        """,
         "knn_top10": """
             SELECT vec_id FROM embeddings
             ORDER BY list_cosine_similarity(embedding,
@@ -438,6 +528,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # minhash_pairs / simhash_pairs / embedding_neardup / lang_confusion
         # / doc_fingerprints / extract_text_verify / crawl_order /
-        # warc_rec_types / media_features are not SQL-expressible
-        # (sketches, heuristics, stateful crawl, codec) -> rows-only checks.
+        # warc_rec_types / revisit_dedup are not SQL-expressible
+        # (probabilistic sketches, heuristics, stateful crawl, codec)
+        # -> rows-only checks. jaccard_pairs is the hard-oracled EXACT
+        # companion to minhash_pairs.
     }

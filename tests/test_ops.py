@@ -150,3 +150,79 @@ def test_media_decode_plumbing(ray_session):
     # real path is an explicit stub
     with pytest.raises(NotImplementedError):
         MediaDecodeStage(fake=False)
+
+
+def test_jaccard_similarity_join_exact(ray_session):
+    """Exact jaccard join == brute-force all-pairs jaccard (no false
+    negatives, unlike LSH)."""
+    import itertools
+
+    import ray.data
+
+    from warcio_ray.ops.dedup import (
+        _shingle_set,
+        jaccard_similarity_join,
+    )
+
+    texts = {
+        0: " ".join(f"w{i}" for i in range(30)),
+        1: " ".join(f"w{i}" for i in range(29)) + " other",
+        2: "totally different content here " * 3,
+        3: " ".join(f"w{i}" for i in range(15)),  # ~half overlap with 0
+        4: "",
+    }
+    df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    out = jaccard_similarity_join(ray.data.from_pandas(df), threshold=0.5)
+    got = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+
+    want = set()
+    for a, b in itertools.combinations(sorted(texts), 2):
+        ga, gb = _shingle_set(texts[a], 3), _shingle_set(texts[b], 3)
+        union = len(ga | gb)
+        if union and 2 * len(ga & gb) >= union:
+            want.add((a, b))
+    assert got == want
+    assert (0, 1) in got and (0, 2) not in got
+
+
+def test_asof_and_range_ops_match_pandas(ray_session):
+    import ray.data
+
+    from warcio_ray.ops.relational import (
+        asof_join_events,
+        range_count_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+
+    out = asof_join_events(sf, "click", "purchase").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    clicks = ev[ev.event_type == "click"]
+    purch = ev[ev.event_type == "purchase"]
+    for _, row in out.head(50).iterrows():
+        cand = purch[(purch.user_id == row.user_id) & (purch.ts <= row.ts)]
+        want = cand.ts.max() if len(cand) else pd.NaT
+        got = row.matched_ts
+        assert (pd.isna(got) and pd.isna(want)) or got == want
+
+    rng = range_count_events(sf, window_minutes=5).to_pandas()
+    merged = rng.merge(ev[["event_id", "user_id", "ts"]], on="event_id")
+    for _, row in merged.head(50).iterrows():
+        n = ((ev.user_id == row.user_id) & (ev.ts < row.ts)
+             & (ev.ts >= row.ts - pd.Timedelta(minutes=5))).sum()
+        assert int(row.n_recent) == int(n)
+
+
+def test_media_md5_kernel_matches_sql_derivation(ray_session):
+    import hashlib
+
+    from warcio_ray.ops.multimodal import MediaDecodeStage
+
+    stage = MediaDecodeStage(fake=True, hash_algo="md5")
+    payload = "hello world".encode()
+    w, h, feats = stage._decode_fake(payload)
+    hx = hashlib.md5(payload).hexdigest()
+    assert w == 1 + int(hx[0:8], 16) % 4096
+    assert h == 1 + int(hx[8:16], 16) % 4096
+    assert len(feats) == 14

@@ -471,3 +471,89 @@ def simhash_dedup(ds, max_hamming: int = 3,
                            "b": pd.Series(dtype="int64")})
     out.attrs["lsh_dropped_ids"] = n_dropped
     return out
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+def _prefix_grams(text: str, k: int, threshold: float) -> List[str]:
+    """Prefix-filter index keys: under ANY fixed total order of grams
+    (lexicographic here), two docs with Jaccard >= t must share a gram in
+    each other's first |S| - ceil(t*|S|) + 1 grams — so only those are
+    indexed (the PPJoin-style candidate bound; the rest of the set never
+    shuffles)."""
+    import math
+
+    grams = sorted(_shingle_set(text, k))
+    if not grams:
+        return []
+    keep = len(grams) - math.ceil(threshold * len(grams)) + 1
+    return grams[:keep]
+
+
+def jaccard_similarity_join(ds, threshold: float = 0.5, shingle_k: int = 3,
+                            max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
+    """EXACT similarity join: all pairs of docs with n-gram Jaccard >=
+    threshold (empty-text docs excluded — they have no grams). Unlike the
+    MinHash pipeline this has no false negatives, so it is hard-oracle
+    checkable against DuckDB's list_intersect arithmetic.
+
+    Shape: prefix grams -> inverted-index groupby(gram) -> candidate
+    pairs (capped hot grams, accounted) -> distributed pair dedup ->
+    verify via the same text join-back as MinHash. Verification compares
+    2*intersection >= union in INTEGERS so the threshold boundary is
+    exact on both engines (threshold=0.5 only; other thresholds compare
+    in float).
+    """
+    def index_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, grams = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            for g in _prefix_grams(text, shingle_k, threshold):
+                doc_ids.append(int(doc_id))
+                grams.append(g)
+        return pd.DataFrame({"gram": grams,
+                             "doc_id": np.array(doc_ids, dtype="int64")})
+
+    inv = ds.map_batches(index_batch, batch_format="pandas")
+    raw_pairs = inv.groupby("gram").map_groups(
+        _pairs_from_bucket, batch_format="pandas",
+        fn_kwargs={"max_bucket": max_bucket})
+    cand, n_dropped = _dedup_pairs(raw_pairs)
+    cand = cand.materialize()
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64")})
+    empty.attrs["lsh_dropped_ids"] = n_dropped
+    if cand.count() == 0:
+        return empty
+
+    joined = _join_texts_to_pairs(cand.select_columns(["a", "b"]),
+                                  ds.select_columns(["doc_id", "text"]))
+
+    def verify_group(grp: pd.DataFrame) -> pd.DataFrame:
+        if len(grp) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        by_id = dict(zip(grp["doc_id"], grp["text"]))
+        a = int(grp["pair_a"].iloc[0])
+        b = int(grp["pair_b"].iloc[0])
+        ga = _shingle_set(by_id.get(a), shingle_k)
+        gb = _shingle_set(by_id.get(b), shingle_k)
+        inter = len(ga & gb)
+        union = len(ga | gb)
+        if threshold == 0.5:
+            ok = union > 0 and 2 * inter >= union
+        else:
+            ok = union > 0 and inter / union >= threshold
+        if ok:
+            return pd.DataFrame({"a": [a], "b": [b]})
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+
+    out = joined.groupby(["pair_a", "pair_b"]) \
+        .map_groups(verify_group, batch_format="pandas").to_pandas()
+    if not len(out):
+        return empty
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    out.attrs["lsh_dropped_ids"] = n_dropped
+    return out

@@ -36,10 +36,11 @@ class MediaDecodeStage:
     """
 
     def __init__(self, kind: str = "image", fake: bool = True,
-                 target_size: int = 64):
+                 target_size: int = 64, hash_algo: str = "blake2b"):
         self.kind = kind
         self.fake = fake
         self.target_size = target_size
+        self.hash_algo = hash_algo
         if not fake:
             raise NotImplementedError(
                 "real media decoding requires PIL/soundfile, not present "
@@ -48,7 +49,17 @@ class MediaDecodeStage:
     # -- kernels ----------------------------------------------------------
     def _decode_fake(self, payload: bytes):
         """Deterministic stand-in: dimensions + feature vector derived
-        from a blake2b stream over the payload."""
+        from a hash stream over the payload. ``hash_algo='md5'`` uses the
+        md5 hexdigest for width/height so the derivation is expressible
+        in DuckDB SQL (the media_features oracle)."""
+        if self.hash_algo == "md5":
+            hx = hashlib.md5(payload or b"").hexdigest()
+            width = 1 + int(hx[0:8], 16) % 4096
+            height = 1 + int(hx[8:16], 16) % 4096
+            raw = hashlib.blake2b(payload or b"",
+                                  digest_size=FEATURE_DIM * 4).digest()
+            feats = np.frombuffer(raw, dtype=np.uint32).astype(np.float32)
+            return width, height, feats / np.float32(2 ** 32)
         h = hashlib.blake2b(payload or b"", digest_size=8 + FEATURE_DIM * 4)
         raw = h.digest()
         width = 1 + int.from_bytes(raw[0:4], "big") % 4096
@@ -78,7 +89,8 @@ class MediaDecodeStage:
 
 
 def decode_media(ds, kind: str = "image", fake: bool = True,
-                 concurrency: int = 2, batch_size: int = 64):
+                 concurrency: int = 2, batch_size: int = 64,
+                 hash_algo: str = "blake2b"):
     """Media dataset -> decoded metadata + features.
 
     batch_size is deliberately small: payload cells are wide binaries, so
@@ -86,7 +98,32 @@ def decode_media(ds, kind: str = "image", fake: bool = True,
     """
     return ds.map_batches(MediaDecodeStage, batch_format="pandas",
                           batch_size=batch_size, concurrency=concurrency,
-                          fn_constructor_kwargs={"kind": kind, "fake": fake})
+                          fn_constructor_kwargs={"kind": kind, "fake": fake,
+                                                 "hash_algo": hash_algo})
+
+
+def media_from_documents(sf_dir: str):
+    """Media table derived straight from documents (payload = utf-8 text
+    bytes, media_id = doc_id): every derivation is SQL-mirrorable, which
+    makes the decode stage hard-oracle checkable while exercising the
+    same wide-binary actor-pool plumbing."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        payloads = [(t or "").encode("utf-8")
+                    for t in batch["text"].to_pylist()]
+        return pa.table({
+            "media_id": batch["doc_id"].combine_chunks().cast(pa.int64()),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(["image/fake"] * n, pa.string()),
+        })
+
+    return ds.map_batches(to_media, batch_format="pyarrow")
 
 
 def media_from_pages(sf_dir: str):

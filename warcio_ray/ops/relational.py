@@ -122,3 +122,102 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
         return out.reset_index(drop=True)
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def asof_join_events(sf_dir: str, left_type: str = "click",
+                     right_type: str = "purchase"):
+    """As-of join (an operator Ray Data lacks natively): for each
+    ``left_type`` event, the most recent ``right_type`` event of the SAME
+    user at ts <= left ts.
+
+    Partitioning assumption: hash-partition by user_id
+    (groupby.map_groups), sorted merge inside each group — the standard
+    distributed as-of shape; user groups are small, nothing global sorts.
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    both = ds.filter(expr=f"event_type == '{left_type}' or "
+                          f"event_type == '{right_type}'")
+
+    def asof_group(grp: pd.DataFrame) -> pd.DataFrame:
+        left = grp[grp["event_type"] == left_type] \
+            .sort_values(["ts", "event_id"])
+        right = grp[grp["event_type"] == right_type] \
+            .sort_values(["ts", "event_id"])
+        if not len(left):
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "ts": pd.Series(dtype="datetime64[us]"),
+                "matched_ts": pd.Series(dtype="datetime64[us]")})
+        # vectorized backward search: index of last right.ts <= left.ts
+        idx = np.searchsorted(right["ts"].to_numpy(),
+                              left["ts"].to_numpy(), side="right") - 1
+        matched = np.where(
+            idx >= 0,
+            right["ts"].to_numpy()[np.maximum(idx, 0)],
+            np.datetime64("NaT"))
+        return pd.DataFrame({
+            "event_id": left["event_id"].to_numpy(),
+            "user_id": left["user_id"].to_numpy(),
+            "ts": left["ts"].to_numpy(),
+            "matched_ts": matched})
+
+    return both.groupby("user_id").map_groups(asof_group,
+                                              batch_format="pandas")
+
+
+def range_count_events(sf_dir: str, window_minutes: int = 5):
+    """Range self-join: for each event, how many earlier events of the
+    same user fall in [ts - window, ts). Same per-user partitioning as
+    the as-of join; two binary searches per row inside the group."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id"])
+
+    def count_group(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.sort_values(["ts", "event_id"])
+        ts = grp["ts"].to_numpy()
+        lo = np.searchsorted(ts, ts - np.timedelta64(window_minutes, "m"),
+                             side="left")
+        hi = np.searchsorted(ts, ts, side="left")
+        return pd.DataFrame({
+            "event_id": grp["event_id"].to_numpy(),
+            "n_recent": (hi - lo).astype("int64")})
+
+    return ds.groupby("user_id").map_groups(count_group,
+                                            batch_format="pandas")
+
+
+def top_orders_per_segment(sf_dir: str, k: int = 3):
+    """Windowed top-k per group: broadcast-join segment onto orders, then
+    per-segment top-k by (total desc, orderkey) inside map_groups."""
+    import ray
+    import ray.data
+
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(cust_ref)
+        out = batch.copy()
+        out["c_mktsegment"] = batch["o_custkey"].map(lookup)
+        return out
+
+    def topk(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True]).head(k)
+        return grp[["c_mktsegment", "o_orderkey", "o_totalprice"]]
+
+    return ds.map_batches(tag, batch_format="pandas") \
+        .groupby("c_mktsegment").map_groups(topk, batch_format="pandas")
