@@ -226,3 +226,30 @@ def test_media_md5_kernel_matches_sql_derivation(ray_session):
     assert w == 1 + int(hx[0:8], 16) % 4096
     assert h == 1 + int(hx[8:16], 16) % 4096
     assert len(feats) == 14
+
+
+def test_ivf_search_exact_when_full_probe(ray_session):
+    """nprobe == n_centroids makes IVF exact: equals brute force."""
+    import ray.data
+
+    from warcio_ray.ops.ivf import ivf_search, train_centroids
+    from warcio_ray.ops.knn import knn_bruteforce
+
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    q = np.asarray(t["embedding"][0], dtype=np.float64)
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    cents = train_centroids(ds, n_centroids=8, sample_size=500)
+    exact = ivf_search(ds, q, k=10, centroids=cents)  # nprobe=all
+    brute = knn_bruteforce(ds, q, k=10)
+    assert list(exact["vec_id"]) == list(brute["vec_id"])
+
+    # reduced probes: recall may drop but results stay a subset of the
+    # corpus, are deterministic, and score-sorted
+    approx1 = ivf_search(ds, q, k=10, centroids=cents, nprobe=2)
+    approx2 = ivf_search(ds, q, k=10, centroids=cents, nprobe=2)
+    assert list(approx1["vec_id"]) == list(approx2["vec_id"])
+    recall = len(set(approx1["vec_id"]) & set(brute["vec_id"])) / 10
+    assert recall >= 0.3

@@ -251,13 +251,15 @@ def crawl_distributed(seeds: Sequence[Tuple[str, float]],
                                               snapshot=pol_snaps[p])
                   for p in range(config.num_host_shards)]
     if scan_mode:
+        from warcio_ray.pipelines.crawl import BucketedFetcher
+
         fetch_actors = []
-        pages_root = pages
+        fetcher = BucketedFetcher(pages, config)
     else:
         pages_ref = ray.put(pages)
         fetch_actors = [FetchActor.remote(pages_ref, config)
                         for _ in range(max(1, fetch_concurrency))]
-        pages_root = None
+        fetcher = None
 
     try:
         rnd = start_round
@@ -267,7 +269,7 @@ def crawl_distributed(seeds: Sequence[Tuple[str, float]],
                 break
             cand_df, round_rows = _run_round(
                 rnd, cand_df, seen_actors, pol_actors, fetch_actors,
-                config, result, pages_root=pages_root,
+                config, result, fetcher=fetcher,
                 track_order=track_order)
             if order_dir:
                 _write_round_order(order_dir, rnd, round_rows)
@@ -285,7 +287,7 @@ def crawl_distributed(seeds: Sequence[Tuple[str, float]],
 def _run_round(rnd: int, cand_df: pd.DataFrame, seen_actors, pol_actors,
                fetch_actors, config: CrawlConfig,
                result: DistributedCrawlResult,
-               pages_root: Optional[str] = None,
+               fetcher=None,
                track_order: bool = False
                ) -> Tuple[pd.DataFrame, List[tuple]]:
     import ray
@@ -347,11 +349,8 @@ def _run_round(rnd: int, cand_df: pd.DataFrame, seen_actors, pol_actors,
     if track_order:
         result.order.extend(round_rows)
 
-    if pages_root is not None:
-        from warcio_ray.pipelines.crawl import fetch_round_via_scan
-
-        round_hits, discovered, all_contribs = fetch_round_via_scan(
-            pages_root, sched, config)
+    if fetcher is not None:
+        round_hits, discovered, all_contribs = fetcher.fetch_round(sched)
         result.counters["discovered"] += discovered
     else:
         chunks = np.array_split(np.arange(len(fetch_rows)),

@@ -1,0 +1,164 @@
+"""IVF (inverted-file) approximate nearest neighbor — the similarity
+search scale path.
+
+Shape: a deterministic k-means (seeded, fixed Lloyd iterations, hash
+sample) trains centroids once; an assignment ``map_batches`` stamps each
+vector with its nearest centroid (the partition key); a search probes
+only the ``nprobe`` centroids closest to each query, so per-query work is
+cluster-local instead of corpus-wide. With ``nprobe == n_centroids`` the
+search is EXACT and equals brute force — which is how the correctness
+oracle checks it (knn_top10's SQL); smaller nprobe trades recall for
+read volume.
+
+At 100 TB: write the assigned table partitioned by ``centroid_id``
+(hive layout like pages-bucketed) so a probe reads only its clusters'
+files; the train sample stays O(sample_size) regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from warcio_ray.ops.knn import _normalize, _to_matrix
+
+_HASH_MULT = 2654435761  # Knuth multiplicative hash (deterministic sample)
+
+
+def _sample_mask(vec_ids: np.ndarray, rate_num: int, rate_den: int) -> np.ndarray:
+    h = (vec_ids.astype(np.uint64) * np.uint64(_HASH_MULT)) % np.uint64(rate_den)
+    return h < np.uint64(rate_num)
+
+
+def train_centroids(ds, n_centroids: int = 16, sample_size: int = 4096,
+                    iters: int = 10, seed: int = 17) -> np.ndarray:
+    """Deterministic k-means on a hash-sampled subset.
+
+    The sample is chosen by a fixed multiplicative hash of vec_id (never
+    by arrival order), so the same corpus always trains the same
+    centroids at any parallelism. Sample collection is O(sample_size);
+    Lloyd runs driver-side on the small sample."""
+    import pyarrow.compute as pc
+
+    total = ds.count()
+    rate_den = 1 << 20
+    rate_num = min(rate_den, max(1, int(rate_den * sample_size / max(total, 1))))
+
+    def take_sample(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mask = _sample_mask(ids, rate_num, rate_den)
+        return batch.filter(pa.array(mask))
+
+    sample = ds.map_batches(take_sample, batch_format="pyarrow").to_pandas()
+    mat = _normalize(_to_matrix(sample["embedding"]))
+    if len(mat) < n_centroids:
+        raise ValueError(f"sample too small ({len(mat)}) for "
+                         f"{n_centroids} centroids")
+
+    rng = np.random.RandomState(seed)
+    # k-means++ style init on the sample, deterministic
+    centroids = mat[rng.choice(len(mat), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        sims = mat @ centroids.T                      # cosine on unit vecs
+        assign = sims.argmax(axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    centroids[c] = m / norm
+    return centroids
+
+
+def assign_centroids(ds, centroids: np.ndarray):
+    """Vector dataset -> same rows + ``centroid_id`` (the IVF partition
+    key). Centroids ship once via ray.put, not per batch."""
+    import ray
+
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    class Assign:
+        def __init__(self):
+            self.centroids = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = _normalize(_to_matrix(batch["embedding"]))
+            assign = (vecs @ self.centroids.T).argmax(axis=1)
+            out = batch.copy()
+            out["centroid_id"] = assign.astype(np.int32)
+            return out
+
+    return ds.map_batches(Assign, batch_format="pandas",
+                          batch_size=4096, concurrency=2, num_cpus=0.5)
+
+
+def ivf_search(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+               nprobe: Optional[int] = None,
+               centroids: Optional[np.ndarray] = None) -> pd.DataFrame:
+    """ANN top-k per query over the IVF layout. ``nprobe=None`` probes
+    every centroid (EXACT, equals brute force); else only vectors in the
+    nprobe closest clusters per query score. Returns (query_id, vec_id,
+    score) sorted by (query_id, -score, vec_id), k rows per query."""
+    import ray
+
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    if centroids is None:
+        centroids = train_centroids(ds, n_centroids=n_centroids)
+    nprobe = nprobe or len(centroids)
+
+    qn = _normalize(queries)
+    # top-nprobe centroids per query, computed once on the driver (tiny)
+    probe_sets = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
+    probes = [set(int(c) for c in row) for row in probe_sets]
+
+    assigned = assign_centroids(ds, centroids)
+    qref = ray.put(qn)
+    pref = ray.put(probes)
+
+    class ProbeTopK:
+        def __init__(self):
+            self.q = ray.get(qref)
+            self.probes = ray.get(pref)
+            self.k = k
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = _normalize(_to_matrix(batch["embedding"]))
+            cids = batch["centroid_id"].to_numpy()
+            vec_ids = batch["vec_id"].to_numpy()
+            scores = vecs @ self.q.T
+            out_q, out_v, out_s = [], [], []
+            for qi, probe in enumerate(self.probes):
+                mask = np.fromiter((c in probe for c in cids), dtype=bool,
+                                   count=len(cids))
+                if not mask.any():
+                    continue
+                col = scores[mask, qi]
+                vids = vec_ids[mask]
+                kk = min(self.k, len(col))
+                part = np.argpartition(-col, kk - 1)[:kk]
+                kth = col[part].min()
+                cand = np.flatnonzero(col >= kth)
+                order = cand[np.lexsort((vids[cand], -col[cand]))][:kk]
+                out_q.extend([qi] * len(order))
+                out_v.extend(int(v) for v in vids[order])
+                out_s.extend(float(s) for s in col[order])
+            return pd.DataFrame({"query_id": out_q, "vec_id": out_v,
+                                 "score": out_s})
+
+    partials = assigned.map_batches(ProbeTopK, batch_format="pandas",
+                                    batch_size=4096, concurrency=2,
+                                    num_cpus=0.5).to_pandas()
+    out = []
+    for qi, grp in partials.groupby("query_id"):
+        grp = grp.sort_values(["score", "vec_id"],
+                              ascending=[False, True]).head(k)
+        out.append(grp)
+    if not out:
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                             "vec_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    return pd.concat(out, ignore_index=True)

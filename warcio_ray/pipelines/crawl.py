@@ -94,6 +94,125 @@ def crawl_pages(sf_dir: str, config: Optional[CrawlConfig] = None,
     return df[ORDER_COLUMNS]
 
 
+def _load_bucket_dict(path: str) -> Dict[str, bytes]:
+    """One bucket directory -> url->html dict (runs as a remote task;
+    the dict lives in the object store and is fetched zero-setup by every
+    later round that touches this bucket)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out: Dict[str, bytes] = {}
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        t = pq.read_table(f, columns=["url", "html"])
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            out[url] = html
+    return out
+
+
+def _fetch_rows_against(pages: Dict[str, bytes], rows: List[tuple],
+                        config: CrawlConfig):
+    """Shared fetch kernel (same body the broadcast FetchActor runs):
+    rows (shard, seq, url_hash, url, host, priority) ->
+    (hits, discovered, canonical contribution rows)."""
+    from warcio_ray.frontier.rounds import (
+        canonicalize_contributions,
+        outlink_contributions,
+    )
+    from warcio_ray.html import extract_links
+
+    hits = 0
+    discovered = 0
+    contribs: List[tuple] = []
+    for shard, seq, url_hash, url, host, priority in rows:
+        html = pages.get(url)
+        if html is None:
+            continue
+        hits += 1
+        links = extract_links(html)
+        discovered += len(links)
+        contribs.extend(outlink_contributions(
+            int(shard), int(seq), float(priority), links, config))
+    return hits, discovered, canonicalize_contributions(contribs)
+
+
+def _fetch_bucket_group(bucket_refs: List, rows_per_bucket: List[List[tuple]],
+                        config: CrawlConfig):
+    """One fetch task covering several buckets (refs resolved in-task —
+    nested ObjectRefs are deliberate: one dispatch serves many buckets,
+    because per-bucket tasks drown in dispatch overhead when a round only
+    schedules a few urls per bucket)."""
+    import ray
+
+    buckets = ray.get(list(bucket_refs))
+    hits = discovered = 0
+    contribs: List[tuple] = []
+    for pages, rows in zip(buckets, rows_per_bucket):
+        h, d, c = _fetch_rows_against(pages, rows, config)
+        hits += h
+        discovered += d
+        contribs.extend(c)
+    return hits, discovered, contribs
+
+
+class BucketedFetcher:
+    """Crawl-lifetime fetch over the bucketed pages layout.
+
+    Each bucket is loaded ONCE (remote task -> object-store-resident
+    url->html dict, spillable); each round spawns a BOUNDED number of
+    fetch tasks, each covering a contiguous run of the needed buckets.
+    This keeps the per-round cost at task-dispatch level (no Dataset
+    planning per round) while never materializing anything corpus-sized
+    in one process — the 100-TB shape: partition-resident pages +
+    per-partition-group fetch tasks.
+    """
+
+    def __init__(self, root: str, config: CrawlConfig,
+                 num_buckets: int = NUM_PAGE_BUCKETS,
+                 max_tasks_per_round: int = 8):
+        import ray
+
+        self.root = root
+        self.config = config
+        self.num_buckets = num_buckets
+        self.max_tasks = max_tasks_per_round
+        self.refs: Dict[int, "ray.ObjectRef"] = {}
+        self._load = ray.remote(num_cpus=0.5)(_load_bucket_dict)
+        self._fetch_group = ray.remote(num_cpus=0.5)(_fetch_bucket_group)
+
+    def fetch_round(self, scheduled: pd.DataFrame):
+        import ray
+
+        by_bucket: Dict[int, List[tuple]] = {}
+        for row in scheduled[["shard", "seq", "url_hash", "url", "host",
+                              "priority"]].itertuples(index=False,
+                                                      name=None):
+            b = page_bucket_of(row[3], self.num_buckets)
+            by_bucket.setdefault(b, []).append(row)
+
+        needed = sorted(by_bucket)
+        for b in needed:
+            if b not in self.refs:
+                path = os.path.join(self.root, f"bucket={b}")
+                self.refs[b] = self._load.remote(path)
+
+        # contiguous bucket groups -> bounded task count per round
+        n_groups = min(self.max_tasks, len(needed)) or 1
+        groups = [needed[i::n_groups] for i in range(n_groups)]
+        refs = [self._fetch_group.remote(
+                    [self.refs[b] for b in grp],
+                    [by_bucket[b] for b in grp], self.config)
+                for grp in groups if grp]
+        hits = discovered = 0
+        contribs: List[tuple] = []
+        # merge in fixed group order: deterministic contribution stream
+        for h, d, c in ray.get(refs):
+            hits += h
+            discovered += d
+            contribs.extend(c)
+        return hits, discovered, contribs
+
+
 def fetch_round_via_scan(pages_root: str, scheduled: pd.DataFrame,
                          config: Optional[CrawlConfig] = None,
                          num_buckets: int = NUM_PAGE_BUCKETS
