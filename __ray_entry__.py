@@ -195,6 +195,37 @@ def _embedding_neardup(sf_dir: str):
     return out[["a", "b"]]
 
 
+def _ivf_knn_top10(sf_dir: str):
+    """IVF ANN with nprobe == n_centroids: exact by construction, so the
+    same SQL oracle as knn_top10 checks the whole index path (train ->
+    assign -> probe)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from warcio_ray.ops.ivf import ivf_search
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(
+        t.filter(__import__("pyarrow").compute.equal(t["vec_id"], 0))
+        ["embedding"][0].as_py(), dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = ivf_search(ds, q, k=10, n_centroids=8)
+    return pd.DataFrame({"vec_id": out["vec_id"].astype("int64")})
+
+
+def _fingerprint_dups(sf_dir: str):
+    import ray.data
+
+    from warcio_ray.ops.textstats import fingerprint_dedup
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = fingerprint_dedup(ds, min_shared=5)
+    return out[["a", "b", "n_shared"]]
+
+
 def _extract_text_verify(sf_dir: str):
     from warcio_ray.pages import read_pages
     from warcio_ray.stages.text import verify_text_stage
@@ -368,6 +399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _embedding_neardup,
         # similarity search
         "knn_top10": _knn_top10,
+        "ivf_knn_top10": _ivf_knn_top10,
+        "fingerprint_dups": _fingerprint_dups,
         # pages / crawl / warc
         "host_counts": _host_counts,
         "top_hosts": _top_hosts,
@@ -520,6 +553,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "knn_top10": """
+            SELECT vec_id FROM embeddings
+            ORDER BY list_cosine_similarity(embedding,
+                (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                vec_id
+            LIMIT 10
+        """,
+        "ivf_knn_top10": """
             SELECT vec_id FROM embeddings
             ORDER BY list_cosine_similarity(embedding,
                 (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,

@@ -253,3 +253,19 @@ def test_ivf_search_exact_when_full_probe(ray_session):
     assert list(approx1["vec_id"]) == list(approx2["vec_id"])
     recall = len(set(approx1["vec_id"]) & set(brute["vec_id"])) / 10
     assert recall >= 0.3
+
+
+def test_fingerprint_dedup_finds_copies(ray_session):
+    import ray.data
+
+    from warcio_ray.ops.textstats import fingerprint_dedup
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base + " extra trailing words here"
+    other = " ".join(f"zz{i}" for i in range(60))
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": [base, near, other]})
+    out = fingerprint_dedup(ray.data.from_pandas(df), min_shared=3)
+    got = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+    assert (0, 1) in got and (0, 2) not in got and (1, 2) not in got
+    assert int(out["n_shared"].iloc[0]) >= 3
