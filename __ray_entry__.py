@@ -82,6 +82,11 @@ def _events_hourly(sf_dir: str):
     return _round_cols(events_hourly(sf_dir), ["sum_value"])
 
 
+def _events_sliding(sf_dir: str):
+    from warcio_ray.ops.relational import events_sliding
+    return _round_cols(events_sliding(sf_dir), ["sum_value"])
+
+
 def _sessionize(sf_dir: str):
     from warcio_ray.ops.relational import sessionize_events
     return sessionize_events(sf_dir).to_pandas()
@@ -383,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": _orders_by_segment,
         "top_customers": _top_customers,
         "events_hourly": _events_hourly,
+        "events_sliding": _events_sliding,
         "sessionize_events": _sessionize,
         "asof_click_purchase": _asof_click_purchase,
         "event_range_counts": _event_range_counts,
@@ -450,6 +456,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "events_sliding": """
+            WITH h AS (SELECT event_type, value,
+                              time_bucket(INTERVAL 30 MINUTE, ts) AS f
+                       FROM events),
+            w AS (SELECT event_type, value, f AS wstart FROM h
+                  UNION ALL
+                  SELECT event_type, value,
+                         f - INTERVAL 30 MINUTE AS wstart FROM h)
+            SELECT event_type, wstart, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM w GROUP BY event_type, wstart
         """,
         "sessionize_events": """
             WITH e AS (

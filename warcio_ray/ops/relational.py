@@ -221,3 +221,33 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
 
     return ds.map_batches(tag, batch_format="pandas") \
         .groupby("c_mktsegment").map_groups(topk, batch_format="pandas")
+
+
+def events_sliding(sf_dir: str, window_minutes: int = 60,
+                   hop_minutes: int = 30):
+    """Sliding (hopping) window aggregate: 1-hour windows every 30
+    minutes — each event lands in window_minutes/hop_minutes windows,
+    emitted as exploded (event_type, wstart) rows inside map_batches,
+    then one groupby. The standard streaming hop shape: the explode is
+    map-side, only (key, window) rows shuffle."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    hops = window_minutes // hop_minutes
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def explode_hops(batch: pd.DataFrame) -> pd.DataFrame:
+        floor = batch["ts"].dt.floor(f"{hop_minutes}min")
+        frames = []
+        for i in range(hops):
+            frames.append(pd.DataFrame({
+                "event_type": batch["event_type"],
+                "wstart": floor - pd.Timedelta(minutes=hop_minutes * i),
+                "value": batch["value"]}))
+        return pd.concat(frames, ignore_index=True)
+
+    return ds.map_batches(explode_hops, batch_format="pandas") \
+        .groupby(["event_type", "wstart"]).aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"))
