@@ -269,3 +269,35 @@ def test_fingerprint_dedup_finds_copies(ray_session):
     got = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
     assert (0, 1) in got and (0, 2) not in got and (1, 2) not in got
     assert int(out["n_shared"].iloc[0]) >= 3
+
+
+def test_media_resize_and_frame_sample(ray_session):
+    import ray.data
+
+    from warcio_ray.ops.multimodal import (
+        FrameSampleStage,
+        MediaResizeStage,
+        resize_media,
+        sample_frames,
+    )
+
+    df = pd.DataFrame({"media_id": [1, 2], "kind": ["image", "video"],
+                       "payload": [b"img-bytes", b"vid-bytes"],
+                       "mime": ["x", "x"]})
+    resized = resize_media(ray.data.from_pandas(df), target_size=8) \
+        .to_pandas().sort_values("media_id")
+    assert list(resized["width"]) == [8, 8]
+    assert all(len(p) == 64 for p in resized["payload"])
+
+    frames = sample_frames(ray.data.from_pandas(df), n_frames=3) \
+        .to_pandas()
+    assert len(frames) == 6  # 3 per input
+    assert set(frames["media_id"]) == {1, 2}
+    # deterministic offsets + strictly increasing per media
+    per = frames[frames["media_id"] == 1]["frame_idx"].tolist()
+    assert per == sorted(per) and len(set(per)) == 3
+
+    with pytest.raises(NotImplementedError):
+        MediaResizeStage(fake=False)
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(fake=False)

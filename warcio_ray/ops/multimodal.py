@@ -151,3 +151,84 @@ def media_from_pages(sf_dir: str):
         })
 
     return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+class MediaResizeStage:
+    """Actor-pool resize stage (image -> target_size x target_size).
+
+    Real kernel requires PIL (absent here) and is stubbed exactly like
+    decode; the fake kernel derives a deterministic resized payload
+    (blake2b stream of the source bytes + target dims) so the Ray
+    plumbing — wide binary in, wide binary out, bounded batches — is
+    exercised for real."""
+
+    def __init__(self, target_size: int = 64, fake: bool = True):
+        self.target_size = target_size
+        self.fake = fake
+        if not fake:
+            raise NotImplementedError(
+                "real resize requires PIL, not present in this "
+                "environment — run with fake=True")
+
+    def _resize_fake(self, payload: bytes) -> bytes:
+        n = self.target_size * self.target_size
+        h = hashlib.blake2b(payload or b"", digest_size=32,
+                            person=b"resize").digest()
+        reps = (n + len(h) - 1) // len(h)
+        return (h * reps)[:n]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = [self._resize_fake(p) for p in batch["payload"]]
+        return pd.DataFrame({
+            "media_id": batch["media_id"].astype("int64"),
+            "kind": batch["kind"],
+            "payload": out,
+            "width": np.full(len(batch), self.target_size, dtype=np.int32),
+            "height": np.full(len(batch), self.target_size, dtype=np.int32),
+        })
+
+
+class FrameSampleStage:
+    """Actor-pool video frame sampler: emits n_frames rows per input
+    (flat-map shape inside map_batches), frame offsets chosen
+    deterministically from the payload hash — the real layout a video
+    pipeline needs (one row per sampled frame, frame_idx column), with
+    the codec stubbed."""
+
+    def __init__(self, n_frames: int = 4, fake: bool = True):
+        self.n_frames = n_frames
+        self.fake = fake
+        if not fake:
+            raise NotImplementedError(
+                "real frame decode requires av/ffmpeg, not present in "
+                "this environment — run with fake=True")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, frames = [], [], []
+        for media_id, payload in zip(batch["media_id"], batch["payload"]):
+            h = hashlib.blake2b(payload or b"", digest_size=8,
+                                person=b"frames").digest()
+            dur = 1 + int.from_bytes(h[:4], "big") % 10_000  # fake frames
+            for j in range(self.n_frames):
+                ids.append(int(media_id))
+                idxs.append((dur * (j + 1)) // (self.n_frames + 1))
+                frames.append(hashlib.blake2b(
+                    payload + j.to_bytes(2, "big"), digest_size=16,
+                    person=b"frame").digest())
+        return pd.DataFrame({"media_id": np.array(ids, dtype="int64"),
+                             "frame_idx": np.array(idxs, dtype="int64"),
+                             "frame": frames})
+
+
+def resize_media(ds, target_size: int = 64, concurrency: int = 2,
+                 batch_size: int = 64):
+    return ds.map_batches(MediaResizeStage, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs={"target_size": target_size})
+
+
+def sample_frames(ds, n_frames: int = 4, concurrency: int = 2,
+                  batch_size: int = 64):
+    return ds.map_batches(FrameSampleStage, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs={"n_frames": n_frames})
