@@ -321,9 +321,11 @@ def _distinct_langs(sf_dir: str):
 
 
 def _revisit_dedup(sf_dir: str):
-    """Payload-digest dedup over the pages-derived WARC corpus: rec_type
-    counts after duplicates are rewritten to revisit records (warcio's
-    dedup primitive, recordbuilder.py:62-80)."""
+    """Payload-digest dedup over a duplicate-bearing WARC corpus (each
+    page written twice: canonical url + '?dup' with the SAME payload):
+    the later copy's digest matches the winner, so it is rewritten to a
+    revisit record (warcio's dedup primitive, recordbuilder.py:62-80).
+    Hard oracle: exactly one response and one revisit per document."""
     import os
 
     from ray.data.aggregate import Count
@@ -331,9 +333,7 @@ def _revisit_dedup(sf_dir: str):
     from warcio_ray.pipelines.revisit import rewrite_duplicates_as_revisits
     from warcio_ray.sources.warc import read_warc
 
-    _warc_rec_types(sf_dir)  # ensure the corpus exists
-    out_dir = os.path.join("/tmp/warcio_ray/warcout",
-                           os.path.basename(sf_dir.rstrip("/")))
+    out_dir = _build_warc_corpus_with_dups(sf_dir)
     paths = [os.path.join(out_dir, p) for p in sorted(os.listdir(out_dir))
              if p.endswith(".warc.gz")]
     out = rewrite_duplicates_as_revisits(read_warc(paths))
@@ -341,6 +341,58 @@ def _revisit_dedup(sf_dir: str):
     # shuffle AND out of driver-side pandas conversions
     return out.select_columns(["rec_type"]) \
         .groupby("rec_type").aggregate(Count(alias_name="n"))
+
+
+def _build_warc_corpus_with_dups(sf_dir: str) -> str:
+    """pages -> WARC shards where every page appears twice with one
+    shared payload (digest-duplicate pairs for the revisit pipeline)."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    from warcio_ray.codec.build import build_record, serialize_record
+    from warcio_ray.codec.headers import HeaderBlock
+    from warcio_ray.pages import read_pages
+
+    out_dir = os.path.join("/tmp/warcio_ray/warcout-dup",
+                           os.path.basename(sf_dir.rstrip("/")))
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    pages = read_pages(sf_dir, columns=["url", "html", "warc_ts"])
+
+    def to_warc(batch: pa.Table, out_dir=out_dir):
+        blobs = []
+        for row in batch.to_pylist():
+            date = row["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+            for suffix in ("", "?dup"):
+                url = row["url"] + suffix
+                rid = "<urn:uuid:" + hashlib.md5(
+                    url.encode()).hexdigest() + ">"
+                http = HeaderBlock(protocol="HTTP/1.0",
+                                   statusline="200 OK",
+                                   pairs=[("Content-Type",
+                                           "text/html; charset=UTF-8")])
+                rec = build_record(url, "response", payload=row["html"],
+                                   http_headers=http,
+                                   id_fn=lambda rid=rid: rid,
+                                   date_fn=lambda m, d=date: d)
+                blobs.append(serialize_record(rec, gzip=True))
+        name = hashlib.md5(b"".join(
+            u.encode() for u in batch["url"].to_pylist())).hexdigest()[:12]
+        with open(os.path.join(out_dir, f"shard-{name}.warc.gz"), "wb") as f:
+            f.write(b"".join(blobs))
+        return pa.table({"n": pa.array([len(blobs)], pa.int64())})
+
+    pages.map_batches(to_warc, batch_format="pyarrow",
+                      batch_size=256).to_pandas()
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
 
 
 def _media_features(sf_dir: str):
@@ -561,6 +613,62 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE 2*c >= (sa.n + sb.n - c)
+        """,
+        # lang_confusion: the stopword-profile heuristic mirrored exactly
+        # (same regex, lowercase, first-500 cap, alphabetical-first
+        # argmax, und when no profile hits)
+        "lang_confusion": """
+            WITH words AS (
+              SELECT doc_id, lang, list_slice(list_transform(
+                  regexp_extract_all(text,
+                      '[a-zA-ZäöüßéèêàáíóúñçÀ-ÿ]+'),
+                  w -> lower(w)), 1, 500) AS ws
+              FROM documents),
+            hits AS (
+              SELECT doc_id, lang,
+                len(list_filter(ws, w -> list_contains(
+                  ['der','die','das','und','ist','ich','nicht','sie',
+                   'mit','ein','auf','für','den','von','zu'], w))) AS de,
+                len(list_filter(ws, w -> list_contains(
+                  ['the','a','of','and','to','in','is','it','you','that',
+                   'was','for','on','are','as','with','his','they','at'],
+                  w))) AS en,
+                len(list_filter(ws, w -> list_contains(
+                  ['el','la','los','las','y','es','una','un','que','por',
+                   'con','para','del','se','no'], w))) AS es,
+                len(list_filter(ws, w -> list_contains(
+                  ['le','la','les','des','et','est','une','un','que',
+                   'pour','dans','qui','sur','pas'], w))) AS fr,
+                len(list_filter(ws, w -> list_contains(
+                  ['il','la','le','gli','e','è','una','un','che','per',
+                   'con','del','non','si'], w))) AS it
+              FROM words),
+            pred AS (
+              SELECT lang,
+                CASE WHEN greatest(de,en,es,fr,it) = 0 THEN 'und'
+                     WHEN de >= en AND de >= es AND de >= fr
+                          AND de >= it THEN 'de'
+                     WHEN en >= es AND en >= fr AND en >= it THEN 'en'
+                     WHEN es >= fr AND es >= it THEN 'es'
+                     WHEN fr >= it THEN 'fr'
+                     ELSE 'it' END AS lang_pred
+              FROM hits)
+            SELECT lang, lang_pred, COUNT(*) AS n
+            FROM pred GROUP BY lang, lang_pred
+        """,
+        # warc_rec_types: pages -> WARC shards -> datasource -> counts;
+        # one response record per document by construction, so the
+        # round-trip count is SQL-checkable
+        "warc_rec_types": """
+            SELECT 'response' AS rec_type, COUNT(*) AS n FROM documents
+        """,
+        # revisit_dedup: every page written twice with a shared payload;
+        # the digest-dedup pipeline must rewrite exactly one copy per
+        # document into a revisit record
+        "revisit_dedup": """
+            SELECT 'response' AS rec_type, COUNT(*) AS n FROM documents
+            UNION ALL
+            SELECT 'revisit' AS rec_type, COUNT(*) AS n FROM documents
         """,
         "media_features": """
             SELECT doc_id AS media_id, 'image' AS kind,
