@@ -136,76 +136,71 @@ def _fetch_rows_against(pages: Dict[str, bytes], rows: List[tuple],
     return hits, discovered, canonicalize_contributions(contribs)
 
 
-def _fetch_bucket_group(bucket_refs: List, rows_per_bucket: List[List[tuple]],
-                        config: CrawlConfig):
-    """One fetch task covering several buckets (refs resolved in-task —
-    nested ObjectRefs are deliberate: one dispatch serves many buckets,
-    because per-bucket tasks drown in dispatch overhead when a round only
-    schedules a few urls per bucket)."""
-    import ray
-
-    buckets = ray.get(list(bucket_refs))
-    hits = discovered = 0
-    contribs: List[tuple] = []
-    for pages, rows in zip(buckets, rows_per_bucket):
-        h, d, c = _fetch_rows_against(pages, rows, config)
-        hits += h
-        discovered += d
-        contribs.extend(c)
-    return hits, discovered, contribs
+def _load_bucket_group(root: str, bucket_ids: List[int]) -> Dict[str, bytes]:
+    """Load several bucket dirs into one url->html dict (a load GROUP).
+    Group size is a knob: at test scale 64 tiny buckets load as 16
+    groups (per-bucket tasks caused a worker-spawn storm); at 100-TB
+    scale set n_groups == num_buckets so each group is one bucket and
+    nothing larger than a bucket sits in one object."""
+    out: Dict[str, bytes] = {}
+    for b in bucket_ids:
+        out.update(_load_bucket_dict(os.path.join(root, f"bucket={b}")))
+    return out
 
 
 class BucketedFetcher:
     """Crawl-lifetime fetch over the bucketed pages layout.
 
-    Each bucket is loaded ONCE (remote task -> object-store-resident
-    url->html dict, spillable); each round spawns a BOUNDED number of
-    fetch tasks, each covering a contiguous run of the needed buckets.
-    This keeps the per-round cost at task-dispatch level (no Dataset
-    planning per round) while never materializing anything corpus-sized
-    in one process — the 100-TB shape: partition-resident pages +
-    per-partition-group fetch tasks.
+    Buckets are loaded ONCE, n_groups load tasks -> object-store-resident
+    url->html dicts (spillable); each round spawns at most one fetch task
+    per needed GROUP against the cached ref. Per-round cost stays at
+    task-dispatch level (no Dataset planning per round) and nothing
+    corpus-sized ever sits in one process — the 100-TB shape:
+    partition-resident pages + per-partition fetch tasks
+    (n_groups == num_buckets there).
     """
 
     def __init__(self, root: str, config: CrawlConfig,
                  num_buckets: int = NUM_PAGE_BUCKETS,
-                 max_tasks_per_round: int = 8):
+                 n_groups: int = 16):
         import ray
 
         self.root = root
         self.config = config
         self.num_buckets = num_buckets
-        self.max_tasks = max_tasks_per_round
-        self.refs: Dict[int, "ray.ObjectRef"] = {}
-        self._load = ray.remote(num_cpus=0.5)(_load_bucket_dict)
-        self._fetch_group = ray.remote(num_cpus=0.5)(_fetch_bucket_group)
+        self.n_groups = min(n_groups, num_buckets)
+        self.group_refs: Dict[int, "ray.ObjectRef"] = {}
+        self._load = ray.remote(num_cpus=1)(_load_bucket_group)
+        self._fetch = ray.remote(num_cpus=1)(_fetch_rows_against)
+
+    def _group_of(self, bucket: int) -> int:
+        return bucket % self.n_groups
 
     def fetch_round(self, scheduled: pd.DataFrame):
         import ray
 
-        by_bucket: Dict[int, List[tuple]] = {}
+        by_group: Dict[int, List[tuple]] = {}
         for row in scheduled[["shard", "seq", "url_hash", "url", "host",
                               "priority"]].itertuples(index=False,
                                                       name=None):
-            b = page_bucket_of(row[3], self.num_buckets)
-            by_bucket.setdefault(b, []).append(row)
+            g = self._group_of(page_bucket_of(row[3], self.num_buckets))
+            by_group.setdefault(g, []).append(row)
 
-        needed = sorted(by_bucket)
-        for b in needed:
-            if b not in self.refs:
-                path = os.path.join(self.root, f"bucket={b}")
-                self.refs[b] = self._load.remote(path)
+        needed = sorted(by_group)
+        for g in needed:
+            if g not in self.group_refs:
+                buckets = [b for b in range(self.num_buckets)
+                           if self._group_of(b) == g
+                           and os.path.isdir(
+                               os.path.join(self.root, f"bucket={b}"))]
+                self.group_refs[g] = self._load.remote(self.root, buckets)
 
-        # contiguous bucket groups -> bounded task count per round
-        n_groups = min(self.max_tasks, len(needed)) or 1
-        groups = [needed[i::n_groups] for i in range(n_groups)]
-        refs = [self._fetch_group.remote(
-                    [self.refs[b] for b in grp],
-                    [by_bucket[b] for b in grp], self.config)
-                for grp in groups if grp]
+        refs = [self._fetch.remote(self.group_refs[g], by_group[g],
+                                   self.config)
+                for g in needed]
         hits = discovered = 0
         contribs: List[tuple] = []
-        # merge in fixed group order: deterministic contribution stream
+        # merge in sorted group order: deterministic contribution stream
         for h, d, c in ray.get(refs):
             hits += h
             discovered += d
