@@ -104,6 +104,17 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
     derived: dict[str, float] = {}
 
+    # worker-pool warmup (untimed): spawn the full worker complement up
+    # front so timed stages measure steady-state throughput, not python
+    # worker cold-start — a real cluster's workers are long-lived, and
+    # at 32 cpus a 130-task stage is only ~4 waves, too few to amortize
+    # 32 process spawns inside the measurement
+    @ray.remote
+    def _noop(i):
+        return i
+
+    ray.get([_noop.remote(i) for i in range(NCPUS * 2)])
+
     # 0. pages synthesis (timed, fresh)
     t0 = time.time()
     build_pages(SF_DIR, force=True)
@@ -227,10 +238,22 @@ def run_scaling() -> None:
     ratio reflects compute scaling, not cold-disk variance — the sandbox
     stand-in for the same job on N-node vs 4N-node clusters.
     """
+    def wait_quiet(thresh: float = 3.0, max_wait: float = 240.0) -> None:
+        """Shared-host noise gate: hold each timed run until the 1-min
+        load average decays below ``thresh`` (a prior run's workers keep
+        the loadavg elevated for ~2 min; comparing an N-cpu run taken
+        quiet against a 4N run taken loud fabricates any efficiency)."""
+        t0 = time.time()
+        while time.time() - t0 < max_wait:
+            if os.getloadavg()[0] < thresh:
+                return
+            time.sleep(10)
+
     def run(ncpu: int, keep: bool) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         if keep:
             env["GRAFT_KEEP_WARC"] = "1"
+            wait_quiet()
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(

@@ -22,6 +22,7 @@ stage so the table stays lossless for byte-identical re-serialization):
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, List, Optional
 
 import pyarrow as pa
@@ -377,6 +378,15 @@ def read_warc(paths, parse_options: Optional[ParseOptions] = None,
         source = WARCDatasource(local, parse_options=parse_options,
                                 fallback_lenient=fallback_lenient,
                                 compute_digests=compute_digests)
+        # gzip-member framing makes the FILE the unit of parallelism, so
+        # target exactly one block per file: the default parallelism
+        # heuristic inserts a SplitBlocks operator that BREAKS read->map
+        # fusion (every payload block then crosses the object store to
+        # reach tiny consumer tasks; measured 240k -> 397k rec/s fused).
+        # Directories still resolve to many files inside the datasource;
+        # callers can override explicitly.
+        if all(os.path.isfile(p) for p in local):
+            read_kwargs.setdefault("override_num_blocks", len(local))
         parts.append(ray.data.read_datasource(source, **read_kwargs))
     if remote:
         parts.append(_read_warc_http(remote, parse_options,
