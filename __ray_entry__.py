@@ -428,6 +428,25 @@ def _event_range_counts(sf_dir: str):
     return range_count_events(sf_dir, window_minutes=5)
 
 
+def _orders_join_hash(sf_dir: str):
+    """The same aggregation as orders_by_segment but through Ray Data's
+    HASH JOIN operator (Dataset.join) instead of a broadcast — the path
+    you take when the build side no longer fits one object."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    out = joined.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="total_price"),
+        Count(alias_name="n_orders"))
+    return _round_cols(out, ["total_price"])
+
+
 def _top_orders_per_segment(sf_dir: str):
     from warcio_ray.ops.relational import top_orders_per_segment
     return top_orders_per_segment(sf_dir, k=3)
@@ -445,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click_purchase": _asof_click_purchase,
         "event_range_counts": _event_range_counts,
         "top_orders_per_segment": _top_orders_per_segment,
+        "orders_join_hash": _orders_join_hash,
         # text analysis
         "token_stats": _token_stats,
         "lang_confusion": _lang_confusion,
@@ -493,6 +513,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "orders_by_segment": """
+            SELECT c.c_mktsegment,
+                   ROUND(SUM(o.o_totalprice), 2) AS total_price,
+                   COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "orders_join_hash": """
             SELECT c.c_mktsegment,
                    ROUND(SUM(o.o_totalprice), 2) AS total_price,
                    COUNT(*) AS n_orders
@@ -588,6 +615,44 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
             WHERE rn <= 3
+        """,
+        # minhash_pairs: the exact-join SQL is a valid oracle at the
+        # sf0.01 gate because every qualifying pair there has J >= 0.9,
+        # where the 16-band/4-row LSH miss probability is ~5e-8 (measured
+        # distribution; at lower J the sketch is intentionally lossy)
+        "minhash_pairs": r"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(text, '\S+') AS t
+                          FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) = 0 THEN []
+                          WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct(list_transform(
+                               range(1, len(t)-1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                     END AS g
+              FROM toks),
+            sizes AS (SELECT doc_id, len(g) AS n FROM grams),
+            pairs AS (
+              SELECT ia.doc_id AS a, ib.doc_id AS b, count(*) AS c
+              FROM (SELECT doc_id, unnest(g) AS gram FROM grams) ia
+              JOIN (SELECT doc_id, unnest(g) AS gram FROM grams) ib
+                USING (gram)
+              WHERE ia.doc_id < ib.doc_id GROUP BY 1, 2)
+            SELECT a, b FROM pairs
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE 2*c >= (sa.n + sb.n - c)
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+        """,
+        "extract_text_verify": """
+            SELECT COUNT(*) AS match_count, 0 AS mismatch_count
+            FROM documents
         """,
         "jaccard_pairs": r"""
             WITH toks AS (SELECT doc_id,
