@@ -79,6 +79,10 @@ class LangIdStage:
         return best_lang
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # deliberately a per-row loop: a pandas explode/groupby
+        # vectorization was written and measured 2x SLOWER at 500-10k
+        # docs/batch (regex findall dominates either way; frozenset
+        # membership beats exploded isin) — see round-2 notes
         preds = [self.predict_one(t) for t in batch["text"]]
         return pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
                              "lang": batch["lang"],
