@@ -201,16 +201,15 @@ def run_bench() -> dict:
     derived["crawl_urls"] = len(order)
     derived["crawl_urls_s"] = round(len(order) / timings["crawl"], 1)
 
-    # 6. minhash near-dup over documents (Arrow-native signatures)
+    # 6. minhash near-dup over documents (Arrow-native signatures;
+    # task-based hashing with a worker-global state cache — the actor
+    # pool's spin-up cost bought nothing for microsecond init state)
     t0 = time.time()
-    from warcio_ray.ops.dedup import MinHasher, explode_bands_batch
+    from warcio_ray.ops.dedup import explode_bands_batch, minhash_batch
     ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
                                columns=["doc_id", "text"])
-    # num_cpus=0.5 so the pool can never reserve the whole session and
-    # starve the read stage (deadlocked a 2-cpu session otherwise)
-    n_sigs = ds.map_batches(MinHasher, batch_format="pyarrow",
-                            batch_size=512,
-                            concurrency=max(2, NCPUS // 4), num_cpus=0.5) \
+    n_sigs = ds.map_batches(minhash_batch, batch_format="pyarrow",
+                            batch_size=512) \
         .map_batches(explode_bands_batch, batch_format="pyarrow").count()
     timings["minhash_bands"] = round(time.time() - t0, 3)
     derived["minhash_band_rows"] = n_sigs

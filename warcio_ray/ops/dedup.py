@@ -123,6 +123,23 @@ class MinHasher:
                          "signature": sig_arr})
 
 
+# worker-process-global MinHasher cache: the permutation state is cheap
+# to build but per-BATCH rebuilds would still waste work — a module
+# global gives init-once-per-worker without paying actor-pool spin-up
+# (the pool's only advantage here, measured ~5 s at session start)
+_MINHASHER_CACHE: dict = {}
+
+
+def minhash_batch(batch, num_perm: int = 64, shingle_k: int = 3,
+                  seed: int = 1234) -> pa.Table:
+    key = (num_perm, shingle_k, seed)
+    mh = _MINHASHER_CACHE.get(key)
+    if mh is None:
+        mh = _MINHASHER_CACHE.setdefault(key, MinHasher(num_perm, shingle_k,
+                                                        seed))
+    return mh(batch)
+
+
 def _mix_bands(mat: np.ndarray, bands: int) -> np.ndarray:
     """(n, num_perm) uint64 -> (n, bands) uint64 band hashes, fully
     vectorized (splitmix-style fold per band, wrapping mul is fine for
@@ -225,12 +242,13 @@ def _dedup_pairs(pairs_ds, extra_cols: Tuple[str, ...] = ()):
     return deduped, n_dropped
 
 
-def _join_texts_to_pairs(pairs_ds, ds, num_partitions: int = 8):
+def _attach_pair_texts(pairs_ds, ds, num_partitions: int = 8):
     """Hash-join candidate pairs back to their texts — the scale-safe
-    verify fetch (VERDICT r1 item 2): flat_map pairs to (doc_id, a, b)
-    rows, inner-join on doc_id against the documents table pre-filtered
-    (broadcast id set) to candidate ids, regroup by pair. Only candidate
-    texts ever shuffle; nothing corpus-sized reaches the driver."""
+    verify fetch (VERDICT r1 item 2). Two joins attach text_a and text_b
+    so each pair stays ONE row and verification runs as a vectorized
+    map_batches (a per-pair map_groups was ~1k tiny pandas groups and
+    dominated the sf0.01 wall time). Only candidate texts ever shuffle
+    (broadcast-id pre-filter); nothing corpus-sized reaches the driver."""
     import ray
 
     # candidate id set is small (pairs are rare, buckets capped): collect
@@ -250,20 +268,36 @@ def _join_texts_to_pairs(pairs_ds, ds, num_partitions: int = 8):
                         pa.bool_())
         return batch.filter(mask)
 
-    cand_docs = ds.map_batches(keep_candidates, batch_format="pyarrow")
+    cand_docs = ds.map_batches(keep_candidates, batch_format="pyarrow") \
+        .materialize()  # tiny; both joins below probe it
 
-    def pairs_to_sides(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
-            "pair_a": pa.array(np.concatenate([a, a]), pa.int64()),
-            "pair_b": pa.array(np.concatenate([b, b]), pa.int64()),
-        })
+    def rename_norm(ds_in, mapping: dict, schema: pa.Schema):
+        """Rename + normalize: empty hash-join partitions come back as
+        zero-COLUMN tables, which breaks the next join's key lookup —
+        stamp every block with the explicit output schema."""
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return schema.empty_table()
+            t = t.rename_columns([mapping.get(c, c) for c in t.column_names])
+            return t.select(schema.names).cast(schema)
+        return ds_in.map_batches(fn, batch_format="pyarrow")
 
-    sides = pairs_ds.map_batches(pairs_to_sides, batch_format="pyarrow")
-    return sides.join(cand_docs, join_type="inner",
-                      num_partitions=num_partitions, on=("doc_id",))
+    s1 = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                    ("text_a", pa.string())])
+    s2 = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                    ("text_a", pa.string()), ("text_b", pa.string())])
+    j1 = pairs_ds.join(cand_docs, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("a",), right_on=("doc_id",))
+    # repartition between the joins: a join emits zero-COLUMN empty
+    # partitions that bypass map_batches untouched and crash the second
+    # join's key lookup; the (pairs-sized) repartition coalesces them
+    j1 = rename_norm(j1, {"text": "text_a"}, s1) \
+        .repartition(num_partitions)
+    j2 = j1.join(cand_docs, join_type="inner",
+                 num_partitions=num_partitions,
+                 on=("b",), right_on=("doc_id",))
+    return rename_norm(j2, {"text": "text_b"}, s2)
 
 
 def minhash_lsh_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
@@ -274,11 +308,10 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
     verified duplicate pairs and doc_id -> cluster_id (min-id labels via
     label propagation). ``pairs_df.attrs['lsh_dropped_ids']`` carries the
     number of ids truncated out of hot LSH buckets (0 normally)."""
-    sigs = ds.map_batches(MinHasher, batch_format="pyarrow",
-                          batch_size=512, concurrency=concurrency,
-                          num_cpus=0.5,  # never reserve the whole session
-                          fn_constructor_kwargs={"num_perm": num_perm,
-                                                 "shingle_k": shingle_k})
+    sigs = ds.map_batches(minhash_batch, batch_format="pyarrow",
+                          batch_size=512,
+                          fn_kwargs={"num_perm": num_perm,
+                                     "shingle_k": shingle_k})
     bands_ds = sigs.map_batches(explode_bands_batch, batch_format="pyarrow",
                                 fn_kwargs={"bands": bands})
     raw_pairs = bands_ds.groupby(["band_id", "band_hash"]) \
@@ -292,24 +325,18 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
         empty.attrs["lsh_dropped_ids"] = n_dropped
         return empty, _connected_components(empty)
 
-    joined = _join_texts_to_pairs(cand.select_columns(["a", "b"]),
-                                  ds.select_columns(["doc_id", "text"]))
+    joined = _attach_pair_texts(cand.select_columns(["a", "b"]),
+                                ds.select_columns(["doc_id", "text"]))
 
-    def verify_group(grp: pd.DataFrame, threshold=threshold,
+    def verify_batch(batch: pd.DataFrame, threshold=threshold,
                      k=shingle_k) -> pd.DataFrame:
-        if len(grp) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64")})
-        by_id = dict(zip(grp["doc_id"], grp["text"]))
-        a = int(grp["pair_a"].iloc[0])
-        b = int(grp["pair_b"].iloc[0])
-        if ngram_jaccard(by_id.get(a), by_id.get(b), k) >= threshold:
-            return pd.DataFrame({"a": [a], "b": [b]})
-        return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                             "b": pd.Series(dtype="int64")})
+        keep = [ngram_jaccard(ta, tb, k) >= threshold
+                for ta, tb in zip(batch["text_a"], batch["text_b"])]
+        out = batch.loc[keep, ["a", "b"]]
+        return out.astype({"a": "int64", "b": "int64"})
 
-    verified = joined.groupby(["pair_a", "pair_b"]) \
-        .map_groups(verify_group, batch_format="pandas").to_pandas()
+    verified = joined.map_batches(verify_batch,
+                                  batch_format="pandas").to_pandas()
     verified = verified.sort_values(["a", "b"]).reset_index(drop=True) \
         if len(verified) else pd.DataFrame({"a": pd.Series(dtype="int64"),
                                             "b": pd.Series(dtype="int64")})
@@ -527,31 +554,24 @@ def jaccard_similarity_join(ds, threshold: float = 0.5, shingle_k: int = 3,
     if cand.count() == 0:
         return empty
 
-    joined = _join_texts_to_pairs(cand.select_columns(["a", "b"]),
-                                  ds.select_columns(["doc_id", "text"]))
+    joined = _attach_pair_texts(cand.select_columns(["a", "b"]),
+                                ds.select_columns(["doc_id", "text"]))
 
-    def verify_group(grp: pd.DataFrame) -> pd.DataFrame:
-        if len(grp) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64")})
-        by_id = dict(zip(grp["doc_id"], grp["text"]))
-        a = int(grp["pair_a"].iloc[0])
-        b = int(grp["pair_b"].iloc[0])
-        ga = _shingle_set(by_id.get(a), shingle_k)
-        gb = _shingle_set(by_id.get(b), shingle_k)
-        inter = len(ga & gb)
-        union = len(ga | gb)
-        if threshold == 0.5:
-            ok = union > 0 and 2 * inter >= union
-        else:
-            ok = union > 0 and inter / union >= threshold
-        if ok:
-            return pd.DataFrame({"a": [a], "b": [b]})
-        return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                             "b": pd.Series(dtype="int64")})
+    def verify_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = []
+        for ta, tb in zip(batch["text_a"], batch["text_b"]):
+            ga = _shingle_set(ta, shingle_k)
+            gb = _shingle_set(tb, shingle_k)
+            inter = len(ga & gb)
+            union = len(ga | gb)
+            if threshold == 0.5:
+                keep.append(union > 0 and 2 * inter >= union)
+            else:
+                keep.append(union > 0 and inter / union >= threshold)
+        out = batch.loc[keep, ["a", "b"]]
+        return out.astype({"a": "int64", "b": "int64"})
 
-    out = joined.groupby(["pair_a", "pair_b"]) \
-        .map_groups(verify_group, batch_format="pandas").to_pandas()
+    out = joined.map_batches(verify_batch, batch_format="pandas").to_pandas()
     if not len(out):
         return empty
     out = out.sort_values(["a", "b"]).reset_index(drop=True)

@@ -169,27 +169,28 @@ def embedding_neardup(ds, threshold: float = 0.9, n_planes: int = 32,
 
     joined = _join_vecs_to_pairs(cand.select_columns(["a", "b"]), ds)
 
-    def verify_group(grp: pd.DataFrame) -> pd.DataFrame:
-        if len(grp) < 2:
+    def verify_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        # one row per pair (emb_a/emb_b attached by the double join):
+        # vectorized cosine over the whole batch
+        if not len(batch):
             return pd.DataFrame({"a": pd.Series(dtype="int64"),
                                  "b": pd.Series(dtype="int64"),
                                  "cos": pd.Series(dtype="float64")})
-        a = int(grp["pair_a"].iloc[0])
-        b = int(grp["pair_b"].iloc[0])
-        by_id = dict(zip(grp["vec_id"].astype(int), grp["emb_bytes"]))
-        va = np.frombuffer(by_id[a], dtype=np.float64)
-        vb = np.frombuffer(by_id[b], dtype=np.float64)
-        na = np.linalg.norm(va) or 1.0
-        nb = np.linalg.norm(vb) or 1.0
-        cos = float(va @ vb / (na * nb))
-        if cos >= threshold:
-            return pd.DataFrame({"a": [a], "b": [b], "cos": [cos]})
-        return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                             "b": pd.Series(dtype="int64"),
-                             "cos": pd.Series(dtype="float64")})
+        va = np.stack([np.frombuffer(x, dtype=np.float64)
+                       for x in batch["emb_a"]])
+        vb = np.stack([np.frombuffer(x, dtype=np.float64)
+                       for x in batch["emb_b"]])
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        cos = (va * vb).sum(axis=1) / (na * nb)
+        keep = cos >= threshold
+        out = batch.loc[keep, ["a", "b"]].astype("int64")
+        out["cos"] = cos[keep]
+        return out
 
-    out = joined.groupby(["pair_a", "pair_b"]) \
-        .map_groups(verify_group, batch_format="pandas").to_pandas()
+    out = joined.map_batches(verify_batch, batch_format="pandas").to_pandas()
     if not len(out):
         return empty
     out = out.sort_values(["a", "b"]).reset_index(drop=True)
@@ -225,17 +226,33 @@ def _join_vecs_to_pairs(pairs_ds, ds, num_partitions: int = 8):
             "emb_bytes": pa.array(embs, pa.binary()),
         })
 
-    cand_vecs = ds.map_batches(keep_candidates, batch_format="pyarrow")
+    cand_vecs = ds.map_batches(keep_candidates, batch_format="pyarrow") \
+        .materialize()  # tiny; probed by both joins
 
-    def pairs_to_sides(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "vec_id": pa.array(np.concatenate([a, b]), pa.int64()),
-            "pair_a": pa.array(np.concatenate([a, a]), pa.int64()),
-            "pair_b": pa.array(np.concatenate([b, b]), pa.int64()),
-        })
+    def rename_norm(ds_in, mapping: dict, schema: pa.Schema):
+        # empty hash-join partitions are zero-column tables; stamp the
+        # explicit schema so the second join's key lookup succeeds
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return schema.empty_table()
+            t = t.rename_columns([mapping.get(c, c) for c in t.column_names])
+            return t.select(schema.names).cast(schema)
+        return ds_in.map_batches(fn, batch_format="pyarrow")
 
-    sides = pairs_ds.map_batches(pairs_to_sides, batch_format="pyarrow")
-    return sides.join(cand_vecs, join_type="inner",
-                      num_partitions=num_partitions, on=("vec_id",))
+    s1 = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                    ("emb_a", pa.binary())])
+    s2 = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                    ("emb_a", pa.binary()), ("emb_b", pa.binary())])
+    # two joins keep each pair ONE row (emb_a, emb_b) so verification is
+    # a vectorized map_batches, not a per-pair map_groups
+    j1 = pairs_ds.join(cand_vecs, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("a",), right_on=("vec_id",))
+    # repartition: drops the zero-column empty partitions a join emits
+    # (they bypass map_batches and break the second join's key lookup)
+    j1 = rename_norm(j1, {"emb_bytes": "emb_a"}, s1) \
+        .repartition(num_partitions)
+    j2 = j1.join(cand_vecs, join_type="inner",
+                 num_partitions=num_partitions,
+                 on=("b",), right_on=("vec_id",))
+    return rename_norm(j2, {"emb_bytes": "emb_b"}, s2)
