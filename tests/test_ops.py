@@ -301,3 +301,30 @@ def test_media_resize_and_frame_sample(ray_session):
         MediaResizeStage(fake=False)
     with pytest.raises(NotImplementedError):
         FrameSampleStage(fake=False)
+
+
+def test_candidate_pairs_block_invariant(ray_session):
+    """Candidate generation must not depend on input block structure
+    (regression: pandas hash_pandas_object was batch-UNSTABLE on
+    multi-column keys, silently splitting LSH buckets across partitions
+    and losing pairs)."""
+    import ray.data
+
+    from warcio_ray.ops.dedup import simhash_dedup
+
+    rng = np.random.RandomState(3)
+    words = [f"w{i}" for i in range(50)]
+    texts = []
+    for i in range(60):
+        base = list(rng.choice(words, size=30))
+        texts.append(" ".join(base))
+        texts.append(" ".join(base[:-1] + ["changed"]))  # near-dup twin
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    single = simhash_dedup(ray.data.from_pandas(df), max_hamming=8)
+    multi = simhash_dedup(
+        ray.data.from_pandas([df.iloc[i::5].reset_index(drop=True)
+                              for i in range(5)]), max_hamming=8)
+    assert len(single) > 0
+    assert single[["a", "b"]].values.tolist() == \
+        multi[["a", "b"]].values.tolist()

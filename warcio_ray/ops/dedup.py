@@ -178,6 +178,112 @@ def explode_bands_batch(batch: pa.Table, bands: int = 16) -> pa.Table:
 
 _PAIRS_SCHEMA = {"a": "int64", "b": "int64", "n_dropped": "int64"}
 
+# candidate generation shuffles into this many PARTITIONS (not one group
+# per bucket): Ray's per-group map_groups costs ~1-5 ms of machinery per
+# group, which dominated when every LSH bucket was its own group (~8000
+# groups -> 11 s at sf0.01); inside a partition the buckets are
+# processed with a numpy run-length sweep
+N_PAIR_PARTITIONS = 32
+
+
+def _pairs_from_partition(df: pd.DataFrame, key_cols: List[str],
+                          max_bucket: int,
+                          value_col: Optional[str] = None) -> pd.DataFrame:
+    """All (a, b) candidate pairs per bucket within one partition.
+    Buckets = distinct key_cols combos; ids deduped + sorted per bucket;
+    buckets over max_bucket truncated to the smallest ids with a
+    sentinel drop row. ``value_col`` (e.g. simhash) rides along as
+    ``val_a``/``val_b``."""
+    cols = [*key_cols, "doc_id"] + ([value_col] if value_col else [])
+    df = df[cols].drop_duplicates([*key_cols, "doc_id"]) \
+        .sort_values([*key_cols, "doc_id"], kind="mergesort")
+    ids = df["doc_id"].to_numpy(dtype="int64")
+    vals = df[value_col].to_numpy() if value_col else None
+    # bucket boundaries via run-length over the sorted key columns
+    if len(df) == 0:
+        starts = np.array([], dtype=np.int64)
+        ends = starts
+    else:
+        key_arr = df[key_cols].to_numpy()
+        change = np.ones(len(df), dtype=bool)
+        change[1:] = (key_arr[1:] != key_arr[:-1]).any(axis=1)
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(df))
+    a_out, b_out, va_out, vb_out = [], [], [], []
+    dropped = 0
+    for s, e in zip(starts, ends):
+        n = e - s
+        if n > max_bucket:
+            dropped += int(n - max_bucket)
+            e = s + max_bucket
+            n = max_bucket
+        if n < 2:
+            continue
+        ai, bi = np.triu_indices(n, k=1)
+        a_out.append(ids[s:e][ai])
+        b_out.append(ids[s:e][bi])
+        if value_col:
+            va_out.append(vals[s:e][ai])
+            vb_out.append(vals[s:e][bi])
+    out = {"a": (np.concatenate(a_out) if a_out
+                 else np.array([], dtype="int64")),
+           "b": (np.concatenate(b_out) if b_out
+                 else np.array([], dtype="int64"))}
+    if value_col:
+        out["val_a"] = (np.concatenate(va_out) if va_out
+                        else np.array([], dtype="uint64"))
+        out["val_b"] = (np.concatenate(vb_out) if vb_out
+                        else np.array([], dtype="uint64"))
+    res = pd.DataFrame(out)
+    res["n_dropped"] = np.int64(0)
+    if dropped:
+        sent = {"a": [_DROP_SENTINEL], "b": [_DROP_SENTINEL],
+                "n_dropped": [dropped]}
+        if value_col:
+            sent["val_a"] = np.array([0], dtype="uint64")
+            sent["val_b"] = np.array([0], dtype="uint64")
+        res = pd.concat([res, pd.DataFrame(sent)], ignore_index=True)
+    return res.astype({"a": "int64", "b": "int64", "n_dropped": "int64"})
+
+
+def candidate_pairs(rows_ds, key_cols: List[str], max_bucket: int,
+                    value_col: Optional[str] = None,
+                    num_partitions: int = N_PAIR_PARTITIONS):
+    """(key_cols..., doc_id[, value_col]) rows -> candidate (a, b) pairs
+    Dataset (+ sentinel drop rows). One hash-shuffle into
+    ``num_partitions`` groups; buckets never split across partitions
+    because the partition key is derived from the bucket key."""
+
+    import zlib
+
+    def _col_hash(col: pd.Series) -> np.ndarray:
+        """Batch-stable per-column hash. NEVER pandas hash_pandas_object
+        here: its khash path truncates object strings at NUL bytes and
+        proved batch-UNSTABLE for such keys, silently splitting buckets
+        across partitions (lost pairs; see round-2 notes)."""
+        if pd.api.types.is_integer_dtype(col):
+            return col.to_numpy().astype(np.uint64, copy=False)
+        return np.fromiter(
+            (zlib.crc32(str(v).encode("utf-8")) for v in col),
+            dtype=np.uint64, count=len(col))
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        h = np.zeros(len(batch), dtype=np.uint64)
+        C = np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):
+            for kc in key_cols:
+                h = (h ^ _col_hash(batch[kc])) * C
+                h ^= h >> np.uint64(29)
+        batch["_part"] = (h % np.uint64(num_partitions)).astype("int32")
+        return batch
+
+    parted = rows_ds.map_batches(add_part, batch_format="pandas")
+    return parted.groupby("_part").map_groups(
+        _pairs_from_partition, batch_format="pandas",
+        fn_kwargs={"key_cols": key_cols, "max_bucket": max_bucket,
+                   "value_col": value_col})
+
 
 def _empty_pairs() -> pd.DataFrame:
     return pd.DataFrame({k: pd.Series(dtype=v)
@@ -314,9 +420,8 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
                                      "shingle_k": shingle_k})
     bands_ds = sigs.map_batches(explode_bands_batch, batch_format="pyarrow",
                                 fn_kwargs={"bands": bands})
-    raw_pairs = bands_ds.groupby(["band_id", "band_hash"]) \
-        .map_groups(_pairs_from_bucket, batch_format="pandas",
-                    fn_kwargs={"max_bucket": max_bucket})
+    raw_pairs = candidate_pairs(bands_ds, ["band_id", "band_hash"],
+                                max_bucket)
     cand, n_dropped = _dedup_pairs(raw_pairs)
     cand = cand.materialize()  # small, capped; reused for ids + join sides
     if cand.count() == 0:
@@ -478,17 +583,16 @@ def simhash_dedup(ds, max_hamming: int = 3,
     ``attrs['lsh_dropped_ids']`` drop accounting."""
     sims = ds.map_batches(simhash_batch, batch_format="pandas")
     melted = sims.map_batches(melt_simhash_bands, batch_format="pandas")
-    raw_pairs = melted.groupby(["band_id", "band_key"]).map_groups(
-        _simhash_pairs_in_bucket, batch_format="pandas",
-        fn_kwargs={"max_bucket": max_bucket})
+    raw_pairs = candidate_pairs(melted, ["band_id", "band_key"],
+                                max_bucket, value_col="simhash")
     deduped, n_dropped = _dedup_pairs(raw_pairs,
-                                      extra_cols=("sim_a", "sim_b"))
+                                      extra_cols=("val_a", "val_b"))
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
             return batch[["a", "b"]]
-        keep = hamming64(batch["sim_a"].to_numpy(dtype=np.uint64),
-                         batch["sim_b"].to_numpy(dtype=np.uint64)) \
+        keep = hamming64(batch["val_a"].to_numpy(dtype=np.uint64),
+                         batch["val_b"].to_numpy(dtype=np.uint64)) \
             <= max_hamming
         return batch[keep][["a", "b"]]
 
@@ -543,9 +647,7 @@ def jaccard_similarity_join(ds, threshold: float = 0.5, shingle_k: int = 3,
                              "doc_id": np.array(doc_ids, dtype="int64")})
 
     inv = ds.map_batches(index_batch, batch_format="pandas")
-    raw_pairs = inv.groupby("gram").map_groups(
-        _pairs_from_bucket, batch_format="pandas",
-        fn_kwargs={"max_bucket": max_bucket})
+    raw_pairs = candidate_pairs(inv, ["gram"], max_bucket)
     cand, n_dropped = _dedup_pairs(raw_pairs)
     cand = cand.materialize()
     empty = pd.DataFrame({"a": pd.Series(dtype="int64"),

@@ -124,8 +124,7 @@ def embedding_neardup(ds, threshold: float = 0.9, n_planes: int = 32,
     from warcio_ray.ops.dedup import (
         MAX_BUCKET,
         _dedup_pairs,
-        _empty_pairs,
-        _DROP_SENTINEL,
+        candidate_pairs,
     )
 
     max_bucket = max_bucket or MAX_BUCKET
@@ -136,28 +135,10 @@ def embedding_neardup(ds, threshold: float = 0.9, n_planes: int = 32,
     buckets = ds.map_batches(lsh_bucket_batch, batch_format="pandas",
                              fn_kwargs={"planes": planes, "bands": bands})
 
-    def bucket_pairs(grp: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(grp["vec_id"].to_numpy())
-        dropped = 0
-        if len(ids) > max_bucket:
-            dropped = int(len(ids) - max_bucket)
-            ids = ids[:max_bucket]
-        frames = []
-        if len(ids) >= 2:
-            ai, bi = np.triu_indices(len(ids), k=1)
-            frames.append(pd.DataFrame({"a": ids[ai], "b": ids[bi],
-                                        "n_dropped": 0}))
-        if dropped:
-            frames.append(pd.DataFrame({"a": [_DROP_SENTINEL],
-                                        "b": [_DROP_SENTINEL],
-                                        "n_dropped": [dropped]}))
-        if not frames:
-            return _empty_pairs()
-        return pd.concat(frames, ignore_index=True).astype(
-            {"a": "int64", "b": "int64", "n_dropped": "int64"})
-
-    raw_pairs = buckets.groupby(["band_id", "bucket"]) \
-        .map_groups(bucket_pairs, batch_format="pandas")
+    rows = buckets.map_batches(
+        lambda b: b.rename(columns={"vec_id": "doc_id"}),
+        batch_format="pandas")
+    raw_pairs = candidate_pairs(rows, ["band_id", "bucket"], max_bucket)
     cand, n_dropped = _dedup_pairs(raw_pairs)
     cand = cand.materialize()
     empty = pd.DataFrame({"a": pd.Series(dtype="int64"),

@@ -176,14 +176,12 @@ def fingerprint_dedup(ds, min_shared: int = 5, k: int = 5, window: int = 4,
     usual drop accounting (attrs['lsh_dropped_ids'])."""
     from ray.data.aggregate import Count
 
-    from warcio_ray.ops.dedup import _DROP_SENTINEL, _pairs_from_bucket
+    from warcio_ray.ops.dedup import _DROP_SENTINEL, candidate_pairs
 
     exploded = ds.map_batches(fingerprint_explode_batch,
                               batch_format="pandas",
                               fn_kwargs={"k": k, "window": window})
-    raw = exploded.groupby("fp").map_groups(
-        _pairs_from_bucket, batch_format="pandas",
-        fn_kwargs={"max_bucket": max_bucket}).materialize()
+    raw = candidate_pairs(exploded, ["fp"], max_bucket).materialize()
     import pyarrow as pa
     import pyarrow.compute as pc
 
