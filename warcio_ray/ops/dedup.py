@@ -608,23 +608,63 @@ def simhash_dedup(ds, max_hamming: int = 3,
 # exact n-gram Jaccard similarity join (prefix filtering)
 # ---------------------------------------------------------------------------
 
-def _prefix_grams(text: str, k: int, threshold: float) -> List[str]:
-    """Prefix-filter index keys: under ANY fixed total order of grams
-    (lexicographic here), two docs with Jaccard >= t must share a gram in
-    each other's first |S| - ceil(t*|S|) + 1 grams — so only those are
-    indexed (the PPJoin-style candidate bound; the rest of the set never
-    shuffles)."""
+def _prefix_grams(text: str, k: int, threshold: float,
+                  hot_ranks: Optional[dict] = None) -> List[str]:
+    """Prefix-filter index keys: under ANY fixed total order of grams,
+    two docs with Jaccard >= t must share a gram in each other's first
+    |S| - ceil(t*|S|) + 1 grams — so only those are indexed (the
+    PPJoin-style candidate bound; the rest of the set never shuffles).
+
+    ``hot_ranks`` (gram -> frequency rank of the globally most frequent
+    grams) refines the total order to rarest-first: grams NOT in the hot
+    set sort first (lexicographically), hot grams last ordered by
+    ascending frequency — so prefixes are built from the rarest grams
+    and hot-gram index buckets shrink. Any consistent total order keeps
+    the exactness guarantee."""
     import math
 
-    grams = sorted(_shingle_set(text, k))
-    if not grams:
+    gram_set = _shingle_set(text, k)
+    if not gram_set:
         return []
+    if hot_ranks:
+        grams = sorted(gram_set,
+                       key=lambda g: (1, hot_ranks[g], g) if g in hot_ranks
+                       else (0, 0, g))
+    else:
+        grams = sorted(gram_set)
     keep = len(grams) - math.ceil(threshold * len(grams)) + 1
     return grams[:keep]
 
 
+def _hot_gram_ranks(ds, shingle_k: int, top_n: int = 1024) -> dict:
+    """gram -> rank for the ``top_n`` globally most frequent grams
+    (ascending frequency = lower rank). One distributed pass: per-batch
+    partial counts -> small groupby -> driver top-n. The broadcast stays
+    O(top_n) regardless of corpus size."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: "Counter" = __import__("collections").Counter()
+        for text in batch["text"]:
+            c.update(_shingle_set(text, shingle_k))
+        if not c:
+            return pd.DataFrame({"gram": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        return pd.DataFrame({"gram": list(c.keys()),
+                             "n": np.fromiter(c.values(), dtype="int64")})
+
+    counts = ds.map_batches(partial_counts, batch_format="pandas") \
+        .groupby("gram").aggregate(Sum("n", alias_name="n")) \
+        .sort("n", descending=True).limit(top_n).to_pandas()
+    counts = counts.sort_values(["n", "gram"]).reset_index(drop=True)
+    return {g: i for i, g in enumerate(counts["gram"])}
+
+
 def jaccard_similarity_join(ds, threshold: float = 0.5, shingle_k: int = 3,
-                            max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
+                            max_bucket: int = MAX_BUCKET,
+                            df_order: bool = True) -> pd.DataFrame:
     """EXACT similarity join: all pairs of docs with n-gram Jaccard >=
     threshold (empty-text docs excluded — they have no grams). Unlike the
     MinHash pipeline this has no false negatives, so it is hard-oracle
@@ -638,14 +678,26 @@ def jaccard_similarity_join(ds, threshold: float = 0.5, shingle_k: int = 3,
     in float).
     """
     def index_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        import ray
+
+        ranks = ray.get(ranks_ref)
         doc_ids, grams = [], []
         for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            for g in _prefix_grams(text, shingle_k, threshold):
+            for g in _prefix_grams(text, shingle_k, threshold, ranks):
                 doc_ids.append(int(doc_id))
                 grams.append(g)
         return pd.DataFrame({"gram": grams,
                              "doc_id": np.array(doc_ids, dtype="int64")})
 
+    import ray
+
+    # rarest-first prefix ordering (df_order): one distributed
+    # gram-count pass feeds an O(top_n) broadcast of the hottest grams,
+    # shrinking candidate pairs (-30% on sf0.01) and flattening hot
+    # index buckets. The extra pass costs ~1 corpus scan — a win at
+    # scale, overhead at toy corpora (flag off to skip). Any consistent
+    # total order preserves exactness, so results are identical.
+    ranks_ref = ray.put(_hot_gram_ranks(ds, shingle_k) if df_order else None)
     inv = ds.map_batches(index_batch, batch_format="pandas")
     raw_pairs = candidate_pairs(inv, ["gram"], max_bucket)
     cand, n_dropped = _dedup_pairs(raw_pairs)
