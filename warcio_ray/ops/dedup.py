@@ -5,16 +5,17 @@ Scale shapes (SURVEY §2.6 / ray_guide aggregation notes):
   * exact: content-hash column in map_batches -> groupby(hash) keep-first.
     Only (hash, id) rows shuffle, never text.
   * MinHash-LSH: shingle -> minhash signature per batch (Arrow
-    fixed_size_list column, zero-copy) -> explode to
-    (band_id, band_hash, doc_id) rows -> groupby bands -> candidate pairs
-    (hot buckets CAPPED, drops accounted explicitly, never silent) ->
-    distributed pair dedup -> Jaccard verify via a hash JOIN of the pair
-    set back against the documents table (only candidate texts ever
-    shuffle; the corpus is never materialized on the driver) -> connected
-    components on the (small) verified set.
-  * SimHash: 64-bit signature, melted to 4x16-bit band rows in ONE pass,
-    single groupby for candidates, Hamming verified in a vectorized
-    map_batches.
+    fixed_size_list column) -> explode to (band_id, band_hash, doc_id)
+    rows -> ``candidate_pairs`` (ONE hash-shuffle into ~32 partitions,
+    numpy run-length sweep per partition; hot buckets CAPPED with
+    explicit drop accounting, never silent) -> distributed pair dedup ->
+    Jaccard verify via a double hash JOIN attaching text_a/text_b (one
+    row per pair, vectorized verify; only candidate texts ever shuffle,
+    the corpus never reaches the driver) -> connected components on the
+    (small) verified set.
+  * SimHash: 64-bit signature, melted to 4x16-bit band rows in ONE
+    pass, same candidate_pairs path with the signature riding along,
+    Hamming verified in a vectorized map_batches.
 All hashing is seeded/stable (md5 / blake2b) — no PYTHONHASHSEED.
 """
 
@@ -285,30 +286,108 @@ def candidate_pairs(rows_ds, key_cols: List[str], max_bucket: int,
                    "value_col": value_col})
 
 
+def _pairs_from_partition(df: pd.DataFrame, key_cols: List[str],
+                          max_bucket: int,
+                          value_col: Optional[str] = None) -> pd.DataFrame:
+    """All (a, b) candidate pairs per bucket within one partition.
+    Buckets = distinct key_cols combos; ids deduped + sorted per bucket;
+    buckets over max_bucket truncated to the smallest ids with a
+    sentinel drop row. ``value_col`` (e.g. simhash) rides along as
+    ``val_a``/``val_b``."""
+    cols = [*key_cols, "doc_id"] + ([value_col] if value_col else [])
+    df = df[cols].drop_duplicates([*key_cols, "doc_id"]) \
+        .sort_values([*key_cols, "doc_id"], kind="mergesort")
+    ids = df["doc_id"].to_numpy(dtype="int64")
+    vals = df[value_col].to_numpy() if value_col else None
+    # bucket boundaries via run-length over the sorted key columns
+    if len(df) == 0:
+        starts = np.array([], dtype=np.int64)
+        ends = starts
+    else:
+        key_arr = df[key_cols].to_numpy()
+        change = np.ones(len(df), dtype=bool)
+        change[1:] = (key_arr[1:] != key_arr[:-1]).any(axis=1)
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(df))
+    a_out, b_out, va_out, vb_out = [], [], [], []
+    dropped = 0
+    for s, e in zip(starts, ends):
+        n = e - s
+        if n > max_bucket:
+            dropped += int(n - max_bucket)
+            e = s + max_bucket
+            n = max_bucket
+        if n < 2:
+            continue
+        ai, bi = np.triu_indices(n, k=1)
+        a_out.append(ids[s:e][ai])
+        b_out.append(ids[s:e][bi])
+        if value_col:
+            va_out.append(vals[s:e][ai])
+            vb_out.append(vals[s:e][bi])
+    out = {"a": (np.concatenate(a_out) if a_out
+                 else np.array([], dtype="int64")),
+           "b": (np.concatenate(b_out) if b_out
+                 else np.array([], dtype="int64"))}
+    if value_col:
+        out["val_a"] = (np.concatenate(va_out) if va_out
+                        else np.array([], dtype="uint64"))
+        out["val_b"] = (np.concatenate(vb_out) if vb_out
+                        else np.array([], dtype="uint64"))
+    res = pd.DataFrame(out)
+    res["n_dropped"] = np.int64(0)
+    if dropped:
+        sent = {"a": [_DROP_SENTINEL], "b": [_DROP_SENTINEL],
+                "n_dropped": [dropped]}
+        if value_col:
+            sent["val_a"] = np.array([0], dtype="uint64")
+            sent["val_b"] = np.array([0], dtype="uint64")
+        res = pd.concat([res, pd.DataFrame(sent)], ignore_index=True)
+    return res.astype({"a": "int64", "b": "int64", "n_dropped": "int64"})
+
+
+def candidate_pairs(rows_ds, key_cols: List[str], max_bucket: int,
+                    value_col: Optional[str] = None,
+                    num_partitions: int = N_PAIR_PARTITIONS):
+    """(key_cols..., doc_id[, value_col]) rows -> candidate (a, b) pairs
+    Dataset (+ sentinel drop rows). One hash-shuffle into
+    ``num_partitions`` groups; buckets never split across partitions
+    because the partition key is derived from the bucket key."""
+
+    import zlib
+
+    def _col_hash(col: pd.Series) -> np.ndarray:
+        """Batch-stable per-column hash. NEVER pandas hash_pandas_object
+        here: its khash path truncates object strings at NUL bytes and
+        proved batch-UNSTABLE for such keys, silently splitting buckets
+        across partitions (lost pairs; see round-2 notes)."""
+        if pd.api.types.is_integer_dtype(col):
+            return col.to_numpy().astype(np.uint64, copy=False)
+        return np.fromiter(
+            (zlib.crc32(str(v).encode("utf-8")) for v in col),
+            dtype=np.uint64, count=len(col))
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        h = np.zeros(len(batch), dtype=np.uint64)
+        C = np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):
+            for kc in key_cols:
+                h = (h ^ _col_hash(batch[kc])) * C
+                h ^= h >> np.uint64(29)
+        batch["_part"] = (h % np.uint64(num_partitions)).astype("int32")
+        return batch
+
+    parted = rows_ds.map_batches(add_part, batch_format="pandas")
+    return parted.groupby("_part").map_groups(
+        _pairs_from_partition, batch_format="pandas",
+        fn_kwargs={"key_cols": key_cols, "max_bucket": max_bucket,
+                   "value_col": value_col})
+
+
 def _empty_pairs() -> pd.DataFrame:
     return pd.DataFrame({k: pd.Series(dtype=v)
                          for k, v in _PAIRS_SCHEMA.items()})
-
-
-def _pairs_from_bucket(grp: pd.DataFrame,
-                       max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
-    ids = np.unique(grp["doc_id"].to_numpy())
-    dropped = 0
-    if len(ids) > max_bucket:
-        dropped = int(len(ids) - max_bucket)
-        ids = ids[:max_bucket]
-    frames = []
-    if len(ids) >= 2:
-        ai, bi = np.triu_indices(len(ids), k=1)
-        frames.append(pd.DataFrame({"a": ids[ai], "b": ids[bi],
-                                    "n_dropped": 0}))
-    if dropped:
-        frames.append(pd.DataFrame({"a": [_DROP_SENTINEL],
-                                    "b": [_DROP_SENTINEL],
-                                    "n_dropped": [dropped]}))
-    if not frames:
-        return _empty_pairs()
-    return pd.concat(frames, ignore_index=True).astype(_PAIRS_SCHEMA)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -542,38 +621,6 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = np.bitwise_xor(a, b)
     # popcount via unpackbits on the byte view
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
-
-
-def _simhash_pairs_in_bucket(grp: pd.DataFrame,
-                             max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
-    sub = grp[["doc_id", "simhash"]].drop_duplicates("doc_id") \
-        .sort_values("doc_id")
-    dropped = 0
-    if len(sub) > max_bucket:
-        dropped = int(len(sub) - max_bucket)
-        sub = sub.iloc[:max_bucket]
-    ids = sub["doc_id"].to_numpy(dtype="int64")
-    sims = sub["simhash"].to_numpy(dtype=np.uint64)
-    frames = []
-    if len(ids) >= 2:
-        ai, bi = np.triu_indices(len(ids), k=1)
-        frames.append(pd.DataFrame({
-            "a": ids[ai], "b": ids[bi],
-            "sim_a": sims[ai], "sim_b": sims[bi],
-            "n_dropped": np.zeros(len(ai), dtype="int64")}))
-    if dropped:
-        frames.append(pd.DataFrame({
-            "a": [_DROP_SENTINEL], "b": [_DROP_SENTINEL],
-            "sim_a": np.array([0], dtype=np.uint64),
-            "sim_b": np.array([0], dtype=np.uint64),
-            "n_dropped": [dropped]}))
-    if not frames:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                             "b": pd.Series(dtype="int64"),
-                             "sim_a": pd.Series(dtype="uint64"),
-                             "sim_b": pd.Series(dtype="uint64"),
-                             "n_dropped": pd.Series(dtype="int64")})
-    return pd.concat(frames, ignore_index=True)
 
 
 def simhash_dedup(ds, max_hamming: int = 3,
