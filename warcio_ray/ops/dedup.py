@@ -200,14 +200,20 @@ def _pairs_from_partition(df: pd.DataFrame, key_cols: List[str],
         .sort_values([*key_cols, "doc_id"], kind="mergesort")
     ids = df["doc_id"].to_numpy(dtype="int64")
     vals = df[value_col].to_numpy() if value_col else None
-    # bucket boundaries via run-length over the sorted key columns
+    # bucket boundaries via run-length over the sorted key columns.
+    # Compare COLUMN BY COLUMN: a combined df[key_cols].to_numpy() on
+    # mixed int32/uint64 promotes to float64, where distinct 64-bit
+    # hashes can compare EQUAL (2^63 == 2^63+1 in float64) and adjacent
+    # buckets silently merge
     if len(df) == 0:
         starts = np.array([], dtype=np.int64)
         ends = starts
     else:
-        key_arr = df[key_cols].to_numpy()
-        change = np.ones(len(df), dtype=bool)
-        change[1:] = (key_arr[1:] != key_arr[:-1]).any(axis=1)
+        change = np.zeros(len(df), dtype=bool)
+        change[0] = True
+        for kc in key_cols:
+            col = df[kc].to_numpy()
+            change[1:] |= col[1:] != col[:-1]
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(df))
     a_out, b_out, va_out, vb_out = [], [], [], []
@@ -284,110 +290,6 @@ def candidate_pairs(rows_ds, key_cols: List[str], max_bucket: int,
         _pairs_from_partition, batch_format="pandas",
         fn_kwargs={"key_cols": key_cols, "max_bucket": max_bucket,
                    "value_col": value_col})
-
-
-def _pairs_from_partition(df: pd.DataFrame, key_cols: List[str],
-                          max_bucket: int,
-                          value_col: Optional[str] = None) -> pd.DataFrame:
-    """All (a, b) candidate pairs per bucket within one partition.
-    Buckets = distinct key_cols combos; ids deduped + sorted per bucket;
-    buckets over max_bucket truncated to the smallest ids with a
-    sentinel drop row. ``value_col`` (e.g. simhash) rides along as
-    ``val_a``/``val_b``."""
-    cols = [*key_cols, "doc_id"] + ([value_col] if value_col else [])
-    df = df[cols].drop_duplicates([*key_cols, "doc_id"]) \
-        .sort_values([*key_cols, "doc_id"], kind="mergesort")
-    ids = df["doc_id"].to_numpy(dtype="int64")
-    vals = df[value_col].to_numpy() if value_col else None
-    # bucket boundaries via run-length over the sorted key columns
-    if len(df) == 0:
-        starts = np.array([], dtype=np.int64)
-        ends = starts
-    else:
-        key_arr = df[key_cols].to_numpy()
-        change = np.ones(len(df), dtype=bool)
-        change[1:] = (key_arr[1:] != key_arr[:-1]).any(axis=1)
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(df))
-    a_out, b_out, va_out, vb_out = [], [], [], []
-    dropped = 0
-    for s, e in zip(starts, ends):
-        n = e - s
-        if n > max_bucket:
-            dropped += int(n - max_bucket)
-            e = s + max_bucket
-            n = max_bucket
-        if n < 2:
-            continue
-        ai, bi = np.triu_indices(n, k=1)
-        a_out.append(ids[s:e][ai])
-        b_out.append(ids[s:e][bi])
-        if value_col:
-            va_out.append(vals[s:e][ai])
-            vb_out.append(vals[s:e][bi])
-    out = {"a": (np.concatenate(a_out) if a_out
-                 else np.array([], dtype="int64")),
-           "b": (np.concatenate(b_out) if b_out
-                 else np.array([], dtype="int64"))}
-    if value_col:
-        out["val_a"] = (np.concatenate(va_out) if va_out
-                        else np.array([], dtype="uint64"))
-        out["val_b"] = (np.concatenate(vb_out) if vb_out
-                        else np.array([], dtype="uint64"))
-    res = pd.DataFrame(out)
-    res["n_dropped"] = np.int64(0)
-    if dropped:
-        sent = {"a": [_DROP_SENTINEL], "b": [_DROP_SENTINEL],
-                "n_dropped": [dropped]}
-        if value_col:
-            sent["val_a"] = np.array([0], dtype="uint64")
-            sent["val_b"] = np.array([0], dtype="uint64")
-        res = pd.concat([res, pd.DataFrame(sent)], ignore_index=True)
-    return res.astype({"a": "int64", "b": "int64", "n_dropped": "int64"})
-
-
-def candidate_pairs(rows_ds, key_cols: List[str], max_bucket: int,
-                    value_col: Optional[str] = None,
-                    num_partitions: int = N_PAIR_PARTITIONS):
-    """(key_cols..., doc_id[, value_col]) rows -> candidate (a, b) pairs
-    Dataset (+ sentinel drop rows). One hash-shuffle into
-    ``num_partitions`` groups; buckets never split across partitions
-    because the partition key is derived from the bucket key."""
-
-    import zlib
-
-    def _col_hash(col: pd.Series) -> np.ndarray:
-        """Batch-stable per-column hash. NEVER pandas hash_pandas_object
-        here: its khash path truncates object strings at NUL bytes and
-        proved batch-UNSTABLE for such keys, silently splitting buckets
-        across partitions (lost pairs; see round-2 notes)."""
-        if pd.api.types.is_integer_dtype(col):
-            return col.to_numpy().astype(np.uint64, copy=False)
-        return np.fromiter(
-            (zlib.crc32(str(v).encode("utf-8")) for v in col),
-            dtype=np.uint64, count=len(col))
-
-    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        h = np.zeros(len(batch), dtype=np.uint64)
-        C = np.uint64(0x9E3779B97F4A7C15)
-        with np.errstate(over="ignore"):
-            for kc in key_cols:
-                h = (h ^ _col_hash(batch[kc])) * C
-                h ^= h >> np.uint64(29)
-        batch["_part"] = (h % np.uint64(num_partitions)).astype("int32")
-        return batch
-
-    parted = rows_ds.map_batches(add_part, batch_format="pandas")
-    return parted.groupby("_part").map_groups(
-        _pairs_from_partition, batch_format="pandas",
-        fn_kwargs={"key_cols": key_cols, "max_bucket": max_bucket,
-                   "value_col": value_col})
-
-
-def _empty_pairs() -> pd.DataFrame:
-    return pd.DataFrame({k: pd.Series(dtype=v)
-                         for k, v in _PAIRS_SCHEMA.items()})
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -399,20 +301,28 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return inter / union if union else 0.0
 
 
-def _dedup_pairs(pairs_ds, extra_cols: Tuple[str, ...] = ()):
-    """Distributed (a, b) pair dedup: groupby keeps the first row per
-    pair (extra columns ride along). Splits off the drop-sentinel rows;
-    returns (deduped pairs Dataset, total dropped ids)."""
+def _sum_dropped(materialized_pairs_ds) -> int:
+    """Total ids truncated out of hot buckets, summed from the sentinel
+    rows (the single place the sentinel protocol is decoded)."""
     import pyarrow.compute as pc
 
-    # pairs are bucket-capped -> bounded; materialize once so the two
-    # filter branches below don't re-execute the whole upstream pipeline
-    pairs_ds = pairs_ds.materialize()
-    dropped = pairs_ds.filter(
+    dropped = materialized_pairs_ds.filter(
         expr=f"a == {_DROP_SENTINEL}") \
         .map_batches(lambda t: pa.table(
             {"n": pa.array([int(pc.sum(t["n_dropped"]).as_py() or 0)],
                            pa.int64())}), batch_format="pyarrow")
+    dropped_df = dropped.to_pandas()  # empty filter result has no columns
+    return int(dropped_df["n"].sum()) if "n" in dropped_df.columns else 0
+
+
+def _dedup_pairs(pairs_ds, extra_cols: Tuple[str, ...] = ()):
+    """Distributed (a, b) pair dedup: groupby keeps the first row per
+    pair (extra columns ride along). Splits off the drop-sentinel rows;
+    returns (deduped pairs Dataset, total dropped ids)."""
+    # pairs are bucket-capped -> bounded; materialize once so the two
+    # filter branches below don't re-execute the whole upstream pipeline
+    pairs_ds = pairs_ds.materialize()
+    n_dropped = _sum_dropped(pairs_ds)
     real = pairs_ds.filter(expr=f"a != {_DROP_SENTINEL}")
 
     cols = ["a", "b", *extra_cols]
@@ -422,38 +332,49 @@ def _dedup_pairs(pairs_ds, extra_cols: Tuple[str, ...] = ()):
 
     deduped = real.groupby(["a", "b"]).map_groups(
         first_row, batch_format="pandas")
-    dropped_df = dropped.to_pandas()  # empty filter result has no columns
-    n_dropped = int(dropped_df["n"].sum()) if "n" in dropped_df.columns else 0
     return deduped, n_dropped
 
 
-def _attach_pair_texts(pairs_ds, ds, num_partitions: int = 8):
-    """Hash-join candidate pairs back to their texts — the scale-safe
-    verify fetch (VERDICT r1 item 2). Two joins attach text_a and text_b
-    so each pair stays ONE row and verification runs as a vectorized
-    map_batches (a per-pair map_groups was ~1k tiny pandas groups and
-    dominated the sf0.01 wall time). Only candidate texts ever shuffle
-    (broadcast-id pre-filter); nothing corpus-sized reaches the driver."""
+def attach_pair_payloads(pairs_ds, ds, id_col: str, payload_col: str,
+                         payload_type: "pa.DataType",
+                         out_a: str, out_b: str,
+                         encode_batch=None, num_partitions: int = 8):
+    """Hash-join candidate pairs back to a per-id payload column — the
+    scale-safe verify fetch (VERDICT r1 item 2). Two joins attach
+    ``out_a``/``out_b`` so each pair stays ONE row and verification runs
+    as a vectorized map_batches (a per-pair map_groups was ~1k tiny
+    pandas groups and dominated sf0.01 wall time). Only candidate
+    payloads ever shuffle (broadcast-id pre-filter); nothing corpus-sized
+    reaches the driver. ``encode_batch(values) -> pa.Array`` optionally
+    re-encodes the payload (e.g. list<float> -> binary, which Arrow's
+    join requires)."""
     import ray
 
     # candidate id set is small (pairs are rare, buckets capped): collect
     # just the distinct ids to broadcast-filter the corpus scan
     ids_df = pairs_ds.map_batches(
-        lambda t: pa.table({"doc_id": pa.concat_arrays([
+        lambda t: pa.table({id_col: pa.concat_arrays([
             t["a"].combine_chunks().cast(pa.int64()),
             t["b"].combine_chunks().cast(pa.int64())]).unique()}),
         batch_format="pyarrow").to_pandas()
-    id_set = frozenset(int(x) for x in ids_df["doc_id"].unique())
+    id_set = frozenset(int(x) for x in ids_df[id_col].unique())
     id_ref = ray.put(id_set)
 
     def keep_candidates(batch: pa.Table) -> pa.Table:
         wanted = ray.get(id_ref)
         mask = pa.array([int(d) in wanted
-                         for d in batch["doc_id"].to_pylist()],
+                         for d in batch[id_col].to_pylist()],
                         pa.bool_())
-        return batch.filter(mask)
+        kept = batch.filter(mask)
+        payload = kept[payload_col]
+        if encode_batch is not None:
+            payload = encode_batch(payload)
+        return pa.table({
+            id_col: kept[id_col].combine_chunks().cast(pa.int64()),
+            payload_col: payload,
+        })
 
-    cand_docs = ds.map_batches(keep_candidates, batch_format="pyarrow") \
+    cand_rows = ds.map_batches(keep_candidates, batch_format="pyarrow") \
         .materialize()  # tiny; both joins below probe it
 
     def rename_norm(ds_in, mapping: dict, schema: pa.Schema):
@@ -468,26 +389,31 @@ def _attach_pair_texts(pairs_ds, ds, num_partitions: int = 8):
         return ds_in.map_batches(fn, batch_format="pyarrow")
 
     s1 = pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                    ("text_a", pa.string())])
+                    (out_a, payload_type)])
     s2 = pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                    ("text_a", pa.string()), ("text_b", pa.string())])
-    j1 = pairs_ds.join(cand_docs, join_type="inner",
+                    (out_a, payload_type), (out_b, payload_type)])
+    j1 = pairs_ds.join(cand_rows, join_type="inner",
                        num_partitions=num_partitions,
-                       on=("a",), right_on=("doc_id",))
+                       on=("a",), right_on=(id_col,))
     # repartition between the joins: a join emits zero-COLUMN empty
     # partitions that bypass map_batches untouched and crash the second
     # join's key lookup; the (pairs-sized) repartition coalesces them
-    j1 = rename_norm(j1, {"text": "text_a"}, s1) \
+    j1 = rename_norm(j1, {payload_col: out_a}, s1) \
         .repartition(num_partitions)
-    j2 = j1.join(cand_docs, join_type="inner",
+    j2 = j1.join(cand_rows, join_type="inner",
                  num_partitions=num_partitions,
-                 on=("b",), right_on=("doc_id",))
-    return rename_norm(j2, {"text": "text_b"}, s2)
+                 on=("b",), right_on=(id_col,))
+    return rename_norm(j2, {payload_col: out_b}, s2)
+
+
+def _attach_pair_texts(pairs_ds, ds, num_partitions: int = 8):
+    return attach_pair_payloads(pairs_ds, ds, "doc_id", "text",
+                                pa.string(), "text_a", "text_b",
+                                num_partitions=num_partitions)
 
 
 def minhash_lsh_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
                       bands: int = 16, shingle_k: int = 3,
-                      concurrency: int = 2,
                       max_bucket: int = MAX_BUCKET):
     """Full near-dup pipeline. Returns (pairs_df, clusters_df):
     verified duplicate pairs and doc_id -> cluster_id (min-id labels via

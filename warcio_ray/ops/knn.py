@@ -180,60 +180,18 @@ def embedding_neardup(ds, threshold: float = 0.9, n_planes: int = 32,
 
 
 def _join_vecs_to_pairs(pairs_ds, ds, num_partitions: int = 8):
-    """Hash-join candidate pairs back to their embedding vectors (the
-    knn twin of dedup._join_texts_to_pairs)."""
+    """Hash-join candidate pairs back to their embedding vectors — the
+    shared dedup.attach_pair_payloads with a binary re-encode (Arrow's
+    hash join rejects list<float> payload columns)."""
     import pyarrow as pa
-    import ray
 
-    ids_df = pairs_ds.map_batches(
-        lambda t: pa.table({"vec_id": pa.concat_arrays([
-            t["a"].combine_chunks().cast(pa.int64()),
-            t["b"].combine_chunks().cast(pa.int64())]).unique()}),
-        batch_format="pyarrow").to_pandas()
-    id_set = frozenset(int(x) for x in ids_df["vec_id"].unique())
-    id_ref = ray.put(id_set)
+    from warcio_ray.ops.dedup import attach_pair_payloads
 
-    def keep_candidates(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(id_ref)
-        mask = pa.array([int(v) in wanted
-                         for v in batch["vec_id"].to_pylist()], pa.bool_())
-        kept = batch.filter(mask)
-        # Arrow's hash join rejects list<float> payload columns — ship the
-        # vector as fixed-width float64 bytes instead
-        embs = [np.asarray(v, dtype=np.float64).tobytes()
-                for v in kept["embedding"].to_pylist()]
-        return pa.table({
-            "vec_id": kept["vec_id"].combine_chunks().cast(pa.int64()),
-            "emb_bytes": pa.array(embs, pa.binary()),
-        })
+    def encode_embeddings(col) -> pa.Array:
+        return pa.array([np.asarray(v, dtype=np.float64).tobytes()
+                         for v in col.to_pylist()], pa.binary())
 
-    cand_vecs = ds.map_batches(keep_candidates, batch_format="pyarrow") \
-        .materialize()  # tiny; probed by both joins
-
-    def rename_norm(ds_in, mapping: dict, schema: pa.Schema):
-        # empty hash-join partitions are zero-column tables; stamp the
-        # explicit schema so the second join's key lookup succeeds
-        def fn(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or t.num_columns == 0:
-                return schema.empty_table()
-            t = t.rename_columns([mapping.get(c, c) for c in t.column_names])
-            return t.select(schema.names).cast(schema)
-        return ds_in.map_batches(fn, batch_format="pyarrow")
-
-    s1 = pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                    ("emb_a", pa.binary())])
-    s2 = pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                    ("emb_a", pa.binary()), ("emb_b", pa.binary())])
-    # two joins keep each pair ONE row (emb_a, emb_b) so verification is
-    # a vectorized map_batches, not a per-pair map_groups
-    j1 = pairs_ds.join(cand_vecs, join_type="inner",
-                       num_partitions=num_partitions,
-                       on=("a",), right_on=("vec_id",))
-    # repartition: drops the zero-column empty partitions a join emits
-    # (they bypass map_batches and break the second join's key lookup)
-    j1 = rename_norm(j1, {"emb_bytes": "emb_a"}, s1) \
-        .repartition(num_partitions)
-    j2 = j1.join(cand_vecs, join_type="inner",
-                 num_partitions=num_partitions,
-                 on=("b",), right_on=("vec_id",))
-    return rename_norm(j2, {"emb_bytes": "emb_b"}, s2)
+    return attach_pair_payloads(pairs_ds, ds, "vec_id", "embedding",
+                                pa.binary(), "emb_a", "emb_b",
+                                encode_batch=encode_embeddings,
+                                num_partitions=num_partitions)

@@ -206,7 +206,8 @@ class FrameSampleStage:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids, idxs, frames = [], [], []
         for media_id, payload in zip(batch["media_id"], batch["payload"]):
-            h = hashlib.blake2b(payload or b"", digest_size=8,
+            payload = payload or b""  # null binary cells are expected
+            h = hashlib.blake2b(payload, digest_size=8,
                                 person=b"frames").digest()
             dur = 1 + int.from_bytes(h[:4], "big") % 10_000  # fake frames
             for j in range(self.n_frames):

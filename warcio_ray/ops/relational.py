@@ -153,13 +153,19 @@ def asof_join_events(sf_dir: str, left_type: str = "click",
                 "user_id": pd.Series(dtype="int64"),
                 "ts": pd.Series(dtype="datetime64[us]"),
                 "matched_ts": pd.Series(dtype="datetime64[us]")})
-        # vectorized backward search: index of last right.ts <= left.ts
-        idx = np.searchsorted(right["ts"].to_numpy(),
-                              left["ts"].to_numpy(), side="right") - 1
-        matched = np.where(
-            idx >= 0,
-            right["ts"].to_numpy()[np.maximum(idx, 0)],
-            np.datetime64("NaT"))
+        if not len(right):
+            # a user with left-type events and NO right-type events: all
+            # unmatched (indexing an empty array would raise IndexError)
+            matched = np.full(len(left), np.datetime64("NaT"),
+                              dtype="datetime64[us]")
+        else:
+            # vectorized backward search: index of last right.ts <= left.ts
+            idx = np.searchsorted(right["ts"].to_numpy(),
+                                  left["ts"].to_numpy(), side="right") - 1
+            matched = np.where(
+                idx >= 0,
+                right["ts"].to_numpy()[np.maximum(idx, 0)],
+                np.datetime64("NaT"))
         return pd.DataFrame({
             "event_id": left["event_id"].to_numpy(),
             "user_id": left["user_id"].to_numpy(),

@@ -176,20 +176,17 @@ def fingerprint_dedup(ds, min_shared: int = 5, k: int = 5, window: int = 4,
     usual drop accounting (attrs['lsh_dropped_ids'])."""
     from ray.data.aggregate import Count
 
-    from warcio_ray.ops.dedup import _DROP_SENTINEL, candidate_pairs
+    from warcio_ray.ops.dedup import (
+        _DROP_SENTINEL,
+        _sum_dropped,
+        candidate_pairs,
+    )
 
     exploded = ds.map_batches(fingerprint_explode_batch,
                               batch_format="pandas",
                               fn_kwargs={"k": k, "window": window})
     raw = candidate_pairs(exploded, ["fp"], max_bucket).materialize()
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    dropped_df = raw.filter(expr=f"a == {_DROP_SENTINEL}") \
-        .map_batches(lambda t: pa.table(
-            {"n": pa.array([int(pc.sum(t["n_dropped"]).as_py() or 0)],
-                           pa.int64())}), batch_format="pyarrow").to_pandas()
-    n_dropped = int(dropped_df["n"].sum()) if "n" in dropped_df.columns else 0
+    n_dropped = _sum_dropped(raw)
 
     counts = raw.filter(expr=f"a != {_DROP_SENTINEL}") \
         .groupby(["a", "b"]).aggregate(Count(alias_name="n_shared")) \

@@ -148,6 +148,19 @@ def pages_bucketed_dir(sf_dir: str) -> str:
     return pages_dir(sf_dir) + "-bucketed"
 
 
+def bucketed_layout_num_buckets(root: str,
+                                default: int = NUM_PAGE_BUCKETS) -> int:
+    """Read the bucket count a layout was BUILT with (recorded in its
+    _DONE marker) — assuming the default when the layout used another
+    count would hash urls into buckets that don't exist and silently
+    turn every fetch into a miss."""
+    try:
+        with open(os.path.join(root, "_DONE")) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return default
+
+
 def build_pages_bucketed(sf_dir: str, force: bool = False,
                          num_buckets: int = NUM_PAGE_BUCKETS) -> str:
     """pages table -> hive-partitioned layout bucket=K/ keyed by

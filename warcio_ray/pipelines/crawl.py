@@ -22,6 +22,7 @@ from warcio_ray.frontier.distributed import crawl_distributed
 from warcio_ray.frontier.rounds import CrawlConfig
 from warcio_ray.pages import (
     NUM_PAGE_BUCKETS,
+    bucketed_layout_num_buckets,
     build_pages_bucketed,
     page_bucket_of,
     read_pages,
@@ -81,11 +82,16 @@ def crawl_pages(sf_dir: str, config: Optional[CrawlConfig] = None,
         import shutil
         shutil.rmtree(order_dir, ignore_errors=True)
 
-    crawl_distributed(default_seeds(n_seeds), pages, config,
-                      robots_bodies=robots_bodies,
-                      checkpoint_dir=checkpoint_dir, resume=resume,
-                      order_dir=order_dir)
+    result = crawl_distributed(default_seeds(n_seeds), pages, config,
+                               robots_bodies=robots_bodies,
+                               checkpoint_dir=checkpoint_dir, resume=resume,
+                               order_dir=order_dir)
     files = sorted(glob.glob(os.path.join(order_dir, "round=*.parquet")))
+    # read back only rounds this crawl wrote: a caller-supplied order_dir
+    # may still hold HIGHER rounds from a previous longer run
+    files = [f for f in files
+             if int(os.path.basename(f)[len("round="):-len(".parquet")])
+             < result.rounds]
     if not files:
         return pd.DataFrame(columns=ORDER_COLUMNS)
     df = pd.concat([pq.read_table(f).to_pandas() for f in files],
@@ -161,14 +167,16 @@ class BucketedFetcher:
     """
 
     def __init__(self, root: str, config: CrawlConfig,
-                 num_buckets: int = NUM_PAGE_BUCKETS,
+                 num_buckets: Optional[int] = None,
                  n_groups: int = 16):
         import ray
 
         self.root = root
         self.config = config
-        self.num_buckets = num_buckets
-        self.n_groups = min(n_groups, num_buckets)
+        # the layout's _DONE marker records the bucket count it was built
+        # with; assuming a different count would silently miss every url
+        self.num_buckets = num_buckets or bucketed_layout_num_buckets(root)
+        self.n_groups = min(n_groups, self.num_buckets)
         self.group_refs: Dict[int, "ray.ObjectRef"] = {}
         self._load = ray.remote(num_cpus=1)(_load_bucket_group)
         self._fetch = ray.remote(num_cpus=1)(_fetch_rows_against)
@@ -210,7 +218,7 @@ class BucketedFetcher:
 
 def fetch_round_via_scan(pages_root: str, scheduled: pd.DataFrame,
                          config: Optional[CrawlConfig] = None,
-                         num_buckets: int = NUM_PAGE_BUCKETS
+                         num_buckets: Optional[int] = None
                          ) -> Tuple[int, int, List[tuple]]:
     """The bench-scale fetch: semi-join the (small) scheduled-url set
     against the BUCKETED pages layout. Only the buckets containing
@@ -233,6 +241,7 @@ def fetch_round_via_scan(pages_root: str, scheduled: pd.DataFrame,
     from warcio_ray.html import extract_links
 
     config = config or CrawlConfig()
+    num_buckets = num_buckets or bucketed_layout_num_buckets(pages_root)
     wanted = dict(zip(scheduled["url"],
                       zip(scheduled["shard"], scheduled["seq"],
                           scheduled["priority"])))

@@ -133,13 +133,14 @@ def records_to_table(records: List[ParsedRecord], filename: str,
     per record) overrides the single ``filename`` for batches that mix
     records from several source files (e.g. coalesced rewrite batches)."""
     if not records:
-        if parse_error is None:
+        if parse_error is None and not err_count:
             return WARC_RECORDS_SCHEMA.empty_table()
-        # one sentinel row so file-level failures survive into the table
+        # one sentinel row so file-level failures (or trailer errors in a
+        # record-less file) survive into the table
         row = {name: None for name in WARC_RECORDS_SCHEMA.names}
         row["filename"] = filename
         row["parse_error"] = parse_error
-        row["err_count"] = 0
+        row["err_count"] = err_count
         return pa.Table.from_pylist([row], schema=WARC_RECORDS_SCHEMA)
 
     n = len(records)
@@ -254,16 +255,21 @@ def iter_archive_tables(data: bytes, filename: str,
     emitted = False
     try:
         for rec, err_inc in iter_archive_records(data, opts):
+            # flush LAZILY (before appending the next record, not right
+            # after filling the buffer): trailer errors that arrive
+            # between records always have a pending chunk to ride on, so
+            # the per-chunk err_count column still sums to the file total
+            if rec is not None and (len(buf) >= chunk_records
+                                    or buf_bytes >= chunk_bytes):
+                yield records_to_table(buf, filename, errs,
+                                       compute_digests=compute_digests)
+                buf, buf_bytes, errs = [], 0, 0
+                emitted = True
             errs += err_inc
             if rec is None:
                 continue
             buf.append(rec)
             buf_bytes += len(rec.payload)
-            if len(buf) >= chunk_records or buf_bytes >= chunk_bytes:
-                yield records_to_table(buf, filename, errs,
-                                       compute_digests=compute_digests)
-                buf, buf_bytes, errs = [], 0, 0
-                emitted = True
     except ArchiveFormatError as e:
         if emitted:
             raise  # can't retract already-yielded chunks; surface it
@@ -272,7 +278,10 @@ def iter_archive_tables(data: bytes, filename: str,
         # the pre-chunking parse_archive_file behavior)
         yield records_to_table([], filename, parse_error=str(e)[:500])
         return
-    if buf or not emitted:
+    if buf or errs or not emitted:
+        # a record-less-but-err-bearing tail can only occur when nothing
+        # was emitted yet (lazy flush); records_to_table([], errs>0)
+        # emits a sentinel row so the count survives
         yield records_to_table(buf, filename, errs,
                                compute_digests=compute_digests)
 
