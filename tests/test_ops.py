@@ -328,3 +328,43 @@ def test_candidate_pairs_block_invariant(ray_session):
     assert len(single) > 0
     assert single[["a", "b"]].values.tolist() == \
         multi[["a", "b"]].values.tolist()
+
+
+def test_asof_join_user_without_right_events(ray_session):
+    """A user with left-type events and no right-type events must yield
+    unmatched rows, not IndexError (regression)."""
+    import ray.data
+
+    from warcio_ray.ops.relational import asof_join_events
+
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00",
+                              "2024-01-01 09:00"]),
+        "user_id": [7, 7, 8],          # user 8: click, no purchase ever
+        "event_type": ["click", "purchase", "click"],
+    })
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    ev.to_parquet(os.path.join(d, "events.parquet"))
+    out = asof_join_events(d).to_pandas().sort_values("event_id")
+    assert len(out) == 2                       # both clicks
+    row8 = out[out["user_id"] == 8].iloc[0]
+    assert pd.isna(row8["matched_ts"])
+
+
+def test_pairs_partition_uint64_keys_not_merged():
+    """Bucket boundary detection must compare 64-bit keys exactly —
+    float64 promotion made 2^63 and 2^63+1 equal (regression)."""
+    from warcio_ray.ops.dedup import _pairs_from_partition
+
+    df = pd.DataFrame({
+        "band_id": np.array([0, 0, 0, 0], dtype=np.int32),
+        "band_hash": np.array([2**63, 2**63, 2**63 + 1, 2**63 + 1],
+                              dtype=np.uint64),
+        "doc_id": np.array([1, 2, 3, 4], dtype="int64"),
+    })
+    out = _pairs_from_partition(df, ["band_id", "band_hash"], 512)
+    got = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+    # two distinct buckets -> only within-bucket pairs, never (1,3) etc.
+    assert got == {(1, 2), (3, 4)}

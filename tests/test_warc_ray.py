@@ -238,3 +238,36 @@ print(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024)
     # whole-file parsing of the same input measures ~1071 MB; the
     # chunked plateau is ~371 MB regardless of archive length
     assert peak_mb < 550, f"peak RSS {peak_mb} MB: chunking not bounding"
+
+
+def test_chunked_err_count_sums_to_whole_file(ray_session):
+    """Per-chunk err_count must sum to the whole-file total even when
+    trailer errors land between or after chunk flushes (regression:
+    eager flush dropped trailing errors)."""
+    import pyarrow as pa
+
+    from warcio_ray.codec.records import ParseOptions, parse_archive_bytes
+    from warcio_ray.sources.warc import iter_archive_tables
+
+    # records whose Content-Length is understated -> the leftover line is
+    # consumed by the trailer with an error increment
+    recs = []
+    for i in range(6):
+        body = b"hello world\r\nEXTRA"
+        rec = (b"WARC/1.0\r\n"
+               b"WARC-Type: resource\r\n"
+               + f"WARC-Record-ID: <urn:uuid:{i}>\r\n".encode()
+               + b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+               + b"Content-Length: 13\r\n\r\n"
+               + body + b"\r\n\r\n")
+        recs.append(rec)
+    data = b"".join(recs)
+    whole = parse_archive_bytes(data, ParseOptions())
+    assert whole.err_count > 0
+
+    for chunk_records in (1, 2, 5, 100):
+        tables = list(iter_archive_tables(data, "f.warc",
+                                          chunk_records=chunk_records))
+        total = sum(t["err_count"][0].as_py() for t in tables
+                    if len(t))
+        assert total == whole.err_count, chunk_records
