@@ -117,6 +117,55 @@ def test_scan_mode_matches_reference(ray_session, pages):
     assert dist.counters == ref.counters
 
 
+def test_scan_per_round_fetch_matches_reference(ray_session, pages):
+    """Forcing resident_fetch_max_bytes=0 routes crawl_distributed
+    through the per-round bucket semi-join (the at-scale default above
+    the threshold): the crawl must stay bit-identical."""
+    from warcio_ray.pages import build_pages_bucketed
+    from warcio_ray.pipelines.crawl import ScanFetcher, make_fetcher
+
+    bucketed = build_pages_bucketed(SF)
+    # threshold 0 -> ScanFetcher selected for any corpus
+    assert isinstance(make_fetcher(bucketed, config(),
+                                   resident_fetch_max_bytes=0), ScanFetcher)
+    ref = crawl_reference(seeds(), pages.get, config(),
+                          robots_fn=lambda h: ROBOTS.get(h))
+    dist = crawl_distributed(seeds(), bucketed, config(),
+                             robots_bodies=ROBOTS, track_order=True,
+                             resident_fetch_max_bytes=0)
+    assert dist.order == ref.order
+    assert dist.admitted == ref.admitted
+    assert dist.counters == ref.counters
+
+
+def test_bucketed_fetcher_lru_bound(ray_session, pages):
+    """max_resident_groups LRU-bounds the cached group refs while the
+    crawl stays identical to the unbounded fetcher."""
+    from warcio_ray.pages import build_pages_bucketed
+    from warcio_ray.pipelines.crawl import BucketedFetcher
+
+    bucketed = build_pages_bucketed(SF)
+    unbounded = crawl_distributed(seeds(), bucketed, config(),
+                                  robots_bodies=ROBOTS, track_order=True)
+
+    import warcio_ray.frontier.distributed as distmod
+    import warcio_ray.pipelines.crawl as crawlmod
+
+    orig = crawlmod.make_fetcher
+
+    def bounded_fetcher(root, cfg, resident_fetch_max_bytes=None):
+        return BucketedFetcher(root, cfg, max_resident_groups=2)
+
+    crawlmod.make_fetcher = bounded_fetcher
+    try:
+        bounded = crawl_distributed(seeds(), bucketed, config(),
+                                    robots_bodies=ROBOTS, track_order=True)
+    finally:
+        crawlmod.make_fetcher = orig
+    assert bounded.order == unbounded.order
+    assert bounded.counters == unbounded.counters
+
+
 def test_untracked_order_stays_empty_but_parquet_complete(
         ray_session, pages, tmp_path):
     """Default mode: driver memory stays bounded (no order/admitted

@@ -368,3 +368,67 @@ def test_pairs_partition_uint64_keys_not_merged():
     got = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
     # two distinct buckets -> only within-bucket pairs, never (1,3) etc.
     assert got == {(1, 2), (3, 4)}
+
+
+def test_connected_components_ds_matches_inprocess(ray_session):
+    """Distributed star-contraction CC == in-process union-find on
+    random graphs (chains, merged clusters, isolated pairs)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.dedup import (
+        _connected_components,
+        connected_components_ds,
+    )
+
+    rng = np.random.RandomState(7)
+    for trial in range(2):
+        n_nodes = 200
+        n_edges = rng.randint(50, 400)
+        a = rng.randint(0, n_nodes, size=n_edges).astype("int64")
+        b = rng.randint(0, n_nodes, size=n_edges).astype("int64")
+        keep = a != b
+        pairs = pd.DataFrame({"a": a[keep], "b": b[keep]})
+        want = _connected_components(pairs).reset_index(drop=True)
+        got = connected_components_ds(ray.data.from_pandas(pairs)) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), want.astype("int64"))
+
+
+def test_connected_components_ds_large_star_chain(ray_session):
+    """1M-edge star + a deep chain, both SYNTHESIZED DATASET-SIDE (the
+    driver never holds an edge list): labels must collapse each
+    component to its min id."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.dedup import connected_components_ds
+
+    N_STAR = 1_000_000
+    N_CHAIN = 4_096
+    CHAIN_BASE = 10_000_000
+
+    def make_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        i = batch["id"].to_numpy(dtype="int64")
+        star = i < N_STAR
+        a = np.where(star, 0, CHAIN_BASE + (i - N_STAR))
+        b = np.where(star, i + 1, CHAIN_BASE + (i - N_STAR) + 1)
+        return pd.DataFrame({"a": a, "b": b})
+
+    edges = ray.data.range(N_STAR + N_CHAIN - 1) \
+        .map_batches(make_edges, batch_format="pandas")
+    labels = connected_components_ds(edges)
+
+    def check(batch: pd.DataFrame) -> pd.DataFrame:
+        doc = batch["doc_id"].to_numpy()
+        lab = batch["cluster_id"].to_numpy()
+        want = np.where(doc < CHAIN_BASE, 0, CHAIN_BASE)
+        return pd.DataFrame({"n": [len(batch)],
+                             "bad": [int((lab != want).sum())]})
+
+    out = labels.map_batches(check, batch_format="pandas").to_pandas()
+    assert int(out["bad"].sum()) == 0
+    assert int(out["n"].sum()) == (N_STAR + 1) + N_CHAIN

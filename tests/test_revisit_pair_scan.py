@@ -70,6 +70,52 @@ def test_revisit_dedup_pipeline(ray_session, tmp_path):
     assert "revisit/identical-payload-digest" in hdrs["WARC-Profile"]
 
 
+def test_revisit_dedup_high_dup_rate(ray_session, tmp_path):
+    """Every payload x4 (a worse-than-real 75% dup rate): the rewrite
+    must stay correct with NO driver-built winner dict — the instruction
+    side-channel holds the (filename, offset) -> refers-to map bucketed
+    on disk and the driver only ever sees row counts."""
+    import os
+
+    from warcio_ray.pipelines.revisit import rewrite_duplicates_as_revisits
+    from warcio_ray.sources.warc import read_warc
+
+    n_docs, n_copies = 40, 4
+    paths = []
+    for shard in range(4):
+        recs = []
+        for i in range(shard * (n_docs // 4), (shard + 1) * (n_docs // 4)):
+            for c in range(n_copies):
+                recs.append(_response(
+                    f"http://dup.example/{i}?c={c}",
+                    f"payload body {i}".encode(),
+                    f"2000-01-0{c + 1}T00:00:00Z"))
+        p = str(tmp_path / f"dup-{shard}.warc.gz")
+        with open(p, "wb") as f:
+            for r in recs:
+                f.write(serialize_record(r, gzip=True))
+        paths.append(p)
+
+    instr_dir = str(tmp_path / "instr")
+    out = rewrite_duplicates_as_revisits(
+        read_warc(paths), instr_dir=instr_dir, num_buckets=8).to_pandas()
+    by_type = out["rec_type"].value_counts().to_dict()
+    assert by_type == {"revisit": n_docs * (n_copies - 1),
+                       "response": n_docs}
+    # the winner (earliest date, c=0) survived per digest
+    survivors = set(out.loc[out["rec_type"] == "response", "url"])
+    assert survivors == {f"http://dup.example/{i}?c=0"
+                         for i in range(n_docs)}
+    # instructions really went through the bucketed side-channel
+    buckets = [d for d in os.listdir(instr_dir) if d.startswith("bucket=")]
+    assert buckets
+    # every revisit points at its winner
+    revs = out[out["rec_type"] == "revisit"]
+    for _, row in revs.head(5).iterrows():
+        hdrs = {h["name"]: h["value"] for h in row["warc_headers"]}
+        assert hdrs["WARC-Refers-To-Target-URI"].endswith("?c=0")
+
+
 def test_pair_request_response_round_trip():
     resp = _response("http://x.example/p", b"hello")
     http_req = HeaderBlock(protocol="GET", statusline="/p HTTP/1.0",

@@ -205,7 +205,9 @@ def crawl_distributed(seeds: Sequence[Tuple[str, float]],
                       resume: bool = False,
                       fetch_concurrency: int = 2,
                       order_dir: Optional[str] = None,
-                      track_order: bool = False) -> DistributedCrawlResult:
+                      track_order: bool = False,
+                      resident_fetch_max_bytes: Optional[int] = None
+                      ) -> DistributedCrawlResult:
     """Run the crawl distributed; bit-identical to the reference crawl.
 
     ``pages`` is the simulated web: either a ``url -> html bytes`` dict
@@ -213,6 +215,13 @@ def crawl_distributed(seeds: Sequence[Tuple[str, float]],
     path to a url_hash-bucketed pages layout (``build_pages_bucketed``),
     in which case each round semi-joins its scheduled urls against only
     the buckets they hash into — the 100-TB fetch path.
+
+    ``resident_fetch_max_bytes`` (default
+    ``pipelines.crawl.RESIDENT_FETCH_MAX_BYTES``) caps how large a
+    bucketed layout may be before the fetch switches from the
+    object-store-resident group cache to the per-round bucket semi-join
+    (``ScanFetcher``) — aggregate object-store residency then stays
+    O(round), never O(corpus).
 
     ``checkpoint_dir`` enables per-round snapshots; ``resume=True`` picks
     up from the latest complete round found there. ``order_dir`` streams
@@ -251,10 +260,19 @@ def crawl_distributed(seeds: Sequence[Tuple[str, float]],
                                               snapshot=pol_snaps[p])
                   for p in range(config.num_host_shards)]
     if scan_mode:
-        from warcio_ray.pipelines.crawl import BucketedFetcher
+        from warcio_ray.pipelines.crawl import (
+            RESIDENT_FETCH_MAX_BYTES,
+            make_fetcher,
+        )
 
         fetch_actors = []
-        fetcher = BucketedFetcher(pages, config)
+        # corpus-size-aware: resident group cache for small layouts,
+        # per-round bucket semi-join (O(round) residency) at scale
+        fetcher = make_fetcher(
+            pages, config,
+            resident_fetch_max_bytes=(
+                RESIDENT_FETCH_MAX_BYTES if resident_fetch_max_bytes is None
+                else resident_fetch_max_bytes))
     else:
         pages_ref = ray.put(pages)
         fetch_actors = [FetchActor.remote(pages_ref, config)

@@ -445,19 +445,178 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
         out = batch.loc[keep, ["a", "b"]]
         return out.astype({"a": "int64", "b": "int64"})
 
-    verified = joined.map_batches(verify_batch,
-                                  batch_format="pandas").to_pandas()
+    verified_ds = joined.map_batches(verify_batch,
+                                     batch_format="pandas").materialize()
+    n_verified = verified_ds.count()
+    verified = verified_ds.to_pandas()
     verified = verified.sort_values(["a", "b"]).reset_index(drop=True) \
         if len(verified) else pd.DataFrame({"a": pd.Series(dtype="int64"),
                                             "b": pd.Series(dtype="int64")})
     verified.attrs["lsh_dropped_ids"] = n_dropped
-    clusters = _connected_components(verified)
+    if n_verified > CC_DISTRIBUTED_THRESHOLD:
+        # boilerplate-heavy corpora yield edge sets too big for the
+        # driver union-find: run the star-contraction loop distributed
+        clusters = connected_components_ds(verified_ds).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+    else:
+        clusters = _connected_components(verified)
     return verified, clusters
 
 
+# verified-pair sets above this size run connected components as the
+# distributed star-contraction loop instead of the in-process union-find
+CC_DISTRIBUTED_THRESHOLD = 200_000
+
+# star-contraction shuffles into this many partitions; inside each the
+# per-node min/emit kernels are vectorized pandas groupbys
+N_CC_PARTITIONS = 32
+
+
+def _cc_add_part(batch: pd.DataFrame, key: str,
+                 num_partitions: int) -> pd.DataFrame:
+    h = batch[key].to_numpy().astype(np.uint64, copy=True)
+    C = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(30))) * C
+        h ^= h >> np.uint64(29)
+    batch = batch.copy()
+    batch["_part"] = (h % np.uint64(num_partitions)).astype("int32")
+    return batch
+
+
+def _cc_large_star_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Partition of mirrored (node, nbr) rows -> large-star edges:
+    for each node u, every strictly larger neighbor connects to
+    min(N(u) ∪ {u}). Fully vectorized (groupby-min + map)."""
+    df = df[["node", "nbr"]].drop_duplicates()
+    if not len(df):
+        return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                             "v": pd.Series(dtype="int64")})
+    mn = df.groupby("node")["nbr"].min()
+    m = np.minimum(mn.to_numpy(), mn.index.to_numpy())
+    m_of = pd.Series(m, index=mn.index)
+    mm = df["node"].map(m_of).to_numpy()
+    keep = df["nbr"].to_numpy() > df["node"].to_numpy()
+    out = pd.DataFrame({"u": df["nbr"].to_numpy()[keep],
+                        "v": mm[keep]}).drop_duplicates()
+    return out.astype({"u": "int64", "v": "int64"})
+
+
+def _cc_small_star_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Partition of max->min directed (u, v) rows -> small-star edges:
+    every smaller neighbor (and u itself) connects to min(N(u))."""
+    df = df[["u", "v"]].drop_duplicates()
+    if not len(df):
+        return df.astype({"u": "int64", "v": "int64"})
+    mn = df.groupby("u")["v"].min()
+    mm = df["u"].map(mn).to_numpy()
+    vs = df["v"].to_numpy()
+    keep = vs != mm
+    out = pd.concat([
+        pd.DataFrame({"u": vs[keep], "v": mm[keep]}),
+        pd.DataFrame({"u": mn.index.to_numpy(), "v": mn.to_numpy()}),
+    ], ignore_index=True).drop_duplicates()
+    return out.astype({"u": "int64", "v": "int64"})
+
+
+def _cc_checksum(edges_ds) -> Tuple[int, int]:
+    """Order-independent (count, sum-of-edge-hashes) fingerprint of a
+    materialized edge Dataset — O(1) driver state per round."""
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["u"].to_numpy().astype(np.uint64)
+        v = batch["v"].to_numpy().astype(np.uint64)
+        C1 = np.uint64(0x9E3779B97F4A7C15)
+        C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+        with np.errstate(over="ignore"):
+            h = (u * C1) ^ (v * C2)
+            h ^= h >> np.uint64(29)
+            s = int(h.sum(dtype=np.uint64))
+        return pd.DataFrame({"n": [len(batch)], "s": [s]})
+
+    out = edges_ds.map_batches(fp, batch_format="pandas").to_pandas()
+    if "n" not in out.columns or not len(out):
+        return 0, 0
+    return int(out["n"].sum()), int(np.uint64(out["s"].to_numpy(
+        dtype=np.uint64).sum(dtype=np.uint64)))
+
+
+def connected_components_ds(edges_ds, num_partitions: int = N_CC_PARTITIONS,
+                            max_iters: int = 64):
+    """Distributed connected components over an (a, b) edge Dataset via
+    alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): converges
+    in O(log n) practical rounds with bounded intermediate edge sets.
+
+    Each half-round is ONE hash shuffle of the (bounded) edge set; the
+    per-partition kernels are vectorized pandas groupbys — never a
+    per-node map_groups. The driver loop holds only an O(1)
+    (count, hash) fingerprint per round, never the edges.
+
+    Returns a Dataset (doc_id, cluster_id): every endpoint labeled with
+    its component's minimum id — identical semantics to the in-process
+    ``_connected_components``.
+    """
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["a"].to_numpy(dtype="int64")
+        b = batch["b"].to_numpy(dtype="int64")
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pd.DataFrame({"u": np.maximum(a, b), "v": np.minimum(a, b)})
+
+    edges = edges_ds.map_batches(canon, batch_format="pandas").materialize()
+    prev = _cc_checksum(edges)
+    if prev[0] == 0:
+        import ray.data
+        return ray.data.from_pandas(pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "cluster_id": pd.Series(dtype="int64")}))
+
+    def mirror(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat([
+            pd.DataFrame({"node": batch["u"].to_numpy(dtype="int64"),
+                          "nbr": batch["v"].to_numpy(dtype="int64")}),
+            pd.DataFrame({"node": batch["v"].to_numpy(dtype="int64"),
+                          "nbr": batch["u"].to_numpy(dtype="int64")}),
+        ], ignore_index=True)
+
+    for _ in range(max_iters):
+        # large star: mirrored rows, group by node
+        large = edges.map_batches(mirror, batch_format="pandas") \
+            .map_batches(_cc_add_part, batch_format="pandas",
+                         fn_kwargs={"key": "node",
+                                    "num_partitions": num_partitions}) \
+            .groupby("_part").map_groups(_cc_large_star_kernel,
+                                         batch_format="pandas")
+        # small star: output is already max->min directed (u > v)
+        edges = large.map_batches(_cc_add_part, batch_format="pandas",
+                                  fn_kwargs={"key": "u",
+                                             "num_partitions": num_partitions}) \
+            .groupby("_part").map_groups(_cc_small_star_kernel,
+                                         batch_format="pandas").materialize()
+        cur = _cc_checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # at convergence every component is a star on its min id: label each
+    # endpoint with min(neighbors ∪ self) in one partition sweep
+    def label_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        mn = df.groupby("node")["nbr"].min()
+        lab = np.minimum(mn.to_numpy(), mn.index.to_numpy())
+        return pd.DataFrame({"doc_id": mn.index.to_numpy(dtype="int64"),
+                             "cluster_id": lab.astype("int64")})
+
+    return edges.map_batches(mirror, batch_format="pandas") \
+        .map_batches(_cc_add_part, batch_format="pandas",
+                     fn_kwargs={"key": "node",
+                                "num_partitions": num_partitions}) \
+        .groupby("_part").map_groups(label_kernel, batch_format="pandas")
+
+
 def _connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
-    """Min-label propagation until fixpoint (pairs are small after
-    verification; at scale this is a groupby per iteration)."""
+    """Min-label propagation until fixpoint (the in-process path for
+    post-verification pair sets below CC_DISTRIBUTED_THRESHOLD; larger
+    sets go through ``connected_components_ds``)."""
     if pairs.empty:
         return pd.DataFrame({"doc_id": [], "cluster_id": []}, dtype="int64")
     label = {}
