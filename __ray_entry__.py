@@ -163,12 +163,22 @@ def _lang_confusion(sf_dir: str):
 
 
 def _fingerprints(sf_dir: str):
+    import pandas as pd
     import ray.data
 
     from warcio_ray.ops.textstats import fingerprint_batch
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return ds.map_batches(fingerprint_batch, batch_format="pandas")
+
+    def to_int64(batch: pd.DataFrame) -> pd.DataFrame:
+        # fingerprints are 61-bit: cast the uint64 columns to the
+        # oracle's BIGINT for an exact dtype match
+        batch["min_fp"] = batch["min_fp"].astype("int64")
+        batch["max_fp"] = batch["max_fp"].astype("int64")
+        return batch
+
+    return ds.map_batches(fingerprint_batch, batch_format="pandas") \
+        .map_batches(to_int64, batch_format="pandas")
 
 
 def _minhash_pairs(sf_dir: str):
@@ -502,6 +512,38 @@ _HOST_CASE = ("'site' || CAST(CASE WHEN doc_id%100<30 THEN 0 "
               "|| '.example'")
 
 
+def _fingerprint_cte(k: int = 5, window: int = 4) -> str:
+    """Shared winnowing-fingerprint CTE chain mirroring
+    warcio_ray.ops.textstats exactly: md5-derived 32-bit token hashes,
+    k-gram polynomial rolling hash in HUGEINT (% 2^64 == the numpy
+    uint64 wrap, then % 2^61 == the & MASK), window-min + distinct."""
+    B = 1315423911
+    b_pows = [pow(B, j, 1 << 64) for j in range(k)]
+    poly = " + ".join(
+        f"CAST(th[i+{j}] AS HUGEINT) * {b_pows[k - 1 - j]}::HUGEINT"
+        for j in range(k))
+    return f"""
+        toks AS (
+          SELECT doc_id, list_transform(regexp_extract_all(text, '\\S+'),
+              x -> CAST(('0x' || substr(md5(x),1,8)) AS BIGINT)) AS th
+          FROM documents),
+        roll AS (
+          SELECT doc_id, CASE WHEN len(th) < {k} THEN []
+            ELSE list_transform(range(1, len(th)-{k}+2),
+              i -> CAST((({poly}) % 18446744073709551616::HUGEINT)
+                        % 2305843009213693952::HUGEINT AS BIGINT))
+            END AS h
+          FROM toks),
+        fps AS (
+          SELECT doc_id, CASE WHEN len(h) = 0 THEN []
+            WHEN len(h) <= {window} THEN [list_min(h)]
+            ELSE list_distinct(list_transform(range(1, len(h)-{window}+2),
+              i -> list_min(h[i:i+{window}-1])))
+            END AS f
+          FROM roll)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -720,6 +762,28 @@ def oracle_sql() -> dict[str, str]:
               FROM hits)
             SELECT lang, lang_pred, COUNT(*) AS n
             FROM pred GROUP BY lang, lang_pred
+        """,
+        # doc_fingerprints / fingerprint_dups: the md5-derived token
+        # hash + HUGEINT polynomial make the winnowing chain exactly
+        # recomputable in SQL (VERDICT r2 item 4)
+        "doc_fingerprints": f"""
+            WITH {_fingerprint_cte()}
+            SELECT doc_id, len(f) AS n_fps,
+                   CASE WHEN len(f) = 0 THEN 0 ELSE list_min(f) END
+                       AS min_fp,
+                   CASE WHEN len(f) = 0 THEN 0 ELSE list_max(f) END
+                       AS max_fp
+            FROM fps
+        """,
+        "fingerprint_dups": f"""
+            WITH {_fingerprint_cte()},
+            ex AS (SELECT doc_id, unnest(f) AS fp FROM fps),
+            pairs AS (
+              SELECT ia.doc_id AS a, ib.doc_id AS b,
+                     COUNT(*) AS n_shared
+              FROM ex ia JOIN ex ib USING (fp)
+              WHERE ia.doc_id < ib.doc_id GROUP BY 1, 2)
+            SELECT a, b, n_shared FROM pairs WHERE n_shared >= 5
         """,
         # warc_rec_types: pages -> WARC shards -> datasource -> counts;
         # one response record per document by construction, so the

@@ -432,3 +432,41 @@ def test_connected_components_ds_large_star_chain(ray_session):
     out = labels.map_batches(check, batch_format="pandas").to_pandas()
     assert int(out["bad"].sum()) == 0
     assert int(out["n"].sum()) == (N_STAR + 1) + N_CHAIN
+
+
+def test_train_centroids_bitwise_deterministic(ray_session):
+    """Training twice on the same corpus must give bitwise-identical
+    centroids regardless of block arrival order (the sample is sorted by
+    vec_id before Lloyd runs)."""
+    import numpy as np
+    import ray.data
+
+    from warcio_ray.ops.ivf import train_centroids
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    a = train_centroids(ds, n_centroids=8, sample_size=400)
+    b = train_centroids(ds.repartition(7), n_centroids=8, sample_size=400)
+    assert a.shape == b.shape
+    assert np.array_equal(a, b)  # bitwise, not allclose
+
+
+def test_minhash_64bit_modp_reduction():
+    """The split-multiply (a*x+b) mod p kernel must equal exact big-int
+    arithmetic for 64-bit shingle hashes (the 32-bit hash space
+    birthday-collides on long documents)."""
+    import numpy as np
+
+    from warcio_ray.ops.dedup import _MERSENNE, MinHasher
+
+    mh = MinHasher(num_perm=16, seed=9)
+    text = "the quick brown fox jumps over the lazy dog " * 20
+    sh = mh.shingles(text)
+    assert sh.max() > (1 << 32)  # hashes really are 64-bit now
+    sig = mh.signature(text)
+    # exact reference in python big ints
+    want = np.array([
+        min((int(a) * int(x) + int(b)) % _MERSENNE for x in sh)
+        for a, b in zip(mh.a, mh.b)], dtype=np.uint64)
+    assert np.array_equal(sig, want)

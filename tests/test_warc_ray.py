@@ -136,6 +136,48 @@ def test_chunked_yield_strict_error_sentinel(ray_session):
     assert len(df) == 1 and df["parse_error"][0]
 
 
+def test_chunked_mid_file_error_degrades_not_raises(ray_session, tmp_path):
+    """A strict-mode error AFTER chunks have streamed out must not kill
+    the read task: the file degrades to parsed-prefix + one error-marker
+    row (a raise would crash the whole pipeline on one bad archive)."""
+    import gzip as gz
+
+    import pyarrow as pa
+
+    from warcio_ray.codec.build import build_record, serialize_record
+    from warcio_ray.codec.headers import HeaderBlock
+    from warcio_ray.sources.warc import iter_archive_tables
+
+    good = []
+    for i in range(12):
+        rec = build_record(f"http://x.example/{i}", "response",
+                           payload=f"body {i}".encode(),
+                           http_headers=HeaderBlock(
+                               protocol="HTTP/1.0", statusline="200 OK",
+                               pairs=[("Content-Type", "text/plain")]),
+                           id_fn=lambda i=i: f"<urn:uuid:{i}>",
+                           date_fn=lambda m: "2024-01-01T00:00:00Z")
+        good.append(serialize_record(rec, gzip=True))
+    # one gzip member holding TWO records -> strict ArchiveFormatError
+    two_raw = serialize_record(build_record(
+        "http://x.example/a", "resource", payload=b"a",
+        id_fn=lambda: "<urn:uuid:a>",
+        date_fn=lambda m: "2024-01-01T00:00:00Z"), gzip=False)
+    bad_member = gz.compress(two_raw + two_raw)
+    data = b"".join(good) + bad_member
+
+    tables = list(iter_archive_tables(data, "mid.warc.gz",
+                                      chunk_records=5))
+    cat = pa.concat_tables(tables).to_pandas()
+    # 12 parsed records survive, then exactly one error-marker row
+    parsed = cat[cat["parse_error"].isna()]
+    sentinel = cat[cat["parse_error"].notna()]
+    assert len(parsed) == 12
+    assert list(parsed["url"]) == [f"http://x.example/{i}"
+                                   for i in range(12)]
+    assert len(sentinel) == 1 and sentinel.iloc[0]["rec_type"] is None
+
+
 def test_payload_undecoded_flag(ray_session, tmp_path):
     """A Content-Encoding this build can't decode (br w/o brotlipy) is
     surfaced as payload_undecoded=True; content() passes bytes through."""
@@ -166,6 +208,20 @@ def test_payload_undecoded_flag(ray_session, tmp_path):
 
     df = read_warc([path]).to_pandas().sort_values("offset")
     assert list(df["payload_undecoded"]) == [False, True]
+
+    # check/index must NOT misreport the undecodable record: digests are
+    # over the RAW transfer bytes (the reference silently no-ops br
+    # without brotlipy, bufferedreaders.py:32-36), so verification
+    # passes and the record indexes normally
+    from warcio_ray.codec.records import ParseOptions
+
+    checked = read_warc([path], parse_options=ParseOptions(
+        check_digests=True)).to_pandas().sort_values("offset")
+    assert list(checked["digest_passed"]) == [True, True]
+    assert [list(p) for p in checked["digest_problems"]] == [[], []]
+    idx = read_warc([path], parse_options=ParseOptions(
+        no_record_parse=True), compute_digests=False).to_pandas()
+    assert len(idx) == 2 and set(idx["rec_type"]) == {"response"}
 
 
 def test_read_warc_http_inputs(ray_session):

@@ -82,9 +82,11 @@ class MinHasher:
     def __init__(self, num_perm: int = 64, shingle_k: int = 3,
                  seed: int = 1234):
         rng = np.random.RandomState(seed)
-        # a < 2^32 and shingle hashes < 2^32, so a*x < 2^64 never wraps in
-        # uint64; (a*x mod p) + b < 2^62 also fits -> a TRUE (a*x+b) mod p
-        # universal family (a,b < p would wrap mod 2^64 before the mod-p)
+        # a < 2^32 keeps every partial product below 2^64 in the split
+        # 128-bit-safe reduction in signature(); b ranges over the full
+        # field -> a TRUE (a*x+b) mod p universal family over 64-bit
+        # shingle hashes (32-bit hashes birthday-collide at ~2^16
+        # distinct shingles, i.e. long web pages, biasing Jaccard up)
         self.a = rng.randint(1, 1 << 32, size=num_perm, dtype=np.uint64)
         self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
@@ -93,7 +95,7 @@ class MinHasher:
     def shingles(self, text: str) -> np.ndarray:
         uniq = _shingle_set(text, self.k)
         return np.fromiter(
-            (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=4).digest(),
+            (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
                             "big") for g in uniq),
             dtype=np.uint64, count=len(uniq))
 
@@ -101,10 +103,21 @@ class MinHasher:
         sh = self.shingles(text)
         if len(sh) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
-        # (a*x + b) mod p, min over shingles — vectorized outer product;
-        # exact in uint64 because a, x < 2^32 (see __init__)
-        prod = (sh[None, :] * self.a[:, None]) % np.uint64(_MERSENNE)
-        prod = (prod + self.b[:, None]) % np.uint64(_MERSENNE)
+        # (a*x + b) mod p over 64-bit x without 128-bit ints: split
+        # x = xh*2^32 + xl (xh, xl < 2^32; a < 2^32, so both partial
+        # products are EXACT in uint64), then fold t*2^32 mod p via
+        # 2^61 ≡ 1 (mod p):  t*2^32 = (t>>29)*2^61 + ((t<<32) & MASK61)
+        #                          ≡ (t>>29) + ((t<<32) & MASK61)
+        # each term < p + 2^32, and the final 3-term sum < 2^63 — exact.
+        p = np.uint64(_MERSENNE)
+        mask61 = np.uint64(_MERSENNE)
+        xh = sh >> np.uint64(32)
+        xl = sh & np.uint64(0xFFFFFFFF)
+        with np.errstate(over="ignore"):
+            t = (self.a[:, None] * xh[None, :]) % p
+            t = ((t << np.uint64(32)) & mask61) + (t >> np.uint64(29))
+            lo = (self.a[:, None] * xl[None, :]) % p
+            prod = (t + lo + self.b[:, None]) % p
         return prod.min(axis=1)
 
     def __call__(self, batch) -> pa.Table:
@@ -357,14 +370,16 @@ def attach_pair_payloads(pairs_ds, ds, id_col: str, payload_col: str,
             t["a"].combine_chunks().cast(pa.int64()),
             t["b"].combine_chunks().cast(pa.int64())]).unique()}),
         batch_format="pyarrow").to_pandas()
-    id_set = frozenset(int(x) for x in ids_df[id_col].unique())
-    id_ref = ray.put(id_set)
+    id_arr = pa.array(np.unique(ids_df[id_col].to_numpy(dtype="int64")),
+                      pa.int64())
+    id_ref = ray.put(id_arr)
 
     def keep_candidates(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         wanted = ray.get(id_ref)
-        mask = pa.array([int(d) in wanted
-                         for d in batch[id_col].to_pylist()],
-                        pa.bool_())
+        mask = pc.is_in(batch[id_col].combine_chunks().cast(pa.int64()),
+                        value_set=wanted)
         kept = batch.filter(mask)
         payload = kept[payload_col]
         if encode_batch is not None:

@@ -52,7 +52,12 @@ def train_centroids(ds, n_centroids: int = 16, sample_size: int = 4096,
         mask = _sample_mask(ids, rate_num, rate_den)
         return batch.filter(pa.array(mask))
 
-    sample = ds.map_batches(take_sample, batch_format="pyarrow").to_pandas()
+    # Ray Data does NOT preserve block order: sort the (small) sample by
+    # vec_id so k-means init indexing and the float mean's accumulation
+    # order are identical at any parallelism — without this, trained
+    # centroids (and any nprobe<all search) could vary run to run
+    sample = ds.map_batches(take_sample, batch_format="pyarrow").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
     mat = _normalize(_to_matrix(sample["embedding"]))
     if len(mat) < n_centroids:
         raise ValueError(f"sample too small ({len(mat)}) for "
@@ -111,9 +116,10 @@ def ivf_search(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
     nprobe = nprobe or len(centroids)
 
     qn = _normalize(queries)
-    # top-nprobe centroids per query, computed once on the driver (tiny)
+    # top-nprobe centroids per query, computed once on the driver (tiny);
+    # kept as sorted arrays so the per-batch membership mask is np.isin
     probe_sets = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
-    probes = [set(int(c) for c in row) for row in probe_sets]
+    probes = [np.sort(row.astype(np.int64)) for row in probe_sets]
 
     assigned = assign_centroids(ds, centroids)
     qref = ray.put(qn)
@@ -132,8 +138,7 @@ def ivf_search(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
             scores = vecs @ self.q.T
             out_q, out_v, out_s = [], [], []
             for qi, probe in enumerate(self.probes):
-                mask = np.fromiter((c in probe for c in cids), dtype=bool,
-                                   count=len(cids))
+                mask = np.isin(cids, probe)
                 if not mask.any():
                     continue
                 col = scores[mask, qi]

@@ -7,6 +7,7 @@ columns are mirrored exactly in __ray_entry__.oracle_sql.
 
 from __future__ import annotations
 
+import hashlib
 import re
 from typing import Dict, List
 
@@ -96,18 +97,35 @@ class LangIdStage:
 _B = 1315423911  # rolling hash base (fixed)
 _MASK = (1 << 61) - 1
 
+# per-worker token-hash memo (md5 per distinct token, not per occurrence)
+_TOKEN_HASH_MEMO: Dict[str, int] = {}
+
+
+def _token_hash(word: str) -> int:
+    """32-bit md5-derived token hash — deliberately SQL-derivable
+    (DuckDB: CAST('0x' || substr(md5(w),1,8) AS BIGINT)) so the whole
+    winnowing chain is hard-oracle checkable."""
+    h = _TOKEN_HASH_MEMO.get(word)
+    if h is None:
+        h = int(hashlib.md5(word.encode("utf-8")).hexdigest()[:8], 16)
+        if len(_TOKEN_HASH_MEMO) < 1 << 20:
+            _TOKEN_HASH_MEMO[word] = h
+    return h
+
 
 def _rolling_kgram_hashes(tokens: List[int], k: int) -> np.ndarray:
-    """Stable polynomial rolling hash of token k-grams (vectorized)."""
+    """Stable polynomial rolling hash of token k-grams: Horner over
+    uint64 WRAPPING arithmetic (== the k-term polynomial mod 2^64),
+    masked to 61 bits at the end — exactly mirrorable in DuckDB as
+    (sum t[i+j]*B^(k-1-j) in HUGEINT) % 2^64 % 2^61 (vectorized)."""
     if len(tokens) < k:
         return np.empty(0, dtype=np.uint64)
     arr = np.array(tokens, dtype=np.uint64)
-    out = np.zeros(len(arr) - k + 1, dtype=np.uint64)
-    acc = np.zeros_like(out)
-    for i in range(k):
-        acc = (acc * np.uint64(_B) + arr[i:len(arr) - k + 1 + i]) & np.uint64(_MASK)
-    out = acc
-    return out
+    acc = np.zeros(len(arr) - k + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            acc = acc * np.uint64(_B) + arr[i:len(arr) - k + 1 + i]
+    return acc & np.uint64(_MASK)
 
 
 def fingerprint_batch(batch: pd.DataFrame, k: int = 5,
@@ -115,11 +133,9 @@ def fingerprint_batch(batch: pd.DataFrame, k: int = 5,
     """Winnowing fingerprints: k-gram rolling hashes -> per-window minima
     -> sorted unique fingerprint set. Emits doc_id, n_fps, min_fp, max_fp
     (the full set would be an explode at scale)."""
-    import zlib
-
     doc_ids, n_fps, min_fp, max_fp = [], [], [], []
     for doc_id, text in zip(batch["doc_id"], batch["text"]):
-        toks = [zlib.crc32(w.encode()) for w in (text or "").split()]
+        toks = [_token_hash(w) for w in (text or "").split()]
         hashes = _rolling_kgram_hashes(toks, k)
         if len(hashes) == 0:
             fps = np.empty(0, dtype=np.uint64)
@@ -138,9 +154,7 @@ def fingerprint_batch(batch: pd.DataFrame, k: int = 5,
 
 
 def _winnow_fps(text: str, k: int, window: int) -> np.ndarray:
-    import zlib
-
-    toks = [zlib.crc32(w.encode()) for w in (text or "").split()]
+    toks = [_token_hash(w) for w in (text or "").split()]
     hashes = _rolling_kgram_hashes(toks, k)
     if len(hashes) == 0:
         return np.empty(0, dtype=np.uint64)

@@ -77,10 +77,20 @@ def crawl_pages(sf_dir: str, config: Optional[CrawlConfig] = None,
         raise ValueError(f"unknown fetch_mode: {fetch_mode}")
 
     if order_dir is None:
+        if resume:
+            # a fresh default dir would silently lose rounds < start_round
+            # (resume never rewrites them): the caller must hand back the
+            # original run's order_dir
+            raise ValueError("resume=True requires the original run's "
+                             "order_dir")
+        # unique per call: concurrent crawls of the same sf must not
+        # clobber each other's round files mid-run
+        import tempfile
         tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
-        order_dir = f"/tmp/warcio_ray/crawl_order/{tag}-r{config.max_rounds}"
-        import shutil
-        shutil.rmtree(order_dir, ignore_errors=True)
+        base = "/tmp/warcio_ray/crawl_order"
+        os.makedirs(base, exist_ok=True)
+        order_dir = tempfile.mkdtemp(
+            prefix=f"{tag}-r{config.max_rounds}-", dir=base)
 
     result = crawl_distributed(default_seeds(n_seeds), pages, config,
                                robots_bodies=robots_bodies,

@@ -272,7 +272,17 @@ def iter_archive_tables(data: bytes, filename: str,
             buf_bytes += len(rec.payload)
     except ArchiveFormatError as e:
         if emitted:
-            raise  # can't retract already-yielded chunks; surface it
+            # mid-file strict error AFTER chunks already streamed out:
+            # already-yielded chunks can't be retracted, so the file
+            # degrades to "parsed prefix + error-marker row" — one
+            # malformed archive must never kill the whole read task
+            # (the pre-chunking behavior was a per-file sentinel, never
+            # a raise)
+            if buf or errs:
+                yield records_to_table(buf, filename, errs,
+                                       compute_digests=compute_digests)
+            yield records_to_table([], filename, parse_error=str(e)[:500])
+            return
         # whole-file-failure contract: a strict error turns the file into
         # one sentinel row (parsed-so-far records discarded, exactly like
         # the pre-chunking parse_archive_file behavior)
@@ -368,6 +378,12 @@ def read_warc(paths, parse_options: Optional[ParseOptions] = None,
     http(s):// urls (the reference opens all inputs via fsspec,
     utils.py:36-56 — the most common Common-Crawl usage points at
     https:// WARCs, README.rst:414-426).
+
+    Malformed archives never raise out of a read task: a strict-mode
+    format error becomes a sentinel row (``parse_error`` non-null) —
+    replacing the whole file when it hits before the first streamed
+    chunk, or appended after the parsed prefix when chunks were already
+    emitted.
 
     ``parse_options.check_digests=True`` adds digest verification columns;
     ``no_record_parse=True`` skips http parsing (the indexer's fast path,
