@@ -32,11 +32,13 @@ STAGE_REPS = int(os.environ.get("GRAFT_STAGE_REPS", "1"))
 WARC_BENCH_DIR = "/tmp/warcio_ray/bench_warc"
 
 
-def build_warc_corpus(sf_dir: str, replicate: int) -> tuple[str, int]:
+def build_warc_corpus(sf_dir: str, replicate: int,
+                      n_shards: int = 256) -> tuple[str, int]:
     """pages -> .warc.gz corpus with each record replicated; returns
-    (dir, n_records). Cached per (sf, replicate). The WRITE is the
-    serialize benchmark, so this is always timed by the caller on a cold
-    cache."""
+    (dir, n_records). Cached per (sf, replicate, n_shards). The WRITE is
+    the serialize benchmark, so this is always timed by the caller on a
+    cold cache. ``n_shards=16`` at sf0.1 gives ~100 MB .warc.gz shards
+    (Common Crawl ships ~1 GB) for the representative-file-size pass."""
     import hashlib
 
     import pyarrow as pa
@@ -45,7 +47,8 @@ def build_warc_corpus(sf_dir: str, replicate: int) -> tuple[str, int]:
     from warcio_ray.codec.headers import HeaderBlock
     from warcio_ray.pages import read_pages
 
-    tag = os.path.basename(sf_dir.rstrip("/")) + f"-x{replicate}"
+    tag = os.path.basename(sf_dir.rstrip("/")) + f"-x{replicate}" + \
+        ("" if n_shards == 256 else f"-s{n_shards}")
     out_dir = os.path.join(WARC_BENCH_DIR, tag)
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
@@ -61,7 +64,7 @@ def build_warc_corpus(sf_dir: str, replicate: int) -> tuple[str, int]:
     # contention), so the residual efficiency loss was pure wave
     # quantization (130 tasks = 5 ragged waves at 32 cpus)
     pages = read_pages(sf_dir, columns=["url", "html"],
-                       override_num_blocks=256)
+                       override_num_blocks=n_shards)
 
     def write_shard(batch: pa.Table, out_dir=out_dir, replicate=replicate):
         blobs = []
@@ -95,10 +98,30 @@ def build_warc_corpus(sf_dir: str, replicate: int) -> tuple[str, int]:
     return out_dir, int(n)
 
 
+def _silence_known_benign_worker_logs():
+    """Ray-internal `Failed to hash the schemas ... unhashable type:
+    'dict'` fires from transform_pyarrow.py:181 on ANY map over these
+    parquet reads (BASELINE.md "Known benign log noise") and floods
+    bench tails. Filter exactly that message in every worker so REAL
+    warnings stay visible (never log_to_driver=False)."""
+    import logging
+
+    class _SchemaHashFilter(logging.Filter):
+        def filter(self, record):
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
+        _SchemaHashFilter())
+
+
 def run_bench() -> dict:
     import ray
     ray.init(address="local", num_cpus=NCPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             runtime_env={"worker_process_setup_hook":
+                          _silence_known_benign_worker_logs})
+    _silence_known_benign_worker_logs()  # driver-side too
     import ray.data
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
@@ -237,6 +260,37 @@ def run_bench() -> dict:
     timings["minhash_bands"] = round(time.time() - t0, 3)
     derived["minhash_band_rows"] = n_sigs
 
+    # 7. representative-file-size pass: the SAME records in ~100 MB
+    # .warc.gz shards (Common Crawl ships ~1 GB files; the 6 MB shards
+    # above exercise wave scheduling, these exercise chunked yield +
+    # within-file streaming). Reported under `derived` so the headline
+    # stage set stays comparable across rounds. Skipped inside scaling
+    # subprocesses (GRAFT_BIGSHARD=0): 16 files < 32 cpus would measure
+    # wave quantization, not scaling.
+    if os.environ.get("GRAFT_BIGSHARD", "1") != "0":
+        t0 = time.time()
+        big_dir, n_big = build_warc_corpus(SF_DIR, REPLICATE, n_shards=16)
+        derived["bigshard_write_s"] = round(time.time() - t0, 3)
+        big_paths = [os.path.join(big_dir, p)
+                     for p in sorted(os.listdir(big_dir))
+                     if p.endswith(".warc.gz")]
+        sz = [os.path.getsize(p) for p in big_paths]
+        derived["bigshard_mb"] = round(sum(sz) / len(sz) / 1e6, 1)
+        derived["bigshard_files"] = len(big_paths)
+
+        def run_big_parse():
+            return int(read_warc(
+                big_paths, parse_options=ParseOptions(check_digests=True),
+                compute_digests=False,
+                override_num_blocks=len(big_paths))
+                .map_batches(count_failures, batch_format="pyarrow",
+                             batch_size=None)
+                .to_pandas()["n"].sum())
+
+        best, n_big_parsed = timed_min(run_big_parse)
+        derived["bigshard_parse_s"] = round(best, 3)
+        derived["bigshard_parse_rec_s"] = round(n_big_parsed / best, 1)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "warcio_ray headline pipelines (pages+warc+crawl+dedup)",
@@ -272,7 +326,8 @@ def run_scaling() -> None:
             time.sleep(10)
 
     def run(ncpu: int, keep: bool) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BIGSHARD="0")
         env.setdefault("GRAFT_STAGE_REPS", "3")
         if keep:
             env["GRAFT_KEEP_WARC"] = "1"

@@ -401,8 +401,9 @@ def _aggregate(canon_rows: List[tuple], config: CrawlConfig) -> pd.DataFrame:
 
     Small rounds aggregate in-process via the shared
     ``aggregate_canonical`` (no Dataset overhead); big rounds run the
-    identical sort-sum per group as a distributed groupby. Both paths
-    sum in (src_shard, src_seq) order -> identical floats.
+    identical per-group math.fsum as a distributed groupby. fsum is
+    EXACT, hence order-independent -> identical floats on every path at
+    every parallelism, with no per-element Python accumulation loop.
     """
     if not canon_rows:
         return pd.DataFrame(columns=CAND_COLUMNS)
@@ -411,13 +412,13 @@ def _aggregate(canon_rows: List[tuple], config: CrawlConfig) -> pd.DataFrame:
         cands = aggregate_canonical(canon_rows)
         return _candidates_df(cands)
 
+    import math
+
     import ray.data
 
     def sum_group(grp: pd.DataFrame) -> pd.DataFrame:
         grp = grp.sort_values(["src_shard", "src_seq"], kind="mergesort")
-        total = 0.0
-        for v in grp["cash"].to_numpy():
-            total += float(v)
+        total = math.fsum(grp["cash"].to_numpy())
         first = grp.iloc[0]
         return pd.DataFrame([[first["url_hash"], first["url"], first["surt"],
                               first["host"], total]], columns=CAND_COLUMNS)

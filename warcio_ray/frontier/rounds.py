@@ -97,18 +97,20 @@ def canonicalize_contributions(
 
 
 def aggregate_canonical(rows: Iterable[CanonContrib]) -> List[Candidate]:
-    """Group canonical contributions by dst hash; sum cash in sorted
-    (src_shard, src_seq) order; output sorted by hash. Load-independent,
-    bitwise-stable floats."""
+    """Group canonical contributions by dst hash; sum cash EXACTLY
+    (math.fsum — order-independent, so every execution order and every
+    partitioning yields bitwise-identical priorities); output sorted by
+    hash. The (src_shard, src_seq) sort only picks the deterministic
+    representative row."""
+    import math
+
     by_dst: Dict[int, List[CanonContrib]] = {}
     for row in rows:
         by_dst.setdefault(row[0], []).append(row)
     out: List[Candidate] = []
     for h in sorted(by_dst):
         grp = sorted(by_dst[h], key=lambda r: (r[4], r[5]))
-        total = 0.0
-        for r in grp:
-            total += r[6]
+        total = math.fsum(r[6] for r in grp)
         first = grp[0]
         out.append(Candidate(url_hash=h, url=first[1], surt=first[2],
                              host=first[3], priority=total))

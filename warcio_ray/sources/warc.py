@@ -125,13 +125,22 @@ def records_to_table(records: List[ParsedRecord], filename: str,
                      err_count: int = 0,
                      parse_error: Optional[str] = None,
                      compute_digests: bool = True,
-                     filenames: Optional[List[str]] = None) -> pa.Table:
+                     filenames: Optional[List[str]] = None,
+                     consume_payloads: bool = False) -> pa.Table:
     """Columnarize parsed records (one file's worth) into the T2 schema.
 
     ``compute_digests=False`` skips the sha1 dedup-key columns (the
     indexer fast path never touches payload bytes). ``filenames`` (one
     per record) overrides the single ``filename`` for batches that mix
-    records from several source files (e.g. coalesced rewrite batches)."""
+    records from several source files (e.g. coalesced rewrite batches).
+
+    The payload column is built ZERO-COPY over one accumulated buffer
+    (offsets + bytearray -> Arrow large_binary), not via a second
+    pa.array copy of the python bytes; with ``consume_payloads=True``
+    each record's payload reference is dropped as it is consumed, so
+    peak payload residency during conversion stays ~1 chunk instead of
+    2 (the chunked-parse memory plateau, VERDICT r2 item 7). Only pass
+    it for records the caller owns and will discard."""
     if not records:
         if parse_error is None and not err_count:
             return WARC_RECORDS_SCHEMA.empty_table()
@@ -143,30 +152,42 @@ def records_to_table(records: List[ParsedRecord], filename: str,
         row["err_count"] = err_count
         return pa.Table.from_pylist([row], schema=WARC_RECORDS_SCHEMA)
 
+    import numpy as np
+
     n = len(records)
     _date_memo: dict = {}  # archives repeat WARC-Date values heavily
     https = [r.http_headers for r in records]
-    payloads = [r.payload for r in records]
-    if compute_digests:
-        def ascii_buff(h):
-            if h is None:
-                return b""
-            try:
-                # fast path: to_str() never mutates; ascii headers are
-                # the overwhelming majority
-                return h.to_str().encode("ascii") + b"\r\n"
-            except UnicodeEncodeError:
-                # copy: to_ascii_bytes %-encode mutates pairs
-                return HeaderBlock(protocol=h.protocol,
-                                   statusline=h.statusline,
-                                   pairs=list(h.pairs)).to_ascii_bytes()
 
-        payload_digest = [sha1_b32(p) for p in payloads]
-        block_digest = [sha1_b32(ascii_buff(h), p)
-                        for h, p in zip(https, payloads)]
-    else:
-        payload_digest = [None] * n
-        block_digest = [None] * n
+    def ascii_buff(h):
+        if h is None:
+            return b""
+        try:
+            # fast path: to_str() never mutates; ascii headers are
+            # the overwhelming majority
+            return h.to_str().encode("ascii") + b"\r\n"
+        except UnicodeEncodeError:
+            # copy: to_ascii_bytes %-encode mutates pairs
+            return HeaderBlock(protocol=h.protocol,
+                               statusline=h.statusline,
+                               pairs=list(h.pairs)).to_ascii_bytes()
+
+    payload_digest: List[Optional[str]] = [None] * n
+    block_digest: List[Optional[str]] = [None] * n
+    offsets = np.empty(n + 1, dtype=np.int64)
+    offsets[0] = 0
+    payload_buf = bytearray()
+    for i, r in enumerate(records):
+        p = r.payload
+        if compute_digests:
+            payload_digest[i] = sha1_b32(p)
+            block_digest[i] = sha1_b32(ascii_buff(https[i]), p)
+        payload_buf += p
+        offsets[i + 1] = len(payload_buf)
+        if consume_payloads:
+            r.payload = b""
+    payload_arr = pa.Array.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(offsets), pa.py_buffer(payload_buf)])
     arrays = [
         pa.array(filenames if filenames is not None else [filename] * n,
                  pa.string()),
@@ -181,7 +202,7 @@ def records_to_table(records: List[ParsedRecord], filename: str,
         _header_list_array(https),
         pa.array([r.content_type for r in records], pa.string()),
         pa.array([r.length for r in records], pa.int64()),
-        pa.array(payloads, pa.large_binary()),
+        payload_arr,
         pa.array(payload_digest, pa.string()),
         pa.array(block_digest, pa.string()),
         pa.array([r.digest_passed for r in records], pa.bool_()),
@@ -262,7 +283,8 @@ def iter_archive_tables(data: bytes, filename: str,
             if rec is not None and (len(buf) >= chunk_records
                                     or buf_bytes >= chunk_bytes):
                 yield records_to_table(buf, filename, errs,
-                                       compute_digests=compute_digests)
+                                       compute_digests=compute_digests,
+                                       consume_payloads=True)
                 buf, buf_bytes, errs = [], 0, 0
                 emitted = True
             errs += err_inc
@@ -280,7 +302,8 @@ def iter_archive_tables(data: bytes, filename: str,
             # a raise)
             if buf or errs:
                 yield records_to_table(buf, filename, errs,
-                                       compute_digests=compute_digests)
+                                       compute_digests=compute_digests,
+                                       consume_payloads=True)
             yield records_to_table([], filename, parse_error=str(e)[:500])
             return
         # whole-file-failure contract: a strict error turns the file into
@@ -293,7 +316,8 @@ def iter_archive_tables(data: bytes, filename: str,
         # was emitted yet (lazy flush); records_to_table([], errs>0)
         # emits a sentinel row so the count survives
         yield records_to_table(buf, filename, errs,
-                               compute_digests=compute_digests)
+                               compute_digests=compute_digests,
+                               consume_payloads=True)
 
 
 class WARCDatasource:
