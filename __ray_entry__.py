@@ -428,6 +428,30 @@ def _jaccard_pairs(sf_dir: str):
     return jaccard_similarity_join(ds, threshold=0.5)[["a", "b"]]
 
 
+def _jaccard_clusters(sf_dir: str):
+    """Connected components over the EXACT jaccard pair set through the
+    distributed star-contraction operator — the hard oracle for
+    connected_components_ds (DuckDB recomputes components with a
+    recursive reachability CTE)."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.dedup import (
+        connected_components_ds,
+        jaccard_similarity_join,
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    pairs = jaccard_similarity_join(ds, threshold=0.5)
+    if not len(pairs):
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cluster_id": pd.Series(dtype="int64")})
+    return connected_components_ds(
+        ray.data.from_pandas(pairs[["a", "b"]])).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "cluster_id": "int64"})
+
+
 def _asof_click_purchase(sf_dir: str):
     from warcio_ray.ops.relational import asof_join_events
     return asof_join_events(sf_dir, "click", "purchase")
@@ -483,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _exact_dedup,
         "minhash_pairs": _minhash_pairs,
         "jaccard_pairs": _jaccard_pairs,
+        "jaccard_clusters": _jaccard_clusters,
         "simhash_pairs": _simhash_pairs,
         "embedding_neardup": _embedding_neardup,
         # similarity search
@@ -510,6 +535,36 @@ _HOST_CASE = ("'site' || CAST(CASE WHEN doc_id%100<30 THEN 0 "
               "WHEN doc_id%100<45 THEN 1 WHEN doc_id%100<55 THEN 2 "
               "WHEN doc_id%100<62 THEN 3 ELSE doc_id%100 END AS VARCHAR) "
               "|| '.example'")
+
+
+# exact 3-gram jaccard pairs at threshold 0.5 (integer boundary compare)
+# — shared by minhash_pairs, jaccard_pairs and jaccard_clusters
+_JACCARD_PAIRS_CTE = r"""
+    toks AS (SELECT doc_id,
+                    regexp_extract_all(text, '\S+') AS t
+             FROM documents),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) = 0 THEN []
+                  WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct(list_transform(
+                       range(1, len(t)-1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             END AS g
+      FROM toks),
+    sizes AS (SELECT doc_id, len(g) AS n FROM grams),
+    jpairs AS (
+      SELECT ia.doc_id AS a, ib.doc_id AS b, count(*) AS c
+      FROM (SELECT doc_id, unnest(g) AS gram FROM grams) ia
+      JOIN (SELECT doc_id, unnest(g) AS gram FROM grams) ib
+        USING (gram)
+      WHERE ia.doc_id < ib.doc_id GROUP BY 1, 2),
+    jp AS (
+      SELECT a, b FROM jpairs
+      JOIN sizes sa ON sa.doc_id = a
+      JOIN sizes sb ON sb.doc_id = b
+      WHERE 2*c >= (sa.n + sb.n - c))
+"""
 
 
 def _fingerprint_cte(k: int = 5, window: int = 4) -> str:
@@ -662,30 +717,23 @@ def oracle_sql() -> dict[str, str]:
         # sf0.01 gate because every qualifying pair there has J >= 0.9,
         # where the 16-band/4-row LSH miss probability is ~5e-8 (measured
         # distribution; at lower J the sketch is intentionally lossy)
-        "minhash_pairs": r"""
-            WITH toks AS (SELECT doc_id,
-                                 regexp_extract_all(text, '\S+') AS t
-                          FROM documents),
-            grams AS (
-              SELECT doc_id,
-                     CASE WHEN len(t) = 0 THEN []
-                          WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                          ELSE list_distinct(list_transform(
-                               range(1, len(t)-1),
-                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-                     END AS g
-              FROM toks),
-            sizes AS (SELECT doc_id, len(g) AS n FROM grams),
-            pairs AS (
-              SELECT ia.doc_id AS a, ib.doc_id AS b, count(*) AS c
-              FROM (SELECT doc_id, unnest(g) AS gram FROM grams) ia
-              JOIN (SELECT doc_id, unnest(g) AS gram FROM grams) ib
-                USING (gram)
-              WHERE ia.doc_id < ib.doc_id GROUP BY 1, 2)
-            SELECT a, b FROM pairs
-            JOIN sizes sa ON sa.doc_id = a
-            JOIN sizes sb ON sb.doc_id = b
-            WHERE 2*c >= (sa.n + sb.n - c)
+        "minhash_pairs": f"""
+            WITH {_JACCARD_PAIRS_CTE}
+            SELECT a, b FROM jp
+        """,
+        # jaccard_clusters: connected components over the exact pair set
+        # recomputed via recursive reachability (min reachable id ==
+        # the star-contraction operator's cluster label)
+        "jaccard_clusters": f"""
+            WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+            edges AS (SELECT a AS u, b AS v FROM jp
+                      UNION ALL SELECT b AS u, a AS v FROM jp),
+            reach(node, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, t.r FROM edges e JOIN reach t ON t.node = e.v)
+            SELECT node AS doc_id, MIN(r) AS cluster_id
+            FROM reach GROUP BY node
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS a, b.vec_id AS b
@@ -696,30 +744,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS match_count, 0 AS mismatch_count
             FROM documents
         """,
-        "jaccard_pairs": r"""
-            WITH toks AS (SELECT doc_id,
-                                 regexp_extract_all(text, '\S+') AS t
-                          FROM documents),
-            grams AS (
-              SELECT doc_id,
-                     CASE WHEN len(t) = 0 THEN []
-                          WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                          ELSE list_distinct(list_transform(
-                               range(1, len(t)-1),
-                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-                     END AS g
-              FROM toks),
-            sizes AS (SELECT doc_id, len(g) AS n FROM grams),
-            pairs AS (
-              SELECT ia.doc_id AS a, ib.doc_id AS b, count(*) AS c
-              FROM (SELECT doc_id, unnest(g) AS gram FROM grams) ia
-              JOIN (SELECT doc_id, unnest(g) AS gram FROM grams) ib
-                USING (gram)
-              WHERE ia.doc_id < ib.doc_id GROUP BY 1, 2)
-            SELECT a, b FROM pairs
-            JOIN sizes sa ON sa.doc_id = a
-            JOIN sizes sb ON sb.doc_id = b
-            WHERE 2*c >= (sa.n + sb.n - c)
+        "jaccard_pairs": f"""
+            WITH {_JACCARD_PAIRS_CTE}
+            SELECT a, b FROM jp
         """,
         # lang_confusion: the stopword-profile heuristic mirrored exactly
         # (same regex, lowercase, first-500 cap, alphabetical-first

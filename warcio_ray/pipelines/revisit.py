@@ -48,15 +48,25 @@ NUM_INSTR_BUCKETS = 64
 _INSTR_CACHE_CAP = 8
 
 
-def find_revisit_targets_ds(ds):
-    """warc_records dataset -> one row per duplicated digest:
-    (payload_digest, refers_to_uri, refers_to_date). Winner = first by
-    (warc_date, url, offset). Returns a Dataset — only key rows shuffle."""
+def _response_keys(ds):
+    """Project the corpus to the primitive response key rows
+    (payload_digest, url, warc_date, offset, filename) — everything the
+    winner groupby AND the instruction join need, so the expensive parse
+    runs ONCE for both."""
 
     def keys_only(batch: pa.Table) -> pa.Table:
-        return batch.select(["payload_digest", "url", "warc_date",
-                             "offset", "rec_type"]).filter(
+        t = batch.select(["payload_digest", "url", "warc_date",
+                          "offset", "filename", "rec_type"]).filter(
             pa.compute.equal(batch["rec_type"], "response"))
+        return t.drop_columns(["rec_type"])
+
+    return ds.map_batches(keys_only, batch_format="pyarrow")
+
+
+def _winners_from_keys(keys_ds):
+    """Key rows -> one row per duplicated digest:
+    (payload_digest, refers_to_uri, refers_to_date). Winner = first by
+    (warc_date, url, offset). Returns a Dataset — only key rows shuffle."""
 
     def pick_winner(grp: pd.DataFrame) -> pd.DataFrame:
         if len(grp) < 2:
@@ -72,9 +82,13 @@ def find_revisit_targets_ds(ds):
             "refers_to_date": first["warc_date"],
         }])
 
-    return ds.map_batches(keys_only, batch_format="pyarrow") \
-        .groupby("payload_digest") \
+    return keys_ds.groupby("payload_digest") \
         .map_groups(pick_winner, batch_format="pandas")
+
+
+def find_revisit_targets_ds(ds):
+    """warc_records dataset -> winner rows per duplicated digest."""
+    return _winners_from_keys(_response_keys(ds))
 
 
 def find_revisit_targets(ds) -> pd.DataFrame:
@@ -89,16 +103,15 @@ def _instr_bucket_of(filename: str, num_buckets: int) -> int:
 def _build_instructions(ds, instr_dir: str, num_buckets: int,
                         num_partitions: int = 16) -> int:
     """Key rows ⋈ winners -> bucketed instruction parquet; returns the
-    number of instruction (rewrite) rows written."""
-    targets = find_revisit_targets_ds(ds)
+    number of instruction (rewrite) rows written.
 
-    def keys_only(batch: pa.Table) -> pa.Table:
-        t = batch.select(["payload_digest", "url", "warc_date",
-                          "offset", "filename", "rec_type"]).filter(
-            pa.compute.equal(batch["rec_type"], "response"))
-        return t.drop_columns(["rec_type"])
-
-    keys = ds.map_batches(keys_only, batch_format="pyarrow")
+    The key rows are MATERIALIZED once (tiny primitive columns; the
+    object store spills them if needed) so the expensive archive parse
+    feeds both the winner groupby and the join side with a single
+    corpus pass — the whole revisit pipeline then costs two parse
+    passes total (keys + rewrite), same as the pre-side-channel shape."""
+    keys = _response_keys(ds).materialize()
+    targets = _winners_from_keys(keys)
     joined = keys.join(targets, join_type="inner",
                        num_partitions=num_partitions,
                        on=("payload_digest",))
