@@ -65,6 +65,10 @@ def build_warc_corpus(sf_dir: str, replicate: int,
     # quantization (130 tasks = 5 ragged waves at 32 cpus)
     pages = read_pages(sf_dir, columns=["url", "html"],
                        override_num_blocks=n_shards)
+    if n_shards < 32:
+        # override_num_blocks can split but not MERGE below the pages
+        # file count; the big-shard variant needs an explicit coalesce
+        pages = pages.repartition(n_shards)
 
     def write_shard(batch: pa.Table, out_dir=out_dir, replicate=replicate):
         blobs = []
@@ -269,7 +273,7 @@ def run_bench() -> dict:
     # wave quantization, not scaling.
     if os.environ.get("GRAFT_BIGSHARD", "1") != "0":
         t0 = time.time()
-        big_dir, n_big = build_warc_corpus(SF_DIR, REPLICATE, n_shards=16)
+        big_dir, n_big = build_warc_corpus(SF_DIR, REPLICATE, n_shards=8)
         derived["bigshard_write_s"] = round(time.time() - t0, 3)
         big_paths = [os.path.join(big_dir, p)
                      for p in sorted(os.listdir(big_dir))
