@@ -231,6 +231,32 @@ def _ivf_knn_top10(sf_dir: str):
     return pd.DataFrame({"vec_id": out["vec_id"].astype("int64")})
 
 
+def _ivf_layout_top10(sf_dir: str):
+    """ANN over the PERSISTED hive-partitioned IVF layout at full probe
+    (exact): checks train -> assign -> write partitioned -> pruned read
+    -> probe end-to-end against the brute-force SQL oracle."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from warcio_ray.ops.ivf import build_ivf_layout, ivf_search_layout
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(
+        t.filter(__import__("pyarrow").compute.equal(t["vec_id"], 0))
+        ["embedding"][0].as_py(), dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    layout = os.path.join("/tmp/warcio_ray/ivf",
+                          os.path.basename(sf_dir.rstrip("/")))
+    build_ivf_layout(ds, layout, n_centroids=8)
+    out = ivf_search_layout(layout, q, k=10)
+    return pd.DataFrame({"vec_id": out["vec_id"].astype("int64")})
+
+
 def _fingerprint_dups(sf_dir: str):
     import ray.data
 
@@ -513,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_top10": _knn_top10,
         "ivf_knn_top10": _ivf_knn_top10,
+        "ivf_layout_top10": _ivf_layout_top10,
         "fingerprint_dups": _fingerprint_dups,
         # pages / crawl / warc
         "host_counts": _host_counts,
@@ -842,6 +869,13 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "ivf_knn_top10": """
+            SELECT vec_id FROM embeddings
+            ORDER BY list_cosine_similarity(embedding,
+                (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                vec_id
+            LIMIT 10
+        """,
+        "ivf_layout_top10": """
             SELECT vec_id FROM embeddings
             ORDER BY list_cosine_similarity(embedding,
                 (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,

@@ -138,6 +138,31 @@ def test_scan_per_round_fetch_matches_reference(ray_session, pages):
     assert dist.counters == ref.counters
 
 
+def test_make_fetcher_regimes(ray_session):
+    """Fetch strategy by corpus size: unbounded cache below 1/4 of the
+    threshold, LRU-bounded cache in the mid regime, per-round scan
+    above the threshold."""
+    from warcio_ray.pages import build_pages_bucketed
+    from warcio_ray.pipelines.crawl import (
+        BucketedFetcher,
+        ScanFetcher,
+        layout_nbytes,
+        make_fetcher,
+    )
+
+    bucketed = build_pages_bucketed(SF)
+    nbytes = layout_nbytes(bucketed)
+    small = make_fetcher(bucketed, config(),
+                         resident_fetch_max_bytes=nbytes * 8)
+    assert isinstance(small, BucketedFetcher) and small.max_resident is None
+    mid = make_fetcher(bucketed, config(),
+                       resident_fetch_max_bytes=nbytes * 2)
+    assert isinstance(mid, BucketedFetcher) and mid.max_resident >= 1
+    big = make_fetcher(bucketed, config(),
+                       resident_fetch_max_bytes=nbytes // 2)
+    assert isinstance(big, ScanFetcher)
+
+
 def test_bucketed_fetcher_lru_bound(ray_session, pages):
     """max_resident_groups LRU-bounds the cached group refs while the
     crawl stays identical to the unbounded fetcher."""

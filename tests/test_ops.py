@@ -470,3 +470,50 @@ def test_minhash_64bit_modp_reduction():
         min((int(a) * int(x) + int(b)) % _MERSENNE for x in sh)
         for a, b in zip(mh.a, mh.b)], dtype=np.uint64)
     assert np.array_equal(sig, want)
+
+
+def test_ivf_layout_search_matches_instream(ray_session, tmp_path):
+    """The persisted hive-partitioned IVF layout returns the same
+    results as the in-stream search for the same centroids — at full
+    probe (exact) AND at nprobe=2 (approximate but deterministic).
+    nprobe=1 must read only the probed partition."""
+    import ray.data
+
+    from warcio_ray.ops.ivf import (
+        build_ivf_layout,
+        ivf_search,
+        ivf_search_layout,
+        train_centroids,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    cents = train_centroids(ds, n_centroids=8, sample_size=400)
+    layout = str(tmp_path / "ivf")
+    build_ivf_layout(ds, layout, centroids=cents)
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    q = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+
+    for nprobe in (None, 2):
+        want = ivf_search(ds, q, k=10, centroids=cents, nprobe=nprobe) \
+            .reset_index(drop=True)
+        got = ivf_search_layout(layout, q, k=10, nprobe=nprobe) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["query_id", "vec_id"]].astype("int64"),
+            want[["query_id", "vec_id"]].astype("int64"))
+        assert np.allclose(got["score"], want["score"])
+
+    # single-probe result comes only from that cluster's partition
+    got1 = ivf_search_layout(layout, q, k=10, nprobe=1)
+    import os
+
+    probed = {int(d.split("=")[1])
+              for d in os.listdir(os.path.join(layout, "vectors"))
+              if d.startswith("centroid_id=")}
+    assert len(probed) > 1  # layout really is partitioned
+    assert len(got1) <= 10

@@ -106,14 +106,45 @@ def test_revisit_dedup_high_dup_rate(ray_session, tmp_path):
     survivors = set(out.loc[out["rec_type"] == "response", "url"])
     assert survivors == {f"http://dup.example/{i}?c=0"
                          for i in range(n_docs)}
-    # instructions really went through the bucketed side-channel
-    buckets = [d for d in os.listdir(instr_dir) if d.startswith("bucket=")]
+    # instructions really went through the bucketed side-channel (each
+    # invocation writes into a unique run-* subdir of the given dir)
+    import glob
+
+    buckets = glob.glob(os.path.join(instr_dir, "run-*", "bucket=*"))
     assert buckets
     # every revisit points at its winner
     revs = out[out["rec_type"] == "revisit"]
     for _, row in revs.head(5).iterrows():
         hdrs = {h["name"]: h["value"] for h in row["warc_headers"]}
         assert hdrs["WARC-Refers-To-Target-URI"].endswith("?c=0")
+
+
+def test_revisit_winner_tie_same_url_same_date(ray_session, tmp_path):
+    """Two records with the SAME url and SAME WARC-Date (1 s resolution)
+    sharing a payload: winner identity must be (filename, offset), not
+    (url, date) — the offset tie-breaker picks exactly one winner and
+    the other copy becomes a revisit."""
+    from warcio_ray.pipelines.revisit import rewrite_duplicates_as_revisits
+    from warcio_ray.sources.warc import read_warc
+
+    recs = [
+        _response("http://tie.example/x", b"tie payload",
+                  "2000-01-01T00:00:00Z"),
+        _response("http://tie.example/x", b"tie payload",
+                  "2000-01-01T00:00:00Z"),
+    ]
+    path = str(tmp_path / "tie.warc.gz")
+    with open(path, "wb") as f:
+        for r in recs:
+            f.write(serialize_record(r, gzip=True))
+
+    out = rewrite_duplicates_as_revisits(read_warc([path])).to_pandas()
+    by_type = out["rec_type"].value_counts().to_dict()
+    assert by_type == {"response": 1, "revisit": 1}
+    # the surviving response is the LOWER offset (the sort tie-breaker)
+    resp = out[out["rec_type"] == "response"].iloc[0]
+    rev = out[out["rec_type"] == "revisit"].iloc[0]
+    assert resp["offset"] < rev["offset"]
 
 
 def test_pair_request_response_round_trip():

@@ -427,13 +427,14 @@ def _attach_pair_texts(pairs_ds, ds, num_partitions: int = 8):
                                 num_partitions=num_partitions)
 
 
-def minhash_lsh_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
-                      bands: int = 16, shingle_k: int = 3,
-                      max_bucket: int = MAX_BUCKET):
-    """Full near-dup pipeline. Returns (pairs_df, clusters_df):
-    verified duplicate pairs and doc_id -> cluster_id (min-id labels via
-    label propagation). ``pairs_df.attrs['lsh_dropped_ids']`` carries the
-    number of ids truncated out of hot LSH buckets (0 normally)."""
+def minhash_lsh_dedup_ds(ds, threshold: float = 0.7, num_perm: int = 64,
+                         bands: int = 16, shingle_k: int = 3,
+                         max_bucket: int = MAX_BUCKET):
+    """Dataset-returning near-dup core — the bounded-driver path.
+    Returns (verified_pairs_ds, n_dropped): a MATERIALIZED Dataset of
+    verified (a, b) pairs plus the hot-bucket drop count. NOTHING
+    edge-set-sized touches the driver; pair clusters come from
+    ``connected_components_ds(verified_pairs_ds)`` when needed."""
     sigs = ds.map_batches(minhash_batch, batch_format="pyarrow",
                           batch_size=512,
                           fn_kwargs={"num_perm": num_perm,
@@ -445,10 +446,11 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
     cand, n_dropped = _dedup_pairs(raw_pairs)
     cand = cand.materialize()  # small, capped; reused for ids + join sides
     if cand.count() == 0:
-        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
-                              "b": pd.Series(dtype="int64")})
-        empty.attrs["lsh_dropped_ids"] = n_dropped
-        return empty, _connected_components(empty)
+        import ray.data
+        empty_ds = ray.data.from_pandas(pd.DataFrame(
+            {"a": pd.Series(dtype="int64"),
+             "b": pd.Series(dtype="int64")}))
+        return empty_ds, n_dropped
 
     joined = _attach_pair_texts(cand.select_columns(["a", "b"]),
                                 ds.select_columns(["doc_id", "text"]))
@@ -462,6 +464,27 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
 
     verified_ds = joined.map_batches(verify_batch,
                                      batch_format="pandas").materialize()
+    return verified_ds, n_dropped
+
+
+def minhash_lsh_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
+                      bands: int = 16, shingle_k: int = 3,
+                      max_bucket: int = MAX_BUCKET):
+    """Full near-dup pipeline, driver-convenience form. Returns
+    (pairs_df, clusters_df): verified duplicate pairs and doc_id ->
+    cluster_id (min-id labels). ``pairs_df.attrs['lsh_dropped_ids']``
+    carries the number of ids truncated out of hot LSH buckets
+    (0 normally).
+
+    NOTE: this wrapper materializes the verified pairs as pandas by
+    contract — at corpus scales where that is itself too large, use
+    ``minhash_lsh_dedup_ds`` + ``connected_components_ds`` and keep
+    everything a Dataset. The clusters here still run distributed above
+    CC_DISTRIBUTED_THRESHOLD (the union-find CPU bound hits long before
+    the pairs-DataFrame memory bound)."""
+    verified_ds, n_dropped = minhash_lsh_dedup_ds(
+        ds, threshold=threshold, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, max_bucket=max_bucket)
     n_verified = verified_ds.count()
     verified = verified_ds.to_pandas()
     verified = verified.sort_values(["a", "b"]).reset_index(drop=True) \
@@ -469,8 +492,6 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
                                             "b": pd.Series(dtype="int64")})
     verified.attrs["lsh_dropped_ids"] = n_dropped
     if n_verified > CC_DISTRIBUTED_THRESHOLD:
-        # boilerplate-heavy corpora yield edge sets too big for the
-        # driver union-find: run the star-contraction loop distributed
         clusters = connected_components_ds(verified_ds).to_pandas() \
             .sort_values("doc_id").reset_index(drop=True)
     else:
@@ -545,14 +566,19 @@ def _cc_checksum(edges_ds) -> Tuple[int, int]:
         with np.errstate(over="ignore"):
             h = (u * C1) ^ (v * C2)
             h ^= h >> np.uint64(29)
-            s = int(h.sum(dtype=np.uint64))
-        return pd.DataFrame({"n": [len(batch)], "s": [s]})
+            s = h.sum(dtype=np.uint64)
+        # dtype MUST be pinned uint64: a bare python int >= 2^63 in one
+        # block and < 2^63 in another gives mixed int64/uint64 blocks,
+        # which Ray's concat silently promotes to float64 — truncating
+        # the fingerprint to a 53-bit mantissa compare
+        return pd.DataFrame({"n": np.array([len(batch)], dtype=np.int64),
+                             "s": np.array([s], dtype=np.uint64)})
 
     out = edges_ds.map_batches(fp, batch_format="pandas").to_pandas()
     if "n" not in out.columns or not len(out):
         return 0, 0
-    return int(out["n"].sum()), int(np.uint64(out["s"].to_numpy(
-        dtype=np.uint64).sum(dtype=np.uint64)))
+    return int(out["n"].sum()), int(out["s"].to_numpy(
+        dtype=np.uint64).sum(dtype=np.uint64))
 
 
 def connected_components_ds(edges_ds, num_partitions: int = N_CC_PARTITIONS,

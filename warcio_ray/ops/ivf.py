@@ -10,13 +10,16 @@ search is EXACT and equals brute force — which is how the correctness
 oracle checks it (knn_top10's SQL); smaller nprobe trades recall for
 read volume.
 
-At 100 TB: write the assigned table partitioned by ``centroid_id``
-(hive layout like pages-bucketed) so a probe reads only its clusters'
-files; the train sample stays O(sample_size) regardless of corpus size.
+The persisted form (``build_ivf_layout`` / ``ivf_search_layout``)
+writes the assigned table hive-partitioned by ``centroid_id`` plus the
+centroid matrix, so a probe READS only its clusters' files — at 100 TB
+per-query IO is cluster-local and the train sample stays
+O(sample_size) regardless of corpus size.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -101,62 +104,51 @@ def assign_centroids(ds, centroids: np.ndarray):
                           batch_size=4096, concurrency=2, num_cpus=0.5)
 
 
-def ivf_search(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
-               nprobe: Optional[int] = None,
-               centroids: Optional[np.ndarray] = None) -> pd.DataFrame:
-    """ANN top-k per query over the IVF layout. ``nprobe=None`` probes
-    every centroid (EXACT, equals brute force); else only vectors in the
-    nprobe closest clusters per query score. Returns (query_id, vec_id,
-    score) sorted by (query_id, -score, vec_id), k rows per query."""
-    import ray
+class _ProbeTopK:
+    """map_batches stage: per-batch top-k for every query whose probe
+    set intersects the batch's centroids (query matrix + probe sets
+    loaded once per actor from the broadcast refs)."""
 
-    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
-    if centroids is None:
-        centroids = train_centroids(ds, n_centroids=n_centroids)
-    nprobe = nprobe or len(centroids)
+    def __init__(self, qref, pref, k: int):
+        import ray
 
-    qn = _normalize(queries)
-    # top-nprobe centroids per query, computed once on the driver (tiny);
-    # kept as sorted arrays so the per-batch membership mask is np.isin
-    probe_sets = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
-    probes = [np.sort(row.astype(np.int64)) for row in probe_sets]
+        self.q = ray.get(qref)
+        self.probes = ray.get(pref)
+        self.k = k
 
-    assigned = assign_centroids(ds, centroids)
-    qref = ray.put(qn)
-    pref = ray.put(probes)
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = _normalize(_to_matrix(batch["embedding"]))
+        cids = batch["centroid_id"].to_numpy().astype(np.int64)
+        vec_ids = batch["vec_id"].to_numpy()
+        scores = vecs @ self.q.T
+        out_q, out_v, out_s = [], [], []
+        for qi, probe in enumerate(self.probes):
+            mask = np.isin(cids, probe)
+            if not mask.any():
+                continue
+            col = scores[mask, qi]
+            vids = vec_ids[mask]
+            kk = min(self.k, len(col))
+            part = np.argpartition(-col, kk - 1)[:kk]
+            kth = col[part].min()
+            cand = np.flatnonzero(col >= kth)
+            order = cand[np.lexsort((vids[cand], -col[cand]))][:kk]
+            out_q.extend([qi] * len(order))
+            out_v.extend(int(v) for v in vids[order])
+            out_s.extend(float(s) for s in col[order])
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_v,
+                             "score": out_s})
 
-    class ProbeTopK:
-        def __init__(self):
-            self.q = ray.get(qref)
-            self.probes = ray.get(pref)
-            self.k = k
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            vecs = _normalize(_to_matrix(batch["embedding"]))
-            cids = batch["centroid_id"].to_numpy()
-            vec_ids = batch["vec_id"].to_numpy()
-            scores = vecs @ self.q.T
-            out_q, out_v, out_s = [], [], []
-            for qi, probe in enumerate(self.probes):
-                mask = np.isin(cids, probe)
-                if not mask.any():
-                    continue
-                col = scores[mask, qi]
-                vids = vec_ids[mask]
-                kk = min(self.k, len(col))
-                part = np.argpartition(-col, kk - 1)[:kk]
-                kth = col[part].min()
-                cand = np.flatnonzero(col >= kth)
-                order = cand[np.lexsort((vids[cand], -col[cand]))][:kk]
-                out_q.extend([qi] * len(order))
-                out_v.extend(int(v) for v in vids[order])
-                out_s.extend(float(s) for s in col[order])
-            return pd.DataFrame({"query_id": out_q, "vec_id": out_v,
-                                 "score": out_s})
+def _probe_sets(queries_norm: np.ndarray, centroids: np.ndarray,
+                nprobe: int):
+    """Top-nprobe centroids per query, computed once on the driver
+    (tiny); sorted arrays so the per-batch membership mask is np.isin."""
+    idx = np.argsort(-(queries_norm @ centroids.T), axis=1)[:, :nprobe]
+    return [np.sort(row.astype(np.int64)) for row in idx]
 
-    partials = assigned.map_batches(ProbeTopK, batch_format="pandas",
-                                    batch_size=4096, concurrency=2,
-                                    num_cpus=0.5).to_pandas()
+
+def _merge_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
     out = []
     for qi, grp in partials.groupby("query_id"):
         grp = grp.sort_values(["score", "vec_id"],
@@ -167,3 +159,117 @@ def ivf_search(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
                              "vec_id": pd.Series(dtype="int64"),
                              "score": pd.Series(dtype="float64")})
     return pd.concat(out, ignore_index=True)
+
+
+def ivf_search(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+               nprobe: Optional[int] = None,
+               centroids: Optional[np.ndarray] = None) -> pd.DataFrame:
+    """ANN top-k per query over an in-stream IVF assignment.
+    ``nprobe=None`` probes every centroid (EXACT, equals brute force);
+    else only vectors in the nprobe closest clusters per query score.
+    Returns (query_id, vec_id, score) sorted by (query_id, -score,
+    vec_id), k rows per query."""
+    import ray
+
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    if centroids is None:
+        centroids = train_centroids(ds, n_centroids=n_centroids)
+    nprobe = nprobe or len(centroids)
+
+    qn = _normalize(queries)
+    probes = _probe_sets(qn, centroids, nprobe)
+    assigned = assign_centroids(ds, centroids)
+    qref = ray.put(qn)
+    pref = ray.put(probes)
+
+    partials = assigned.map_batches(
+        _ProbeTopK, batch_format="pandas", batch_size=4096,
+        concurrency=2, num_cpus=0.5,
+        fn_constructor_args=(qref, pref, k)).to_pandas()
+    return _merge_topk(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF layout: the 100-TB read path
+# ---------------------------------------------------------------------------
+
+def build_ivf_layout(ds, out_dir: str, n_centroids: int = 16,
+                     centroids: Optional[np.ndarray] = None,
+                     force: bool = False) -> str:
+    """Write the assigned vector table hive-partitioned by centroid
+    (``centroid=K/``) plus the trained centroid matrix — the persisted
+    IVF index. A probe then READS only its clusters' files (file-level
+    pruning at the storage layer), so per-query IO is cluster-local no
+    matter the corpus size. One distributed pass; ``_DONE`` marker makes
+    rebuilds resumable/skippable."""
+    import shutil
+
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker) and not force:
+        # validate the cached layout against THIS request: a stale index
+        # built with different centroids silently returns wrong
+        # neighbors. Centroid count always checks; an explicitly passed
+        # matrix checks bitwise. (A changed dataset with identical
+        # centroids is undetectable here — pass force=True.)
+        old = np.load(os.path.join(out_dir, "centroids.npy"))
+        want_n = len(centroids) if centroids is not None else n_centroids
+        if len(old) == want_n and (
+                centroids is None or np.array_equal(
+                    old, np.asarray(centroids, dtype=np.float64))):
+            return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    if centroids is None:
+        centroids = train_centroids(ds, n_centroids=n_centroids)
+    np.save(os.path.join(out_dir, "centroids.npy"),
+            np.asarray(centroids, dtype=np.float64))
+    assign_centroids(ds, centroids).write_parquet(
+        os.path.join(out_dir, "vectors"), partition_cols=["centroid_id"])
+    with open(marker, "w") as f:
+        f.write(str(len(centroids)))
+    return out_dir
+
+
+def ivf_search_layout(layout_dir: str, queries: np.ndarray, k: int = 10,
+                      nprobe: Optional[int] = None) -> pd.DataFrame:
+    """ANN top-k over a persisted IVF layout: only the partitions in the
+    union of the queries' probe sets are read at all. Same output
+    contract as ``ivf_search`` (and identical results for the same
+    centroids/nprobe)."""
+    import ray
+    import ray.data
+
+    centroids = np.load(os.path.join(layout_dir, "centroids.npy"))
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    nprobe = nprobe or len(centroids)
+    qn = _normalize(queries)
+    probes = _probe_sets(qn, centroids, nprobe)
+
+    needed = sorted({int(c) for p in probes for c in p})
+    paths = [os.path.join(layout_dir, "vectors", f"centroid_id={c}")
+             for c in needed]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        return _merge_topk(pd.DataFrame(
+            {"query_id": [], "vec_id": [], "score": []}), k)
+
+    def restore_cid(batch: pd.DataFrame) -> pd.DataFrame:
+        # hive-partitioned files don't store the partition column, and
+        # reading leaf dirs directly skips partition inference: recover
+        # centroid_id from each file's path
+        cids = batch["path"].str.extract(r"centroid_id=(\d+)")[0] \
+            .astype("int64")
+        batch = batch.drop(columns=["path"])
+        batch["centroid_id"] = cids
+        return batch
+
+    ds = ray.data.read_parquet(paths, file_extensions=["parquet"],
+                               include_paths=True) \
+        .map_batches(restore_cid, batch_format="pandas")
+    qref = ray.put(qn)
+    pref = ray.put(probes)
+    partials = ds.map_batches(
+        _ProbeTopK, batch_format="pandas", batch_size=4096,
+        concurrency=2, num_cpus=0.5,
+        fn_constructor_args=(qref, pref, k)).to_pandas()
+    return _merge_topk(partials, k)

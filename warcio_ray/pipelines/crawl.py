@@ -76,6 +76,7 @@ def crawl_pages(sf_dir: str, config: Optional[CrawlConfig] = None,
     else:
         raise ValueError(f"unknown fetch_mode: {fetch_mode}")
 
+    default_dir = order_dir is None
     if order_dir is None:
         if resume:
             # a fresh default dir would silently lose rounds < start_round
@@ -103,11 +104,19 @@ def crawl_pages(sf_dir: str, config: Optional[CrawlConfig] = None,
              if int(os.path.basename(f)[len("round="):-len(".parquet")])
              < result.rounds]
     if not files:
-        return pd.DataFrame(columns=ORDER_COLUMNS)
-    df = pd.concat([pq.read_table(f).to_pandas() for f in files],
-                   ignore_index=True)
-    df["url_hash"] = df["url_hash"].astype("uint64")
-    return df[ORDER_COLUMNS]
+        df = pd.DataFrame(columns=ORDER_COLUMNS)
+    else:
+        df = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                       ignore_index=True)
+        df["url_hash"] = df["url_hash"].astype("uint64")
+        df = df[ORDER_COLUMNS]
+    if default_dir:
+        # the per-call tempdir was only needed to assemble the return
+        # value; without cleanup repeated bench/query runs grow /tmp
+        # without bound
+        import shutil
+        shutil.rmtree(order_dir, ignore_errors=True)
+    return df
 
 
 def _load_bucket_dict(path: str) -> Dict[str, bytes]:
@@ -279,11 +288,22 @@ class ScanFetcher:
 def make_fetcher(root: str, config: CrawlConfig,
                  resident_fetch_max_bytes: int = RESIDENT_FETCH_MAX_BYTES):
     """Pick the fetch strategy for a bucketed layout by corpus size:
-    object-store-resident group cache below the threshold (fastest per
-    round), per-round bucket semi-join above it (bounded residency —
-    VERDICT r2 item 3)."""
-    if layout_nbytes(root) > resident_fetch_max_bytes:
+
+      * below 1/4 of the threshold: resident group cache, unbounded
+        (fastest per round; whole corpus comfortably fits plasma)
+      * mid regime (1/4..1x threshold): resident cache LRU-bounded to
+        half the groups, so steady-state residency stays under ~half
+        the threshold while hot buckets stay cached
+      * above the threshold: per-round bucket semi-join (O(round)
+        residency — VERDICT r2 item 3)
+    """
+    nbytes = layout_nbytes(root)
+    if nbytes > resident_fetch_max_bytes:
         return ScanFetcher(root, config)
+    if nbytes > resident_fetch_max_bytes // 4:
+        n_groups = min(16, bucketed_layout_num_buckets(root))
+        return BucketedFetcher(root, config,
+                               max_resident_groups=max(1, n_groups // 2))
     return BucketedFetcher(root, config)
 
 

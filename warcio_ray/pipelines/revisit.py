@@ -64,15 +64,19 @@ def _response_keys(ds):
 
 
 def _winners_from_keys(keys_ds):
-    """Key rows -> one row per duplicated digest:
-    (payload_digest, refers_to_uri, refers_to_date). Winner = first by
-    (warc_date, url, offset). Returns a Dataset — only key rows shuffle."""
+    """Key rows -> one row per duplicated digest: (payload_digest,
+    refers_to_uri, refers_to_date, winner_filename, winner_offset).
+    Winner = first by (warc_date, url, offset); the (filename, offset)
+    pair is the winner's IDENTITY for the instruction join — (url,
+    warc_date) equality alone cannot distinguish the winner from a
+    same-url same-second duplicate (WARC-Date is 1 s resolution).
+    Returns a Dataset — only key rows shuffle."""
 
     def pick_winner(grp: pd.DataFrame) -> pd.DataFrame:
+        cols = ["payload_digest", "refers_to_uri", "refers_to_date",
+                "winner_filename", "winner_offset"]
         if len(grp) < 2:
-            return grp.head(0)[["payload_digest", "url", "warc_date"]] \
-                .rename(columns={"url": "refers_to_uri",
-                                 "warc_date": "refers_to_date"})
+            return pd.DataFrame({c: [] for c in cols})
         grp = grp.sort_values(["warc_date", "url", "offset"],
                               kind="mergesort")
         first = grp.iloc[0]
@@ -80,6 +84,8 @@ def _winners_from_keys(keys_ds):
             "payload_digest": first["payload_digest"],
             "refers_to_uri": first["url"],
             "refers_to_date": first["warc_date"],
+            "winner_filename": first["filename"],
+            "winner_offset": first["offset"],
         }])
 
     return keys_ds.groupby("payload_digest") \
@@ -87,8 +93,11 @@ def _winners_from_keys(keys_ds):
 
 
 def find_revisit_targets_ds(ds):
-    """warc_records dataset -> winner rows per duplicated digest."""
-    return _winners_from_keys(_response_keys(ds))
+    """warc_records dataset -> winner rows per duplicated digest
+    (public shape: payload_digest, refers_to_uri, refers_to_date)."""
+    return _winners_from_keys(_response_keys(ds)) \
+        .select_columns(["payload_digest", "refers_to_uri",
+                         "refers_to_date"])
 
 
 def find_revisit_targets(ds) -> pd.DataFrame:
@@ -122,10 +131,11 @@ def _build_instructions(ds, instr_dir: str, num_buckets: int,
 
         if batch.num_rows == 0 or batch.num_columns == 0:
             return pa.table({"n": pa.array([0], pa.int64())})
-        # the winner row itself keeps its full response
+        # the winner row itself keeps its full response; identity is
+        # (filename, offset) — unique per record, unlike (url, date)
         is_winner = pc.and_(
-            pc.equal(batch["url"], batch["refers_to_uri"]),
-            pc.equal(batch["warc_date"], batch["refers_to_date"]))
+            pc.equal(batch["filename"], batch["winner_filename"]),
+            pc.equal(batch["offset"], batch["winner_offset"]))
         dup = batch.filter(pc.invert(pc.fill_null(is_winner, False)))
         if dup.num_rows == 0:
             return pa.table({"n": pa.array([0], pa.int64())})
@@ -199,10 +209,18 @@ def rewrite_duplicates_as_revisits(
     from warcio_ray.sinks.warc import row_to_record
     from warcio_ray.sources.warc import records_to_table
 
+    import tempfile
+
     if instr_dir is None:
-        import tempfile
         instr_dir = tempfile.mkdtemp(prefix="revisit-instr-",
                                      dir="/tmp")
+    else:
+        os.makedirs(instr_dir, exist_ok=True)
+    # every invocation gets its OWN subdirectory: a reused caller dir
+    # must neither mix fragments from an earlier run nor hit long-lived
+    # workers' bucket cache for the old run (the cache key is
+    # (dir, bucket), so a fresh dir is a fresh cache namespace)
+    instr_dir = tempfile.mkdtemp(prefix="run-", dir=instr_dir)
     n_instr = _build_instructions(ds, instr_dir, num_buckets,
                                   num_partitions=num_partitions)
     if n_instr == 0:
