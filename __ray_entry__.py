@@ -101,6 +101,36 @@ def _token_stats(sf_dir: str):
     return ds.map_batches(token_stats_batch, batch_format="pandas")
 
 
+def _gopher_quality(sf_dir: str):
+    import ray.data
+
+    from warcio_ray.ops.textstats import gopher_quality_batch
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(gopher_quality_batch, batch_format="pandas")
+
+
+def _top_terms(sf_dir: str):
+    import ray.data
+
+    from warcio_ray.ops.textstats import top_terms
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return top_terms(ds, k=20)
+
+
+def _sample_10pct(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.textstats import hash_sample
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    out = hash_sample(ds, pct=10).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64"})
+
+
 def _exact_dedup(sf_dir: str):
     import ray.data
 
@@ -529,6 +559,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _token_stats,
         "lang_confusion": _lang_confusion,
         "doc_fingerprints": _fingerprints,
+        "gopher_quality": _gopher_quality,
+        "top_terms": _top_terms,
+        "sample_10pct": _sample_10pct,
         # dedup family
         "exact_dedup": _exact_dedup,
         "minhash_pairs": _minhash_pairs,
@@ -703,6 +736,42 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        "gopher_quality": r"""
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS t,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> length(x) > 0) AS lines
+              FROM documents)
+            SELECT doc_id,
+                   len(t) AS n_words,
+                   CASE WHEN len(t) = 0 THEN 0.0
+                        ELSE CAST(list_sum(list_transform(t,
+                                 x -> length(x))) AS DOUBLE) / len(t)
+                   END AS mean_word_len,
+                   CASE WHEN len(t) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(t,
+                                 x -> regexp_matches(x, '[A-Za-z]')))
+                             AS DOUBLE) / len(t)
+                   END AS frac_alpha_words,
+                   len(lines) AS n_lines,
+                   CASE WHEN len(lines) = 0 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(lines))
+                             AS DOUBLE) / len(lines)
+                   END AS dup_line_frac
+            FROM w
+        """,
+        "top_terms": r"""
+            SELECT term, COUNT(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS term
+                  FROM documents)
+            GROUP BY term ORDER BY n DESC, term LIMIT 20
+        """,
+        "sample_10pct": """
+            SELECT doc_id FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+                       AS BIGINT) % 100 < 10
+            ORDER BY doc_id
         """,
         "host_counts": f"""
             SELECT {_HOST_CASE} AS host, COUNT(*) AS n_pages

@@ -517,3 +517,42 @@ def test_ivf_layout_search_matches_instream(ray_session, tmp_path):
               if d.startswith("centroid_id=")}
     assert len(probed) > 1  # layout really is partitioned
     assert len(got1) <= 10
+
+
+def test_gopher_quality_signals():
+    from warcio_ray.ops.textstats import gopher_quality_batch
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["aa bb cc\naa bb cc\nunique line",     # 1 dup of 3 lines
+                 "123 456 !!",                          # no alpha words
+                 ""],
+    })
+    out = gopher_quality_batch(df)
+    assert list(out["n_words"]) == [8, 3, 0]
+    assert out["dup_line_frac"][0] == pytest.approx(1 - 2 / 3)
+    assert out["frac_alpha_words"][0] == pytest.approx(1.0)
+    assert out["frac_alpha_words"][1] == 0.0
+    assert out["mean_word_len"][2] == 0.0 and out["n_lines"][2] == 0
+
+
+def test_top_terms_and_hash_sample(ray_session):
+    import ray.data
+
+    from warcio_ray.ops.textstats import hash_sample, top_terms
+
+    df = pd.DataFrame({
+        "doc_id": range(200),
+        "text": ["alpha beta alpha"] * 150 + ["gamma beta"] * 50,
+    })
+    ds = ray.data.from_pandas(df)
+    tt = top_terms(ds, k=3)
+    assert list(tt["term"]) == ["alpha", "beta", "gamma"]
+    assert list(tt["n"]) == [300, 200, 50]
+
+    # sampling is deterministic and partitioning-invariant
+    a = hash_sample(ds, pct=10).to_pandas()["doc_id"].sort_values()
+    b = hash_sample(ds.repartition(7), pct=10).to_pandas()["doc_id"] \
+        .sort_values()
+    assert list(a) == list(b)
+    assert 0 < len(a) < 60  # ~10% of 200, loose bound

@@ -212,3 +212,106 @@ def fingerprint_dedup(ds, min_shared: int = 5, k: int = 5, window: int = 4,
     out = counts.sort_values(["a", "b"]).reset_index(drop=True)
     out.attrs["lsh_dropped_ids"] = n_dropped
     return out
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality filters (Rae et al. 2021 §A1.1 heuristics, the
+# SQL-mirrorable subset) — per-doc repetition + word-shape signals
+# ---------------------------------------------------------------------------
+
+_ALPHA_RX = re.compile(r"[A-Za-z]")
+
+
+def gopher_quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc quality signals for pretraining filters:
+
+      n_words, mean_word_len, frac_alpha_words (words containing an
+      ASCII letter), n_lines (non-empty), dup_line_frac (1 - distinct
+      non-empty lines / non-empty lines).
+
+    Every column is mirrored EXACTLY in __ray_entry__.oracle_sql
+    (regexp_extract_all + list arithmetic). The per-row loop covers the
+    set-based line dedup; the word counts are shared with the loop to
+    avoid double tokenization."""
+    doc_ids, n_words_l, mean_len, frac_alpha = [], [], [], []
+    n_lines_l, dup_frac = [], []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        words = (text or "").split()
+        n = len(words)
+        n_words_l.append(n)
+        if n:
+            total = sum(len(w) for w in words)
+            mean_len.append(total / n)
+            frac_alpha.append(
+                sum(1 for w in words if _ALPHA_RX.search(w)) / n)
+        else:
+            mean_len.append(0.0)
+            frac_alpha.append(0.0)
+        lines = [l for l in (text or "").split("\n") if len(l) > 0]
+        n_lines_l.append(len(lines))
+        dup_frac.append(1.0 - len(set(lines)) / len(lines)
+                        if lines else 0.0)
+        doc_ids.append(int(doc_id))
+    return pd.DataFrame({
+        "doc_id": np.array(doc_ids, dtype="int64"),
+        "n_words": np.array(n_words_l, dtype="int64"),
+        "mean_word_len": np.array(mean_len, dtype="float64"),
+        "frac_alpha_words": np.array(frac_alpha, dtype="float64"),
+        "n_lines": np.array(n_lines_l, dtype="int64"),
+        "dup_line_frac": np.array(dup_frac, dtype="float64"),
+    })
+
+
+# ---------------------------------------------------------------------------
+# corpus top-terms (document-frequency style): the canonical
+# partial-aggregate shape — per-batch Counter -> small groupby -> top-k
+# ---------------------------------------------------------------------------
+
+def top_terms(ds, k: int = 20) -> pd.DataFrame:
+    """Top-k whitespace terms by total occurrence count across the
+    corpus. Per-batch partial counts collapse each batch to its
+    distinct terms BEFORE the shuffle (classic combiner), so the
+    groupby moves O(vocab) rows, never O(tokens). Ties break by term
+    ascending — deterministic and SQL-mirrorable."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in batch["text"]:
+            c.update((text or "").split())
+        if not c:
+            return pd.DataFrame({"term": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        return pd.DataFrame({"term": list(c.keys()),
+                             "n": np.fromiter(c.values(), dtype="int64")})
+
+    counts = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("term").aggregate(Sum("n", alias_name="n"))
+    # distributed two-key sort (n desc, term asc) + limit(k): exact even
+    # when the k-th count value is tied across many terms
+    out = counts.sort(["n", "term"], descending=[True, False]) \
+        .limit(k).to_pandas()
+    return out.reset_index(drop=True).astype({"n": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling (reproducible subsets at any parallelism)
+# ---------------------------------------------------------------------------
+
+def hash_sample(ds, pct: int, id_col: str = "doc_id"):
+    """Keep rows where an md5-derived hash of the id lands below pct%
+    — the reproducible corpus subsample (same rows every run, every
+    partitioning, and recomputable in SQL). Runs as a pure map_batches
+    filter: no shuffle, no driver state."""
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col]
+        mask = np.fromiter(
+            (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
+             % 100 < pct for i in ids),
+            dtype=bool, count=len(ids))
+        return batch[mask]
+
+    return ds.map_batches(keep, batch_format="pandas")
