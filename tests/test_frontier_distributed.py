@@ -191,6 +191,20 @@ def test_bucketed_fetcher_lru_bound(ray_session, pages):
     assert bounded.counters == unbounded.counters
 
 
+def test_crawl_pages_auto_matches_scan(ray_session):
+    """fetch_mode='auto' (in-process at this corpus size) returns the
+    byte-identical order DataFrame the distributed scan mode returns."""
+    import pandas as pd
+
+    from warcio_ray.pipelines.crawl import crawl_pages
+
+    cfg = config(4)
+    auto = crawl_pages(SF, cfg, n_seeds=8)
+    scan = crawl_pages(SF, cfg, n_seeds=8, fetch_mode="scan")
+    pd.testing.assert_frame_equal(auto, scan)
+    assert len(auto) > 20
+
+
 def test_untracked_order_stays_empty_but_parquet_complete(
         ray_session, pages, tmp_path):
     """Default mode: driver memory stays bounded (no order/admitted
