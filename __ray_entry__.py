@@ -484,6 +484,22 @@ def _jaccard_pairs(sf_dir: str):
     return jaccard_similarity_join(ds, threshold=0.5)[["a", "b"]]
 
 
+def _pretrain_corpus(sf_dir: str):
+    """The composed training-data cleaning flagship: Gopher-style
+    quality filter -> exact dedup -> jaccard near-dup removal. One
+    DuckDB WITH RECURSIVE statement recomputes the whole chain."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.pipelines.pretrain import pretrain_corpus
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = pretrain_corpus(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64"})
+
+
 def _jaccard_clusters(sf_dir: str):
     """Connected components over the EXACT jaccard pair set through the
     distributed star-contraction operator — the hard oracle for
@@ -567,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _minhash_pairs,
         "jaccard_pairs": _jaccard_pairs,
         "jaccard_clusters": _jaccard_clusters,
+        "pretrain_corpus": _pretrain_corpus,
         "simhash_pairs": _simhash_pairs,
         "embedding_neardup": _embedding_neardup,
         # similarity search
@@ -597,8 +614,13 @@ _HOST_CASE = ("'site' || CAST(CASE WHEN doc_id%100<30 THEN 0 "
               "|| '.example'")
 
 
-# exact 3-gram jaccard pairs at threshold 0.5 (integer boundary compare)
-# — shared by minhash_pairs, jaccard_pairs and jaccard_clusters
+def _jaccard_cte(src: str = "documents") -> str:
+    """Exact 3-gram jaccard pairs at threshold 0.5 (integer boundary
+    compare) over ``src`` — shared by minhash_pairs, jaccard_pairs,
+    jaccard_clusters and pretrain_corpus."""
+    return _JACCARD_PAIRS_CTE.replace("FROM documents", f"FROM {src}")
+
+
 _JACCARD_PAIRS_CTE = r"""
     toks AS (SELECT doc_id,
                     regexp_extract_all(text, '\S+') AS t
@@ -814,8 +836,42 @@ def oracle_sql() -> dict[str, str]:
         # where the 16-band/4-row LSH miss probability is ~5e-8 (measured
         # distribution; at lower J the sketch is intentionally lossy)
         "minhash_pairs": f"""
-            WITH {_JACCARD_PAIRS_CTE}
+            WITH {_jaccard_cte()}
             SELECT a, b FROM jp
+        """,
+        # pretrain_corpus: quality filter -> exact dedup -> near-dup
+        # removal, the full chain recomputed in one statement
+        "pretrain_corpus": f"""
+            WITH RECURSIVE
+            q AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       regexp_extract_all(text, '\\S+') AS t,
+                       list_filter(string_split(text, chr(10)),
+                                   x -> length(x) > 0) AS lines
+                FROM documents)
+              WHERE len(t) >= 20
+                AND (CASE WHEN len(t) = 0 THEN 0.0
+                     ELSE CAST(len(list_filter(t,
+                          x -> regexp_matches(x, '[A-Za-z]')))
+                          AS DOUBLE) / len(t) END) >= 0.5
+                AND (CASE WHEN len(lines) = 0 THEN 0.0
+                     ELSE 1.0 - CAST(len(list_distinct(lines))
+                          AS DOUBLE) / len(lines) END) <= 0.3),
+            ex AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+            s AS (SELECT q.doc_id, q.text FROM q JOIN ex USING (doc_id)),
+            {_jaccard_cte('s')},
+            edges AS (SELECT a AS u, b AS v FROM jp
+                      UNION ALL SELECT b AS u, a AS v FROM jp),
+            reach(node, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, t2.r FROM edges e JOIN reach t2 ON t2.node = e.v),
+            losers AS (SELECT node FROM reach GROUP BY node
+                       HAVING MIN(r) <> node)
+            SELECT doc_id FROM s
+            WHERE doc_id NOT IN (SELECT node FROM losers)
+            ORDER BY doc_id
         """,
         # jaccard_clusters: connected components over the exact pair set
         # recomputed via recursive reachability (min reachable id ==

@@ -556,3 +556,26 @@ def test_top_terms_and_hash_sample(ray_session):
         .sort_values()
     assert list(a) == list(b)
     assert 0 < len(a) < 60  # ~10% of 200, loose bound
+
+
+def test_pretrain_corpus_pipeline(ray_session):
+    """Composed cleaning chain: quality filter, exact dedup, near-dup
+    removal — each stage must drop exactly its planted victim."""
+    import ray.data
+
+    from warcio_ray.pipelines.pretrain import pretrain_corpus
+
+    long = " ".join(f"tok{i}" for i in range(30))
+    near = long.replace("tok29", "changed")      # J ~ 0.87 vs long
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            long,            # survives (min id of its near-dup cluster)
+            long,            # exact dup of 0 -> dropped
+            near,            # near dup of 0 -> dropped
+            "too short",     # quality fail (n_words < 20) -> dropped
+            " ".join(f"w{i}" for i in range(25)),  # clean -> survives
+        ],
+    })
+    out = pretrain_corpus(ray.data.from_pandas(df)).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 4]

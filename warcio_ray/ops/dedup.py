@@ -389,8 +389,13 @@ def attach_pair_payloads(pairs_ds, ds, id_col: str, payload_col: str,
             payload_col: payload,
         })
 
-    cand_rows = ds.map_batches(keep_candidates, batch_format="pyarrow") \
-        .materialize()  # tiny; both joins below probe it
+    from warcio_ray.ops.blocks import drop_empty_blocks
+
+    # tiny; both joins below probe it. drop_empty_blocks: zero-schema
+    # empty blocks (possible whenever ds came through a groupby/join
+    # chain) poison the hash-shuffle join — see ops/blocks.py
+    cand_rows = drop_empty_blocks(
+        ds.map_batches(keep_candidates, batch_format="pyarrow"))
 
     def rename_norm(ds_in, mapping: dict, schema: pa.Schema):
         """Rename + normalize: empty hash-join partitions come back as
@@ -407,9 +412,11 @@ def attach_pair_payloads(pairs_ds, ds, id_col: str, payload_col: str,
                     (out_a, payload_type)])
     s2 = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                     (out_a, payload_type), (out_b, payload_type)])
-    j1 = pairs_ds.join(cand_rows, join_type="inner",
-                       num_partitions=num_partitions,
-                       on=("a",), right_on=(id_col,))
+    # sanitize the pairs side too (same zero-schema empty-block hazard)
+    j1 = drop_empty_blocks(pairs_ds) \
+        .join(cand_rows, join_type="inner",
+              num_partitions=num_partitions,
+              on=("a",), right_on=(id_col,))
     # repartition between the joins: a join emits zero-COLUMN empty
     # partitions that bypass map_batches untouched and crash the second
     # join's key lookup; the (pairs-sized) repartition coalesces them
