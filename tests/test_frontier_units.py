@@ -97,3 +97,54 @@ def test_seen_set_contract():
     back = SeenSet.from_bytes(blob)
     assert back.to_bytes() == blob
     assert all(k in back for k in keys)
+
+
+def test_crawl_delay_caps_per_round():
+    """Crawl-delay:N limits a host to floor(round_seconds/N) fetches per
+    round (min 1), enforced identically by both engines."""
+    from warcio_ray.frontier.politeness import RobotsRules
+    from warcio_ray.frontier.reference import crawl_reference
+    from warcio_ray.frontier.rounds import CrawlConfig
+
+    r = RobotsRules.parse("User-agent: *\nCrawl-delay: 20\n")
+    assert r.per_round_cap(60.0) == 3
+    assert r.per_round_cap(10.0) == 1        # min 1, never starves
+    assert RobotsRules.parse(None).per_round_cap(60.0) is None
+
+    # ten same-host urls, big token budget: without delay all 10 fetch
+    # in round 0; with Crawl-delay:20 only 3 per round
+    pages = {f"http://slow.example/p{i}": b"<html></html>" for i in range(10)}
+    seeds = [(u, 1.0) for u in pages]
+    cfg = CrawlConfig(max_rounds=6, num_shards=2, num_host_shards=1,
+                      host_capacity=100.0, host_refill=100.0,
+                      round_seconds=60.0)
+    fast = crawl_reference(seeds, pages.get, cfg)
+    assert [r0 for (r0, *_rest) in fast.order][:10] == [0] * 10
+
+    robots = {"slow.example": "User-agent: *\nCrawl-delay: 20\n"}
+    slow = crawl_reference(seeds, pages.get, cfg,
+                           robots_fn=lambda h: robots.get(h))
+    rounds = [row[0] for row in slow.order]
+    from collections import Counter
+
+    per_round = Counter(rounds)
+    assert per_round[0] == 3 and per_round[1] == 3
+    assert sum(per_round.values()) == 10
+
+
+def test_crawl_delay_distributed_matches_reference(ray_session):
+    from warcio_ray.frontier.distributed import crawl_distributed
+    from warcio_ray.frontier.reference import crawl_reference
+    from warcio_ray.frontier.rounds import CrawlConfig
+
+    pages = {f"http://slow.example/p{i}": b"<html></html>" for i in range(10)}
+    seeds = [(u, 1.0) for u in pages]
+    cfg = CrawlConfig(max_rounds=6, num_shards=2, num_host_shards=1,
+                      host_capacity=100.0, host_refill=100.0)
+    robots = {"slow.example": "User-agent: *\nCrawl-delay: 20\n"}
+    ref = crawl_reference(seeds, pages.get, cfg,
+                          robots_fn=lambda h: robots.get(h))
+    dist = crawl_distributed(seeds, pages, cfg, robots_bodies=robots,
+                             track_order=True)
+    assert dist.order == ref.order
+    assert dist.counters == ref.counters

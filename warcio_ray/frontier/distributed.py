@@ -117,7 +117,11 @@ def _actor_classes():
                 if not st.pending:
                     continue
                 st.bucket.start_round()
-                grant = st.bucket.take(len(st.pending))
+                want = len(st.pending)
+                cap = st.robots.per_round_cap(self.config.round_seconds)
+                if cap is not None:
+                    want = min(want, cap)
+                grant = st.bucket.take(want)
                 chosen, deferred = politeness_select(st.pending, grant)
                 st.pending = deferred
                 for priority, s, h, url in chosen:

@@ -53,6 +53,14 @@ class RobotsRules:
                     pass
         return out
 
+    def per_round_cap(self, round_seconds: float) -> Optional[int]:
+        """Crawl-delay:N -> at most floor(round_seconds / N) fetches per
+        round (min 1); None when no delay is set. Round-based virtual
+        time keeps this deterministic at any parallelism."""
+        if not self.crawl_delay or self.crawl_delay <= 0:
+            return None
+        return max(1, int(round_seconds // self.crawl_delay))
+
     def allowed(self, path: str) -> bool:
         best_len = -1
         best_allow = True

@@ -170,7 +170,11 @@ def crawl_step(state: CrawlState, fetch: FetchFn,
             if not hstate.pending:
                 continue
             hstate.bucket.start_round()
-            grant = hstate.bucket.take(len(hstate.pending))
+            want = len(hstate.pending)
+            cap = hstate.robots.per_round_cap(state.config.round_seconds)
+            if cap is not None:
+                want = min(want, cap)
+            grant = hstate.bucket.take(want)
             chosen, deferred = politeness_select(hstate.pending, grant)
             hstate.pending = deferred
             for priority, s, h, url in chosen:

@@ -42,6 +42,10 @@ class CrawlConfig:
     seen_expected: int = 1 << 16   # per-shard filter sizing (fixed up front)
     seen_seed: int = 7
     max_fetches_per_round: Optional[int] = None  # safety valve, None = off
+    # virtual seconds one round represents: robots Crawl-delay:N caps a
+    # host to floor(round_seconds / N) fetches per round (min 1) —
+    # deterministic, no wall clock
+    round_seconds: float = 60.0
 
     def shard_of(self, url_hash: int) -> int:
         return url_hash % self.num_shards
