@@ -148,6 +148,21 @@ def _probe_sets(queries_norm: np.ndarray, centroids: np.ndarray,
     return [np.sort(row.astype(np.int64)) for row in idx]
 
 
+def _probe_and_merge(assigned_ds, qn: np.ndarray, probes, k: int
+                     ) -> pd.DataFrame:
+    """Shared tail of both search paths: broadcast the query matrix +
+    probe sets, run the per-batch top-k stage, merge on the driver."""
+    import ray
+
+    qref = ray.put(qn)
+    pref = ray.put(probes)
+    partials = assigned_ds.map_batches(
+        _ProbeTopK, batch_format="pandas", batch_size=4096,
+        concurrency=2, num_cpus=0.5,
+        fn_constructor_args=(qref, pref, k)).to_pandas()
+    return _merge_topk(partials, k)
+
+
 def _merge_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
     out = []
     for qi, grp in partials.groupby("query_id"):
@@ -178,15 +193,7 @@ def ivf_search(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
 
     qn = _normalize(queries)
     probes = _probe_sets(qn, centroids, nprobe)
-    assigned = assign_centroids(ds, centroids)
-    qref = ray.put(qn)
-    pref = ray.put(probes)
-
-    partials = assigned.map_batches(
-        _ProbeTopK, batch_format="pandas", batch_size=4096,
-        concurrency=2, num_cpus=0.5,
-        fn_constructor_args=(qref, pref, k)).to_pandas()
-    return _merge_topk(partials, k)
+    return _probe_and_merge(assign_centroids(ds, centroids), qn, probes, k)
 
 
 # ---------------------------------------------------------------------------
@@ -266,10 +273,4 @@ def ivf_search_layout(layout_dir: str, queries: np.ndarray, k: int = 10,
     ds = ray.data.read_parquet(paths, file_extensions=["parquet"],
                                include_paths=True) \
         .map_batches(restore_cid, batch_format="pandas")
-    qref = ray.put(qn)
-    pref = ray.put(probes)
-    partials = ds.map_batches(
-        _ProbeTopK, batch_format="pandas", batch_size=4096,
-        concurrency=2, num_cpus=0.5,
-        fn_constructor_args=(qref, pref, k)).to_pandas()
-    return _merge_topk(partials, k)
+    return _probe_and_merge(ds, qn, probes, k)
