@@ -1,0 +1,109 @@
+"""Training-data cleaning flagship: the composed pipeline a 100-TB
+pretraining corpus actually runs, end to end —
+
+    quality filter (Gopher-style signals)
+      -> exact dedup (md5 winner per hash, hash-join semi-filter)
+      -> near-dup removal (exact jaccard pairs -> distributed connected
+         components -> drop non-min cluster members, anti-join)
+
+Every stage is the scale-safe shape already proven alone: per-batch
+vectorized filters, primitive-column hash joins (never a broadcast of an
+O(corpus) keep-set), distributed star-contraction components. The whole
+chain is hard-oracle checkable (pretrain_corpus in __ray_entry__) by a
+single DuckDB WITH RECURSIVE statement reusing the same CTEs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from warcio_ray.ops.blocks import drop_empty_blocks, safe_join
+
+_DOC_SCHEMA = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+
+def _norm_doc(t: pa.Table) -> pa.Table:
+    """Stamp the (doc_id, text) schema on join outputs (joins emit
+    zero-column empty partitions)."""
+    if t.num_rows == 0 or t.num_columns == 0:
+        return _DOC_SCHEMA.empty_table()
+    return t.select(_DOC_SCHEMA.names).cast(_DOC_SCHEMA)
+
+
+def quality_filter(ds, min_words: int = 20, min_alpha: float = 0.5,
+                   max_dup_line: float = 0.3):
+    """Keep docs passing the Gopher-style thresholds (computed per batch
+    with the same kernels gopher_quality exposes)."""
+    from warcio_ray.ops.textstats import gopher_quality_batch
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        q = gopher_quality_batch(batch)
+        mask = ((q["n_words"] >= min_words)
+                & (q["frac_alpha_words"] >= min_alpha)
+                & (q["dup_line_frac"] <= max_dup_line)).to_numpy()
+        return batch[mask]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def exact_dedup_filter(ds, num_partitions: int = 8):
+    """Keep only the min-doc_id representative of each md5(text) group:
+    winner ids come from the distributed groupby, then an inner hash
+    JOIN on doc_id filters the stream — no driver-resident keep-set."""
+    import ray.data
+
+    from warcio_ray.ops.dedup import exact_dedup
+
+    # sanitize/materialize ONCE, then derive the winners from the same
+    # materialized set: the upstream (e.g. the quality filter) runs a
+    # single time instead of once per join branch
+    clean = drop_empty_blocks(ds)
+    winners = drop_empty_blocks(exact_dedup(clean)
+                                .select_columns(["doc_id"]))
+    if winners.count() == 0:  # empty corpus: nothing to join
+        return ray.data.from_arrow(_DOC_SCHEMA.empty_table())
+    joined = clean.join(winners, join_type="inner",
+                        num_partitions=num_partitions, on=("doc_id",))
+    return joined.map_batches(_norm_doc, batch_format="pyarrow") \
+        .repartition(num_partitions)
+
+
+def neardup_filter(ds, threshold: float = 0.5,
+                   num_partitions: int = 8):
+    """Drop the non-min members of every exact-jaccard duplicate
+    cluster: pairs -> distributed connected components -> the losers
+    (label != self) anti-join out of the stream."""
+    import ray.data
+
+    from warcio_ray.ops.dedup import (
+        connected_components_ds,
+        jaccard_similarity_join,
+    )
+
+    pairs = jaccard_similarity_join(ds, threshold=threshold)
+    if not len(pairs):
+        return ds
+    labels = connected_components_ds(
+        ray.data.from_pandas(pairs[["a", "b"]]))
+    losers = labels.filter(expr="doc_id != cluster_id") \
+        .select_columns(["doc_id"])
+    kept = safe_join(ds, losers, join_type="left_anti",
+                     num_partitions=num_partitions, on=("doc_id",))
+    return kept.map_batches(_norm_doc, batch_format="pyarrow")
+
+
+def pretrain_corpus(ds, min_words: int = 20, min_alpha: float = 0.5,
+                    max_dup_line: float = 0.3,
+                    jaccard_threshold: float = 0.5):
+    """(doc_id, text) Dataset -> surviving doc_id Dataset after the full
+    quality -> exact-dedup -> near-dup chain."""
+    survivors = exact_dedup_filter(
+        quality_filter(ds, min_words=min_words, min_alpha=min_alpha,
+                       max_dup_line=max_dup_line))
+    # the near-dup stage re-reads survivor texts several times
+    # (prefix-gram pass + index + verify join): materialize the
+    # (bounded, post-filter) survivor set once
+    survivors = survivors.materialize()
+    cleaned = neardup_filter(survivors, threshold=jaccard_threshold)
+    return cleaned.select_columns(["doc_id"])
