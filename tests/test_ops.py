@@ -579,3 +579,52 @@ def test_pretrain_corpus_pipeline(ray_session):
     })
     out = pretrain_corpus(ray.data.from_pandas(df)).to_pandas()
     assert sorted(out["doc_id"]) == [0, 4]
+
+
+def test_minhash_distributed_cc_path(ray_session, monkeypatch):
+    """Force the distributed connected-components branch inside
+    minhash_lsh_dedup (threshold 0): clusters must equal the in-process
+    union-find's on the same planted duplicates."""
+    import ray.data
+
+    import warcio_ray.ops.dedup as dedup
+
+    base = " ".join(f"word{i}" for i in range(40))
+    near = base.replace("word39", "changed")
+    near2 = base.replace("word38", "altered")
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                       "text": [base, near, near2, "unrelated " * 20]})
+    want_pairs, want_clusters = dedup.minhash_lsh_dedup(
+        ray.data.from_pandas(df), threshold=0.5)
+    monkeypatch.setattr(dedup, "CC_DISTRIBUTED_THRESHOLD", 0)
+    got_pairs, got_clusters = dedup.minhash_lsh_dedup(
+        ray.data.from_pandas(df), threshold=0.5)
+    pd.testing.assert_frame_equal(got_pairs, want_pairs)
+    pd.testing.assert_frame_equal(
+        got_clusters.reset_index(drop=True).astype("int64"),
+        want_clusters.reset_index(drop=True).astype("int64"))
+
+
+def test_safe_join_survives_empty_groupby_blocks(ray_session):
+    """Regression for the zero-schema empty-block join poison: groupby
+    outputs with mostly-empty groups crash a bare Dataset.join
+    nondeterministically; safe_join must always work."""
+    import ray.data
+
+    from warcio_ray.ops.blocks import drop_empty_blocks, safe_join
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4], "g": [0, 1, 2, 3]})
+    ds = ray.data.from_pandas(df).repartition(4)
+    right = ds.groupby("g").map_groups(
+        lambda g: g[g["doc_id"] == 1][["doc_id"]], batch_format="pandas")
+    left = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": list("abcd")}))
+    for _ in range(3):  # the bare join fails only sometimes — repeat
+        out = safe_join(left, right, join_type="left_anti",
+                        num_partitions=4, on=("doc_id",)).to_pandas()
+        assert sorted(out["doc_id"]) == [2, 3, 4]
+    # the sanitizer alone drops every zero-row block
+    clean = drop_empty_blocks(right)
+    assert all((m.num_rows or 0) > 0
+               for b in clean.materialize().iter_internal_ref_bundles()
+               for _, m in b.blocks)
