@@ -500,6 +500,25 @@ def _pretrain_corpus(sf_dir: str):
         .astype({"doc_id": "int64"})
 
 
+def _decontam_overlap(sf_dir: str):
+    """Benchmark decontamination: training docs sharing any 3-gram
+    shingle with the 'eval set' (docs 0-9 stand in for a benchmark).
+    The eval shingle set broadcasts once; the scan is shuffle-free."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from warcio_ray.ops.dedup import decontaminate
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    eval_texts = [x or "" for i, x in zip(t["doc_id"].to_pylist(),
+                                          t["text"].to_pylist())
+                  if int(i) < 10]
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return decontaminate(ds, eval_texts, shingle_k=3, min_overlap=1)
+
+
 def _jaccard_clusters(sf_dir: str):
     """Connected components over the EXACT jaccard pair set through the
     distributed star-contraction operator — the hard oracle for
@@ -584,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _jaccard_pairs,
         "jaccard_clusters": _jaccard_clusters,
         "pretrain_corpus": _pretrain_corpus,
+        "decontam_overlap": _decontam_overlap,
         "simhash_pairs": _simhash_pairs,
         "embedding_neardup": _embedding_neardup,
         # similarity search
@@ -941,6 +961,28 @@ def oracle_sql() -> dict[str, str]:
               FROM hits)
             SELECT lang, lang_pred, COUNT(*) AS n
             FROM pred GROUP BY lang, lang_pred
+        """,
+        "decontam_overlap": r"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(text, '\S+') AS t
+                          FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) = 0 THEN []
+                          WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct(list_transform(
+                               range(1, len(t)-1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                     END AS g
+              FROM toks),
+            eval_grams AS (
+              SELECT DISTINCT unnest(g) AS gram FROM grams
+              WHERE doc_id < 10)
+            SELECT d.doc_id, COUNT(DISTINCT d.gram) AS n_overlap
+            FROM (SELECT doc_id, unnest(g) AS gram FROM grams) d
+            JOIN eval_grams USING (gram)
+            GROUP BY d.doc_id
+            ORDER BY d.doc_id
         """,
         # doc_fingerprints / fingerprint_dups: the md5-derived token
         # hash + HUGEINT polynomial make the winnowing chain exactly

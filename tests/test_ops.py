@@ -628,3 +628,22 @@ def test_safe_join_survives_empty_groupby_blocks(ray_session):
     assert all((m.num_rows or 0) > 0
                for b in clean.materialize().iter_internal_ref_bundles()
                for _, m in b.blocks)
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    import ray.data
+
+    from warcio_ray.ops.dedup import decontaminate
+
+    eval_texts = ["the quick brown fox jumps over the lazy dog"]
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["totally unrelated words here now",
+                 "prefix text the quick brown fox suffix words",  # 2 shared 3-grams
+                 "quick brown fox jumps again"],                  # 2 shared
+    })
+    out = decontaminate(ray.data.from_pandas(df), eval_texts, min_overlap=1)
+    got = dict(zip(out["doc_id"], out["n_overlap"]))
+    assert 0 not in got
+    assert got[1] == 2   # 'the quick brown', 'quick brown fox'
+    assert got[2] == 2   # 'quick brown fox', 'brown fox jumps'

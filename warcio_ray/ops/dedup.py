@@ -911,3 +911,41 @@ def jaccard_similarity_join(ds, threshold: float = 0.5, shingle_k: int = 3,
     out = out.sort_values(["a", "b"]).reset_index(drop=True)
     out.attrs["lsh_dropped_ids"] = n_dropped
     return out
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (eval-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def decontaminate(ds, eval_texts: List[str], shingle_k: int = 3,
+                  min_overlap: int = 1) -> "pd.DataFrame":
+    """Flag training docs sharing >= min_overlap k-gram shingles with a
+    (small) eval/benchmark set — the standard pretraining
+    decontamination pass. The eval shingle set is broadcast ONCE via
+    ray.put (it is small by definition: benchmarks are thousands of
+    docs, not billions); the scan is a stateless map_batches, no
+    shuffle. Returns (doc_id, n_overlap) for flagged docs, sorted."""
+    import ray
+
+    eval_grams = frozenset().union(
+        *(_shingle_set(t, shingle_k) for t in eval_texts)) \
+        if eval_texts else frozenset()
+    gref = ray.put(eval_grams)
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        grams = ray.get(gref)
+        ids, overlaps = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            n = len(_shingle_set(text, shingle_k) & grams)
+            if n >= min_overlap:
+                ids.append(int(doc_id))
+                overlaps.append(n)
+        return pd.DataFrame({"doc_id": np.array(ids, dtype="int64"),
+                             "n_overlap": np.array(overlaps,
+                                                   dtype="int64")})
+
+    out = ds.map_batches(flag, batch_format="pandas").to_pandas()
+    if not len(out):
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_overlap": pd.Series(dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)
