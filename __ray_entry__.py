@@ -500,6 +500,20 @@ def _pretrain_corpus(sf_dir: str):
         .astype({"doc_id": "int64"})
 
 
+def _unigram_nll(sf_dir: str):
+    """Per-doc mean -ln p(token) under the corpus's own smoothed
+    unigram LM (two-pass combiner + broadcast-vocab scan)."""
+    import ray.data
+
+    from warcio_ray.ops.textstats import unigram_logprob_scores
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = unigram_logprob_scores(ds, vocab_size=4096)
+    out["nll"] = out["nll"].round(4)
+    return out
+
+
 def _decontam_overlap(sf_dir: str):
     """Benchmark decontamination: training docs sharing any 3-gram
     shingle with the 'eval set' (docs 0-9 stand in for a benchmark).
@@ -604,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_clusters": _jaccard_clusters,
         "pretrain_corpus": _pretrain_corpus,
         "decontam_overlap": _decontam_overlap,
+        "unigram_nll": _unigram_nll,
         "simhash_pairs": _simhash_pairs,
         "embedding_neardup": _embedding_neardup,
         # similarity search
@@ -961,6 +976,29 @@ def oracle_sql() -> dict[str, str]:
               FROM hits)
             SELECT lang, lang_pred, COUNT(*) AS n
             FROM pred GROUP BY lang, lang_pred
+        """,
+        # unigram_nll: add-1-smoothed unigram LM from the corpus's own
+        # top-4096 vocabulary; OOV bucket; mean -ln p per doc
+        "unigram_nll": r"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(text, '\S+') AS t
+                          FROM documents),
+            vocab AS (
+              SELECT term, COUNT(*) AS n
+              FROM (SELECT unnest(t) AS term FROM toks)
+              GROUP BY term ORDER BY n DESC, term LIMIT 4096),
+            tot AS (SELECT SUM(n) AS s, COUNT(*) AS v FROM vocab),
+            dt AS (SELECT doc_id, unnest(t) AS term FROM toks),
+            scored AS (
+              SELECT dt.doc_id,
+                     AVG(-ln((COALESCE(vocab.n, 0) + 1.0)
+                             / (tot.s + (tot.v + 1)))) AS nll
+              FROM dt LEFT JOIN vocab USING (term) CROSS JOIN tot
+              GROUP BY dt.doc_id)
+            SELECT doc_id, ROUND(nll, 4) AS nll FROM (
+              SELECT doc_id, nll FROM scored
+              UNION ALL
+              SELECT doc_id, 0.0 AS nll FROM toks WHERE len(t) = 0)
         """,
         "decontam_overlap": r"""
             WITH toks AS (SELECT doc_id,

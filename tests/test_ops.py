@@ -647,3 +647,27 @@ def test_decontaminate_planted_overlap(ray_session):
     assert 0 not in got
     assert got[1] == 2   # 'the quick brown', 'quick brown fox'
     assert got[2] == 2   # 'quick brown fox', 'brown fox jumps'
+
+
+def test_unigram_logprob_scores(ray_session):
+    import math
+
+    import ray.data
+
+    from warcio_ray.ops.textstats import unigram_logprob_scores
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["common common common rare", "common common", ""],
+    })
+    out = unigram_logprob_scores(ray.data.from_pandas(df), vocab_size=10)
+    got = dict(zip(out["doc_id"], out["nll"]))
+    # corpus: common x5, rare x1; vocab = both; total 6; denom 6 + 3
+    p_common = (5 + 1) / 9.0
+    p_rare = (1 + 1) / 9.0
+    want0 = (3 * -math.log(p_common) + -math.log(p_rare)) / 4
+    assert got[0] == pytest.approx(want0)
+    assert got[1] == pytest.approx(-math.log(p_common))
+    assert got[2] == 0.0
+    # rarer docs score worse
+    assert got[0] > got[1]

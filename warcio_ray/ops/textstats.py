@@ -315,3 +315,68 @@ def hash_sample(ds, pct: int, id_col: str = "doc_id"):
         return batch[mask]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# unigram LM scoring (two-pass: corpus counts -> broadcast vocab ->
+# per-doc mean negative log-prob; a deterministic perplexity-style
+# quality signal with no external model)
+# ---------------------------------------------------------------------------
+
+def unigram_logprob_scores(ds, vocab_size: int = 4096,
+                           alpha: float = 1.0) -> "pd.DataFrame":
+    """Score each doc by mean -ln p(token) under an add-alpha-smoothed
+    unigram LM estimated from the corpus itself.
+
+    Pass 1 is the combiner shape (per-batch Counter -> distinct-term
+    groupby -> exact 2-key sort + limit): only O(vocab) rows shuffle and
+    only the top-``vocab_size`` (count, term) table — small by
+    construction — is broadcast. Pass 2 is a stateless scan. Tokens
+    outside the vocab hit the OOV bucket:
+    p = (count + alpha) / (total_vocab + alpha * (|V| + 1)).
+    Empty docs score 0. Mirrored exactly in SQL (decontam-style CTEs)."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: "Counter" = Counter()
+        for text in batch["text"]:
+            c.update((text or "").split())
+        if not c:
+            return pd.DataFrame({"term": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        return pd.DataFrame({"term": list(c.keys()),
+                             "n": np.fromiter(c.values(), dtype="int64")})
+
+    vocab = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("term").aggregate(Sum("n", alias_name="n")) \
+        .sort(["n", "term"], descending=[True, False]) \
+        .limit(vocab_size).to_pandas()
+    counts = dict(zip(vocab["term"], vocab["n"].astype(int)))
+    total = int(vocab["n"].sum())
+    denom = total + alpha * (len(counts) + 1)
+    vref = ray.put(counts)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        cts = ray.get(vref)
+        ids, scores = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = (text or "").split()
+            if not toks:
+                ids.append(int(doc_id))
+                scores.append(0.0)
+                continue
+            s = 0.0
+            for w in toks:
+                s += -math.log((cts.get(w, 0) + alpha) / denom)
+            ids.append(int(doc_id))
+            scores.append(s / len(toks))
+        return pd.DataFrame({"doc_id": np.array(ids, dtype="int64"),
+                             "nll": np.array(scores, dtype="float64")})
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
