@@ -29,16 +29,27 @@ def drop_empty_blocks(ds):
     import ray
     import ray.data
 
+    import pyarrow as pa
+
     mat = ds.materialize()
     refs = []
+    first_schema = None
     for bundle in mat.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
             if (meta.num_rows or 0) > 0:
                 refs.append(ref)
+                if first_schema is None:
+                    first_schema = bundle.schema
     if not refs:
         return mat
-    # blocks of one materialized dataset share a type; sniff the first
-    first = ray.get(refs[0])
+    # blocks of one materialized dataset share a type; the bundle
+    # metadata schema (already driver-side) tells pandas from arrow —
+    # never ray.get a whole data block just to sniff its type
+    if isinstance(first_schema, pa.Schema):
+        return ray.data.from_arrow_refs(refs)
+    if first_schema is not None:
+        return ray.data.from_pandas_refs(refs)
+    first = ray.get(refs[0])  # schema metadata missing: sniff one block
     if isinstance(first, pd.DataFrame):
         return ray.data.from_pandas_refs(refs)
     return ray.data.from_arrow_refs(refs)
@@ -49,7 +60,22 @@ def safe_join(left, right, join_type: str, num_partitions: int,
     """``Dataset.join`` with both inputs sanitized through
     ``drop_empty_blocks`` — use instead of a bare join whenever either
     side descends from a groupby/aggregate/filter/map_groups (i.e.
-    almost always). Encodes the zero-schema empty-block pitfall once."""
-    return drop_empty_blocks(left).join(
-        drop_empty_blocks(right), join_type=join_type,
+    almost always). Encodes the zero-schema empty-block pitfall once.
+
+    A FULLY-empty side cannot be sanitized (no block carries a schema),
+    so those cases short-circuit semantically instead of joining:
+    empty right + anti/left_outer keeps the left; any other empty side
+    yields ``left.limit(0)`` (note: left schema only — callers that
+    need the joined schema must stamp it, which every caller in this
+    repo already does after a join)."""
+    clean_left = drop_empty_blocks(left)
+    clean_right = drop_empty_blocks(right)
+    if clean_left.count() == 0:
+        return clean_left.limit(0)
+    if clean_right.count() == 0:
+        if join_type in ("left_anti", "left_outer"):
+            return clean_left
+        return clean_left.limit(0)
+    return clean_left.join(
+        clean_right, join_type=join_type,
         num_partitions=num_partitions, on=on, right_on=right_on)

@@ -338,24 +338,10 @@ def unigram_logprob_scores(ds, vocab_size: int = 4096,
     import math
 
     import ray
-    from ray.data.aggregate import Sum
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        from collections import Counter
-
-        c: "Counter" = Counter()
-        for text in batch["text"]:
-            c.update((text or "").split())
-        if not c:
-            return pd.DataFrame({"term": pd.Series(dtype="object"),
-                                 "n": pd.Series(dtype="int64")})
-        return pd.DataFrame({"term": list(c.keys()),
-                             "n": np.fromiter(c.values(), dtype="int64")})
-
-    vocab = ds.map_batches(partial, batch_format="pandas") \
-        .groupby("term").aggregate(Sum("n", alias_name="n")) \
-        .sort(["n", "term"], descending=[True, False]) \
-        .limit(vocab_size).to_pandas()
+    # pass 1 IS top_terms (same combiner, same exact 2-key sort+limit):
+    # one implementation, one SQL mirror
+    vocab = top_terms(ds, k=vocab_size)
     counts = dict(zip(vocab["term"], vocab["n"].astype(int)))
     total = int(vocab["n"].sum())
     denom = total + alpha * (len(counts) + 1)

@@ -126,6 +126,11 @@ def crawl_pages(sf_dir: str, config: Optional[CrawlConfig] = None,
                           if pages_bytes < IN_PROCESS_CRAWL_MAX_BYTES
                           else "scan")
     if fetch_mode == "inprocess":
+        if checkpoint_dir or resume:
+            # the in-process engine has no per-shard snapshots; silently
+            # skipping checkpointing would strand a later resume
+            raise ValueError("checkpoint/resume requires a distributed "
+                             "fetch_mode ('scan'/'broadcast'/'auto')")
         pages = None
     elif fetch_mode == "scan":
         pages = build_pages_bucketed(sf_dir)

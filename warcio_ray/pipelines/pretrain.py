@@ -82,6 +82,17 @@ def neardup_filter(ds, threshold: float = 0.5,
     )
 
     pairs = jaccard_similarity_join(ds, threshold=threshold)
+    n_dropped = int(pairs.attrs.get("lsh_dropped_ids", 0))
+    if n_dropped:
+        # hot-gram buckets were truncated: some true near-dup pairs may
+        # be missing. Accounted, never silent (the repo-wide cap
+        # convention) — callers needing completeness raise max_bucket.
+        import warnings
+
+        warnings.warn(
+            f"neardup_filter: {n_dropped} ids truncated out of hot "
+            f"candidate buckets; near-dup removal may be incomplete",
+            RuntimeWarning, stacklevel=2)
     if not len(pairs):
         return ds
     labels = connected_components_ds(
