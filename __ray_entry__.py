@@ -495,7 +495,9 @@ def _pretrain_corpus(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    out = pretrain_corpus(ds).to_pandas()
+    # exact near-dup variant here: it is what the SQL oracle recomputes
+    # (production default is the minhash scale path)
+    out = pretrain_corpus(ds, neardup_method="jaccard").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True) \
         .astype({"doc_id": "int64"})
 

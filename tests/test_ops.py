@@ -577,8 +577,10 @@ def test_pretrain_corpus_pipeline(ray_session):
             " ".join(f"w{i}" for i in range(25)),  # clean -> survives
         ],
     })
-    out = pretrain_corpus(ray.data.from_pandas(df)).to_pandas()
-    assert sorted(out["doc_id"]) == [0, 4]
+    for method in ("minhash", "jaccard"):
+        out = pretrain_corpus(ray.data.from_pandas(df),
+                              neardup_method=method).to_pandas()
+        assert sorted(out["doc_id"]) == [0, 4], method
 
 
 def test_minhash_distributed_cc_path(ray_session, monkeypatch):
