@@ -535,6 +535,19 @@ def _decontam_overlap(sf_dir: str):
     return decontaminate(ds, eval_texts, shingle_k=3, min_overlap=1)
 
 
+def _span_scrub(sf_dir: str):
+    """Repeated-span scrubbing (Lee et al. 2022 at word granularity):
+    drop every word 3-gram occurring in >= 5 distinct documents. Two-pass
+    combiner + broadcast (join path above broadcast_max; both paths are
+    output-identical and the oracle recomputes the whole chain)."""
+    import ray.data
+
+    from warcio_ray.ops.spans import repeated_span_scrub
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return repeated_span_scrub(ds, k=3, min_docs=5)
+
+
 def _jaccard_clusters(sf_dir: str):
     """Connected components over the EXACT jaccard pair set through the
     distributed star-contraction operator — the hard oracle for
@@ -620,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_clusters": _jaccard_clusters,
         "pretrain_corpus": _pretrain_corpus,
         "decontam_overlap": _decontam_overlap,
+        "span_scrub": _span_scrub,
         "unigram_nll": _unigram_nll,
         "simhash_pairs": _simhash_pairs,
         "embedding_neardup": _embedding_neardup,
@@ -1001,6 +1015,55 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, nll FROM scored
               UNION ALL
               SELECT doc_id, 0.0 AS nll FROM toks WHERE len(t) = 0)
+        """,
+        # span_scrub: the SQL rebuilds the exact chain — per-doc 3-gram
+        # positions via scalar range()+list_transform (this DuckDB build
+        # lacks lateral generate_series args), distinct-doc counts, the
+        # covered-position set, and a position-ordered string_agg rebuild.
+        "span_scrub": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                 CASE WHEN len(ts) < 3 THEN []
+                      ELSE range(1, len(ts) - 1) END AS pl,
+                 CASE WHEN len(ts) < 3 THEN []
+                      ELSE list_transform(range(1, len(ts) - 1),
+                           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                 END AS gl
+              FROM toks
+            ), gflat AS (
+              SELECT doc_id, unnest(pl) AS pos, unnest(gl) AS gram
+              FROM grams
+            ), rep AS (
+              SELECT gram FROM gflat
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 5
+            ), covered AS (
+              SELECT DISTINCT doc_id, pos FROM (
+                SELECT g.doc_id, unnest([g.pos, g.pos + 1, g.pos + 2])
+                       AS pos
+                FROM gflat g JOIN rep USING (gram))
+            ), poss AS (
+              SELECT doc_id, unnest(range(1, len(ts) + 1)) AS pos,
+                     unnest(ts) AS tok
+              FROM toks
+            ), rebuilt AS (
+              SELECT s.doc_id,
+                     coalesce(string_agg(s.tok, ' ' ORDER BY s.pos)
+                              FILTER (WHERE cov.pos IS NULL), '')
+                         AS clean_text,
+                     count(cov.pos) AS n_removed
+              FROM poss s
+              LEFT JOIN covered cov
+                ON cov.doc_id = s.doc_id AND cov.pos = s.pos
+              GROUP BY s.doc_id)
+            SELECT doc_id, clean_text,
+                   CAST(n_removed AS BIGINT) AS n_removed FROM rebuilt
+            UNION ALL
+            SELECT doc_id, '' AS clean_text, CAST(0 AS BIGINT) AS n_removed
+            FROM toks WHERE len(ts) = 0
+            ORDER BY doc_id
         """,
         "decontam_overlap": r"""
             WITH toks AS (SELECT doc_id,

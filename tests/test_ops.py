@@ -673,3 +673,54 @@ def test_unigram_logprob_scores(ray_session):
     assert got[2] == 0.0
     # rarer docs score worse
     assert got[0] > got[1]
+
+
+def test_repeated_span_scrub_both_paths(ray_session):
+    import numpy as np
+    import ray.data
+
+    from warcio_ray.ops.spans import _doc_grams, repeated_span_scrub
+
+    # 'a b c' occurs in 3 docs -> repeated at min_docs=3; 'x y z' in 2.
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["a b c d e",
+                 "z a b c q",
+                 "a b c",
+                 "x y z w",
+                 ""],
+    })
+
+    def reference(min_docs):
+        from collections import Counter
+        c = Counter()
+        for t in df["text"]:
+            for g in set(_doc_grams(t, 3)):
+                c[g] += 1
+        rep = {g for g, n in c.items() if n >= min_docs}
+        rows = []
+        for doc_id, t in zip(df["doc_id"], df["text"]):
+            toks = (t or "").split()
+            cov = np.zeros(len(toks), bool)
+            for i, g in enumerate(_doc_grams(t, 3)):
+                if g in rep:
+                    cov[i:i + 3] = True
+            rows.append((int(doc_id),
+                         " ".join(np.array(toks, object)[~cov]),
+                         int(cov.sum())))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "clean_text", "n_removed"])
+
+    ref = reference(3)
+    ds = ray.data.from_pandas(df).repartition(3)
+    for bmax in (1_000_000, 0):   # broadcast path, then forced join path
+        out = repeated_span_scrub(ds, k=3, min_docs=3, broadcast_max=bmax,
+                                  num_partitions=4).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, ref)
+    # doc 0: 'a b c' covers tokens 0-2 -> 'd e' survives
+    assert ref.loc[0, "clean_text"] == "d e"
+    assert ref.loc[3, "n_removed"] == 0  # 'x y z' below min_docs
+    # no repeated grams at a high threshold -> passthrough branch
+    out = repeated_span_scrub(ds, k=3, min_docs=99).to_pandas()
+    assert (out["n_removed"] == 0).all() and len(out) == 5
