@@ -548,6 +548,33 @@ def _span_scrub(sf_dir: str):
     return repeated_span_scrub(ds, k=3, min_docs=5)
 
 
+def _pii_redact(sf_dir: str):
+    """PII scrubbing (emails/phones/IPv4) via RE2 kernels. The word-soup
+    corpus has no PII, so each doc is augmented with a deterministic
+    synthetic contact line (mirrored verbatim in the oracle SQL) before
+    redaction — the scrubber is exercised on every row."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.pii import redact_pii
+
+    def augment(batch: pd.DataFrame) -> pd.DataFrame:
+        did = batch["doc_id"].astype("int64")
+        return pd.DataFrame({
+            "doc_id": did,
+            "text": (batch["text"].fillna("")
+                     + " contact user" + did.astype(str)
+                     + "@example.com ip 10.1." + (did % 200).astype(str)
+                     + "." + (did % 250).astype(str)
+                     + " tel +1 555 000 "
+                     + (1000 + did % 9000).astype(str))})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]) \
+        .map_batches(augment, batch_format="pandas")
+    return redact_pii(ds)
+
+
 def _jaccard_clusters(sf_dir: str):
     """Connected components over the EXACT jaccard pair set through the
     distributed star-contraction operator — the hard oracle for
@@ -634,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pretrain_corpus": _pretrain_corpus,
         "decontam_overlap": _decontam_overlap,
         "span_scrub": _span_scrub,
+        "pii_redact": _pii_redact,
         "unigram_nll": _unigram_nll,
         "simhash_pairs": _simhash_pairs,
         "embedding_neardup": _embedding_neardup,
@@ -1064,6 +1092,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, '' AS clean_text, CAST(0 AS BIGINT) AS n_removed
             FROM toks WHERE len(ts) = 0
             ORDER BY doc_id
+        """,
+        # pii_redact: DuckDB's regex engine is RE2, the same engine
+        # pyarrow.compute uses, so the identical pattern strings yield
+        # byte-identical redactions. Counts are on the pre-redaction
+        # (augmented) text; replacement order email -> phone -> ip.
+        "pii_redact": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     coalesce(text, '') || ' contact user'
+                     || CAST(doc_id AS VARCHAR)
+                     || '@example.com ip 10.1.'
+                     || CAST(doc_id % 200 AS VARCHAR) || '.'
+                     || CAST(doc_id % 250 AS VARCHAR)
+                     || ' tel +1 555 000 '
+                     || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\+[0-9][0-9 ().-]{6,}[0-9]', '<PHONE>', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                       '<IP>', 'g') AS clean_text,
+                   len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_email,
+                   len(regexp_extract_all(t,
+                       '\+[0-9][0-9 ().-]{6,}[0-9]')) AS n_phone,
+                   len(regexp_extract_all(t,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                       AS n_ip
+            FROM aug
         """,
         "decontam_overlap": r"""
             WITH toks AS (SELECT doc_id,

@@ -724,3 +724,33 @@ def test_repeated_span_scrub_both_paths(ray_session):
     # no repeated grams at a high threshold -> passthrough branch
     out = repeated_span_scrub(ds, k=3, min_docs=99).to_pandas()
     assert (out["n_removed"] == 0).all() and len(out) == 5
+
+
+def test_redact_pii(ray_session):
+    import ray.data
+
+    from warcio_ray.ops.pii import redact_pii
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "mail a.b+c%d@sub.example.org now",
+            "call +1 (415) 555-0100 or visit 192.168.1.254 today",
+            None,                       # null text -> '' passthrough
+            "v1.2.3.4000 is a version, 10.0.0.1 is an ip",
+        ],
+    })
+    out = redact_pii(ray.data.from_pandas(df).repartition(2)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "clean_text"] == "mail <EMAIL> now"
+    assert (out.loc[0, ["n_email", "n_phone", "n_ip"]].tolist()
+            == [1, 0, 0])
+    assert out.loc[1, "clean_text"] == "call <PHONE> or visit <IP> today"
+    assert (out.loc[1, ["n_email", "n_phone", "n_ip"]].tolist()
+            == [0, 1, 1])
+    assert out.loc[2, "clean_text"] == "" and out.loc[2, "n_ip"] == 0
+    # 4-digit final octet breaks \b -> version string survives,
+    # the real IP is scrubbed
+    assert out.loc[3, "clean_text"] == \
+        "v1.2.3.4000 is a version, <IP> is an ip"
+    assert out["doc_id"].dtype == "int64"
