@@ -575,6 +575,18 @@ def _pii_redact(sf_dir: str):
     return redact_pii(ds)
 
 
+def _bm25_top20(sf_dir: str):
+    """BM25 ranked retrieval for a fixed 3-term query over documents —
+    two shuffle-free scans (combiner stats + scored partial top-k)."""
+    import ray.data
+
+    from warcio_ray.ops.search import bm25_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return bm25_topk(ds, ["spark", "join", "query"], k=20)
+
+
 def _jaccard_clusters(sf_dir: str):
     """Connected components over the EXACT jaccard pair set through the
     distributed star-contraction operator — the hard oracle for
@@ -662,6 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_overlap": _decontam_overlap,
         "span_scrub": _span_scrub,
         "pii_redact": _pii_redact,
+        "bm25_top20": _bm25_top20,
         "unigram_nll": _unigram_nll,
         "simhash_pairs": _simhash_pairs,
         "embedding_neardup": _embedding_neardup,
@@ -1092,6 +1105,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, '' AS clean_text, CAST(0 AS BIGINT) AS n_removed
             FROM toks WHERE len(ts) = 0
             ORDER BY doc_id
+        """,
+        # bm25_top20: the SQL mirrors the scoring expression token for
+        # token (same literal structure -> same IEEE double ops); term
+        # tf is exact list-equality over the \S+ tokenization, which is
+        # what the Ray side's (?<!\S)term(?!\S) counting regex computes.
+        "bm25_top20": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '\S+') AS ts
+              FROM documents),
+            st AS (SELECT count(*) AS n,
+                          CAST(sum(len(ts)) AS DOUBLE) AS sumlen
+                   FROM toks),
+            tf AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
+                     CAST(len(list_filter(ts, x -> x = 'spark'))
+                          AS DOUBLE) AS tf0,
+                     CAST(len(list_filter(ts, x -> x = 'join'))
+                          AS DOUBLE) AS tf1,
+                     CAST(len(list_filter(ts, x -> x = 'query'))
+                          AS DOUBLE) AS tf2
+                   FROM toks),
+            dfs AS (SELECT count(*) FILTER (WHERE tf0 > 0) AS df0,
+                           count(*) FILTER (WHERE tf1 > 0) AS df1,
+                           count(*) FILTER (WHERE tf2 > 0) AS df2
+                    FROM tf),
+            sc AS (SELECT doc_id,
+                     ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                       * (tf0 * (1.2 + 1.0))
+                       / (tf0 + 1.2 * (1.0 - 0.75
+                                       + 0.75 * dl / (sumlen / n)))
+                   + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                       * (tf1 * (1.2 + 1.0))
+                       / (tf1 + 1.2 * (1.0 - 0.75
+                                       + 0.75 * dl / (sumlen / n)))
+                   + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                       * (tf2 * (1.2 + 1.0))
+                       / (tf2 + 1.2 * (1.0 - 0.75
+                                       + 0.75 * dl / (sumlen / n)))
+                     AS score
+                   FROM tf, st, dfs)
+            SELECT doc_id, score FROM sc WHERE score > 0.0
+            ORDER BY score DESC, doc_id LIMIT 20
         """,
         # pii_redact: DuckDB's regex engine is RE2, the same engine
         # pyarrow.compute uses, so the identical pattern strings yield

@@ -754,3 +754,51 @@ def test_redact_pii(ray_session):
     assert out.loc[3, "clean_text"] == \
         "v1.2.3.4000 is a version, <IP> is an ip"
     assert out["doc_id"].dtype == "int64"
+
+
+def test_bm25_topk(ray_session):
+    import math
+
+    import ray.data
+
+    from warcio_ray.ops.search import bm25_topk
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": ["spark join query",       # all three terms
+                 "join join join pad pad", # high tf, longer doc
+                 "nothing relevant",
+                 None,
+                 "spark spark",
+                 "sparkle joined queries"],  # substrings must NOT match
+    })
+
+    def reference(k):
+        toks = [(d or "").split() for d in df["text"]]
+        n = len(toks)
+        avgdl = sum(map(len, toks)) / n
+        terms = ["spark", "join", "query"]
+        dfs = [sum(t in ts for ts in toks) for t in terms]
+        idf = [math.log((n - d + 0.5) / (d + 0.5) + 1.0) for d in dfs]
+        rows = []
+        for did, ts in zip(df["doc_id"], toks):
+            s = 0.0
+            for i, t in enumerate(terms):
+                tf = ts.count(t)
+                s += idf[i] * (tf * 2.2) / (
+                    tf + 1.2 * (1 - 0.75 + 0.75 * len(ts) / avgdl))
+            if s > 0:
+                rows.append((int(did), s))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:k]
+
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = bm25_topk(ds, ["spark", "join", "query"], k=3).to_pandas()
+    ref = reference(3)
+    assert out["doc_id"].tolist() == [r[0] for r in ref]
+    assert np.allclose(out["score"].to_numpy(),
+                       [r[1] for r in ref], rtol=1e-12)
+    # word-boundary semantics: doc 5 (substring-only matches) scores 0
+    full = bm25_topk(ds, ["spark", "join", "query"], k=10).to_pandas()
+    assert 5 not in set(full["doc_id"])
+    assert 3 not in set(full["doc_id"])  # null text never surfaces

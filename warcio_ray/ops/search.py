@@ -1,0 +1,85 @@
+"""BM25 full-text ranked retrieval over a text column. No warcio
+counterpart — LLM-pipeline operator per the build brief (corpus search /
+relevance ranking, the Robertson-Sparck-Jones BM25 used by Lucene).
+
+Shape at scale (two scans, zero shuffles):
+  pass 1 (combiner): one tiny row per batch — doc count, token-length
+    sum, and per-query-term document frequencies — reduced by a
+    Dataset.sum. Only O(#batches x #terms) scalars ever leave workers.
+  pass 2: idf / avgdl are plain Python floats captured in the scoring
+    closure (a handful of scalars — no ray.put needed); each batch
+    scores vectorized (pandas str.count regex kernels, numpy arithmetic)
+    and emits its own top-k, so the final exact sort+limit runs over at
+    most O(#batches x k) rows.
+
+Token semantics are whitespace tokens (``\\S+``); a term matches a doc
+token iff they are byte-equal (the ``(?<!\\S)term(?!\\S)`` counting
+regex is exactly list-equality over the whitespace tokenization, which
+is what an external SQL oracle recomputes with list_filter). Scoring
+uses the +1-inside-log idf (Lucene's non-negative variant):
+``idf = ln((N - df + 0.5)/(df + 0.5) + 1)``.
+
+Ties rank deterministically: score DESC, then id ASC.
+"""
+from __future__ import annotations
+
+import math
+import re
+from typing import List, Sequence
+
+import numpy as np
+import pandas as pd
+
+
+def _term_patterns(terms: Sequence[str]) -> List[str]:
+    return [r"(?<!\S)" + re.escape(t) + r"(?!\S)" for t in terms]
+
+
+def bm25_corpus_stats(ds, terms: Sequence[str], text_col: str = "text"):
+    """-> (n_docs, sum_len, [df per term]) via one combiner scan."""
+    pats = _term_patterns(terms)
+    df_cols = [f"df_{i}" for i in range(len(pats))]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[text_col].fillna("").astype("string")
+        row = {"n_docs": [np.int64(len(batch))],
+               "sum_len": [np.int64(text.str.count(r"\S+").sum())]}
+        for c, p in zip(df_cols, pats):
+            row[c] = [np.int64((text.str.count(p) > 0).sum())]
+        return pd.DataFrame(row)
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .sum(on=["n_docs", "sum_len"] + df_cols)
+    n = int(agg["sum(n_docs)"])
+    sum_len = int(agg["sum(sum_len)"])
+    dfs = [int(agg[f"sum({c})"]) for c in df_cols]
+    return n, sum_len, dfs
+
+
+def bm25_topk(ds, terms: Sequence[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id"):
+    """(id, text) Dataset -> top-k (id, score) Dataset, score DESC /
+    id ASC. Docs scoring 0 (no query term) never surface."""
+    terms = list(terms)
+    pats = _term_patterns(terms)
+    n, sum_len, dfs = bm25_corpus_stats(ds, terms, text_col=text_col)
+    avgdl = (float(sum_len) / float(n)) if sum_len > 0 else 1.0
+    idfs = [math.log((n - df + 0.5) / (df + 0.5) + 1.0) for df in dfs]
+
+    def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[text_col].fillna("").astype("string")
+        dl = text.str.count(r"\S+").to_numpy(np.float64)
+        denom_base = k1 * (1.0 - b + b * dl / avgdl)
+        score = np.zeros(len(batch), dtype=np.float64)
+        for idf, p in zip(idfs, pats):
+            tf = text.str.count(p).to_numpy(np.float64)
+            score = score + idf * (tf * (k1 + 1.0)) / (tf + denom_base)
+        out = pd.DataFrame({id_col: batch[id_col].astype("int64"),
+                            "score": score})
+        out = out[out["score"] > 0.0]
+        return out.sort_values(["score", id_col],
+                               ascending=[False, True]).head(k)
+
+    return ds.map_batches(score_batch, batch_format="pandas") \
+        .sort(["score", id_col], descending=[True, False]).limit(k)
