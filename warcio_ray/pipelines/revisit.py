@@ -204,7 +204,11 @@ def rewrite_duplicates_as_revisits(
 
     Returns a dataset in the T2 schema with duplicates rewritten.
     ``instr_dir`` (default: a fresh tempdir under /tmp) holds the
-    bucketed instruction parquet between the two passes.
+    bucketed instruction parquet between the two passes. On a
+    multi-node cluster the default is only correct if /tmp is shared;
+    pass a path on the shared filesystem / object-store mount every
+    worker can read (the same assumption the bucketed pages layout and
+    the persisted IVF layout already make).
     """
     from warcio_ray.sinks.warc import row_to_record
     from warcio_ray.sources.warc import records_to_table
