@@ -1267,10 +1267,53 @@ def oracle_sql() -> dict[str, str]:
                 vec_id
             LIMIT 10
         """,
-        # minhash_pairs / simhash_pairs / embedding_neardup / lang_confusion
-        # / doc_fingerprints / extract_text_verify / crawl_order /
-        # warc_rec_types / revisit_dedup are not SQL-expressible
-        # (probabilistic sketches, heuristics, stateful crawl, codec)
-        # -> rows-only checks. jaccard_pairs is the hard-oracled EXACT
-        # companion to minhash_pairs.
+        # simhash_pairs: md5-derived 64-bit token hashes let DuckDB
+        # recompute the full simhash -> 4x16 band -> bucket-cap ->
+        # Hamming-verify chain (same trick as the winnowing oracle).
+        # Mirrors _pairs_from_partition's cap exactly: buckets keep the
+        # 512 smallest doc_ids (row_number ORDER BY doc_id <= 512).
+        "simhash_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_transform(regexp_extract_all(text, '\\S+'),
+                       x -> CAST(('0x' || substr(md5(x),1,16)) AS UBIGINT)))
+                       AS th
+              FROM documents),
+            votes AS (
+              SELECT doc_id, bit,
+                     SUM(CASE WHEN (th >> bit) & 1::UBIGINT = 1::UBIGINT
+                              THEN 1 ELSE -1 END) AS v
+              FROM toks
+              CROSS JOIN (SELECT unnest(range(64)) AS bit) bits
+              GROUP BY doc_id, bit),
+            sims0 AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN v > 0 THEN (1::HUGEINT << bit)
+                              ELSE 0::HUGEINT END) AS UBIGINT) AS sim
+              FROM votes GROUP BY doc_id),
+            sims AS (
+              SELECT d.doc_id, COALESCE(s.sim, 0::UBIGINT) AS sim
+              FROM documents d LEFT JOIN sims0 s USING (doc_id)),
+            bands AS (
+              SELECT doc_id, sim, band_id,
+                     (sim >> (16 * band_id)) & 65535::UBIGINT AS band_key
+              FROM sims
+              CROSS JOIN (SELECT unnest(range(4)) AS band_id) bs),
+            kept AS (
+              SELECT doc_id, sim, band_id, band_key FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY band_id, band_key ORDER BY doc_id) AS rk
+                FROM bands) r
+              WHERE rk <= 512),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                     x.sim AS sa, y.sim AS sb
+              FROM kept x JOIN kept y
+                ON x.band_id = y.band_id AND x.band_key = y.band_key
+               AND x.doc_id < y.doc_id)
+            SELECT a, b FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+        """,
+        # extract_text_verify / crawl_order are not SQL-expressible
+        # (stateful crawl, codec) -> rows-only checks. jaccard_pairs is
+        # the hard-oracled EXACT companion to minhash_pairs.
     }

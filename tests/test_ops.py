@@ -82,7 +82,9 @@ def test_simhash_pairs(ray_session):
     from warcio_ray.ops.dedup import simhash_batch, simhash_dedup
 
     base = "alpha beta gamma delta epsilon zeta eta theta " * 6
-    near = base.replace("theta", "thetaX")
+    # change ONE occurrence (1/48 of token weight): comfortably inside
+    # max_hamming=8 and sharing a band under the md5-derived token hash
+    near = base.replace("theta", "thetaX", 1)
     df = pd.DataFrame({"doc_id": [0, 1, 2],
                        "text": [base, near, "zz yy xx ww vv uu " * 6]})
     out = simhash_dedup(ray.data.from_pandas(df), max_hamming=8)

@@ -701,14 +701,18 @@ def _connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
 def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """64-bit SimHash over whitespace tokens. Token hashes are computed
     once per distinct token in the batch; the per-doc bit accumulation is
-    vectorized via unpackbits (no per-bit Python loop)."""
+    vectorized via unpackbits (no per-bit Python loop).
+
+    Token hashes are md5-derived (first 16 hex chars -> uint64) —
+    deliberately SQL-derivable (DuckDB:
+    CAST('0x' || substr(md5(w),1,16) AS UBIGINT)) so the whole
+    simhash -> band -> Hamming-verify chain can be hard-oracled."""
     vocab: dict = {}
 
     def tok_hash(w: str) -> int:
         h = vocab.get(w)
         if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
             vocab[w] = h
         return h
 
