@@ -211,6 +211,15 @@ def _fingerprints(sf_dir: str):
         .map_batches(to_int64, batch_format="pandas")
 
 
+def _pack_1024(sf_dir: str):
+    import ray.data
+
+    from warcio_ray.ops.pack import pack_sequences
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return pack_sequences(ds, window=1024)
+
+
 def _minhash_pairs(sf_dir: str):
     import ray.data
 
@@ -665,6 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _gopher_quality,
         "top_terms": _top_terms,
         "sample_10pct": _sample_10pct,
+        "pack_1024": _pack_1024,
         # dedup family
         "exact_dedup": _exact_dedup,
         "minhash_pairs": _minhash_pairs,
@@ -1266,6 +1276,30 @@ def oracle_sql() -> dict[str, str]:
                 (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
                 vec_id
             LIMIT 10
+        """,
+        # pack_1024: GPT-style concat-and-chop packing; the distributed
+        # prefix sum is mirrored by a window cumsum + bin-range explode
+        "pack_1024": """
+            WITH t AS (
+              SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n
+              FROM documents),
+            c AS (
+              SELECT doc_id, n,
+                     CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS off
+              FROM t),
+            seg AS (
+              SELECT doc_id, n, off,
+                     unnest(range(off // 1024,
+                                  (off + n - 1) // 1024 + 1)) AS bin_id
+              FROM c WHERE n > 0)
+            SELECT doc_id, bin_id,
+                   GREATEST(bin_id * 1024, off) - off AS doc_off,
+                   GREATEST(bin_id * 1024, off) - bin_id * 1024 AS bin_off,
+                   LEAST((bin_id + 1) * 1024, off + n)
+                     - GREATEST(bin_id * 1024, off) AS n_tok
+            FROM seg
         """,
         # simhash_pairs: md5-derived 64-bit token hashes let DuckDB
         # recompute the full simhash -> 4x16 band -> bucket-cap ->

@@ -804,3 +804,45 @@ def test_bm25_topk(ray_session):
     full = bm25_topk(ds, ["spark", "join", "query"], k=10).to_pandas()
     assert 5 not in set(full["doc_id"])
     assert 3 not in set(full["doc_id"])  # null text never surfaces
+
+
+def test_pack_sequences(ray_session):
+    """Concat-and-chop packing: exact vs an in-process reference, and
+    invariant to both input partitioning and prefix-sum bucket size."""
+    import ray.data
+
+    from warcio_ray.ops.pack import pack_sequences
+
+    rng = np.random.RandomState(11)
+    texts = [" ".join(f"t{j}" for j in range(rng.randint(0, 40)))
+             for _ in range(57)]
+    texts[7] = ""          # empty doc emits no segment
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    W = 16
+
+    def reference():
+        rows, off = [], 0
+        for did, text in zip(df["doc_id"], df["text"]):
+            n = len(text.split())
+            if n:
+                b = off // W
+                while b * W < off + n:
+                    s = max(b * W, off)
+                    e = min((b + 1) * W, off + n)
+                    rows.append((did, b, s - off, s - b * W, e - s))
+                    b += 1
+            off += n
+        return rows
+
+    ref = reference()
+    for ds, bucket in [
+            (ray.data.from_pandas(df), 4096),
+            (ray.data.from_pandas(df).repartition(5), 8),
+    ]:
+        out = pack_sequences(ds, window=W, bucket_size=bucket).to_pandas()
+        out = out.sort_values(["doc_id", "bin_id"]).reset_index(drop=True)
+        assert [tuple(r) for r in out.to_numpy()] == ref
+    # bins are gap-free and full except possibly the last
+    packed = pack_sequences(ray.data.from_pandas(df), window=W).to_pandas()
+    per_bin = packed.groupby("bin_id")["n_tok"].sum()
+    assert (per_bin[:-1] == W).all() and 0 < per_bin.iloc[-1] <= W
