@@ -211,6 +211,15 @@ def _fingerprints(sf_dir: str):
         .map_batches(to_int64, batch_format="pandas")
 
 
+def _stratified_20(sf_dir: str):
+    import ray.data
+
+    from warcio_ray.ops.textstats import stratified_sample
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    return stratified_sample(ds, group_col="lang", k=20)
+
+
 def _pack_1024(sf_dir: str):
     import ray.data
 
@@ -674,6 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _gopher_quality,
         "top_terms": _top_terms,
         "sample_10pct": _sample_10pct,
+        "stratified_20": _stratified_20,
         "pack_1024": _pack_1024,
         # dedup family
         "exact_dedup": _exact_dedup,
@@ -896,6 +906,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))
                        AS BIGINT) % 100 < 10
             ORDER BY doc_id
+        """,
+        "stratified_20": """
+            SELECT lang, doc_id FROM (
+              SELECT lang, doc_id, row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY CAST(('0x' ||
+                      substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT),
+                    doc_id) AS rk
+              FROM documents) r
+            WHERE rk <= 20
         """,
         "host_counts": f"""
             SELECT {_HOST_CASE} AS host, COUNT(*) AS n_pages

@@ -846,3 +846,38 @@ def test_pack_sequences(ray_session):
     packed = pack_sequences(ray.data.from_pandas(df), window=W).to_pandas()
     per_bin = packed.groupby("bin_id")["n_tok"].sum()
     assert (per_bin[:-1] == W).all() and 0 < per_bin.iloc[-1] <= W
+
+
+def test_stratified_sample(ray_session):
+    """k-per-group sample: correct size per group, deterministic, and
+    partition-invariant (the combiner cut must not change the winners)."""
+    import hashlib
+
+    import ray.data
+
+    from warcio_ray.ops.textstats import stratified_sample
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "doc_id": range(200),
+        "lang": rng.choice(["en", "de", "fr"], size=200),
+    })
+
+    def reference(k):
+        h = df["doc_id"].map(
+            lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16))
+        r = df.assign(_h=h).sort_values(["_h", "doc_id"])
+        return {g: list(grp["doc_id"][:k])
+                for g, grp in r.groupby("lang", sort=False)}
+
+    want = reference(7)
+    for ds in [ray.data.from_pandas(df),
+               ray.data.from_pandas(df).repartition(9)]:
+        out = stratified_sample(ds, "lang", k=7).to_pandas()
+        got = {g: sorted(grp["doc_id"]) for g, grp in out.groupby("lang")}
+        assert got == {g: sorted(v) for g, v in want.items()}
+    # k larger than a group returns the whole group
+    small = df[df["lang"] == "de"].head(3)
+    out = stratified_sample(
+        ray.data.from_pandas(small), "lang", k=50).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(small["doc_id"])

@@ -317,6 +317,36 @@ def hash_sample(ds, pct: int, id_col: str = "doc_id"):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def stratified_sample(ds, group_col: str, k: int, id_col: str = "doc_id"):
+    """Deterministic k-per-group sample: within each group keep the k
+    rows with the smallest (md5(id), id) rank — reproducible at any
+    parallelism and recomputable in SQL (row_number over
+    CAST('0x' || substr(md5(id),1,8) AS BIGINT)).
+
+    Combiner shape: each batch emits at most k candidate rows per group
+    it contains (vectorized kth-smallest cut), so the final
+    groupby(group) merge only ever shuffles O(k x #batches) rows per
+    group — the corpus itself never shuffles."""
+
+    def _hash(ids: pd.Series) -> np.ndarray:
+        return np.fromiter(
+            (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
+             for i in ids), dtype="int64", count=len(ids))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[group_col, id_col]].copy()
+        out["_h"] = _hash(out[id_col])
+        out = out.sort_values([group_col, "_h", id_col], kind="mergesort")
+        return out.groupby(group_col, sort=False).head(k)
+
+    def final(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.sort_values(["_h", id_col], kind="mergesort").head(k)
+        return grp[[group_col, id_col]]
+
+    cands = ds.map_batches(partial, batch_format="pandas")
+    return cands.groupby(group_col).map_groups(final, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # unigram LM scoring (two-pass: corpus counts -> broadcast vocab ->
 # per-doc mean negative log-prob; a deterministic perplexity-style
