@@ -336,16 +336,14 @@ def _crawl_order(sf_dir: str):
     return df[["round", "shard", "seq", "url", "host"]]
 
 
-def _warc_rec_types(sf_dir: str):
-    """pages -> WARC shards -> datasource parse -> rec_type counts
-    (end-to-end codec + datasource + sink)."""
+def _warc_fixture_paths(sf_dir: str):
+    """pages -> cached per-sf WARC shards (one response record per
+    document); shared by the warc_rec_types and cdxj_index queries."""
     import os
     import ray.data
-    from ray.data.aggregate import Count
 
     from warcio_ray.pages import read_pages, pages_dir
     from warcio_ray.sinks.warc import write_warc
-    from warcio_ray.sources.warc import read_warc
     import pyarrow as pa
 
     out_dir = os.path.join("/tmp/warcio_ray/warcout",
@@ -388,10 +386,29 @@ def _warc_rec_types(sf_dir: str):
         with open(marker, "w") as f:
             f.write("ok")
 
-    paths = [os.path.join(out_dir, p) for p in sorted(os.listdir(out_dir))
-             if p.endswith(".warc.gz")]
-    ds = read_warc(paths).select_columns(["rec_type"])
+    return [os.path.join(out_dir, p) for p in sorted(os.listdir(out_dir))
+            if p.endswith(".warc.gz")]
+
+
+def _warc_rec_types(sf_dir: str):
+    """pages -> WARC shards -> datasource parse -> rec_type counts
+    (end-to-end codec + datasource + sink)."""
+    from ray.data.aggregate import Count
+
+    from warcio_ray.sources.warc import read_warc
+
+    ds = read_warc(_warc_fixture_paths(sf_dir)).select_columns(["rec_type"])
     return ds.groupby("rec_type").aggregate(Count(alias_name="n"))
+
+
+def _cdxj_index(sf_dir: str):
+    """WARC shards -> globally sorted CDXJ capture index (distributed
+    sort on the narrow projection). Oracle reconstructs surt_key/ts14
+    from the deterministic pages url/timestamp scheme."""
+    from warcio_ray.pipelines.index import cdxj_index
+
+    out = cdxj_index(_warc_fixture_paths(sf_dir))
+    return out.select_columns(["surt_key", "ts14", "url"])
 
 
 def _distinct_langs(sf_dir: str):
@@ -710,6 +727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text_verify": _extract_text_verify,
         "crawl_order": _crawl_order,
         "warc_rec_types": _warc_rec_types,
+        "cdxj_index": _cdxj_index,
         "revisit_dedup": _revisit_dedup,
         # multimodal plumbing
         "media_features": _media_features,
@@ -1259,6 +1277,21 @@ def oracle_sql() -> dict[str, str]:
         # round-trip count is SQL-checkable
         "warc_rec_types": """
             SELECT 'response' AS rec_type, COUNT(*) AS n FROM documents
+        """,
+        # cdxj_index: urls/timestamps are deterministic functions of
+        # doc_id (pages.py:54,16), so the SURT key and 14-digit CDX
+        # timestamp reconstruct exactly; one response capture per doc
+        "cdxj_index": f"""
+            SELECT 'example,site' || CAST(CASE WHEN doc_id%100<30 THEN 0
+                     WHEN doc_id%100<45 THEN 1 WHEN doc_id%100<55 THEN 2
+                     WHEN doc_id%100<62 THEN 3 ELSE doc_id%100 END
+                     AS VARCHAR) || ')/doc/' || CAST(doc_id AS VARCHAR)
+                     AS surt_key,
+                   strftime(TIMESTAMP '2024-01-01 00:00:00'
+                     + doc_id * INTERVAL 1 SECOND, '%Y%m%d%H%M%S') AS ts14,
+                   {_HOST_CASE.replace("'site'", "'http://site'")}
+                     || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
         """,
         # revisit_dedup: every page written twice with a shared payload;
         # the digest-dedup pipeline must rewrite exactly one copy per

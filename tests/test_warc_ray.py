@@ -329,3 +329,19 @@ def test_chunked_err_count_sums_to_whole_file(ray_session):
         total = sum(t["err_count"][0].as_py() for t in tables
                     if len(t))
         assert total == whole.err_count, chunk_records
+
+
+def test_cdxj_index_sorted(ray_session):
+    """CDXJ index: only capture records surface, keys are SURT + ts14,
+    and the output is GLOBALLY sorted (the distributed-sort contract)."""
+    from warcio_ray.pipelines.index import cdxj_index
+
+    df = cdxj_index([golden("valid.warc.gz"),
+                     golden("legacy.arc.gz")]).to_pandas()
+    assert set(df["rec_type"]).issubset({"response", "revisit", "resource"})
+    assert (df["ts14"].str.len() == 14).all()
+    assert df["surt_key"].str.contains(r"\)").all()
+    keys = list(zip(df["surt_key"], df["ts14"], df["filename"],
+                    df["offset"]))
+    assert keys == sorted(keys)
+    assert len(df) > 0

@@ -124,3 +124,47 @@ def index_dataset(paths, fields=DEFAULT_FIELDS, verify_http: bool = False):
     ds = read_warc(paths, parse_options=opts, compute_digests=False)
     return ds.map_batches(_project_batch, batch_format="pyarrow",
                           fn_kwargs={"fields": fields})
+
+
+# ---------------------------------------------------------------------------
+# CDXJ-style sorted capture index
+# ---------------------------------------------------------------------------
+
+def cdxj_index(paths, rec_types=("response", "revisit", "resource")):
+    """Archives -> globally sorted CDXJ-style capture index: one row per
+    capture with ``surt_key`` (SURT-canonicalized URL, the pywb/CDX sort
+    key convention) and ``ts14`` (14-digit WARC-Date), sorted by
+    (surt_key, ts14, filename, offset).
+
+    The reference indexer (indexer.py:64-81) emits fields in file order;
+    the CDX(J) convention the web-archive ecosystem consumes is the
+    SAME projection globally sorted — which on Ray Data is a distributed
+    range-partitioned sort over ONLY the narrow projection (payloads are
+    never read: no_record_parse + compute_digests=False fast path, and
+    only 6 scalar columns enter the shuffle).
+    """
+    import pandas as pd
+
+    from warcio_ray.codec.records import ParseOptions
+    from warcio_ray.sources.warc import read_warc
+
+    opts = ParseOptions(no_record_parse=True, arc2warc=True)
+    ds = read_warc(paths, parse_options=opts, compute_digests=False)
+    keep = set(rec_types)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        from warcio_ray.frontier.surt import surt
+        batch = batch[batch["rec_type"].isin(keep) & batch["url"].notna()]
+        ts = pd.to_datetime(batch["warc_date"]).dt.strftime("%Y%m%d%H%M%S")
+        return pd.DataFrame({
+            "surt_key": [surt(u) for u in batch["url"]],
+            "ts14": ts.to_numpy(),
+            "url": batch["url"].to_numpy(),
+            "rec_type": batch["rec_type"].to_numpy(),
+            "filename": [os.path.basename(f) if f else ""
+                         for f in batch["filename"]],
+            "offset": batch["offset"].to_numpy(),
+        })
+
+    proj = ds.map_batches(project, batch_format="pandas")
+    return proj.sort(["surt_key", "ts14", "filename", "offset"])
