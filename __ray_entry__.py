@@ -229,6 +229,25 @@ def _pack_1024(sf_dir: str):
     return pack_sequences(ds, window=1024)
 
 
+def _incremental_dedup(sf_dir: str):
+    """Cross-snapshot dedup: the 'standing corpus' is every 5th doc's
+    text; the fresh snapshot (all docs) drops exactly those texts."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.dedup import incremental_dedup
+
+    new = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"])
+
+    def every_5th(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["doc_id"] % 5 == 0]
+
+    seen = new.map_batches(every_5th, batch_format="pandas")
+    out = incremental_dedup(new, seen)
+    return out.select_columns(["doc_id"])
+
+
 def _minhash_pairs(sf_dir: str):
     import ray.data
 
@@ -704,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_1024": _pack_1024,
         # dedup family
         "exact_dedup": _exact_dedup,
+        "incremental_dedup": _incremental_dedup,
         "minhash_pairs": _minhash_pairs,
         "jaccard_pairs": _jaccard_pairs,
         "jaccard_clusters": _jaccard_clusters,
@@ -888,6 +908,12 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        "incremental_dedup": """
+            SELECT doc_id FROM documents
+            WHERE md5(COALESCE(text,'')) NOT IN (
+              SELECT md5(COALESCE(text,'')) FROM documents
+              WHERE doc_id % 5 = 0)
         """,
         "gopher_quality": r"""
             WITH w AS (

@@ -881,3 +881,32 @@ def test_stratified_sample(ray_session):
     out = stratified_sample(
         ray.data.from_pandas(small), "lang", k=50).to_pandas()
     assert sorted(out["doc_id"]) == sorted(small["doc_id"])
+
+
+def test_incremental_dedup(ray_session):
+    """Cross-snapshot dedup: duplicates by TEXT (not id) are dropped,
+    an empty standing corpus keeps everything, and a fully-seen
+    snapshot drops everything."""
+    import ray.data
+
+    from warcio_ray.ops.dedup import incremental_dedup
+
+    seen = pd.DataFrame({"doc_id": [100, 101],
+                         "text": ["known page", "other known"]})
+    new = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                        "text": ["fresh one", "known page",
+                                 "fresh two", "other known"]})
+    out = incremental_dedup(ray.data.from_pandas(new),
+                            ray.data.from_pandas(seen)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3]
+    assert set(out.columns) == {"doc_id", "text"}
+
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "text": pd.Series(dtype="object")})
+    out = incremental_dedup(ray.data.from_pandas(new),
+                            ray.data.from_pandas(empty)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3, 4]
+
+    out = incremental_dedup(ray.data.from_pandas(new),
+                            ray.data.from_pandas(new)).to_pandas()
+    assert len(out) == 0

@@ -50,6 +50,44 @@ def exact_dedup(ds, id_col: str = "doc_id"):
         Min(id_col, alias_name=id_col))
 
 
+def incremental_dedup(new_ds, seen_ds, id_col: str = "doc_id",
+                      num_partitions: Optional[int] = None):
+    """Cross-snapshot exact dedup: drop rows of ``new_ds`` whose text
+    hash already appears in ``seen_ds`` (the monthly-recrawl shape: a
+    fresh crawl deduplicated against the standing corpus index).
+
+    Scale shape: both sides reduce to (text_hash) / (text_hash, id)
+    projections before the ONE hash-partitioned ``left_anti`` join —
+    document text never shuffles; survivors come back via a second hash
+    join on the id column (ids + 16-byte hashes only in both exchanges).
+    The seen side is distinct-ed first so a heavily duplicated standing
+    corpus doesn't inflate the anti-join build side.
+    """
+    from warcio_ray.ops.blocks import safe_join
+
+    import ray
+    from ray.data.aggregate import Count
+
+    if num_partitions is None:
+        # two JoinOperators chained: partition counts above the
+        # session's CPU count starve each other's aggregator pools on
+        # small sessions (observed 4-cpu hang at 32) — and at scale
+        # partitions ~ cores is the right width anyway
+        num_partitions = min(
+            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+
+    new_keys = new_ds.map_batches(add_md5_batch, batch_format="pandas") \
+        .select_columns(["text_hash", id_col])
+    seen_keys = seen_ds.map_batches(add_md5_batch, batch_format="pandas") \
+        .select_columns(["text_hash"]) \
+        .groupby("text_hash").aggregate(Count(alias_name="_n")) \
+        .select_columns(["text_hash"])
+    survivors = safe_join(new_keys, seen_keys, "left_anti",
+                          num_partitions, ("text_hash",))
+    ids = survivors.select_columns([id_col])
+    return safe_join(new_ds, ids, "inner", num_partitions, (id_col,))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
