@@ -15,8 +15,11 @@ Scale shape (the interesting part — an exact distributed prefix sum):
   (two int64 columns; the text never shuffles),
 * bucket totals: docs bucket by ``doc_id // bucket_size``; a tiny
   ``groupby(bucket).sum`` yields O(#buckets) rows, the ONLY thing the
-  driver ever holds (bucket_size trades driver memory for group width —
-  at 10^10 docs and bucket_size=10^6 the driver cumsum is 10^4 rows),
+  driver ever holds. bucket_size trades driver memory against BOTH
+  group width and group COUNT: per-tiny-group map_groups costs ~1-5 ms
+  of machinery each, so the default 2^20 docs/bucket keeps a 10^10-doc
+  corpus at ~10^4 groups (seconds of overhead, 16 MB of int rows per
+  group) while the driver cumsum stays 10^4 rows,
 * pass B: one hash shuffle of the (doc_id, n) rows into bucket groups;
   inside each group a vectorized sort + cumsum plus the broadcast
   bucket-base offset gives every doc its exact global token offset,
@@ -80,7 +83,7 @@ def _explode_segments(batch: pd.DataFrame, window: int) -> pd.DataFrame:
 
 
 def pack_sequences(ds, window: int = 1024, text_col: str = "text",
-                   bucket_size: int = 4096,
+                   bucket_size: int = 1 << 20,
                    num_partitions: Optional[int] = None):
     """Pack documents (in doc_id order) into ``window``-token bins.
 
