@@ -278,6 +278,30 @@ def run_bench() -> dict:
     timings["minhash_bands"] = round(time.time() - t0, 3)
     derived["minhash_band_rows"] = n_sigs
 
+    # 6b. sequence packing (exact distributed prefix sum + segment
+    # explode) and the sorted CDXJ capture index (distributed sort over
+    # the narrow projection of the bench WARC corpus). Reported under
+    # `derived` so the headline stage set stays comparable across rounds.
+    from warcio_ray.ops.pack import pack_sequences
+    from warcio_ray.pipelines.index import cdxj_index
+
+    def run_pack():
+        docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return pack_sequences(docs, window=1024).count()
+
+    best, n_segs = timed_min(run_pack)
+    derived["pack_s"] = round(best, 3)
+    derived["pack_segments"] = int(n_segs)
+
+    def run_cdxj():
+        return cdxj_index(paths).count()
+
+    best, n_caps = timed_min(run_cdxj)
+    derived["cdxj_s"] = round(best, 3)
+    derived["cdxj_rows"] = int(n_caps)
+    derived["cdxj_rec_s"] = round(n_caps / max(best, 1e-3), 1)
+
     # 7. representative-file-size pass: the SAME records in ~100 MB
     # .warc.gz shards (Common Crawl ships ~1 GB files; the 6 MB shards
     # above exercise wave scheduling, these exercise chunked yield +

@@ -62,6 +62,10 @@ def incremental_dedup(new_ds, seen_ds, id_col: str = "doc_id",
     join on the id column (ids + 16-byte hashes only in both exchanges).
     The seen side is distinct-ed first so a heavily duplicated standing
     corpus doesn't inflate the anti-join build side.
+
+    ``new_ds`` must carry only primitive columns (acero joins reject
+    nested non-key fields — see ROUND3_NOTES perf learning 9); project
+    T2-shaped inputs down to (id, text, ...) scalars first.
     """
     from warcio_ray.ops.blocks import safe_join
 

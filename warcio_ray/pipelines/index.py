@@ -155,7 +155,10 @@ def cdxj_index(paths, rec_types=("response", "revisit", "resource")):
     def project(batch: pd.DataFrame) -> pd.DataFrame:
         from warcio_ray.frontier.surt import surt
         batch = batch[batch["rec_type"].isin(keep) & batch["url"].notna()]
-        ts = pd.to_datetime(batch["warc_date"]).dt.strftime("%Y%m%d%H%M%S")
+        # records without a WARC-Date sort first under an all-zero ts14
+        # (never NaN: a float column would poison the string schema)
+        ts = pd.to_datetime(batch["warc_date"]).dt.strftime("%Y%m%d%H%M%S") \
+            .fillna("00000000000000")
         return pd.DataFrame({
             "surt_key": [surt(u) for u in batch["url"]],
             "ts14": ts.to_numpy(),
