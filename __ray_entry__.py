@@ -211,6 +211,15 @@ def _fingerprints(sf_dir: str):
         .map_batches(to_int64, batch_format="pandas")
 
 
+def _linear_quality(sf_dir: str):
+    import ray.data
+
+    from warcio_ray.ops.classify import linear_quality_scores
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return linear_quality_scores(ds, concurrency=2)
+
+
 def _stratified_20(sf_dir: str):
     import ray.data
 
@@ -721,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_10pct": _sample_10pct,
         "stratified_20": _stratified_20,
         "pack_1024": _pack_1024,
+        "linear_quality": _linear_quality,
         # dedup family
         "exact_dedup": _exact_dedup,
         "incremental_dedup": _incremental_dedup,
@@ -950,6 +960,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))
                        AS BIGINT) % 100 < 10
             ORDER BY doc_id
+        """,
+        # linear_quality: hashed-feature linear model; int64-exact
+        # accumulation makes raw_score order-independent, so only the
+        # final sigmoid is float (rounded compare)
+        "linear_quality": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                     (CAST(('0x' || substr(md5(tok),1,8)) AS BIGINT) % 256)
+                       AS j
+              FROM toks),
+            s AS (
+              SELECT doc_id,
+                     SUM((j * 2654435761) % 4294967296 - 2147483648)
+                       AS raw_score,
+                     COUNT(*) AS n_tokens
+              FROM f GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.raw_score, 0) AS BIGINT) AS raw_score,
+                   CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0.5
+                        ELSE 1.0 / (1.0 + exp(-(CAST(s.raw_score AS DOUBLE)
+                             / (s.n_tokens * 2147483648.0)))) END
+                     AS quality_prob
+            FROM documents d LEFT JOIN s USING (doc_id)
         """,
         "stratified_20": """
             SELECT lang, doc_id FROM (

@@ -910,3 +910,40 @@ def test_incremental_dedup(ray_session):
     out = incremental_dedup(ray.data.from_pandas(new),
                             ray.data.from_pandas(new)).to_pandas()
     assert len(out) == 0
+
+
+def test_linear_quality_scores(ray_session):
+    """Hashed-feature linear scoring: exact integer accumulation vs an
+    in-process reference, order/partitioning invariance, empty-doc
+    neutral score."""
+    import hashlib
+    import math
+
+    import ray.data
+
+    from warcio_ray.ops.classify import (
+        default_weights,
+        linear_quality_scores,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["alpha beta gamma", "alpha alpha alpha", "", None],
+    })
+    w = default_weights()
+
+    def ref_raw(text):
+        toks = (text or "").split()
+        return sum(int(w[int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                         % 256]) for t in toks)
+
+    for ds in [ray.data.from_pandas(df),
+               ray.data.from_pandas(df).repartition(4)]:
+        out = linear_quality_scores(ds, concurrency=2).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert list(out["raw_score"]) == [ref_raw(t) for t in df["text"]]
+        assert list(out["n_tokens"]) == [3, 3, 0, 0]
+        assert out["quality_prob"][2] == 0.5 and out["quality_prob"][3] == 0.5
+        r, n = out["raw_score"][0], out["n_tokens"][0]
+        assert out["quality_prob"][0] == pytest.approx(
+            1 / (1 + math.exp(-(r / (n * 2**31)))), rel=1e-12)
