@@ -211,6 +211,38 @@ def _fingerprints(sf_dir: str):
         .map_batches(to_int64, batch_format="pandas")
 
 
+def _pagerank_5(sf_dir: str):
+    """pages html -> link extraction -> integer PageRank (5 damped
+    iterations). The Ray side parses REAL hrefs out of the rendered
+    html; the oracle regenerates the same edges from the deterministic
+    link rule (pages.py:links_for) and unrolls the integer iterations."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from warcio_ray.ops.graph import pagerank_ds
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    edges = edge_urls.map_batches(to_ids, batch_format="pyarrow")
+    nodes = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]) \
+        .map_batches(lambda b: b.rename_columns(["node"]),
+                     batch_format="pyarrow")
+    return pagerank_ds(edges, nodes, iters=5)
+
+
 def _linear_quality(sf_dir: str):
     import ray.data
 
@@ -731,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_20": _stratified_20,
         "pack_1024": _pack_1024,
         "linear_quality": _linear_quality,
+        "pagerank_5": _pagerank_5,
         # dedup family
         "exact_dedup": _exact_dedup,
         "incremental_dedup": _incremental_dedup,
@@ -839,6 +872,42 @@ def _fingerprint_cte(k: int = 5, window: int = 4) -> str:
             END AS f
           FROM roll)
     """
+
+
+def _pagerank_sql(iters: int = 5, damping: int = 85,
+                  scale: int = 10 ** 12) -> str:
+    """Unrolled integer-PageRank CTE chain mirroring
+    warcio_ray.ops.graph.pagerank_ds exactly (all-integer updates, so
+    the unrolled SQL is bit-identical, not approximately equal). Edges
+    regenerate from the deterministic link rule pages.py:links_for."""
+    base = ((100 - damping) * scale) // 100
+    ctes = [f"""
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        edges AS (
+          SELECT doc_id AS src,
+                 ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn)) AS dst
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE j < doc_id % 4),
+        deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        nd AS (SELECT doc_id AS node, COALESCE(deg.d, 0) AS d
+               FROM documents LEFT JOIN deg ON doc_id = deg.src),
+        r0 AS (SELECT node, d, {scale}::BIGINT AS rank FROM nd)"""]
+    for i in range(iters):
+        p, q = f"r{i}", f"r{i + 1}"
+        ctes.append(f"""
+        dang{i} AS (SELECT COALESCE(SUM(rank), 0) AS m
+                    FROM {p} WHERE d = 0),
+        s{i} AS (SELECT e.dst AS node, SUM(r.rank // r.d) AS s
+                 FROM edges e JOIN {p} r ON e.src = r.node
+                 GROUP BY e.dst),
+        {q} AS (SELECT nd.node, nd.d,
+                  CAST({base} + ({damping} * (COALESCE(s{i}.s, 0)
+                    + (SELECT m FROM dang{i}) // (SELECT n FROM nn)))
+                    // 100 AS BIGINT) AS rank
+                FROM nd LEFT JOIN s{i} ON nd.node = s{i}.node)""")
+    return ("WITH " + ",".join(ctes)
+            + f" SELECT node, rank FROM r{iters}")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -961,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) % 100 < 10
             ORDER BY doc_id
         """,
+        "pagerank_5": _pagerank_sql(),
         # linear_quality: hashed-feature linear model; int64-exact
         # accumulation makes raw_score order-independent, so only the
         # final sigmoid is float (rounded compare)

@@ -947,3 +947,42 @@ def test_linear_quality_scores(ray_session):
         r, n = out["raw_score"][0], out["n_tokens"][0]
         assert out["quality_prob"][0] == pytest.approx(
             1 / (1 + math.exp(-(r / (n * 2**31)))), rel=1e-12)
+
+
+def test_pagerank_fixed_point(ray_session):
+    """Integer PageRank: bit-identical to an in-process mirror on a
+    graph with dangling + isolated nodes, at two partitionings."""
+    import ray.data
+
+    from warcio_ray.ops.graph import pagerank_ds
+
+    # 0->1->2->0 cycle, 3 dangling, 4 isolated, 5 feeds 0 and 1
+    edges = pd.DataFrame({"src": [0, 1, 2, 5, 5],
+                          "dst": [1, 2, 0, 0, 1]})
+    nodes = pd.DataFrame({"node": [0, 1, 2, 3, 4, 5]})
+    SCALE = 10 ** 12
+
+    def reference(iters=5, damping=85):
+        n = len(nodes)
+        deg = edges.groupby("src").size().to_dict()
+        r = {int(v): SCALE for v in nodes["node"]}
+        base = ((100 - damping) * SCALE) // 100
+        for _ in range(iters):
+            dang = sum(r[v] for v in r if deg.get(v, 0) == 0)
+            s = {v: 0 for v in r}
+            for a, b in zip(edges["src"], edges["dst"]):
+                s[int(b)] += r[int(a)] // deg[int(a)]
+            r = {v: base + (damping * (s[v] + dang // n)) // 100
+                 for v in r}
+        return r
+
+    want = reference()
+    for np_ in [1, 3]:
+        got = pagerank_ds(
+            ray.data.from_pandas(edges).repartition(np_),
+            ray.data.from_pandas(nodes).repartition(np_),
+            iters=5).to_pandas()
+        assert dict(zip(got["node"].astype(int),
+                        got["rank"].astype(int))) == want
+    # total mass stays bounded by n*SCALE (integer division only sheds)
+    assert sum(want.values()) <= len(nodes) * SCALE

@@ -1,0 +1,135 @@
+"""Distributed PageRank over a link-graph edge Dataset — the iterative
+graph-algorithm shape (driver loop over iterations, each iteration a
+join + groupby over Datasets; rank state NEVER lives on the driver).
+
+Fixed-point arithmetic: ranks are int64 micro-units (``scale`` per node
+of initial mass) and every update is integer math —
+
+    share(src)  = r(src) // outdeg(src)
+    S(dst)      = sum of shares over in-edges          (int64, exact)
+    dang        = sum of r over zero-outdegree nodes
+    r'(node)    = ((100-d) * scale) // 100
+                  + (d * (S(node) + dang // n)) // 100
+
+— so the result is bit-identical at ANY partitioning/batching (integer
+sums are order-independent, unlike float accumulation) and recomputable
+in SQL by unrolling the iterations. This is the same trick the OPIC
+frontier uses (exactness ⇒ order-independence), applied to the classic
+damped PageRank instead of crawl priority.
+
+Scale shape: per iteration ONE edges⋈ranks hash join (ids + int64 ranks
+only), one groupby(dst) integer sum, one node-universe left join; the
+dangling term is a scalar aggregate. Driver state is O(1) per iteration
+(the dangling int + loop counter). Ray Data cannot pin a persistent
+partitioning across joins, so edges re-shuffle each iteration — a
+production deployment would pre-bucket edges by src hash on disk (the
+bucketed-pages pattern) and co-partition ranks to skip half of that.
+
+No reference counterpart; PageRank per Page et al. 1999, with the
+standard uniform dangling-mass redistribution.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["pagerank_ds", "DEFAULT_SCALE"]
+
+DEFAULT_SCALE = 10 ** 12
+
+
+def _adaptive_partitions() -> int:
+    import ray
+    return min(32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+
+
+def pagerank_ds(edges_ds, nodes_ds, iters: int = 5,
+                damping_pct: int = 85, scale: int = DEFAULT_SCALE,
+                num_partitions: Optional[int] = None):
+    """``edges_ds``: (src, dst) int64 rows. ``nodes_ds``: (node) int64
+    rows — the node universe (isolated nodes included). Returns a
+    Dataset (node, rank) of int64 fixed-point ranks after ``iters``
+    damped iterations from a uniform start of ``scale`` per node.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from warcio_ray.ops.blocks import safe_join
+
+    if num_partitions is None:
+        num_partitions = _adaptive_partitions()
+
+    # the edge table is the iteration working set — materialize ONCE so
+    # the (possibly expensive) upstream that produced it (html parse,
+    # warc read) never re-executes per iteration; 16-byte rows live in
+    # the object store and spill if larger than memory
+    edges_ds = edges_ds.materialize()
+    n = nodes_ds.count()
+    if n == 0:
+        import ray.data
+        return ray.data.from_pandas(pd.DataFrame(
+            {"node": pd.Series(dtype="int64"),
+             "rank": pd.Series(dtype="int64")}))
+
+    deg = edges_ds.groupby("src").aggregate(Count(alias_name="d"))
+
+    # static node universe with out-degree (0 for dangling/isolated)
+    node_deg = safe_join(nodes_ds, deg, "left_outer", num_partitions,
+                         ("node",), right_on=("src",))
+
+    def stamp_deg(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": batch["node"].astype("int64"),
+            "d": batch["d"].fillna(0).astype("int64")})
+
+    node_deg = node_deg.map_batches(
+        stamp_deg, batch_format="pandas").materialize()
+
+    def init_rank(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["node", "d"]].copy()
+        out["rank"] = np.int64(scale)
+        return out
+
+    # ranks carry the static out-degree so the per-iteration state join
+    # (rank ⋈ degree) disappears: one edges join + one universe join
+    ranks = node_deg.map_batches(init_rank, batch_format="pandas") \
+        .materialize()
+    base = ((100 - damping_pct) * scale) // 100
+
+    for _ in range(iters):
+        dang = ranks.map_batches(
+            lambda b: pd.DataFrame({"m": [np.int64(
+                b.loc[b["d"] == 0, "rank"].sum())]}),
+            batch_format="pandas").sum("m") or 0
+        dang_share = int(dang) // n
+
+        def shares(batch: pd.DataFrame) -> pd.DataFrame:
+            live = batch[batch["d"] > 0]
+            return pd.DataFrame({
+                "src": live["node"].astype("int64"),
+                "share": (live["rank"] // live["d"]).astype("int64")})
+
+        contrib = safe_join(
+            edges_ds, ranks.map_batches(shares, batch_format="pandas"),
+            "inner", num_partitions, ("src",)) \
+            .groupby("dst").aggregate(Sum("share", alias_name="s"))
+
+        nxt = safe_join(node_deg, contrib, "left_outer", num_partitions,
+                        ("node",), right_on=("dst",))
+
+        def update(batch: pd.DataFrame, dang_share=dang_share
+                   ) -> pd.DataFrame:
+            s = batch["s"].fillna(0).astype("int64") if "s" in batch \
+                else pd.Series(np.zeros(len(batch), dtype="int64"))
+            return pd.DataFrame({
+                "node": batch["node"].astype("int64"),
+                "d": batch["d"].astype("int64"),
+                "rank": (base + (damping_pct * (s + dang_share)) // 100
+                         ).astype("int64")})
+
+        ranks = nxt.map_batches(update, batch_format="pandas") \
+            .materialize()
+
+    return ranks.drop_columns(["d"])
