@@ -211,6 +211,19 @@ def _fingerprints(sf_dir: str):
         .map_batches(to_int64, batch_format="pandas")
 
 
+def _hll_lang_tokens(sf_dir: str):
+    """Approximate distinct-token count per language via HyperLogLog
+    (b=10). The oracle recomputes the registers and the exact-integer
+    harmonic fold in SQL."""
+    import ray.data
+
+    from warcio_ray.ops.sketch import hll_distinct
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+    return hll_distinct(ds, key_col="lang", value_col="text",
+                        tokenize=True)
+
+
 def _pagerank_5(sf_dir: str):
     """pages html -> link extraction -> integer PageRank (5 damped
     iterations). The Ray side parses REAL hrefs out of the rendered
@@ -764,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_1024": _pack_1024,
         "linear_quality": _linear_quality,
         "pagerank_5": _pagerank_5,
+        "hll_lang_tokens": _hll_lang_tokens,
         # dedup family
         "exact_dedup": _exact_dedup,
         "incremental_dedup": _incremental_dedup,
@@ -1031,6 +1045,44 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "pagerank_5": _pagerank_sql(),
+        # hll_lang_tokens: registers and the harmonic denominator are
+        # exact integers (2^-M == 2^(64-M)/2^64 numerators), so the
+        # whole sketch is recomputable; only the final double fold and
+        # the linear-counting correction are float (tolerance compare)
+        "hll_lang_tokens": """
+            WITH toks AS (
+              SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS tok
+              FROM documents),
+            h AS (
+              SELECT lang,
+                     CAST(('0x' || substr(md5(tok),1,16)) AS UBIGINT) AS hv
+              FROM toks),
+            reg AS (
+              SELECT lang, CAST(hv >> 54 AS BIGINT) AS bucket,
+                     MAX(CASE WHEN (hv & 18014398509481983::UBIGINT)
+                                   = 0::UBIGINT THEN 55
+                         ELSE 54 - length(bin(
+                             hv & 18014398509481983::UBIGINT)) + 1 END)
+                       AS rho
+              FROM h GROUP BY lang, bucket),
+            agg AS (
+              SELECT lang,
+                     SUM(1::HUGEINT << (64 - rho))
+                       + (1024 - COUNT(*)) * (1::HUGEINT << 64) AS denom,
+                     1024 - COUNT(*) AS zeros
+              FROM reg GROUP BY lang),
+            est AS (
+              SELECT lang, zeros,
+                     (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+                       * 18446744073709551616.0 / CAST(denom AS DOUBLE)
+                       AS raw
+              FROM agg)
+            SELECT lang,
+                   CASE WHEN raw <= 2560.0 AND zeros > 0
+                        THEN 1024.0 * ln(1024.0 / zeros)
+                        ELSE raw END AS n_distinct_est
+            FROM est
+        """,
         # linear_quality: hashed-feature linear model; int64-exact
         # accumulation makes raw_score order-independent, so only the
         # final sigmoid is float (rounded compare)

@@ -986,3 +986,36 @@ def test_pagerank_fixed_point(ray_session):
                         got["rank"].astype(int))) == want
     # total mass stays bounded by n*SCALE (integer division only sheds)
     assert sum(want.values()) <= len(nodes) * SCALE
+
+
+def test_hll_distinct(ray_session):
+    """HLL sketch: estimate within ~3x sigma of truth (sigma = 1.04/sqrt(m)),
+    partitioning-invariant (bit-identical estimates), and exact-integer
+    register fold handles the empty-register shift (2^64)."""
+    import ray.data
+
+    from warcio_ray.ops.sketch import (
+        hll_distinct,
+        hll_estimate_from_registers,
+    )
+
+    rng = np.random.RandomState(7)
+    n_true = 3000
+    vals = [f"v{i}" for i in rng.randint(0, n_true, size=9000)]
+    truth = len(set(vals))
+    df = pd.DataFrame({"k": ["x"] * len(vals), "v": vals})
+
+    est1 = hll_distinct(ray.data.from_pandas(df), "k", "v")
+    est2 = hll_distinct(ray.data.from_pandas(df).repartition(7), "k", "v")
+    assert est1["n_distinct_est"][0] == est2["n_distinct_est"][0]
+    assert abs(est1["n_distinct_est"][0] - truth) / truth < 3 * 1.04 / 32
+
+    # small-range correction path: tiny cardinality
+    small = pd.DataFrame({"k": ["x"] * 10, "v": [f"s{i}" for i in range(4)
+                                                 ] + ["s0"] * 6})
+    e = hll_distinct(ray.data.from_pandas(small), "k", "v")
+    assert abs(e["n_distinct_est"][0] - 4) < 1.0
+
+    # empty-register fold is exact (no int64 overflow on 1 << 64)
+    assert hll_estimate_from_registers(np.zeros(1024, dtype=np.int64),
+                                       10) == pytest.approx(0.0, abs=1e-9)
