@@ -67,6 +67,14 @@ def pagerank_ds(edges_ds, nodes_ds, iters: int = 5,
     # the object store and spill if larger than memory
     edges_ds = edges_ds.materialize()
     n = nodes_ds.count()
+    # every intermediate (dangling sum, per-node rank after a hot-node
+    # pileup) is bounded by the total mass n*scale; keep it inside
+    # int64 with headroom for the damping multiply (x100)
+    if n and n * scale >= (1 << 56):
+        raise ValueError(
+            f"n*scale = {n * scale:.3g} risks int64 overflow in the "
+            f"damping multiply; pass scale <= {(1 << 56) // n} for "
+            f"{n} nodes (precision degrades gracefully)")
     if n == 0:
         import ray.data
         return ray.data.from_pandas(pd.DataFrame(

@@ -28,6 +28,9 @@ import pandas as pd
 
 __all__ = ["hll_distinct", "hll_estimate_from_registers"]
 
+# per-worker-process token hash memo, keyed by precision b
+_hash_memo: dict = {}
+
 
 def _alpha(m: int) -> float:
     if m >= 128:
@@ -62,21 +65,29 @@ def hll_distinct(ds, key_col: str, value_col: str, b: int = 10,
     from ray.data.aggregate import Max
 
     m = 1 << b
-    shift = np.uint64(64 - b)
-    wmask = np.uint64((1 << (64 - b)) - 1)
+    shift = 64 - b
+    wmask = (1 << (64 - b)) - 1
 
     def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        # worker-global (bucket, rho) memo: distinct tokens hash once
+        # per worker, not once per occurrence (the task-cache pattern —
+        # an actor pool's spin-up buys nothing for microsecond state)
+        hmemo = _hash_memo.setdefault(b, {})
         keys_out, buckets_out, rhos_out = [], [], []
         memo: dict = {}
         for key, val in zip(batch[key_col], batch[value_col]):
             vals = (val or "").split() if tokenize else [val]
             best = memo.setdefault(key, {})
             for v in vals:
-                h = np.uint64(int(hashlib.md5(
-                    str(v).encode("utf-8")).hexdigest()[:16], 16))
-                bucket = int(h >> shift)
-                w = int(h & wmask)
-                rho = (64 - b) - w.bit_length() + 1
+                br = hmemo.get(v)
+                if br is None:
+                    h = int(hashlib.md5(
+                        str(v).encode("utf-8")).hexdigest()[:16], 16)
+                    w = h & wmask
+                    br = (h >> shift, (64 - b) - w.bit_length() + 1)
+                    if len(hmemo) < 4_000_000:  # bound worker memory
+                        hmemo[v] = br
+                bucket, rho = br
                 if rho > best.get(bucket, 0):
                     best[bucket] = rho
         for key, best in memo.items():
