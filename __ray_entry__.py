@@ -224,6 +224,25 @@ def _hll_lang_tokens(sf_dir: str):
                         tokenize=True)
 
 
+def _cms_probe_counts(sf_dir: str):
+    """Count-min sketch (d=4, w=2048) frequency estimates for a
+    deterministic probe set (distinct tokens of docs with
+    doc_id % 101 == 0), exact counts alongside. Sketch cells and
+    estimates are pure integers; the oracle recomputes the whole
+    sketch from md5 slices."""
+    import ray.data
+
+    from warcio_ray.ops.sketch import count_min_probe
+
+    probe_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]) \
+        .filter(lambda r: r["doc_id"] % 101 == 0).to_pandas()
+    probes = {t for txt in probe_docs["text"] for t in (txt or "").split()}
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return count_min_probe(ds, value_col="text", probes=probes)
+
+
 def _pagerank_5(sf_dir: str):
     """pages html -> link extraction -> integer PageRank (5 damped
     iterations). The Ray side parses REAL hrefs out of the rendered
@@ -778,6 +797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_quality": _linear_quality,
         "pagerank_5": _pagerank_5,
         "hll_lang_tokens": _hll_lang_tokens,
+        "cms_probe_counts": _cms_probe_counts,
         # dedup family
         "exact_dedup": _exact_dedup,
         "incremental_dedup": _incremental_dedup,
@@ -1082,6 +1102,41 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1024.0 * ln(1024.0 / zeros)
                         ELSE raw END AS n_distinct_est
             FROM est
+        """,
+        # cms_probe_counts: the sketch is pure integers — cells are
+        # group sums over md5-slice columns, the estimate is a min over
+        # d cells — so the oracle recomputes it exactly (hash compare)
+        "cms_probe_counts": """
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok
+              FROM documents),
+            rows_r AS (SELECT unnest([0, 1, 2, 3]) AS r),
+            cells AS (
+              SELECT r,
+                     CAST(('0x' || substr(md5(tok), 1 + 8*r, 8)) AS BIGINT)
+                       % 2048 AS col,
+                     COUNT(*) AS c
+              FROM toks CROSS JOIN rows_r GROUP BY r, col),
+            probes AS (
+              SELECT DISTINCT unnest(regexp_extract_all(text, '\\S+')) AS tok
+              FROM documents WHERE doc_id % 101 = 0),
+            est AS (
+              SELECT p.tok, MIN(cells.c) AS est_count
+              FROM probes p CROSS JOIN rows_r
+              JOIN cells ON cells.r = rows_r.r
+               AND cells.col =
+                   CAST(('0x' || substr(md5(p.tok), 1 + 8*rows_r.r, 8))
+                        AS BIGINT) % 2048
+              GROUP BY p.tok),
+            tru AS (
+              SELECT p.tok, COUNT(t.tok) AS true_count
+              FROM probes p LEFT JOIN toks t ON t.tok = p.tok
+              GROUP BY p.tok)
+            SELECT est.tok AS term,
+                   CAST(est.est_count AS BIGINT) AS est_count,
+                   CAST(tru.true_count AS BIGINT) AS true_count
+            FROM est JOIN tru ON est.tok = tru.tok
+            ORDER BY term
         """,
         # linear_quality: hashed-feature linear model; int64-exact
         # accumulation makes raw_score order-independent, so only the

@@ -1019,3 +1019,41 @@ def test_hll_distinct(ray_session):
     # empty-register fold is exact (no int64 overflow on 1 << 64)
     assert hll_estimate_from_registers(np.zeros(1024, dtype=np.int64),
                                        10) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_count_min_probe(ray_session):
+    """CMS: exact true counts, est >= true always, partitioning-
+    invariant, and a cramped sketch (w=8) actually overestimates
+    (collisions) while a roomy one is exact for a small vocab."""
+    import ray.data
+
+    from warcio_ray.ops.sketch import count_min_probe
+
+    rng = np.random.RandomState(11)
+    vocab = [f"t{i}" for i in range(200)]
+    docs = [" ".join(rng.choice(vocab, size=40)) for _ in range(120)]
+    df = pd.DataFrame({"text": docs})
+    truth: dict = {}
+    for d in docs:
+        for t in d.split():
+            truth[t] = truth.get(t, 0) + 1
+    probes = vocab[:25]
+
+    out1 = count_min_probe(ray.data.from_pandas(df), "text", probes)
+    out2 = count_min_probe(ray.data.from_pandas(df).repartition(9),
+                           "text", probes)
+    pd.testing.assert_frame_equal(out1, out2)  # bit-identical merge
+    assert list(out1["term"]) == sorted(probes)
+    for _, row in out1.iterrows():
+        assert row["true_count"] == truth[row["term"]]
+        assert row["est_count"] >= row["true_count"]
+    # 200-token vocab into 4x2048 cells: collisions vanishingly likely
+    assert (out1["est_count"] == out1["true_count"]).all()
+
+    # cram the same vocab into w=8 columns: min-over-4-rows must
+    # overestimate somewhere, and never underestimate
+    tight = count_min_probe(ray.data.from_pandas(df), "text", probes, w=8)
+    assert (tight["est_count"] >= tight["true_count"]).all()
+    assert (tight["est_count"] > tight["true_count"]).any()
+    assert (tight["true_count"].to_numpy()
+            == out1["true_count"].to_numpy()).all()

@@ -26,7 +26,8 @@ import math
 import numpy as np
 import pandas as pd
 
-__all__ = ["hll_distinct", "hll_estimate_from_registers"]
+__all__ = ["hll_distinct", "hll_estimate_from_registers",
+           "count_min_probe"]
 
 # per-worker-process token hash memo, keyed by precision b
 _hash_memo: dict = {}
@@ -111,3 +112,97 @@ def hll_distinct(ds, key_col: str, value_col: str, b: int = 10,
             grp["rho"].to_numpy(dtype="int64")
         rows.append((key, hll_estimate_from_registers(regs, b)))
     return pd.DataFrame(rows, columns=[key_col, "n_distinct_est"])
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+def count_min_probe(ds, value_col: str, probes, d: int = 4, w: int = 2048,
+                    tokenize: bool = True) -> pd.DataFrame:
+    """Count-min frequency estimates for a probe set of tokens, with
+    exact counts alongside (est_count >= true_count always; equality
+    unless the probe's d cells all collide with other tokens).
+
+    Scale shape: counts fold into a d x w integer sketch INSIDE each
+    batch, so at most d*w + len(probes) partial rows leave any task
+    regardless of batch size; the global merge is a
+    ``groupby(r, col).sum`` over that bounded key space (registers are
+    additive, the combiner-friendliest sketch there is); the driver fold
+    is O(d*w + len(probes)), corpus-size independent. At 100 TB the
+    exchange is ~8k rows per task, full stop.
+
+    Determinism / oracle: a token's d columns are disjoint 8-hex-char
+    slices of ONE md5 (col_r = int(md5(tok)[8r:8r+8], 16) % w), and all
+    arithmetic is integer, so DuckDB recomputes the sketch and the
+    estimates exactly (d <= 4 enforced by the 32-hex digest).
+
+    ``probes`` must be tokens that occur in the corpus (guaranteed when
+    sampled from it): a probe's own occurrences make its d cells
+    nonzero, so the emitted-cells join in the SQL mirror sees all d
+    rows. No reference counterpart (warcio has no sketches).
+    """
+    from ray.data.aggregate import Sum
+
+    if not 1 <= d <= 4:
+        raise ValueError("d must be in 1..4 (md5 gives four 32-bit slices)")
+    probe_list = sorted(map(str, probes))
+    probe_index = {t: i for i, t in enumerate(probe_list)}
+
+    def tok_cols(tok: str, memo: dict):
+        cols = memo.get(tok)
+        if cols is None:
+            hx = hashlib.md5(tok.encode("utf-8")).hexdigest()
+            cols = tuple(int(hx[8 * r:8 * r + 8], 16) % w for r in range(d))
+            if len(memo) < 4_000_000:  # bound worker memory
+                memo[tok] = cols
+        return cols
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        memo = _hash_memo.setdefault(("cms", d, w), {})
+        toks: list = []
+        for val in batch[value_col]:
+            if tokenize:
+                toks.extend((val or "").split())
+            elif val is not None:
+                toks.append(str(val))
+        sketch = np.zeros((d, w), dtype=np.int64)
+        probe_counts = np.zeros(len(probe_list), dtype=np.int64)
+        for tok, c in pd.Series(toks, dtype="object").value_counts().items():
+            cols = tok_cols(tok, memo)
+            for r in range(d):
+                sketch[r, cols[r]] += c
+            pi = probe_index.get(tok)
+            if pi is not None:
+                probe_counts[pi] += c
+        rs, cs = np.nonzero(sketch)
+        out_r = [rs.astype("int64")]
+        out_c = [cs.astype("int64")]
+        out_n = [sketch[rs, cs]]
+        pnz = np.nonzero(probe_counts)[0]
+        if len(pnz):
+            # probe true-count partials ride the same shuffle as r = -1
+            out_r.append(np.full(len(pnz), -1, dtype="int64"))
+            out_c.append(pnz.astype("int64"))
+            out_n.append(probe_counts[pnz])
+        return pd.DataFrame({"r": np.concatenate(out_r),
+                             "col": np.concatenate(out_c),
+                             "c": np.concatenate(out_n)})
+
+    merged = ds.map_batches(partials, batch_format="pandas") \
+        .groupby(["r", "col"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()  # <= d*w + len(probes) rows — the reduced sketch
+
+    sketch = np.zeros((d, w), dtype=np.int64)
+    true_counts = np.zeros(len(probe_list), dtype=np.int64)
+    for r, col, c in zip(merged["r"], merged["col"], merged["c"]):
+        if r >= 0:
+            sketch[int(r), int(col)] = c
+        else:
+            true_counts[int(col)] = c
+    memo: dict = {}
+    ests = [min(sketch[r, tok_cols(t, memo)[r]] for r in range(d))
+            for t in probe_list]
+    return pd.DataFrame({"term": probe_list,
+                         "est_count": np.array(ests, dtype="int64"),
+                         "true_count": true_counts})
