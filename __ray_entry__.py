@@ -243,6 +243,26 @@ def _cms_probe_counts(sf_dir: str):
     return count_min_probe(ds, value_col="text", probes=probes)
 
 
+def _wordcount_quantiles(sf_dir: str):
+    """Exact token-count percentiles over documents (the curation
+    cutoff primitive) via a distributed value histogram — integer rank
+    rule (p*n+99)//100, mirrored by a window cumsum in SQL."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.quantile import histogram_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    counts = ds.map_batches(
+        lambda b: pd.DataFrame({"n_tokens": b["text"].astype("string")
+                                .str.count(r"\S+").fillna(0)
+                                .astype("int64")}),
+        batch_format="pandas")
+    return histogram_quantiles(counts, "n_tokens",
+                               pcts=(10, 25, 50, 75, 90, 99))
+
+
 def _pagerank_5(sf_dir: str):
     """pages html -> link extraction -> integer PageRank (5 damped
     iterations). The Ray side parses REAL hrefs out of the rendered
@@ -798,6 +818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_5": _pagerank_5,
         "hll_lang_tokens": _hll_lang_tokens,
         "cms_probe_counts": _cms_probe_counts,
+        "wordcount_quantiles": _wordcount_quantiles,
         # dedup family
         "exact_dedup": _exact_dedup,
         "incremental_dedup": _incremental_dedup,
@@ -1137,6 +1158,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tru.true_count AS BIGINT) AS true_count
             FROM est JOIN tru ON est.tok = tru.tok
             ORDER BY term
+        """,
+        # wordcount_quantiles: exact histogram quantiles, integer rank
+        # rule (p*n+99)//100 — no float percentile semantics on either
+        # side (hash compare)
+        "wordcount_quantiles": """
+            WITH wc AS (
+              SELECT len(regexp_extract_all(text, '\\S+')) AS v
+              FROM documents),
+            tot AS (SELECT COUNT(*) AS n FROM wc),
+            hist AS (SELECT v, COUNT(*) AS c FROM wc GROUP BY v),
+            cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM hist),
+            qs AS (SELECT unnest([10, 25, 50, 75, 90, 99]) AS pct)
+            SELECT CAST(pct AS BIGINT) AS pct,
+                   CAST(MIN(cum.v) AS BIGINT) AS value
+            FROM qs CROSS JOIN tot
+            JOIN cum ON cum.cum >= (pct * tot.n + 99) // 100
+            GROUP BY pct ORDER BY pct
         """,
         # linear_quality: hashed-feature linear model; int64-exact
         # accumulation makes raw_score order-independent, so only the

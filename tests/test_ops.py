@@ -1057,3 +1057,42 @@ def test_count_min_probe(ray_session):
     assert (tight["est_count"] > tight["true_count"]).any()
     assert (tight["true_count"].to_numpy()
             == out1["true_count"].to_numpy()).all()
+
+
+def test_histogram_quantiles(ray_session):
+    """Exact histogram quantiles: matches a brute-force sort on random
+    ints, partitioning-invariant, handles nulls/empty, and the integer
+    rank rule hits exact-boundary ranks correctly."""
+    import ray.data
+
+    from warcio_ray.ops.quantile import histogram_quantiles
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 50, size=1000).astype("int64")
+    df = pd.DataFrame({"x": vals})
+    pcts = (1, 10, 25, 50, 75, 90, 99, 100)
+
+    out = histogram_quantiles(ray.data.from_pandas(df), "x", pcts)
+    out2 = histogram_quantiles(ray.data.from_pandas(df).repartition(13),
+                               "x", pcts)
+    pd.testing.assert_frame_equal(out, out2)
+
+    srt = np.sort(vals)
+    for _, row in out.iterrows():
+        rank = (row["pct"] * len(vals) + 99) // 100
+        assert row["value"] == srt[rank - 1]
+
+    # exact boundary: 4 values, p=25 -> rank (25*4+99)//100 = 1
+    tiny = pd.DataFrame({"x": [10, 20, 30, 40]})
+    t = histogram_quantiles(ray.data.from_pandas(tiny), "x", (25, 50, 75))
+    assert t.values.tolist() == [[25, 10], [50, 20], [75, 30]]
+
+    # nulls are excluded; empty input yields empty typed frame
+    withnull = pd.DataFrame({"x": pd.array([5, None, 5, None],
+                                           dtype="Int64")})
+    w = histogram_quantiles(ray.data.from_pandas(withnull), "x", (50,))
+    assert w.values.tolist() == [[50, 5]]
+    empty = histogram_quantiles(
+        ray.data.from_pandas(pd.DataFrame({"x": pd.array([], dtype="Int64")})),
+        "x", (50,))
+    assert len(empty) == 0 and list(empty.columns) == ["pct", "value"]
