@@ -263,6 +263,63 @@ def _wordcount_quantiles(sf_dir: str):
                                pcts=(10, 25, 50, 75, 90, 99))
 
 
+# combining acute + tab + double space + combining diaeresis: NFC and
+# whitespace canonicalization both fire; mirrored in SQL via chr()
+_NORM_PREFIX = "Cafe\u0301\t  nai\u0308ve "
+
+
+def _normalize_text(sf_dir: str):
+    """NFC + whitespace canonicalization over documents, with
+    deterministic unicode variants planted on doc_id % 3 == 0 (the
+    corpus is clean ASCII, so the planted rows exercise the actual
+    normalization; both engines plant the same prefix)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.textstats import normalize_text_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        m = (batch["doc_id"] % 3 == 0).to_numpy()
+        batch["text"] = np.where(m, _NORM_PREFIX + batch["text"],
+                                 batch["text"])
+        return batch
+
+    return ds.map_batches(plant, batch_format="pandas") \
+        .map_batches(normalize_text_batch, batch_format="pyarrow")
+
+
+def _embedding_gram(sf_dir: str):
+    """Exact fixed-point Gram matrix (X^T X) of the embeddings table —
+    one int64 matmul per batch, d*d-row shuffle, integer-exact so the
+    oracle recomputes it via an unnest self-join."""
+    import ray.data
+
+    from warcio_ray.ops.linalg import embedding_gram
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return embedding_gram(ds)
+
+
+def _bpe_merges_30(sf_dir: str):
+    """BPE tokenizer training (30 merges) over documents — the only
+    corpus-sized pass is the word-count combiner; the merge loop runs
+    over the O(vocab) table. Deterministic total-order tie-break; not
+    SQL-expressible (rows-only), covered by a from-first-principles
+    reference trainer + partitioning-invariance in tests."""
+    import ray.data
+
+    from warcio_ray.ops.bpe import train_bpe
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return train_bpe(ds, n_merges=30)
+
+
 def _pagerank_5(sf_dir: str):
     """pages html -> link extraction -> integer PageRank (5 damped
     iterations). The Ray side parses REAL hrefs out of the rendered
@@ -819,6 +876,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_lang_tokens": _hll_lang_tokens,
         "cms_probe_counts": _cms_probe_counts,
         "wordcount_quantiles": _wordcount_quantiles,
+        "normalize_text": _normalize_text,
+        "embedding_gram": _embedding_gram,
+        "bpe_merges_30": _bpe_merges_30,
         # dedup family
         "exact_dedup": _exact_dedup,
         "incremental_dedup": _incremental_dedup,
@@ -1175,6 +1235,43 @@ def oracle_sql() -> dict[str, str]:
             FROM qs CROSS JOIN tot
             JOIN cum ON cum.cum >= (pct * tot.n + 99) // 100
             GROUP BY pct ORDER BY pct
+        """,
+        # normalize_text: pyarrow's utf8_normalize + RE2 kernels are
+        # the same algorithms as DuckDB's nfc_normalize + RE2
+        # regexp_replace — byte-identical by construction (hash compare)
+        "normalize_text": """
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'Cafe' || chr(769) || chr(9) || '  nai'
+                               || chr(776) || 've ' || text
+                          ELSE text END AS text
+              FROM documents),
+            norm AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(nfc_normalize(text),
+                                         '\\s+', ' ', 'g')) AS text_norm
+              FROM aug)
+            SELECT doc_id, text_norm, (text_norm != text) AS changed
+            FROM norm ORDER BY doc_id
+        """,
+        # embedding_gram: fixed-point quantization then pure-integer
+        # products/sums — exact on both engines (hash compare)
+        "embedding_gram": """
+            WITH e AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) - 1 AS i,
+                     unnest(embedding) AS x
+              FROM embeddings),
+            q AS (
+              SELECT vec_id, i,
+                     CAST(floor(CAST(x AS DOUBLE) * 65536.0 + 0.5)
+                          AS BIGINT) AS qx
+              FROM e)
+            SELECT a.i AS i, b.i AS j,
+                   CAST(SUM(a.qx * b.qx) AS BIGINT) AS gram
+            FROM q a JOIN q b USING (vec_id)
+            GROUP BY a.i, b.i ORDER BY i, j
         """,
         # linear_quality: hashed-feature linear model; int64-exact
         # accumulation makes raw_score order-independent, so only the

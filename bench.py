@@ -120,6 +120,34 @@ def _silence_known_benign_worker_logs():
         _SchemaHashFilter())
 
 
+def _host_probe() -> dict:
+    """Fixed-work host-throughput calibration: the SAME deterministic
+    md5 loop single-core and NCPUS-wide. On a quiet host the wide run
+    matches the narrow one (each process does identical work); when the
+    PHYSICAL host is oversubscribed the wide run degrades — observed
+    2.2x mid-round-3 on identical code. Recorded under `derived` so
+    cross-round bench comparisons can spot host throttling instead of
+    misreading it as a code regression."""
+    import hashlib
+    from multiprocessing import Pool
+
+    def work(_):
+        h = b"x" * 1000
+        for _ in range(200000):
+            h = hashlib.md5(h).digest()
+        return 0
+
+    t0 = time.time()
+    work(0)
+    t1 = round(time.time() - t0, 3)
+    with Pool(NCPUS) as p:
+        t0 = time.time()
+        p.map(work, range(NCPUS))
+        tn = round(time.time() - t0, 3)
+    return {"host_probe_1x_s": t1, "host_probe_widex_s": tn,
+            "host_probe_eff": round(t1 / max(tn, 1e-9), 3)}
+
+
 def run_bench() -> dict:
     import ray
     ray.init(address="local", num_cpus=NCPUS, include_dashboard=False,
@@ -140,6 +168,7 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
     derived: dict[str, float] = {}
+    derived.update(_host_probe())  # untimed calibration, see _host_probe
 
     # worker-pool warmup (untimed): spawn the full worker complement up
     # front so timed stages measure steady-state throughput, not python

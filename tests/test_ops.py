@@ -1096,3 +1096,124 @@ def test_histogram_quantiles(ray_session):
         ray.data.from_pandas(pd.DataFrame({"x": pd.array([], dtype="Int64")})),
         "x", (50,))
     assert len(empty) == 0 and list(empty.columns) == ["pct", "value"]
+
+
+def test_normalize_text(ray_session):
+    """NFC + whitespace canonicalization: combining sequences compose,
+    runs of whitespace collapse, edges trim, clean rows unchanged."""
+    import ray.data
+
+    from warcio_ray.ops.textstats import normalize_text_batch
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["Cafe\u0301 bon",        # combining acute -> precomposed
+                 "a\tb\n  c",               # tab/newline/runs -> spaces
+                 " lead and trail ",         # edge trim
+                 "clean ascii"]})
+    out = ray.data.from_pandas(df).map_batches(
+        normalize_text_batch, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["text_norm"].tolist() == [
+        "Caf\u00e9 bon", "a b c", "lead and trail", "clean ascii"]
+    assert out["changed"].tolist() == [True, True, True, False]
+
+
+def test_embedding_gram(ray_session):
+    """Fixed-point Gram matrix: matches a numpy reference exactly,
+    partitioning-invariant, and the overflow tripwire fires."""
+    import ray.data
+
+    from warcio_ray.ops.linalg import embedding_gram
+
+    rng = np.random.RandomState(5)
+    mat = rng.randn(37, 8).astype(np.float32)
+    df = pd.DataFrame({"embedding": [r for r in mat]})
+
+    out = embedding_gram(ray.data.from_pandas(df), scale=1 << 16)
+    out2 = embedding_gram(ray.data.from_pandas(df).repartition(5),
+                          scale=1 << 16)
+    pd.testing.assert_frame_equal(out, out2)
+
+    q = np.floor(mat.astype(np.float64) * (1 << 16) + 0.5).astype(np.int64)
+    want = q.T @ q
+    got = out["gram"].to_numpy().reshape(8, 8)
+    assert (got == want).all()
+
+    # wrap detection: a scale big enough to overflow the diagonal
+    big = pd.DataFrame({"embedding": [np.full(4, 100.0, dtype=np.float32)
+                                      for _ in range(4)]})
+    with pytest.raises(OverflowError):
+        embedding_gram(ray.data.from_pandas(big), scale=1 << 31)
+
+
+def _bpe_reference(word_counts, n_merges):
+    """From-first-principles BPE trainer (independent of ops/bpe.py
+    internals) for equivalence checking."""
+    vocab = {tuple(w) + ("</w>",): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs = {}
+        for sym, c in vocab.items():
+            for p in zip(sym, sym[1:]):
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        (l, r), cnt = best
+        merges.append((rank, l, r, cnt))
+        new = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            new[t] = new.get(t, 0) + c
+        vocab = new
+    return merges
+
+
+def test_train_bpe(ray_session):
+    """BPE trainer: equals an independent reference on the collected
+    word counts, partitioning-invariant, encode round-trips."""
+    import ray.data
+
+    from warcio_ray.ops.bpe import encode_bpe_batch, train_bpe
+
+    rng = np.random.RandomState(9)
+    words = ["lower", "lowest", "newer", "newest", "wider", "low", "new"]
+    docs = [" ".join(rng.choice(words, size=12)) for _ in range(60)]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype="int64"),
+                       "text": docs})
+
+    out = train_bpe(ray.data.from_pandas(df), n_merges=12)
+    out2 = train_bpe(ray.data.from_pandas(df).repartition(7), n_merges=12)
+    pd.testing.assert_frame_equal(out, out2)
+
+    wc = {}
+    for d in docs:
+        for w in d.split():
+            wc[w] = wc.get(w, 0) + 1
+    want = _bpe_reference(wc, 12)
+    assert [tuple(r) for r in out.itertuples(index=False)] == want
+
+    # encode: token counts are positive, bounded by char count + words,
+    # and identical across partitionings
+    import functools
+    enc = ray.data.from_pandas(df).map_batches(
+        functools.partial(encode_bpe_batch, merges_df=out),
+        batch_format="pandas").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (enc["n_bpe_tokens"] > 0).all()
+    # with 12 merges over this tiny vocab every word compresses below
+    # its character count
+    assert (enc["n_bpe_tokens"] < enc["n_chars"]).all()
+
+    # vocab_cap accounting fires
+    with pytest.warns(RuntimeWarning, match="vocab_cap"):
+        train_bpe(ray.data.from_pandas(df), n_merges=2, vocab_cap=3)

@@ -396,3 +396,44 @@ def unigram_logprob_scores(ds, vocab_size: int = 4096,
 
     out = ds.map_batches(score, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# unicode text normalization (NFC + whitespace canonicalization)
+# ---------------------------------------------------------------------------
+
+def normalize_text_batch(batch, col: str = "text"):
+    """NFC-normalize + collapse runs of whitespace to single spaces +
+    trim — the canonical first cleaning stage before hashing or dedup
+    (combining-accent and whitespace variants of the same text must
+    collide).
+
+    NFC runs through CPython's unicodedata (C implementation, one call
+    per string): pyarrow 16.1's ``pc.utf8_normalize(form="NFC")``
+    does NOT compose (verified: 'e'+U+0301 comes back decomposed), so
+    the Arrow kernel cannot match DuckDB's spec-correct nfc_normalize.
+    The whitespace passes stay RE2 Arrow kernels — the same regex
+    engine as DuckDB, so ``\\s`` semantics agree by construction
+    (stdlib-re ``\\s`` would additionally match NBSP and diverge).
+
+    Emits (doc_id, text_norm, changed). pa.Table in/out.
+    """
+    import unicodedata
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    s = pc.cast(batch[col], pa.large_string())
+    norm = pa.array(
+        [None if t is None else unicodedata.normalize("NFC", t)
+         for t in s.to_pylist()], pa.large_string())
+    norm = pc.replace_substring_regex(norm, r"\s+", " ")
+    # trim ASCII space ONLY (same as DuckDB trim()): after the \s+
+    # collapse every RE2-whitespace edge is a plain space, and a
+    # unicode-aware trim would diverge on e.g. leading NBSP, which RE2
+    # \s does NOT match
+    norm = pc.utf8_trim(norm, characters=" ")
+    return pa.table({
+        "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+        "text_norm": norm,
+        "changed": pc.not_equal(norm, s)})
