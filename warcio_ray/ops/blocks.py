@@ -79,3 +79,41 @@ def safe_join(left, right, join_type: str, num_partitions: int,
     return clean_left.join(
         clean_right, join_type=join_type,
         num_partitions=num_partitions, on=on, right_on=right_on)
+
+
+def tree_aggregate(ds, key_cols, sums=(), maxs=(), fanout: int = 32):
+    """Vectorized combiner-tree replacement for
+    ``groupby(keys).aggregate(...)`` when the group key space is
+    BOUNDED (sketch registers, histogram cells, matrix cells): Ray's
+    sort-based aggregate spends ~3 ms of per-group Python regardless of
+    row count (measured: 13 s CPU for 4k groups over 20k rows in ONE
+    task), while a pandas groupby folds the same block in milliseconds.
+
+    Shape: per-block pandas fold (each block collapses to <= #groups
+    rows) -> repartition(fanout) -> second per-block fold -> driver
+    fold over <= fanout * #groups rows. All aggs must be associative
+    (sum / max over exact values keeps results partitioning-invariant).
+    Returns a pandas DataFrame, unsorted — callers order.
+
+    Only for bounded key spaces: an UNBOUNDED key (doc_id, token)
+    would make every fold O(distinct keys) driver-side — use the real
+    ``groupby().aggregate()`` there.
+    """
+    import pandas as pd
+
+    key_cols = list(key_cols)
+    agg_map = {c: "sum" for c in sums}
+    agg_map.update({c: "max" for c in maxs})
+
+    def fold_df(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key_cols, sort=False, as_index=False) \
+            .agg(agg_map)
+
+    folded = ds.map_batches(fold_df, batch_format="pandas",
+                            batch_size=None) \
+        .repartition(fanout) \
+        .map_batches(fold_df, batch_format="pandas", batch_size=None)
+    out = folded.to_pandas()
+    if len(out) == 0:
+        return out
+    return fold_df(out)

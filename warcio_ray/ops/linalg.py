@@ -17,8 +17,8 @@ and sums are int64 — exact, hence partitioning-invariant and
 recomputable in SQL. Overflow bound: n * (scale * max|x|)^2 must stay
 under 2^62; with the default scale 2^16 and |x| <= 2 that is ~2.6e8
 rows — pass a smaller ``scale`` for bigger corpora (the driver fold
-asserts the non-negative diagonal that a silent int64 wrap would
-break).
+checks n * qmax^2 < 2^62 exactly, from ride-along (bn, qmax) partials,
+and raises instead of silently wrapping).
 
 No reference counterpart (warcio has no vector layer).
 """
@@ -35,10 +35,6 @@ def embedding_gram(ds, vec_col: str = "embedding",
                    scale: int = 1 << 16) -> pd.DataFrame:
     """Exact fixed-point Gram matrix of a list<float> column.
     Returns d*d rows (i, j, gram) with 0-based dims, ordered (i, j)."""
-    from ray.data.aggregate import Sum
-
-    from ray.data.aggregate import Max
-
     def partials(batch: pd.DataFrame) -> pd.DataFrame:
         vecs = batch[vec_col]
         if len(vecs) == 0:
@@ -62,12 +58,13 @@ def embedding_gram(ds, vec_col: str = "embedding",
                              "qmax": np.full(d * d, np.abs(q).max(),
                                              dtype="int64")})
 
-    out = ds.map_batches(partials, batch_format="pandas") \
-        .groupby(["i", "j"]) \
-        .aggregate(Sum("gram", alias_name="gram"),
-                   Sum("bn", alias_name="n"),
-                   Max("qmax", alias_name="qmax")) \
-        .to_pandas()  # d*d rows — the reduced matrix
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    # bounded key space (d*d cells) -> vectorized combiner tree, not
+    # Ray's per-group sort aggregate (see tree_aggregate docstring)
+    out = tree_aggregate(ds.map_batches(partials, batch_format="pandas"),
+                         ["i", "j"], sums=("gram", "bn"), maxs=("qmax",))
+    out = out.rename(columns={"bn": "n"})  # d*d rows — the reduced matrix
     if len(out):
         # every batch contributes every (i, j) cell, so any group's bn
         # sum is the total row count; |gram cell| <= n * qmax^2 exactly

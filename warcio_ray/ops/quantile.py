@@ -38,7 +38,7 @@ def histogram_quantiles(ds, value_col: str, pcts=(10, 25, 50, 75, 90, 99)
 
     Null values are excluded (matching SQL aggregate semantics).
     """
-    from ray.data.aggregate import Sum
+    from warcio_ray.ops.blocks import tree_aggregate
 
     pcts = sorted(int(p) for p in pcts)
     if not pcts or pcts[0] < 1 or pcts[-1] > 100:
@@ -49,9 +49,11 @@ def histogram_quantiles(ds, value_col: str, pcts=(10, 25, 50, 75, 90, 99)
         return pd.DataFrame({"v": vc.index.to_numpy(dtype="int64"),
                              "c": vc.to_numpy(dtype="int64")})
 
-    hist = ds.map_batches(partials, batch_format="pandas") \
-        .groupby("v").aggregate(Sum("c", alias_name="c")) \
-        .to_pandas()  # O(distinct values) rows — the reduced histogram
+    # bounded key space (distinct integer values) -> vectorized
+    # combiner tree, not Ray's per-group sort aggregate
+    hist = tree_aggregate(
+        ds.map_batches(partials, batch_format="pandas"),
+        ["v"], sums=("c",))  # O(distinct values) rows
     if len(hist) == 0:
         return pd.DataFrame({"pct": pd.Series([], dtype="int64"),
                              "value": pd.Series([], dtype="int64")})
