@@ -120,6 +120,15 @@ def _silence_known_benign_worker_logs():
         _SchemaHashFilter())
 
 
+def _probe_work(_):
+    # module-level: multiprocessing must pickle it by reference
+    import hashlib
+    h = b"x" * 1000
+    for _ in range(200000):
+        h = hashlib.md5(h).digest()
+    return 0
+
+
 def _host_probe() -> dict:
     """Fixed-work host-throughput calibration: the SAME deterministic
     md5 loop single-core and NCPUS-wide. On a quiet host the wide run
@@ -128,21 +137,14 @@ def _host_probe() -> dict:
     2.2x mid-round-3 on identical code. Recorded under `derived` so
     cross-round bench comparisons can spot host throttling instead of
     misreading it as a code regression."""
-    import hashlib
     from multiprocessing import Pool
 
-    def work(_):
-        h = b"x" * 1000
-        for _ in range(200000):
-            h = hashlib.md5(h).digest()
-        return 0
-
     t0 = time.time()
-    work(0)
+    _probe_work(0)
     t1 = round(time.time() - t0, 3)
     with Pool(NCPUS) as p:
         t0 = time.time()
-        p.map(work, range(NCPUS))
+        p.map(_probe_work, range(NCPUS))
         tn = round(time.time() - t0, 3)
     return {"host_probe_1x_s": t1, "host_probe_widex_s": tn,
             "host_probe_eff": round(t1 / max(tn, 1e-9), 3)}
