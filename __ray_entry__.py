@@ -320,6 +320,19 @@ def _bpe_merges_30(sf_dir: str):
     return train_bpe(ds, n_merges=30)
 
 
+def _shuffle_ranks(sf_dir: str):
+    """Deterministic global shuffle order (md5 rank) — the
+    training-shard ordering primitive; exact distributed rank via
+    bucket prefix sums, mirrored by a SQL row_number window."""
+    import ray.data
+
+    from warcio_ray.ops.textstats import shuffle_order
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    return shuffle_order(ds)
+
+
 def _pagerank_5(sf_dir: str):
     """pages html -> link extraction -> integer PageRank (5 damped
     iterations). The Ray side parses REAL hrefs out of the rendered
@@ -879,6 +892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _normalize_text,
         "embedding_gram": _embedding_gram,
         "bpe_merges_30": _bpe_merges_30,
+        "shuffle_ranks": _shuffle_ranks,
         # dedup family
         "exact_dedup": _exact_dedup,
         "incremental_dedup": _incremental_dedup,
@@ -1272,6 +1286,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(a.qx * b.qx) AS BIGINT) AS gram
             FROM q a JOIN q b USING (vec_id)
             GROUP BY a.i, b.i ORDER BY i, j
+        """,
+        # shuffle_ranks: pure integer rank over (md5-hash, id) — exact
+        # on both engines (hash compare)
+        "shuffle_ranks": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                        ORDER BY CAST(('0x' || substr(md5(
+                            CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                                 doc_id) - 1 AS BIGINT) AS shuffle_rank
+            FROM documents ORDER BY doc_id
         """,
         # linear_quality: hashed-feature linear model; int64-exact
         # accumulation makes raw_score order-independent, so only the

@@ -1217,3 +1217,34 @@ def test_train_bpe(ray_session):
     # vocab_cap accounting fires
     with pytest.warns(RuntimeWarning, match="vocab_cap"):
         train_bpe(ray.data.from_pandas(df), n_merges=2, vocab_cap=3)
+
+
+def test_shuffle_order(ray_session):
+    """Deterministic shuffle rank: a permutation of 0..n-1, equal to a
+    brute-force (md5, id) argsort, partitioning-invariant, and actually
+    'shuffled' (not the identity order)."""
+    import hashlib
+
+    import ray.data
+
+    from warcio_ray.ops.textstats import shuffle_order
+
+    ids = np.arange(777, dtype="int64")
+    df = pd.DataFrame({"doc_id": ids})
+
+    out = shuffle_order(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    out2 = shuffle_order(ray.data.from_pandas(df).repartition(11),
+                         bucket_bits=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)  # bucket_bits-invariant too
+
+    h = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                  for i in ids], dtype="int64")
+    order = np.lexsort((ids, h))
+    want = np.empty(len(ids), dtype="int64")
+    want[order] = np.arange(len(ids))
+    got = out["shuffle_rank"].to_numpy()
+    assert (got == want).all()
+    assert sorted(got) == list(range(len(ids)))
+    assert (got != np.arange(len(ids))).any()

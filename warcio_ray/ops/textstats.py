@@ -437,3 +437,61 @@ def normalize_text_batch(batch, col: str = "text"):
         "doc_id": pc.cast(batch["doc_id"], pa.int64()),
         "text_norm": norm,
         "changed": pc.not_equal(norm, s)})
+
+
+def shuffle_order(ds, id_col: str = "doc_id", bucket_bits: int = 10):
+    """Deterministic global 'random' ordering (the training-shard
+    shuffle): rank rows by (md5(id), id) — reproducible at any
+    parallelism, on any engine, and recomputable in SQL as a
+    row_number window, unlike ``Dataset.random_shuffle`` whose order
+    is execution-dependent.
+
+    Scale shape (exact distributed rank, no global sort): rows bucket
+    by the hash's top ``bucket_bits`` bits (md5-uniform, so buckets are
+    balanced at n/2^bits rows); bucket counts fold through
+    tree_aggregate to an O(2^bits) driver cumsum of base ranks; ONE
+    hash shuffle groups each bucket, which sorts locally (vectorized)
+    and adds its broadcast base. Driver memory O(2^bits); text never
+    shuffles (project (id, hash) first, join ranks back by id if the
+    payload is needed in shuffle order).
+
+    Returns a Dataset of (id_col, shuffle_rank), rank 0-based.
+    """
+    import ray
+
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    shift = 32 - bucket_bits
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].astype("int64")
+        h = np.fromiter(
+            (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
+             for i in ids), dtype="int64", count=len(ids))
+        return pd.DataFrame({id_col: ids, "_h": h,
+                             "bucket": h >> shift})
+
+    keyed = ds.map_batches(project, batch_format="pandas")
+
+    def bucket_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["bucket"].value_counts()
+        return pd.DataFrame({"bucket": vc.index.to_numpy(dtype="int64"),
+                             "c": vc.to_numpy(dtype="int64")})
+
+    totals = tree_aggregate(
+        keyed.map_batches(bucket_counts, batch_format="pandas"),
+        ["bucket"], sums=("c",)).sort_values("bucket") \
+        .reset_index(drop=True)
+    c = totals["c"].to_numpy(dtype="int64")
+    base = np.concatenate([[0], np.cumsum(c)[:-1]]) if len(c) else c
+    base_ref = ray.put(dict(zip(totals["bucket"].astype("int64"), base)))
+
+    def rank_group(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.sort_values(["_h", id_col], kind="mergesort")
+        b = ray.get(base_ref)[int(grp["bucket"].iloc[0])]
+        return pd.DataFrame({
+            id_col: grp[id_col].to_numpy(dtype="int64"),
+            "shuffle_rank": b + np.arange(len(grp), dtype="int64")})
+
+    return keyed.groupby("bucket").map_groups(rank_group,
+                                              batch_format="pandas")
