@@ -333,6 +333,19 @@ def _shuffle_ranks(sf_dir: str):
     return shuffle_order(ds)
 
 
+def _kmeans_clusters(sf_dir: str):
+    """Exact-integer k-means (k=4, 3 Lloyd iterations) over the
+    embeddings table — bit-reproducible clustering; the oracle unrolls
+    the iterations in SQL (see _kmeans_sql)."""
+    import ray.data
+
+    from warcio_ray.ops.kmeans import kmeans_exact
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return kmeans_exact(ds)
+
+
 def _pagerank_5(sf_dir: str):
     """pages html -> link extraction -> integer PageRank (5 damped
     iterations). The Ray side parses REAL hrefs out of the rendered
@@ -893,6 +906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": _embedding_gram,
         "bpe_merges_30": _bpe_merges_30,
         "shuffle_ranks": _shuffle_ranks,
+        "kmeans_clusters": _kmeans_clusters,
         # dedup family
         "exact_dedup": _exact_dedup,
         "incremental_dedup": _incremental_dedup,
@@ -1039,6 +1053,61 @@ def _pagerank_sql(iters: int = 5, damping: int = 85,
             + f" SELECT node, rank FROM r{iters}")
 
 
+def _kmeans_sql(k: int = 4, iters: int = 3, scale: int = 1 << 16) -> str:
+    """Unrolled exact-integer Lloyd iterations mirroring
+    warcio_ray.ops.kmeans.kmeans_exact bit-for-bit: same quantization,
+    int64 distances, lowest-cluster tie-break, mathematical floor
+    division (DuckDB ``//`` truncates, so the update uses the sign-safe
+    (s - ((s % n) + n) % n) // n), emptied clusters keep their previous
+    centroid (LEFT JOIN + COALESCE)."""
+    ctes = [f"""
+        e AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                            * {scale}.0 + 0.5) AS BIGINT) AS qx
+          FROM embeddings),
+        seed AS (SELECT vec_id,
+                        row_number() OVER (ORDER BY vec_id) - 1 AS cl
+                 FROM (SELECT DISTINCT vec_id FROM embeddings
+                       ORDER BY vec_id LIMIT {k})),
+        c0 AS (SELECT seed.cl, e.i, e.qx AS cx
+               FROM seed JOIN e ON e.vec_id = seed.vec_id)"""]
+    for t in range(1, iters + 1):
+        prev, cur = f"c{t - 1}", f"c{t}"
+        ctes.append(f"""
+        a{t} AS (
+          SELECT vec_id, cl FROM (
+            SELECT e.vec_id, c.cl,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY SUM((e.qx - c.cx) * (e.qx - c.cx)), c.cl)
+                     AS rn
+            FROM e JOIN {prev} c ON c.i = e.i
+            GROUP BY e.vec_id, c.cl) WHERE rn = 1),
+        u{t} AS (
+          SELECT a.cl, e.i,
+                 (SUM(e.qx) - ((SUM(e.qx) % COUNT(*)) + COUNT(*))
+                              % COUNT(*)) // COUNT(*) AS cx
+          FROM a{t} a JOIN e ON e.vec_id = a.vec_id
+          GROUP BY a.cl, e.i),
+        {cur} AS (
+          SELECT old.cl, old.i, COALESCE(u.cx, old.cx) AS cx
+          FROM {prev} old LEFT JOIN u{t} u
+            ON u.cl = old.cl AND u.i = old.i)""")
+    # final assignment against c{iters}
+    ctes.append(f"""
+        afin AS (
+          SELECT vec_id, cl FROM (
+            SELECT e.vec_id, c.cl,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY SUM((e.qx - c.cx) * (e.qx - c.cx)), c.cl)
+                     AS rn
+            FROM e JOIN c{iters} c ON c.i = e.i
+            GROUP BY e.vec_id, c.cl) WHERE rn = 1)""")
+    return ("WITH " + ",".join(ctes)
+            + " SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM afin"
+            + " ORDER BY vec_id")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -1160,6 +1229,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "pagerank_5": _pagerank_sql(),
+        # kmeans_clusters: exact-integer Lloyd — unrolled generated CTE
+        # chain, bit-identical (hash compare)
+        "kmeans_clusters": _kmeans_sql(),
         # hll_lang_tokens: registers and the harmonic denominator are
         # exact integers (2^-M == 2^(64-M)/2^64 numerators), so the
         # whole sketch is recomputable; only the final double fold and

@@ -1248,3 +1248,55 @@ def test_shuffle_order(ray_session):
     assert (got == want).all()
     assert sorted(got) == list(range(len(ids)))
     assert (got != np.arange(len(ids))).any()
+
+
+def test_kmeans_exact(ray_session):
+    """Exact-integer Lloyd: matches an in-process numpy reference
+    bit-for-bit, partitioning-invariant, and an emptied cluster keeps
+    its previous centroid (duplicate seed vectors tie to the lowest
+    cluster, starving the other)."""
+    import ray.data
+
+    from warcio_ray.ops.kmeans import kmeans_exact
+
+    rng = np.random.RandomState(21)
+    mat = np.concatenate([rng.randn(40, 6) + 5, rng.randn(40, 6) - 5]) \
+        .astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(80, dtype="int64"),
+                       "embedding": [r for r in mat]})
+
+    out = kmeans_exact(ray.data.from_pandas(df), k=3, iters=3) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    out2 = kmeans_exact(ray.data.from_pandas(df).repartition(7),
+                        k=3, iters=3) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+    # in-process reference with identical integer rules
+    scale = 1 << 16
+    q = np.floor(mat.astype(np.float64) * scale + 0.5).astype(np.int64)
+    cents = q[:3].copy()
+    for _ in range(3):
+        diff = q[:, None, :] - cents[None, :, :]
+        cl = np.argmin((diff * diff).sum(axis=2), axis=1)
+        for g in range(3):
+            m = q[cl == g]
+            if len(m):
+                cents[g] = m.sum(axis=0) // len(m)
+    diff = q[:, None, :] - cents[None, :, :]
+    want = np.argmin((diff * diff).sum(axis=2), axis=1)
+    assert (out["cluster"].to_numpy() == want).all()
+
+    # empty-cluster path: both seeds are the zero vector, so EVERY
+    # point ties into cluster 0 on iteration 1 (lowest-id tie-break)
+    # and cluster 1 goes empty — it must keep its zero centroid
+    # (not divide by zero), which then wins the zero points back on
+    # iteration 2 while cluster 0's centroid has moved to the mean
+    dup = pd.DataFrame({
+        "vec_id": np.arange(6, dtype="int64"),
+        "embedding": [np.zeros(3, dtype=np.float32),
+                      np.zeros(3, dtype=np.float32)] +
+                     [np.full(3, 9.0, dtype=np.float32)] * 4})
+    got = kmeans_exact(ray.data.from_pandas(dup), k=2, iters=2) \
+        .to_pandas().sort_values("vec_id")
+    assert got["cluster"].tolist() == [1, 1, 0, 0, 0, 0]

@@ -1,0 +1,112 @@
+"""Exact-integer distributed k-means (Lloyd) over the embeddings table
+— corpus clustering for diversity sampling / curriculum bucketing,
+built so every iteration is bit-reproducible at any parallelism and
+recomputable in SQL (the same fixed-point trick as ops/graph.py's
+PageRank: exactness => order-independence => a hard oracle for an
+iterative algorithm).
+
+Scale shape: per iteration ONE pass over the corpus — each batch
+assigns its vectors with a single numpy broadcast (n x k x d int64,
+vectorized) and folds them to k*(d+1) partial rows (per-cluster
+per-dim sums + ride-along counts) before anything shuffles; the merge
+is a tree_aggregate over that bounded cell space; the driver holds
+k x d ints. Total: iters+1 corpus passes, O(k*d) driver state.
+
+Determinism / oracle: vectors quantize to q = floor(x*scale + 0.5)
+(float64, same IEEE expression in SQL); distances and sums are int64
+exact; argmin ties break on lowest cluster id; centroid update is
+MATHEMATICAL floor division sum // n (SQL mirrors it sign-safely as
+(s - ((s % n) + n) % n) // n since DuckDB ``//`` truncates toward
+zero); an emptied cluster keeps its previous centroid. Overflow: the
+assignment needs d*(2*scale*max|x|)^2 < 2^63 (d=64, scale 2^16,
+|x|<=2 gives 2^42 — wide margin); sums reuse embedding_gram's bound
+logic (n * scale * max|x| per cell, far below the gram bound).
+
+Init: the k smallest ids' vectors (a per-batch min-k combiner, no
+global sort). No reference counterpart (warcio has no vector layer);
+ops/ivf.py keeps the float hash-sampled trainer for ANN layouts —
+this operator is the oracle-checkable full-corpus variant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["kmeans_exact"]
+
+
+def _quantize(vecs, scale: int) -> np.ndarray:
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    return np.floor(mat * scale + 0.5).astype(np.int64)
+
+
+def kmeans_exact(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                 k: int = 4, iters: int = 3, scale: int = 1 << 16):
+    """Returns a Dataset of (id_col, cluster) after ``iters`` exact
+    Lloyd iterations from the deterministic min-id init."""
+    import ray
+
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    # ---- init: k smallest ids' vectors (combiner min-k, tiny collect)
+    def min_k(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.nsmallest(k, id_col)[[id_col, vec_col]]
+
+    seed = ds.map_batches(min_k, batch_format="pandas").to_pandas() \
+        .nsmallest(k, id_col).sort_values(id_col)
+    cents = _quantize(seed[vec_col], scale)  # (k, d) int64
+
+    def assign(q: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # (n, k) exact int64 distances, one broadcast; argmin takes the
+        # FIRST minimum -> ties break on lowest cluster id
+        diff = q[:, None, :] - c[None, :, :]
+        return np.argmin((diff * diff).sum(axis=2), axis=1)
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partials(batch: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)
+            d = c.shape[1]
+            if len(batch) == 0:
+                return pd.DataFrame({"cl": pd.Series(dtype="int64"),
+                                     "i": pd.Series(dtype="int64"),
+                                     "s": pd.Series(dtype="int64")})
+            q = _quantize(batch[vec_col], scale)
+            cl = assign(q, c)
+            rows = []
+            for g in np.unique(cl):
+                m = q[cl == g]
+                rows.append(pd.DataFrame({
+                    "cl": np.full(d + 1, g, dtype="int64"),
+                    # i = -1 carries the member count on the same rows
+                    "i": np.arange(-1, d, dtype="int64"),
+                    "s": np.concatenate([[len(m)], m.sum(axis=0)])
+                        .astype("int64")}))
+            return pd.concat(rows, ignore_index=True)
+
+        merged = tree_aggregate(
+            ds.map_batches(partials, batch_format="pandas"),
+            ["cl", "i"], sums=("s",))
+        new = cents.copy()
+        for g, grp in merged.groupby("cl"):
+            grp = grp.sort_values("i")
+            n = int(grp[grp["i"] == -1]["s"].iloc[0])
+            if n > 0:
+                sums = grp[grp["i"] >= 0]["s"].to_numpy(dtype="int64")
+                new[int(g)] = sums // n  # mathematical floor division
+        cents = new
+
+    cref = ray.put(cents)
+
+    def final_assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        if len(batch) == 0:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int64")})
+        q = _quantize(batch[vec_col], scale)
+        return pd.DataFrame({id_col: batch[id_col].astype("int64"),
+                             "cluster": assign(q, c).astype("int64")})
+
+    return ds.map_batches(final_assign, batch_format="pandas")
