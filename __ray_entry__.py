@@ -346,6 +346,30 @@ def _kmeans_clusters(sf_dir: str):
     return kmeans_exact(ds)
 
 
+def _postings_probe(sf_dir: str):
+    """Persisted inverted-index layout (term-hash-bucketed postings)
+    + pruned-read lookup for the deterministic probe set (distinct
+    tokens of docs with doc_id % 101 == 0) — the text sibling of
+    ivf_layout_top10. tf values are exact, so the oracle is a plain
+    tokenize-join-count."""
+    import tempfile
+
+    import ray.data
+
+    from warcio_ray.ops.search import build_postings_layout, postings_lookup
+
+    probe_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]) \
+        .filter(lambda r: r["doc_id"] % 101 == 0).to_pandas()
+    probes = {t for txt in probe_docs["text"] for t in (txt or "").split()}
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = f"{tempfile.gettempdir()}/warcio_ray_postings_{base}"
+    build_postings_layout(ds, out_dir, force=True)
+    return postings_lookup(out_dir, probes)
+
+
 def _pagerank_5(sf_dir: str):
     """pages html -> link extraction -> integer PageRank (5 damped
     iterations). The Ray side parses REAL hrefs out of the rendered
@@ -907,6 +931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges_30": _bpe_merges_30,
         "shuffle_ranks": _shuffle_ranks,
         "kmeans_clusters": _kmeans_clusters,
+        "postings_probe": _postings_probe,
         # dedup family
         "exact_dedup": _exact_dedup,
         "incremental_dedup": _incremental_dedup,
@@ -1368,6 +1393,22 @@ def oracle_sql() -> dict[str, str]:
                             CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
                                  doc_id) - 1 AS BIGINT) AS shuffle_rank
             FROM documents ORDER BY doc_id
+        """,
+        # postings_probe: exact (term, doc, tf) rows — plain
+        # tokenize-join-count mirror (hash compare)
+        "postings_probe": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\\S+')) AS tok
+              FROM documents),
+            probes AS (
+              SELECT DISTINCT unnest(regexp_extract_all(text, '\\S+'))
+                     AS tok
+              FROM documents WHERE doc_id % 101 = 0)
+            SELECT t.tok AS term, t.doc_id, COUNT(*) AS tf
+            FROM toks t JOIN probes p ON t.tok = p.tok
+            GROUP BY t.tok, t.doc_id
+            ORDER BY term, doc_id
         """,
         # linear_quality: hashed-feature linear model; int64-exact
         # accumulation makes raw_score order-independent, so only the

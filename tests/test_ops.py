@@ -1300,3 +1300,53 @@ def test_kmeans_exact(ray_session):
     got = kmeans_exact(ray.data.from_pandas(dup), k=2, iters=2) \
         .to_pandas().sort_values("vec_id")
     assert got["cluster"].tolist() == [1, 1, 0, 0, 0, 0]
+
+
+def test_postings_layout(ray_session, tmp_path):
+    """Inverted-index layout: lookup equals a brute-force postings
+    computation, only probe buckets are read (pruning is observable in
+    which partition dirs exist/are touched), _DONE skips rebuilds."""
+    import os
+
+    import ray.data
+
+    from warcio_ray.ops.search import (
+        _term_bucket,
+        build_postings_layout,
+        postings_lookup,
+    )
+
+    rng = np.random.RandomState(13)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = [" ".join(rng.choice(vocab, size=30)) for _ in range(40)]
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype="int64"),
+                       "text": docs})
+    out_dir = str(tmp_path / "postings")
+
+    build_postings_layout(ray.data.from_pandas(df), out_dir, n_buckets=8)
+    assert os.path.exists(os.path.join(out_dir, "_DONE"))
+    mtime = os.path.getmtime(os.path.join(out_dir, "_DONE"))
+    build_postings_layout(ray.data.from_pandas(df), out_dir, n_buckets=8)
+    assert os.path.getmtime(os.path.join(out_dir, "_DONE")) == mtime
+
+    probes = ["w0", "w7", "w33", "absent"]
+    got = postings_lookup(out_dir, probes, n_buckets=8)
+
+    want_rows = []
+    for i, d in enumerate(docs):
+        vc = {}
+        for t in d.split():
+            vc[t] = vc.get(t, 0) + 1
+        for t in probes:
+            if t in vc:
+                want_rows.append((t, i, vc[t]))
+    want = pd.DataFrame(want_rows, columns=["term", "doc_id", "tf"]) \
+        .sort_values(["term", "doc_id"]).reset_index(drop=True) \
+        .astype({"doc_id": "int64", "tf": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+
+    # pruning: a probe set confined to one bucket reads only that dir
+    one = [t for t in vocab if _term_bucket(t, 8) == 3][:2]
+    assert one
+    got_one = postings_lookup(out_dir, one, n_buckets=8)
+    assert set(got_one["term"]) <= set(one)

@@ -83,3 +83,94 @@ def bm25_topk(ds, terms: Sequence[str], k: int = 10,
 
     return ds.map_batches(score_batch, batch_format="pandas") \
         .sort(["score", id_col], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# persisted inverted index (postings layout with pruned reads)
+# ---------------------------------------------------------------------------
+
+def _term_bucket(term: str, n_buckets: int) -> int:
+    import hashlib
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8],
+               16) % n_buckets
+
+
+def build_postings_layout(ds, out_dir: str, n_buckets: int = 64,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          force: bool = False) -> str:
+    """Write the corpus inverted index — (term, doc_id, tf) posting
+    rows — hive-partitioned by md5-hash term bucket (``bucket=K/``),
+    the text sibling of the IVF vector layout (`ops/ivf.py:203`): a
+    term lookup then READS only its bucket's files, so per-query IO is
+    bucket-local no matter the corpus size.
+
+    One distributed pass: each batch explodes to its (term, doc, tf)
+    rows (per-doc value_counts, tf exact), Ray's parquet writer
+    hash-routes them into the partition dirs. ``_DONE`` marker (with
+    the bucket count) makes rebuilds resumable/skippable.
+    """
+    import os
+    import shutil
+
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker) and not force:
+        if open(marker).read().strip() == str(n_buckets):
+            return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        terms, ids, tfs = [], [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col]):
+            vc = pd.Series((text or "").split(),
+                           dtype="object").value_counts()
+            terms.extend(vc.index)
+            ids.extend([int(doc_id)] * len(vc))
+            tfs.extend(vc.to_numpy(dtype="int64"))
+        out = pd.DataFrame({"term": pd.Series(terms, dtype="object"),
+                            id_col: np.array(ids, dtype="int64"),
+                            "tf": np.array(tfs, dtype="int64")})
+        out["bucket"] = [
+            _term_bucket(t, n_buckets) for t in out["term"]]
+        return out
+
+    ds.map_batches(explode, batch_format="pandas").write_parquet(
+        os.path.join(out_dir, "postings"), partition_cols=["bucket"])
+    with open(marker, "w") as f:
+        f.write(str(n_buckets))
+    return out_dir
+
+
+def postings_lookup(layout_dir: str, terms, n_buckets: int = 64
+                    ) -> pd.DataFrame:
+    """Exact (term, doc_id, tf) postings for a probe term set, reading
+    ONLY the partitions the probes hash into (file-level pruning).
+    Returns rows sorted by (term, doc_id)."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    probe_list = sorted(set(map(str, terms)))
+    needed = sorted({_term_bucket(t, n_buckets) for t in probe_list})
+    paths = [os.path.join(layout_dir, "postings", f"bucket={b}")
+             for b in needed]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        return pd.DataFrame({
+            "term": pd.Series(dtype="object"),
+            "doc_id": pd.Series(dtype="int64"),
+            "tf": pd.Series(dtype="int64")})
+
+    def keep(batch):
+        return batch.filter(pc.is_in(batch["term"],
+                                     value_set=__import__("pyarrow")
+                                     .array(probe_list)))
+
+    out = ray.data.read_parquet(paths, file_extensions=["parquet"]) \
+        .map_batches(keep, batch_format="pyarrow").to_pandas()
+    out = out[["term", "doc_id", "tf"]] \
+        .sort_values(["term", "doc_id"], kind="mergesort") \
+        .reset_index(drop=True)
+    return out.astype({"doc_id": "int64", "tf": "int64"})
