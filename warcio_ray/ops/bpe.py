@@ -163,8 +163,14 @@ def encode_bpe_batch(batch: pd.DataFrame, merges_df: pd.DataFrame,
     (id, n_tokens, n_chars) per row. Pass via ``functools.partial``
     into map_batches; the per-word result cache is module-global per
     worker process and keyed by the merge table's fingerprint."""
-    key = (len(merges_df),
-           tuple(merges_df["left"].iloc[:4]) if len(merges_df) else ())
+    import hashlib
+
+    # full-content fingerprint: two models sharing a worker process
+    # must never mix caches (a prefix key would collide silently)
+    key = hashlib.md5(("\x00".join(
+        f"{k}\x01{l}\x01{r}" for k, l, r in
+        zip(merges_df["rank"], merges_df["left"], merges_df["right"]))
+        ).encode("utf-8")).hexdigest()
     ranks, cache = _encode_cache.setdefault(
         key, (bpe_merges(merges_df), {}))
     n_toks = np.zeros(len(batch), dtype=np.int64)
