@@ -64,6 +64,10 @@ def embedding_gram(ds, vec_col: str = "embedding",
     # Ray's per-group sort aggregate (see tree_aggregate docstring)
     out = tree_aggregate(ds.map_batches(partials, batch_format="pandas"),
                          ["i", "j"], sums=("gram", "bn"), maxs=("qmax",))
+    if len(out) == 0:  # empty input: typed empty result
+        return pd.DataFrame({"i": pd.Series(dtype="int64"),
+                             "j": pd.Series(dtype="int64"),
+                             "gram": pd.Series(dtype="int64")})
     out = out.rename(columns={"bn": "n"})  # d*d rows — the reduced matrix
     if len(out):
         # every batch contributes every (i, j) cell, so any group's bn
