@@ -224,6 +224,19 @@ def _hll_lang_tokens(sf_dir: str):
                         tokenize=True)
 
 
+def _probe_tokens(sf_dir: str) -> set:
+    """Shared deterministic probe set (distinct whitespace tokens of
+    docs with doc_id % 101 == 0) — the SAME rule the cms_probe_counts
+    and postings_probe oracles encode in SQL; change all three
+    together."""
+    import ray.data
+
+    probe_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]) \
+        .filter(lambda r: r["doc_id"] % 101 == 0).to_pandas()
+    return {t for txt in probe_docs["text"] for t in (txt or "").split()}
+
+
 def _cms_probe_counts(sf_dir: str):
     """Count-min sketch (d=4, w=2048) frequency estimates for a
     deterministic probe set (distinct tokens of docs with
@@ -234,13 +247,10 @@ def _cms_probe_counts(sf_dir: str):
 
     from warcio_ray.ops.sketch import count_min_probe
 
-    probe_docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]) \
-        .filter(lambda r: r["doc_id"] % 101 == 0).to_pandas()
-    probes = {t for txt in probe_docs["text"] for t in (txt or "").split()}
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["text"])
-    return count_min_probe(ds, value_col="text", probes=probes)
+    return count_min_probe(ds, value_col="text",
+                           probes=_probe_tokens(sf_dir))
 
 
 def _wordcount_quantiles(sf_dir: str):
@@ -358,10 +368,7 @@ def _postings_probe(sf_dir: str):
 
     from warcio_ray.ops.search import build_postings_layout, postings_lookup
 
-    probe_docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]) \
-        .filter(lambda r: r["doc_id"] % 101 == 0).to_pandas()
-    probes = {t for txt in probe_docs["text"] for t in (txt or "").split()}
+    probes = _probe_tokens(sf_dir)
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     base = sf_dir.rstrip("/").rsplit("/", 1)[-1]

@@ -106,8 +106,10 @@ def tree_aggregate(ds, key_cols, sums=(), maxs=(), fanout: int = 32):
     agg_map.update({c: "max" for c in maxs})
 
     def fold_df(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(key_cols, sort=False, as_index=False) \
-            .agg(agg_map)
+        # dropna=False: Ray's aggregate keeps null group keys; a
+        # drop-in replacement must too
+        return df.groupby(key_cols, sort=False, as_index=False,
+                          dropna=False).agg(agg_map)
 
     folded = ds.map_batches(fold_df, batch_format="pandas",
                             batch_size=None) \

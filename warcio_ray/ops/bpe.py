@@ -96,17 +96,24 @@ def train_bpe(ds, value_col: str = "text", n_merges: int = 50,
     (left, right) ascending — a total order, so training is
     deterministic at any parallelism.
     """
-    wc = word_counts(ds, value_col).to_pandas()  # O(vocab) rows
-    if len(wc) > vocab_cap:
-        wc = wc.sort_values(["c", "word"], ascending=[False, True],
-                            kind="mergesort")
-        dropped = int(wc["c"].iloc[vocab_cap:].sum())
+    wc_ds = word_counts(ds, value_col)
+    n_vocab = wc_ds.count()
+    if n_vocab > vocab_cap:
+        # the cap is enforced DATASET-side (distributed 2-key sort +
+        # limit, same shape as top_terms): the driver only ever holds
+        # vocab_cap rows, even when the corpus vocabulary is unbounded
+        # (URLs, hashes). Dropped mass is accounted, never silent.
+        total = int(wc_ds.sum(on="c"))
+        wc = wc_ds.sort(["c", "word"], descending=[True, False]) \
+            .limit(vocab_cap).to_pandas()
+        dropped = total - int(wc["c"].sum())
         import warnings
         warnings.warn(
             f"train_bpe: vocab_cap={vocab_cap} dropped "
-            f"{len(wc) - vocab_cap} tail words ({dropped} occurrences)",
+            f"{n_vocab - vocab_cap} tail words ({dropped} occurrences)",
             RuntimeWarning)
-        wc = wc.iloc[:vocab_cap]
+    else:
+        wc = wc_ds.to_pandas()  # <= vocab_cap rows
     vocab: Dict[Tuple[str, ...], int] = {}
     for word, c in zip(wc["word"], wc["c"]):
         sym = tuple(word) + (_EOW,)
@@ -171,8 +178,9 @@ def encode_bpe_batch(batch: pd.DataFrame, merges_df: pd.DataFrame,
         f"{k}\x01{l}\x01{r}" for k, l, r in
         zip(merges_df["rank"], merges_df["left"], merges_df["right"]))
         ).encode("utf-8")).hexdigest()
-    ranks, cache = _encode_cache.setdefault(
-        key, (bpe_merges(merges_df), {}))
+    if key not in _encode_cache:  # build the ranks dict once per model
+        _encode_cache[key] = (bpe_merges(merges_df), {})
+    ranks, cache = _encode_cache[key]
     n_toks = np.zeros(len(batch), dtype=np.int64)
     n_chars = np.zeros(len(batch), dtype=np.int64)
     for i, text in enumerate(batch[value_col]):

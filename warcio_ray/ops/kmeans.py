@@ -53,8 +53,13 @@ def kmeans_exact(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     def min_k(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.nsmallest(k, id_col)[[id_col, vec_col]]
 
-    seed = ds.map_batches(min_k, batch_format="pandas").to_pandas() \
-        .nsmallest(k, id_col).sort_values(id_col)
+    seed = ds.map_batches(min_k, batch_format="pandas").to_pandas()
+    if len(seed) == 0:  # empty corpus: typed empty assignment
+        import ray.data
+        return ray.data.from_pandas(pd.DataFrame({
+            id_col: pd.Series(dtype="int64"),
+            "cluster": pd.Series(dtype="int64")}))
+    seed = seed.nsmallest(k, id_col).sort_values(id_col)
     cents = _quantize(seed[vec_col], scale)  # (k, d) int64
 
     def assign(q: np.ndarray, c: np.ndarray) -> np.ndarray:

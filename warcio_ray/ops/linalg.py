@@ -69,17 +69,16 @@ def embedding_gram(ds, vec_col: str = "embedding",
                              "j": pd.Series(dtype="int64"),
                              "gram": pd.Series(dtype="int64")})
     out = out.rename(columns={"bn": "n"})  # d*d rows — the reduced matrix
-    if len(out):
-        # every batch contributes every (i, j) cell, so any group's bn
-        # sum is the total row count; |gram cell| <= n * qmax^2 exactly
-        # (Cauchy-Schwarz not even needed), checked in Python ints
-        n_total = int(out["n"].iloc[0])
-        qmax = int(out["qmax"].max())
-        if n_total * qmax * qmax >= 1 << 62:
-            raise OverflowError(
-                f"embedding_gram: n*qmax^2 = {n_total * qmax * qmax:.3g} "
-                f"can exceed int64 — rerun with a smaller scale "
-                f"(got scale={scale}, n={n_total}, max|q|={qmax})")
+    # every batch contributes every (i, j) cell, so any group's bn
+    # sum is the total row count; |gram cell| <= n * qmax^2 exactly
+    # (Cauchy-Schwarz not even needed), checked in Python ints
+    n_total = int(out["n"].iloc[0])
+    qmax = int(out["qmax"].max())
+    if n_total * qmax * qmax >= 1 << 62:
+        raise OverflowError(
+            f"embedding_gram: n*qmax^2 = {n_total * qmax * qmax:.3g} "
+            f"can exceed int64 — rerun with a smaller scale "
+            f"(got scale={scale}, n={n_total}, max|q|={qmax})")
     out = out[["i", "j", "gram"]].sort_values(["i", "j"], kind="mergesort") \
         .reset_index(drop=True).astype("int64")
     return out

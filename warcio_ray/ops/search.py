@@ -149,6 +149,7 @@ def postings_lookup(layout_dir: str, terms, n_buckets: int = 64
     Returns rows sorted by (term, doc_id)."""
     import os
 
+    import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data
 
@@ -163,10 +164,10 @@ def postings_lookup(layout_dir: str, terms, n_buckets: int = 64
             "doc_id": pd.Series(dtype="int64"),
             "tf": pd.Series(dtype="int64")})
 
+    probe_arr = pa.array(probe_list)  # built once, reused per batch
+
     def keep(batch):
-        return batch.filter(pc.is_in(batch["term"],
-                                     value_set=__import__("pyarrow")
-                                     .array(probe_list)))
+        return batch.filter(pc.is_in(batch["term"], value_set=probe_arr))
 
     out = ray.data.read_parquet(paths, file_extensions=["parquet"]) \
         .map_batches(keep, batch_format="pyarrow").to_pandas()

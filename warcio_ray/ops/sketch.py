@@ -199,6 +199,8 @@ def count_min_probe(ds, value_col: str, probes, d: int = 4, w: int = 2048,
 
     sketch = np.zeros((d, w), dtype=np.int64)
     true_counts = np.zeros(len(probe_list), dtype=np.int64)
+    if len(merged) == 0:  # empty corpus: zero sketch, zero counts
+        merged = pd.DataFrame({"r": [], "col": [], "c": []})
     for r, col, c in zip(merged["r"], merged["col"], merged["c"]):
         if r >= 0:
             sketch[int(r), int(col)] = c

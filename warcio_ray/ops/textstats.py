@@ -471,7 +471,11 @@ def shuffle_order(ds, id_col: str = "doc_id", bucket_bits: int = 10):
         return pd.DataFrame({id_col: ids, "_h": h,
                              "bucket": h >> shift})
 
-    keyed = ds.map_batches(project, batch_format="pandas")
+    # materialize the narrow (id, hash, bucket) projection: it is
+    # consumed twice (bucket counts, then the rank shuffle) and Ray
+    # re-executes lineage per consumption — 24 B/row beats a second
+    # read + md5 pass
+    keyed = ds.map_batches(project, batch_format="pandas").materialize()
 
     def bucket_counts(batch: pd.DataFrame) -> pd.DataFrame:
         vc = batch["bucket"].value_counts()
@@ -480,8 +484,13 @@ def shuffle_order(ds, id_col: str = "doc_id", bucket_bits: int = 10):
 
     totals = tree_aggregate(
         keyed.map_batches(bucket_counts, batch_format="pandas"),
-        ["bucket"], sums=("c",)).sort_values("bucket") \
-        .reset_index(drop=True)
+        ["bucket"], sums=("c",))
+    if len(totals) == 0:  # empty corpus: typed empty result
+        import ray.data
+        return ray.data.from_pandas(pd.DataFrame({
+            id_col: pd.Series(dtype="int64"),
+            "shuffle_rank": pd.Series(dtype="int64")}))
+    totals = totals.sort_values("bucket").reset_index(drop=True)
     c = totals["c"].to_numpy(dtype="int64")
     base = np.concatenate([[0], np.cumsum(c)[:-1]]) if len(c) else c
     base_ref = ray.put(dict(zip(totals["bucket"].astype("int64"), base)))
