@@ -434,6 +434,11 @@ def run_scaling() -> None:
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
         "stages": stages, "reps": reps,
+        # host-oversubscription calibration per timed run (see
+        # _host_probe): a depressed eff at one level means the HOST
+        # skewed the ratio, not the code
+        "host_probe_eff_lo": [r["derived"]["host_probe_eff"] for r in los],
+        "host_probe_eff_hi": [r["derived"]["host_probe_eff"] for r in his],
         "cold_write_rec_s_hi": warm["derived"]["warc_write_rec_s"],
         f"total_{lo_n}": min(r["value"] for r in los),
         f"total_{hi_n}": min(r["value"] for r in his),
