@@ -377,6 +377,19 @@ def _postings_probe(sf_dir: str):
     return postings_lookup(out_dir, probes)
 
 
+def _corpus_card(sf_dir: str):
+    """One-call dataset datasheet over documents: doc/token/char
+    totals, exact histogram median, language spread, exact-duplicate
+    mass — all integers, combiner-shaped, hard-oracled."""
+    import ray.data
+
+    from warcio_ray.pipelines.report import corpus_card
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    return corpus_card(ds)
+
+
 def _pagerank_5(sf_dir: str):
     """pages html -> link extraction -> integer PageRank (5 damped
     iterations). The Ray side parses REAL hrefs out of the rendered
@@ -939,6 +952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_ranks": _shuffle_ranks,
         "kmeans_clusters": _kmeans_clusters,
         "postings_probe": _postings_probe,
+        "corpus_card": _corpus_card,
         # dedup family
         "exact_dedup": _exact_dedup,
         "incremental_dedup": _incremental_dedup,
@@ -1416,6 +1430,35 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t JOIN probes p ON t.tok = p.tok
             GROUP BY t.tok, t.doc_id
             ORDER BY term, doc_id
+        """,
+        # corpus_card: all-integer datasheet metrics (hash compare);
+        # distinct text mirrors the engine's 15-hex md5 truncation
+        "corpus_card": """
+            WITH t AS (
+              SELECT COALESCE(text, '') AS text, lang,
+                     len(regexp_extract_all(COALESCE(text, ''),
+                                            '\\S+')) AS n_tok
+              FROM documents),
+            tot AS (
+              SELECT COUNT(*) AS n_docs,
+                     SUM(n_tok) AS total_tokens,
+                     SUM(length(text)) AS total_chars,
+                     COUNT(DISTINCT substr(md5(text), 1, 15)) AS nd_text,
+                     COUNT(DISTINCT lang) AS n_langs
+              FROM t),
+            hist AS (SELECT n_tok AS v, COUNT(*) AS c FROM t GROUP BY v),
+            cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM hist),
+            p50 AS (SELECT MIN(cum.v) AS p FROM cum, tot
+                    WHERE cum.cum >= (50 * tot.n_docs + 99) // 100)
+            SELECT metric, CAST(value AS BIGINT) AS value FROM (
+              SELECT 'dup_docs' AS metric, n_docs - nd_text AS value
+              FROM tot
+              UNION ALL SELECT 'n_docs', n_docs FROM tot
+              UNION ALL SELECT 'n_langs', n_langs FROM tot
+              UNION ALL SELECT 'p50_tokens', p FROM p50
+              UNION ALL SELECT 'total_chars', total_chars FROM tot
+              UNION ALL SELECT 'total_tokens', total_tokens FROM tot)
+            ORDER BY metric
         """,
         # linear_quality: hashed-feature linear model; int64-exact
         # accumulation makes raw_score order-independent, so only the

@@ -1350,3 +1350,28 @@ def test_postings_layout(ray_session, tmp_path):
     assert one
     got_one = postings_lookup(out_dir, one, n_buckets=8)
     assert set(got_one["term"]) <= set(one)
+
+
+def test_corpus_card(ray_session):
+    """Datasheet metrics: exact values on a hand-built corpus with
+    planted duplicates and a null, partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.pipelines.report import corpus_card
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype="int64"),
+        "text": ["a b c", "a b c", "x", None, "y z", "a b c"],
+        "lang": ["en", "en", "de", "fr", "de", "en"]})
+    out = corpus_card(ray.data.from_pandas(df))
+    out2 = corpus_card(ray.data.from_pandas(df).repartition(5))
+    pd.testing.assert_frame_equal(out, out2)
+
+    got = dict(zip(out["metric"], out["value"]))
+    # texts: "a b c" x3, "x", "" (null), "y z" -> 4 distinct, 2 dups
+    assert got == {"dup_docs": 2, "n_docs": 6, "n_langs": 3,
+                   # token counts sorted: 0,1,2,3,3,3 -> rank ceil(3)=3
+                   # -> value 2? cum: 0:1,1:1,2:1,3:3 -> rank 3 -> 2
+                   "p50_tokens": 2,
+                   "total_chars": 5 + 5 + 1 + 0 + 3 + 5,
+                   "total_tokens": 3 + 3 + 1 + 0 + 2 + 3}
