@@ -151,7 +151,9 @@ def _host_counts(sf_dir: str):
         return pd.DataFrame({"host": _host_series(batch["doc_id"].to_numpy())})
 
     from ray.data.aggregate import Count
-    return ds.map_batches(hosts, batch_format="pandas") \
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    return arrow_blocks(ds.map_batches(hosts, batch_format="pandas")) \
         .groupby("host").aggregate(Count(alias_name="n_pages"))
 
 
@@ -188,7 +190,9 @@ def _lang_confusion(sf_dir: str):
                                columns=["doc_id", "text", "lang"])
     preds = ds.map_batches(LangIdStage, batch_format="pandas",
                            batch_size=256, concurrency=2, num_cpus=0.5)
-    return preds.groupby(["lang", "lang_pred"]).aggregate(
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    return arrow_blocks(preds).groupby(["lang", "lang_pred"]).aggregate(
         Count(alias_name="n"))
 
 

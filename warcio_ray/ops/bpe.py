@@ -60,7 +60,9 @@ def word_counts(ds, value_col: str = "text"):
         return pd.DataFrame({"word": list(c.keys()),
                              "c": np.fromiter(c.values(), dtype="int64")})
 
-    return ds.map_batches(partial, batch_format="pandas") \
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    return arrow_blocks(ds.map_batches(partial, batch_format="pandas")) \
         .groupby("word").aggregate(Sum("c", alias_name="c"))
 
 

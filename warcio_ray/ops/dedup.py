@@ -44,9 +44,12 @@ def exact_dedup(ds, id_col: str = "doc_id"):
     ``SELECT md5(text) AS text_hash, min(doc_id) AS doc_id GROUP BY 1``."""
     from ray.data.aggregate import Min
 
+    from warcio_ray.ops.blocks import arrow_blocks
+
     hashed = ds.map_batches(add_md5_batch, batch_format="pandas") \
         .select_columns(["text_hash", id_col])
-    return hashed.groupby("text_hash").aggregate(
+    # arrow blocks: Ray's aggregate is per-ROW Python on pandas blocks
+    return arrow_blocks(hashed).groupby("text_hash").aggregate(
         Min(id_col, alias_name=id_col))
 
 
@@ -82,8 +85,11 @@ def incremental_dedup(new_ds, seen_ds, id_col: str = "doc_id",
 
     new_keys = new_ds.map_batches(add_md5_batch, batch_format="pandas") \
         .select_columns(["text_hash", id_col])
-    seen_keys = seen_ds.map_batches(add_md5_batch, batch_format="pandas") \
-        .select_columns(["text_hash"]) \
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    seen_keys = arrow_blocks(
+        seen_ds.map_batches(add_md5_batch, batch_format="pandas")
+        .select_columns(["text_hash"])) \
         .groupby("text_hash").aggregate(Count(alias_name="_n")) \
         .select_columns(["text_hash"])
     survivors = safe_join(new_keys, seen_keys, "left_anti",
@@ -881,7 +887,10 @@ def _hot_gram_ranks(ds, shingle_k: int, top_n: int = 1024) -> dict:
         return pd.DataFrame({"gram": list(c.keys()),
                              "n": np.fromiter(c.values(), dtype="int64")})
 
-    counts = ds.map_batches(partial_counts, batch_format="pandas") \
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    counts = arrow_blocks(
+        ds.map_batches(partial_counts, batch_format="pandas")) \
         .groupby("gram").aggregate(Sum("n", alias_name="n")) \
         .sort("n", descending=True).limit(top_n).to_pandas()
     counts = counts.sort_values(["n", "gram"]).reset_index(drop=True)

@@ -81,7 +81,11 @@ def pagerank_ds(edges_ds, nodes_ds, iters: int = 5,
             {"node": pd.Series(dtype="int64"),
              "rank": pd.Series(dtype="int64")}))
 
-    deg = edges_ds.groupby("src").aggregate(Count(alias_name="d"))
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    # arrow blocks before aggregate: per-ROW Python on pandas blocks
+    deg = arrow_blocks(edges_ds).groupby("src") \
+        .aggregate(Count(alias_name="d"))
 
     # static node universe with out-degree (0 for dangling/isolated)
     node_deg = safe_join(nodes_ds, deg, "left_outer", num_partitions,

@@ -108,7 +108,9 @@ def pack_sequences(ds, window: int = 1024, text_col: str = "text",
     # O(#buckets) driver state: per-bucket token totals -> exclusive
     # prefix sum of bucket base offsets
     from ray.data.aggregate import Sum
-    totals = bucketed.groupby("bucket") \
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    totals = arrow_blocks(bucketed).groupby("bucket") \
         .aggregate(Sum("n", alias_name="tot")).to_pandas()
     totals = totals.sort_values("bucket").reset_index(drop=True)
     base = np.concatenate(

@@ -63,7 +63,9 @@ def orders_by_segment(sf_dir: str):
         return pd.DataFrame({"c_mktsegment": seg,
                              "o_totalprice": batch["o_totalprice"]})
 
-    joined = ds.map_batches(join_batch, batch_format="pandas")
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    joined = arrow_blocks(ds.map_batches(join_batch, batch_format="pandas"))
     return joined.groupby("c_mktsegment").aggregate(
         Sum("o_totalprice", alias_name="total_price"),
         Count(alias_name="n_orders"))
@@ -253,7 +255,10 @@ def events_sliding(sf_dir: str, window_minutes: int = 60,
                 "value": batch["value"]}))
         return pd.concat(frames, ignore_index=True)
 
-    return ds.map_batches(explode_hops, batch_format="pandas") \
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    return arrow_blocks(
+        ds.map_batches(explode_hops, batch_format="pandas")) \
         .groupby(["event_type", "wstart"]).aggregate(
             Count(alias_name="n_events"),
             Sum("value", alias_name="sum_value"))

@@ -77,7 +77,9 @@ def repeated_gram_counts(ds, k: int = 3):
             "gram_h": np.fromiter(c.keys(), dtype=np.int64, count=len(c)),
             "n_docs": np.fromiter(c.values(), dtype=np.int64, count=len(c))})
 
-    return ds.map_batches(partial, batch_format="pandas") \
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    return arrow_blocks(ds.map_batches(partial, batch_format="pandas")) \
         .groupby("gram_h").aggregate(Sum("n_docs", alias_name="n_docs"))
 
 

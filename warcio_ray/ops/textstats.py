@@ -202,7 +202,9 @@ def fingerprint_dedup(ds, min_shared: int = 5, k: int = 5, window: int = 4,
     raw = candidate_pairs(exploded, ["fp"], max_bucket).materialize()
     n_dropped = _sum_dropped(raw)
 
-    counts = raw.filter(expr=f"a != {_DROP_SENTINEL}") \
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    counts = arrow_blocks(raw.filter(expr=f"a != {_DROP_SENTINEL}")) \
         .groupby(["a", "b"]).aggregate(Count(alias_name="n_shared")) \
         .filter(expr=f"n_shared >= {int(min_shared)}").to_pandas()
     if not len(counts):
@@ -287,7 +289,9 @@ def top_terms(ds, k: int = 20) -> pd.DataFrame:
         return pd.DataFrame({"term": list(c.keys()),
                              "n": np.fromiter(c.values(), dtype="int64")})
 
-    counts = ds.map_batches(partial, batch_format="pandas") \
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    counts = arrow_blocks(ds.map_batches(partial, batch_format="pandas")) \
         .groupby("term").aggregate(Sum("n", alias_name="n"))
     # distributed two-key sort (n desc, term asc) + limit(k): exact even
     # when the k-th count value is tied across many terms
