@@ -394,6 +394,19 @@ def _corpus_card(sf_dir: str):
     return corpus_card(ds)
 
 
+def _temperature_sample(sf_dir: str):
+    """Temperature-flattening rebalance (alpha=0.5) of documents by
+    lang: keep probability sqrt(c_min/c_lang), md5 keep rule — the
+    multilingual-corpus balancing primitive, bit-identical in SQL."""
+    import ray.data
+
+    from warcio_ray.ops.textstats import temperature_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    return temperature_sample(ds)
+
+
 def _pagerank_5(sf_dir: str):
     """pages html -> link extraction -> integer PageRank (5 damped
     iterations). The Ray side parses REAL hrefs out of the rendered
@@ -957,6 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _kmeans_clusters,
         "postings_probe": _postings_probe,
         "corpus_card": _corpus_card,
+        "temperature_sample": _temperature_sample,
         # dedup family
         "exact_dedup": _exact_dedup,
         "incremental_dedup": _incremental_dedup,
@@ -1463,6 +1477,24 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'total_chars', total_chars FROM tot
               UNION ALL SELECT 'total_tokens', total_tokens FROM tot)
             ORDER BY metric
+        """,
+        # temperature_sample: threshold = floor(sqrt(cmin/c)*2^32) —
+        # one IEEE division + correctly-rounded sqrt, bit-identical
+        # (hash compare)
+        "temperature_sample": """
+            WITH c AS (SELECT lang, COUNT(*) AS c
+                       FROM documents GROUP BY lang),
+            m AS (SELECT MIN(c) AS cmin FROM c),
+            thr AS (SELECT lang,
+                           CAST(floor(sqrt(CAST(cmin AS DOUBLE)
+                                           / CAST(c AS DOUBLE))
+                                      * 4294967296.0) AS BIGINT) AS t
+                    FROM c, m)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr ON d.lang = thr.lang
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                       1, 8)) AS BIGINT) < thr.t
+            ORDER BY d.doc_id
         """,
         # linear_quality: hashed-feature linear model; int64-exact
         # accumulation makes raw_score order-independent, so only the

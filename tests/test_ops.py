@@ -1375,3 +1375,36 @@ def test_corpus_card(ray_session):
                    "p50_tokens": 2,
                    "total_chars": 5 + 5 + 1 + 0 + 3 + 5,
                    "total_tokens": 3 + 3 + 1 + 0 + 2 + 3}
+
+
+def test_temperature_sample(ray_session):
+    """Flattening rebalance: smallest group keeps everything, larger
+    groups keep ~sqrt(cmin*c) rows, deterministic across partitionings
+    and exactly the md5 threshold rule."""
+    import hashlib
+    import math
+
+    import ray.data
+
+    from warcio_ray.ops.textstats import temperature_sample
+
+    rng = np.random.RandomState(17)
+    langs = ["en"] * 900 + ["de"] * 100 + ["fr"] * 25
+    df = pd.DataFrame({"doc_id": np.arange(len(langs), dtype="int64"),
+                       "lang": langs})
+    out = temperature_sample(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    out2 = temperature_sample(ray.data.from_pandas(df).repartition(7)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+    counts = {"en": 900, "de": 100, "fr": 25}
+    kept = out.groupby("lang").size().to_dict()
+    assert kept["fr"] == 25  # cmin group keeps all rows
+    for lang, c in counts.items():
+        t = int(math.floor(math.sqrt(25 / c) * (1 << 32)))
+        want = sum(1 for i, l in enumerate(langs) if l == lang and
+                   int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) < t)
+        assert kept.get(lang, 0) == want
+    # the head flattened: en keep-rate ~ sqrt(25/900) ~ 1/6
+    assert 100 < kept["en"] < 200

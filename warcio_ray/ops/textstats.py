@@ -508,3 +508,51 @@ def shuffle_order(ds, id_col: str = "doc_id", bucket_bits: int = 10):
 
     return keyed.groupby("bucket").map_groups(rank_group,
                                               batch_format="pandas")
+
+
+def temperature_sample(ds, group_col: str = "lang",
+                       id_col: str = "doc_id"):
+    """Temperature-flattening corpus rebalance (alpha = 0.5): keep each
+    group-g row with probability sqrt(c_min / c_g), so group mass goes
+    from c_g to ~sqrt(c_min * c_g) — rare groups keep everything, the
+    head flattens toward the multilingual-balancing curve (the
+    alpha-sampling rule of multilingual pretraining corpora, e.g.
+    XLM-R's temperature sampling), with NO tuning knob that would break
+    reproducibility.
+
+    Determinism / oracle: keep decision is md5_32(id) <
+    floor(sqrt(cmin/c_g) * 2^32). cmin/c_g is ONE IEEE division of two
+    exact integers, sqrt is correctly rounded, so the threshold is
+    bit-identical in any engine — deliberately NO sum of floats over
+    groups (a SUM(sqrt(c)) normalizer would be order-nondeterministic
+    in SQL). Scale shape: one bounded-key count (tree_aggregate over
+    #groups rows), an O(#groups) driver threshold table captured in
+    the filter closure, then a stateless keep scan — no shuffle of
+    corpus rows at all.
+    """
+    import math
+
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[group_col].value_counts(dropna=False)
+        return pd.DataFrame({group_col: vc.index, 
+                             "c": vc.to_numpy(dtype="int64")})
+
+    cnt = tree_aggregate(ds.map_batches(counts, batch_format="pandas"),
+                         [group_col], sums=("c",))
+    if len(cnt) == 0:
+        return ds.limit(0)
+    cmin = int(cnt["c"].min())
+    thr = {g: int(math.floor(math.sqrt(cmin / int(c)) * (1 << 32)))
+           for g, c in zip(cnt[group_col], cnt["c"])}
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col]
+        h = np.fromiter(
+            (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
+             for i in ids), dtype="int64", count=len(ids))
+        t = batch[group_col].map(thr).to_numpy(dtype="int64")
+        return batch[h < t]
+
+    return ds.map_batches(keep, batch_format="pandas")
