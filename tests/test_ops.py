@@ -987,6 +987,14 @@ def test_pagerank_fixed_point(ray_session):
     # total mass stays bounded by n*SCALE (integer division only sheds)
     assert sum(want.values()) <= len(nodes) * SCALE
 
+    # the join path (forced via broadcast_max_nodes=0) is bit-equal to
+    # the auto-selected broadcast path exercised above
+    got_join = pagerank_ds(
+        ray.data.from_pandas(edges), ray.data.from_pandas(nodes),
+        iters=5, broadcast_max_nodes=0).to_pandas()
+    assert dict(zip(got_join["node"].astype(int),
+                    got_join["rank"].astype(int))) == want
+
 
 def test_hll_distinct(ray_session):
     """HLL sketch: estimate within ~3x sigma of truth (sigma = 1.04/sqrt(m)),

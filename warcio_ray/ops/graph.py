@@ -17,10 +17,13 @@ in SQL by unrolling the iterations. This is the same trick the OPIC
 frontier uses (exactness ⇒ order-independence), applied to the classic
 damped PageRank instead of crawl priority.
 
-Scale shape: per iteration ONE edges⋈ranks hash join (ids + int64 ranks
-only), one groupby(dst) integer sum, one node-universe left join; the
-dangling term is a scalar aggregate. Driver state is O(1) per iteration
-(the dangling int + loop counter). Ray Data cannot pin a persistent
+Scale shape: below ``broadcast_max_nodes`` the rank vector fits the
+driver and each iteration is ONE edge scan + ONE integer aggregate
+(no joins — the broadcast-small-side rule); above it, per iteration
+ONE edges⋈ranks hash join (ids + int64 ranks only), one groupby(dst)
+integer sum, one node-universe left join, the dangling term a scalar
+aggregate, driver state O(1). Both paths share the integer formulas,
+so they are bit-equal (tested). Ray Data cannot pin a persistent
 partitioning across joins, so edges re-shuffle each iteration — a
 production deployment would pre-bucket edges by src hash on disk (the
 bucketed-pages pattern) and co-partition ranks to skip half of that.
@@ -41,6 +44,60 @@ __all__ = ["pagerank_ds", "DEFAULT_SCALE"]
 DEFAULT_SCALE = 10 ** 12
 
 
+def _pagerank_broadcast(edges_ds, node_deg, n, iters, damping_pct,
+                        scale):
+    """Small-graph iteration core: (node, d) universe + int64 rank
+    vectors on the driver; per iteration one edges scan emits (dst,
+    share) partials and ONE integer groupby-sum reduces them. Bit-equal
+    to the join path (same integer formulas, order-independent sums).
+    Gated by pagerank_ds at broadcast_max_nodes."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    base = ((100 - damping_pct) * scale) // 100
+    nd = node_deg.to_pandas().sort_values("node").reset_index(drop=True)
+    nodes = nd["node"].to_numpy(dtype="int64")
+    deg = nd["d"].to_numpy(dtype="int64")
+    rank = np.full(len(nd), np.int64(scale), dtype=np.int64)
+    pos = pd.Series(np.arange(len(nd), dtype="int64"), index=nodes)
+
+    for _ in range(iters):
+        dang_share = int(rank[deg == 0].sum()) // n
+        live = deg > 0
+        shares = {int(node): int(r) // int(dv) for node, r, dv in
+                  zip(nodes[live], rank[live], deg[live])}
+        sh_ref = ray.put(shares)
+
+        def contrib(batch: pd.DataFrame) -> pd.DataFrame:
+            sh = ray.get(sh_ref)
+            s = batch["src"].map(sh)
+            keep = s.notna()
+            return pd.DataFrame({
+                "dst": batch["dst"][keep].astype("int64"),
+                "share": s[keep].astype("int64")})
+
+        summed = arrow_blocks(
+            edges_ds.map_batches(contrib, batch_format="pandas")) \
+            .groupby("dst").aggregate(Sum("share", alias_name="s")) \
+            .to_pandas()  # <= n rows, gated by broadcast_max_nodes
+        s_arr = np.zeros(len(nd), dtype=np.int64)
+        if len(summed):
+            # drop dsts outside the node universe (the join path drops
+            # them implicitly via the left_outer universe join)
+            dsts = summed["dst"].astype("int64")
+            known = dsts.isin(pos.index).to_numpy()
+            p = pos.reindex(dsts[known]).to_numpy(dtype="int64")
+            s_arr[p] = summed["s"].to_numpy(dtype="int64")[known]
+        rank = (base + (damping_pct * (s_arr + dang_share)) // 100) \
+            .astype(np.int64)
+
+    import ray.data
+    return ray.data.from_pandas(pd.DataFrame({"node": nodes,
+                                              "rank": rank}))
+
+
 def _adaptive_partitions() -> int:
     import ray
     return min(32, max(2, int(ray.cluster_resources().get("CPU", 8))))
@@ -48,7 +105,8 @@ def _adaptive_partitions() -> int:
 
 def pagerank_ds(edges_ds, nodes_ds, iters: int = 5,
                 damping_pct: int = 85, scale: int = DEFAULT_SCALE,
-                num_partitions: Optional[int] = None):
+                num_partitions: Optional[int] = None,
+                broadcast_max_nodes: int = 2_000_000):
     """``edges_ds``: (src, dst) int64 rows. ``nodes_ds``: (node) int64
     rows — the node universe (isolated nodes included). Returns a
     Dataset (node, rank) of int64 fixed-point ranks after ``iters``
@@ -98,6 +156,17 @@ def pagerank_ds(edges_ds, nodes_ds, iters: int = 5,
 
     node_deg = node_deg.map_batches(
         stamp_deg, batch_format="pandas").materialize()
+
+    if n <= broadcast_max_nodes:
+        # small-graph fast path (auto, like the crawl's fetch modes):
+        # rank state fits the driver, so each iteration is ONE edge
+        # scan + ONE integer aggregate — no joins, no per-iteration
+        # actor pools. Integer math is identical to the join path, so
+        # results are bit-equal (tested) and the oracle doesn't care
+        # which path ran. At n > threshold rank state must live in the
+        # cluster and the join path below is the honest shape.
+        return _pagerank_broadcast(edges_ds, node_deg, n, iters,
+                                   damping_pct, scale)
 
     def init_rank(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[["node", "d"]].copy()
