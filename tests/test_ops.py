@@ -1416,3 +1416,36 @@ def test_temperature_sample(ray_session):
         assert kept.get(lang, 0) == want
     # the head flattened: en keep-rate ~ sqrt(25/900) ~ 1/6
     assert 100 < kept["en"] < 200
+
+
+def test_block_aggregate_helpers(ray_session):
+    """tree_aggregate == pandas reference (incl. null keys, sums+maxs);
+    arrow_blocks preserves rows/schema and feeds aggregate correctly."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from warcio_ray.ops.blocks import arrow_blocks, tree_aggregate
+
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({
+        "k": pd.array([None if i % 7 == 0 else i % 5
+                       for i in range(200)], dtype="Int64"),
+        "v": rng.randint(0, 100, 200).astype("int64"),
+        "w": rng.randint(0, 100, 200).astype("int64")})
+
+    got = tree_aggregate(ray.data.from_pandas(df).repartition(6),
+                         ["k"], sums=("v",), maxs=("w",), fanout=3)
+    want = df.groupby("k", dropna=False, as_index=False) \
+        .agg({"v": "sum", "w": "max"})
+    got = got.sort_values("k", na_position="last").reset_index(drop=True)
+    want = want.sort_values("k", na_position="last").reset_index(drop=True)
+    assert (got["v"].to_numpy() == want["v"].to_numpy()).all()
+    assert (got["w"].to_numpy() == want["w"].to_numpy()).all()
+
+    dfi = df.dropna().astype({"k": "int64"})
+    agg = arrow_blocks(ray.data.from_pandas(dfi).repartition(4)) \
+        .groupby("k").aggregate(Sum("v", alias_name="v")).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    wanti = dfi.groupby("k", as_index=False)["v"].sum() \
+        .sort_values("k").reset_index(drop=True)
+    assert (agg["v"].to_numpy() == wanti["v"].to_numpy()).all()
