@@ -237,7 +237,7 @@ def _probe_tokens(sf_dir: str) -> set:
 
     probe_docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]) \
-        .filter(lambda r: r["doc_id"] % 101 == 0).to_pandas()
+        .filter(expr="doc_id % 101 == 0").to_pandas()
     return {t for txt in probe_docs["text"] for t in (txt or "").split()}
 
 

@@ -146,7 +146,13 @@ def postings_lookup(layout_dir: str, terms, n_buckets: int = 64
                     ) -> pd.DataFrame:
     """Exact (term, doc_id, tf) postings for a probe term set, reading
     ONLY the partitions the probes hash into (file-level pruning).
-    Returns rows sorted by (term, doc_id)."""
+    Returns rows sorted by (term, doc_id).
+
+    Driver memory is O(total postings of the probe terms): fine for
+    point lookups, but probing a stopword pulls a corpus-sized posting
+    list — for bulk scoring keep the result as a Dataset (drop the
+    to_pandas and feed the filtered read into the scorer) the way
+    bm25_topk streams instead."""
     import os
 
     import pyarrow as pa
