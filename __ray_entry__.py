@@ -235,9 +235,12 @@ def _probe_tokens(sf_dir: str) -> set:
     together."""
     import ray.data
 
+    # vectorized batch filter (Ray's filter(expr=...) cannot parse
+    # the % operator; a row lambda would be per-row Python)
     probe_docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]) \
-        .filter(expr="doc_id % 101 == 0").to_pandas()
+        .map_batches(lambda b: b[b["doc_id"] % 101 == 0],
+                     batch_format="pandas").to_pandas()
     return {t for txt in probe_docs["text"] for t in (txt or "").split()}
 
 
