@@ -1,6 +1,8 @@
 """Distributed PageRank over a link-graph edge Dataset — the iterative
 graph-algorithm shape (driver loop over iterations, each iteration a
-join + groupby over Datasets; rank state NEVER lives on the driver).
+join + groupby over Datasets; above ``broadcast_max_nodes`` rank
+state never lives on the driver — below it, the broadcast fast path
+deliberately keeps the O(n) rank vector driver-side).
 
 Fixed-point arithmetic: ranks are int64 micro-units (``scale`` per node
 of initial mass) and every update is integer math —
@@ -66,17 +68,25 @@ def _pagerank_broadcast(edges_ds, node_deg, n, iters, damping_pct,
     for _ in range(iters):
         dang_share = int(rank[deg == 0].sum()) // n
         live = deg > 0
-        shares = {int(node): int(r) // int(dv) for node, r, dv in
-                  zip(nodes[live], rank[live], deg[live])}
-        sh_ref = ray.put(shares)
+        # two sorted numpy arrays in plasma (zero-copy reads), mapped
+        # per batch via searchsorted — no per-batch dict unpickling,
+        # and shares stay int64 end to end (no float64 promotion)
+        live_nodes = nodes[live]
+        live_shares = (rank[live] // deg[live]).astype(np.int64)
+        sh_ref = ray.put((live_nodes, live_shares))
 
         def contrib(batch: pd.DataFrame) -> pd.DataFrame:
-            sh = ray.get(sh_ref)
-            s = batch["src"].map(sh)
-            keep = s.notna()
+            ln, ls = ray.get(sh_ref)
+            src = batch["src"].to_numpy(dtype="int64")
+            if len(ln) == 0:
+                return pd.DataFrame({"dst": pd.Series(dtype="int64"),
+                                     "share": pd.Series(dtype="int64")})
+            p = np.searchsorted(ln, src)
+            p_safe = np.clip(p, 0, len(ln) - 1)
+            keep = ln[p_safe] == src
             return pd.DataFrame({
-                "dst": batch["dst"][keep].astype("int64"),
-                "share": s[keep].astype("int64")})
+                "dst": batch["dst"].to_numpy(dtype="int64")[keep],
+                "share": ls[p_safe][keep]})
 
         summed = arrow_blocks(
             edges_ds.map_batches(contrib, batch_format="pandas")) \
@@ -125,14 +135,19 @@ def pagerank_ds(edges_ds, nodes_ds, iters: int = 5,
     # the object store and spill if larger than memory
     edges_ds = edges_ds.materialize()
     n = nodes_ds.count()
-    # every intermediate (dangling sum, per-node rank after a hot-node
-    # pileup) is bounded by the total mass n*scale; keep it inside
-    # int64 with headroom for the damping multiply (x100)
-    if n and n * scale >= (1 << 56):
+    # every intermediate (dangling sum, per-node in-share pileup) is
+    # bounded by the total mass n*scale. The bound is 2^53, NOT int64:
+    # a left-outer join's NaN-filled sum column and a partial pandas
+    # map both promote through float64, which is exact only to 2^53 —
+    # past it the two execution paths (and the SQL oracle's HUGEINTs)
+    # would round differently. Staying under 2^53 keeps every value
+    # exact in BOTH int64 and float64, so path equivalence is airtight.
+    if n and n * scale >= (1 << 53):
         raise ValueError(
-            f"n*scale = {n * scale:.3g} risks int64 overflow in the "
-            f"damping multiply; pass scale <= {(1 << 56) // n} for "
-            f"{n} nodes (precision degrades gracefully)")
+            f"n*scale = {n * scale:.3g} exceeds the float64-exact "
+            f"bound 2^53 (intermediates pass through float64 in joins"
+            f"/maps); pass scale <= {(1 << 53) // n} for {n} nodes "
+            f"(precision degrades gracefully)")
     if n == 0:
         import ray.data
         return ray.data.from_pandas(pd.DataFrame(

@@ -113,6 +113,17 @@ def _token_hash(word: str) -> int:
     return h
 
 
+def _id_hash_u32(ids) -> np.ndarray:
+    """md5-derived 32-bit id hash, the SQL-mirrorable sampling rank:
+    CAST('0x' || substr(md5(CAST(id AS VARCHAR)),1,8) AS BIGINT).
+    ONE definition shared by hash_sample / stratified_sample /
+    shuffle_order / temperature_sample — the oracle encoding and these
+    must change together."""
+    return np.fromiter(
+        (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
+         for i in ids), dtype="int64", count=len(ids))
+
+
 def _rolling_kgram_hashes(tokens: List[int], k: int) -> np.ndarray:
     """Stable polynomial rolling hash of token k-grams: Horner over
     uint64 WRAPPING arithmetic (== the k-term polynomial mod 2^64),
@@ -311,12 +322,7 @@ def hash_sample(ds, pct: int, id_col: str = "doc_id"):
     filter: no shuffle, no driver state."""
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch[id_col]
-        mask = np.fromiter(
-            (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
-             % 100 < pct for i in ids),
-            dtype=bool, count=len(ids))
-        return batch[mask]
+        return batch[_id_hash_u32(batch[id_col]) % 100 < pct]
 
     return ds.map_batches(keep, batch_format="pandas")
 
@@ -332,14 +338,9 @@ def stratified_sample(ds, group_col: str, k: int, id_col: str = "doc_id"):
     groupby(group) merge only ever shuffles O(k x #batches) rows per
     group — the corpus itself never shuffles."""
 
-    def _hash(ids: pd.Series) -> np.ndarray:
-        return np.fromiter(
-            (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
-             for i in ids), dtype="int64", count=len(ids))
-
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[[group_col, id_col]].copy()
-        out["_h"] = _hash(out[id_col])
+        out["_h"] = _id_hash_u32(out[id_col])
         out = out.sort_values([group_col, "_h", id_col], kind="mergesort")
         return out.groupby(group_col, sort=False).head(k)
 
@@ -469,9 +470,7 @@ def shuffle_order(ds, id_col: str = "doc_id", bucket_bits: int = 10):
 
     def project(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch[id_col].astype("int64")
-        h = np.fromiter(
-            (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
-             for i in ids), dtype="int64", count=len(ids))
+        h = _id_hash_u32(ids)
         return pd.DataFrame({id_col: ids, "_h": h,
                              "bucket": h >> shift})
 
@@ -535,8 +534,10 @@ def temperature_sample(ds, group_col: str = "lang",
     from warcio_ray.ops.blocks import tree_aggregate
 
     def counts(batch: pd.DataFrame) -> pd.DataFrame:
-        vc = batch[group_col].value_counts(dropna=False)
-        return pd.DataFrame({group_col: vc.index, 
+        # dropna: NULL-group rows are dropped entirely (no threshold),
+        # matching the SQL mirror's inner join on the group key
+        vc = batch[group_col].value_counts(dropna=True)
+        return pd.DataFrame({group_col: vc.index,
                              "c": vc.to_numpy(dtype="int64")})
 
     cnt = tree_aggregate(ds.map_batches(counts, batch_format="pandas"),
@@ -548,11 +549,10 @@ def temperature_sample(ds, group_col: str = "lang",
            for g, c in zip(cnt[group_col], cnt["c"])}
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch[id_col]
-        h = np.fromiter(
-            (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
-             for i in ids), dtype="int64", count=len(ids))
-        t = batch[group_col].map(thr).to_numpy(dtype="int64")
+        h = _id_hash_u32(batch[id_col])
+        # unmapped (incl. NULL) groups -> NaN threshold -> h < NaN is
+        # False -> dropped, same as the oracle's inner join
+        t = batch[group_col].map(thr).to_numpy(dtype="float64")
         return batch[h < t]
 
     return ds.map_batches(keep, batch_format="pandas")

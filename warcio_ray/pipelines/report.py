@@ -36,7 +36,7 @@ def corpus_card(ds, text_col: str = "text",
     """
     from warcio_ray.ops.blocks import tree_aggregate
 
-    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+    def partials_small(batch: pd.DataFrame) -> pd.DataFrame:
         text = batch[text_col].astype("string")
         n_tok = text.str.count(r"\S+").fillna(0).astype("int64")
         rows = {"kind": [], "key": [], "c": []}
@@ -52,17 +52,10 @@ def corpus_card(ds, text_col: str = "text",
         rows["kind"].extend([1] * len(vc))
         rows["key"].extend(vc.index.to_numpy(dtype="int64"))
         rows["c"].extend(vc.to_numpy(dtype="int64"))
-        # distinct text hashes (kind 2) + distinct langs (kind 3):
-        # distinct-per-batch before the shuffle (combiner), exact
-        # after the global fold's max (presence, not count)
-        hs = {int(hashlib.md5((t if t is not None else "")
-                              .encode("utf-8")).hexdigest()[:15], 16)
-              for t in batch[text_col]}
-        rows["kind"].extend([2] * len(hs))
-        rows["key"].extend(hs)
-        rows["c"].extend([1] * len(hs))
+        # distinct NON-NULL langs (kind 3): SQL COUNT(DISTINCT lang)
+        # ignores NULLs, so this must too
         ls = {int(hashlib.md5(str(lv).encode("utf-8")).hexdigest()[:15],
-                  16) for lv in batch[lang_col]}
+                  16) for lv in batch[lang_col] if pd.notna(lv)}
         rows["kind"].extend([3] * len(ls))
         rows["key"].extend(ls)
         rows["c"].extend([1] * len(ls))
@@ -70,26 +63,34 @@ def corpus_card(ds, text_col: str = "text",
                              "key": np.array(rows["key"], dtype="int64"),
                              "c": np.array(rows["c"], dtype="int64")})
 
+    def partials_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        # distinct text hashes per batch (combiner before the shuffle);
+        # a SEPARATE scan from partials_small so the per-doc md5 work
+        # runs once, not once per consuming branch
+        hs = {int(hashlib.md5((t if t is not None else "")
+                              .encode("utf-8")).hexdigest()[:15], 16)
+              for t in batch[text_col]}
+        keys = np.fromiter(hs, dtype="int64", count=len(hs))
+        return pd.DataFrame({"key": keys,
+                             "bucket": keys % 4096})
+
     # NOTE the key space: kinds 0/1/3 are bounded (tree_aggregate);
     # kind 2 (text md5) is O(distinct docs) — an exact dup count needs
     # that shuffle, but NOT a per-key Ray group (3 ms of Python each):
     # bucket the hashes into 4096 bounded groups and nunique inside
     # each with vectorized pandas, then sum the 4096 counts.
-    parts = ds.map_batches(partials, batch_format="pandas")
     small = tree_aggregate(
-        parts.map_batches(
-            lambda b: b[b["kind"] != 2], batch_format="pandas"),
+        ds.map_batches(partials_small, batch_format="pandas"),
         ["kind", "key"], sums=("c",))
-
-    def to_buckets(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["kind"] == 2][["key"]].copy()
-        b["bucket"] = b["key"] % 4096
-        return b
+    if len(small) == 0:  # empty corpus: all-zero card
+        small = pd.DataFrame({"kind": pd.Series(dtype="int64"),
+                              "key": pd.Series(dtype="int64"),
+                              "c": pd.Series(dtype="int64")})
 
     def bucket_nunique(grp: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"nd": [np.int64(grp["key"].nunique())]})
 
-    nd = parts.map_batches(to_buckets, batch_format="pandas") \
+    nd = ds.map_batches(partials_hash, batch_format="pandas") \
         .groupby("bucket").map_groups(bucket_nunique,
                                       batch_format="pandas").to_pandas()
     n_distinct_text = int(nd["nd"].sum()) if len(nd) else 0
