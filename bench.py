@@ -364,6 +364,23 @@ def run_bench() -> dict:
         derived["bigshard_parse_s"] = round(best, 3)
         derived["bigshard_parse_rec_s"] = round(n_big_parsed / best, 1)
 
+    # ops sampler (one rep each, `derived` only): three flagship
+    # round-3 operators over the same sf corpus, so cross-round BENCH
+    # files track the training-data op family too — kept out of the
+    # headline `queries` to preserve stage-set comparability
+    if os.environ.get("GRAFT_OPS_SAMPLER", "1") != "0":
+        import __ray_entry__ as _entry
+        qs = _entry.queries()
+        for qname, key in (("pagerank_5", "op_pagerank_s"),
+                           ("hll_lang_tokens", "op_hll_s"),
+                           ("shuffle_ranks", "op_shuffle_s")):
+            t0 = time.time()
+            out = qs[qname](SF_DIR)
+            n_rows = out.count() if isinstance(out, ray.data.Dataset) \
+                else len(out)
+            derived[key] = round(time.time() - t0, 3)
+            derived[key[:-2] + "_rows"] = int(n_rows)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "warcio_ray headline pipelines (pages+warc+crawl+dedup)",
@@ -400,7 +417,7 @@ def run_scaling() -> None:
 
     def run(ncpu: int, keep: bool) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BIGSHARD="0")
+                   GRAFT_BIGSHARD="0", GRAFT_OPS_SAMPLER="0")
         env.setdefault("GRAFT_STAGE_REPS", "3")
         if keep:
             env["GRAFT_KEEP_WARC"] = "1"
