@@ -140,6 +140,35 @@ def _exact_dedup(sf_dir: str):
     return exact_dedup(ds)
 
 
+def _paragraph_dedup(sf_dir: str):
+    """Corpus-wide paragraph-level exact dedup (keep the first
+    occurrence by (doc_id, position), rebuild docs from survivors).
+    The corpus has no paragraph breaks, so boilerplate footer / promo
+    paragraphs are planted deterministically (doc_id % 3 / % 5, value
+    keyed by doc_id % 4 / % 11 so each repeats across many docs); the
+    SQL oracle plants the same text and replays the winner rule with
+    string_split + zipped unnest + min()."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.dedup import paragraph_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        d = batch["doc_id"]
+        footer = np.where(d % 3 == 0,
+                          "\n\nfooter nav v" + (d % 4).astype(str), "")
+        promo = np.where(d % 5 == 0,
+                         "\n\npromo banner " + (d % 11).astype(str), "")
+        batch["text"] = batch["text"].fillna("") + footer + promo
+        return batch
+
+    return paragraph_dedup(ds.map_batches(plant, batch_format="pandas"))
+
+
 def _host_counts(sf_dir: str):
     import ray.data
     import pandas as pd
@@ -976,6 +1005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample": _temperature_sample,
         # dedup family
         "exact_dedup": _exact_dedup,
+        "paragraph_dedup": _paragraph_dedup,
         "incremental_dedup": _incremental_dedup,
         "minhash_pairs": _minhash_pairs,
         "jaccard_pairs": _jaccard_pairs,
@@ -1252,6 +1282,42 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        # paragraph_dedup: winner rule is an integer min over
+        # k = doc_id*2^20 + pos, replayed exactly; rebuilt text is
+        # string_agg of the kept paragraphs in original order
+        "paragraph_dedup": """
+            WITH aug AS (
+              SELECT doc_id,
+                     COALESCE(text, '')
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN chr(10)||chr(10)||'footer nav v'
+                                  || CAST(doc_id % 4 AS VARCHAR)
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN chr(10)||chr(10)||'promo banner '
+                                  || CAST(doc_id % 11 AS VARCHAR)
+                             ELSE '' END AS text
+              FROM documents),
+            ex AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10)||chr(10))) AS para,
+                     unnest(range(0, len(string_split(text,
+                                         chr(10)||chr(10))))) AS pos
+              FROM aug),
+            keyed AS (
+              SELECT doc_id, pos, para,
+                     doc_id * 1048576 + pos AS k FROM ex),
+            win AS (SELECT para, MIN(k) AS wk FROM keyed GROUP BY para),
+            kept AS (
+              SELECT keyed.doc_id, keyed.pos, keyed.para
+              FROM keyed JOIN win ON keyed.para = win.para
+                                 AND keyed.k = win.wk)
+            SELECT aug.doc_id,
+                   COALESCE(string_agg(kept.para, chr(10)||chr(10)
+                                       ORDER BY kept.pos), '') AS text
+            FROM aug LEFT JOIN kept ON aug.doc_id = kept.doc_id
+            GROUP BY aug.doc_id
         """,
         "incremental_dedup": """
             SELECT doc_id FROM documents

@@ -1449,3 +1449,36 @@ def test_block_aggregate_helpers(ray_session):
     wanti = dfi.groupby("k", as_index=False)["v"].sum() \
         .sort_values("k").reset_index(drop=True)
     assert (agg["v"].to_numpy() == wanti["v"].to_numpy()).all()
+
+
+def test_paragraph_dedup_matches_brute_force(ray_session):
+    import ray.data
+
+    from warcio_ray.ops.dedup import paragraph_dedup
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["alpha\n\nshared one\n\nbeta",
+                 "shared one\n\ngamma\n\nshared two",
+                 "shared two\n\nshared one",   # every para owned elsewhere
+                 "",                            # empty doc = [''] paragraph
+                 "delta\n\n\n\nalpha"],        # empty para + dup of alpha
+    })
+    first: dict = {}
+    for _, r in docs.iterrows():
+        for i, p in enumerate(r.text.split("\n\n")):
+            first.setdefault(p, (r.doc_id, i))
+    expect = pd.DataFrame({
+        "doc_id": docs.doc_id,
+        "text": ["\n\n".join(
+            p for i, p in enumerate(r.text.split("\n\n"))
+            if first[p] == (r.doc_id, i)) for _, r in docs.iterrows()]})
+
+    # partitioning-invariant: winner rule is a global integer min
+    for nb in (1, 3):
+        ds = ray.data.from_pandas(docs).repartition(nb)
+        got = paragraph_dedup(ds).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+    # doc 2 (all paragraphs owned elsewhere) survives as an empty row
+    assert expect.loc[expect.doc_id == 2, "text"].iloc[0] == ""

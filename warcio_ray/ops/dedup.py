@@ -1004,3 +1004,115 @@ def decontaminate(ds, eval_texts: List[str], shingle_k: int = 3,
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "n_overlap": pd.Series(dtype="int64")})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup
+# ---------------------------------------------------------------------------
+
+_PARA_POS_BITS = 20  # positions per doc packed into the low bits of k
+
+
+def paragraph_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                    sep: str = "\n\n",
+                    num_partitions: Optional[int] = None):
+    """Corpus-wide paragraph-level exact dedup (the Gopher / CCNet
+    cleaning primitive): every paragraph that appears more than once in
+    the WHOLE corpus is kept only at its first occurrence — ordered by
+    (doc id, position) — and removed everywhere else; each doc's
+    surviving paragraphs are re-joined in their original order (a doc
+    whose every paragraph is owned elsewhere comes back empty, not
+    dropped — row count is stable).
+
+    Scale shape: paragraphs explode to (hash, k) rows where k packs
+    (id << 20 | position) into one int64 — 16-byte blake2b hex + one
+    int64 per paragraph, text never enters the wide exchange. The
+    winner per paragraph is ONE ``groupby(hash).min(k)`` (unbounded key
+    space -> real aggregate over arrow blocks, not a driver fold), the
+    keep decision is one hash join back to the narrow exploded rows,
+    and surviving positions travel to the rebuild as a per-doc csv
+    string so the only join that touches document text is the final
+    (id)-keyed one, where text moves exactly once.
+
+    Determinism / oracle: the winner rule is an integer min, so results
+    are partitioning-invariant; DuckDB reproduces the whole chain with
+    string_split + zipped unnest + min() + string_agg(ORDER BY pos).
+    The Ray side groups on a 128-bit blake2b of the paragraph instead
+    of the paragraph text itself (collision odds ~2^-64 at corpus
+    scale; the SQL oracle would surface any).
+
+    No reference counterpart (warcio has no text-cleaning layer); the
+    operator family is SURVEY §2.7 (training-data dedup).
+    """
+    import ray
+    from ray.data.aggregate import Min
+
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join
+
+    if num_partitions is None:
+        num_partitions = min(
+            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    cap = 1 << _PARA_POS_BITS
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("").astype(str)
+        parts = texts.str.split(sep)
+        lens = parts.str.len().to_numpy(dtype="int64")
+        ids = batch[id_col].to_numpy(dtype="int64")
+        if len(lens) and int(lens.max()) >= cap:
+            raise ValueError(
+                f"doc with >= 2^{_PARA_POS_BITS} paragraphs; raise "
+                "_PARA_POS_BITS (k packs id and position in one int64)")
+        if len(ids) and int(ids.max()) >= (1 << (62 - _PARA_POS_BITS)):
+            raise ValueError(f"{id_col} too large to pack with "
+                             f"{_PARA_POS_BITS} position bits")
+        rep_ids = np.repeat(ids, lens)
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        pos = np.arange(int(lens.sum()), dtype="int64") - starts
+        paras = [p for lst in parts for p in lst]
+        h = [hashlib.blake2b(p.encode("utf-8"), digest_size=16).hexdigest()
+             for p in paras]
+        return pd.DataFrame({"h": h, "k": rep_ids * cap + pos})
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    # unbounded key space (distinct paragraphs) -> real groupby; arrow
+    # blocks because Ray's aggregate is per-row Python on pandas blocks
+    winners = arrow_blocks(exploded).groupby("h").aggregate(
+        Min("k", alias_name="wk"))
+
+    def keep_positions(batch: pd.DataFrame) -> pd.DataFrame:
+        kept = batch.loc[batch["k"] == batch["wk"], "k"]
+        k = kept.to_numpy(dtype="int64")
+        return pd.DataFrame({id_col: k // cap, "pos": k % cap})
+
+    kept = safe_join(exploded, winners, "inner", num_partitions, ("h",)) \
+        .map_batches(keep_positions, batch_format="pandas")
+
+    def csv_group(grp: pd.DataFrame) -> pd.DataFrame:
+        pos = np.sort(grp["pos"].to_numpy(dtype="int64"))
+        return pd.DataFrame({
+            id_col: grp[id_col].iloc[:1].to_numpy(dtype="int64"),
+            "keep_csv": [",".join(map(str, pos))]})
+
+    kept_csv = kept.groupby(id_col).map_groups(csv_group,
+                                               batch_format="pandas")
+    joined = safe_join(ds.select_columns([id_col, text_col]), kept_csv,
+                       "left_outer", num_partitions, (id_col,))
+
+    def rebuild(batch: pd.DataFrame) -> pd.DataFrame:
+        # per-doc variable-length list indexing has no vectorized
+        # kernel; this loop is O(docs) string work, same cost class as
+        # the split in explode
+        out = []
+        for text, csv in zip(batch[text_col].fillna(""),
+                             batch["keep_csv"]):
+            if not isinstance(csv, str):
+                out.append("")  # every paragraph owned elsewhere
+            else:
+                parts = text.split(sep)
+                out.append(sep.join(
+                    parts[i] for i in (int(x) for x in csv.split(","))))
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(dtype="int64"),
+                             text_col: out})
+
+    return joined.map_batches(rebuild, batch_format="pandas")
