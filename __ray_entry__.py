@@ -309,6 +309,21 @@ def _wordcount_quantiles(sf_dir: str):
                                pcts=(10, 25, 50, 75, 90, 99))
 
 
+def _price_quantiles(sf_dir: str):
+    """EXACT float64 percentiles (radix refinement over
+    order-preserving bit keys, four bounded scans, no sort) — the
+    continuous-column companion of wordcount_quantiles; closes the
+    'floats need a sketch' boundary exactly."""
+    import ray.data
+
+    from warcio_ray.ops.quantile import exact_float_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    return exact_float_quantiles(ds, "l_extendedprice",
+                                 pcts=(1, 10, 25, 50, 75, 90, 99))
+
+
 # combining acute + tab + double space + combining diaeresis: NFC and
 # whitespace canonicalization both fire; mirrored in SQL via chr()
 _NORM_PREFIX = "Cafe\u0301\t  nai\u0308ve "
@@ -995,6 +1010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_lang_tokens": _hll_lang_tokens,
         "cms_probe_counts": _cms_probe_counts,
         "wordcount_quantiles": _wordcount_quantiles,
+        "price_quantiles": _price_quantiles,
         "normalize_text": _normalize_text,
         "embedding_gram": _embedding_gram,
         "bpe_merges_30": _bpe_merges_30,
@@ -1454,6 +1470,22 @@ def oracle_sql() -> dict[str, str]:
             FROM qs CROSS JOIN tot
             JOIN cum ON cum.cum >= (pct * tot.n + 99) // 100
             GROUP BY pct ORDER BY pct
+        """,
+        # price_quantiles: same 1-indexed rank rule (p*n+99)//100 over
+        # ascending float order — value-identical regardless of tie
+        # order, so row_number reproduces the radix-refinement result
+        "price_quantiles": """
+            WITH v AS (
+              SELECT l_extendedprice AS x FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND NOT isnan(l_extendedprice)),
+            o AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+            tot AS (SELECT COUNT(*) AS n FROM v),
+            qs AS (SELECT unnest([1, 10, 25, 50, 75, 90, 99]) AS pct)
+            SELECT CAST(pct AS BIGINT) AS pct, o.x AS value
+            FROM qs CROSS JOIN tot
+            JOIN o ON o.rn = (pct * tot.n + 99) // 100
+            ORDER BY pct
         """,
         # normalize_text: pyarrow's utf8_normalize + RE2 kernels are
         # the same algorithms as DuckDB's nfc_normalize + RE2

@@ -1482,3 +1482,31 @@ def test_paragraph_dedup_matches_brute_force(ray_session):
         pd.testing.assert_frame_equal(got, expect, check_dtype=False)
     # doc 2 (all paragraphs owned elsewhere) survives as an empty row
     assert expect.loc[expect.doc_id == 2, "text"].iloc[0] == ""
+
+
+def test_exact_float_quantiles_matches_sorted_rank(ray_session):
+    import ray.data
+
+    from warcio_ray.ops.quantile import exact_float_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([rng.normal(0, 1000, 20000),
+                           rng.uniform(-5, 5, 5000),
+                           [0.0, -0.0] * 3, [np.inf, -np.inf] * 2,
+                           rng.normal(1e12, 1, 100)])
+    df = pd.DataFrame({"x": vals})
+    df.loc[::997, "x"] = np.nan  # excluded, like SQL nulls
+    clean = np.sort(df["x"].to_numpy()[~np.isnan(df["x"].to_numpy())])
+    n = len(clean)
+    pcts = (1, 10, 25, 50, 75, 90, 99, 100)
+    expect = {p: clean[(p * n + 99) // 100 - 1] for p in pcts}
+
+    for nb in (1, 5):  # partitioning-invariant (integer rank rule)
+        out = exact_float_quantiles(
+            ray.data.from_pandas(df).repartition(nb), "x", pcts=pcts)
+        got = dict(zip(out["pct"], out["value"]))
+        assert got == expect
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"x": pd.Series([], dtype="float64")}))
+    assert len(exact_float_quantiles(empty, "x")) == 0

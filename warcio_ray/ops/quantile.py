@@ -66,3 +66,118 @@ def histogram_quantiles(ds, value_col: str, pcts=(10, 25, 50, 75, 90, 99)
         rank = (p * n + 99) // 100  # integer ceil(p/100 * n), 1-indexed
         out.append((p, int(vals[int(np.searchsorted(cum, rank))])))
     return pd.DataFrame(out, columns=["pct", "value"]).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# exact float quantiles (radix refinement)
+# ---------------------------------------------------------------------------
+
+def _float_sort_keys(x: "np.ndarray") -> "np.ndarray":
+    """float64 -> uint64 keys whose unsigned order == IEEE754 total
+    order (negatives: all bits flipped; non-negatives: sign bit set).
+    NaNs must be excluded by the caller; +/-inf sort correctly; note
+    -0.0 and +0.0 get DISTINCT keys (callers on signed-zero data pick
+    either — both compare equal downstream)."""
+    k = np.ascontiguousarray(x, dtype=np.float64).view(np.uint64).copy()
+    neg = (k >> np.uint64(63)).astype(bool)
+    k[neg] = ~k[neg]
+    k[~neg] |= np.uint64(1) << np.uint64(63)
+    return k
+
+
+def _sort_key_to_float(k: int) -> float:
+    k = np.uint64(k)
+    top = np.uint64(1) << np.uint64(63)
+    bits = (k ^ top) if bool(k & top) else ~k
+    return float(np.uint64(bits).view(np.float64))
+
+
+def exact_float_quantiles(ds, value_col: str,
+                          pcts=(10, 25, 50, 75, 90, 99)) -> pd.DataFrame:
+    """EXACT percentiles of a float64 column in FOUR bounded scans, no
+    sort, no sketch error — the continuous-column companion of
+    ``histogram_quantiles`` (which needs a bounded distinct-value
+    space). Rank rule is identical: the value at 1-indexed rank
+    (p*n+99)//100 in ascending IEEE754 order.
+
+    Scale shape (radix refinement over order-preserving bit keys):
+    floats map to uint64 keys whose unsigned order equals float order,
+    and each scan counts keys per 16-bit radix cell UNDER THE PREFIXES
+    that still matter — level 1 is a <= 2^16-cell histogram of the top
+    16 bits; levels 2-4 filter to the <= len(pcts) parent prefixes
+    (vectorized ``np.isin`` against a tiny array) so their partials are
+    near-empty. Every level is a ``tree_aggregate`` combiner (bounded
+    cells: <= 2^16 per surviving prefix), so nothing but (prefix,count)
+    rows ever leave a task and the driver fold is O(cells). Four column
+    scans buys exactness: a one-scan KLL/t-digest trades that for
+    error; with column pruning at the read the scans are cheap, and at
+    100 TB the level-2..4 scans stream the column through a two-kernel
+    mask with no shuffle at all.
+
+    NaN and null values are excluded (SQL aggregate semantics);
+    infinities participate in order. Ties across equal values are
+    value-identical by definition, so results are
+    partitioning-invariant and SQL-reproducible (row_number oracle).
+    """
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    pcts = sorted(int(p) for p in pcts)
+    if not pcts or pcts[0] < 1 or pcts[-1] > 100:
+        raise ValueError("pcts must be integers in 1..100")
+
+    def level_scan(level: int, parents: "np.ndarray | None"):
+        shift = np.uint64(64 - 16 * level)
+        parent_shift = np.uint64(64 - 16 * (level - 1))
+
+        def partials(batch: pd.DataFrame) -> pd.DataFrame:
+            vals = batch[value_col].to_numpy(dtype=np.float64)
+            vals = vals[~np.isnan(vals)]
+            if not len(vals):
+                return pd.DataFrame({"pre": np.array([], dtype=np.uint64),
+                                     "c": np.array([], dtype=np.int64)})
+            k = _float_sort_keys(vals)
+            if parents is not None:
+                k = k[np.isin(k >> parent_shift, parents)]
+            pre, cnt = np.unique(k >> shift, return_counts=True)
+            return pd.DataFrame({"pre": pre, "c": cnt.astype(np.int64)})
+
+        hist = tree_aggregate(
+            ds.map_batches(partials, batch_format="pandas"),
+            ["pre"], sums=("c",))
+        if len(hist) == 0:  # all-empty partials lose their columns
+            return pd.DataFrame({"pre": np.array([], dtype=np.uint64),
+                                 "c": np.array([], dtype=np.int64)})
+        return hist.sort_values("pre", kind="mergesort").reset_index(
+            drop=True)
+
+    # level 1: full histogram of the top 16 bits (also yields n)
+    hist = level_scan(1, None)
+    if len(hist) == 0:
+        return pd.DataFrame({"pct": pd.Series([], dtype="int64"),
+                             "value": pd.Series([], dtype="float64")})
+    n = int(hist["c"].sum())
+    # per-target state: residual rank within the current prefix
+    targets = [{"pct": p, "rank": (p * n + 99) // 100, "pre": None}
+               for p in pcts]
+
+    for level in range(1, 5):
+        if level > 1:
+            parents = np.unique(np.array([t["pre"] for t in targets],
+                                         dtype=np.uint64))
+            hist = level_scan(level, parents)
+        pres = hist["pre"].to_numpy(dtype=np.uint64)
+        cnts = hist["c"].to_numpy(dtype=np.int64)
+        for t in targets:
+            if level == 1:
+                sel = np.ones(len(pres), dtype=bool)
+            else:
+                sel = (pres >> np.uint64(16)) == t["pre"]
+            cum = cnts[sel].cumsum()
+            i = int(np.searchsorted(cum, t["rank"]))
+            t["pre"] = pres[sel][i]
+            t["rank"] -= int(cum[i - 1]) if i else 0
+
+    return pd.DataFrame(
+        {"pct": np.array([t["pct"] for t in targets], dtype="int64"),
+         "value": np.array([_sort_key_to_float(t["pre"])
+                            for t in targets], dtype="float64")})
