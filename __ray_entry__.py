@@ -714,6 +714,34 @@ def _cdxj_index(sf_dir: str):
     return out.select_columns(["surt_key", "ts14", "url"])
 
 
+def _wet_export(sf_dir: str):
+    """WARC responses -> WET conversion records -> parse the WET back
+    (full parse -> extract -> build -> write -> parse round trip).
+    Output is (url, wet_text); the oracle reconstructs both from the
+    deterministic pages scheme: extracted text == documents.text plus
+    one 'link j' line per outlink (doc_id % 4 of them)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from warcio_ray.pipelines.wet import wet_export
+    from warcio_ray.sources.warc import read_warc
+
+    out_dir = os.path.join("/tmp/warcio_ray/wet",
+                           os.path.basename(sf_dir.rstrip("/")))
+    wet_paths = wet_export(_warc_fixture_paths(sf_dir), out_dir)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch["url"],
+            "wet_text": pc.cast(batch["payload"].combine_chunks(),
+                                pa.large_string())})
+
+    return read_warc(wet_paths, compute_digests=False) \
+        .map_batches(project, batch_format="pyarrow")
+
+
 def _distinct_langs(sf_dir: str):
     import pandas as pd
     import ray.data
@@ -1047,6 +1075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_order": _crawl_order,
         "warc_rec_types": _warc_rec_types,
         "cdxj_index": _cdxj_index,
+        "wet_export": _wet_export,
         "revisit_dedup": _revisit_dedup,
         # multimodal plumbing
         "media_features": _media_features,
@@ -1991,6 +2020,28 @@ def oracle_sql() -> dict[str, str]:
                    {_HOST_CASE.replace("'site'", "'http://site'")}
                      || '/doc/' || CAST(doc_id AS VARCHAR) AS url
             FROM documents
+        """,
+        # wet_export: conversion-record text == pages extracted text ==
+        # documents.text + one 'link j' line per outlink (doc_id % 4 of
+        # them, html.py nav scheme); empty source text would drop the
+        # leading newline (utf8_trim_whitespace), handled by the CASE
+        "wet_export": f"""
+            WITH d AS (
+              SELECT doc_id, COALESCE(text, '') AS text, doc_id % 4 AS k
+              FROM documents),
+            suf AS (
+              SELECT doc_id, text,
+                     CASE k WHEN 0 THEN ''
+                            WHEN 1 THEN chr(10)||'link 0'
+                            WHEN 2 THEN chr(10)||'link 0'||chr(10)||'link 1'
+                            ELSE chr(10)||'link 0'||chr(10)||'link 1'
+                                 ||chr(10)||'link 2' END AS s
+              FROM d)
+            SELECT {_HOST_CASE.replace("'site'", "'http://site'")}
+                     || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN text = '' THEN ltrim(s, chr(10))
+                        ELSE text || s END AS wet_text
+            FROM suf
         """,
         # revisit_dedup: every page written twice with a shared payload;
         # the digest-dedup pipeline must rewrite exactly one copy per

@@ -345,3 +345,36 @@ def test_cdxj_index_sorted(ray_session):
                     df["offset"]))
     assert keys == sorted(keys)
     assert len(df) > 0
+
+
+def test_wet_export_round_trip(ray_session, tmp_path):
+    """responses -> WET conversion records -> re-parse: text matches
+    the extraction kernel, digests verify, WARC-Refers-To links back,
+    non-response records are skipped."""
+    import hashlib
+
+    from warcio_ray.html import extract_text
+    from warcio_ray.pipelines.wet import wet_export
+    from warcio_ray.sources.warc import read_warc
+
+    wet_paths = wet_export([golden("valid.warc.gz")],
+                           str(tmp_path / "wet"))
+    src = read_warc([golden("valid.warc.gz")]).to_pandas()
+    responses = src[src.rec_type == "response"]
+
+    back = read_warc(wet_paths,
+                     parse_options=ParseOptions(check_digests=True)) \
+        .to_pandas()
+    assert len(back) == len(responses)
+    assert (back.rec_type == "conversion").all()
+    assert back.digest_passed.all()
+    assert (back.content_type == "text/plain").all()
+
+    by_url = {r.url: r for _, r in responses.iterrows()}
+    for _, rec in back.iterrows():
+        srcrec = by_url[rec.url]
+        assert rec.payload.decode("utf-8") == extract_text(srcrec.payload)
+        hm = {p["name"]: p["value"] for p in rec["warc_headers"]}
+        src_hm = {p["name"]: p["value"] for p in srcrec["warc_headers"]}
+        assert hm["WARC-Refers-To"] == src_hm["WARC-Record-ID"]
+        assert hm["WARC-Date"] == src_hm["WARC-Date"]
