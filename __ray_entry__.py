@@ -882,6 +882,22 @@ def _unigram_nll(sf_dir: str):
     return out
 
 
+def _dsir_weights(sf_dir: str):
+    """DSIR importance-resampling weights: docs with doc_id % 50 == 0
+    stand in for the in-domain target corpus; every doc gets an exact
+    int64 sum of 2^32-quantized hashed-ngram log importance ratios
+    (one bounded-histogram scan + one broadcast-q scan, no shuffles)."""
+    import numpy as np
+    import ray.data
+
+    from warcio_ray.ops.dsir import dsir_weights
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return dsir_weights(
+        ds, target_mask=lambda ids: (ids.to_numpy() % 50 == 0))
+
+
 def _decontam_overlap(sf_dir: str):
     """Benchmark decontamination: training docs sharing any 3-gram
     shingle with the 'eval set' (docs 0-9 stand in for a benchmark).
@@ -1056,6 +1072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_clusters": _jaccard_clusters,
         "pretrain_corpus": _pretrain_corpus,
         "decontam_overlap": _decontam_overlap,
+        "dsir_weights": _dsir_weights,
         "span_scrub": _span_scrub,
         "pii_redact": _pii_redact,
         "bm25_top20": _bm25_top20,
@@ -1809,6 +1826,43 @@ def oracle_sql() -> dict[str, str]:
               FROM hits)
             SELECT lang, lang_pred, COUNT(*) AS n
             FROM pred GROUP BY lang, lang_pred
+        """,
+        # dsir_weights: md5-bucketed unigram+bigram features, integer
+        # histograms, ONE ln() per bucket quantized to int64 at 2^32,
+        # integer per-doc sums — exact on both engines (hash compare)
+        "dsir_weights": r"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(text, '\S+') AS t
+                          FROM documents),
+            feats AS (
+              SELECT doc_id, unnest(list_concat(t,
+                     CASE WHEN len(t) < 2 THEN []
+                          ELSE list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1]) END)) AS f
+              FROM toks),
+            bf AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT)
+                       % 1024 AS b
+              FROM feats),
+            cnt AS (
+              SELECT b, COUNT(*) AS c_all,
+                     SUM(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
+                       AS c_tgt
+              FROM bf GROUP BY b),
+            tot AS (SELECT SUM(c_all) AS ca, SUM(c_tgt) AS ct FROM cnt),
+            q AS (
+              SELECT b,
+                     CAST(floor((ln((c_tgt + 1.0) / (ct + 1024.0))
+                               - ln((c_all + 1.0) / (ca + 1024.0)))
+                               * 4294967296.0 + 0.5) AS BIGINT) AS qv
+              FROM cnt CROSS JOIN tot)
+            SELECT doc_id, CAST(SUM(qv) AS BIGINT) AS iw,
+                   COUNT(*) AS n_features
+            FROM bf JOIN q USING (b) GROUP BY doc_id
+            UNION ALL
+            SELECT doc_id, 0 AS iw, 0 AS n_features
+            FROM toks WHERE len(t) = 0
         """,
         # unigram_nll: add-1-smoothed unigram LM from the corpus's own
         # top-4096 vocabulary; OOV bucket; mean -ln p per doc

@@ -1510,3 +1510,35 @@ def test_exact_float_quantiles_matches_sorted_rank(ray_session):
     empty = ray.data.from_pandas(
         pd.DataFrame({"x": pd.Series([], dtype="float64")}))
     assert len(exact_float_quantiles(empty, "x")) == 0
+
+
+def test_dsir_weights_favor_target_domain(ray_session):
+    import ray.data
+
+    from warcio_ray.ops.dsir import dsir_weights
+
+    # target docs (even ids) share a distinctive vocabulary
+    docs = pd.DataFrame({
+        "doc_id": range(20),
+        "text": ["quantum flux capacitor entangled qubit " * 3
+                 if i % 2 == 0 else
+                 "mundane grocery list milk bread eggs " * 3
+                 for i in range(20)]})
+    docs.loc[19, "text"] = ""  # no-feature doc -> (0, 0)
+
+    outs = []
+    for nb in (1, 4):  # integer sums -> partitioning-invariant
+        ds = ray.data.from_pandas(docs).repartition(nb)
+        out = dsir_weights(
+            ds, target_mask=lambda ids: (ids.to_numpy() % 2 == 0)) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    out = outs[0]
+    tgt = out[out.doc_id % 2 == 0]
+    non = out[(out.doc_id % 2 == 1) & (out.n_features > 0)]
+    # mean log-ratio: target vocabulary scores strictly higher
+    assert (tgt.iw / tgt.n_features).mean() > (non.iw / non.n_features).mean()
+    empty = out[out.doc_id == 19].iloc[0]
+    assert empty.iw == 0 and empty.n_features == 0
