@@ -210,6 +210,28 @@ def _knn_top10(sf_dir: str):
     return pd.DataFrame({"vec_id": out["vec_id"].astype("int64")})
 
 
+def _pq_top10(sf_dir: str):
+    """Product-quantization ANN: train 4x16 exact-integer codebooks,
+    encode the corpus to 4 codes/vector, ADC top-10 for vec 0's query
+    (the 64x-compression scale path; the unrolled SQL oracle replays
+    train -> encode -> search bit-for-bit)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from warcio_ray.ops.pq import pq_adc_topk, pq_train_encode
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    q = np.asarray(t.filter(pc.equal(t["vec_id"], 0))
+                   ["embedding"][0].as_py(), dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    codes_ds, cents = pq_train_encode(ds, m=4, k=16, iters=2)
+    return pq_adc_topk(codes_ds, cents, q, k_top=10)
+
+
 def _lang_confusion(sf_dir: str):
     import ray.data
 
@@ -1083,6 +1105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top10": _knn_top10,
         "ivf_knn_top10": _ivf_knn_top10,
         "ivf_layout_top10": _ivf_layout_top10,
+        "pq_top10": _pq_top10,
         "fingerprint_dups": _fingerprint_dups,
         # pages / crawl / warc
         "host_counts": _host_counts,
@@ -1267,6 +1290,70 @@ def _kmeans_sql(k: int = 4, iters: int = 3, scale: int = 1 << 16) -> str:
             + " ORDER BY vec_id")
 
 
+def _pq_sql(m: int = 4, k: int = 16, iters: int = 2,
+            scale: int = 1 << 16) -> str:
+    """Unrolled product-quantization chain mirroring ops/pq.py
+    bit-for-bit: per-subspace exact-integer Lloyd (same quantization,
+    tie-breaks and sign-safe floor division as _kmeans_sql, with a
+    subspace key on every CTE), final codes, then the query's ADC
+    table (vec 0) and integer top-10 by (adc, vec_id)."""
+    dsub = 64 // m
+    ctes = [f"""
+        e AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                            * {scale}.0 + 0.5) AS BIGINT) AS qx
+          FROM embeddings),
+        es AS (SELECT vec_id, i // {dsub} AS sub, i % {dsub} AS j, qx
+               FROM e),
+        seed AS (SELECT vec_id,
+                        row_number() OVER (ORDER BY vec_id) - 1 AS cl
+                 FROM (SELECT DISTINCT vec_id FROM embeddings
+                       ORDER BY vec_id LIMIT {k})),
+        c0 AS (SELECT es.sub, seed.cl, es.j, es.qx AS cx
+               FROM seed JOIN es ON es.vec_id = seed.vec_id)"""]
+    assign = """
+        {name} AS (
+          SELECT vec_id, sub, cl FROM (
+            SELECT es.vec_id, es.sub, c.cl,
+                   row_number() OVER (PARTITION BY es.vec_id, es.sub
+                     ORDER BY SUM((es.qx - c.cx) * (es.qx - c.cx)),
+                              c.cl) AS rn
+            FROM es JOIN {cents} c
+              ON c.sub = es.sub AND c.j = es.j
+            GROUP BY es.vec_id, es.sub, c.cl) WHERE rn = 1)"""
+    for t in range(1, iters + 1):
+        prev, cur = f"c{t - 1}", f"c{t}"
+        ctes.append(assign.format(name=f"a{t}", cents=prev))
+        ctes.append(f"""
+        u{t} AS (
+          SELECT a.sub, a.cl, es.j,
+                 (SUM(es.qx) - ((SUM(es.qx) % COUNT(*)) + COUNT(*))
+                              % COUNT(*)) // COUNT(*) AS cx
+          FROM a{t} a JOIN es
+            ON es.vec_id = a.vec_id AND es.sub = a.sub
+          GROUP BY a.sub, a.cl, es.j),
+        {cur} AS (
+          SELECT old.sub, old.cl, old.j, COALESCE(u.cx, old.cx) AS cx
+          FROM {prev} old LEFT JOIN u{t} u
+            ON u.sub = old.sub AND u.cl = old.cl AND u.j = old.j)""")
+    ctes.append(assign.format(name="afin", cents=f"c{iters}"))
+    ctes.append(f"""
+        qv AS (SELECT sub, j, qx FROM es WHERE vec_id = 0),
+        tbl AS (
+          SELECT c.sub, c.cl,
+                 SUM((qv.qx - c.cx) * (qv.qx - c.cx)) AS dist
+          FROM c{iters} c JOIN qv ON qv.sub = c.sub AND qv.j = c.j
+          GROUP BY c.sub, c.cl),
+        score AS (
+          SELECT a.vec_id, CAST(SUM(t.dist) AS BIGINT) AS adc
+          FROM afin a JOIN tbl t ON t.sub = a.sub AND t.cl = a.cl
+          GROUP BY a.vec_id)""")
+    return ("WITH " + ",".join(ctes)
+            + " SELECT vec_id, adc FROM score"
+            + " ORDER BY adc, vec_id LIMIT 10")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -1424,6 +1511,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "pagerank_5": _pagerank_sql(),
+        # pq_top10: product quantization — unrolled generated CTE
+        # (per-subspace Lloyd, codes, ADC table, integer top-10)
+        "pq_top10": _pq_sql(),
         # kmeans_clusters: exact-integer Lloyd — unrolled generated CTE
         # chain, bit-identical (hash compare)
         "kmeans_clusters": _kmeans_sql(),

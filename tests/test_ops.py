@@ -1542,3 +1542,51 @@ def test_dsir_weights_favor_target_domain(ray_session):
     assert (tgt.iw / tgt.n_features).mean() > (non.iw / non.n_features).mean()
     empty = out[out.doc_id == 19].iloc[0]
     assert empty.iw == 0 and empty.n_features == 0
+
+
+def test_pq_matches_inprocess_reference(ray_session):
+    import ray.data
+
+    from warcio_ray.ops.pq import pq_adc_topk, pq_train_encode
+
+    rng = np.random.default_rng(3)
+    n, d, m, k, iters, scale = 120, 64, 4, 16, 2, 1 << 16
+    vecs = rng.normal(0, 1, (n, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n),
+                       "embedding": [v.tolist() for v in vecs]})
+
+    # from-first-principles reference of the exact-integer chain
+    q = np.floor(vecs.astype(np.float64) * scale + 0.5).astype(np.int64)
+    dsub = d // m
+    q3 = q.reshape(n, m, dsub)
+    cents = q[:k].reshape(k, m, dsub).transpose(1, 0, 2).copy()
+
+    def assign(c):
+        diff = q3[:, :, None, :] - c[None]
+        return np.argmin((diff * diff).sum(3), axis=2)
+
+    for _ in range(iters):
+        codes = assign(cents)
+        new = cents.copy()
+        for s in range(m):
+            for g in range(k):
+                mem = q3[codes[:, s] == g, s]
+                if len(mem):
+                    new[s, g] = mem.sum(0) // len(mem)
+        cents = new
+    ref_codes = assign(cents)
+    table = ((q3[0][:, None, :] - cents) ** 2).sum(2)
+    adc = sum(table[s][ref_codes[:, s]] for s in range(m))
+    ref_top = np.lexsort((np.arange(n), adc))[:10]
+
+    for nb in (1, 4):  # bitwise-identical at any parallelism
+        ds = ray.data.from_pandas(df).repartition(nb)
+        codes_ds, got_cents = pq_train_encode(ds, m=m, k=k, iters=iters)
+        assert (got_cents == cents).all()
+        got = codes_ds.to_pandas().sort_values("vec_id") \
+            .reset_index(drop=True)
+        assert (got[[f"code_{s}" for s in range(m)]].to_numpy()
+                == ref_codes).all()
+        top = pq_adc_topk(codes_ds, got_cents, vecs[0])
+        assert list(top["vec_id"]) == list(ref_top)
+        assert list(top["adc"]) == [int(adc[i]) for i in ref_top]
