@@ -652,6 +652,16 @@ def _extract_text_verify(sf_dir: str):
                          "mismatch_count": [int(total["mismatch_count"])]})
 
 
+def _anchor_stats(sf_dir: str):
+    """Per-target-url anchor-text aggregation over real page html —
+    two narrow hash aggregates, html never shuffles; SQL reconstructs
+    the deterministic link graph from documents."""
+    from warcio_ray.ops.graph import anchor_stats
+    from warcio_ray.pages import read_pages
+
+    return anchor_stats(read_pages(sf_dir, columns=["html"]))
+
+
 def _crawl_order(sf_dir: str):
     from warcio_ray.frontier.rounds import CrawlConfig
     from warcio_ray.pipelines.crawl import crawl_pages
@@ -1112,6 +1122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_hosts": _top_hosts,
         "distinct_langs": _distinct_langs,
         "extract_text_verify": _extract_text_verify,
+        "anchor_stats": _anchor_stats,
         "crawl_order": _crawl_order,
         "warc_rec_types": _warc_rec_types,
         "cdxj_index": _cdxj_index,
@@ -2164,6 +2175,28 @@ def oracle_sql() -> dict[str, str]:
                    {_HOST_CASE.replace("'site'", "'http://site'")}
                      || '/doc/' || CAST(doc_id AS VARCHAR) AS url
             FROM documents
+        """,
+        # anchor_stats: the synthesized link graph is a deterministic
+        # function of doc_id (pages.py links_for), so SQL rebuilds the
+        # (dst_url, anchor) edges and aggregates identically
+        "anchor_stats": f"""
+            WITH n AS (SELECT COUNT(*) AS nd FROM documents),
+            edges AS (
+              SELECT (doc_id * 31 + 7 * (j + 1)) % nd AS dst,
+                     'link ' || CAST(j AS VARCHAR) AS anchor
+              FROM (SELECT doc_id, unnest(range(0, doc_id % 4)) AS j
+                    FROM documents) CROSS JOIN n),
+            urled AS (
+              SELECT {_HOST_CASE.replace("doc_id", "dst")
+                                .replace("'site'", "'http://site'")}
+                       || '/doc/' || CAST(dst AS VARCHAR) AS url,
+                     anchor
+              FROM edges)
+            SELECT url,
+                   COUNT(*) AS n_anchors,
+                   COUNT(DISTINCT anchor) AS n_distinct_anchors,
+                   MIN(anchor) AS min_anchor
+            FROM urled GROUP BY url
         """,
         # wet_export: conversion-record text == pages extracted text ==
         # documents.text + one 'link j' line per outlink (doc_id % 4 of

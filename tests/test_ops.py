@@ -1590,3 +1590,28 @@ def test_pq_matches_inprocess_reference(ray_session):
         top = pq_adc_topk(codes_ds, got_cents, vecs[0])
         assert list(top["vec_id"]) == list(ref_top)
         assert list(top["adc"]) == [int(adc[i]) for i in ref_top]
+
+
+def test_anchor_stats_aggregates_labels(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from warcio_ray.html import render_page
+    from warcio_ray.ops.graph import anchor_stats
+
+    # three pages; page T is linked twice with label 'link 0' (from
+    # pages 1 and 2) and once with 'link 1' (page 2's second link)
+    htmls = [
+        render_page("t", "http://t/", "en", 0, []),
+        render_page("a", "http://a/", "en", 1, ["http://t/"]),
+        render_page("b", "http://b/", "en", 2,
+                     ["http://other/", "http://t/"]),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "html": pa.array(htmls, pa.large_binary())}))
+    out = anchor_stats(ds).to_pandas().set_index("url")
+    t = out.loc["http://t/"]
+    assert t.n_anchors == 2 and t.n_distinct_anchors == 2
+    assert t.min_anchor == "link 0"
+    o = out.loc["http://other/"]
+    assert o.n_anchors == 1 and o.min_anchor == "link 0"

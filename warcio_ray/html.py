@@ -115,3 +115,25 @@ def extract_links(html: bytes) -> List[str]:
     except UnicodeDecodeError:
         text = html.decode("latin-1")
     return [_htmlmod.unescape(m) for m in _HREF_RX.findall(text)]
+
+
+_ANCHOR_RX = re.compile(
+    r'<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>',
+    re.IGNORECASE | re.DOTALL)
+_INNER_TAG_RX = re.compile(r"<[^>]*>", re.DOTALL)
+_WS_RUN_RX = re.compile(r"\s+")
+
+
+def extract_anchors(html: bytes) -> List[tuple]:
+    """(href, anchor_text) pairs in document order: inner tags
+    stripped, entities unescaped, whitespace collapsed/trimmed —
+    the anchor-text form search/training pipelines aggregate."""
+    try:
+        text = html.decode("utf-8")
+    except UnicodeDecodeError:
+        text = html.decode("latin-1")
+    out = []
+    for href, inner in _ANCHOR_RX.findall(text):
+        label = _WS_RUN_RX.sub(" ", _INNER_TAG_RX.sub("", inner)).strip()
+        out.append((_htmlmod.unescape(href), _htmlmod.unescape(label)))
+    return out

@@ -229,3 +229,46 @@ def pagerank_ds(edges_ds, nodes_ds, iters: int = 5,
             .materialize()
 
     return ranks.drop_columns(["d"])
+
+
+def anchor_stats(pages_ds, num_partitions=None):
+    """Per-target-URL anchor-text aggregation over the real page html
+    (the search/training primitive: what does the web call this page?).
+
+    Scale shape: each batch explodes to (dst_url, anchor) rows — html
+    never leaves the task — then TWO narrow-row hash aggregates:
+    (dst_url, anchor) pair counts first (so a page linked a million
+    times with the same label collapses map-side-ish to one row per
+    distinct label per partition), then per-dst totals. Unbounded key
+    spaces -> real groupbys over arrow blocks (perf learning 18), not
+    driver folds. Returns (url, n_anchors, n_distinct_anchors,
+    min_anchor) — min over the distinct labels keeps the output
+    deterministic without shipping label lists.
+
+    Oracle: the synthesized link graph is a deterministic function of
+    doc_id (pages.py links_for: anchor 'link j' pointing at
+    (doc_id*31+7*(j+1)) % n), so SQL reconstructs the whole edge set
+    from the documents table. No reference counterpart.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Min, Sum
+
+    from warcio_ray.ops.blocks import arrow_blocks
+    from warcio_ray.html import extract_anchors
+
+    def explode(batch: pa.Table) -> pa.Table:
+        dst, anchor = [], []
+        for h in batch["html"].to_pylist():
+            for href, label in extract_anchors(h):
+                dst.append(href)
+                anchor.append(label)
+        return pa.table({"url": pa.array(dst, pa.string()),
+                         "anchor": pa.array(anchor, pa.string())})
+
+    pair_counts = arrow_blocks(
+        pages_ds.map_batches(explode, batch_format="pyarrow")) \
+        .groupby(["url", "anchor"]).aggregate(Count(alias_name="c"))
+    return arrow_blocks(pair_counts).groupby("url").aggregate(
+        Sum("c", alias_name="n_anchors"),
+        Count(alias_name="n_distinct_anchors"),
+        Min("anchor", alias_name="min_anchor"))
