@@ -373,7 +373,12 @@ def run_bench() -> dict:
         qs = _entry.queries()
         for qname, key in (("pagerank_5", "op_pagerank_s"),
                            ("hll_lang_tokens", "op_hll_s"),
-                           ("shuffle_ranks", "op_shuffle_s")):
+                           ("shuffle_ranks", "op_shuffle_s"),
+                           ("paragraph_dedup", "op_paradedup_s"),
+                           ("price_quantiles", "op_floatq_s"),
+                           ("dsir_weights", "op_dsir_s"),
+                           ("pq_top10", "op_pq_s"),
+                           ("wet_export", "op_wet_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \
