@@ -774,6 +774,42 @@ def _wet_export(sf_dir: str):
         .map_batches(project, batch_format="pyarrow")
 
 
+def _wat_export(sf_dir: str):
+    """WARC responses -> WAT metadata records (canonical-JSON
+    envelopes) -> parse the WAT back and json-decode. Output is
+    (url, n_links, first_link); the oracle reconstructs the link
+    counts/targets from the deterministic doc_id scheme."""
+    import json
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from warcio_ray.pipelines.wat import wat_export
+    from warcio_ray.sources.warc import read_warc
+
+    out_dir = os.path.join("/tmp/warcio_ray/wat",
+                           os.path.basename(sf_dir.rstrip("/")))
+    wat_paths = wat_export(_warc_fixture_paths(sf_dir), out_dir)
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        urls, n_links, first = [], [], []
+        for url, payload in zip(batch["url"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            env = json.loads(payload.decode("utf-8"))
+            urls.append(url)
+            n_links.append(len(env["links"]))
+            first.append(env["links"][0] if env["links"] else "")
+        return pd.DataFrame({
+            "url": pd.Series(urls, dtype="string").astype(object),
+            "n_links": pd.Series(n_links, dtype="int64"),
+            "first_link": pd.Series(first, dtype="string")
+            .astype(object)})
+
+    return read_warc(wat_paths, compute_digests=False) \
+        .map_batches(project, batch_format="pyarrow")
+
+
 def _distinct_langs(sf_dir: str):
     import pandas as pd
     import ray.data
@@ -1127,6 +1163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_rec_types": _warc_rec_types,
         "cdxj_index": _cdxj_index,
         "wet_export": _wet_export,
+        "wat_export": _wat_export,
         "revisit_dedup": _revisit_dedup,
         # multimodal plumbing
         "media_features": _media_features,
@@ -2219,6 +2256,25 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN text = '' THEN ltrim(s, chr(10))
                         ELSE text || s END AS wet_text
             FROM suf
+        """,
+        # wat_export: outlinks are the deterministic links_for scheme
+        # (doc_id % 4 links, target (doc_id*31+7*(j+1)) % n), so link
+        # count and first target reconstruct from documents
+        "wat_export": f"""
+            WITH n AS (SELECT COUNT(*) AS nd FROM documents),
+            d AS (
+              SELECT doc_id, doc_id % 4 AS k,
+                     (doc_id * 31 + 7) % nd AS first_dst
+              FROM documents CROSS JOIN n)
+            SELECT {_HOST_CASE.replace("'site'", "'http://site'")}
+                     || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   k AS n_links,
+                   CASE WHEN k = 0 THEN '' ELSE
+                     {_HOST_CASE.replace("doc_id", "first_dst")
+                                .replace("'site'", "'http://site'")}
+                     || '/doc/' || CAST(first_dst AS VARCHAR) END
+                     AS first_link
+            FROM d
         """,
         # revisit_dedup: every page written twice with a shared payload;
         # the digest-dedup pipeline must rewrite exactly one copy per

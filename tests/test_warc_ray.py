@@ -378,3 +378,41 @@ def test_wet_export_round_trip(ray_session, tmp_path):
         src_hm = {p["name"]: p["value"] for p in srcrec["warc_headers"]}
         assert hm["WARC-Refers-To"] == src_hm["WARC-Record-ID"]
         assert hm["WARC-Date"] == src_hm["WARC-Date"]
+
+
+def test_wat_export_round_trip(ray_session, tmp_path):
+    """responses -> WAT metadata records -> re-parse: canonical JSON
+    envelope carries url/digest/record-id/outlinks+anchors."""
+    import json
+
+    from warcio_ray.html import extract_anchors
+    from warcio_ray.pipelines.wat import wat_export
+    from warcio_ray.sources.warc import read_warc
+
+    wat_paths = wat_export([golden("valid.warc.gz")],
+                           str(tmp_path / "wat"))
+    src = read_warc([golden("valid.warc.gz")]).to_pandas()
+    responses = src[src.rec_type == "response"]
+
+    back = read_warc(wat_paths,
+                     parse_options=ParseOptions(check_digests=True)) \
+        .to_pandas()
+    assert len(back) == len(responses)
+    assert (back.rec_type == "metadata").all()
+    assert back.digest_passed.all()
+    assert (back.content_type == "application/json").all()
+
+    by_url = {r.url: r for _, r in responses.iterrows()}
+    for _, rec in back.iterrows():
+        srcrec = by_url[rec.url]
+        env = json.loads(rec.payload.decode("utf-8"))
+        anchors = extract_anchors(srcrec.payload)
+        assert env["url"] == rec.url
+        assert env["links"] == [h for h, _ in anchors]
+        assert env["anchor_texts"] == [a for _, a in anchors]
+        assert env["payload_digest"] == (srcrec.payload_digest or "")
+        src_hm = {p["name"]: p["value"] for p in srcrec["warc_headers"]}
+        assert env["record_id"] == src_hm["WARC-Record-ID"]
+        # canonical form: re-serialization is byte-identical
+        assert rec.payload == json.dumps(
+            env, sort_keys=True, separators=(",", ":")).encode()
