@@ -257,17 +257,20 @@ def anchor_stats(pages_ds, num_partitions=None):
     from warcio_ray.html import extract_anchors
 
     def explode(batch: pa.Table) -> pa.Table:
-        dst, anchor = [], []
+        # map-side combine: one (url, anchor, c) row per distinct pair
+        # per batch, so repeated labels collapse before the shuffle
+        counts: dict = {}
         for h in batch["html"].to_pylist():
-            for href, label in extract_anchors(h):
-                dst.append(href)
-                anchor.append(label)
-        return pa.table({"url": pa.array(dst, pa.string()),
-                         "anchor": pa.array(anchor, pa.string())})
+            for pair in extract_anchors(h):
+                counts[pair] = counts.get(pair, 0) + 1
+        return pa.table({
+            "url": pa.array([u for u, _ in counts], pa.string()),
+            "anchor": pa.array([a for _, a in counts], pa.string()),
+            "c": pa.array(list(counts.values()), pa.int64())})
 
     pair_counts = arrow_blocks(
         pages_ds.map_batches(explode, batch_format="pyarrow")) \
-        .groupby(["url", "anchor"]).aggregate(Count(alias_name="c"))
+        .groupby(["url", "anchor"]).aggregate(Sum("c", alias_name="c"))
     return arrow_blocks(pair_counts).groupby("url").aggregate(
         Sum("c", alias_name="n_anchors"),
         Count(alias_name="n_distinct_anchors"),
