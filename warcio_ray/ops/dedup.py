@@ -1088,14 +1088,22 @@ def paragraph_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     kept = safe_join(exploded, winners, "inner", num_partitions, ("h",)) \
         .map_batches(keep_positions, batch_format="pandas")
 
-    def csv_group(grp: pd.DataFrame) -> pd.DataFrame:
-        pos = np.sort(grp["pos"].to_numpy(dtype="int64"))
-        return pd.DataFrame({
-            id_col: grp[id_col].iloc[:1].to_numpy(dtype="int64"),
-            "keep_csv": [",".join(map(str, pos))]})
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_part"] = (batch[id_col] % num_partitions).astype("int32")
+        return batch
 
-    kept_csv = kept.groupby(id_col).map_groups(csv_group,
-                                               batch_format="pandas")
+    def csv_partition(grp: pd.DataFrame) -> pd.DataFrame:
+        # one group per PARTITION (not per doc): Ray's per-group
+        # dispatch costs ~ms, so docs fold inside with a pandas agg
+        grp = grp.sort_values([id_col, "pos"], kind="mergesort")
+        out = grp.assign(_s=grp["pos"].astype(str)) \
+            .groupby(id_col, sort=False)["_s"] \
+            .agg(",".join).reset_index(name="keep_csv")
+        out[id_col] = out[id_col].astype("int64")
+        return out
+
+    kept_csv = kept.map_batches(add_part, batch_format="pandas") \
+        .groupby("_part").map_groups(csv_partition, batch_format="pandas")
     joined = safe_join(ds.select_columns([id_col, text_col]), kept_csv,
                        "left_outer", num_partitions, (id_col,))
 
