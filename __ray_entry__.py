@@ -950,6 +950,20 @@ def _unigram_nll(sf_dir: str):
     return out
 
 
+def _repetition_signals(sf_dir: str):
+    """Within-doc repetition filters (Gopher family): top word-2-gram
+    count/identity/char-fraction + duplicated-3-gram char fraction.
+    Stateless scan, zero shuffle."""
+    import ray.data
+
+    from warcio_ray.ops.textstats import repetition_signals_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(repetition_signals_batch,
+                          batch_format="pandas")
+
+
 def _dsir_weights(sf_dir: str):
     """DSIR importance-resampling weights: docs with doc_id % 50 == 0
     stand in for the in-domain target corpus; every doc gets an exact
@@ -1113,6 +1127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": _lang_confusion,
         "doc_fingerprints": _fingerprints,
         "gopher_quality": _gopher_quality,
+        "repetition_signals": _repetition_signals,
         "top_terms": _top_terms,
         "sample_10pct": _sample_10pct,
         "stratified_20": _stratified_20,
@@ -1964,6 +1979,46 @@ def oracle_sql() -> dict[str, str]:
               FROM hits)
             SELECT lang, lang_pred, COUNT(*) AS n
             FROM pred GROUP BY lang, lang_pred
+        """,
+        # repetition_signals: word n-gram repetition fractions — integer
+        # numerators, ONE division by char length (IEEE-identical)
+        "repetition_signals": r"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(text, '\S+') AS t,
+                                 length(text) AS nc
+                          FROM documents),
+            ex2 AS (
+              SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                     i -> t[i] || ' ' || t[i+1])) AS gram
+              FROM toks WHERE len(t) >= 2),
+            cnt2 AS (SELECT doc_id, gram, COUNT(*) AS c
+                     FROM ex2 GROUP BY doc_id, gram),
+            top2 AS (
+              SELECT doc_id, gram, c FROM (
+                SELECT doc_id, gram, c,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY c DESC, gram) AS rn
+                FROM cnt2) WHERE rn = 1),
+            ex3 AS (
+              SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+              FROM toks WHERE len(t) >= 3),
+            dup3 AS (
+              SELECT doc_id, SUM(c * length(gram)) AS chars FROM (
+                SELECT doc_id, gram, COUNT(*) AS c
+                FROM ex3 GROUP BY doc_id, gram) WHERE c >= 2
+              GROUP BY doc_id)
+            SELECT toks.doc_id,
+                   COALESCE(top2.c, 0) AS top2_count,
+                   COALESCE(top2.gram, '') AS top2_gram,
+                   CASE WHEN toks.nc = 0 THEN 0.0 ELSE
+                     COALESCE(top2.c * length(top2.gram), 0)
+                     / CAST(toks.nc AS DOUBLE) END AS top2_char_frac,
+                   CASE WHEN toks.nc = 0 THEN 0.0 ELSE
+                     COALESCE(dup3.chars, 0) / CAST(toks.nc AS DOUBLE)
+                     END AS dup3_char_frac
+            FROM toks LEFT JOIN top2 USING (doc_id)
+                      LEFT JOIN dup3 USING (doc_id)
         """,
         # dsir_weights: md5-bucketed unigram+bigram features, integer
         # histograms, ONE ln() per bucket quantized to int64 at 2^32,

@@ -1615,3 +1615,29 @@ def test_anchor_stats_aggregates_labels(ray_session):
     assert t.min_anchor == "link 0"
     o = out.loc["http://other/"]
     assert o.n_anchors == 1 and o.min_anchor == "link 0"
+
+
+def test_repetition_signals_known_values(ray_session):
+    import ray.data
+
+    from warcio_ray.ops.textstats import repetition_signals_batch
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["spam ham spam ham spam ham",  # 'ham spam' x2, 'spam ham' x3
+                 "all words here are unique tokens",
+                 ""]})
+    out = ray.data.from_pandas(docs) \
+        .map_batches(repetition_signals_batch, batch_format="pandas") \
+        .to_pandas().set_index("doc_id")
+
+    r0 = out.loc[0]
+    assert r0.top2_gram == "spam ham" and r0.top2_count == 3
+    assert r0.top2_char_frac == 3 * len("spam ham") / len(docs.text[0])
+    # 'spam ham spam' x2 and 'ham spam ham' x2 are the duplicate 3-grams
+    assert r0.dup3_char_frac == (2 * 13 + 2 * 12) / len(docs.text[0])
+    r1 = out.loc[1]
+    assert r1.top2_count == 1 and r1.dup3_char_frac == 0.0
+    r2 = out.loc[2]
+    assert r2.top2_count == 0 and r2.top2_gram == "" \
+        and r2.top2_char_frac == 0.0

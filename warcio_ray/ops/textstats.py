@@ -556,3 +556,49 @@ def temperature_sample(ds, group_col: str = "lang",
         return batch[h < t]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def repetition_signals_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """WITHIN-document repetition signals (Gopher / RefinedWeb filter
+    family, Rae et al. 2021 App. A1 at word granularity) — the
+    complement of the cross-document span scrub:
+
+      top2_count / top2_gram : occurrences and identity of the most
+        frequent word 2-gram (ties: lexicographically smallest);
+      top2_char_frac : chars covered by those occurrences / doc chars
+        (count * len(gram) / len(text) — one IEEE division, identical
+        in SQL);
+      dup3_char_frac : chars covered by word 3-grams occurring >= 2
+        times, same normalization.
+
+    Stateless map_batches scan, zero shuffle; every column mirrored in
+    the repetition_signals oracle (list_transform + window rank)."""
+    from collections import Counter
+
+    ids, c2, g2, f2, f3 = [], [], [], [], []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        text = text or ""
+        toks = text.split()
+        nc = len(text)
+        top_c, top_g = 0, ""
+        if len(toks) >= 2:
+            cnt = Counter(" ".join(p) for p in zip(toks, toks[1:]))
+            # max count, then smallest gram — same rank as the SQL
+            top_g, top_c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        dup3 = 0
+        if len(toks) >= 3:
+            cnt3 = Counter(" ".join(p)
+                           for p in zip(toks, toks[1:], toks[2:]))
+            dup3 = sum(c * len(g) for g, c in cnt3.items() if c >= 2)
+        ids.append(int(doc_id))
+        c2.append(top_c)
+        g2.append(top_g)
+        f2.append(top_c * len(top_g) / nc if nc else 0.0)
+        f3.append(dup3 / nc if nc else 0.0)
+    return pd.DataFrame({
+        "doc_id": np.array(ids, dtype="int64"),
+        "top2_count": np.array(c2, dtype="int64"),
+        "top2_gram": pd.Series(g2, dtype="object"),
+        "top2_char_frac": np.array(f2, dtype="float64"),
+        "dup3_char_frac": np.array(f3, dtype="float64"),
+    })
