@@ -232,6 +232,30 @@ def _pq_top10(sf_dir: str):
     return pq_adc_topk(codes_ds, cents, q, k_top=10)
 
 
+def _ivfpq_top10(sf_dir: str):
+    """IVF+PQ composed search at the oracle configuration (full probe,
+    corpus-wide shortlist): coarse integer k-means -> global PQ codes
+    -> ADC shortlist -> exact quantized re-rank == exact quantized-L2
+    top-10 (SQL oracle); the approximate nprobe/shortlist path is
+    covered by recall tests."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from warcio_ray.ops.pq import ivfpq_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    q = np.asarray(t.filter(pc.equal(t["vec_id"], 0))
+                   ["embedding"][0].as_py(), dtype=np.float64)
+    n = t.num_rows
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ivfpq_topk(ds, q, n_clusters=4, nprobe=4, shortlist=n,
+                      k_top=10)
+
+
 def _lang_confusion(sf_dir: str):
     import ray.data
 
@@ -1167,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn_top10": _ivf_knn_top10,
         "ivf_layout_top10": _ivf_layout_top10,
         "pq_top10": _pq_top10,
+        "ivfpq_top10": _ivfpq_top10,
         "fingerprint_dups": _fingerprint_dups,
         # pages / crawl / warc
         "host_counts": _host_counts,
@@ -1577,6 +1602,21 @@ def oracle_sql() -> dict[str, str]:
         # pq_top10: product quantization — unrolled generated CTE
         # (per-subspace Lloyd, codes, ADC table, integer top-10)
         "pq_top10": _pq_sql(),
+        # ivfpq_top10: at full probe + corpus shortlist the composed
+        # pipeline reduces to the exact quantized-L2 top-10
+        "ivfpq_top10": f"""
+            WITH e AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                * 65536.0 + 0.5) AS BIGINT) AS qx
+              FROM embeddings),
+            qv AS (SELECT i, qx FROM e WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   CAST(SUM((e.qx - qv.qx) * (e.qx - qv.qx)) AS BIGINT)
+                     AS dist
+            FROM e JOIN qv USING (i)
+            GROUP BY e.vec_id ORDER BY dist, e.vec_id LIMIT 10
+        """,
         # kmeans_clusters: exact-integer Lloyd — unrolled generated CTE
         # chain, bit-identical (hash compare)
         "kmeans_clusters": _kmeans_sql(),

@@ -1641,3 +1641,33 @@ def test_repetition_signals_known_values(ray_session):
     r2 = out.loc[2]
     assert r2.top2_count == 0 and r2.top2_gram == "" \
         and r2.top2_char_frac == 0.0
+
+
+def test_ivfpq_full_probe_equals_exact_and_recall(ray_session):
+    import ray.data
+
+    from warcio_ray.ops.pq import ivfpq_topk
+
+    rng = np.random.default_rng(11)
+    n, d, scale = 300, 64, 1 << 16
+    centers = rng.normal(0, 5, (4, d))
+    vecs = (centers[rng.integers(0, 4, n)]
+            + rng.normal(0, 1, (n, d))).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n),
+                       "embedding": [v.tolist() for v in vecs]})
+    query = vecs[7]
+
+    q = np.floor(vecs.astype(np.float64) * scale + 0.5).astype(np.int64)
+    qq = np.floor(query.astype(np.float64) * scale + 0.5).astype(np.int64)
+    dist = ((q - qq[None, :]) ** 2).sum(1)
+    exact = np.lexsort((np.arange(n), dist))[:10]
+
+    for nb in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(nb)
+        # full probe + corpus shortlist reduces to exact quantized L2
+        full = ivfpq_topk(ds, query, nprobe=4, shortlist=n, k_top=10)
+        assert list(full["vec_id"]) == list(exact)
+        assert list(full["dist"]) == [int(dist[i]) for i in exact]
+        # clustered data: probing 1 of 4 clusters keeps most of top-10
+        approx = ivfpq_topk(ds, query, nprobe=1, shortlist=32, k_top=10)
+        assert len(set(approx["vec_id"]) & set(exact)) / 10 >= 0.6

@@ -42,9 +42,12 @@ def _quantize(vecs, scale: int) -> np.ndarray:
 
 
 def kmeans_exact(ds, vec_col: str = "embedding", id_col: str = "vec_id",
-                 k: int = 4, iters: int = 3, scale: int = 1 << 16):
+                 k: int = 4, iters: int = 3, scale: int = 1 << 16,
+                 return_centroids: bool = False):
     """Returns a Dataset of (id_col, cluster) after ``iters`` exact
-    Lloyd iterations from the deterministic min-id init."""
+    Lloyd iterations from the deterministic min-id init; with
+    ``return_centroids`` a ``(dataset, (k, d) int64 centroids)`` tuple
+    (the quantized codebook IVF-style consumers need)."""
     import ray
 
     from warcio_ray.ops.blocks import tree_aggregate
@@ -56,9 +59,11 @@ def kmeans_exact(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     seed = ds.map_batches(min_k, batch_format="pandas").to_pandas()
     if len(seed) == 0:  # empty corpus: typed empty assignment
         import ray.data
-        return ray.data.from_pandas(pd.DataFrame({
+        empty = ray.data.from_pandas(pd.DataFrame({
             id_col: pd.Series(dtype="int64"),
             "cluster": pd.Series(dtype="int64")}))
+        return (empty, np.zeros((k, 0), dtype=np.int64)) \
+            if return_centroids else empty
     seed = seed.nsmallest(k, id_col).sort_values(id_col)
     cents = _quantize(seed[vec_col], scale)  # (k, d) int64
 
@@ -114,4 +119,5 @@ def kmeans_exact(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         return pd.DataFrame({id_col: batch[id_col].astype("int64"),
                              "cluster": assign(q, c).astype("int64")})
 
-    return ds.map_batches(final_assign, batch_format="pandas")
+    out = ds.map_batches(final_assign, batch_format="pandas")
+    return (out, cents) if return_centroids else out

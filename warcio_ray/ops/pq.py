@@ -31,7 +31,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
-__all__ = ["pq_train_encode", "pq_adc_topk"]
+__all__ = ["pq_train_encode", "pq_adc_topk", "ivfpq_topk"]
 
 
 def _quantize(vecs, scale: int) -> np.ndarray:
@@ -168,4 +168,109 @@ def pq_adc_topk(codes_ds, cents: np.ndarray, query_vec,
     parts = codes_ds.map_batches(partial_topk,
                                  batch_format="pandas").to_pandas()
     return parts.sort_values(["adc", id_col]).head(k_top) \
+        .reset_index(drop=True)
+
+
+def ivfpq_topk(ds, query_vec, vec_col: str = "embedding",
+               id_col: str = "vec_id", n_clusters: int = 4,
+               nprobe: Optional[int] = None, m: int = 4, k_codes: int = 16,
+               iters: int = 2, shortlist: int = 64, k_top: int = 10,
+               scale: int = 1 << 16,
+               num_partitions: Optional[int] = None) -> pd.DataFrame:
+    """IVF + PQ composed search (the FAISS-IVFPQ production shape):
+    coarse exact-integer k-means partitions the corpus, a global PQ
+    codebook compresses every vector to m codes, and a query touches
+    only the ``nprobe`` nearest clusters' CODES (ADC lookups) to build
+    a ``shortlist`` that is re-ranked EXACTLY against the full vectors.
+    At 100 TB: codes live hive-partitioned by cluster (the persisted
+    layout pattern of ops/ivf.py:build_ivf_layout / ops/search.py
+    postings), so a query reads nprobe/k of the m-byte codes and
+    fetches full vectors only for the shortlist.
+
+    Everything is fixed-point int64 (coarse Lloyd via kmeans_exact,
+    codes/ADC via pq_train_encode, exact rerank on quantized vectors),
+    so results are partitioning-invariant; with nprobe == n_clusters
+    and shortlist >= corpus the result EQUALS the exact quantized-L2
+    top-k (the SQL-oracle configuration), and the approximate settings
+    are covered by recall tests. Returns (id_col, dist) sorted by
+    (dist, id)."""
+    import ray
+    import pyarrow.compute as pc
+    import pyarrow as pa
+
+    from warcio_ray.ops.blocks import safe_join
+    from warcio_ray.ops.kmeans import kmeans_exact
+
+    if num_partitions is None:
+        num_partitions = min(
+            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    if nprobe is None:
+        nprobe = max(1, n_clusters // 2)
+
+    assign_ds, coarse = kmeans_exact(ds, vec_col=vec_col, id_col=id_col,
+                                     k=n_clusters, iters=iters,
+                                     scale=scale, return_centroids=True)
+    codes_ds, cents = pq_train_encode(ds, vec_col=vec_col, id_col=id_col,
+                                      m=m, k=k_codes, iters=iters,
+                                      scale=scale)
+    if coarse.shape[1] == 0:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             "dist": pd.Series(dtype="int64")})
+    # the cluster-tagged code table — the layout a deployment persists
+    codes = safe_join(codes_ds, assign_ds, "inner", num_partitions,
+                      (id_col,))
+
+    q = np.floor(np.asarray(query_vec, dtype=np.float64)
+                 * scale + 0.5).astype(np.int64)
+    cdiff = q[None, :] - coarse
+    cdist = (cdiff * cdiff).sum(axis=1)
+    # probe the nprobe nearest clusters; ties break on cluster id
+    probe = np.lexsort((np.arange(n_clusters), cdist))[:nprobe]
+    probe_arr = np.sort(probe)
+
+    dsub = q.shape[0] // m
+    qd = q.reshape(m, dsub)[:, None, :] - cents
+    table = (qd * qd).sum(axis=2)  # (m, k_codes) int64
+    code_cols = [f"code_{s}" for s in range(m)]
+
+    def adc_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        mask = np.isin(batch["cluster"].to_numpy(dtype="int64"),
+                       probe_arr)
+        batch = batch[mask]
+        if not len(batch):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "adc": pd.Series(dtype="int64")})
+        cm = batch[code_cols].to_numpy(dtype="int64")
+        adc = np.zeros(len(batch), dtype=np.int64)
+        for s in range(m):
+            adc += table[s][cm[:, s]]
+        out = pd.DataFrame({id_col: batch[id_col].astype("int64"),
+                            "adc": adc})
+        return out.sort_values(["adc", id_col]).head(shortlist)
+
+    short = codes.map_batches(adc_partial,
+                              batch_format="pandas").to_pandas()
+    if not len(short):
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             "dist": pd.Series(dtype="int64")})
+    short_ids = np.sort(short.sort_values(["adc", id_col])
+                        .head(shortlist)[id_col].to_numpy(dtype="int64"))
+    ids_arr = pa.array(short_ids, pa.int64())
+
+    def rerank(batch: pa.Table) -> pd.DataFrame:
+        batch = batch.filter(pc.is_in(batch[id_col],
+                                      value_set=ids_arr))
+        if batch.num_rows == 0:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "dist": pd.Series(dtype="int64")})
+        mat = _quantize(batch[vec_col].to_pylist(), scale)
+        d = mat - q[None, :]
+        dist = (d * d).sum(axis=1)
+        out = pd.DataFrame({
+            id_col: np.asarray(batch[id_col], dtype="int64"),
+            "dist": dist.astype("int64")})
+        return out.sort_values(["dist", id_col]).head(k_top)
+
+    parts = ds.map_batches(rerank, batch_format="pyarrow").to_pandas()
+    return parts.sort_values(["dist", id_col]).head(k_top) \
         .reset_index(drop=True)
