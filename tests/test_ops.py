@@ -1671,3 +1671,28 @@ def test_ivfpq_full_probe_equals_exact_and_recall(ray_session):
         # clustered data: probing 1 of 4 clusters keeps most of top-10
         approx = ivfpq_topk(ds, query, nprobe=1, shortlist=32, k_top=10)
         assert len(set(approx["vec_id"]) & set(exact)) / 10 >= 0.6
+
+
+def test_float_sort_keys_order_preserving_property():
+    """Property: the uint64 sort key order equals IEEE float order,
+    including subnormals, signed zeros and infinities (no Ray)."""
+    from hypothesis import given, settings, strategies as st
+
+    from warcio_ray.ops.quantile import _float_sort_keys
+
+    floats = st.floats(allow_nan=False, width=64,
+                       allow_subnormal=True)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(floats, min_size=2, max_size=50))
+    def check(vals):
+        arr = np.array(vals, dtype=np.float64)
+        keys = _float_sort_keys(arr)
+        order_f = np.argsort(arr, kind="stable")
+        order_k = np.argsort(keys, kind="stable")
+        # equal floats (e.g. -0.0 vs 0.0) may permute within ties:
+        # compare the VALUE sequences, not the index orders
+        assert list(arr[order_f]) == list(arr[order_k]) or \
+            all(a == b for a, b in zip(arr[order_f], arr[order_k]))
+
+    check()
