@@ -588,6 +588,31 @@ def _minhash_pairs(sf_dir: str):
     return pairs[["a", "b"]]
 
 
+def _lsh_layout_pairs(sf_dir: str):
+    """Persisted LSH band-bucket layout + pruned-read near-dup lookup
+    for a probe set (docs with doc_id % 7 == 0) — the incremental
+    near-dup companion of incremental_dedup: probes read only their
+    own buckets, never the corpus. Verified with exact shingle
+    Jaccard, so the oracle is the exact-jaccard pair CTE filtered to
+    the probe set."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from warcio_ray.ops.dedup import build_lsh_layout, lsh_layout_neardups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    layout = build_lsh_layout(
+        ds, os.path.join("/tmp/warcio_ray/lsh",
+                         os.path.basename(sf_dir.rstrip("/"))))
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    probes = t[t["doc_id"] % 7 == 0]
+    return lsh_layout_neardups(layout, probes, ds, threshold=0.5)
+
+
 def _simhash_pairs(sf_dir: str):
     import ray.data
 
@@ -1175,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _paragraph_dedup,
         "incremental_dedup": _incremental_dedup,
         "minhash_pairs": _minhash_pairs,
+        "lsh_layout_pairs": _lsh_layout_pairs,
         "jaccard_pairs": _jaccard_pairs,
         "jaccard_clusters": _jaccard_clusters,
         "pretrain_corpus": _pretrain_corpus,
@@ -1916,6 +1942,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": f"""
             WITH {_jaccard_cte()}
             SELECT a, b FROM jp
+        """,
+        # lsh_layout_pairs: same exact-jaccard equivalence as
+        # minhash_pairs (the sf corpus's true pairs sit far above the
+        # LSH S-curve), restricted to the probe set
+        "lsh_layout_pairs": f"""
+            WITH {_jaccard_cte()}
+            SELECT a, b FROM jp WHERE a % 7 = 0 OR b % 7 = 0
         """,
         # pretrain_corpus: quality filter -> exact dedup -> near-dup
         # removal, the full chain recomputed in one statement

@@ -1696,3 +1696,34 @@ def test_float_sort_keys_order_preserving_property():
             all(a == b for a, b in zip(arr[order_f], arr[order_k]))
 
     check()
+
+
+def test_lsh_layout_pruned_lookup(ray_session, tmp_path):
+    import ray.data
+
+    from warcio_ray.ops.dedup import build_lsh_layout, lsh_layout_neardups
+
+    base = " ".join(f"tok{i}" for i in range(50))
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "text": [base,
+                 base.replace("tok49", "x"),
+                 "totally different words entirely " * 6,
+                 base.replace("tok0", "y"),
+                 "another unrelated document with its own phrasing " * 4,
+                 base,                       # exact dup of 0
+                 "short one",
+                 "short one two"]})
+    ds = ray.data.from_pandas(docs)
+    layout = build_lsh_layout(ds, str(tmp_path / "lsh"))
+    probes = docs[docs.doc_id.isin([0, 2, 6])]
+    out = lsh_layout_neardups(layout, probes, ds, threshold=0.5)
+    assert set(map(tuple, out[["a", "b"]].to_numpy())) \
+        == {(0, 1), (0, 3), (0, 5)}
+    assert out.attrs["lsh_dropped_candidates"] == 0
+    # marker-gated rebuild skip; param mismatch forces a rebuild error
+    assert build_lsh_layout(ds, str(tmp_path / "lsh")) \
+        == str(tmp_path / "lsh")
+    # empty probe set degrades to a typed empty result
+    empty = lsh_layout_neardups(layout, probes.iloc[:0], ds)
+    assert len(empty) == 0 and list(empty.columns) == ["a", "b"]

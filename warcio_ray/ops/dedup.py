@@ -1124,3 +1124,154 @@ def paragraph_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                              text_col: out})
 
     return joined.map_batches(rebuild, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# persisted LSH band-bucket layout (incremental near-dup lookups)
+# ---------------------------------------------------------------------------
+
+def build_lsh_layout(ds, out_dir: str, num_perm: int = 64,
+                     bands: int = 16, shingle_k: int = 3,
+                     seed: int = 1234, n_buckets: int = 64,
+                     force: bool = False) -> str:
+    """Persist the corpus's MinHash-LSH band rows —
+    (band_id, band_hash, doc_id) — hive-partitioned by
+    ``bucket = band_hash % n_buckets``: the near-dup sibling of the
+    postings (`ops/search.py`) and IVF (`ops/ivf.py`) layouts. A probe
+    document then READS ONLY the buckets its own band hashes land in,
+    so checking fresh documents against a standing 100 TB corpus costs
+    bucket-local IO instead of a corpus rescan (the incremental
+    companion of ``incremental_dedup``'s exact path).
+
+    One distributed pass (signatures -> band explode -> partitioned
+    write); ``_DONE`` carries the layout params so mismatched reuse is
+    rejected."""
+    import os
+    import shutil
+
+    params = f"{num_perm},{bands},{shingle_k},{seed},{n_buckets}"
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker) and not force:
+        if open(marker).read().strip() == params:
+            return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((bh % np.uint64(n_buckets))
+                               .astype("int64")))
+
+    ds.map_batches(minhash_batch, batch_format="pyarrow",
+                   fn_kwargs={"num_perm": num_perm,
+                              "shingle_k": shingle_k, "seed": seed}) \
+        .map_batches(explode_bands_batch, batch_format="pyarrow",
+                     fn_kwargs={"bands": bands}) \
+        .map_batches(bucketize, batch_format="pyarrow") \
+        .write_parquet(os.path.join(out_dir, "bands"),
+                       partition_cols=["bucket"])
+    with open(marker, "w") as f:
+        f.write(params)
+    return out_dir
+
+
+def lsh_layout_neardups(layout_dir: str, probes: pd.DataFrame, docs_ds,
+                        threshold: float = 0.5, num_perm: int = 64,
+                        bands: int = 16, shingle_k: int = 3,
+                        seed: int = 1234, n_buckets: int = 64,
+                        max_bucket: int = MAX_BUCKET,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> pd.DataFrame:
+    """Verified near-duplicates of a (small) probe set against the
+    persisted layout: probe signatures on the driver (probes are small
+    by definition), a PRUNED read of only the buckets the probes hash
+    into, a vectorized two-column merge per batch for candidates
+    (per-probe-band candidates capped at ``max_bucket``, count surfaced
+    in ``attrs['lsh_dropped_candidates']``), candidate texts fetched
+    with ONE ``pc.is_in`` scan of ``docs_ds``, exact shingle-Jaccard
+    verify. Returns (a, b) with a < b, sorted; only candidate rows and
+    candidate texts ever reach the driver."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    mh = MinHasher(num_perm, shingle_k, seed)
+    pids = probes[id_col].to_numpy(dtype="int64")
+    ptexts = list(probes[text_col].fillna(""))
+    if not len(pids):
+        out = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                            "b": pd.Series(dtype="int64")})
+        out.attrs["lsh_dropped_candidates"] = 0
+        return out
+    sigs = np.stack([mh.signature(t) for t in ptexts])
+    bh = _mix_bands(sigs, bands)  # (n_probes, bands)
+    probe_bands = pd.DataFrame({
+        "band_id": np.tile(np.arange(bands, dtype=np.int32), len(pids)),
+        "band_hash": bh.reshape(-1),
+        "probe_id": np.repeat(pids, bands)})
+
+    needed = sorted({int(x) % n_buckets
+                     for x in probe_bands["band_hash"].to_numpy()})
+    paths = [os.path.join(layout_dir, "bands", f"bucket={b}")
+             for b in needed]
+    paths = [p for p in paths if os.path.isdir(p)]
+    dropped = 0
+    if paths:
+        def candidates(batch: pd.DataFrame) -> pd.DataFrame:
+            m = batch.merge(probe_bands, on=["band_id", "band_hash"])
+            m = m[m["doc_id"] != m["probe_id"]]
+            capped = m.groupby(["probe_id", "band_id", "band_hash"],
+                               sort=False).head(max_bucket)
+            n_drop = len(m) - len(capped)
+            out = capped[["probe_id", "doc_id"]].drop_duplicates()
+            out = out.astype({"probe_id": "int64", "doc_id": "int64"})
+            out["n_drop"] = np.int64(0)
+            if n_drop:  # ride the drop count on a sentinel row
+                out = pd.concat([out, pd.DataFrame(
+                    {"probe_id": [np.int64(_DROP_SENTINEL)],
+                     "doc_id": [np.int64(_DROP_SENTINEL)],
+                     "n_drop": [np.int64(n_drop)]})],
+                    ignore_index=True)
+            return out
+
+        cand = ray.data.read_parquet(paths, file_extensions=["parquet"]) \
+            .map_batches(candidates, batch_format="pandas").to_pandas()
+        if len(cand):
+            dropped = int(cand.loc[cand["probe_id"] == _DROP_SENTINEL,
+                                   "n_drop"].sum())
+            cand = cand[cand["probe_id"] != _DROP_SENTINEL]
+        cand = cand[["probe_id", "doc_id"]].drop_duplicates()
+    else:
+        cand = pd.DataFrame({"probe_id": pd.Series(dtype="int64"),
+                             "doc_id": pd.Series(dtype="int64")})
+
+    pairs = []
+    if len(cand):
+        need_ids = pa.array(np.unique(cand["doc_id"].to_numpy()),
+                            pa.int64())
+
+        def fetch(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch[id_col],
+                                         value_set=need_ids))
+
+        cand_docs = docs_ds.map_batches(fetch, batch_format="pyarrow") \
+            .to_pandas().set_index(id_col)[text_col]
+        probe_sh = {int(i): _shingle_set(t, shingle_k)
+                    for i, t in zip(pids, ptexts)}
+        for pid, did in zip(cand["probe_id"], cand["doc_id"]):
+            ct = cand_docs.get(int(did))
+            if ct is None:
+                continue
+            sa = probe_sh[int(pid)]
+            sb = _shingle_set(ct or "", shingle_k)
+            union = len(sa | sb)
+            if union and len(sa & sb) / union >= threshold:
+                pairs.append((min(int(pid), int(did)),
+                              max(int(pid), int(did))))
+    out = pd.DataFrame(sorted(set(pairs)), columns=["a", "b"]) \
+        if pairs else pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                    "b": pd.Series(dtype="int64")})
+    out.attrs["lsh_dropped_candidates"] = dropped
+    return out
