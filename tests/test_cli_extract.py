@@ -62,3 +62,20 @@ def test_cli_index_and_check(ray_session, capsys, tmp_path):
     assert main(["check", golden("bad-digest.warc")]) == 1
     captured = capsys.readouterr()
     assert "digest failed" in captured.out
+
+
+def test_cli_wet_wat(ray_session, capsys, tmp_path):
+    from warcio_ray.cli import main
+    from warcio_ray.sources.warc import read_warc
+
+    wet_dir, wat_dir = str(tmp_path / "wet"), str(tmp_path / "wat")
+    assert main(["wet", golden("valid.warc.gz"), wet_dir]) == 0
+    assert main(["wat", golden("valid.warc.gz"), wat_dir]) == 0
+    out = capsys.readouterr().out
+    assert "WET shard" in out and "WAT shard" in out
+
+    import glob
+    wet = read_warc(sorted(glob.glob(wet_dir + "/*.warc.gz"))).to_pandas()
+    wat = read_warc(sorted(glob.glob(wat_dir + "/*.warc.gz"))).to_pandas()
+    assert (wet.rec_type == "conversion").all() and len(wet) > 0
+    assert (wat.rec_type == "metadata").all() and len(wat) == len(wet)

@@ -99,6 +99,24 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def cmd_wet(args) -> int:
+    from warcio_ray.pipelines.wet import wet_export
+
+    _ray_session()
+    paths = wet_export(args.inputs, args.output, gzip=not args.no_gzip)
+    print(f"wrote {len(paths)} WET shard(s) to {args.output}")
+    return 0
+
+
+def cmd_wat(args) -> int:
+    from warcio_ray.pipelines.wat import wat_export
+
+    _ray_session()
+    paths = wat_export(args.inputs, args.output, gzip=not args.no_gzip)
+    print(f"wrote {len(paths)} WAT shard(s) to {args.output}")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="warcio_ray")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -119,6 +137,18 @@ def main(argv=None) -> int:
     p.add_argument("inputs", nargs="+")
     p.add_argument("output")
     p.set_defaults(func=cmd_recompress)
+
+    p = sub.add_parser("wet", help="WET text-conversion shards from WARCs")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("output")
+    p.add_argument("--no-gzip", action="store_true")
+    p.set_defaults(func=cmd_wet)
+
+    p = sub.add_parser("wat", help="WAT metadata-JSON shards from WARCs")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("output")
+    p.add_argument("--no-gzip", action="store_true")
+    p.set_defaults(func=cmd_wat)
 
     p = sub.add_parser("extract", help="extract one record by offset")
     p.add_argument("filename")
