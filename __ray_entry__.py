@@ -427,6 +427,28 @@ def _bpe_merges_30(sf_dir: str):
     return train_bpe(ds, n_merges=30)
 
 
+def _bpe_encode_counts(sf_dir: str):
+    """Tokenize the corpus with the trained 30-merge BPE model —
+    (doc_id, n_bpe_tokens, n_chars) per doc. The corpus-sized pass is
+    the stateless encode scan (per-worker merge-ranks + word cache);
+    iterative merging is not SQL-expressible, so rows-only like the
+    trainer, covered by the reference-encoder + invariance tests."""
+    import functools
+
+    import ray.data
+
+    from warcio_ray.ops.bpe import encode_bpe_batch, train_bpe
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    merges = train_bpe(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["text"]), n_merges=30)
+    return ds.map_batches(
+        functools.partial(encode_bpe_batch, merges_df=merges),
+        batch_format="pandas")
+
+
 def _shuffle_ranks(sf_dir: str):
     """Deterministic global shuffle order (md5 rank) — the
     training-shard ordering primitive; exact distributed rank via
@@ -1190,6 +1212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _normalize_text,
         "embedding_gram": _embedding_gram,
         "bpe_merges_30": _bpe_merges_30,
+        "bpe_encode_counts": _bpe_encode_counts,
         "shuffle_ranks": _shuffle_ranks,
         "kmeans_clusters": _kmeans_clusters,
         "postings_probe": _postings_probe,
