@@ -416,3 +416,24 @@ def test_wat_export_round_trip(ray_session, tmp_path):
         # canonical form: re-serialization is byte-identical
         assert rec.payload == json.dumps(
             env, sort_keys=True, separators=(",", ":")).encode()
+
+
+def test_wet_export_skips_malformed_records(ray_session, tmp_path):
+    """A truncated archive degrades to conversions for the parsed
+    prefix — error sentinel rows are filtered, never crash the task."""
+    from warcio_ray.pipelines.wet import wet_export
+    from warcio_ray.sources.warc import read_warc
+
+    src = read_warc([golden("trunc.warc")], fallback_lenient=True) \
+        .to_pandas()
+    n_ok_responses = len(src[(src.rec_type == "response")
+                             & (src.parse_error.isna())])
+
+    wet_paths = wet_export([golden("trunc.warc")],
+                           str(tmp_path / "wet"))
+    if n_ok_responses == 0:
+        assert wet_paths == []
+        return
+    back = read_warc(wet_paths).to_pandas()
+    assert len(back) == n_ok_responses
+    assert (back.rec_type == "conversion").all()
