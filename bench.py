@@ -378,7 +378,10 @@ def run_bench() -> dict:
                            ("price_quantiles", "op_floatq_s"),
                            ("dsir_weights", "op_dsir_s"),
                            ("pq_top10", "op_pq_s"),
-                           ("wet_export", "op_wet_s")):
+                           ("wet_export", "op_wet_s"),
+                           ("ivfpq_top10", "op_ivfpq_s"),
+                           ("anchor_stats", "op_anchor_s"),
+                           ("repetition_signals", "op_rep_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \
