@@ -1051,6 +1051,19 @@ def _dsir_weights(sf_dir: str):
         ds, target_mask=lambda ids: (ids.to_numpy() % 50 == 0))
 
 
+def _bigram_nll(sf_dir: str):
+    """Exact-integer add-1 bigram LM NLL per doc (top-1024 vocab +
+    OOV, -ln p quantized at 2^32) — the perplexity-filter primitive,
+    hash-comparable unlike the rounded-float unigram query."""
+    import ray.data
+
+    from warcio_ray.ops.textstats import bigram_nll_scores
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return bigram_nll_scores(ds, vocab_size=1024)
+
+
 def _decontam_overlap(sf_dir: str):
     """Benchmark decontamination: training docs sharing any 3-gram
     shingle with the 'eval set' (docs 0-9 stand in for a benchmark).
@@ -1233,6 +1246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _pii_redact,
         "bm25_top20": _bm25_top20,
         "unigram_nll": _unigram_nll,
+        "bigram_nll": _bigram_nll,
         "simhash_pairs": _simhash_pairs,
         "embedding_neardup": _embedding_neardup,
         # similarity search
@@ -2152,6 +2166,49 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 0 AS iw, 0 AS n_features
             FROM toks WHERE len(t) = 0
+        """,
+        # bigram_nll: add-1 bigram LM with top-1024 vocab + OOV id; one
+        # ln per (v,w) quantized to int64 at 2^32, integer per-doc sums
+        # (self-trained corpus: every scored pair is a counted pair,
+        # but the COALESCE covers the unseen branch anyway)
+        "bigram_nll": r"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(text, '\S+') AS t
+                          FROM documents),
+            vocab AS (
+              SELECT term, row_number() OVER (ORDER BY n DESC, term) - 1
+                       AS wid
+              FROM (SELECT term, COUNT(*) AS n
+                    FROM (SELECT unnest(t) AS term FROM toks)
+                    GROUP BY term ORDER BY n DESC, term LIMIT 1024)),
+            seq AS (SELECT doc_id, unnest(t) AS term,
+                           unnest(range(1, len(t) + 1)) AS pos
+                    FROM toks),
+            vn AS (SELECT COUNT(*) AS nv FROM vocab),
+            ids AS (SELECT doc_id, pos,
+                           COALESCE(vocab.wid, vn.nv) AS wid
+                    FROM seq LEFT JOIN vocab USING (term) CROSS JOIN vn),
+            pairs AS (
+              SELECT a.doc_id, a.wid AS v, b.wid AS w
+              FROM ids a JOIN ids b
+                ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+            bi AS (SELECT v, w, COUNT(*) AS c FROM pairs GROUP BY v, w),
+            ctx AS (SELECT v, SUM(c) AS cv FROM bi GROUP BY v),
+            scored AS (
+              SELECT p.doc_id,
+                     CAST(floor(-ln((COALESCE(bi.c, 0) + 1.0)
+                                    / (ctx.cv + vn.nv + 1.0))
+                                * 4294967296.0 + 0.5) AS BIGINT) AS q
+              FROM pairs p JOIN ctx ON ctx.v = p.v
+              CROSS JOIN vn
+              LEFT JOIN bi ON bi.v = p.v AND bi.w = p.w)
+            SELECT toks.doc_id,
+                   COALESCE(s.nll_q, 0) AS nll_q,
+                   COALESCE(s.nb, 0) AS n_bigrams
+            FROM toks LEFT JOIN (
+              SELECT doc_id, CAST(SUM(q) AS BIGINT) AS nll_q,
+                     COUNT(*) AS nb
+              FROM scored GROUP BY doc_id) s USING (doc_id)
         """,
         # unigram_nll: add-1-smoothed unigram LM from the corpus's own
         # top-4096 vocabulary; OOV bucket; mean -ln p per doc

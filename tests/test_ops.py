@@ -1727,3 +1727,49 @@ def test_lsh_layout_pruned_lookup(ray_session, tmp_path):
     # empty probe set degrades to a typed empty result
     empty = lsh_layout_neardups(layout, probes.iloc[:0], ds)
     assert len(empty) == 0 and list(empty.columns) == ["a", "b"]
+
+
+def test_bigram_nll_exact_and_invariant(ray_session):
+    import math
+
+    import ray.data
+
+    from warcio_ray.ops.textstats import bigram_nll_scores
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b a b c",
+                 "b a b a",
+                 "z",            # single token -> (0, 0)
+                 "c c c c c c"]})
+    # from-first-principles reference (vocab = all 4 terms, no OOV hit)
+    toks = [t.split() for t in docs.text]
+    from collections import Counter
+    term_counts = Counter(w for ts in toks for w in ts)
+    vocab = sorted(term_counts, key=lambda w: (-term_counts[w], w))
+    wid = {w: i for i, w in enumerate(vocab)}
+    n_ids = len(vocab) + 1
+    bi = Counter((wid[a], wid[b]) for ts in toks
+                 for a, b in zip(ts, ts[1:]))
+    cv = Counter()
+    for (v, _), c in bi.items():
+        cv[v] += c
+    scale = float(1 << 32)
+
+    def q(v, w):
+        return math.floor(-math.log((bi.get((v, w), 0) + 1.0)
+                                    / (cv[v] + n_ids)) * scale + 0.5)
+
+    expect = {}
+    for d, ts in zip(docs.doc_id, toks):
+        prs = [(wid[a], wid[b]) for a, b in zip(ts, ts[1:])]
+        expect[d] = (sum(q(v, w) for v, w in prs), len(prs))
+
+    outs = []
+    for nb in (1, 3):
+        out = bigram_nll_scores(
+            ray.data.from_pandas(docs).repartition(nb), vocab_size=1024)
+        outs.append(out)
+        for _, r in out.iterrows():
+            assert (r.nll_q, r.n_bigrams) == expect[r.doc_id]
+    pd.testing.assert_frame_equal(outs[0], outs[1])

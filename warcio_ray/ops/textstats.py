@@ -602,3 +602,102 @@ def repetition_signals_batch(batch: pd.DataFrame) -> pd.DataFrame:
         "top2_char_frac": np.array(f2, dtype="float64"),
         "dup3_char_frac": np.array(f3, dtype="float64"),
     })
+
+
+def bigram_nll_scores(ds, vocab_size: int = 1024) -> "pd.DataFrame":
+    """EXACT-integer add-1-smoothed bigram LM scoring — the perplexity
+    -filter primitive one order above ``unigram_logprob_scores`` (CCNet
+    filters on LM perplexity; a bigram LM is the honest no-external-
+    model version), and unlike the unigram op the result is an INTEGER
+    so the oracle is a hash compare, not a rounded-float tolerance.
+
+    Model: ids = top-``vocab_size`` words by (count desc, term asc)
+    (reuses the ``top_terms`` combiner + SQL mirror) with one OOV
+    bucket; p(w|v) = (c(v,w)+1) / (c(v,·)+V+1) where V+1 counts the id
+    classes. Per-pair -ln p is quantized to int64 at 2^32 (ln matches
+    libm/DuckDB bit-for-bit on these inputs — BM25/DSIR precedent) and
+    per-doc scores are integer sums: partitioning-invariant, exact.
+
+    Scale shape: pass 1 = the top_terms combiner; pass 2 folds each
+    batch to distinct (v, w) id-pair counts before ONE groupby whose
+    key space is bounded by (V+1)^2 (~1M at the default — a few MB
+    collected, broadcast back as sorted key/value arrays); pass 3 is a
+    stateless scan with an np.searchsorted lookup per batch. Returns
+    (doc_id, nll_q, n_bigrams); docs with < 2 tokens score (0, 0)."""
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    vocab = top_terms(ds, k=vocab_size)
+    oov = len(vocab)
+    n_ids = oov + 1
+    word_id = {t: i for i, t in enumerate(vocab["term"])}
+    wref = ray.put(word_id)
+
+    def _doc_ids(text: str, wmap) -> np.ndarray:
+        toks = (text or "").split()
+        return np.fromiter((wmap.get(w, oov) for w in toks),
+                           dtype=np.int64, count=len(toks))
+
+    def bigram_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        wmap = ray.get(wref)
+        c: Counter = Counter()
+        for text in batch["text"]:
+            ids = _doc_ids(text, wmap)
+            # one flat int key per adjacent pair
+            if len(ids) >= 2:
+                c.update(ids[:-1] * n_ids + ids[1:])
+        if not c:
+            return pd.DataFrame({"k": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            {"k": np.fromiter(c.keys(), dtype="int64", count=len(c)),
+             "c": np.fromiter(c.values(), dtype="int64", count=len(c))})
+
+    bi = arrow_blocks(
+        ds.map_batches(bigram_partials, batch_format="pandas")) \
+        .groupby("k").aggregate(Sum("c", alias_name="c")).to_pandas()
+    keys = np.sort(bi["k"].to_numpy(dtype="int64")) \
+        if len(bi) else np.array([], dtype="int64")
+    counts = bi.set_index("k")["c"].reindex(keys).to_numpy(dtype="int64") \
+        if len(bi) else np.array([], dtype="int64")
+    cv = np.zeros(n_ids, dtype=np.int64)
+    if len(keys):
+        np.add.at(cv, keys // n_ids, counts)
+    scale = float(np.int64(1) << np.int64(32))
+    # quantized -ln p for every SEEN pair, plus the per-context default
+    # for unseen (c = 0) pairs — same formula, COALESCE'd in SQL
+    q_seen = np.floor(-np.log((counts + 1.0) / (cv[keys // n_ids]
+                                                + float(n_ids)))
+                      * scale + 0.5).astype(np.int64)
+    q_unseen = np.floor(-np.log(1.0 / (cv + float(n_ids)))
+                        * scale + 0.5).astype(np.int64)
+    kref = ray.put((keys, q_seen, q_unseen))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        wmap = ray.get(wref)
+        ks, qs, qu = ray.get(kref)
+        out_id = batch["doc_id"].to_numpy(dtype="int64")
+        nll = np.zeros(len(batch), dtype=np.int64)
+        nb = np.zeros(len(batch), dtype=np.int64)
+        for i, text in enumerate(batch["text"]):
+            ids = _doc_ids(text, wmap)
+            if len(ids) < 2:
+                continue
+            pk = ids[:-1] * n_ids + ids[1:]
+            if len(ks):
+                pos = np.minimum(np.searchsorted(ks, pk), len(ks) - 1)
+                q = np.where(ks[pos] == pk, qs[pos], qu[pk // n_ids])
+            else:
+                q = qu[pk // n_ids]
+            nll[i] = int(q.sum())
+            nb[i] = len(pk)
+        return pd.DataFrame({"doc_id": out_id, "nll_q": nll,
+                             "n_bigrams": nb})
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
