@@ -475,6 +475,36 @@ def _kmeans_clusters(sf_dir: str):
     return kmeans_exact(ds)
 
 
+def _semdedup_dups(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): exact-integer k-means clustering
+    + within-cluster quantized-cosine pair pruning.  The corpus vectors
+    have no planted near-dups, so every vec_id % 5 == 0 is augmented
+    with a near-copy (elementwise x*1.001 + 0.0001 in float64, id +
+    100000 — mirrored verbatim in the oracle) before dedup; returns the
+    removed members (vec_id, dup_of, cluster)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.semdedup import semdedup
+
+    def augment(batch: pd.DataFrame) -> pd.DataFrame:
+        vid = batch["vec_id"].astype("int64")
+        vecs = [np.asarray(v, dtype=np.float64)
+                for v in batch["embedding"]]
+        near = vid % 5 == 0
+        out_id = list(vid) + list(vid[near] + 100000)
+        out_vec = vecs + [v * 1.001 + 0.0001
+                          for v, m in zip(vecs, near) if m]
+        return pd.DataFrame({"vec_id": pd.Series(out_id, dtype="int64"),
+                             "embedding": out_vec})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"]) \
+        .map_batches(augment, batch_format="pandas")
+    return semdedup(ds)
+
+
 def _postings_probe(sf_dir: str):
     """Persisted inverted-index layout (term-hash-bucketed postings)
     + pruned-read lookup for the deterministic probe set (distinct
@@ -1228,6 +1258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode_counts": _bpe_encode_counts,
         "shuffle_ranks": _shuffle_ranks,
         "kmeans_clusters": _kmeans_clusters,
+        "semdedup_dups": _semdedup_dups,
         "postings_probe": _postings_probe,
         "corpus_card": _corpus_card,
         "temperature_sample": _temperature_sample,
@@ -1386,22 +1417,24 @@ def _pagerank_sql(iters: int = 5, damping: int = 85,
             + f" SELECT node, rank FROM r{iters}")
 
 
-def _kmeans_sql(k: int = 4, iters: int = 3, scale: int = 1 << 16) -> str:
+def _kmeans_sql(k: int = 4, iters: int = 3, scale: int = 1 << 16,
+                src: str = "embeddings", ctes_only: bool = False) -> str:
     """Unrolled exact-integer Lloyd iterations mirroring
     warcio_ray.ops.kmeans.kmeans_exact bit-for-bit: same quantization,
     int64 distances, lowest-cluster tie-break, mathematical floor
     division (DuckDB ``//`` truncates, so the update uses the sign-safe
     (s - ((s % n) + n) % n) // n), emptied clusters keep their previous
-    centroid (LEFT JOIN + COALESCE)."""
+    centroid (LEFT JOIN + COALESCE).  ``src`` lets composed oracles
+    (semdedup) cluster an augmented source CTE instead of the view."""
     ctes = [f"""
         e AS (
           SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
                  CAST(floor(CAST(unnest(embedding) AS DOUBLE)
                             * {scale}.0 + 0.5) AS BIGINT) AS qx
-          FROM embeddings),
+          FROM {src}),
         seed AS (SELECT vec_id,
                         row_number() OVER (ORDER BY vec_id) - 1 AS cl
-                 FROM (SELECT DISTINCT vec_id FROM embeddings
+                 FROM (SELECT DISTINCT vec_id FROM {src}
                        ORDER BY vec_id LIMIT {k})),
         c0 AS (SELECT seed.cl, e.i, e.qx AS cx
                FROM seed JOIN e ON e.vec_id = seed.vec_id)"""]
@@ -1436,9 +1469,63 @@ def _kmeans_sql(k: int = 4, iters: int = 3, scale: int = 1 << 16) -> str:
                      AS rn
             FROM e JOIN c{iters} c ON c.i = e.i
             GROUP BY e.vec_id, c.cl) WHERE rn = 1)""")
+    if ctes_only:
+        return ",".join(ctes)
     return ("WITH " + ",".join(ctes)
             + " SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM afin"
             + " ORDER BY vec_id")
+
+
+def _semdedup_sql(k: int = 8, iters: int = 2,
+                  cluster_scale: int = 1 << 16, cos_scale: int = 1 << 10,
+                  t_num: int = 361, t_den: int = 400,
+                  cap: int = 512) -> str:
+    """Replays warcio_ray.ops.semdedup.semdedup over the augmented
+    embeddings (every vec_id % 5 == 0 gets a near-copy at id+100000,
+    elementwise x*1.001 + 0.0001 in float64 — the same IEEE doubles as
+    the Ray augment): exact-integer k-means via the shared _kmeans_sql
+    CTE chain, then the quantized-cosine pair test per cluster
+    (dot > 0 AND dot^2*t_den >= t_num*|a|^2*|b|^2, HUGEINT-safe) over
+    the cap smallest ids per cluster."""
+    kmeans = _kmeans_sql(k=k, iters=iters, scale=cluster_scale,
+                         src="src", ctes_only=True)
+    return f"""
+        WITH src AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id,
+                 list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * 1.001 + 0.0001) AS embedding
+          FROM embeddings WHERE vec_id % 5 = 0),
+        {kmeans},
+        qc AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                            * {cos_scale}.0 + 0.5) AS BIGINT) AS q
+          FROM src),
+        nrm AS (SELECT vec_id, SUM(q * q) AS nn FROM qc GROUP BY vec_id),
+        r AS (
+          SELECT vec_id, cl FROM (
+            SELECT vec_id, cl, row_number() OVER (PARTITION BY cl
+                     ORDER BY vec_id) AS rn
+            FROM afin) WHERE rn <= {cap}),
+        dots AS (
+          SELECT a.vec_id AS i, b.vec_id AS j, a.cl,
+                 SUM(qa.q * qb.q) AS dot
+          FROM r a JOIN r b ON a.cl = b.cl AND a.vec_id < b.vec_id
+          JOIN qc qa ON qa.vec_id = a.vec_id
+          JOIN qc qb ON qb.vec_id = b.vec_id AND qb.i = qa.i
+          GROUP BY a.vec_id, b.vec_id, a.cl),
+        dup AS (
+          SELECT d.i, d.j, d.cl FROM dots d
+          JOIN nrm na ON na.vec_id = d.i
+          JOIN nrm nb ON nb.vec_id = d.j
+          WHERE d.dot > 0
+            AND CAST(d.dot AS HUGEINT) * d.dot * {t_den}
+                >= CAST({t_num} AS HUGEINT) * na.nn * nb.nn)
+        SELECT j AS vec_id, MIN(i) AS dup_of,
+               CAST(MIN(cl) AS BIGINT) AS cluster
+        FROM dup GROUP BY j ORDER BY vec_id"""
 
 
 def _pq_sql(m: int = 4, k: int = 16, iters: int = 2,
@@ -1683,6 +1770,9 @@ def oracle_sql() -> dict[str, str]:
         # kmeans_clusters: exact-integer Lloyd — unrolled generated CTE
         # chain, bit-identical (hash compare)
         "kmeans_clusters": _kmeans_sql(),
+        # semdedup_dups: k-means (shared CTE chain) + HUGEINT-safe
+        # quantized-cosine pair test — bit-identical (hash compare)
+        "semdedup_dups": _semdedup_sql(),
         # hll_lang_tokens: registers and the harmonic denominator are
         # exact integers (2^-M == 2^(64-M)/2^64 numerators), so the
         # whole sketch is recomputable; only the final double fold and

@@ -1773,3 +1773,49 @@ def test_bigram_nll_exact_and_invariant(ray_session):
         for _, r in out.iterrows():
             assert (r.nll_q, r.n_bigrams) == expect[r.doc_id]
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_semdedup(ray_session):
+    """SemDeDup: planted near-copies are removed with dup_of = their
+    source id, distinct vectors survive, partitioning-invariant, and
+    an over-cap cluster truncates to the cap smallest ids with a
+    RuntimeWarning."""
+    import ray.data
+
+    from warcio_ray.ops.semdedup import semdedup
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(30, 8).astype(np.float64) / 4
+    vecs = [r for r in base]
+    ids = list(range(30))
+    for i in range(0, 30, 3):  # plant near-copies of every 3rd vector
+        vecs.append(base[i] * 1.0005 + 0.00005)
+        ids.append(1000 + i)
+    df = pd.DataFrame({"vec_id": pd.Series(ids, dtype="int64"),
+                       "embedding": vecs})
+
+    out = semdedup(ray.data.from_pandas(df), k=4, iters=2) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    out2 = semdedup(ray.data.from_pandas(df).repartition(9), k=4,
+                    iters=2) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+    planted = out[out["vec_id"] >= 1000]
+    assert len(planted) == 10
+    assert (planted["dup_of"].to_numpy()
+            == planted["vec_id"].to_numpy() - 1000).all()
+    # the 30 base vectors are independent gaussians: none removed
+    assert (out["vec_id"] >= 1000).all()
+
+    # cap path: 6 identical vectors in one tight cluster, cap=3 keeps
+    # ids 0..2 => only ids 1,2 are removable (dup_of=0); 3..5 dropped
+    # from the pair test entirely
+    same = pd.DataFrame({
+        "vec_id": pd.Series(range(6), dtype="int64"),
+        "embedding": [np.full(4, 0.3)] * 6})
+    with pytest.warns(RuntimeWarning, match="beyond cap"):
+        capped = semdedup(ray.data.from_pandas(same), k=2, iters=1,
+                          cap=3).to_pandas().sort_values("vec_id")
+    assert capped["vec_id"].tolist() == [1, 2]
+    assert capped["dup_of"].tolist() == [0, 0]
