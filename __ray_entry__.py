@@ -593,6 +593,20 @@ def _linear_quality(sf_dir: str):
     return linear_quality_scores(ds, concurrency=2)
 
 
+def _nb_langid(sf_dir: str):
+    """Distributed Naive Bayes TRAINING + prediction: add-1-smoothed
+    multinomial NB over the corpus's own (text, lang) pairs, log
+    probabilities quantized to int64 at 2^32 so per-doc scores are
+    exact integer sums (see ops/classify.naive_bayes_train_predict)."""
+    import ray.data
+
+    from warcio_ray.ops.classify import naive_bayes_train_predict
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    return naive_bayes_train_predict(ds, vocab_size=2048)
+
+
 def _stratified_20(sf_dir: str):
     import ray.data
 
@@ -1247,6 +1261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_20": _stratified_20,
         "pack_1024": _pack_1024,
         "linear_quality": _linear_quality,
+        "nb_langid": _nb_langid,
         "pagerank_5": _pagerank_5,
         "hll_lang_tokens": _hll_lang_tokens,
         "cms_probe_counts": _cms_probe_counts,
@@ -2015,6 +2030,67 @@ def oracle_sql() -> dict[str, str]:
                              / (s.n_tokens * 2147483648.0)))) END
                      AS quality_prob
             FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        # nb_langid: the full NB training chain replayed — top-2048
+        # vocab (count desc, term asc), per-(lang, term) counts, add-1
+        # log-likelihoods and log-priors quantized at 2^32 (ln == libm,
+        # the bm25/dsir precedent), per-doc exact integer scores,
+        # argmax with lexicographic tie-break, margin vs runner-up
+        "nb_langid": """
+            WITH toks AS (
+              SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS t
+              FROM documents),
+            vocab AS (
+              SELECT term, COUNT(*) AS n
+              FROM (SELECT unnest(t) AS term FROM toks)
+              GROUP BY term ORDER BY n DESC, term LIMIT 2048),
+            pri AS (SELECT lang, COUNT(*) AS d FROM documents
+                    GROUP BY lang),
+            tot AS (SELECT SUM(d) AS td FROM pri),
+            cnt AS (
+              SELECT dt.lang, dt.term, COUNT(*) AS c
+              FROM (SELECT lang, unnest(t) AS term FROM toks) dt
+              JOIN vocab USING (term) GROUP BY dt.lang, dt.term),
+            ltot AS (SELECT p.lang, COALESCE(SUM(c.c), 0) AS s
+                     FROM pri p LEFT JOIN cnt c ON c.lang = p.lang
+                     GROUP BY p.lang),
+            vs AS (SELECT COUNT(*) AS v FROM vocab),
+            ll AS (
+              SELECT p.lang, v.term,
+                     CAST(floor(ln((COALESCE(c.c, 0) + 1.0)
+                                   / (lt.s + vs.v)) * 4294967296.0
+                                + 0.5) AS BIGINT) AS q
+              FROM pri p CROSS JOIN vocab v CROSS JOIN vs
+              JOIN ltot lt ON lt.lang = p.lang
+              LEFT JOIN cnt c ON c.lang = p.lang AND c.term = v.term),
+            lp AS (
+              SELECT p.lang,
+                     CAST(floor(ln(p.d * 1.0 / t.td) * 4294967296.0
+                                + 0.5) AS BIGINT) AS q
+              FROM pri p CROSS JOIN tot t),
+            dt AS (SELECT doc_id, unnest(t) AS term FROM toks),
+            docsum AS (
+              SELECT dt.doc_id, ll.lang, SUM(ll.q) AS s
+              FROM dt JOIN ll USING (term)
+              GROUP BY dt.doc_id, ll.lang),
+            allscore AS (
+              SELECT d.doc_id, p.lang,
+                     COALESCE(ds.s, 0) + lp.q AS score
+              FROM (SELECT doc_id FROM documents) d
+              CROSS JOIN pri p
+              JOIN lp ON lp.lang = p.lang
+              LEFT JOIN docsum ds ON ds.doc_id = d.doc_id
+                                 AND ds.lang = p.lang),
+            ranked AS (
+              SELECT doc_id, lang, score, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+              FROM allscore)
+            SELECT r1.doc_id, d.lang, r1.lang AS pred,
+                   CAST(r1.score - r2.score AS BIGINT) AS margin_q
+            FROM ranked r1
+            JOIN ranked r2 ON r2.doc_id = r1.doc_id AND r2.rn = 2
+            JOIN documents d ON d.doc_id = r1.doc_id
+            WHERE r1.rn = 1 ORDER BY r1.doc_id
         """,
         "stratified_20": """
             SELECT lang, doc_id FROM (

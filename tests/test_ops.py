@@ -1819,3 +1819,65 @@ def test_semdedup(ray_session):
                           cap=3).to_pandas().sort_values("vec_id")
     assert capped["vec_id"].tolist() == [1, 2]
     assert capped["dup_of"].tolist() == [0, 0]
+
+
+def test_naive_bayes_train_predict(ray_session):
+    """NB train+predict: separable two-class vocab classifies
+    perfectly, scores are partitioning-invariant, margin matches an
+    in-process float-free recomputation, single-label input raises."""
+    import ray.data
+
+    from warcio_ray.ops.classify import naive_bayes_train_predict
+
+    rows = []
+    for i in range(40):
+        good = i % 2 == 0
+        words = (["alpha", "beta", "gamma"] if good
+                 else ["delta", "epsilon", "zeta"])
+        rows.append({"doc_id": i,
+                     "text": " ".join(words * (2 + i % 3)),
+                     "lang": "g" if good else "b"})
+    df = pd.DataFrame(rows)
+
+    out = naive_bayes_train_predict(ray.data.from_pandas(df),
+                                    vocab_size=16) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out2 = naive_bayes_train_predict(
+        ray.data.from_pandas(df).repartition(7), vocab_size=16) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+    assert (out["pred"] == out["lang"]).all()
+    assert (out["margin_q"] > 0).all()
+
+    # in-process reference for one doc: exact integer recompute
+    vocab_counts = {}
+    for _, r in df.iterrows():
+        for w in r.text.split():
+            vocab_counts[w] = vocab_counts.get(w, 0) + 1
+    terms = sorted(vocab_counts, key=lambda t: (-vocab_counts[t], t))[:16]
+    V = len(terms)
+    labels = ["b", "g"]
+    cnt = {(g, t): 0 for g in labels for t in terms}
+    docs = {g: 0 for g in labels}
+    for _, r in df.iterrows():
+        docs[r.lang] += 1
+        for w in r.text.split():
+            if w in terms:
+                cnt[(r.lang, w)] += 1
+    ltot = {g: sum(cnt[(g, t)] for t in terms) for g in labels}
+    q = {(g, t): int(np.floor(np.log((cnt[(g, t)] + 1.0)
+                                     / (ltot[g] + V))
+                              * float(1 << 32) + 0.5))
+         for g in labels for t in terms}
+    lp = {g: int(np.floor(np.log(docs[g] / len(df))
+                          * float(1 << 32) + 0.5)) for g in labels}
+    r0 = df.iloc[0]
+    scores = {g: lp[g] + sum(q[(g, w)] for w in r0.text.split()
+                             if w in terms) for g in labels}
+    want_margin = abs(scores["g"] - scores["b"])
+    assert int(out.iloc[0]["margin_q"]) == want_margin
+
+    with pytest.raises(ValueError, match=">= 2 labels"):
+        naive_bayes_train_predict(
+            ray.data.from_pandas(df.assign(lang="g")), vocab_size=16)

@@ -27,7 +27,8 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
-__all__ = ["LinearQualityStage", "linear_quality_scores", "N_FEATURES"]
+__all__ = ["LinearQualityStage", "linear_quality_scores", "N_FEATURES",
+           "naive_bayes_train_predict"]
 
 N_FEATURES = 256
 _KNUTH = 2654435761  # multiplicative-hash constant
@@ -96,3 +97,119 @@ def linear_quality_scores(ds, n_features: int = N_FEATURES,
         fn_constructor_kwargs={"n_features": n_features,
                                "weights": weights},
         concurrency=concurrency, batch_size=batch_size, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# multinomial Naive Bayes: distributed TRAINING + scoring (the trained
+# sibling of LinearQualityStage's fixed-weight inference)
+# ---------------------------------------------------------------------------
+
+def naive_bayes_train_predict(ds, text_col: str = "text",
+                              label_col: str = "lang",
+                              id_col: str = "doc_id",
+                              vocab_size: int = 2048):
+    """Train an add-1-smoothed multinomial Naive Bayes classifier on
+    the corpus's own (text, label) pairs and predict every document's
+    label — the classic supervised curation primitive (quality /
+    language routing) with the TRAINING loop distributed, not just
+    inference.
+
+    Scale shape — three passes, nothing doc-sized ever shuffles:
+      1. vocab = top_terms (combiner + exact 2-key sort + limit):
+         O(vocab) rows move.
+      2. per-(label, term-index) counts over the BOUNDED L x (V+1) key
+         space (sentinel index -1 carries per-label doc counts) fold
+         through ``tree_aggregate`` — each batch collapses to its
+         distinct cells before anything moves.
+      3. the driver builds the O(L*V) quantized model, broadcasts it
+         via ``ray.put``, and a stateless scan scores each doc.
+
+    Exactness: log-likelihoods and log-priors quantize to int64 at
+    2^32 (q = floor(ln(p) * 2^32 + 0.5), the dsir/bm25 precedent:
+    DuckDB's ln matches libm bit-for-bit), so each doc's per-label
+    score is an exact INTEGER sum — partitioning/order-invariant and
+    replayable in SQL. Ties argmax to the lexicographically smallest
+    label. Bound: |q| <= ~2^37, so docs up to ~2^25 tokens stay inside
+    int64. OOV tokens are dropped (mirrored in SQL). Needs >= 2
+    distinct labels (margin_q is best minus runner-up).
+
+    Returns a Dataset of (doc_id, <label_col>, pred, margin_q).
+    No reference counterpart (warcio has no model layer); operator
+    family SURVEY §2.7.
+    """
+    import ray
+
+    from warcio_ray.ops.blocks import tree_aggregate
+    from warcio_ray.ops.textstats import top_terms
+
+    vocab = top_terms(ds, k=vocab_size)
+    terms = list(vocab["term"])
+    vmap = {t: i for i, t in enumerate(terms)}
+    vref = ray.put(vmap)
+
+    def cell_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        vm = ray.get(vref)
+        cells: Counter = Counter()
+        for text, lab in zip(batch[text_col], batch[label_col]):
+            cells[(lab, -1)] += 1  # sentinel: doc count per label
+            for w in (text or "").split():
+                j = vm.get(w)
+                if j is not None:
+                    cells[(lab, j)] += 1
+        if not cells:
+            return pd.DataFrame({label_col: pd.Series(dtype="object"),
+                                 "tidx": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        ks = list(cells.keys())
+        return pd.DataFrame({
+            label_col: [k[0] for k in ks],
+            "tidx": np.array([k[1] for k in ks], dtype="int64"),
+            "n": np.fromiter(cells.values(), dtype="int64")})
+
+    folded = tree_aggregate(ds.map_batches(cell_counts,
+                                           batch_format="pandas"),
+                            key_cols=[label_col, "tidx"], sums=("n",))
+    labels = sorted(folded[label_col].unique())
+    if len(labels) < 2:
+        raise ValueError("naive_bayes_train_predict needs >= 2 labels")
+    lidx = {g: i for i, g in enumerate(labels)}
+    V, L = len(terms), len(labels)
+    counts = np.zeros((V, L), dtype=np.int64)
+    docs_per = np.zeros(L, dtype=np.int64)
+    for lab, tj, n in zip(folded[label_col], folded["tidx"],
+                          folded["n"]):
+        if tj < 0:
+            docs_per[lidx[lab]] = n
+        else:
+            counts[int(tj), lidx[lab]] = n
+    scale = float(1 << 32)
+    tok_tot = counts.sum(axis=0)  # in-vocab tokens per label
+    loglik_q = np.floor(
+        np.log((counts + 1.0) / (tok_tot + V)) * scale + 0.5) \
+        .astype(np.int64)
+    logprior_q = np.floor(
+        np.log(docs_per / docs_per.sum()) * scale + 0.5) \
+        .astype(np.int64)
+    model = ray.put((vmap, labels, loglik_q, logprior_q))
+
+    def predict(batch: pd.DataFrame) -> pd.DataFrame:
+        vm, labs, ll, lp = ray.get(model)
+        ids, true_l, preds, margins = [], [], [], []
+        for doc_id, text, lab in zip(batch[id_col], batch[text_col],
+                                     batch[label_col]):
+            idxs = [vm[w] for w in (text or "").split() if w in vm]
+            s = lp + (ll[idxs, :].sum(axis=0) if idxs else 0)
+            order = np.argsort(-s, kind="stable")  # ties: lowest label
+            ids.append(int(doc_id))
+            true_l.append(lab)
+            preds.append(labs[order[0]])
+            margins.append(int(s[order[0]] - s[order[1]]))
+        return pd.DataFrame({
+            id_col: np.array(ids, dtype="int64"),
+            label_col: true_l,
+            "pred": preds,
+            "margin_q": np.array(margins, dtype="int64")})
+
+    return ds.map_batches(predict, batch_format="pandas")
