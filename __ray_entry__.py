@@ -607,6 +607,19 @@ def _nb_langid(sf_dir: str):
     return naive_bayes_train_predict(ds, vocab_size=2048)
 
 
+def _kl_drift(sf_dir: str):
+    """Per-lang token-distribution drift vs the corpus: exact-integer
+    KL over add-1-smoothed hashed unigram histograms (2^40-quantized
+    terms; see ops/dsir.hashed_kl_drift)."""
+    import ray.data
+
+    from warcio_ray.ops.dsir import hashed_kl_drift
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text", "lang"])
+    return hashed_kl_drift(ds)
+
+
 def _stratified_20(sf_dir: str):
     import ray.data
 
@@ -1262,6 +1275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_1024": _pack_1024,
         "linear_quality": _linear_quality,
         "nb_langid": _nb_langid,
+        "kl_drift": _kl_drift,
         "pagerank_5": _pagerank_5,
         "hll_lang_tokens": _hll_lang_tokens,
         "cms_probe_counts": _cms_probe_counts,
@@ -2030,6 +2044,42 @@ def oracle_sql() -> dict[str, str]:
                              / (s.n_tokens * 2147483648.0)))) END
                      AS quality_prob
             FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        # kl_drift: per-bucket KL terms quantized at 2^40 and summed as
+        # integers — the float kl column is the exact integer / 2^40
+        "kl_drift": """
+            WITH toks AS (
+              SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS tok
+              FROM documents),
+            h AS (SELECT lang,
+                         CAST(('0x' || substr(md5(tok),1,8)) AS BIGINT)
+                           % 1024 AS b
+                  FROM toks),
+            cnt AS (SELECT lang, b, COUNT(*) AS n FROM h
+                    GROUP BY lang, b),
+            langs AS (SELECT DISTINCT lang FROM cnt),
+            buckets AS (SELECT unnest(range(1024)) AS b),
+            corpus AS (SELECT b, SUM(n) AS cn FROM cnt GROUP BY b),
+            tot AS (SELECT SUM(n) AS t FROM cnt),
+            grid AS (
+              SELECT l.lang, bu.b, COALESCE(c.n, 0) AS n,
+                     COALESCE(co.cn, 0) AS cn
+              FROM langs l CROSS JOIN buckets bu
+              LEFT JOIN cnt c ON c.lang = l.lang AND c.b = bu.b
+              LEFT JOIN corpus co ON co.b = bu.b),
+            gt AS (SELECT lang, SUM(n) AS tg FROM grid GROUP BY lang),
+            terms AS (
+              SELECT g.lang,
+                     CAST(floor(((g.n + 1.0) / (gt.tg + 1024.0))
+                          * ln(((g.n + 1.0) / (gt.tg + 1024.0))
+                               / ((g.cn + 1.0) / (tot.t + 1024.0)))
+                          * 1099511627776.0 + 0.5) AS BIGINT) AS q
+              FROM grid g JOIN gt USING (lang) CROSS JOIN tot)
+            SELECT t.lang, CAST(gt.tg AS BIGINT) AS n_tokens,
+                   CAST(SUM(t.q) AS BIGINT) AS kl_q,
+                   CAST(SUM(t.q) AS DOUBLE) / 1099511627776.0 AS kl
+            FROM terms t JOIN gt USING (lang)
+            GROUP BY t.lang, gt.tg ORDER BY t.lang
         """,
         # nb_langid: the full NB training chain replayed — top-2048
         # vocab (count desc, term asc), per-(lang, term) counts, add-1

@@ -1881,3 +1881,41 @@ def test_naive_bayes_train_predict(ray_session):
     with pytest.raises(ValueError, match=">= 2 labels"):
         naive_bayes_train_predict(
             ray.data.from_pandas(df.assign(lang="g")), vocab_size=16)
+
+
+def test_hashed_kl_drift(ray_session):
+    """KL drift: partitioning-invariant, zero drift for a group whose
+    distribution IS the corpus (two identical groups -> tiny symmetric
+    kl), and a divergent group scores strictly higher."""
+    import ray.data
+
+    from warcio_ray.ops.dsir import hashed_kl_drift
+
+    same = ["tok%d" % (i % 7) for i in range(7)]
+    rows = []
+    for i in range(30):
+        rows.append({"doc_id": i, "lang": "a" if i % 2 else "b",
+                     "text": " ".join(same)})
+    for i in range(30, 45):  # group c: disjoint vocabulary
+        rows.append({"doc_id": i, "lang": "c",
+                     "text": "zzz yyy xxx www vvv uuu ttt"})
+    df = pd.DataFrame(rows)
+
+    out = hashed_kl_drift(ray.data.from_pandas(df))
+    out2 = hashed_kl_drift(ray.data.from_pandas(df).repartition(9))
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  out2.reset_index(drop=True))
+
+    by = out.set_index("lang")
+    # a and b share one distribution -> equal kl; the disjoint-vocab
+    # group diverges further from the corpus mixture than either
+    assert by.loc["a", "kl_q"] == by.loc["b", "kl_q"]
+    assert by.loc["c", "kl_q"] > by.loc["a", "kl_q"]
+    assert (out["kl"] == out["kl_q"] / float(1 << 40)).all()
+    assert by.loc["c", "n_tokens"] == 15 * 7
+
+    # a single-group corpus IS the corpus: p == q gives exactly 0
+    # (every term is floor(p*ln(1)*2^40 + 0.5) = 0)
+    solo = hashed_kl_drift(
+        ray.data.from_pandas(df[df["lang"] == "a"]))
+    assert solo["kl_q"].tolist() == [0]

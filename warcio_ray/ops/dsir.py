@@ -39,7 +39,7 @@ from typing import Callable
 import numpy as np
 import pandas as pd
 
-__all__ = ["dsir_weights"]
+__all__ = ["dsir_weights", "hashed_kl_drift"]
 
 _SCALE = np.int64(1) << np.int64(32)
 
@@ -123,3 +123,87 @@ def dsir_weights(ds, target_mask: Callable[[pd.Series], np.ndarray],
         return pd.DataFrame({id_col: ids, "iw": iw, "n_features": nf})
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def hashed_kl_drift(ds, group_col: str = "lang",
+                    text_col: str = "text",
+                    n_buckets: int = 1024) -> "pd.DataFrame":
+    """Per-group distribution-drift monitor: KL(P_group || Q_corpus)
+    over add-1-smoothed hashed UNIGRAM histograms — the curation
+    dashboard primitive that tells you which slice of a crawl snapshot
+    stopped looking like the corpus (domain drift, spam floods,
+    scraper breakage) without shipping any vocabulary around.
+
+    Scale shape: ONE corpus scan folds (group, bucket) partial counts
+    — the key space is bounded (#groups x n_buckets), so the merge is
+    a ``tree_aggregate`` and the driver fold is O(cells); nothing
+    doc-sized moves.
+
+    Exactness: each bucket's KL term  p_b * ln(p_b / q_b)  (p = group
+    histogram, q = corpus histogram, both add-1 smoothed over ALL
+    n_buckets) is quantized to int64 at 2^40 and SUMMED AS INTEGERS,
+    so the result is partitioning/order-invariant and SQL recomputes
+    it term-for-term (|term| < 1, 2^40 * n_buckets << 2^63; ln == libm
+    per the bm25/dsir precedent).  Returns a pandas DataFrame
+    (group, n_tokens, kl_q, kl) sorted by group — kl = kl_q / 2^40 is
+    the float view of the exact integer."""
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    kl_scale = float(np.int64(1) << np.int64(40))
+
+    def count_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        parts = {}
+        for text, grp in zip(batch[text_col], batch[group_col]):
+            toks = (text or "").split()
+            if not toks:
+                continue
+            b = np.fromiter((_bucket(t, n_buckets) for t in toks),
+                            dtype=np.int64, count=len(toks))
+            c = parts.get(grp)
+            if c is None:
+                c = parts[grp] = np.zeros(n_buckets, dtype=np.int64)
+            c += np.bincount(b, minlength=n_buckets)
+        rows = {"g": [], "b": [], "n": []}
+        for grp, c in parts.items():
+            nz = np.nonzero(c)[0]
+            rows["g"].extend([grp] * len(nz))
+            rows["b"].append(nz)
+            rows["n"].append(c[nz])
+        if not rows["g"]:
+            return pd.DataFrame({"g": pd.Series(dtype="object"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "g": rows["g"],
+            "b": np.concatenate(rows["b"]),
+            "n": np.concatenate(rows["n"])})
+
+    hist = tree_aggregate(
+        ds.map_batches(count_partials, batch_format="pandas"),
+        ["g", "b"], sums=("n",))
+    corpus = np.zeros(n_buckets, dtype=np.int64)
+    per_group: dict = {}
+    for grp, b, n in zip(hist["g"], hist["b"], hist["n"]):
+        c = per_group.get(grp)
+        if c is None:
+            c = per_group[grp] = np.zeros(n_buckets, dtype=np.int64)
+        c[int(b)] = n
+        corpus[int(b)] += n
+    tot = int(corpus.sum())
+    qdist = (corpus + 1.0) / (tot + float(n_buckets))
+    out = {"g": [], "n_tokens": [], "kl_q": []}
+    for grp in sorted(per_group):
+        c = per_group[grp]
+        tg = int(c.sum())
+        p = (c + 1.0) / (tg + float(n_buckets))
+        terms = np.floor(p * np.log(p / qdist) * kl_scale + 0.5) \
+            .astype(np.int64)
+        out["g"].append(grp)
+        out["n_tokens"].append(tg)
+        out["kl_q"].append(int(terms.sum()))
+    res = pd.DataFrame({group_col: out["g"],
+                        "n_tokens": np.array(out["n_tokens"],
+                                             dtype="int64"),
+                        "kl_q": np.array(out["kl_q"], dtype="int64")})
+    res["kl"] = res["kl_q"] / kl_scale
+    return res
