@@ -607,6 +607,32 @@ def _nb_langid(sf_dir: str):
     return naive_bayes_train_predict(ds, vocab_size=2048)
 
 
+def _crawl_budgets(sf_dir: str):
+    """Largest-remainder (Hamilton) fetch-slot apportionment: split a
+    1000-slot round budget across hosts proportional to page counts —
+    integer quotas summing exactly to the budget
+    (frontier/budget.apportion_budget; rank via the prefix-sum bucket
+    idiom, no global sort)."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.frontier.budget import apportion_budget
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def hosts(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"host": _host_series(batch["doc_id"].to_numpy())})
+
+    weights = arrow_blocks(ds.map_batches(hosts, batch_format="pandas")) \
+        .groupby("host").count() \
+        .map_batches(lambda b: b.rename(columns={"count()": "w"}),
+                     batch_format="pandas")
+    return apportion_budget(weights, budget=1000)
+
+
 def _kl_drift(sf_dir: str):
     """Per-lang token-distribution drift vs the corpus: exact-integer
     KL over add-1-smoothed hashed unigram histograms (2^40-quantized
@@ -1276,6 +1302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_quality": _linear_quality,
         "nb_langid": _nb_langid,
         "kl_drift": _kl_drift,
+        "crawl_budgets": _crawl_budgets,
         "pagerank_5": _pagerank_5,
         "hll_lang_tokens": _hll_lang_tokens,
         "cms_probe_counts": _cms_probe_counts,
@@ -2044,6 +2071,24 @@ def oracle_sql() -> dict[str, str]:
                              / (s.n_tokens * 2147483648.0)))) END
                      AS quality_prob
             FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        # crawl_budgets: all-integer largest-remainder apportionment —
+        # DuckDB // and % floor exactly like numpy on non-negatives
+        "crawl_budgets": f"""
+            WITH hosts AS (
+              SELECT {_HOST_CASE} AS host, COUNT(*) AS w
+              FROM documents GROUP BY 1),
+            t AS (SELECT SUM(w) AS tw FROM hosts),
+            k AS (SELECT host, w, (1000 * w) // t.tw AS base,
+                         (1000 * w) % t.tw AS rem
+                  FROM hosts CROSS JOIN t),
+            l AS (SELECT 1000 - SUM(base) AS lo FROM k),
+            r AS (SELECT *, row_number() OVER (
+                      ORDER BY rem DESC, host) - 1 AS rk FROM k)
+            SELECT host, CAST(w AS BIGINT) AS w,
+                   CAST(base + CASE WHEN rk < l.lo THEN 1 ELSE 0 END
+                        AS BIGINT) AS quota
+            FROM r CROSS JOIN l ORDER BY host
         """,
         # kl_drift: per-bucket KL terms quantized at 2^40 and summed as
         # integers — the float kl column is the exact integer / 2^40

@@ -148,3 +148,50 @@ def test_crawl_delay_distributed_matches_reference(ray_session):
                              track_order=True)
     assert dist.order == ref.order
     assert dist.counters == ref.counters
+
+
+def test_apportion_budget(ray_session):
+    """Hamilton apportionment: quotas sum exactly to the budget, match
+    an in-process largest-remainder reference, are partitioning-
+    invariant, and bad weights raise."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from warcio_ray.frontier.budget import apportion_budget
+
+    rng = np.random.RandomState(11)
+    hosts = [f"h{i:03d}" for i in range(200)]
+    w = rng.randint(1, 5000, size=200).astype("int64")
+    df = pd.DataFrame({"host": hosts, "w": w})
+
+    out = apportion_budget(ray.data.from_pandas(df), budget=137) \
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    out2 = apportion_budget(ray.data.from_pandas(df).repartition(13),
+                            budget=137) \
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+    assert out["quota"].sum() == 137
+    # in-process largest-remainder reference
+    W = int(w.sum())
+    base = 137 * w // W
+    rem = 137 * w % W
+    order = sorted(range(200), key=lambda i: (-rem[i], hosts[i]))
+    leftover = 137 - int(base.sum())
+    want = base.copy()
+    for i in order[:leftover]:
+        want[i] += 1
+    assert (out["quota"].to_numpy() == want).all()
+
+    with pytest.raises(ValueError, match="positive weights"):
+        apportion_budget(ray.data.from_pandas(
+            pd.DataFrame({"host": ["a", "b"], "w": [0, 7]})),
+            budget=5).to_pandas()
+    # empty input: typed empty result
+    empty = apportion_budget(ray.data.from_pandas(
+        pd.DataFrame({"host": pd.Series(dtype="object"),
+                      "w": pd.Series(dtype="int64")})), budget=5) \
+        .to_pandas()
+    assert len(empty) == 0

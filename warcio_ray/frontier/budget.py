@@ -1,0 +1,105 @@
+"""Per-host crawl-budget apportionment — largest-remainder (Hamilton)
+quotas: split a round's total fetch budget B across hosts proportional
+to integer weights (pending-URL counts, host quality scores) so that
+every quota is an integer, the quotas sum EXACTLY to B, and the split
+is bit-identical on any engine.  This is the frontier scheduler's
+"how many fetch slots does each host get next round" primitive,
+complementing the token-bucket politeness layer (politeness.py caps
+the rate, this allocates the volume).
+
+Math (all integer, so order/partitioning-invariant and SQL-mirrorable):
+  base_h = (B * w_h) // W          (W = sum of weights)
+  rem_h  = (B * w_h) %  W
+  the L = B - sum(base_h) hosts with the largest (rem_h, host asc)
+  get one extra slot.
+
+Scale shape: the input is already the reduced per-host table (one row
+per host — at web scale ~10^8 rows, never the corpus).  W and
+sum(base) fold as exact integer Dataset sums; the "top-L remainders"
+rank uses the shuffle_order prefix-sum idiom (ops/textstats.py):
+hosts bucket by remainder's top bits, bucket counts tree-aggregate to
+an O(2^bits) driver cumsum, and ONE hash shuffle ranks each bucket
+locally — no global sort, driver memory O(2^bits).
+
+No reference counterpart (warcio has no scheduler); frontier family
+SURVEY §2.6.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["apportion_budget"]
+
+
+def apportion_budget(ds, budget: int, key_col: str = "host",
+                     weight_col: str = "w", bucket_bits: int = 10):
+    """Dataset of (key, weight>0) -> Dataset of (key, weight, quota)
+    with sum(quota) == budget exactly."""
+    import ray
+
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    # the per-host table is the already-reduced side (O(#hosts)):
+    # materialize once so min/sum/project don't re-run its lineage
+    ds = ds.materialize()
+    min_w = ds.min(weight_col)
+    if min_w is not None and int(min_w) <= 0:
+        raise ValueError("apportion_budget needs positive weights")
+    total_w = int(ds.sum(weight_col) or 0)
+    if total_w <= 0:
+        import ray.data
+        return ray.data.from_pandas(pd.DataFrame({
+            key_col: pd.Series(dtype="object"),
+            weight_col: pd.Series(dtype="int64"),
+            "quota": pd.Series(dtype="int64")}))
+    if budget > 0 and total_w > (2 ** 63 - 1) // budget:
+        raise OverflowError(
+            f"budget * total weight exceeds int64 (budget={budget}, "
+            f"W={total_w}): rescale weights")
+    n_buckets = 1 << bucket_bits
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch[weight_col].to_numpy(dtype="int64")
+        prod = budget * w  # guarded above: max prod = budget * W
+        rem = prod % total_w
+        return pd.DataFrame({
+            key_col: batch[key_col],
+            weight_col: w,
+            "base": prod // total_w,
+            "rem": rem,
+            # remainder's top bits: rem in [0, W)
+            "bucket": (rem * n_buckets) // total_w})
+
+    keyed = ds.map_batches(project, batch_format="pandas").materialize()
+    leftover = budget - int(keyed.sum("base") or 0)
+
+    def bucket_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["bucket"].value_counts()
+        return pd.DataFrame({"bucket": vc.index.to_numpy(dtype="int64"),
+                             "c": vc.to_numpy(dtype="int64")})
+
+    totals = tree_aggregate(
+        keyed.map_batches(bucket_counts, batch_format="pandas"),
+        ["bucket"], sums=("c",)).sort_values("bucket", ascending=False) \
+        .reset_index(drop=True)
+    c = totals["c"].to_numpy(dtype="int64")
+    # DESC rank bases: highest-remainder bucket ranks first
+    base_rank = np.concatenate([[0], np.cumsum(c)[:-1]]) if len(c) else c
+    rank_ref = ray.put(dict(zip(totals["bucket"].astype("int64"),
+                                base_rank)))
+
+    def grant_group(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.sort_values(["rem", key_col],
+                              ascending=[False, True], kind="mergesort")
+        b = ray.get(rank_ref)[int(grp["bucket"].iloc[0])]
+        rank = b + np.arange(len(grp), dtype="int64")
+        return pd.DataFrame({
+            key_col: grp[key_col],
+            weight_col: grp[weight_col].to_numpy(dtype="int64"),
+            "quota": grp["base"].to_numpy(dtype="int64")
+            + (rank < leftover).astype("int64")})
+
+    return keyed.groupby("bucket").map_groups(grant_group,
+                                              batch_format="pandas")
