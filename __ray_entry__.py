@@ -900,6 +900,21 @@ def _cdxj_index(sf_dir: str):
     return out.select_columns(["surt_key", "ts14", "url"])
 
 
+def _cdxj_lookup(sf_dir: str):
+    """Range-partitioned CDXJ layout + pruned prefix lookup (the pywb
+    CDX-server query path): only shards whose key range overlaps the
+    probe prefixes are read (pipelines/index.build_cdxj_layout)."""
+    import os
+
+    from warcio_ray.pipelines.index import build_cdxj_layout, cdxj_lookup
+
+    layout = os.path.join("/tmp/warcio_ray/cdxj_layout",
+                          os.path.basename(sf_dir.rstrip("/")))
+    build_cdxj_layout(_warc_fixture_paths(sf_dir), layout)
+    out = cdxj_lookup(layout, ["example,site0)/", "example,site88)/"])
+    return out[["surt_key", "ts14", "url"]]
+
+
 def _wet_export(sf_dir: str):
     """WARC responses -> WET conversion records -> parse the WET back
     (full parse -> extract -> build -> write -> parse round trip).
@@ -1352,6 +1367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_order": _crawl_order,
         "warc_rec_types": _warc_rec_types,
         "cdxj_index": _cdxj_index,
+        "cdxj_lookup": _cdxj_lookup,
         "wet_export": _wet_export,
         "wat_export": _wat_export,
         "revisit_dedup": _revisit_dedup,
@@ -2681,6 +2697,26 @@ def oracle_sql() -> dict[str, str]:
                    {_HOST_CASE.replace("'site'", "'http://site'")}
                      || '/doc/' || CAST(doc_id AS VARCHAR) AS url
             FROM documents
+        """,
+        # cdxj_lookup: same reconstruction filtered to the probe
+        # prefixes (the layout prunes shards; the rows are identical)
+        "cdxj_lookup": f"""
+            WITH idx AS (
+              SELECT 'example,site' || CAST(CASE WHEN doc_id%100<30 THEN 0
+                       WHEN doc_id%100<45 THEN 1 WHEN doc_id%100<55 THEN 2
+                       WHEN doc_id%100<62 THEN 3 ELSE doc_id%100 END
+                       AS VARCHAR) || ')/doc/' || CAST(doc_id AS VARCHAR)
+                       AS surt_key,
+                     strftime(TIMESTAMP '2024-01-01 00:00:00'
+                       + doc_id * INTERVAL 1 SECOND, '%Y%m%d%H%M%S')
+                       AS ts14,
+                     {_HOST_CASE.replace("'site'", "'http://site'")}
+                       || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents)
+            SELECT surt_key, ts14, url FROM idx
+            WHERE surt_key LIKE 'example,site0)/%'
+               OR surt_key LIKE 'example,site88)/%'
+            ORDER BY surt_key, ts14
         """,
         # anchor_stats: the synthesized link graph is a deterministic
         # function of doc_id (pages.py links_for), so SQL rebuilds the

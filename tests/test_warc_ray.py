@@ -437,3 +437,36 @@ def test_wet_export_skips_malformed_records(ray_session, tmp_path):
     back = read_warc(wet_paths).to_pandas()
     assert len(back) == n_ok_responses
     assert (back.rec_type == "conversion").all()
+
+
+def test_cdxj_layout_lookup(ray_session, tmp_path):
+    """CDXJ layout: lookup equals a filter of the full index, shard
+    pruning is observable via plan_cdxj_files, rebuilds skip via the
+    _DONE marker, and an unmatched prefix reads zero shards."""
+    import json
+
+    import pandas as pd
+
+    from warcio_ray.pipelines.index import (build_cdxj_layout,
+                                            cdxj_index, cdxj_lookup,
+                                            plan_cdxj_files)
+
+    paths = [golden("valid.warc.gz"), golden("legacy.arc.gz")]
+    layout = str(tmp_path / "cdxj")
+    build_cdxj_layout(paths, layout)
+
+    full = cdxj_index(paths).to_pandas()
+    prefix = full["surt_key"].iloc[0].split(")")[0] + ")/"
+    got = cdxj_lookup(layout, [prefix])
+    want = full[full["surt_key"].str.startswith(prefix)] \
+        .sort_values(["surt_key", "ts14", "filename", "offset"],
+                     kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    manifest = json.load(open(f"{layout}/manifest.json"))
+    assert sum(r["n"] for r in manifest) == len(full)
+    # pruning: a prefix past every key selects no shards
+    assert plan_cdxj_files(manifest, ["zzz,nosuch)/"]) == []
+    assert len(cdxj_lookup(layout, ["zzz,nosuch)/"])) == 0
+    # idempotent rebuild (marker short-circuits)
+    assert build_cdxj_layout(paths, layout) == layout

@@ -171,3 +171,105 @@ def cdxj_index(paths, rec_types=("response", "revisit", "resource")):
 
     proj = ds.map_batches(project, batch_format="pandas")
     return proj.sort(["surt_key", "ts14", "filename", "offset"])
+
+
+# ---------------------------------------------------------------------------
+# persisted CDXJ layout + pruned-read lookup (the pywb replay query path)
+# ---------------------------------------------------------------------------
+
+def build_cdxj_layout(paths, out_dir: str, force: bool = False) -> str:
+    """Persist the globally sorted CDXJ index (cdxj_index above) as
+    range-partitioned parquet shards plus a tiny ``manifest.json`` of
+    per-shard (min, max) SURT-key ranges — the layout a replay/lookup
+    service (pywb's CDX server role) reads.  Because the index is
+    range-sorted before writing, each shard covers a contiguous key
+    range and a prefix lookup prunes to the few shards whose range
+    overlaps — O(result) IO at any archive size, the text sibling of
+    the IVF / postings layouts.  ``_DONE`` marker makes rebuilds
+    skippable; shard writes are atomic-rename so a killed build never
+    leaves a torn shard visible."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker) and not force:
+        return out_dir
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(os.path.join(out_dir, "shards"), exist_ok=True)
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        import hashlib
+        keys = batch["surt_key"].to_pylist()
+        if not keys:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "min_key": pa.array([], pa.string()),
+                             "max_key": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        name = hashlib.md5(
+            (keys[0] + "\x00" + keys[-1] + "\x00"
+             + str(len(keys))).encode()).hexdigest()[:12]
+        final = os.path.join(out_dir, "shards", f"part-{name}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(batch, tmp)
+        os.replace(tmp, final)
+        return pa.table({"path": [final], "min_key": [min(keys)],
+                         "max_key": [max(keys)],
+                         "n": pa.array([len(keys)], pa.int64())})
+
+    manifest = cdxj_index(paths) \
+        .map_batches(write_shard, batch_format="pyarrow").to_pandas()
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest.to_dict(orient="records"), f)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def plan_cdxj_files(manifest, prefixes):
+    """Shard paths whose [min, max] key range can contain a key with
+    any of the given SURT prefixes (the single place the range-overlap
+    rule lives, so tests can observe pruning)."""
+    picked = []
+    for row in manifest:
+        for p in prefixes:
+            upper = p + "\U0010ffff"
+            if row["max_key"] >= p and row["min_key"] < upper:
+                picked.append(row["path"])
+                break
+    return picked
+
+
+def cdxj_lookup(layout_dir: str, prefixes) -> "pd.DataFrame":
+    """All captures whose SURT key starts with any probe prefix,
+    reading ONLY the overlapping range shards. Returns rows sorted in
+    CDX order (surt_key, ts14, filename, offset)."""
+    import json
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    with open(os.path.join(layout_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    prefixes = sorted(set(map(str, prefixes)))
+    files = plan_cdxj_files(manifest, prefixes)
+    cols = ["surt_key", "ts14", "url", "rec_type", "filename", "offset"]
+    if not files:
+        return pd.DataFrame({c: pd.Series(
+            dtype="int64" if c == "offset" else "object")
+            for c in cols})
+
+    def keep(batch):
+        m = pc.starts_with(batch["surt_key"], pattern=prefixes[0])
+        for p in prefixes[1:]:
+            m = pc.or_(m, pc.starts_with(batch["surt_key"], pattern=p))
+        return batch.filter(m)
+
+    out = ray.data.read_parquet(files) \
+        .map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out[cols].sort_values(
+        ["surt_key", "ts14", "filename", "offset"],
+        kind="mergesort").reset_index(drop=True)
