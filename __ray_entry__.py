@@ -900,6 +900,19 @@ def _cdxj_index(sf_dir: str):
     return out.select_columns(["surt_key", "ts14", "url"])
 
 
+def _export_packed(sf_dir: str):
+    """Training-shard export flagship: quality filter -> exact dedup
+    -> deterministic shuffle -> 256-token packing over the shuffled
+    stream (pipelines/export.export_packed)."""
+    import ray.data
+
+    from warcio_ray.pipelines.export import export_packed
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return export_packed(ds, window=256)
+
+
 def _cdxj_lookup(sf_dir: str):
     """Range-partitioned CDXJ layout + pruned prefix lookup (the pywb
     CDX-server query path): only shards whose key range overlaps the
@@ -1342,6 +1355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _jaccard_pairs,
         "jaccard_clusters": _jaccard_clusters,
         "pretrain_corpus": _pretrain_corpus,
+        "export_packed": _export_packed,
         "decontam_overlap": _decontam_overlap,
         "dsir_weights": _dsir_weights,
         "span_scrub": _span_scrub,
@@ -2297,6 +2311,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM s
             WHERE doc_id NOT IN (SELECT node FROM losers)
             ORDER BY doc_id
+        """,
+        # export_packed: the composed export chain — quality WHERE,
+        # min-id dedup, md5 row_number shuffle rank, window-cumsum
+        # packing over the rank order (bit-identical, hash compare)
+        "export_packed": """
+            WITH q AS (
+              SELECT doc_id, text, len(t) AS n FROM (
+                SELECT doc_id, text,
+                       regexp_extract_all(text, '\\S+') AS t,
+                       list_filter(string_split(text, chr(10)),
+                                   x -> length(x) > 0) AS lines
+                FROM documents)
+              WHERE len(t) >= 20
+                AND (CASE WHEN len(t) = 0 THEN 0.0
+                     ELSE CAST(len(list_filter(t,
+                          x -> regexp_matches(x, '[A-Za-z]')))
+                          AS DOUBLE) / len(t) END) >= 0.5
+                AND (CASE WHEN len(lines) = 0 THEN 0.0
+                     ELSE 1.0 - CAST(len(list_distinct(lines))
+                          AS DOUBLE) / len(lines) END) <= 0.3),
+            ex AS (SELECT MIN(doc_id) AS doc_id FROM q
+                   GROUP BY md5(text)),
+            keep AS (SELECT q.doc_id, q.n FROM q JOIN ex USING (doc_id)),
+            r AS (
+              SELECT doc_id, n, row_number() OVER (
+                  ORDER BY CAST(('0x' || substr(md5(
+                      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                           doc_id) - 1 AS rk
+              FROM keep),
+            c AS (
+              SELECT doc_id, rk, n,
+                     CAST(COALESCE(SUM(n) OVER (ORDER BY rk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS off
+              FROM r),
+            seg AS (
+              SELECT doc_id, rk, n, off,
+                     unnest(range(off // 256,
+                                  (off + n - 1) // 256 + 1)) AS bin_id
+              FROM c WHERE n > 0)
+            SELECT doc_id, CAST(rk AS BIGINT) AS shuffle_rank, bin_id,
+                   GREATEST(bin_id * 256, off) - off AS doc_off,
+                   GREATEST(bin_id * 256, off) - bin_id * 256 AS bin_off,
+                   LEAST((bin_id + 1) * 256, off + n)
+                     - GREATEST(bin_id * 256, off) AS n_tok
+            FROM seg ORDER BY shuffle_rank, bin_id
         """,
         # jaccard_clusters: connected components over the exact pair set
         # recomputed via recursive reachability (min reachable id ==

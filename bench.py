@@ -381,7 +381,12 @@ def run_bench() -> dict:
                            ("wet_export", "op_wet_s"),
                            ("ivfpq_top10", "op_ivfpq_s"),
                            ("anchor_stats", "op_anchor_s"),
-                           ("repetition_signals", "op_rep_s")):
+                           ("repetition_signals", "op_rep_s"),
+                           ("semdedup_dups", "op_semdedup_s"),
+                           ("nb_langid", "op_nb_s"),
+                           ("kl_drift", "op_kl_s"),
+                           ("crawl_budgets", "op_budget_s"),
+                           ("cdxj_lookup", "op_cdxjlk_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \

@@ -1919,3 +1919,43 @@ def test_hashed_kl_drift(ray_session):
     solo = hashed_kl_drift(
         ray.data.from_pandas(df[df["lang"] == "a"]))
     assert solo["kl_q"].tolist() == [0]
+
+
+def test_export_packed(ray_session):
+    """Composed export: bins cover the shuffled survivor stream with no
+    gaps or overlaps, every bin except the last is exactly full,
+    duplicate and low-quality docs are gone, partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.pipelines.export import export_packed
+
+    good = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    rows = [{"doc_id": i, "text": good + f" uniq{i} " + good}
+            for i in range(24)]
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})  # exact dup
+    rows.append({"doc_id": 101, "text": "short"})          # low quality
+    df = pd.DataFrame(rows)
+
+    out = export_packed(ray.data.from_pandas(df), window=32) \
+        .to_pandas().sort_values(["bin_id", "bin_off"]) \
+        .reset_index(drop=True)
+    out2 = export_packed(ray.data.from_pandas(df).repartition(9),
+                         window=32) \
+        .to_pandas().sort_values(["bin_id", "bin_off"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+    assert set(out["doc_id"]) == set(range(24))  # dup + junk dropped
+    total = out["n_tok"].sum()
+    assert total == 24 * 45  # 45 words per surviving doc
+    # bins tile the stream exactly
+    for b, grp in out.groupby("bin_id"):
+        grp = grp.sort_values("bin_off")
+        assert grp["bin_off"].iloc[0] == 0
+        assert (grp["bin_off"].to_numpy()[1:]
+                == (grp["bin_off"] + grp["n_tok"]).to_numpy()[:-1]).all()
+        width = int((grp["bin_off"] + grp["n_tok"]).iloc[-1])
+        assert width == 32 or b == out["bin_id"].max()
+    # ranks are a permutation of 0..23
+    assert set(out["shuffle_rank"]) == set(range(24))
