@@ -1132,6 +1132,19 @@ def _unigram_nll(sf_dir: str):
     return out
 
 
+def _trigram_nll(sf_dir: str):
+    """Interpolated trigram LM perplexity scoring (0.2/0.3/0.5 mix of
+    add-1 uni/bi/trigram), exact-integer per-doc scores
+    (ops/textstats.trigram_nll_scores)."""
+    import ray.data
+
+    from warcio_ray.ops.textstats import trigram_nll_scores
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return trigram_nll_scores(ds, vocab_size=1024)
+
+
 def _repetition_signals(sf_dir: str):
     """Within-doc repetition filters (Gopher family): top word-2-gram
     count/identity/char-fraction + duplicated-3-gram char fraction.
@@ -1363,6 +1376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top20": _bm25_top20,
         "unigram_nll": _unigram_nll,
         "bigram_nll": _bigram_nll,
+        "trigram_nll": _trigram_nll,
         "simhash_pairs": _simhash_pairs,
         "embedding_neardup": _embedding_neardup,
         # similarity search
@@ -2545,6 +2559,67 @@ def oracle_sql() -> dict[str, str]:
             FROM toks LEFT JOIN (
               SELECT doc_id, CAST(SUM(q) AS BIGINT) AS nll_q,
                      COUNT(*) AS nb
+              FROM scored GROUP BY doc_id) s USING (doc_id)
+        """,
+        # trigram_nll: the full interpolated-LM chain replayed — same
+        # quantization precedent; the 0.2/0.3/0.5 mixture is one fixed
+        # float expression tree, identical on both engines
+        "trigram_nll": r"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(text, '\S+') AS t
+                          FROM documents),
+            vocab AS (
+              SELECT term, row_number() OVER (ORDER BY n DESC, term) - 1
+                       AS wid
+              FROM (SELECT term, COUNT(*) AS n
+                    FROM (SELECT unnest(t) AS term FROM toks)
+                    GROUP BY term ORDER BY n DESC, term LIMIT 1024)),
+            seq AS (SELECT doc_id, unnest(t) AS term,
+                           unnest(range(1, len(t) + 1)) AS pos
+                    FROM toks),
+            vn AS (SELECT COUNT(*) AS nv FROM vocab),
+            ids AS (SELECT doc_id, pos,
+                           COALESCE(vocab.wid, vn.nv) AS wid
+                    FROM seq LEFT JOIN vocab USING (term) CROSS JOIN vn),
+            uni AS (SELECT wid, COUNT(*) AS c FROM ids GROUP BY wid),
+            tot AS (SELECT SUM(c) AS t FROM uni),
+            pairs AS (
+              SELECT a.doc_id, a.wid AS v, b.wid AS w
+              FROM ids a JOIN ids b
+                ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+            bi AS (SELECT v, w, COUNT(*) AS c FROM pairs GROUP BY v, w),
+            ctx2 AS (SELECT v, SUM(c) AS cv FROM bi GROUP BY v),
+            tris AS (
+              SELECT a.doc_id, a.wid AS u, b.wid AS v, d.wid AS w
+              FROM ids a
+              JOIN ids b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              JOIN ids d ON d.doc_id = a.doc_id AND d.pos = a.pos + 2),
+            tri AS (SELECT u, v, w, COUNT(*) AS c FROM tris
+                    GROUP BY u, v, w),
+            ctx3 AS (SELECT u, v, SUM(c) AS cv FROM tri GROUP BY u, v),
+            scored AS (
+              SELECT p.doc_id,
+                     CAST(floor(-ln(
+                         0.2 * ((un.c + 1.0) / (tot.t + vn.nv + 1.0))
+                       + 0.3 * ((COALESCE(bi.c, 0) + 1.0)
+                                / (ctx2.cv + vn.nv + 1.0))
+                       + 0.5 * ((COALESCE(tri.c, 0) + 1.0)
+                                / (COALESCE(ctx3.cv, 0) + vn.nv + 1.0)))
+                       * 4294967296.0 + 0.5) AS BIGINT) AS q
+              FROM tris p
+              CROSS JOIN vn CROSS JOIN tot
+              JOIN uni un ON un.wid = p.w
+              JOIN ctx2 ON ctx2.v = p.v
+              LEFT JOIN bi ON bi.v = p.v AND bi.w = p.w
+              LEFT JOIN tri ON tri.u = p.u AND tri.v = p.v
+                           AND tri.w = p.w
+              LEFT JOIN ctx3 ON ctx3.u = p.u AND ctx3.v = p.v)
+            SELECT toks.doc_id,
+                   COALESCE(s.nll_q, 0) AS nll_q,
+                   COALESCE(s.nt, 0) AS n_trigrams
+            FROM toks LEFT JOIN (
+              SELECT doc_id, CAST(SUM(q) AS BIGINT) AS nll_q,
+                     COUNT(*) AS nt
               FROM scored GROUP BY doc_id) s USING (doc_id)
         """,
         # unigram_nll: add-1-smoothed unigram LM from the corpus's own

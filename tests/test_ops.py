@@ -1959,3 +1959,75 @@ def test_export_packed(ray_session):
         assert width == 32 or b == out["bin_id"].max()
     # ranks are a permutation of 0..23
     assert set(out["shuffle_rank"]) == set(range(24))
+
+
+def test_trigram_nll_scores(ray_session):
+    """Interpolated trigram LM: matches a from-first-principles
+    in-process reference exactly, partitioning-invariant, short docs
+    score (0, 0), and a repeated (predictable) doc scores below a
+    shuffled (surprising) one."""
+    import math
+
+    import ray.data
+
+    from warcio_ray.ops.textstats import trigram_nll_scores
+
+    docs = {
+        0: "a b c a b c a b c a b c",
+        1: "c a b b a c b c a a c b",
+        2: "a b",                      # < 3 tokens -> (0, 0)
+        3: "d e f d e f d e f",
+    }
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+
+    outs = []
+    for nparts in (1, 5):
+        out = trigram_nll_scores(
+            ray.data.from_pandas(df).repartition(nparts), vocab_size=8) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+
+    # in-process reference with identical rules
+    toks = {d: t.split() for d, t in docs.items()}
+    counts = {}
+    for seq in toks.values():
+        for i, w in enumerate(seq):
+            counts[(w,)] = counts.get((w,), 0) + 1
+            if i + 1 < len(seq):
+                counts[(w, seq[i + 1])] = counts.get((w, seq[i + 1]), 0) + 1
+            if i + 2 < len(seq):
+                k = (w, seq[i + 1], seq[i + 2])
+                counts[k] = counts.get(k, 0) + 1
+    vocab = sorted({w for s in toks.values() for w in s})
+    assert len(vocab) <= 8
+    n = len(vocab) + 1
+    total = sum(v for k, v in counts.items() if len(k) == 1)
+    cv2 = {}
+    ctx3 = {}
+    for k, v in counts.items():
+        if len(k) == 2:
+            cv2[k[0]] = cv2.get(k[0], 0) + v
+        elif len(k) == 3:
+            ctx3[k[:2]] = ctx3.get(k[:2], 0) + v
+    for d, seq in toks.items():
+        want_q, want_n = 0, 0
+        for i in range(2, len(seq)):
+            u, v, w = seq[i - 2], seq[i - 1], seq[i]
+            p1 = (counts[(w,)] + 1.0) / (total + float(n))
+            p2 = (counts.get((v, w), 0) + 1.0) / (cv2[v] + float(n))
+            p3 = (counts.get((u, v, w), 0) + 1.0) / (ctx3[(u, v)]
+                                                     + float(n))
+            q = math.floor(-math.log(0.2 * p1 + 0.3 * p2 + 0.5 * p3)
+                           * float(1 << 32) + 0.5)
+            want_q += q
+            want_n += 1
+        row = out[out["doc_id"] == d].iloc[0]
+        assert (int(row["nll_q"]), int(row["n_trigrams"])) \
+            == (want_q, want_n), d
+
+    # predictable repetition scores lower mean NLL than shuffled text
+    r0 = out[out["doc_id"] == 0].iloc[0]
+    r1 = out[out["doc_id"] == 1].iloc[0]
+    assert r0["nll_q"] / r0["n_trigrams"] < r1["nll_q"] / r1["n_trigrams"]

@@ -701,3 +701,133 @@ def bigram_nll_scores(ds, vocab_size: int = 1024) -> "pd.DataFrame":
 
     out = ds.map_batches(score, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def trigram_nll_scores(ds, vocab_size: int = 1024) -> "object":
+    """EXACT-integer interpolated trigram LM scoring — the deepest
+    rung of the no-external-model perplexity-filter ladder (unigram ->
+    bigram -> this).  p(w|u,v) = 0.2*p1(w) + 0.3*p2(w|v) + 0.5*p3(w|u,v)
+    with each order add-1 smoothed over the (top-``vocab_size`` + OOV)
+    id space; per-position -ln p quantized to int64 at 2^32 (the
+    bm25/dsir ln==libm precedent — the mixture is ONE fixed float
+    expression tree, identical in SQL) and per-doc scores are integer
+    sums: partitioning/order-invariant, hash-comparable.
+
+    Scale shape: pass 1 is the top_terms combiner; pass 2 folds every
+    batch's unigram/bigram/trigram cells into ONE flat int64 key space
+    (unigram w < n; bigram n + v*n + w; trigram n + n^2 + u*n^2 +
+    v*n + w — max ~1.1e9 at the default, far inside int64) so a single
+    groupby merges all three orders; the driver holds the sorted
+    key/count arrays (O(distinct n-grams of the corpus), the honest
+    LM-size bound) and broadcasts them; pass 3 is a stateless
+    searchsorted scan.  Returns a Dataset of (doc_id, nll_q,
+    n_trigrams); docs with < 3 tokens score (0, 0)."""
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    vocab = top_terms(ds, k=vocab_size)
+    oov = len(vocab)
+    n_ids = oov + 1
+    n2 = n_ids * n_ids
+    base_bi = n_ids
+    base_tri = n_ids + n2
+    word_id = {t: i for i, t in enumerate(vocab["term"])}
+    wref = ray.put(word_id)
+
+    def _doc_ids(text: str, wmap) -> np.ndarray:
+        toks = (text or "").split()
+        return np.fromiter((wmap.get(w, oov) for w in toks),
+                           dtype=np.int64, count=len(toks))
+
+    def gram_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        wmap = ray.get(wref)
+        c: Counter = Counter()
+        for text in batch["text"]:
+            ids = _doc_ids(text, wmap)
+            c.update(ids)
+            if len(ids) >= 2:
+                c.update(base_bi + ids[:-1] * n_ids + ids[1:])
+            if len(ids) >= 3:
+                c.update(base_tri + ids[:-2] * n2
+                         + ids[1:-1] * n_ids + ids[2:])
+        if not c:
+            return pd.DataFrame({"k": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            {"k": np.fromiter(c.keys(), dtype="int64", count=len(c)),
+             "c": np.fromiter(c.values(), dtype="int64", count=len(c))})
+
+    folded = arrow_blocks(
+        ds.map_batches(gram_partials, batch_format="pandas")) \
+        .groupby("k").aggregate(Sum("c", alias_name="c")).to_pandas()
+    keys = np.sort(folded["k"].to_numpy(dtype="int64")) \
+        if len(folded) else np.array([], dtype="int64")
+    counts = folded.set_index("k")["c"].reindex(keys) \
+        .to_numpy(dtype="int64") if len(folded) \
+        else np.array([], dtype="int64")
+    uni_m = keys < base_bi
+    bi_m = (keys >= base_bi) & (keys < base_tri)
+    tri_m = keys >= base_tri
+    c1 = np.zeros(n_ids, dtype=np.int64)
+    c1[keys[uni_m]] = counts[uni_m]
+    total = float(c1.sum())
+    keys2 = keys[bi_m] - base_bi
+    c2 = counts[bi_m]
+    cv2 = np.zeros(n_ids, dtype=np.int64)
+    np.add.at(cv2, keys2 // n_ids, c2)
+    keys3 = keys[tri_m] - base_tri
+    c3 = counts[tri_m]
+    # context totals c3(u,v,.): keys3 sorted => contexts sorted =>
+    # reduceat over run boundaries
+    k3ctx = keys3 // n_ids
+    if len(k3ctx):
+        bounds = np.flatnonzero(np.diff(k3ctx)) + 1
+        starts = np.concatenate([[0], bounds])
+        ctx3_keys = k3ctx[starts]
+        ctx3_vals = np.add.reduceat(c3, starts)
+    else:
+        ctx3_keys = np.array([], dtype="int64")
+        ctx3_vals = np.array([], dtype="int64")
+    model = ray.put((keys2, c2, cv2, keys3, c3, ctx3_keys, ctx3_vals,
+                     c1))
+
+    def _lookup(sk: np.ndarray, sv: np.ndarray,
+                probe: np.ndarray) -> np.ndarray:
+        if not len(sk):
+            return np.zeros(len(probe), dtype=np.int64)
+        pos = np.minimum(np.searchsorted(sk, probe), len(sk) - 1)
+        return np.where(sk[pos] == probe, sv[pos], 0)
+
+    fn = float(n_ids)
+    scale = float(np.int64(1) << np.int64(32))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        wmap = ray.get(wref)
+        k2s, c2s, cv2s, k3s, c3s, cx3k, cx3v, c1s = ray.get(model)
+        out_id = batch["doc_id"].to_numpy(dtype="int64")
+        nll = np.zeros(len(batch), dtype=np.int64)
+        nt = np.zeros(len(batch), dtype=np.int64)
+        for i, text in enumerate(batch["text"]):
+            ids = _doc_ids(text, wmap)
+            if len(ids) < 3:
+                continue
+            u, v, w = ids[:-2], ids[1:-1], ids[2:]
+            tc = _lookup(k3s, c3s, u * n2 + v * n_ids + w)
+            tcv = _lookup(cx3k, cx3v, u * n_ids + v)
+            bc = _lookup(k2s, c2s, v * n_ids + w)
+            p1 = (c1s[w] + 1.0) / (total + fn)
+            p2 = (bc + 1.0) / (cv2s[v] + fn)
+            p3 = (tc + 1.0) / (tcv + fn)
+            q = np.floor(-np.log(0.2 * p1 + 0.3 * p2 + 0.5 * p3)
+                         * scale + 0.5).astype(np.int64)
+            nll[i] = int(q.sum())
+            nt[i] = len(q)
+        return pd.DataFrame({"doc_id": out_id, "nll_q": nll,
+                             "n_trigrams": nt})
+
+    return ds.map_batches(score, batch_format="pandas")
