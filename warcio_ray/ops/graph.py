@@ -54,9 +54,8 @@ def _pagerank_broadcast(edges_ds, node_deg, n, iters, damping_pct,
     to the join path (same integer formulas, order-independent sums).
     Gated by pagerank_ds at broadcast_max_nodes."""
     import ray
-    from ray.data.aggregate import Sum
 
-    from warcio_ray.ops.blocks import arrow_blocks
+    from warcio_ray.ops.blocks import tree_aggregate
 
     base = ((100 - damping_pct) * scale) // 100
     nd = node_deg.to_pandas().sort_values("node").reset_index(drop=True)
@@ -84,14 +83,22 @@ def _pagerank_broadcast(edges_ds, node_deg, n, iters, damping_pct,
             p = np.searchsorted(ln, src)
             p_safe = np.clip(p, 0, len(ln) - 1)
             keep = ln[p_safe] == src
-            return pd.DataFrame({
-                "dst": batch["dst"].to_numpy(dtype="int64")[keep],
-                "share": ls[p_safe][keep]})
+            # per-batch combine: one row per distinct dst leaves the
+            # task (key space bounded by n, the broadcast gate)
+            dst = batch["dst"].to_numpy(dtype="int64")[keep]
+            sh = ls[p_safe][keep]
+            ud, inv = np.unique(dst, return_inverse=True)
+            acc = np.zeros(len(ud), dtype=np.int64)
+            np.add.at(acc, inv, sh)
+            return pd.DataFrame({"dst": ud, "share": acc})
 
-        summed = arrow_blocks(
-            edges_ds.map_batches(contrib, batch_format="pandas")) \
-            .groupby("dst").aggregate(Sum("share", alias_name="s")) \
-            .to_pandas()  # <= n rows, gated by broadcast_max_nodes
+        # bounded key space (<= n, gated by broadcast_max_nodes) ->
+        # tree_aggregate combiner, NOT the sort-based Ray groupby
+        # (~2 s/iteration of machinery at 5k nodes; exact int sums are
+        # associative, so the result is bit-identical)
+        summed = tree_aggregate(
+            edges_ds.map_batches(contrib, batch_format="pandas"),
+            ["dst"], sums=("share",)).rename(columns={"share": "s"})
         s_arr = np.zeros(len(nd), dtype=np.int64)
         if len(summed):
             # drop dsts outside the node universe (the join path drops
@@ -156,6 +163,37 @@ def pagerank_ds(edges_ds, nodes_ds, iters: int = 5,
 
     from warcio_ray.ops.blocks import arrow_blocks
 
+    if n <= broadcast_max_nodes:
+        # small-graph fast path (auto, like the crawl's fetch modes):
+        # rank state fits the driver, so each iteration is ONE edge
+        # scan + ONE integer aggregate — no joins, no per-iteration
+        # actor pools. The out-degree table is bounded by n here too,
+        # so it folds through the same tree_aggregate combiner and the
+        # universe merge happens driver-side (no Ray groupby, no hash
+        # join). Integer math is identical to the join path, so
+        # results are bit-equal (tested) and the oracle doesn't care
+        # which path ran. At n > threshold rank state must live in the
+        # cluster and the join path below is the honest shape.
+        from warcio_ray.ops.blocks import tree_aggregate
+
+        def deg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            vc = batch["src"].value_counts()
+            return pd.DataFrame(
+                {"src": vc.index.to_numpy(dtype="int64"),
+                 "d": vc.to_numpy(dtype="int64")})
+
+        deg_pd = tree_aggregate(
+            edges_ds.map_batches(deg_partial, batch_format="pandas"),
+            ["src"], sums=("d",))
+        node_pd = nodes_ds.to_pandas()[["node"]].astype("int64")
+        merged = node_pd.merge(deg_pd.rename(columns={"src": "node"}),
+                               on="node", how="left")
+        merged["d"] = merged["d"].fillna(0).astype("int64")
+        import ray.data
+        return _pagerank_broadcast(edges_ds,
+                                   ray.data.from_pandas(merged), n,
+                                   iters, damping_pct, scale)
+
     # arrow blocks before aggregate: per-ROW Python on pandas blocks
     deg = arrow_blocks(edges_ds).groupby("src") \
         .aggregate(Count(alias_name="d"))
@@ -171,17 +209,6 @@ def pagerank_ds(edges_ds, nodes_ds, iters: int = 5,
 
     node_deg = node_deg.map_batches(
         stamp_deg, batch_format="pandas").materialize()
-
-    if n <= broadcast_max_nodes:
-        # small-graph fast path (auto, like the crawl's fetch modes):
-        # rank state fits the driver, so each iteration is ONE edge
-        # scan + ONE integer aggregate — no joins, no per-iteration
-        # actor pools. Integer math is identical to the join path, so
-        # results are bit-equal (tested) and the oracle doesn't care
-        # which path ran. At n > threshold rank state must live in the
-        # cluster and the join path below is the honest shape.
-        return _pagerank_broadcast(edges_ds, node_deg, n, iters,
-                                   damping_pct, scale)
 
     def init_rank(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[["node", "d"]].copy()
