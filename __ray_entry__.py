@@ -913,6 +913,35 @@ def _export_packed(sf_dir: str):
     return export_packed(ds, window=256)
 
 
+def _media_phash_dups(sf_dir: str):
+    """Perceptual-hash image dedup: media payloads -> 64-bit phash
+    (md5-derived fake kernel, real plumbing) -> simhash-band machinery
+    -> Hamming<=3 pairs. Every media_id % 10 == 0 gets a planted
+    1-bit-flipped variant at id+100000 (mirrored in SQL)."""
+    import numpy as np
+    import pandas as pd
+
+    from warcio_ray.ops.multimodal import (MediaPhashStage,
+                                           media_from_documents,
+                                           phash_neardups)
+
+    sigs = media_from_documents(sf_dir).map_batches(
+        MediaPhashStage(), batch_format="pandas", concurrency=2)
+
+    def augment(batch: pd.DataFrame) -> pd.DataFrame:
+        mid = batch["media_id"].astype("int64")
+        ph = batch["phash"].to_numpy(dtype=np.uint64)
+        near = (mid % 10 == 0).to_numpy()
+        flip = np.uint64(1) << (mid[near].to_numpy() % 60) \
+            .astype(np.uint64)
+        return pd.DataFrame({
+            "media_id": np.concatenate([mid, mid[near] + 100000]),
+            "phash": np.concatenate([ph, ph[near] ^ flip])})
+
+    return phash_neardups(sigs.map_batches(augment,
+                                           batch_format="pandas"))
+
+
 def _cdxj_lookup(sf_dir: str):
     """Range-partitioned CDXJ layout + pruned prefix lookup (the pywb
     CDX-server query path): only shards whose key range overlaps the
@@ -1401,6 +1430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revisit_dedup": _revisit_dedup,
         # multimodal plumbing
         "media_features": _media_features,
+        "media_phash_dups": _media_phash_dups,
     }
 
 
@@ -2923,6 +2953,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'response' AS rec_type, COUNT(*) AS n FROM documents
             UNION ALL
             SELECT 'revisit' AS rec_type, COUNT(*) AS n FROM documents
+        """,
+        # media_phash_dups: phash is md5-derived (same trick as
+        # media_features); banding is exact for Hamming<=3 by
+        # pigeonhole (4x16 bands), so brute-force SQL pairs match
+        "media_phash_dups": """
+            WITH base AS (
+              SELECT doc_id AS media_id,
+                     CAST(('0x' || substr(md5(text),1,16)) AS UBIGINT)
+                       AS phash
+              FROM documents),
+            aug AS (
+              SELECT media_id, phash FROM base
+              UNION ALL
+              SELECT media_id + 100000,
+                     xor(phash, CAST(1 AS UBIGINT) << (media_id % 60))
+              FROM base WHERE media_id % 10 = 0)
+            SELECT a.media_id AS a, b.media_id AS b
+            FROM aug a JOIN aug b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3
+            ORDER BY a, b
         """,
         "media_features": """
             SELECT doc_id AS media_id, 'image' AS kind,

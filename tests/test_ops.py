@@ -2031,3 +2031,54 @@ def test_trigram_nll_scores(ray_session):
     r0 = out[out["doc_id"] == 0].iloc[0]
     r1 = out[out["doc_id"] == 1].iloc[0]
     assert r0["nll_q"] / r0["n_trigrams"] < r1["nll_q"] / r1["n_trigrams"]
+
+
+def test_phash_neardups(ray_session):
+    """Perceptual-hash dedup: identical payloads pair (hamming 0),
+    1-bit flips pair (hamming 1), >max_hamming flips don't, and the
+    banding recall guarantee holds for every <=3-bit perturbation
+    position (pigeonhole over 4x16 bands)."""
+    import ray.data
+
+    from warcio_ray.ops.multimodal import MediaPhashStage, phash_neardups
+
+    base = np.uint64(0x0123456789ABCDEF)
+    rng = np.random.RandomState(3)
+    far = rng.randint(0, 2 ** 63, size=20, dtype=np.int64) \
+        .astype(np.uint64)  # random: almost surely > 3 bits apart
+    sigs = [(0, base), (1, base)]                      # exact dup
+    sigs += [(2, base ^ (np.uint64(1) << np.uint64(17)))]   # 1 bit
+    sigs += [(3, base ^ np.uint64(0b111))]             # 3 bits
+    sigs += [(4, base ^ (np.uint64(0b11111) << np.uint64(32)))]
+    # ^ 5 bits flipped, disjoint region: > max_hamming from everything
+    sigs += [(10 + i, h) for i, h in enumerate(far)]
+    df = pd.DataFrame({"media_id": [s[0] for s in sigs],
+                       "phash": np.array([s[1] for s in sigs],
+                                         dtype=np.uint64)})
+
+    out = phash_neardups(ray.data.from_pandas(df))
+    got = set(zip(out["a"], out["b"]))
+    assert {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3)} <= got
+    assert (2, 3) not in got  # bit 17 vs bits {0,1,2}: hamming 4
+    assert not any(4 in p for p in got)
+
+    # every 3-bit perturbation is recalled (banding never loses <=3)
+    ids, hashes = [100], [base]
+    for j, bits in enumerate([(5,), (5, 21), (5, 21, 47)]):
+        h = base
+        for b in bits:
+            h = h ^ (np.uint64(1) << np.uint64(b))
+        ids.append(101 + j)
+        hashes.append(h)
+    df2 = pd.DataFrame({"media_id": ids,
+                        "phash": np.array(hashes, dtype=np.uint64)})
+    out2 = phash_neardups(ray.data.from_pandas(df2).repartition(3))
+    got2 = set(zip(out2["a"], out2["b"]))
+    assert {(100, 101), (100, 102), (100, 103)} <= got2
+
+    # the fake phash stage is deterministic and md5-derived
+    import hashlib
+    media = pd.DataFrame({"media_id": [7], "payload": [b"hello"]})
+    sig = MediaPhashStage()(media)
+    assert sig["phash"].iloc[0] == np.uint64(
+        int(hashlib.md5(b"hello").hexdigest()[:16], 16))

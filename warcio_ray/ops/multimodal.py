@@ -233,3 +233,72 @@ def sample_frames(ds, n_frames: int = 4, concurrency: int = 2,
     return ds.map_batches(FrameSampleStage, batch_format="pandas",
                           batch_size=batch_size, concurrency=concurrency,
                           fn_constructor_kwargs={"n_frames": n_frames})
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-duplicate detection (image dedup)
+# ---------------------------------------------------------------------------
+
+class MediaPhashStage:
+    """Actor-pool stage: 64-bit perceptual hash per media row — the
+    image-dedup signature (real kernel: decode -> 9x8 grayscale ->
+    dHash).  ``fake=True`` derives the hash from the payload's md5
+    (SQL-expressible, exercising identical plumbing); ``fake=False``
+    raises until a codec library exists, like MediaDecodeStage."""
+
+    def __init__(self, fake: bool = True):
+        self.fake = fake
+        if not fake:
+            raise NotImplementedError(
+                "real dHash requires an image decoder, not present in "
+                "this environment — run with fake=True")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        hashes = np.fromiter(
+            (int(hashlib.md5(p or b"").hexdigest()[:16], 16)
+             for p in batch["payload"]),
+            dtype=np.uint64, count=len(batch))
+        return pd.DataFrame({
+            "media_id": batch["media_id"].astype("int64"),
+            "phash": hashes})
+
+
+def phash_neardups(sig_ds, max_hamming: int = 3,
+                   max_bucket: int = 512) -> pd.DataFrame:
+    """(media_id, phash uint64) -> sorted near-duplicate pairs (a, b)
+    with Hamming(phash_a, phash_b) <= ``max_hamming`` — image dedup
+    over perceptual hashes, REUSING the simhash machinery wholesale
+    (4x16 band melt -> ONE hash shuffle of capped bucket partitions ->
+    distributed pair dedup -> vectorized Hamming verify): by pigeonhole
+    any pair within Hamming 3 shares at least one untouched 16-bit
+    band, so banding loses nothing.  Scale shape identical to
+    simhash_dedup; drop accounting in ``attrs['lsh_dropped_ids']``."""
+    from warcio_ray.ops.dedup import (_dedup_pairs, candidate_pairs,
+                                      hamming64, melt_simhash_bands)
+
+    def to_sig(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["media_id"].astype("int64"),
+            "simhash": batch["phash"].to_numpy(dtype=np.uint64)})
+
+    melted = sig_ds.map_batches(to_sig, batch_format="pandas") \
+        .map_batches(melt_simhash_bands, batch_format="pandas")
+    raw_pairs = candidate_pairs(melted, ["band_id", "band_key"],
+                                max_bucket, value_col="simhash")
+    deduped, n_dropped = _dedup_pairs(raw_pairs,
+                                      extra_cols=("val_a", "val_b"))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch[["a", "b"]]
+        keep = hamming64(batch["val_a"].to_numpy(dtype=np.uint64),
+                         batch["val_b"].to_numpy(dtype=np.uint64)) \
+            <= max_hamming
+        return batch[keep][["a", "b"]]
+
+    out = deduped.map_batches(verify, batch_format="pandas").to_pandas()
+    out = out.sort_values(["a", "b"]).reset_index(drop=True) if len(out) \
+        else pd.DataFrame({"a": pd.Series(dtype="int64"),
+                           "b": pd.Series(dtype="int64")})
+    out.attrs["lsh_dropped_ids"] = n_dropped
+    return out
