@@ -584,6 +584,37 @@ def _pagerank_5(sf_dir: str):
     return pagerank_ds(edges, nodes, iters=5)
 
 
+def _hits_2(sf_dir: str):
+    """HITS hubs/authorities (2 rounds) over the real extracted link
+    graph — exact-integer with bit-length down-shift normalization
+    (ops/graph.hits_ds); the oracle unrolls the half-steps."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from warcio_ray.ops.graph import hits_ds
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    edges = edge_urls.map_batches(to_ids, batch_format="pyarrow")
+    nodes = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]) \
+        .map_batches(lambda b: b.rename(columns={"doc_id": "node"}),
+                     batch_format="pandas")
+    return hits_ds(edges, nodes, rounds=2)
+
+
 def _linear_quality(sf_dir: str):
     import ray.data
 
@@ -1370,6 +1401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_20": _stratified_20,
         "pack_1024": _pack_1024,
         "linear_quality": _linear_quality,
+        "hits_2": _hits_2,
         "nb_langid": _nb_langid,
         "kl_drift": _kl_drift,
         "crawl_budgets": _crawl_budgets,
@@ -1545,6 +1577,49 @@ def _pagerank_sql(iters: int = 5, damping: int = 85,
                 FROM nd LEFT JOIN s{i} ON nd.node = s{i}.node)""")
     return ("WITH " + ",".join(ctes)
             + f" SELECT node, rank FROM r{iters}")
+
+
+def _hits_sql(rounds: int = 2, cap_bits: int = 40) -> str:
+    """Unrolled HITS half-steps mirroring warcio_ray.ops.graph.hits_ds
+    bit-for-bit: integer sums, down-shift by
+    max(0, bit_length(max) - cap_bits) with bit_length as
+    length(bin(m)) (bin() drops leading zeros; m=0 gives shift 0 on
+    both engines)."""
+    ctes = ["""
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        edges AS (
+          SELECT doc_id AS src,
+                 ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn)) AS dst
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE j < doc_id % 4),
+        h0 AS (SELECT doc_id AS node, 1::BIGINT AS v FROM documents)"""]
+    prev_h, prev_a = "h0", None
+    for r in range(1, rounds + 1):
+        for vec, srcc, dstc, state in ((f"a{r}", "src", "dst", None),
+                                       (f"h{r}", "dst", "src", None)):
+            src_state = prev_h if vec.startswith("a") else f"a{r}"
+            ctes.append(f"""
+        {vec}s AS (SELECT e.{dstc} AS node, SUM(st.v) AS s
+                   FROM edges e JOIN {src_state} st
+                     ON st.node = e.{srcc}
+                   GROUP BY e.{dstc}),
+        {vec}f AS (SELECT d.doc_id AS node,
+                          CAST(COALESCE(s.s, 0) AS BIGINT) AS v
+                   FROM documents d
+                   LEFT JOIN {vec}s s ON s.node = d.doc_id),
+        {vec}m AS (SELECT GREATEST(0,
+                     length(bin(MAX(v))) - {cap_bits}) AS sh
+                   FROM {vec}f WHERE v > 0),
+        {vec} AS (SELECT node,
+                         v >> COALESCE((SELECT sh FROM {vec}m), 0) AS v
+                  FROM {vec}f)""")
+        prev_h = f"h{r}"
+    return ("WITH " + ",".join(ctes)
+            + f""" SELECT h.node, CAST(h.v AS BIGINT) AS hub_q,
+                          CAST(a.v AS BIGINT) AS auth_q
+                   FROM h{rounds} h JOIN a{rounds} a USING (node)
+                   ORDER BY node""")
 
 
 def _kmeans_sql(k: int = 4, iters: int = 3, scale: int = 1 << 16,
@@ -1879,6 +1954,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "pagerank_5": _pagerank_sql(),
+        # hits_2: exact-integer HITS with down-shift normalization —
+        # unrolled generated CTE, bit-identical (hash compare)
+        "hits_2": _hits_sql(),
         # pq_top10: product quantization — unrolled generated CTE
         # (per-subspace Lloyd, codes, ADC table, integer top-10)
         "pq_top10": _pq_sql(),

@@ -2082,3 +2082,71 @@ def test_phash_neardups(ray_session):
     sig = MediaPhashStage()(media)
     assert sig["phash"].iloc[0] == np.uint64(
         int(hashlib.md5(b"hello").hexdigest()[:16], 16))
+
+
+def test_hits_ds(ray_session):
+    """HITS: broadcast and join paths are bit-equal, match an
+    in-process integer reference (including the down-shift rule), and
+    a pure hub/authority split ranks as expected."""
+    import ray.data
+
+    from warcio_ray.ops.graph import hits_ds
+
+    # hubs 0..2 each point at authorities 10..13; node 20 isolated
+    edges = [(h, a) for h in (0, 1, 2) for a in (10, 11, 12, 13)]
+    edges += [(0, 11), (1, 11)]  # 11 is the strongest authority
+    edf = pd.DataFrame({"src": [e[0] for e in edges],
+                        "dst": [e[1] for e in edges]})
+    nodes = [0, 1, 2, 10, 11, 12, 13, 20]
+    ndf = pd.DataFrame({"node": nodes})
+
+    out = hits_ds(ray.data.from_pandas(edf),
+                  ray.data.from_pandas(ndf), rounds=2) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    out_join = hits_ds(ray.data.from_pandas(edf).repartition(5),
+                       ray.data.from_pandas(ndf), rounds=2,
+                       broadcast_max_nodes=0) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out_join)
+
+    # in-process integer reference
+    import collections
+    h = {n: 1 for n in nodes}
+    a = {n: 0 for n in nodes}
+
+    def half(vals, direction):
+        acc = collections.defaultdict(int)
+        for s, d in edges:
+            if direction == "fwd":
+                acc[d] += vals[s]
+            else:
+                acc[s] += vals[d]
+        out = {n: acc.get(n, 0) for n in nodes}
+        m = max(out.values())
+        sh = max(0, int(m).bit_length() - 40)
+        return {n: v >> sh for n, v in out.items()}
+
+    for _ in range(2):
+        a = half(h, "fwd")
+        h = half(a, "bwd")
+    by = out.set_index("node")
+    for n in nodes:
+        assert (int(by.loc[n, "hub_q"]), int(by.loc[n, "auth_q"])) \
+            == (h[n], a[n]), n
+
+    assert by.loc[11, "auth_q"] > by.loc[10, "auth_q"]
+    assert by.loc[20, "hub_q"] == 0 and by.loc[20, "auth_q"] == 0
+    # hubs 0 and 1 (extra edge each) outrank hub 2
+    assert by.loc[0, "hub_q"] > by.loc[2, "hub_q"]
+
+    # down-shift actually fires on a dense graph (values would blow up)
+    k = 60
+    dense = pd.DataFrame(
+        {"src": np.repeat(np.arange(k), k),
+         "dst": np.tile(np.arange(k), k)})
+    nd2 = pd.DataFrame({"node": np.arange(k)})
+    big = hits_ds(ray.data.from_pandas(dense),
+                  ray.data.from_pandas(nd2), rounds=4) \
+        .to_pandas()
+    assert (big["hub_q"] < (1 << 41)).all()
+    assert (big["hub_q"] > 0).all()

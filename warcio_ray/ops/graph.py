@@ -41,7 +41,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
-__all__ = ["pagerank_ds", "DEFAULT_SCALE"]
+__all__ = ["pagerank_ds", "hits_ds", "DEFAULT_SCALE"]
 
 DEFAULT_SCALE = 10 ** 12
 
@@ -302,3 +302,135 @@ def anchor_stats(pages_ds, num_partitions=None):
         Sum("c", alias_name="n_anchors"),
         Count(alias_name="n_distinct_anchors"),
         Min("anchor", alias_name="min_anchor"))
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities (Kleinberg 1999) — the second classic link
+# algorithm, exact-integer like pagerank_ds
+# ---------------------------------------------------------------------------
+
+def hits_ds(edges_ds, nodes_ds, rounds: int = 2, cap_bits: int = 40,
+            num_partitions: Optional[int] = None,
+            broadcast_max_nodes: int = 2_000_000):
+    """HITS: per round  a(v) = Σ_{u→v} h(u)  then  h(u) = Σ_{u→v} a(v).
+
+    Exactness: HITS' usual L2 normalization is float — instead each
+    half-step DOWN-SHIFTS every value by
+    ``max(0, bit_length(max_value) - cap_bits)`` (an exact integer
+    halving chosen from an exact integer max), which bounds growth the
+    way normalization does while keeping every update integer, hence
+    bit-identical at any partitioning and SQL-replayable (DuckDB
+    mirrors bit_length as ``length(bin(m))``). Relative order per
+    vector is preserved exactly; only the shared scale changes, which
+    is all HITS' ranking semantics promise anyway.
+
+    Scale shape mirrors pagerank_ds: below ``broadcast_max_nodes`` the
+    two O(n) vectors live on the driver and each half-step is ONE edge
+    scan folded through the tree-aggregate combiner; above it each
+    half-step is one edges⋈state hash join + one groupby integer sum
+    (ids + int64 only), max via an exact Dataset.max, driver state
+    O(1).  Returns a Dataset of (node, hub_q, auth_q)."""
+    import ray
+    import ray.data
+
+    from warcio_ray.ops.blocks import (arrow_blocks, safe_join,
+                                       tree_aggregate)
+
+    if num_partitions is None:
+        num_partitions = _adaptive_partitions()
+    edges_ds = edges_ds.materialize()
+    n = nodes_ds.count()
+    if n == 0:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"node": pd.Series(dtype="int64"),
+             "hub_q": pd.Series(dtype="int64"),
+             "auth_q": pd.Series(dtype="int64")}))
+
+    def _shift_of(m: int) -> int:
+        return max(0, int(m).bit_length() - cap_bits)
+
+    if n <= broadcast_max_nodes:
+        nodes = nodes_ds.to_pandas()["node"].to_numpy(dtype="int64")
+        nodes = np.sort(nodes)
+        h = np.ones(len(nodes), dtype=np.int64)
+        a = np.zeros(len(nodes), dtype=np.int64)
+
+        def half_step(vals: np.ndarray, src_col: str,
+                      dst_col: str) -> np.ndarray:
+            ref = ray.put((nodes, vals))
+
+            def contrib(batch: pd.DataFrame) -> pd.DataFrame:
+                ns, vs = ray.get(ref)
+                src = batch[src_col].to_numpy(dtype="int64")
+                p = np.clip(np.searchsorted(ns, src), 0, len(ns) - 1)
+                keep = ns[p] == src
+                dst = batch[dst_col].to_numpy(dtype="int64")[keep]
+                ud, inv = np.unique(dst, return_inverse=True)
+                acc = np.zeros(len(ud), dtype=np.int64)
+                np.add.at(acc, inv, vs[p][keep])
+                return pd.DataFrame({"k": ud, "v": acc})
+
+            summed = tree_aggregate(
+                edges_ds.map_batches(contrib, batch_format="pandas"),
+                ["k"], sums=("v",))
+            out = np.zeros(len(nodes), dtype=np.int64)
+            if len(summed):
+                ks = summed["k"].to_numpy(dtype="int64")
+                p = np.clip(np.searchsorted(nodes, ks), 0,
+                            len(nodes) - 1)
+                keep = nodes[p] == ks
+                out[p[keep]] = summed["v"].to_numpy(dtype="int64")[keep]
+            m = int(out.max()) if len(out) else 0
+            return out >> np.int64(_shift_of(m))
+
+        for _ in range(rounds):
+            a = half_step(h, "src", "dst")   # authorities from hubs
+            h = half_step(a, "dst", "src")   # hubs from authorities
+        return ray.data.from_pandas(pd.DataFrame(
+            {"node": nodes, "hub_q": h, "auth_q": a}))
+
+    # join path: state Datasets (node, v); same integer math
+    state = nodes_ds.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].astype("int64"),
+                                "v": np.int64(1)}),
+        batch_format="pandas")
+
+    def half_step_join(state_ds, src_col: str, dst_col: str):
+        from ray.data.aggregate import Sum
+
+        joined = safe_join(edges_ds, state_ds, "inner", num_partitions,
+                           (src_col,), right_on=("node",))
+        summed = arrow_blocks(joined).groupby(dst_col) \
+            .aggregate(Sum("v", alias_name="s"))
+        out = safe_join(nodes_ds, summed, "left_outer", num_partitions,
+                        ("node",), right_on=(dst_col,))
+
+        def stamp(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": batch["node"].astype("int64"),
+                "v": batch["s"].fillna(0).astype("int64")})
+
+        out = out.map_batches(stamp, batch_format="pandas") \
+            .materialize()
+        m = int(out.max("v") or 0)
+        sh = _shift_of(m)
+        if sh:
+            out = out.map_batches(
+                lambda b, s=sh: b.assign(v=b["v"].to_numpy() >> s),
+                batch_format="pandas")
+        return out
+
+    auth = state
+    hub = state
+    for _ in range(rounds):
+        auth = half_step_join(hub, "src", "dst")
+        hub = half_step_join(auth, "dst", "src")
+    merged = safe_join(
+        hub.map_batches(lambda b: b.rename(columns={"v": "hub_q"}),
+                        batch_format="pandas"),
+        auth.map_batches(lambda b: b.rename(columns={"v": "auth_q"}),
+                         batch_format="pandas"),
+        "inner", num_partitions, ("node",))
+    return merged.map_batches(
+        lambda b: b[["node", "hub_q", "auth_q"]].astype("int64"),
+        batch_format="pandas")
