@@ -664,6 +664,19 @@ def _crawl_budgets(sf_dir: str):
     return apportion_budget(weights, budget=1000)
 
 
+def _rendezvous_16(sf_dir: str):
+    """Rendezvous-hash shard assignment (consistent sharding for
+    resumable output): argmax over md5(id|shard) weights
+    (ops/textstats.rendezvous_shards)."""
+    import ray.data
+
+    from warcio_ray.ops.textstats import rendezvous_shards
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    return rendezvous_shards(ds, n_shards=16)
+
+
 def _kl_drift(sf_dir: str):
     """Per-lang token-distribution drift vs the corpus: exact-integer
     KL over add-1-smoothed hashed unigram histograms (2^40-quantized
@@ -1405,6 +1418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_langid": _nb_langid,
         "kl_drift": _kl_drift,
         "crawl_budgets": _crawl_budgets,
+        "rendezvous_16": _rendezvous_16,
         "pagerank_5": _pagerank_5,
         "hll_lang_tokens": _hll_lang_tokens,
         "cms_probe_counts": _cms_probe_counts,
@@ -2241,6 +2255,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(base + CASE WHEN rk < l.lo THEN 1 ELSE 0 END
                         AS BIGINT) AS quota
             FROM r CROSS JOIN l ORDER BY host
+        """,
+        # rendezvous_16: HRW argmax replayed as a row_number window
+        # over the same md5 weights; ties (never in practice) pin to
+        # the lowest shard on both engines
+        "rendezvous_16": """
+            SELECT doc_id, shard FROM (
+              SELECT doc_id, shard, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY w DESC, shard) AS rn
+              FROM (
+                SELECT doc_id, s.shard,
+                       CAST(('0x' || substr(md5(
+                           CAST(doc_id AS VARCHAR) || '|' ||
+                           CAST(s.shard AS VARCHAR)), 1, 8)) AS BIGINT)
+                         AS w
+                FROM documents
+                CROSS JOIN (SELECT unnest(range(16)) AS shard) s))
+            WHERE rn = 1 ORDER BY doc_id
         """,
         # kl_drift: per-bucket KL terms quantized at 2^40 and summed as
         # integers — the float kl column is the exact integer / 2^40

@@ -2150,3 +2150,30 @@ def test_hits_ds(ray_session):
         .to_pandas()
     assert (big["hub_q"] < (1 << 41)).all()
     assert (big["hub_q"] > 0).all()
+
+
+def test_rendezvous_shards(ray_session):
+    """HRW sharding: deterministic at any partitioning, balanced-ish,
+    and growing n_shards moves ONLY keys won by the new shard (the
+    consistent-hashing property mod-n lacks)."""
+    import ray.data
+
+    from warcio_ray.ops.textstats import rendezvous_shards
+
+    df = pd.DataFrame({"doc_id": np.arange(800, dtype="int64")})
+    a = rendezvous_shards(ray.data.from_pandas(df), n_shards=8) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = rendezvous_shards(ray.data.from_pandas(df).repartition(7),
+                          n_shards=8) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["shard"]) == set(range(8))
+    # no shard hogs the corpus (md5 weights are uniform)
+    assert a["shard"].value_counts().max() < 800 * 0.3
+
+    grown = rendezvous_shards(ray.data.from_pandas(df), n_shards=9) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    moved = (a["shard"].to_numpy() != grown["shard"].to_numpy())
+    # every moved key moved TO the new shard, and ~1/9 of keys moved
+    assert (grown["shard"].to_numpy()[moved] == 8).all()
+    assert 0.03 < moved.mean() < 0.25

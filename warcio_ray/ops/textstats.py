@@ -831,3 +831,31 @@ def trigram_nll_scores(ds, vocab_size: int = 1024) -> "object":
                              "n_trigrams": nt})
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def rendezvous_shards(ds, n_shards: int = 16, id_col: str = "doc_id"):
+    """Rendezvous (highest-random-weight, Thaler & Ravishankar 1998)
+    shard assignment: every row goes to the shard s maximizing
+    md5(id || '|' || s) — the consistent-sharding primitive for
+    resumable partitioned output (adding a shard moves only ~1/n of
+    keys, unlike mod-n which moves almost all of them).
+
+    Stateless zero-shuffle scan; deterministic at any parallelism and
+    recomputable in SQL (row_number over the same md5 weights). Ties
+    break toward the LOWEST shard id (md5 collisions across shard
+    suffixes are astronomically unlikely but the rule is pinned for
+    engine parity). Returns (id_col, shard)."""
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].astype("int64")
+        w = np.empty((len(ids), n_shards), dtype=np.int64)
+        for s in range(n_shards):
+            w[:, s] = np.fromiter(
+                (int(hashlib.md5(f"{int(i)}|{s}".encode())
+                     .hexdigest()[:8], 16) for i in ids),
+                dtype="int64", count=len(ids))
+        # argmax takes the FIRST maximum -> lowest shard id on ties
+        return pd.DataFrame({id_col: ids.to_numpy(),
+                             "shard": np.argmax(w, axis=1)
+                             .astype("int64")})
+
+    return ds.map_batches(assign, batch_format="pandas")
