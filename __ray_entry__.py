@@ -772,11 +772,31 @@ def _simhash_pairs(sf_dir: str):
 
 
 def _embedding_neardup(sf_dir: str):
+    """Hyperplane-LSH near-dup pairs. The corpus has no natural pairs
+    at this threshold (the r2 entry matched a 0==0 oracle), so every
+    vec_id % 25 == 0 now gets a planted near-copy at id+100000
+    (x*1.001+0.0001, cos ~0.9999995 — mirrored in SQL) to exercise
+    banding, capped candidates, join-back and verify on real rows."""
+    import numpy as np
+    import pandas as pd
     import ray.data
 
     from warcio_ray.ops.knn import embedding_neardup
+
+    def augment(batch: pd.DataFrame) -> pd.DataFrame:
+        vid = batch["vec_id"].astype("int64")
+        vecs = [np.asarray(v, dtype=np.float64)
+                for v in batch["embedding"]]
+        near = vid % 25 == 0
+        return pd.DataFrame({
+            "vec_id": pd.Series(list(vid) + list(vid[near] + 100000),
+                                dtype="int64"),
+            "embedding": vecs + [v * 1.001 + 0.0001
+                                 for v, m in zip(vecs, near) if m]})
+
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+                               columns=["vec_id", "embedding"]) \
+        .map_batches(augment, batch_format="pandas")
     out = embedding_neardup(ds, threshold=0.8)
     return out[["a", "b"]]
 
@@ -2525,10 +2545,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, MIN(r) AS cluster_id
             FROM reach GROUP BY node
         """,
+        # embedding_neardup: planted near-copies mirrored verbatim; at
+        # cos ~0.9999995 the 4x8-bit hyperplane bands recall every
+        # planted pair (flip prob per plane ~1e-4), and the corpus has
+        # no natural pairs near the 0.8 boundary, so brute-force SQL
+        # equals the LSH output
         "embedding_neardup": """
+            WITH aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id,
+                     list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * 1.001 + 0.0001)
+                       AS embedding
+              FROM embeddings WHERE vec_id % 25 = 0)
             SELECT a.vec_id AS a, b.vec_id AS b
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+            ORDER BY a, b
         """,
         "extract_text_verify": """
             SELECT COUNT(*) AS match_count, 0 AS mismatch_count
