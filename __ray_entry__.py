@@ -664,6 +664,39 @@ def _crawl_budgets(sf_dir: str):
     return apportion_budget(weights, budget=1000)
 
 
+def _snapshot_delta(sf_dir: str):
+    """Recrawl snapshot diff: snapshot B simulates a recrawl of the
+    documents table (doc_id % 11 == 0 removed; % 7 == 0 changed via a
+    ' v2' suffix; % 13 == 0 re-added under id+100000 with fresh text),
+    and the delta emits one row per difference
+    (ops/dedup.snapshot_delta; mirrored verbatim in SQL)."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.dedup import snapshot_delta
+
+    old = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"])
+
+    def recrawl(batch: pd.DataFrame) -> pd.DataFrame:
+        did = batch["doc_id"].astype("int64")
+        keep = (did % 11 != 0).to_numpy()
+        text = batch["text"].fillna("").where(
+            (did % 7 != 0).to_numpy(),
+            batch["text"].fillna("") + " v2")
+        base = pd.DataFrame({"doc_id": did.to_numpy()[keep],
+                             "text": text.to_numpy()[keep]})
+        new_mask = (did % 13 == 0).to_numpy()
+        added = pd.DataFrame({
+            "doc_id": did.to_numpy()[new_mask] + 100000,
+            "text": ("new doc " + did[new_mask].astype(str))
+            .to_numpy()})
+        return pd.concat([base, added], ignore_index=True)
+
+    new = old.map_batches(recrawl, batch_format="pandas")
+    return snapshot_delta(old, new)
+
+
 def _rendezvous_16(sf_dir: str):
     """Rendezvous-hash shard assignment (consistent sharding for
     resumable output): argmax over md5(id|shard) weights
@@ -1439,6 +1472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kl_drift": _kl_drift,
         "crawl_budgets": _crawl_budgets,
         "rendezvous_16": _rendezvous_16,
+        "snapshot_delta": _snapshot_delta,
         "pagerank_5": _pagerank_5,
         "hll_lang_tokens": _hll_lang_tokens,
         "cms_probe_counts": _cms_probe_counts,
@@ -2275,6 +2309,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(base + CASE WHEN rk < l.lo THEN 1 ELSE 0 END
                         AS BIGINT) AS quota
             FROM r CROSS JOIN l ORDER BY host
+        """,
+        # snapshot_delta: the simulated recrawl is replayed verbatim;
+        # changed = same id, different md5; ' v2' suffix on %7 ids
+        # (except the %11 removals which never reach snapshot B)
+        "snapshot_delta": """
+            WITH newsnap AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN COALESCE(text, '') || ' v2'
+                          ELSE COALESCE(text, '') END AS text
+              FROM documents WHERE doc_id % 11 != 0
+              UNION ALL
+              SELECT doc_id + 100000,
+                     'new doc ' || CAST(doc_id AS VARCHAR)
+              FROM documents WHERE doc_id % 13 = 0),
+            o AS (SELECT doc_id, md5(COALESCE(text, '')) AS h
+                  FROM documents),
+            n AS (SELECT doc_id, md5(text) AS h FROM newsnap)
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id
+            WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h != n.h
+            ORDER BY doc_id
         """,
         # rendezvous_16: HRW argmax replayed as a row_number window
         # over the same md5 weights; ties (never in practice) pin to

@@ -2177,3 +2177,25 @@ def test_rendezvous_shards(ray_session):
     # every moved key moved TO the new shard, and ~1/9 of keys moved
     assert (grown["shard"].to_numpy()[moved] == 8).all()
     assert 0.03 < moved.mean() < 0.25
+
+
+def test_snapshot_delta(ray_session):
+    """Recrawl diff: added/removed/changed classified exactly,
+    unchanged docs emit nothing, partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.dedup import snapshot_delta
+
+    old = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                        "text": ["a", "b", "c", "d"]})
+    new = pd.DataFrame({"doc_id": [2, 3, 4, 9],
+                        "text": ["b", "c CHANGED", "d", "fresh"]})
+    out = snapshot_delta(ray.data.from_pandas(old),
+                         ray.data.from_pandas(new)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out2 = snapshot_delta(ray.data.from_pandas(old).repartition(3),
+                          ray.data.from_pandas(new).repartition(2)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+    assert list(zip(out["doc_id"], out["status"])) == [
+        (1, "removed"), (3, "changed"), (9, "added")]

@@ -1275,3 +1275,54 @@ def lsh_layout_neardups(layout_dir: str, probes: pd.DataFrame, docs_ds,
                                     "b": pd.Series(dtype="int64")})
     out.attrs["lsh_dropped_candidates"] = dropped
     return out
+
+
+def snapshot_delta(old_ds, new_ds, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   num_partitions: int = 32):
+    """Crawl-snapshot diff — the recrawl monitoring primitive: compare
+    two snapshots by content hash and emit one row per difference,
+    ``(id, status)`` with status in {'added', 'removed', 'changed'}
+    (unchanged docs emit nothing, so the result is O(churn), not
+    O(corpus)).
+
+    Scale shape: each side projects to (id, md5-hash, side) — text
+    never shuffles — then ONE id-hash-partitioned shuffle groups both
+    sides' key rows; inside a partition the diff is a vectorized
+    pandas outer merge (the pair-partition idiom: O(#ids/partitions)
+    per task, no per-id groups, no Dataset full-outer join)."""
+    from warcio_ray.ops.blocks import drop_empty_blocks
+
+    def keyed(side: int):
+        def project(batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch[id_col].astype("int64")
+            out = add_md5_batch(
+                pd.DataFrame({id_col: ids, "text": batch[text_col]}))
+            return pd.DataFrame({
+                id_col: ids.to_numpy(),
+                "h": out["text_hash"],
+                "side": np.int64(side),
+                "_part": (ids.to_numpy() % num_partitions)})
+        return project
+
+    rows = drop_empty_blocks(
+        old_ds.map_batches(keyed(0), batch_format="pandas")
+        .union(new_ds.map_batches(keyed(1), batch_format="pandas")))
+
+    def diff_partition(grp: pd.DataFrame) -> pd.DataFrame:
+        o = grp[grp["side"] == 0][[id_col, "h"]]
+        n = grp[grp["side"] == 1][[id_col, "h"]]
+        m = o.merge(n, on=id_col, how="outer", suffixes=("_o", "_n"))
+        added = m["h_o"].isna()
+        removed = m["h_n"].isna()
+        changed = (~added) & (~removed) & (m["h_o"] != m["h_n"])
+        status = np.where(added, "added",
+                          np.where(removed, "removed",
+                                   np.where(changed, "changed", "")))
+        keep = status != ""
+        return pd.DataFrame({
+            id_col: m[id_col].to_numpy(dtype="int64")[keep],
+            "status": status[keep]})
+
+    return rows.groupby("_part").map_groups(diff_partition,
+                                            batch_format="pandas")
