@@ -386,7 +386,12 @@ def run_bench() -> dict:
                            ("nb_langid", "op_nb_s"),
                            ("kl_drift", "op_kl_s"),
                            ("crawl_budgets", "op_budget_s"),
-                           ("cdxj_lookup", "op_cdxjlk_s")):
+                           ("cdxj_lookup", "op_cdxjlk_s"),
+                           ("trigram_nll", "op_trigram_s"),
+                           ("hits_2", "op_hits_s"),
+                           ("media_phash_dups", "op_phash_s"),
+                           ("export_packed", "op_export_s"),
+                           ("snapshot_delta", "op_snapdelta_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \

@@ -79,3 +79,21 @@ def test_cli_wet_wat(ray_session, capsys, tmp_path):
     wat = read_warc(sorted(glob.glob(wat_dir + "/*.warc.gz"))).to_pandas()
     assert (wet.rec_type == "conversion").all() and len(wet) > 0
     assert (wat.rec_type == "metadata").all() and len(wat) == len(wet)
+
+
+def test_cli_cdxj(ray_session, capsys, tmp_path):
+    from warcio_ray.cli import main
+
+    layout = str(tmp_path / "cdxj")
+    assert main(["cdxj", golden("valid.warc.gz"), layout]) == 0
+    assert os.path.exists(os.path.join(layout, "manifest.json"))
+    captured = capsys.readouterr()
+    assert "built CDXJ layout" in captured.out
+
+    assert main(["cdxj", golden("valid.warc.gz"), layout,
+                 "--lookup", "com,example)/page/1"]) == 0
+    captured = capsys.readouterr()
+    lines = [l for l in captured.out.splitlines() if l.strip()]
+    assert lines and all(
+        l.startswith("com,example)/page/1 ") for l in lines)
+    assert "valid.warc.gz" in lines[0]

@@ -117,6 +117,21 @@ def cmd_wat(args) -> int:
     return 0
 
 
+def cmd_cdxj(args) -> int:
+    from warcio_ray.pipelines.index import build_cdxj_layout, cdxj_lookup
+
+    _ray_session()
+    if args.lookup is None:
+        build_cdxj_layout(args.inputs, args.layout, force=args.force)
+        print(f"built CDXJ layout at {args.layout}")
+        return 0
+    build_cdxj_layout(args.inputs, args.layout, force=args.force)
+    rows = cdxj_lookup(args.layout, [args.lookup])
+    for _, r in rows.iterrows():
+        print(f"{r.surt_key} {r.ts14} {r.url} {r.filename} {r.offset}")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="warcio_ray")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -149,6 +164,15 @@ def main(argv=None) -> int:
     p.add_argument("output")
     p.add_argument("--no-gzip", action="store_true")
     p.set_defaults(func=cmd_wat)
+
+    p = sub.add_parser("cdxj", help="range-partitioned CDXJ capture "
+                       "layout (+ optional prefix lookup)")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("layout")
+    p.add_argument("--lookup", default=None,
+                   help="SURT prefix to query after building")
+    p.add_argument("--force", action="store_true")
+    p.set_defaults(func=cmd_cdxj)
 
     p = sub.add_parser("extract", help="extract one record by offset")
     p.add_argument("filename")
