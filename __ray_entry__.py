@@ -697,6 +697,30 @@ def _snapshot_delta(sf_dir: str):
     return snapshot_delta(old, new)
 
 
+def _recrawl_schedule(sf_dir: str):
+    """Adaptive revisit intervals from the simulated recrawl delta:
+    changed URLs halve their interval, added start at the base,
+    removed tombstone to 0 (frontier/budget.recrawl_schedule over
+    ops/dedup.snapshot_delta). prev_days rides along deterministically
+    as 1 << (doc_id % 7) days, so the min clamp fires on prev=1 rows
+    (the doubling branch and max clamp are unit-tested — a delta never
+    carries 'unchanged' rows)."""
+    import pandas as pd
+
+    from warcio_ray.frontier.budget import recrawl_schedule
+
+    delta = _snapshot_delta(sf_dir)
+
+    def with_prev(batch: pd.DataFrame) -> pd.DataFrame:
+        did = batch["doc_id"].astype("int64")
+        batch = batch.copy()
+        batch["prev_days"] = (2 ** (did % 7)).astype("int64")
+        return batch
+
+    return recrawl_schedule(
+        delta.map_batches(with_prev, batch_format="pandas"))
+
+
 def _rendezvous_16(sf_dir: str):
     """Rendezvous-hash shard assignment (consistent sharding for
     resumable output): argmax over md5(id|shard) weights
@@ -1473,6 +1497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_budgets": _crawl_budgets,
         "rendezvous_16": _rendezvous_16,
         "snapshot_delta": _snapshot_delta,
+        "recrawl_schedule": _recrawl_schedule,
         "pagerank_5": _pagerank_5,
         "hll_lang_tokens": _hll_lang_tokens,
         "cms_probe_counts": _cms_probe_counts,
@@ -2334,6 +2359,44 @@ def oracle_sql() -> dict[str, str]:
             FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id
             WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h != n.h
             ORDER BY doc_id
+        """,
+        # recrawl_schedule: the delta CTE composed with the integer
+        # halve/double/clamp policy; prev_days = 1 << (doc_id % 7)
+        "recrawl_schedule": """
+            WITH newsnap AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN COALESCE(text, '') || ' v2'
+                          ELSE COALESCE(text, '') END AS text
+              FROM documents WHERE doc_id % 11 != 0
+              UNION ALL
+              SELECT doc_id + 100000,
+                     'new doc ' || CAST(doc_id AS VARCHAR)
+              FROM documents WHERE doc_id % 13 = 0),
+            o AS (SELECT doc_id, md5(COALESCE(text, '')) AS h
+                  FROM documents),
+            n AS (SELECT doc_id, md5(text) AS h FROM newsnap),
+            delta AS (
+              SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                     CASE WHEN o.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'removed'
+                          ELSE 'changed' END AS status
+              FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id
+              WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+                 OR o.h != n.h),
+            prevd AS (
+              SELECT doc_id, status,
+                     CAST(1 << (doc_id % 7) AS BIGINT) AS prev_days
+              FROM delta)
+            SELECT doc_id,
+                   CAST(CASE
+                     WHEN status = 'added' THEN 7
+                     WHEN status = 'removed' THEN 0
+                     WHEN status = 'changed'
+                       THEN GREATEST(1, prev_days // 2)
+                     ELSE LEAST(64, prev_days * 2) END AS BIGINT)
+                     AS next_days
+            FROM prevd ORDER BY doc_id
         """,
         # rendezvous_16: HRW argmax replayed as a row_number window
         # over the same md5 weights; ties (never in practice) pin to

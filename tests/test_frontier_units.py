@@ -195,3 +195,26 @@ def test_apportion_budget(ray_session):
                       "w": pd.Series(dtype="int64")})), budget=5) \
         .to_pandas()
     assert len(empty) == 0
+
+
+def test_recrawl_schedule(ray_session):
+    """Adaptive revisit policy: halve on change (min clamp), double on
+    no-change (max clamp), base for added, 0 tombstone for removed."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.frontier.budget import recrawl_schedule
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "status": ["changed", "changed", "unchanged", "unchanged",
+                   "added", "removed"],
+        "prev_days": [8, 1, 40, 64, 99, 16]})
+    out = recrawl_schedule(ray.data.from_pandas(df)) \
+        .to_pandas().sort_values("doc_id")
+    assert out["next_days"].tolist() == [4, 1, 64, 64, 7, 0]
+
+    # without prev_days every row starts from the base interval
+    out2 = recrawl_schedule(ray.data.from_pandas(
+        df[["doc_id", "status"]])).to_pandas().sort_values("doc_id")
+    assert out2["next_days"].tolist() == [3, 3, 14, 14, 7, 0]

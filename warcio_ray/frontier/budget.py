@@ -30,7 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["apportion_budget"]
+__all__ = ["apportion_budget", "recrawl_schedule"]
 
 
 def apportion_budget(ds, budget: int, key_col: str = "host",
@@ -103,3 +103,42 @@ def apportion_budget(ds, budget: int, key_col: str = "host",
 
     return keyed.groupby("bucket").map_groups(grant_group,
                                               batch_format="pandas")
+
+
+def recrawl_schedule(ds, status_col: str = "status",
+                     id_col: str = "doc_id",
+                     base_days: int = 7, min_days: int = 1,
+                     max_days: int = 64):
+    """Freshness scheduler — the adaptive-revisit policy (Cho &
+    Garcia-Molina 2003 shape) driven by a snapshot delta
+    (ops/dedup.snapshot_delta): per URL, the next revisit interval
+    halves when the last recrawl saw a change and doubles when it
+    didn't, clamped to [min_days, max_days]; 'added' URLs start at
+    ``base_days``, 'removed' URLs leave the schedule (emitted with
+    interval 0 so downstream can tombstone them).
+
+    All-integer (halving/doubling/clamping of day counts), so the
+    schedule is deterministic at any parallelism and SQL-mirrorable.
+    Stateless zero-shuffle scan over the delta — at 100 TB the input
+    is the O(churn) delta table, never the corpus. Input rows carry
+    (id, status, prev_days); rows for unchanged URLs (absent from a
+    delta) are the caller's to supply when doubling matters — the
+    composed query feeds delta rows where prev_days rides along.
+    Returns (id, next_days)."""
+    import pandas as pd
+    import numpy as np
+
+    def sched(batch: pd.DataFrame) -> pd.DataFrame:
+        prev = batch["prev_days"].to_numpy(dtype="int64") \
+            if "prev_days" in batch.columns \
+            else np.full(len(batch), base_days, dtype=np.int64)
+        status = batch[status_col]
+        nxt = np.where(status == "changed",
+                       np.maximum(min_days, prev // 2),
+                       np.minimum(max_days, prev * 2)).astype("int64")
+        nxt = np.where(status == "added", base_days, nxt)
+        nxt = np.where(status == "removed", 0, nxt).astype("int64")
+        return pd.DataFrame({id_col: batch[id_col].astype("int64"),
+                             "next_days": nxt})
+
+    return ds.map_batches(sched, batch_format="pandas")
