@@ -1,0 +1,55 @@
+"""Driver-contract invariants: queries()/oracle_sql() registries stay
+consistent without running any pipeline (cheap structural guards)."""
+
+import importlib.util
+import os
+import sys
+
+
+def _entry():
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "__ray_entry__.py")
+    spec = importlib.util.spec_from_file_location("_entry_mod", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["_entry_mod"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_registry_consistency():
+    mod = _entry()
+    q = mod.queries()
+    o = mod.oracle_sql()
+    # every oracle belongs to a registered query
+    assert set(o) <= set(q), sorted(set(o) - set(q))
+    # the rows-only set is exactly the documented three
+    assert sorted(set(q) - set(o)) == [
+        "bpe_encode_counts", "bpe_merges_30", "crawl_order"]
+    # every query is callable, every oracle a non-empty SQL string
+    assert all(callable(f) for f in q.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper()
+               for s in o.values())
+    # no duplicate registrations lost to dict collisions: the module
+    # defines one _<name> function per query key it registers
+    assert len(q) == len(set(q))
+
+
+def test_oracle_sql_parses():
+    """Every oracle must at least PREPARE in DuckDB against empty
+    tables with the production schemas (catches SQL typos without
+    paying the full data run)."""
+    import duckdb
+
+    mod = _entry()
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet') LIMIT 0")
+    for name, sql in mod.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"oracle {name} fails to plan: {e}")
