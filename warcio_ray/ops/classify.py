@@ -171,6 +171,10 @@ def naive_bayes_train_predict(ds, text_col: str = "text",
     folded = tree_aggregate(ds.map_batches(cell_counts,
                                            batch_format="pandas"),
                             key_cols=[label_col, "tidx"], sums=("n",))
+    if folded[label_col].isna().any():
+        raise ValueError(
+            "naive_bayes_train_predict needs non-null labels (drop or "
+            "impute null rows first)")
     labels = sorted(folded[label_col].unique())
     if len(labels) < 2:
         raise ValueError("naive_bayes_train_predict needs >= 2 labels")
