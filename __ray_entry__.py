@@ -615,6 +615,32 @@ def _hits_2(sf_dir: str):
     return hits_ds(edges, nodes, rounds=2)
 
 
+def _host_graph(sf_dir: str):
+    """Host-level webgraph (the Common Crawl webgraph artifact):
+    doc-level edges from the real html collapse to weighted host
+    edges (ops/graph.host_graph)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from warcio_ray.ops.graph import host_graph
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    edges = edge_urls.map_batches(to_ids, batch_format="pyarrow")
+    return host_graph(edges, _host_series)
+
+
 def _linear_quality(sf_dir: str):
     import ray.data
 
@@ -1492,6 +1518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_1024": _pack_1024,
         "linear_quality": _linear_quality,
         "hits_2": _hits_2,
+        "host_graph": _host_graph,
         "nb_langid": _nb_langid,
         "kl_drift": _kl_drift,
         "crawl_budgets": _crawl_budgets,
@@ -2050,6 +2077,23 @@ def oracle_sql() -> dict[str, str]:
         # hits_2: exact-integer HITS with down-shift normalization —
         # unrolled generated CTE, bit-identical (hash compare)
         "hits_2": _hits_sql(),
+        # host_graph: edges reconstructed from the doc_id link rule,
+        # hosts from the shared host CASE — plain weighted collapse
+        "host_graph": f"""
+            WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+            edges AS (
+              SELECT doc_id AS src,
+                     ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn))
+                       AS dst
+              FROM documents
+              CROSS JOIN (SELECT unnest(range(3)) AS j) js
+              WHERE j < doc_id % 4)
+            SELECT {_HOST_CASE.replace("doc_id", "src")} AS src_host,
+                   {_HOST_CASE.replace("doc_id", "dst")} AS dst_host,
+                   COUNT(*) AS n_links,
+                   COUNT(DISTINCT src) AS n_src_pages
+            FROM edges GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         # pq_top10: product quantization — unrolled generated CTE
         # (per-subspace Lloyd, codes, ADC table, integer top-10)
         "pq_top10": _pq_sql(),

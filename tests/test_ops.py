@@ -2199,3 +2199,32 @@ def test_snapshot_delta(ray_session):
     pd.testing.assert_frame_equal(out, out2)
     assert list(zip(out["doc_id"], out["status"])) == [
         (1, "removed"), (3, "changed"), (9, "added")]
+
+
+def test_host_graph(ray_session):
+    """Host-level collapse: link multiplicity and distinct-page counts
+    aggregate exactly, partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.graph import host_graph
+
+    # host rule: even ids -> a.example, odd -> b.example
+    def hosts(ids):
+        return np.where(ids % 2 == 0, "a.example", "b.example")
+
+    edges = pd.DataFrame({
+        "src": [0, 0, 0, 2, 1, 3],
+        "dst": [1, 1, 3, 5, 0, 2]})  # 0->odd x3, 2->odd, 1->even, 3->even
+    out = host_graph(ray.data.from_pandas(edges), hosts) \
+        .to_pandas().sort_values(["src_host", "dst_host"]) \
+        .reset_index(drop=True)
+    out2 = host_graph(ray.data.from_pandas(edges).repartition(4), hosts) \
+        .to_pandas().sort_values(["src_host", "dst_host"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+    by = out.set_index(["src_host", "dst_host"])
+    assert by.loc[("a.example", "b.example"), "n_links"] == 4
+    assert by.loc[("a.example", "b.example"), "n_src_pages"] == 2
+    assert by.loc[("b.example", "a.example"), "n_links"] == 2
+    assert by.loc[("b.example", "a.example"), "n_src_pages"] == 2

@@ -434,3 +434,45 @@ def hits_ds(edges_ds, nodes_ds, rounds: int = 2, cap_bits: int = 40,
     return merged.map_batches(
         lambda b: b[["node", "hub_q", "auth_q"]].astype("int64"),
         batch_format="pandas")
+
+
+def host_graph(edges_ds, host_of_src, host_of_dst=None):
+    """Host-level webgraph — the aggregation Common Crawl publishes as
+    its host/domain webgraph dataset: collapse doc-level (src, dst)
+    edges to weighted host edges (src_host, dst_host, n_links,
+    n_src_pages).
+
+    ``host_of_src`` maps an int64 id array to host strings (the pages
+    host rule); ``host_of_dst`` defaults to the same map. Scale shape:
+    the map runs inside the edge scan (doc ids never shuffle as
+    strings until they've been collapsed to per-batch distinct host
+    pairs — a map-side combine, since fan-in concentrates on few
+    hosts), then ONE hash aggregate over the host-pair key space;
+    n_src_pages is an exact distinct-count via a second narrow
+    aggregate of (pair, src) distinct rows."""
+    from ray.data.aggregate import Count, Sum
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    hod = host_of_dst or host_of_src
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        src = batch["src"].to_numpy(dtype="int64")
+        dst = batch["dst"].to_numpy(dtype="int64")
+        df = pd.DataFrame({"src_host": host_of_src(src),
+                           "dst_host": hod(dst),
+                           "src": src})
+        # map-side combine: per-batch (pair, src) distinct page rows
+        # with their link multiplicity
+        g = df.groupby(["src_host", "dst_host", "src"], sort=False) \
+            .size().reset_index(name="c")
+        return g
+
+    per_page = arrow_blocks(
+        edges_ds.map_batches(explode, batch_format="pandas")) \
+        .groupby(["src_host", "dst_host", "src"]) \
+        .aggregate(Sum("c", alias_name="c"))
+    out = arrow_blocks(per_page).groupby(["src_host", "dst_host"]) \
+        .aggregate(Sum("c", alias_name="n_links"),
+                   Count(alias_name="n_src_pages"))
+    return out
