@@ -615,6 +615,56 @@ def _hits_2(sf_dir: str):
     return hits_ds(edges, nodes, rounds=2)
 
 
+def _degree_hist(sf_dir: str):
+    """Out-degree distribution of the real link graph (isolated docs
+    included as degree 0): per-src counts are an UNBOUNDED key space
+    (one per page) so they run as the real arrow-blocks groupby; the
+    degree HISTOGRAM is bounded, so it folds through the tree combiner
+    and only O(#distinct degrees) rows reach the driver."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks, tree_aggregate
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_src(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch["src_url"], pa.large_string())
+        ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+        return pa.table({"src": pc.cast(pc.struct_field(ex, "id"),
+                                        pa.int64())})
+
+    deg = arrow_blocks(
+        edge_urls.map_batches(to_src, batch_format="pyarrow")) \
+        .groupby("src").aggregate(Count(alias_name="d"))
+
+    def deg_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["d"].value_counts()
+        return pd.DataFrame(
+            {"out_degree": vc.index.to_numpy(dtype="int64"),
+             "n_docs": vc.to_numpy(dtype="int64")})
+
+    hist = tree_aggregate(
+        deg.map_batches(deg_counts, batch_format="pandas"),
+        ["out_degree"], sums=("n_docs",))
+    n_docs = int(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).count())
+    zero = n_docs - int(hist["n_docs"].sum())
+    if zero:
+        hist = pd.concat([pd.DataFrame({"out_degree": [0],
+                                        "n_docs": [zero]}), hist],
+                         ignore_index=True)
+    return hist.sort_values("out_degree").reset_index(drop=True) \
+        .astype({"out_degree": "int64", "n_docs": "int64"})
+
+
 def _host_graph(sf_dir: str):
     """Host-level webgraph (the Common Crawl webgraph artifact):
     doc-level edges from the real html collapse to weighted host
@@ -1519,6 +1569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_quality": _linear_quality,
         "hits_2": _hits_2,
         "host_graph": _host_graph,
+        "degree_hist": _degree_hist,
         "nb_langid": _nb_langid,
         "kl_drift": _kl_drift,
         "crawl_budgets": _crawl_budgets,
@@ -2077,6 +2128,13 @@ def oracle_sql() -> dict[str, str]:
         # hits_2: exact-integer HITS with down-shift normalization —
         # unrolled generated CTE, bit-identical (hash compare)
         "hits_2": _hits_sql(),
+        # degree_hist: out-degree is doc_id % 4 by the link rule, so
+        # the histogram reconstructs directly (degree-0 rows included)
+        "degree_hist": """
+            SELECT CAST(doc_id % 4 AS BIGINT) AS out_degree,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
         # host_graph: edges reconstructed from the doc_id link rule,
         # hosts from the shared host CASE — plain weighted collapse
         "host_graph": f"""
