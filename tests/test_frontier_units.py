@@ -197,6 +197,39 @@ def test_apportion_budget(ray_session):
     assert len(empty) == 0
 
 
+def test_apportion_budget_huge_weights_no_overflow(ray_session):
+    """Weights near 2^63/budget with budget < n_buckets: the old
+    rem * n_buckets bucket multiply wrapped negative (ADVICE r3);
+    the divide form must keep sum(quota) == budget exact."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.frontier.budget import apportion_budget
+
+    budget = 100
+    # total_w close to (2^63-1)//budget — passes the budget*W guard,
+    # but rem values reach ~W, so rem * 1024 would overflow int64
+    big = (2 ** 63 - 1) // budget // 4 - 3
+    w = np.array([big, big + 1, big + 2, big // 3 + 5], dtype="int64")
+    hosts = [f"h{i}" for i in range(len(w))]
+    out = apportion_budget(
+        ray.data.from_pandas(pd.DataFrame({"host": hosts, "w": w})),
+        budget=budget).to_pandas().sort_values("host") \
+        .reset_index(drop=True)
+    assert int(out["quota"].sum()) == budget
+    assert (out["quota"] >= 0).all()
+    # largest-remainder reference (Python big ints: no overflow)
+    W = int(w.sum())
+    base = [budget * int(x) // W for x in w]
+    rem = [budget * int(x) % W for x in w]
+    order = sorted(range(len(w)), key=lambda i: (-rem[i], hosts[i]))
+    want = list(base)
+    for i in order[:budget - sum(base)]:
+        want[i] += 1
+    assert out["quota"].tolist() == want
+
+
 def test_recrawl_schedule(ray_session):
     """Adaptive revisit policy: halve on change (min clamp), double on
     no-change (max clamp), base for added, 0 tombstone for removed."""

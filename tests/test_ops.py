@@ -1484,6 +1484,37 @@ def test_paragraph_dedup_matches_brute_force(ray_session):
     assert expect.loc[expect.doc_id == 2, "text"].iloc[0] == ""
 
 
+def test_paragraph_dedup_regex_metachar_sep(ray_session):
+    """A sep containing regex metacharacters must split LITERALLY in
+    both the explode and rebuild stages (ADVICE r3: pandas str.split
+    treats multi-char seps as regexes by default, desyncing the two)."""
+    import ray.data
+
+    from warcio_ray.ops.dedup import paragraph_dedup
+
+    sep = ". "  # '.' is a regex metachar: regex split would break on
+    # EVERY char followed by a space
+    docs = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [f"alpha x{sep}shared y{sep}beta z",
+                 f"shared y{sep}gamma q"],
+    })
+    first: dict = {}
+    for _, r in docs.iterrows():
+        for i, p in enumerate(r.text.split(sep)):
+            first.setdefault(p, (r.doc_id, i))
+    expect = pd.DataFrame({
+        "doc_id": docs.doc_id,
+        "text": [sep.join(
+            p for i, p in enumerate(r.text.split(sep))
+            if first[p] == (r.doc_id, i)) for _, r in docs.iterrows()]})
+    got = paragraph_dedup(ray.data.from_pandas(docs), sep=sep) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+    # the dup paragraph really was removed from doc 1
+    assert got.loc[got.doc_id == 1, "text"].iloc[0] == "gamma q"
+
+
 def test_exact_float_quantiles_matches_sorted_rank(ray_session):
     import ray.data
 
@@ -1590,6 +1621,32 @@ def test_pq_matches_inprocess_reference(ray_session):
         top = pq_adc_topk(codes_ds, got_cents, vecs[0])
         assert list(top["vec_id"]) == list(ref_top)
         assert list(top["adc"]) == [int(adc[i]) for i in ref_top]
+
+
+def test_pq_fewer_vectors_than_codewords(ray_session):
+    """n < k corpora must train (seed padded by repeating the last
+    row) instead of crashing on the (k, m, dsub) reshape (ADVICE r3)."""
+    import ray.data
+
+    from warcio_ray.ops.pq import pq_adc_topk, pq_train_encode
+
+    rng = np.random.default_rng(5)
+    n, d, m, k = 6, 16, 4, 16  # n far below k
+    vecs = rng.normal(0, 1, (n, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n),
+                       "embedding": [v.tolist() for v in vecs]})
+    for nb in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nb)
+        codes_ds, cents = pq_train_encode(ds, m=m, k=k, iters=2)
+        assert cents.shape == (m, k, d // m)
+        got = codes_ds.to_pandas().sort_values("vec_id") \
+            .reset_index(drop=True)
+        assert len(got) == n
+        codes = got[[f"code_{s}" for s in range(m)]].to_numpy()
+        assert ((codes >= 0) & (codes < k)).all()
+        # ADC search still ranks the query's own vector first
+        top = pq_adc_topk(codes_ds, cents, vecs[2], k_top=3)
+        assert list(top["vec_id"])[0] == 2
 
 
 def test_anchor_stats_aggregates_labels(ray_session):

@@ -418,6 +418,45 @@ def test_wat_export_round_trip(ray_session, tmp_path):
             env, sort_keys=True, separators=(",", ":")).encode()
 
 
+def test_wet_wat_dateless_source_gets_default_date(tmp_path):
+    """A source record with no WARC-Date must yield a conversion /
+    metadata record with the builder's DEFAULT timestamp, never an
+    empty (spec-invalid) WARC-Date (ADVICE r3)."""
+    import re
+
+    import pyarrow as pa
+
+    from warcio_ray.codec.records import iter_archive_records
+    from warcio_ray.pipelines.wat import _wat_batch_writer
+    from warcio_ray.pipelines.wet import _wet_batch_writer
+
+    hdrs = pa.array([[{"name": "WARC-Record-ID",
+                       "value": "<urn:uuid:deadbeef>"}]])
+    batch = pa.table({
+        "rec_type": pa.array(["response"]),
+        "parse_error": pa.array([None], pa.string()),
+        "url": pa.array(["http://x.example/p"]),
+        "payload": pa.array([b"<html><body>hi</body></html>"],
+                            pa.large_binary()),
+        "payload_digest": pa.array(["sha1:AAAA"]),
+        "warc_headers": hdrs,
+    })
+    iso = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z$")
+    for maker, sub in ((_wet_batch_writer, "wet"),
+                       (_wat_batch_writer, "wat")):
+        out_dir = str(tmp_path / sub)
+        import os
+        os.makedirs(out_dir, exist_ok=True)
+        res = maker(out_dir, gzip=False)(batch)
+        path = res["path"][0].as_py()
+        with open(path, "rb") as f:
+            recs = [r for r, _ in iter_archive_records(f.read())
+                    if r is not None]
+        assert len(recs) == 1
+        date = recs[0].warc_headers.get("WARC-Date")
+        assert date and iso.match(date), f"bad WARC-Date: {date!r}"
+
+
 def test_wet_export_skips_malformed_records(ray_session, tmp_path):
     """A truncated archive degrades to conversions for the parsed
     prefix — error sentinel rows are filtered, never crash the task."""

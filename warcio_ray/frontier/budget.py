@@ -59,6 +59,13 @@ def apportion_budget(ds, budget: int, key_col: str = "host",
             f"budget * total weight exceeds int64 (budget={budget}, "
             f"W={total_w}): rescale weights")
     n_buckets = 1 << bucket_bits
+    # divide form (rem // ceil(W/n_buckets)) instead of
+    # (rem * n_buckets) // W: the multiply overflows int64 whenever
+    # W > 2^63/n_buckets (the budget*W guard above does not cover
+    # budget < n_buckets). Any monotone-in-rem bucketing yields the
+    # same global (bucket DESC, rem DESC, key) order, so quotas are
+    # unchanged.
+    bucket_div = (total_w + n_buckets - 1) // n_buckets
 
     def project(batch: pd.DataFrame) -> pd.DataFrame:
         w = batch[weight_col].to_numpy(dtype="int64")
@@ -70,7 +77,7 @@ def apportion_budget(ds, budget: int, key_col: str = "host",
             "base": prod // total_w,
             "rem": rem,
             # remainder's top bits: rem in [0, W)
-            "bucket": (rem * n_buckets) // total_w})
+            "bucket": rem // bucket_div})
 
     keyed = ds.map_batches(project, batch_format="pandas").materialize()
     leftover = budget - int(keyed.sum("base") or 0)

@@ -1056,7 +1056,11 @@ def paragraph_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch[text_col].fillna("").astype(str)
-        parts = texts.str.split(sep)
+        # regex=False: pandas >=1.4 treats a multi-char sep as a regex
+        # by default, while rebuild() uses Python's LITERAL str.split —
+        # a sep with metacharacters ('. ', '* ') would desync kept
+        # positions between the two stages
+        parts = texts.str.split(sep, regex=False)
         lens = parts.str.len().to_numpy(dtype="int64")
         ids = batch[id_col].to_numpy(dtype="int64")
         if len(lens) and int(lens.max()) >= cap:

@@ -71,7 +71,14 @@ def pq_train_encode(ds, vec_col: str = "embedding",
         return ray.data.from_pandas(pd.DataFrame(empty)), \
             np.zeros((m, k, 0), dtype=np.int64)
     seed = seed.nsmallest(k, id_col).sort_values(id_col)
-    mat = _quantize(seed[vec_col], scale)  # (k, d)
+    mat = _quantize(seed[vec_col], scale)  # (n<=k, d)
+    if mat.shape[0] < k:
+        # fewer corpus vectors than codewords: pad by repeating the
+        # last seed row so the (m, k, dsub) codebook shape holds;
+        # duplicate centroids lose argmin ties to the lowest id and
+        # empty clusters keep their centroid, so this is deterministic
+        pad = np.repeat(mat[-1:], k - mat.shape[0], axis=0)
+        mat = np.concatenate([mat, pad], axis=0)
     d = mat.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")

@@ -64,11 +64,15 @@ def _wat_batch_writer(out_dir: str, gzip: bool):
             if envelope["record_id"]:
                 extra["WARC-Refers-To"] = envelope["record_id"]
             date = hmap.get("WARC-Date", "")
+            # a source record without WARC-Date must NOT propagate an
+            # empty date (invalid per WARC/1.0 §5.4) — fall back to the
+            # builder's default timestamp, like the reference's
+            # recordbuilder (/root/reference/warcio/recordbuilder.py)
+            dkw = {"date_fn": lambda micros, d=date: d} if date else {}
             rec = build_record(url, "metadata", payload=body,
                                warc_headers_dict=extra,
                                warc_content_type="application/json",
-                               id_fn=lambda w=wid: w,
-                               date_fn=lambda micros, d=date: d)
+                               id_fn=lambda w=wid: w, **dkw)
             blobs.append(serialize_record(rec, gzip=gzip))
         name = hashlib.md5("".join(urls).encode("utf-8")).hexdigest()[:12]
         ext = ".warc.gz" if gzip else ".warc"

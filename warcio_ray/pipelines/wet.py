@@ -60,12 +60,14 @@ def _wet_batch_writer(out_dir: str, gzip: bool):
             # copy the source WARC-Date verbatim — byte parity, no
             # timestamp round trip
             date = hmap.get("WARC-Date", "")
+            # dateless source records fall back to the builder's
+            # default timestamp — an empty WARC-Date is invalid
+            dkw = {"date_fn": lambda micros, d=date: d} if date else {}
             rec = build_record(url, "conversion",
                                payload=(text or "").encode("utf-8"),
                                warc_headers_dict=extra,
                                warc_content_type="text/plain",
-                               id_fn=lambda w=wid: w,
-                               date_fn=lambda micros, d=date: d)
+                               id_fn=lambda w=wid: w, **dkw)
             blobs.append(serialize_record(rec, gzip=gzip))
         name = hashlib.md5(
             "".join(urls).encode("utf-8")).hexdigest()[:12]
