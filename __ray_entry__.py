@@ -1353,7 +1353,10 @@ def _unigram_nll(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    out = unigram_logprob_scores(ds, vocab_size=4096)
+    # the op returns a Dataset (the score table stays distributed);
+    # the harness is the collection point at oracle scale
+    out = unigram_logprob_scores(ds, vocab_size=4096).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
     out["nll"] = out["nll"].round(4)
     return out
 

@@ -664,7 +664,8 @@ def test_unigram_logprob_scores(ray_session):
         "doc_id": [0, 1, 2],
         "text": ["common common common rare", "common common", ""],
     })
-    out = unigram_logprob_scores(ray.data.from_pandas(df), vocab_size=10)
+    out = unigram_logprob_scores(ray.data.from_pandas(df),
+                                 vocab_size=10).to_pandas()
     got = dict(zip(out["doc_id"], out["nll"]))
     # corpus: common x5, rare x1; vocab = both; total 6; denom 6 + 3
     p_common = (5 + 1) / 9.0
@@ -1825,7 +1826,9 @@ def test_bigram_nll_exact_and_invariant(ray_session):
     outs = []
     for nb in (1, 3):
         out = bigram_nll_scores(
-            ray.data.from_pandas(docs).repartition(nb), vocab_size=1024)
+            ray.data.from_pandas(docs).repartition(nb),
+            vocab_size=1024).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
         outs.append(out)
         for _, r in out.iterrows():
             assert (r.nll_q, r.n_bigrams) == expect[r.doc_id]

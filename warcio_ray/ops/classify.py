@@ -144,29 +144,41 @@ def naive_bayes_train_predict(ds, text_col: str = "text",
 
     vocab = top_terms(ds, k=vocab_size)
     terms = list(vocab["term"])
-    vmap = {t: i for i, t in enumerate(terms)}
-    vref = ray.put(vmap)
+    # hashed Index: one vectorized get_indexer call per batch replaces
+    # the per-token dict loop (engine built once per worker — ray.get
+    # memoizes the deserialized object)
+    term_index = pd.Index(vocab["term"].astype(str))
+    vref = ray.put(term_index)
 
     def cell_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        from collections import Counter
-
-        vm = ray.get(vref)
-        cells: Counter = Counter()
-        for text, lab in zip(batch[text_col], batch[label_col]):
-            cells[(lab, -1)] += 1  # sentinel: doc count per label
-            for w in (text or "").split():
-                j = vm.get(w)
-                if j is not None:
-                    cells[(lab, j)] += 1
-        if not cells:
-            return pd.DataFrame({label_col: pd.Series(dtype="object"),
-                                 "tidx": pd.Series(dtype="int64"),
-                                 "n": pd.Series(dtype="int64")})
-        ks = list(cells.keys())
-        return pd.DataFrame({
-            label_col: [k[0] for k in ks],
-            "tidx": np.array([k[1] for k in ks], dtype="int64"),
-            "n": np.fromiter(cells.values(), dtype="int64")})
+        tindex = ray.get(vref)
+        labs = batch[label_col].to_numpy(dtype=object)
+        # sentinel tidx -1: doc count per label (value_counts, not
+        # np.unique: null labels must survive to the explicit guard on
+        # the folded table, not die in a None<str sort here)
+        vc = batch[label_col].value_counts(dropna=False)
+        frames = [pd.DataFrame({
+            label_col: vc.index.to_numpy(dtype=object),
+            "tidx": np.full(len(vc), -1, dtype="int64"),
+            "n": vc.to_numpy(dtype="int64")})]
+        parts = batch[text_col].fillna("").astype(str).str.split() \
+            if len(batch) else pd.Series(dtype=object)
+        lens = parts.str.len().to_numpy(dtype="int64")
+        n_tok = int(lens.sum()) if len(lens) else 0
+        if n_tok and len(tindex):
+            flat = np.fromiter((w for lst in parts for w in lst),
+                               dtype=object, count=n_tok)
+            j = tindex.get_indexer(flat)
+            keep = j >= 0  # OOV tokens are dropped (mirrored in SQL)
+            lab_of = labs[np.repeat(np.arange(len(batch)), lens)][keep]
+            grp = pd.DataFrame({label_col: lab_of, "tidx": j[keep]}) \
+                .groupby([label_col, "tidx"], sort=False, dropna=False) \
+                .size().reset_index(name="n")
+            frames.append(grp)
+        out = pd.concat(frames, ignore_index=True)
+        out["tidx"] = out["tidx"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
 
     folded = tree_aggregate(ds.map_batches(cell_counts,
                                            batch_format="pandas"),
@@ -196,24 +208,32 @@ def naive_bayes_train_predict(ds, text_col: str = "text",
     logprior_q = np.floor(
         np.log(docs_per / docs_per.sum()) * scale + 0.5) \
         .astype(np.int64)
-    model = ray.put((vmap, labels, loglik_q, logprior_q))
+    model = ray.put((term_index, labels, loglik_q, logprior_q))
 
     def predict(batch: pd.DataFrame) -> pd.DataFrame:
-        vm, labs, ll, lp = ray.get(model)
-        ids, true_l, preds, margins = [], [], [], []
-        for doc_id, text, lab in zip(batch[id_col], batch[text_col],
-                                     batch[label_col]):
-            idxs = [vm[w] for w in (text or "").split() if w in vm]
-            s = lp + (ll[idxs, :].sum(axis=0) if idxs else 0)
-            order = np.argsort(-s, kind="stable")  # ties: lowest label
-            ids.append(int(doc_id))
-            true_l.append(lab)
-            preds.append(labs[order[0]])
-            margins.append(int(s[order[0]] - s[order[1]]))
+        tindex, labs, ll, lp = ray.get(model)
+        n = len(batch)
+        # (n, L) exact-integer scores: log-priors + np.add.at of each
+        # in-vocab token's quantized log-likelihood row
+        scores = np.tile(lp, (n, 1))
+        parts = batch[text_col].fillna("").astype(str).str.split()
+        lens = parts.str.len().to_numpy(dtype="int64")
+        n_tok = int(lens.sum()) if n else 0
+        if n_tok and len(tindex):
+            flat = np.fromiter((w for lst in parts for w in lst),
+                               dtype=object, count=n_tok)
+            j = tindex.get_indexer(flat)
+            keep = j >= 0
+            doc_of = np.repeat(np.arange(n), lens)[keep]
+            np.add.at(scores, doc_of, ll[j[keep], :])
+        order = np.argsort(-scores, axis=1, kind="stable")  # ties: lowest label
+        rows = np.arange(n)
+        best, second = order[:, 0], order[:, 1]
         return pd.DataFrame({
-            id_col: np.array(ids, dtype="int64"),
-            label_col: true_l,
-            "pred": preds,
-            "margin_q": np.array(margins, dtype="int64")})
+            id_col: batch[id_col].to_numpy(dtype="int64"),
+            label_col: batch[label_col].to_numpy(dtype=object),
+            "pred": np.asarray(labs, dtype=object)[best],
+            "margin_q": (scores[rows, best]
+                         - scores[rows, second]).astype("int64")})
 
     return ds.map_batches(predict, batch_format="pandas")

@@ -359,48 +359,61 @@ def stratified_sample(ds, group_col: str, k: int, id_col: str = "doc_id"):
 # ---------------------------------------------------------------------------
 
 def unigram_logprob_scores(ds, vocab_size: int = 4096,
-                           alpha: float = 1.0) -> "pd.DataFrame":
+                           alpha: float = 1.0):
     """Score each doc by mean -ln p(token) under an add-alpha-smoothed
     unigram LM estimated from the corpus itself.
 
     Pass 1 is the combiner shape (per-batch Counter -> distinct-term
     groupby -> exact 2-key sort + limit): only O(vocab) rows shuffle and
     only the top-``vocab_size`` (count, term) table — small by
-    construction — is broadcast. Pass 2 is a stateless scan. Tokens
-    outside the vocab hit the OOV bucket:
-    p = (count + alpha) / (total_vocab + alpha * (|V| + 1)).
-    Empty docs score 0. Mirrored exactly in SQL (decontam-style CTEs)."""
-    import math
-
+    construction — is broadcast. Pass 2 is a stateless scan whose
+    token->nll lookup is one hashed ``pd.Index.get_indexer`` call per
+    batch (no per-token Python) and whose per-doc fold is a
+    ``np.bincount`` segment sum. Tokens outside the vocab hit the OOV
+    bucket: p = (count + alpha) / (total_vocab + alpha * (|V| + 1)).
+    Empty docs score 0.  Returns a Dataset of (doc_id, nll) — the
+    per-doc score table stays distributed (collect only at toy scale);
+    mirrored exactly in SQL (decontam-style CTEs)."""
     import ray
 
     # pass 1 IS top_terms (same combiner, same exact 2-key sort+limit):
     # one implementation, one SQL mirror
     vocab = top_terms(ds, k=vocab_size)
-    counts = dict(zip(vocab["term"], vocab["n"].astype(int)))
     total = int(vocab["n"].sum())
-    denom = total + alpha * (len(counts) + 1)
-    vref = ray.put(counts)
+    denom = total + alpha * (len(vocab) + 1)
+    # per-vocab-id -ln p, precomputed once; the hashed Index gives the
+    # vectorized token->id lookup (its engine is built once per worker:
+    # ray.get memoizes the deserialized object)
+    term_index = pd.Index(vocab["term"].astype(str))
+    nll_seen = -np.log((vocab["n"].to_numpy(dtype="int64") + alpha)
+                       / denom)
+    nll_oov = -np.log(alpha / denom)
+    vref = ray.put((term_index, nll_seen))
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        cts = ray.get(vref)
-        ids, scores = [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            toks = (text or "").split()
-            if not toks:
-                ids.append(int(doc_id))
-                scores.append(0.0)
-                continue
-            s = 0.0
-            for w in toks:
-                s += -math.log((cts.get(w, 0) + alpha) / denom)
-            ids.append(int(doc_id))
-            scores.append(s / len(toks))
-        return pd.DataFrame({"doc_id": np.array(ids, dtype="int64"),
-                             "nll": np.array(scores, dtype="float64")})
+        tindex, nseen = ray.get(vref)
+        ids = batch["doc_id"].to_numpy(dtype="int64")
+        parts = batch["text"].fillna("").astype(str).str.split()
+        lens = parts.str.len().to_numpy(dtype="int64")
+        n_tok = int(lens.sum())
+        scores = np.zeros(len(batch), dtype="float64")
+        if n_tok:
+            flat = np.fromiter((w for lst in parts for w in lst),
+                               dtype=object, count=n_tok)
+            if len(nseen):
+                j = tindex.get_indexer(flat)
+                tok_nll = np.where(j >= 0, nseen[np.maximum(j, 0)],
+                                   nll_oov)
+            else:  # empty vocab: every token is OOV
+                tok_nll = np.full(n_tok, nll_oov)
+            doc_of = np.repeat(np.arange(len(batch)), lens)
+            sums = np.bincount(doc_of, weights=tok_nll,
+                               minlength=len(batch))
+            nz = lens > 0
+            scores[nz] = sums[nz] / lens[nz]
+        return pd.DataFrame({"doc_id": ids, "nll": scores})
 
-    out = ds.map_batches(score, batch_format="pandas").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return ds.map_batches(score, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -604,6 +617,33 @@ def repetition_signals_batch(batch: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def _flat_token_ids(batch: pd.DataFrame, windex: "pd.Index",
+                    oov: int, text_col: str = "text"):
+    """Tokenize a whole batch and map every token to its vocab id (OOV
+    id for misses) with ONE hashed ``pd.Index.get_indexer`` call —
+    replaces per-token dict loops in the n-gram LM stages. Returns
+    (flat ids, doc_of) int64 arrays; doc_of marks doc boundaries so
+    n-gram windows can mask out cross-doc pairs."""
+    if not len(batch):
+        e = np.array([], dtype="int64")
+        return e, e
+    parts = batch[text_col].fillna("").astype(str).str.split()
+    lens = parts.str.len().to_numpy(dtype="int64")
+    n_tok = int(lens.sum())
+    if n_tok == 0:
+        e = np.array([], dtype="int64")
+        return e, e
+    flat = np.fromiter((w for lst in parts for w in lst),
+                       dtype=object, count=n_tok)
+    if len(windex):
+        ids = windex.get_indexer(flat)
+        ids = np.where(ids < 0, oov, ids).astype("int64")
+    else:
+        ids = np.full(n_tok, oov, dtype="int64")
+    doc_of = np.repeat(np.arange(len(batch), dtype="int64"), lens)
+    return ids, doc_of
+
+
 def bigram_nll_scores(ds, vocab_size: int = 1024) -> "pd.DataFrame":
     """EXACT-integer add-1-smoothed bigram LM scoring — the perplexity
     -filter primitive one order above ``unigram_logprob_scores`` (CCNet
@@ -623,7 +663,8 @@ def bigram_nll_scores(ds, vocab_size: int = 1024) -> "pd.DataFrame":
     key space is bounded by (V+1)^2 (~1M at the default — a few MB
     collected, broadcast back as sorted key/value arrays); pass 3 is a
     stateless scan with an np.searchsorted lookup per batch. Returns
-    (doc_id, nll_q, n_bigrams); docs with < 2 tokens score (0, 0)."""
+    a Dataset of (doc_id, nll_q, n_bigrams) — collect only at toy
+    scale; docs with < 2 tokens score (0, 0)."""
     from ray.data.aggregate import Sum
 
     import ray
@@ -633,30 +674,18 @@ def bigram_nll_scores(ds, vocab_size: int = 1024) -> "pd.DataFrame":
     vocab = top_terms(ds, k=vocab_size)
     oov = len(vocab)
     n_ids = oov + 1
-    word_id = {t: i for i, t in enumerate(vocab["term"])}
-    wref = ray.put(word_id)
-
-    def _doc_ids(text: str, wmap) -> np.ndarray:
-        toks = (text or "").split()
-        return np.fromiter((wmap.get(w, oov) for w in toks),
-                           dtype=np.int64, count=len(toks))
+    wref = ray.put(pd.Index(vocab["term"].astype(str)))
 
     def bigram_partials(batch: pd.DataFrame) -> pd.DataFrame:
-        from collections import Counter
-
-        wmap = ray.get(wref)
-        c: Counter = Counter()
-        for text in batch["text"]:
-            ids = _doc_ids(text, wmap)
-            # one flat int key per adjacent pair
-            if len(ids) >= 2:
-                c.update(ids[:-1] * n_ids + ids[1:])
-        if not c:
-            return pd.DataFrame({"k": pd.Series(dtype="int64"),
-                                 "c": pd.Series(dtype="int64")})
-        return pd.DataFrame(
-            {"k": np.fromiter(c.keys(), dtype="int64", count=len(c)),
-             "c": np.fromiter(c.values(), dtype="int64", count=len(c))})
+        ids, doc_of = _flat_token_ids(batch, ray.get(wref), oov)
+        if len(ids) >= 2:
+            valid = doc_of[:-1] == doc_of[1:]  # no cross-doc pairs
+            uk, uc = np.unique((ids[:-1] * n_ids + ids[1:])[valid],
+                               return_counts=True)
+        else:
+            uk = uc = np.array([], dtype="int64")
+        return pd.DataFrame({"k": uk.astype("int64"),
+                             "c": uc.astype("int64")})
 
     bi = arrow_blocks(
         ds.map_batches(bigram_partials, batch_format="pandas")) \
@@ -679,28 +708,29 @@ def bigram_nll_scores(ds, vocab_size: int = 1024) -> "pd.DataFrame":
     kref = ray.put((keys, q_seen, q_unseen))
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        wmap = ray.get(wref)
         ks, qs, qu = ray.get(kref)
         out_id = batch["doc_id"].to_numpy(dtype="int64")
         nll = np.zeros(len(batch), dtype=np.int64)
         nb = np.zeros(len(batch), dtype=np.int64)
-        for i, text in enumerate(batch["text"]):
-            ids = _doc_ids(text, wmap)
-            if len(ids) < 2:
-                continue
-            pk = ids[:-1] * n_ids + ids[1:]
+        ids, doc_of = _flat_token_ids(batch, ray.get(wref), oov)
+        if len(ids) >= 2:
+            valid = doc_of[:-1] == doc_of[1:]
+            pk = (ids[:-1] * n_ids + ids[1:])[valid]
+            p_of = doc_of[:-1][valid]
             if len(ks):
                 pos = np.minimum(np.searchsorted(ks, pk), len(ks) - 1)
                 q = np.where(ks[pos] == pk, qs[pos], qu[pk // n_ids])
             else:
                 q = qu[pk // n_ids]
-            nll[i] = int(q.sum())
-            nb[i] = len(pk)
+            # int64 accumulate (np.add.at, not float-weighted bincount):
+            # per-doc sums stay exact
+            np.add.at(nll, p_of, q)
+            nb = np.bincount(p_of, minlength=len(batch)) \
+                .astype("int64")
         return pd.DataFrame({"doc_id": out_id, "nll_q": nll,
                              "n_bigrams": nb})
 
-    out = ds.map_batches(score, batch_format="pandas").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return ds.map_batches(score, batch_format="pandas")
 
 
 def trigram_nll_scores(ds, vocab_size: int = 1024) -> "object":
@@ -734,33 +764,24 @@ def trigram_nll_scores(ds, vocab_size: int = 1024) -> "object":
     n2 = n_ids * n_ids
     base_bi = n_ids
     base_tri = n_ids + n2
-    word_id = {t: i for i, t in enumerate(vocab["term"])}
-    wref = ray.put(word_id)
-
-    def _doc_ids(text: str, wmap) -> np.ndarray:
-        toks = (text or "").split()
-        return np.fromiter((wmap.get(w, oov) for w in toks),
-                           dtype=np.int64, count=len(toks))
+    wref = ray.put(pd.Index(vocab["term"].astype(str)))
 
     def gram_partials(batch: pd.DataFrame) -> pd.DataFrame:
-        from collections import Counter
-
-        wmap = ray.get(wref)
-        c: Counter = Counter()
-        for text in batch["text"]:
-            ids = _doc_ids(text, wmap)
-            c.update(ids)
-            if len(ids) >= 2:
-                c.update(base_bi + ids[:-1] * n_ids + ids[1:])
-            if len(ids) >= 3:
-                c.update(base_tri + ids[:-2] * n2
-                         + ids[1:-1] * n_ids + ids[2:])
-        if not c:
-            return pd.DataFrame({"k": pd.Series(dtype="int64"),
-                                 "c": pd.Series(dtype="int64")})
-        return pd.DataFrame(
-            {"k": np.fromiter(c.keys(), dtype="int64", count=len(c)),
-             "c": np.fromiter(c.values(), dtype="int64", count=len(c))})
+        ids, doc_of = _flat_token_ids(batch, ray.get(wref), oov)
+        keys = [ids]
+        if len(ids) >= 2:
+            v2 = doc_of[:-1] == doc_of[1:]
+            keys.append((base_bi + ids[:-1] * n_ids + ids[1:])[v2])
+        if len(ids) >= 3:
+            v3 = (doc_of[:-2] == doc_of[1:-1]) \
+                & (doc_of[1:-1] == doc_of[2:])
+            keys.append((base_tri + ids[:-2] * n2
+                         + ids[1:-1] * n_ids + ids[2:])[v3])
+        uk, uc = np.unique(np.concatenate(keys), return_counts=True) \
+            if len(ids) else (np.array([], dtype="int64"),
+                              np.array([], dtype="int64"))
+        return pd.DataFrame({"k": uk.astype("int64"),
+                             "c": uc.astype("int64")})
 
     folded = arrow_blocks(
         ds.map_batches(gram_partials, batch_format="pandas")) \
@@ -807,16 +828,16 @@ def trigram_nll_scores(ds, vocab_size: int = 1024) -> "object":
     scale = float(np.int64(1) << np.int64(32))
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        wmap = ray.get(wref)
         k2s, c2s, cv2s, k3s, c3s, cx3k, cx3v, c1s = ray.get(model)
         out_id = batch["doc_id"].to_numpy(dtype="int64")
         nll = np.zeros(len(batch), dtype=np.int64)
         nt = np.zeros(len(batch), dtype=np.int64)
-        for i, text in enumerate(batch["text"]):
-            ids = _doc_ids(text, wmap)
-            if len(ids) < 3:
-                continue
-            u, v, w = ids[:-2], ids[1:-1], ids[2:]
+        ids, doc_of = _flat_token_ids(batch, ray.get(wref), oov)
+        if len(ids) >= 3:
+            v3 = (doc_of[:-2] == doc_of[1:-1]) \
+                & (doc_of[1:-1] == doc_of[2:])
+            u, v, w = ids[:-2][v3], ids[1:-1][v3], ids[2:][v3]
+            t_of = doc_of[2:][v3]
             tc = _lookup(k3s, c3s, u * n2 + v * n_ids + w)
             tcv = _lookup(cx3k, cx3v, u * n_ids + v)
             bc = _lookup(k2s, c2s, v * n_ids + w)
@@ -825,8 +846,9 @@ def trigram_nll_scores(ds, vocab_size: int = 1024) -> "object":
             p3 = (tc + 1.0) / (tcv + fn)
             q = np.floor(-np.log(0.2 * p1 + 0.3 * p2 + 0.5 * p3)
                          * scale + 0.5).astype(np.int64)
-            nll[i] = int(q.sum())
-            nt[i] = len(q)
+            np.add.at(nll, t_of, q)  # exact int64 per-doc sums
+            nt = np.bincount(t_of, minlength=len(batch)) \
+                .astype("int64")
         return pd.DataFrame({"doc_id": out_id, "nll_q": nll,
                              "n_trigrams": nt})
 
