@@ -1110,6 +1110,21 @@ def _export_packed(sf_dir: str):
     return export_packed(ds, window=256)
 
 
+def _export_bpe_packed(sf_dir: str):
+    """Export flagship over REAL tokenizer output: BPE train (30
+    merges, full corpus) -> quality -> exact dedup -> deterministic
+    shuffle -> pack BPE token counts (pipelines/export.
+    export_bpe_packed). Hard oracle: generated merge-round CTE chain
+    (_bpe_sql_ctes) + integer packing SQL."""
+    import ray.data
+
+    from warcio_ray.pipelines.export import export_bpe_packed
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return export_bpe_packed(ds, window=256, n_merges=30)
+
+
 def _media_phash_dups(sf_dir: str):
     """Perceptual-hash image dedup: media payloads -> 64-bit phash
     (md5-derived fake kernel, real plumbing) -> simhash-band machinery
@@ -1604,6 +1619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_clusters": _jaccard_clusters,
         "pretrain_corpus": _pretrain_corpus,
         "export_packed": _export_packed,
+        "export_bpe_packed": _export_bpe_packed,
         "decontam_overlap": _decontam_overlap,
         "dsir_weights": _dsir_weights,
         "span_scrub": _span_scrub,
@@ -1794,6 +1810,150 @@ def _hits_sql(rounds: int = 2, cap_bits: int = 40) -> str:
                           CAST(a.v AS BIGINT) AS auth_q
                    FROM h{rounds} h JOIN a{rounds} a USING (node)
                    ORDER BY node""")
+
+
+def _bpe_sql_ctes(n_merges: int = 30, src: str = "documents") -> str:
+    """Generated CTE chain replaying warcio_ray.ops.bpe.train_bpe
+    EXACTLY: words -> char-symbol strings -> n_merges rounds of
+    (pair count, best-by-(count desc, pair asc), literal rewrite).
+
+    Representation: each word's symbol sequence is a string of
+    '(sym)' groups — safe because the corpus charset has no parens
+    (and '</w>' can't collide either); ``replace('(l)(r)','(lr)')``
+    is left-to-right non-overlapping, exactly _merge_word's greedy
+    scan, and '()' wrapping shares no boundary chars so adjacent
+    repeats merge correctly ('(a)(a)(a)' -> '(aa)(a)').
+
+    MATERIALIZED is load-bearing: v{i} references v{i-1} twice
+    (directly + through b{i}); inlining would blow up 2^n_merges.
+    Exposes: b{i} (the round-i merge: l, r, cnt) and v{n_merges}
+    (word, c, s) — the trained vocab, whose per-word symbol count IS
+    the BPE encode length (merges applied in rank order == iterative
+    lowest-rank encode: a merge's output token only appears in
+    later-rank pairs)."""
+    parts = [f"""bpe_words AS MATERIALIZED (
+      SELECT word, COUNT(*) AS c FROM (
+        SELECT unnest(regexp_extract_all(text, '\\S+')) AS word
+        FROM {src})
+      GROUP BY word),
+    v0 AS MATERIALIZED (
+      SELECT word, c,
+             '(' || array_to_string(list_transform(
+                 range(1, length(word) + 1), i -> word[i]), ')(')
+             || ')(</w>)' AS s
+      FROM bpe_words)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""p{i} AS MATERIALIZED (
+      SELECT pr[1] AS l, pr[2] AS r, SUM(c) AS cnt FROM (
+        SELECT c, unnest(list_transform(range(1, len(sy)),
+                         i -> [sy[i], sy[i+1]])) AS pr
+        FROM (SELECT c, regexp_extract_all(s, '\\(([^)]*)\\)', 1) AS sy
+              FROM v{i - 1})
+        WHERE len(sy) >= 2)
+      GROUP BY 1, 2),
+    b{i} AS MATERIALIZED (
+      SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+    v{i} AS MATERIALIZED (
+      SELECT word, c, replace(s, '(' || b.l || ')(' || b.r || ')',
+                              '(' || b.l || b.r || ')') AS s
+      FROM v{i - 1} CROSS JOIN b{i} b)""")
+    return ",\n    ".join(parts)
+
+
+def _bpe_merges_sql(n_merges: int = 30) -> str:
+    union = "\n            UNION ALL ".join(
+        f'SELECT CAST({i - 1} AS BIGINT) AS rank, l AS "left", '
+        f'r AS "right", CAST(cnt AS BIGINT) AS pair_count FROM b{i}'
+        for i in range(1, n_merges + 1))
+    return (f"WITH {_bpe_sql_ctes(n_merges)}\n            "
+            f"{union} ORDER BY rank")
+
+
+def _bpe_encode_sql(n_merges: int = 30) -> str:
+    """Per-doc BPE token counts from the trained vocab: every corpus
+    word is a training word, so its final symbol count in
+    v{n_merges} is its encode length."""
+    return f"""
+        WITH {_bpe_sql_ctes(n_merges)},
+        tokcnt AS (
+          SELECT word,
+                 len(regexp_extract_all(s, '\\(([^)]*)\\)', 1)) AS wt
+          FROM v{n_merges}),
+        dtoks AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
+          FROM documents),
+        per_doc AS (
+          SELECT dtoks.doc_id, SUM(tokcnt.wt) AS nt
+          FROM dtoks JOIN tokcnt USING (word) GROUP BY dtoks.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(p.nt, 0) AS BIGINT) AS n_bpe_tokens,
+               CAST(length(COALESCE(d.text, '')) AS BIGINT) AS n_chars
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+def _export_bpe_packed_sql(n_merges: int = 30, window: int = 256) -> str:
+    """export_packed's composed SQL with n = the doc's BPE token
+    count (from the generated BPE replay) instead of whitespace
+    count; filter predicates stay whitespace-token Gopher signals."""
+    return f"""
+        WITH {_bpe_sql_ctes(n_merges)},
+        tokcnt AS (
+          SELECT word,
+                 len(regexp_extract_all(s, '\\(([^)]*)\\)', 1)) AS wt
+          FROM v{n_merges}),
+        q AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   regexp_extract_all(text, '\\S+') AS t,
+                   list_filter(string_split(text, chr(10)),
+                               x -> length(x) > 0) AS lines
+            FROM documents)
+          WHERE len(t) >= 20
+            AND (CASE WHEN len(t) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(t,
+                      x -> regexp_matches(x, '[A-Za-z]')))
+                      AS DOUBLE) / len(t) END) >= 0.5
+            AND (CASE WHEN len(lines) = 0 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(lines))
+                      AS DOUBLE) / len(lines) END) <= 0.3),
+        ex AS (SELECT MIN(doc_id) AS doc_id FROM q
+               GROUP BY md5(text)),
+        kept AS (
+          SELECT q.doc_id, CAST(bn.nt AS BIGINT) AS n
+          FROM q JOIN ex USING (doc_id)
+          JOIN (SELECT dt.doc_id, SUM(tokcnt.wt) AS nt
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(text, '\\S+'))
+                             AS word
+                      FROM q) dt
+                JOIN tokcnt USING (word) GROUP BY dt.doc_id) bn
+            USING (doc_id)),
+        r AS (
+          SELECT doc_id, n, row_number() OVER (
+              ORDER BY CAST(('0x' || substr(md5(
+                  CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                       doc_id) - 1 AS rk
+          FROM kept),
+        c AS (
+          SELECT doc_id, rk, n,
+                 CAST(COALESCE(SUM(n) OVER (ORDER BY rk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS off
+          FROM r),
+        seg AS (
+          SELECT doc_id, rk, n, off,
+                 unnest(range(off // {window},
+                              (off + n - 1) // {window} + 1)) AS bin_id
+          FROM c WHERE n > 0)
+        SELECT doc_id, CAST(rk AS BIGINT) AS shuffle_rank, bin_id,
+               GREATEST(bin_id * {window}, off) - off AS doc_off,
+               GREATEST(bin_id * {window}, off) - bin_id * {window}
+                 AS bin_off,
+               LEAST((bin_id + 1) * {window}, off + n)
+                 - GREATEST(bin_id * {window}, off) AS n_tok
+        FROM seg ORDER BY shuffle_rank, bin_id
+    """
 
 
 def _kmeans_sql(k: int = 4, iters: int = 3, scale: int = 1 << 16,
@@ -2715,6 +2875,13 @@ def oracle_sql() -> dict[str, str]:
         # export_packed: the composed export chain — quality WHERE,
         # min-id dedup, md5 row_number shuffle rank, window-cumsum
         # packing over the rank order (bit-identical, hash compare)
+        # bpe_merges_30 / bpe_encode_counts: previously rows-only —
+        # now HARD: the generated CTE chain replays training (pair
+        # count -> best by (count desc, pair asc) -> literal rewrite)
+        # round by round; encode lengths fall out of the final vocab
+        "bpe_merges_30": _bpe_merges_sql(30),
+        "bpe_encode_counts": _bpe_encode_sql(30),
+        "export_bpe_packed": _export_bpe_packed_sql(30, 256),
         "export_packed": """
             WITH q AS (
               SELECT doc_id, text, len(t) AS n FROM (

@@ -22,9 +22,10 @@ def test_registry_consistency():
     o = mod.oracle_sql()
     # every oracle belongs to a registered query
     assert set(o) <= set(q), sorted(set(o) - set(q))
-    # the rows-only set is exactly the documented three
-    assert sorted(set(q) - set(o)) == [
-        "bpe_encode_counts", "bpe_merges_30", "crawl_order"]
+    # the rows-only set is exactly the documented one: crawl_order
+    # (stateful frontier ordering); the BPE pair flipped to hard
+    # oracles via the generated merge-round CTE chain (round 4)
+    assert sorted(set(q) - set(o)) == ["crawl_order"]
     # every query is callable, every oracle a non-empty SQL string
     assert all(callable(f) for f in q.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper()

@@ -2021,6 +2021,56 @@ def test_export_packed(ray_session):
     assert set(out["shuffle_rank"]) == set(range(24))
 
 
+def test_export_bpe_packed(ray_session):
+    """BPE-count export: total packed tokens equal the survivors' BPE
+    encode lengths (reference-encoded in process), bins tile exactly,
+    partitioning-invariant."""
+    import functools
+
+    import ray.data
+
+    from warcio_ray.ops.bpe import encode_bpe_batch, train_bpe
+    from warcio_ray.pipelines.export import export_bpe_packed
+
+    good = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    rows = [{"doc_id": i, "text": good + f" uniq{i} " + good}
+            for i in range(24)]
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})  # exact dup
+    rows.append({"doc_id": 101, "text": "short"})          # low quality
+    df = pd.DataFrame(rows)
+
+    outs = []
+    for nb in (1, 9):
+        out = export_bpe_packed(
+            ray.data.from_pandas(df).repartition(nb),
+            window=32, n_merges=12) \
+            .to_pandas().sort_values(["bin_id", "bin_off"]) \
+            .reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+
+    assert set(out["doc_id"]) == set(range(24))  # dup + junk dropped
+    # per-doc packed totals == the model's encode lengths
+    merges = train_bpe(ray.data.from_pandas(df[["text"]]), n_merges=12)
+    enc = encode_bpe_batch(df[df.doc_id < 24], merges_df=merges)
+    want = dict(zip(enc["doc_id"], enc["n_bpe_tokens"]))
+    got = out.groupby("doc_id")["n_tok"].sum()
+    assert {int(k): int(v) for k, v in got.items()} == want
+    # BPE at 12 merges compresses below character count but stays
+    # above whitespace count
+    assert all(v > 45 for v in want.values())
+    # bins tile the stream exactly
+    for b, grp in out.groupby("bin_id"):
+        grp = grp.sort_values("bin_off")
+        assert grp["bin_off"].iloc[0] == 0
+        assert (grp["bin_off"].to_numpy()[1:]
+                == (grp["bin_off"] + grp["n_tok"]).to_numpy()[:-1]).all()
+        width = int((grp["bin_off"] + grp["n_tok"]).iloc[-1])
+        assert width == 32 or b == out["bin_id"].max()
+
+
 def test_trigram_nll_scores(ray_session):
     """Interpolated trigram LM: matches a from-first-principles
     in-process reference exactly, partitioning-invariant, short docs

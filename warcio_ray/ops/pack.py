@@ -84,8 +84,14 @@ def _explode_segments(batch: pd.DataFrame, window: int) -> pd.DataFrame:
 
 def pack_sequences(ds, window: int = 1024, text_col: str = "text",
                    bucket_size: int = 1 << 20,
-                   num_partitions: Optional[int] = None):
+                   num_partitions: Optional[int] = None,
+                   precounted: bool = False):
     """Pack documents (in doc_id order) into ``window``-token bins.
+
+    With ``precounted=True`` the input is already a (doc_id, n) count
+    table (e.g. BPE token counts from ``ops.bpe.encode_bpe_batch``)
+    and the whitespace-count pass is skipped — packing is
+    tokenizer-agnostic, only the counts differ.
 
     Returns a Dataset with one row per (doc, bin) segment:
     ``doc_id, bin_id, doc_off, bin_off, n_tok`` — all int64. Exact and
@@ -94,7 +100,7 @@ def pack_sequences(ds, window: int = 1024, text_col: str = "text",
     """
     import ray
 
-    counts = ds.map_batches(
+    counts = ds if precounted else ds.map_batches(
         _token_counts, batch_format="pandas",
         fn_kwargs={"text_col": text_col})
 
