@@ -895,6 +895,63 @@ def _lsh_layout_pairs(sf_dir: str):
     return lsh_layout_neardups(layout, probes, ds, threshold=0.5)
 
 
+def _lsh_append_pairs(sf_dir: str):
+    """Incremental LSH: a fresh batch appends its band rows to the
+    standing layout (append_lsh_layout), then dedups against it with
+    pruned bucket reads (lsh_append_dedup) — the near-dup analogue of
+    incremental_dedup's exact path. Fresh batch: doc_id % 40 == 0 ->
+    near-copy at id+200000 (text + ' fresh dup'); doc_id % 80 == 0 ->
+    a SECOND copy at id+250000 (fresh-fresh dup found through its
+    layout copy); doc_id % 55 == 0 -> unrelated new doc at id+300000
+    (must yield no pairs). Verification is exact shingle-Jaccard, so
+    the oracle is the exact-jaccard CTE over the augmented corpus
+    filtered to fresh-touching pairs (banding recall is 1 here, as
+    minhash_pairs establishes for this corpus)."""
+    import os
+    import shutil
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from warcio_ray.ops.dedup import (append_lsh_layout,
+                                      build_lsh_layout,
+                                      lsh_append_dedup)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    # fresh dir each run: an appended layout must not be re-appended
+    layout_dir = os.path.join("/tmp/warcio_ray/lsh_append",
+                              os.path.basename(sf_dir.rstrip("/")))
+    shutil.rmtree(layout_dir, ignore_errors=True)
+    layout = build_lsh_layout(ds, layout_dir)
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    dup1 = t[t["doc_id"] % 40 == 0]
+    dup2 = t[t["doc_id"] % 80 == 0]
+    uniq = t[t["doc_id"] % 55 == 0]
+    fresh = pd.concat([
+        pd.DataFrame({"doc_id": dup1["doc_id"] + 200000,
+                      "text": dup1["text"].fillna("") + " fresh dup"}),
+        pd.DataFrame({"doc_id": dup2["doc_id"] + 250000,
+                      "text": dup2["text"].fillna("") + " fresh dup"}),
+        pd.DataFrame({"doc_id": uniq["doc_id"] + 300000,
+                      "text": "fresh unique content "
+                      + uniq["doc_id"].astype(str)
+                      + " nothing shared here at all"}),
+    ], ignore_index=True).astype({"doc_id": "int64"})
+    fresh_ds = ray.data.from_pandas(fresh)
+    append_lsh_layout(fresh_ds, layout)
+
+    union_ds = ds.union(fresh_ds)
+    pairs, _dropped = lsh_append_dedup(layout, fresh_ds, union_ds,
+                                       threshold=0.5)
+    out = pairs.to_pandas().sort_values(["a", "b"]) \
+        .reset_index(drop=True)
+    return out
+
+
 def _simhash_pairs(sf_dir: str):
     import ray.data
 
@@ -1615,6 +1672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _incremental_dedup,
         "minhash_pairs": _minhash_pairs,
         "lsh_layout_pairs": _lsh_layout_pairs,
+        "lsh_append_pairs": _lsh_append_pairs,
         "jaccard_pairs": _jaccard_pairs,
         "jaccard_clusters": _jaccard_clusters,
         "pretrain_corpus": _pretrain_corpus,
@@ -2837,6 +2895,29 @@ def oracle_sql() -> dict[str, str]:
         "lsh_layout_pairs": f"""
             WITH {_jaccard_cte()}
             SELECT a, b FROM jp WHERE a % 7 = 0 OR b % 7 = 0
+        """,
+        # lsh_append_pairs: exact-jaccard pairs over the augmented
+        # corpus, filtered to fresh-touching pairs (fresh ids are all
+        # >= 200000 > any corpus id, so b >= 200000 iff a side is
+        # fresh); banding recall is 1 on this corpus (minhash_pairs)
+        "lsh_append_pairs": f"""
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 200000,
+                     COALESCE(text, '') || ' fresh dup'
+              FROM documents WHERE doc_id % 40 = 0
+              UNION ALL
+              SELECT doc_id + 250000,
+                     COALESCE(text, '') || ' fresh dup'
+              FROM documents WHERE doc_id % 80 = 0
+              UNION ALL
+              SELECT doc_id + 300000,
+                     'fresh unique content ' || CAST(doc_id AS VARCHAR)
+                     || ' nothing shared here at all'
+              FROM documents WHERE doc_id % 55 = 0),
+            {_jaccard_cte(src="aug")}
+            SELECT a, b FROM jp WHERE b >= 200000 ORDER BY a, b
         """,
         # pretrain_corpus: quality filter -> exact dedup -> near-dup
         # removal, the full chain recomputed in one statement

@@ -1787,6 +1787,52 @@ def test_lsh_layout_pruned_lookup(ray_session, tmp_path):
     assert len(empty) == 0 and list(empty.columns) == ["a", "b"]
 
 
+def test_lsh_append_dedup(ray_session, tmp_path):
+    """Incremental LSH: fresh docs append to the standing layout and
+    dedup against it — fresh-vs-standing AND fresh-vs-fresh pairs are
+    found, unrelated fresh docs yield nothing, self-pairs are
+    excluded, and mismatched layout params are rejected."""
+    import pytest
+    import ray.data
+
+    from warcio_ray.ops.dedup import (append_lsh_layout,
+                                      build_lsh_layout,
+                                      lsh_append_dedup)
+
+    base = " ".join(f"tok{i}" for i in range(50))
+    docs = pd.DataFrame({
+        "doc_id": range(4),
+        "text": [base,
+                 "totally different words entirely " * 6,
+                 base.replace("tok0", "y"),
+                 "another unrelated document with its own phrasing " * 4,
+                 ]})
+    ds = ray.data.from_pandas(docs)
+    layout = build_lsh_layout(ds, str(tmp_path / "lsh"))
+
+    fresh = pd.DataFrame({
+        "doc_id": [100, 101, 102],
+        "text": [base + " fresh",        # near-dup of 0 (and 2)
+                 base + " fresh",        # exact dup of 100 (fresh-fresh)
+                 "completely novel fresh content nothing shared"]})
+    fresh_ds = ray.data.from_pandas(fresh)
+    append_lsh_layout(fresh_ds, layout)
+
+    union_ds = ds.union(fresh_ds)
+    pairs, dropped = lsh_append_dedup(layout, fresh_ds, union_ds,
+                                      threshold=0.5)
+    got = set(map(tuple, pairs.to_pandas()[["a", "b"]].to_numpy()))
+    assert got == {(0, 100), (0, 101), (2, 100), (2, 101), (100, 101)}
+    assert dropped == 0
+
+    # params mismatch on append is an error, not a silent no-op
+    with pytest.raises(ValueError, match="params"):
+        append_lsh_layout(fresh_ds, layout, num_perm=32)
+    # missing layout is an error
+    with pytest.raises(ValueError, match="no completed"):
+        append_lsh_layout(fresh_ds, str(tmp_path / "nope"))
+
+
 def test_bigram_nll_exact_and_invariant(ray_session):
     import math
 

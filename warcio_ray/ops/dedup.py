@@ -1281,6 +1281,184 @@ def lsh_layout_neardups(layout_dir: str, probes: pd.DataFrame, docs_ds,
     return out
 
 
+def append_lsh_layout(new_ds, layout_dir: str, num_perm: int = 64,
+                      bands: int = 16, shingle_k: int = 3,
+                      seed: int = 1234, n_buckets: int = 64) -> str:
+    """Append a FRESH batch's band rows to an existing persisted LSH
+    layout — the incremental companion ``incremental_dedup`` has for
+    exact hashes: the standing corpus is never re-signed. Same one
+    distributed pass as ``build_lsh_layout``; Ray names output files
+    uniquely per run, so writing into the same hive bucket partitions
+    appends instead of clobbering. The ``_DONE`` params must match the
+    layout's (a signature under different params would silently never
+    collide)."""
+    import os
+
+    params = f"{num_perm},{bands},{shingle_k},{seed},{n_buckets}"
+    marker = os.path.join(layout_dir, "_DONE")
+    if not os.path.exists(marker):
+        raise ValueError(f"no completed LSH layout at {layout_dir}")
+    have = open(marker).read().strip()
+    if have != params:
+        raise ValueError(
+            f"layout params {have} != append params {params}")
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((bh % np.uint64(n_buckets))
+                               .astype("int64")))
+
+    new_ds.map_batches(minhash_batch, batch_format="pyarrow",
+                       fn_kwargs={"num_perm": num_perm,
+                                  "shingle_k": shingle_k,
+                                  "seed": seed}) \
+        .map_batches(explode_bands_batch, batch_format="pyarrow",
+                     fn_kwargs={"bands": bands}) \
+        .map_batches(bucketize, batch_format="pyarrow") \
+        .write_parquet(os.path.join(layout_dir, "bands"),
+                       partition_cols=["bucket"])
+    return layout_dir
+
+
+def _probe_pairs_partition(df: pd.DataFrame,
+                           max_bucket: int) -> pd.DataFrame:
+    """One partition of side-tagged band rows (side 1 = fresh probes,
+    side 0 = layout members) -> candidate (a, b) pairs: probes merge
+    members on the band key, self-matches drop, each (probe, band
+    bucket) keeps the ``max_bucket`` smallest member ids (sentinel
+    drop accounting, same protocol as _pairs_from_partition)."""
+    cols = ["band_id", "band_hash", "doc_id"]
+    probes = df.loc[df["side"] == 1, cols].drop_duplicates()
+    members = df.loc[df["side"] == 0, cols].drop_duplicates()
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "n_dropped": pd.Series(dtype="int64")})
+    if not len(probes) or not len(members):
+        return empty
+    m = probes.merge(members, on=["band_id", "band_hash"],
+                     suffixes=("_p", "_m"))
+    m = m[m["doc_id_p"] != m["doc_id_m"]]
+    if not len(m):
+        return empty
+    m = m.sort_values(["band_id", "band_hash", "doc_id_p", "doc_id_m"],
+                      kind="mergesort")
+    capped = m.groupby(["band_id", "band_hash", "doc_id_p"],
+                       sort=False).head(max_bucket)
+    dropped = len(m) - len(capped)
+    pa_ = capped["doc_id_p"].to_numpy(dtype="int64")
+    ma_ = capped["doc_id_m"].to_numpy(dtype="int64")
+    out = pd.DataFrame({"a": np.minimum(pa_, ma_),
+                        "b": np.maximum(pa_, ma_)}).drop_duplicates()
+    out["n_dropped"] = np.int64(0)
+    if dropped:
+        out = pd.concat([out, pd.DataFrame(
+            {"a": [np.int64(_DROP_SENTINEL)],
+             "b": [np.int64(_DROP_SENTINEL)],
+             "n_dropped": [np.int64(dropped)]})], ignore_index=True)
+    return out.astype(_PAIRS_SCHEMA)
+
+
+def lsh_append_dedup(layout_dir: str, new_ds, corpus_ds,
+                     threshold: float = 0.5, num_perm: int = 64,
+                     bands: int = 16, shingle_k: int = 3,
+                     seed: int = 1234, n_buckets: int = 64,
+                     max_bucket: int = MAX_BUCKET,
+                     num_partitions: int = N_PAIR_PARTITIONS):
+    """Near-dup pairs of a FRESH batch against a standing persisted
+    layout, fully distributed (the Dataset sibling of the driver-probe
+    ``lsh_layout_neardups``): fresh docs sign once, ONLY the layout
+    buckets their band hashes land in are read (pruned hive read),
+    one band-key hash shuffle joins probes to members, and candidates
+    verify by exact shingle-Jaccard with texts fetched through the
+    broadcast-id pair join (``attach_pair_payloads``) over
+    ``corpus_ds`` (standing ∪ fresh). Call AFTER ``append_lsh_layout``
+    so fresh-fresh duplicates are found through their layout copies
+    (self-pairs are excluded by id).
+
+    At 100 TB: the standing corpus contributes only bucket-local IO —
+    nothing corpus-sized is re-signed, shuffled, or collected. Returns
+    (verified_pairs_ds of (a, b) with a < b, n_dropped)."""
+    import os
+
+    import ray.data
+
+    fresh = new_ds.map_batches(minhash_batch, batch_format="pyarrow",
+                               fn_kwargs={"num_perm": num_perm,
+                                          "shingle_k": shingle_k,
+                                          "seed": seed}) \
+        .map_batches(explode_bands_batch, batch_format="pyarrow",
+                     fn_kwargs={"bands": bands}).materialize()
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        bh = t["band_hash"].to_numpy(zero_copy_only=False)
+        return pa.table({"bucket": pa.array(np.unique(
+            (bh % np.uint64(n_buckets)).astype("int64")))})
+
+    # <= n_buckets rows ever reach the driver
+    bdf = fresh.map_batches(bucket_partial,
+                            batch_format="pyarrow").to_pandas()
+    empty_pairs = ray.data.from_pandas(pd.DataFrame(
+        {"a": pd.Series(dtype="int64"),
+         "b": pd.Series(dtype="int64")}))
+    if not len(bdf):
+        return empty_pairs, 0
+    needed = sorted(set(bdf["bucket"].astype(int)))
+    paths = [os.path.join(layout_dir, "bands", f"bucket={b}")
+             for b in needed]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        return empty_pairs, 0
+    members = ray.data.read_parquet(paths, file_extensions=["parquet"],
+                                    columns=["band_id", "band_hash",
+                                             "doc_id"])
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select(["band_id", "band_hash", "doc_id"])
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side,
+                                         dtype="int8")))
+        return fn
+
+    rows = members.map_batches(tag(0), batch_format="pyarrow").union(
+        fresh.map_batches(tag(1), batch_format="pyarrow"))
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        C = np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):
+            h = batch["band_id"].to_numpy().astype(np.uint64)
+            h = (h ^ batch["band_hash"].to_numpy()
+                 .astype(np.uint64)) * C
+            h ^= h >> np.uint64(29)
+        batch["_part"] = (h % np.uint64(num_partitions)).astype("int32")
+        return batch
+
+    raw_pairs = rows.map_batches(add_part, batch_format="pandas") \
+        .groupby("_part").map_groups(
+            _probe_pairs_partition, batch_format="pandas",
+            fn_kwargs={"max_bucket": max_bucket})
+    cand, n_dropped = _dedup_pairs(raw_pairs)
+    cand = cand.materialize()
+    if cand.count() == 0:
+        return empty_pairs, n_dropped
+
+    joined = _attach_pair_texts(cand.select_columns(["a", "b"]),
+                                corpus_ds.select_columns(
+                                    ["doc_id", "text"]))
+
+    def verify_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = [ngram_jaccard(ta, tb, shingle_k) >= threshold
+                for ta, tb in zip(batch["text_a"], batch["text_b"])]
+        out = batch.loc[keep, ["a", "b"]]
+        return out.astype({"a": "int64", "b": "int64"})
+
+    verified = joined.map_batches(verify_batch,
+                                  batch_format="pandas").materialize()
+    return verified, n_dropped
+
+
 def snapshot_delta(old_ds, new_ds, id_col: str = "doc_id",
                    text_col: str = "text",
                    num_partitions: int = 32):
