@@ -634,6 +634,35 @@ def test_safe_join_survives_empty_groupby_blocks(ray_session):
                for _, m in b.blocks)
 
 
+def test_drop_empty_blocks_gate(ray_session):
+    """The sanitizer's materialize barrier is GATED: map-only lineages
+    (reads, map_batches, project, union) pass through untouched;
+    anything containing a filter/groupby/sort/repartition still
+    sanitizes."""
+    import ray.data
+
+    from warcio_ray.ops.blocks import (_may_emit_empty_blocks,
+                                       drop_empty_blocks)
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": list("abc")})
+    base = ray.data.from_pandas(df)
+    safe = base.map_batches(lambda t: t, batch_format="pyarrow") \
+        .select_columns(["doc_id"]).union(
+            base.select_columns(["doc_id"]))
+    assert not _may_emit_empty_blocks(safe)
+    assert drop_empty_blocks(safe) is safe  # no barrier
+
+    for unsafe in (base.filter(expr="doc_id > 1"),
+                   base.groupby("doc_id").count(),
+                   base.repartition(2),
+                   base.sort("doc_id"),
+                   # map downstream of an unsafe op stays unsafe
+                   base.repartition(2).map_batches(
+                       lambda t: t, batch_format="pyarrow")):
+        assert _may_emit_empty_blocks(unsafe)
+        assert drop_empty_blocks(unsafe) is not unsafe
+
+
 def test_decontaminate_planted_overlap(ray_session):
     import ray.data
 

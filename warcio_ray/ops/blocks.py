@@ -17,6 +17,34 @@ carries its schema, so joins downstream always see key columns.
 
 from __future__ import annotations
 
+# Logical operators that can NOT introduce zero-schema empty blocks:
+# reads and from_* stamp a schema on every block (including empty
+# files), map_batches/project outputs carry their table's columns, and
+# union only forwards its inputs' blocks. Everything else — filter,
+# aggregate, sort/map_groups, repartition, limit, join — has produced
+# schema-less empties in this Ray version and must be sanitized.
+_EMPTY_SAFE_OPS = frozenset({
+    "Read", "MapBatches", "Project", "Union",
+    "FromPandas", "FromArrow", "FromNumpy", "FromItems",
+})
+
+
+def _may_emit_empty_blocks(ds) -> bool:
+    """Walk the logical plan: False only when EVERY operator in the
+    lineage is in the empty-safe set (then the materialize barrier in
+    ``drop_empty_blocks`` can be skipped). Unknown plans or Ray
+    internals changes degrade to True (sanitize)."""
+    try:
+        stack = [ds._logical_plan.dag]
+        while stack:
+            op = stack.pop()
+            if type(op).__name__ not in _EMPTY_SAFE_OPS:
+                return True
+            stack.extend(op.input_dependencies)
+        return False
+    except Exception:
+        return True
+
 
 def drop_empty_blocks(ds):
     """Dataset -> Dataset with zero-row blocks removed (zero-copy).
@@ -24,7 +52,16 @@ def drop_empty_blocks(ds):
     Use on BOTH inputs of a ``Dataset.join`` whose upstream contains a
     groupby/aggregate/filter that may emit empty blocks. A fully-empty
     dataset is returned materialized as-is (callers handle emptiness
-    explicitly)."""
+    explicitly).
+
+    GATED (round 4): when the lineage is provably empty-safe (reads,
+    map_batches, project, union only — see ``_may_emit_empty_blocks``)
+    the dataset is returned UNTOUCHED, skipping the materialize
+    barrier so the join's shuffle pipelines with its input's
+    computation. The barrier only remains where the hazard exists; an
+    already-materialized input costs one metadata scan either way."""
+    if not _may_emit_empty_blocks(ds):
+        return ds
     import pandas as pd
     import ray
     import ray.data
@@ -67,12 +104,19 @@ def safe_join(left, right, join_type: str, num_partitions: int,
     empty right + anti/left_outer keeps the left; any other empty side
     yields ``left.limit(0)`` (note: left schema only — callers that
     need the joined schema must stamp it, which every caller in this
-    repo already does after a join)."""
+    repo already does after a join).
+
+    Sides whose lineage is empty-safe pass through unsanitized (and
+    unmaterialized — no count() either, which would force execution):
+    their blocks always carry schemas, so both the poison and the
+    fully-empty-side hazard are absent by construction."""
     clean_left = drop_empty_blocks(left)
     clean_right = drop_empty_blocks(right)
-    if clean_left.count() == 0:
+    # count() only on sanitized (already-materialized) sides: free
+    # there, a full pipeline execution on a gated side
+    if clean_left is not left and clean_left.count() == 0:
         return clean_left.limit(0)
-    if clean_right.count() == 0:
+    if clean_right is not right and clean_right.count() == 0:
         if join_type in ("left_anti", "left_outer"):
             return clean_left
         return clean_left.limit(0)
