@@ -663,6 +663,22 @@ def test_drop_empty_blocks_gate(ray_session):
         assert drop_empty_blocks(unsafe) is not unsafe
 
 
+def test_guarded_to_pandas(ray_session):
+    """Convenience collectors refuse corpus-scale results, naming the
+    Dataset variant; max_rows=None bypasses deliberately."""
+    import pytest
+    import ray.data
+
+    from warcio_ray.ops.blocks import guarded_to_pandas
+
+    ds = ray.data.range(100)
+    assert len(guarded_to_pandas(ds, "op", "op_ds", max_rows=100)) == 100
+    with pytest.raises(ValueError, match="op_ds"):
+        guarded_to_pandas(ds, "op", "op_ds", max_rows=99)
+    assert len(guarded_to_pandas(ds, "op", "op_ds",
+                                 max_rows=None)) == 100
+
+
 def test_decontaminate_planted_overlap(ray_session):
     import ray.data
 

@@ -125,6 +125,28 @@ def safe_join(left, right, join_type: str, num_partitions: int,
         num_partitions=num_partitions, on=on, right_on=right_on)
 
 
+def guarded_to_pandas(ds, op_name: str, ds_variant: str,
+                      max_rows: int = 5_000_000):
+    """Collect a Dataset to a driver DataFrame with a size guard —
+    the shared gate for every driver-convenience wrapper that has a
+    scale-safe Dataset sibling. Nothing stops a caller pointing a
+    convenience wrapper at a 100 TB corpus; this does: above
+    ``max_rows`` it raises and names the ``_ds`` variant to use
+    instead (pass ``max_rows=None`` to bypass deliberately). The
+    input is materialized once, so the count is a metadata read and
+    the collect does not recompute."""
+    mat = ds.materialize()
+    if max_rows is not None:
+        n = mat.count()
+        if n > max_rows:
+            raise ValueError(
+                f"{op_name}: result has {n:,} rows (> {max_rows:,}) — "
+                f"this driver-side convenience wrapper is for small "
+                f"results; use {ds_variant} and keep it distributed, "
+                f"or pass max_rows=None to collect anyway")
+    return mat.to_pandas()
+
+
 def tree_aggregate(ds, key_cols, sums=(), maxs=(), fanout: int = 32):
     """Vectorized combiner-tree replacement for
     ``groupby(keys).aggregate(...)`` when the group key space is

@@ -524,7 +524,8 @@ def minhash_lsh_dedup_ds(ds, threshold: float = 0.7, num_perm: int = 64,
 
 def minhash_lsh_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
                       bands: int = 16, shingle_k: int = 3,
-                      max_bucket: int = MAX_BUCKET):
+                      max_bucket: int = MAX_BUCKET,
+                      max_rows: int = 5_000_000):
     """Full near-dup pipeline, driver-convenience form. Returns
     (pairs_df, clusters_df): verified duplicate pairs and doc_id ->
     cluster_id (min-id labels). ``pairs_df.attrs['lsh_dropped_ids']``
@@ -537,11 +538,14 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
     everything a Dataset. The clusters here still run distributed above
     CC_DISTRIBUTED_THRESHOLD (the union-find CPU bound hits long before
     the pairs-DataFrame memory bound)."""
+    from warcio_ray.ops.blocks import guarded_to_pandas
+
     verified_ds, n_dropped = minhash_lsh_dedup_ds(
         ds, threshold=threshold, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, max_bucket=max_bucket)
     n_verified = verified_ds.count()
-    verified = verified_ds.to_pandas()
+    verified = guarded_to_pandas(verified_ds, "minhash_lsh_dedup",
+                                 "minhash_lsh_dedup_ds", max_rows)
     verified = verified.sort_values(["a", "b"]).reset_index(drop=True) \
         if len(verified) else pd.DataFrame({"a": pd.Series(dtype="int64"),
                                             "b": pd.Series(dtype="int64")})

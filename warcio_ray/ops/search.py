@@ -142,17 +142,18 @@ def build_postings_layout(ds, out_dir: str, n_buckets: int = 64,
     return out_dir
 
 
-def postings_lookup(layout_dir: str, terms, n_buckets: int = 64
-                    ) -> pd.DataFrame:
+def postings_lookup(layout_dir: str, terms, n_buckets: int = 64,
+                    max_rows: int = 5_000_000) -> pd.DataFrame:
     """Exact (term, doc_id, tf) postings for a probe term set, reading
     ONLY the partitions the probes hash into (file-level pruning).
     Returns rows sorted by (term, doc_id).
 
     Driver memory is O(total postings of the probe terms): fine for
     point lookups, but probing a stopword pulls a corpus-sized posting
-    list — for bulk scoring keep the result as a Dataset (drop the
-    to_pandas and feed the filtered read into the scorer) the way
-    bm25_topk streams instead."""
+    list — SIZE-GUARDED at ``max_rows`` (ops.blocks.guarded_to_pandas);
+    for bulk scoring keep the result as a Dataset (drop the to_pandas
+    and feed the filtered read into the scorer) the way bm25_topk
+    streams instead."""
     import os
 
     import pyarrow as pa
@@ -175,8 +176,13 @@ def postings_lookup(layout_dir: str, terms, n_buckets: int = 64
     def keep(batch):
         return batch.filter(pc.is_in(batch["term"], value_set=probe_arr))
 
-    out = ray.data.read_parquet(paths, file_extensions=["parquet"]) \
-        .map_batches(keep, batch_format="pyarrow").to_pandas()
+    from warcio_ray.ops.blocks import guarded_to_pandas
+
+    out = guarded_to_pandas(
+        ray.data.read_parquet(paths, file_extensions=["parquet"])
+        .map_batches(keep, batch_format="pyarrow"),
+        "postings_lookup", "the pruned read itself (keep the Dataset)",
+        max_rows)
     out = out[["term", "doc_id", "tf"]] \
         .sort_values(["term", "doc_id"], kind="mergesort") \
         .reset_index(drop=True)

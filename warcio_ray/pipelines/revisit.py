@@ -100,9 +100,14 @@ def find_revisit_targets_ds(ds):
                          "refers_to_date"])
 
 
-def find_revisit_targets(ds) -> pd.DataFrame:
-    """Driver-side convenience wrapper (small corpora / tests)."""
-    return find_revisit_targets_ds(ds).to_pandas()
+def find_revisit_targets(ds, max_rows: int = 5_000_000) -> pd.DataFrame:
+    """Driver-side convenience wrapper (small corpora / tests) —
+    size-guarded: at corpus scale use ``find_revisit_targets_ds``."""
+    from warcio_ray.ops.blocks import guarded_to_pandas
+
+    return guarded_to_pandas(find_revisit_targets_ds(ds),
+                             "find_revisit_targets",
+                             "find_revisit_targets_ds", max_rows)
 
 
 def _instr_bucket_of(filename: str, num_buckets: int) -> int:
