@@ -35,6 +35,38 @@ def test_registry_consistency():
     assert len(q) == len(set(q))
 
 
+def test_first_fifty_covers_every_family():
+    """The driver stamps only the first 50 registry entries per round
+    (observed cap): pin the covering set so a future insertion can't
+    silently push an operator family out of the correctness gate."""
+    mod = _entry()
+    first50 = list(mod.queries())[:50]
+    required = {
+        # warc / pages / crawl artifacts
+        "warc_rec_types", "host_counts", "crawl_order", "cdxj_lookup",
+        "wet_export", "wat_export", "revisit_dedup", "anchor_stats",
+        # similarity search
+        "knn_top10", "ivf_layout_top10", "pq_top10", "ivfpq_top10",
+        "fingerprint_dups",
+        # LM / quality / curation
+        "unigram_nll", "bigram_nll", "trigram_nll", "bm25_top20",
+        "decontam_overlap", "dsir_weights", "span_scrub", "pii_redact",
+        "gopher_quality", "nb_langid", "kl_drift",
+        # dedup / export
+        "exact_dedup", "minhash_pairs", "jaccard_clusters",
+        "simhash_pairs", "embedding_neardup", "lsh_append_pairs",
+        "pretrain_corpus", "export_packed", "export_bpe_packed",
+        # multimodal
+        "media_features", "media_phash_dups",
+        # relational / pack / sketch / quantile / graph / clustering
+        "q1_pricing_summary", "asof_click_purchase", "token_stats",
+        "sample_10pct", "pack_1024", "pagerank_5", "hll_lang_tokens",
+        "price_quantiles", "kmeans_clusters", "semdedup_dups",
+    }
+    missing = required - set(first50)
+    assert not missing, f"families pushed out of the first 50: {missing}"
+
+
 def test_oracle_sql_parses():
     """Every oracle must at least PREPARE in DuckDB against empty
     tables with the production schemas (catches SQL typos without
