@@ -103,6 +103,46 @@ def build_warc_corpus(sf_dir: str, replicate: int,
     return out_dir, int(n)
 
 
+def build_big_sf(sf_dir: str, target_bytes: int) -> str:
+    """Replicate the sf documents table until its synthesized pages
+    layout exceeds ``target_bytes`` — the corpus that pushes crawl
+    auto-mode onto the distributed scan path at its REAL activation
+    threshold (IN_PROCESS_CRAWL_MAX_BYTES), instead of forcing the
+    mode. Copy k shifts doc_id by k*n so ids stay contiguous 0..N-1
+    (the deterministic link graph needs that). Cached under /tmp with
+    a marker; the parquet is written one row group per copy, so
+    driver memory stays O(base table)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from warcio_ray.pages import build_pages, documents_path
+    from warcio_ray.pipelines.crawl import layout_nbytes
+
+    base_bytes = layout_nbytes(build_pages(sf_dir))
+    reps = int(target_bytes // max(base_bytes, 1)) + 1
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    out_dir = f"/tmp/warcio_ray/bigsf/{tag}x{reps}"
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
+        t = pq.read_table(documents_path(sf_dir))
+        n = t.num_rows
+        ids = t["doc_id"].to_numpy()
+        idx = t.schema.get_field_index("doc_id")
+        with pq.ParquetWriter(
+                os.path.join(out_dir, "documents.parquet"),
+                t.schema) as w:
+            for k in range(reps):
+                w.write_table(t.set_column(
+                    idx, "doc_id", pa.array(ids + k * n, pa.int64())))
+        with open(marker, "w") as f:
+            f.write(str(reps))
+    return out_dir
+
+
 def _silence_known_benign_worker_logs():
     """Ray-internal `Failed to hash the schemas ... unhashable type:
     'dict'` fires from transform_pyarrow.py:181 on ANY map over these
@@ -296,6 +336,47 @@ def run_bench() -> dict:
         len(order_auto) / max(timings["crawl_auto"], 1e-3), 1)
     assert len(order_auto) == len(order)
 
+    # 5b. crawl PAST the in-process threshold (round-4): replicate
+    # documents until the pages layout exceeds
+    # IN_PROCESS_CRAWL_MAX_BYTES, so fetch_mode="auto" genuinely picks
+    # the distributed scan path; order parity is checked against the
+    # in-process reference engine on the SAME corpus. Setup is
+    # marker-cached (first run pays it; `crawl_big_setup_s` records
+    # what this run paid).
+    if os.environ.get("GRAFT_CRAWL_BIG", "1") != "0":
+        from warcio_ray.pages import build_pages
+        from warcio_ray.pipelines.crawl import (
+            IN_PROCESS_CRAWL_MAX_BYTES, build_pages_bucketed,
+            layout_nbytes)
+
+        t0 = time.time()
+        bigsf = build_big_sf(SF_DIR,
+                             int(IN_PROCESS_CRAWL_MAX_BYTES * 1.1))
+        big_pages_bytes = layout_nbytes(build_pages(bigsf))
+        assert big_pages_bytes >= IN_PROCESS_CRAWL_MAX_BYTES
+        build_pages_bucketed(bigsf)
+        derived["crawl_big_setup_s"] = round(time.time() - t0, 3)
+        derived["crawl_big_pages_mb"] = round(big_pages_bytes / 1e6, 1)
+
+        t0 = time.time()
+        order_big = crawl_pages(bigsf, CrawlConfig(**crawl_cfg),
+                                n_seeds=256)  # auto -> scan here
+        derived["crawl_scan_big_s"] = round(time.time() - t0, 3)
+        derived["crawl_scan_big_urls"] = len(order_big)
+        derived["crawl_scan_big_urls_s"] = round(
+            len(order_big) / max(derived["crawl_scan_big_s"], 1e-3), 1)
+        rounds = (int(order_big["round"].max()) + 1
+                  if len(order_big) else 0)
+        derived["crawl_scan_big_rounds"] = rounds
+        derived["crawl_scan_big_s_round"] = round(
+            derived["crawl_scan_big_s"] / max(rounds, 1), 3)
+        # bit-identical order vs the single-process reference engine
+        order_ip = crawl_pages(bigsf, CrawlConfig(**crawl_cfg),
+                               n_seeds=256, fetch_mode="inprocess")
+        derived["crawl_scan_big_parity"] = int(
+            order_big.equals(order_ip))
+        assert derived["crawl_scan_big_parity"] == 1
+
     # 6. minhash near-dup over documents (Arrow-native signatures;
     # task-based hashing with a worker-global state cache — the actor
     # pool's spin-up cost bought nothing for microsecond init state)
@@ -391,7 +472,11 @@ def run_bench() -> dict:
                            ("hits_2", "op_hits_s"),
                            ("media_phash_dups", "op_phash_s"),
                            ("export_packed", "op_export_s"),
-                           ("snapshot_delta", "op_snapdelta_s")):
+                           ("snapshot_delta", "op_snapdelta_s"),
+                           ("export_bpe_packed", "op_bpeexport_s"),
+                           ("lsh_append_pairs", "op_lshappend_s"),
+                           ("unigram_nll", "op_unigram_s"),
+                           ("bigram_nll", "op_bigram_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \
@@ -435,7 +520,8 @@ def run_scaling() -> None:
 
     def run(ncpu: int, keep: bool) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BIGSHARD="0", GRAFT_OPS_SAMPLER="0")
+                   GRAFT_BIGSHARD="0", GRAFT_OPS_SAMPLER="0",
+                   GRAFT_CRAWL_BIG="0")
         env.setdefault("GRAFT_STAGE_REPS", "3")
         if keep:
             env["GRAFT_KEEP_WARC"] = "1"
