@@ -1476,6 +1476,48 @@ def _dsir_weights(sf_dir: str):
         ds, target_mask=lambda ids: (ids.to_numpy() % 50 == 0))
 
 
+def _budget_subset(sf_dir: str):
+    """Token-budget data selection — the post-scoring curation step:
+    DSIR-scored docs rank by (iw desc, doc_id) and are kept while the
+    running token total stays under 30% of corpus token mass. The
+    cutoff weight comes from four bounded weighted radix scans
+    (ops/quantile.weighted_budget_select) — no global sort, no doc
+    shuffle; exact integers -> window-cumsum SQL oracle."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.blocks import safe_join
+    from warcio_ray.ops.dsir import dsir_weights
+    from warcio_ray.ops.quantile import weighted_budget_select
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    weights = dsir_weights(
+        ds, target_mask=lambda ids: (ids.to_numpy() % 50 == 0))
+
+    def tok_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["text"].fillna("").astype(str).str.split().str.len()
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_tok": n.to_numpy(dtype="int64")})
+
+    counts = ds.map_batches(tok_counts, batch_format="pandas") \
+        .materialize()  # consumed twice: budget scalar + the join
+    total = int(counts.sum("n_tok") or 0)
+    budget = (3 * total) // 10
+
+    def drop_nf(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["doc_id", "iw"]]
+
+    scored = safe_join(
+        weights.map_batches(drop_nf, batch_format="pandas"), counts,
+        join_type="inner", num_partitions=8, on=("doc_id",))
+    kept = weighted_budget_select(scored, budget)
+    out = kept.to_pandas()[["doc_id", "iw", "n_tok"]] \
+        .astype("int64").sort_values("doc_id").reset_index(drop=True)
+    return out
+
+
 def _bigram_nll(sf_dir: str):
     """Exact-integer add-1 bigram LM NLL per doc (top-1024 vocab +
     OOV, -ln p quantized at 2^32) — the perplexity-filter primitive,
@@ -1657,6 +1699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top20": _bm25_top20,
         "decontam_overlap": _decontam_overlap,
         "dsir_weights": _dsir_weights,
+        "budget_subset": _budget_subset,
         "span_scrub": _span_scrub,
         "pii_redact": _pii_redact,
         # dedup / export (unstamped in r3 + new this round)
@@ -1685,8 +1728,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _kmeans_clusters,
         "semdedup_dups": _semdedup_dups,
         "exact_dedup": _exact_dedup,
-        "minhash_pairs": _minhash_pairs,
         # ---- position 51+: stamped green in CORRECTNESS_r03 ----
+        "minhash_pairs": _minhash_pairs,
         "orders_by_segment": _orders_by_segment,
         "top_customers": _top_customers,
         "events_hourly": _events_hourly,
@@ -1733,6 +1776,44 @@ _HOST_CASE = ("'site' || CAST(CASE WHEN doc_id%100<30 THEN 0 "
               "WHEN doc_id%100<45 THEN 1 WHEN doc_id%100<55 THEN 2 "
               "WHEN doc_id%100<62 THEN 3 ELSE doc_id%100 END AS VARCHAR) "
               "|| '.example'")
+
+
+# DSIR importance-weight chain (hashed uni+bigram features, %50-id
+# target, add-1 smoothing, 2^32 quantized log ratios) — shared by the
+# dsir_weights oracle and the budget_subset selection oracle
+_DSIR_CTES = r"""toks AS (SELECT doc_id,
+                                 regexp_extract_all(text, '\S+') AS t
+                          FROM documents),
+            feats AS (
+              SELECT doc_id, unnest(list_concat(t,
+                     CASE WHEN len(t) < 2 THEN []
+                          ELSE list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1]) END)) AS f
+              FROM toks),
+            bf AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT)
+                       % 1024 AS b
+              FROM feats),
+            cnt AS (
+              SELECT b, COUNT(*) AS c_all,
+                     SUM(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
+                       AS c_tgt
+              FROM bf GROUP BY b),
+            tot AS (SELECT SUM(c_all) AS ca, SUM(c_tgt) AS ct FROM cnt),
+            q AS (
+              SELECT b,
+                     CAST(floor((ln((c_tgt + 1.0) / (ct + 1024.0))
+                               - ln((c_all + 1.0) / (ca + 1024.0)))
+                               * 4294967296.0 + 0.5) AS BIGINT) AS qv
+              FROM cnt CROSS JOIN tot),
+            dsirw AS (
+              SELECT doc_id, CAST(SUM(qv) AS BIGINT) AS iw,
+                     COUNT(*) AS n_features
+              FROM bf JOIN q USING (b) GROUP BY doc_id
+              UNION ALL
+              SELECT doc_id, 0 AS iw, 0 AS n_features
+              FROM toks WHERE len(t) = 0)"""
 
 
 def _jaccard_cte(src: str = "documents") -> str:
@@ -3143,39 +3224,29 @@ def oracle_sql() -> dict[str, str]:
         # dsir_weights: md5-bucketed unigram+bigram features, integer
         # histograms, ONE ln() per bucket quantized to int64 at 2^32,
         # integer per-doc sums — exact on both engines (hash compare)
-        "dsir_weights": r"""
-            WITH toks AS (SELECT doc_id,
-                                 regexp_extract_all(text, '\S+') AS t
-                          FROM documents),
-            feats AS (
-              SELECT doc_id, unnest(list_concat(t,
-                     CASE WHEN len(t) < 2 THEN []
-                          ELSE list_transform(range(1, len(t)),
-                               i -> t[i] || ' ' || t[i+1]) END)) AS f
-              FROM toks),
-            bf AS (
-              SELECT doc_id,
-                     CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT)
-                       % 1024 AS b
-              FROM feats),
-            cnt AS (
-              SELECT b, COUNT(*) AS c_all,
-                     SUM(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
-                       AS c_tgt
-              FROM bf GROUP BY b),
-            tot AS (SELECT SUM(c_all) AS ca, SUM(c_tgt) AS ct FROM cnt),
-            q AS (
-              SELECT b,
-                     CAST(floor((ln((c_tgt + 1.0) / (ct + 1024.0))
-                               - ln((c_all + 1.0) / (ca + 1024.0)))
-                               * 4294967296.0 + 0.5) AS BIGINT) AS qv
-              FROM cnt CROSS JOIN tot)
-            SELECT doc_id, CAST(SUM(qv) AS BIGINT) AS iw,
-                   COUNT(*) AS n_features
-            FROM bf JOIN q USING (b) GROUP BY doc_id
-            UNION ALL
-            SELECT doc_id, 0 AS iw, 0 AS n_features
-            FROM toks WHERE len(t) = 0
+        "dsir_weights": f"""
+            WITH {_DSIR_CTES}
+            SELECT doc_id, iw, n_features FROM dsirw
+        """,
+        # budget_subset: DSIR-ranked selection under 30% of corpus
+        # token mass — window cumsum replays the radix cutoff exactly
+        "budget_subset": f"""
+            WITH {_DSIR_CTES},
+            tokn AS (SELECT doc_id, len(t) AS n FROM toks),
+            scored AS (
+              SELECT d.doc_id, d.iw, CAST(tokn.n AS BIGINT) AS n_tok
+              FROM dsirw d JOIN tokn USING (doc_id)),
+            tt AS (SELECT CAST((3 * SUM(n_tok)) // 10 AS BIGINT) AS b
+                   FROM scored),
+            r AS (
+              SELECT doc_id, iw, n_tok,
+                     COALESCE(SUM(n_tok) OVER (
+                       ORDER BY iw DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cb
+              FROM scored)
+            SELECT doc_id, iw, n_tok FROM r CROSS JOIN tt
+            WHERE cb < tt.b ORDER BY doc_id
         """,
         # bigram_nll: add-1 bigram LM with top-1024 vocab + OOV id; one
         # ln per (v,w) quantized to int64 at 2^32, integer per-doc sums

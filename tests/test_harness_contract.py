@@ -52,8 +52,8 @@ def test_first_fifty_covers_every_family():
         "unigram_nll", "bigram_nll", "trigram_nll", "bm25_top20",
         "decontam_overlap", "dsir_weights", "span_scrub", "pii_redact",
         "gopher_quality", "nb_langid", "kl_drift",
-        # dedup / export
-        "exact_dedup", "minhash_pairs", "jaccard_clusters",
+        # dedup / export / selection
+        "exact_dedup", "budget_subset", "jaccard_clusters",
         "simhash_pairs", "embedding_neardup", "lsh_append_pairs",
         "pretrain_corpus", "export_packed", "export_bpe_packed",
         # multimodal

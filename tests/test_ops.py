@@ -663,6 +663,43 @@ def test_drop_empty_blocks_gate(ray_session):
         assert drop_empty_blocks(unsafe) is not unsafe
 
 
+def test_weighted_budget_select(ray_session):
+    """Exact token-budget selection: matches a brute-force
+    (weight desc, id asc) prefix under every budget edge (0, mid,
+    crossing doc, ties at the cutoff, negative weights, everything),
+    partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.quantile import weighted_budget_select
+
+    rng = np.random.default_rng(11)
+    n = 400
+    w = rng.integers(-50, 50, n).astype("int64")
+    w[100:140] = 7   # a fat tie group
+    w[200:210] = -3  # negative tie group
+    cnt = rng.integers(1, 30, n).astype("int64")
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype="int64"),
+                       "iw": w, "n_tok": cnt})
+
+    order = df.sort_values(["iw", "doc_id"],
+                           ascending=[False, True]).reset_index(drop=True)
+    cum_before = order["n_tok"].cumsum() - order["n_tok"]
+    total = int(cnt.sum())
+
+    for budget in (0, 1, total // 3, total // 2 + 3, total - 1, total,
+                   total + 100):
+        want = set(order.loc[cum_before < budget, "doc_id"])
+        for nb in (1, 7):
+            ds = ray.data.from_pandas(df).repartition(nb)
+            got = weighted_budget_select(ds, budget).to_pandas()
+            if budget == 0:  # Ray's empty collect loses the schema
+                assert len(got) == 0
+                continue
+            assert set(got["doc_id"]) == want, (budget, nb)
+            # kept rows keep their columns
+            assert set(got.columns) == {"doc_id", "iw", "n_tok"}
+
+
 def test_guarded_to_pandas(ray_session):
     """Convenience collectors refuse corpus-scale results, naming the
     Dataset variant; max_rows=None bypasses deliberately."""

@@ -181,3 +181,122 @@ def exact_float_quantiles(ds, value_col: str,
         {"pct": np.array([t["pct"] for t in targets], dtype="int64"),
          "value": np.array([_sort_key_to_float(t["pre"])
                             for t in targets], dtype="float64")})
+
+
+def _desc_weight_keys(w: "np.ndarray") -> "np.ndarray":
+    """int64 weights -> uint64 keys whose UNSIGNED ASC order equals
+    weight DESC order (sign-flip bias then bitwise not)."""
+    u = w.astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63)
+    return ~u
+
+
+def weighted_budget_select(ds, budget: int, weight_col: str = "iw",
+                           count_col: str = "n_tok",
+                           id_col: str = "doc_id",
+                           max_ties: int = 5_000_000):
+    """EXACT selection under a token budget — the post-scoring
+    curation step (DSIR / quality-ranked data selection): documents
+    are ranked by (weight DESC, id ASC) and a doc is kept iff the
+    total ``count_col`` mass of all docs strictly before it is
+    < ``budget`` (so the doc that crosses the budget is the last one
+    kept). Returns the kept rows as a Dataset (same columns).
+
+    Scale shape — the weighted sibling of ``exact_float_quantiles``:
+    the cutoff weight w* is found with FOUR bounded radix scans over
+    the 64-bit desc-order key (token-MASS histograms per 16-bit cell,
+    each a ``tree_aggregate`` with <= 2^16 cells per surviving
+    prefix); ties AT w* resolve by id with one bounded driver pass
+    (guarded at ``max_ties``), and the final pass is a stateless
+    vectorized filter. No global sort, no shuffle of doc rows; all
+    integer arithmetic, so the kept set is partitioning-invariant and
+    SQL-reproducible (window-cumsum oracle)."""
+    import ray
+
+    from warcio_ray.ops.blocks import guarded_to_pandas, tree_aggregate
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    if budget == 0:
+        return ds.limit(0)  # schema-preserving empty (any doc with
+        # cum_before 0 would otherwise be kept, so only 0 is empty)
+
+    def level_scan(level: int, parents):
+        shift = np.uint64(64 - 16 * level)
+        parent_shift = np.uint64(64 - 16 * (level - 1))
+
+        def partials(batch: pd.DataFrame) -> pd.DataFrame:
+            k = _desc_weight_keys(
+                batch[weight_col].to_numpy(dtype=np.int64))
+            m = batch[count_col].to_numpy(dtype=np.int64)
+            if parents is not None:
+                keep = np.isin(k >> parent_shift, parents)
+                k, m = k[keep], m[keep]
+            if not len(k):
+                return pd.DataFrame(
+                    {"pre": np.array([], dtype=np.uint64),
+                     "c": np.array([], dtype=np.int64)})
+            pre = k >> shift
+            order = np.argsort(pre, kind="mergesort")
+            pre_s, m_s = pre[order], m[order]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(pre_s[1:] != pre_s[:-1]) + 1])
+            sums = np.add.reduceat(m_s, starts)
+            return pd.DataFrame({"pre": pre_s[starts],
+                                 "c": sums.astype(np.int64)})
+
+        hist = tree_aggregate(
+            ds.map_batches(partials, batch_format="pandas"),
+            ["pre"], sums=("c",))
+        if len(hist) == 0:
+            return hist
+        return hist.sort_values("pre", kind="mergesort") \
+            .reset_index(drop=True)
+
+    # refine to the exact cutoff key k* (the doc weight at the budget
+    # boundary); r tracks the budget remaining inside the prefix
+    r = int(budget)
+    prefix = None
+    for level in range(1, 5):
+        parents = None if level == 1 else np.array([prefix],
+                                                   dtype=np.uint64)
+        hist = level_scan(level, parents)
+        if len(hist) == 0:
+            import ray.data
+            return ds if level == 1 else ray.data.from_pandas(
+                pd.DataFrame())  # unreachable refinement
+        cum = hist["c"].to_numpy(dtype=np.int64).cumsum()
+        i = int(np.searchsorted(cum, r, side="right"))
+        if i >= len(cum):  # total mass <= budget: keep everything
+            return ds
+        prefix = np.uint64(hist["pre"].to_numpy(dtype=np.uint64)[i])
+        r -= int(cum[i - 1]) if i else 0
+    k_star = prefix  # full 64-bit key; 0 <= r < mass(k_star)
+
+    # tie pass: docs AT w* ordered by id consume the remaining budget
+    def tie_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        k = _desc_weight_keys(batch[weight_col].to_numpy(dtype=np.int64))
+        sel = k == k_star
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(dtype="int64")[sel],
+            "n": batch[count_col].to_numpy(dtype="int64")[sel]})
+
+    ties = guarded_to_pandas(
+        ds.map_batches(tie_rows, batch_format="pandas"),
+        "weighted_budget_select tie set",
+        "a larger max_ties (or pre-aggregate equal weights)", max_ties)
+    ties = ties.sort_values(id_col, kind="mergesort")
+    cum_before = ties["n"].to_numpy(dtype=np.int64).cumsum() \
+        - ties["n"].to_numpy(dtype=np.int64)
+    keep_ids = ties[id_col].to_numpy(dtype="int64")[cum_before < r]
+    ids_ref = ray.put(keep_ids)
+
+    def final_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        k = _desc_weight_keys(batch[weight_col].to_numpy(dtype=np.int64))
+        keep = k < k_star
+        tie_ids = ray.get(ids_ref)
+        if len(tie_ids):
+            keep |= np.isin(batch[id_col].to_numpy(dtype="int64"),
+                            tie_ids)
+        return batch[keep]
+
+    return ds.map_batches(final_filter, batch_format="pandas")
