@@ -1476,6 +1476,45 @@ def _dsir_weights(sf_dir: str):
         ds, target_mask=lambda ids: (ids.to_numpy() % 50 == 0))
 
 
+def _split_strat(sf_dir: str):
+    """Stratified 98/1/1 train/val/test assignment: per-lang Hamilton
+    quotas over md5-rank order (ops/split.split_assign) — exact split
+    sizes per group, deterministic at any parallelism, one narrow
+    shuffle; row_number + integer quota SQL oracle."""
+    import ray.data
+
+    from warcio_ray.ops.split import split_assign
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    return split_assign(ds)
+
+
+def _weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (Efraimidis
+    -Spirakis top-k): 100 docs win with probability proportional to
+    token count + 1, via md5-uniform priorities ln(u)/w quantized to
+    int64 (ops/textstats.weighted_sample_topk) — reproducible at any
+    parallelism, per-batch top-k combiner, corpus never shuffles."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.textstats import weighted_sample_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def wcount(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["text"].fillna("").astype(str).str.split().str.len()
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "w": n.to_numpy(dtype="int64") + 1})
+
+    return weighted_sample_topk(
+        ds.map_batches(wcount, batch_format="pandas"), k=100,
+        weight_col="w")
+
+
 def _budget_subset(sf_dir: str):
     """Token-budget data selection — the post-scoring curation step:
     DSIR-scored docs rank by (iw desc, doc_id) and are kept while the
@@ -1700,6 +1739,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_overlap": _decontam_overlap,
         "dsir_weights": _dsir_weights,
         "budget_subset": _budget_subset,
+        "weighted_sample": _weighted_sample,
+        "split_strat": _split_strat,
         "span_scrub": _span_scrub,
         "pii_redact": _pii_redact,
         # dedup / export (unstamped in r3 + new this round)
@@ -1721,15 +1762,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_10pct": _sample_10pct,
         "pack_1024": _pack_1024,
         "nb_langid": _nb_langid,
-        "kl_drift": _kl_drift,
         "pagerank_5": _pagerank_5,
         "hll_lang_tokens": _hll_lang_tokens,
-        "price_quantiles": _price_quantiles,
         "kmeans_clusters": _kmeans_clusters,
         "semdedup_dups": _semdedup_dups,
         "exact_dedup": _exact_dedup,
         # ---- position 51+: stamped green in CORRECTNESS_r03 ----
         "minhash_pairs": _minhash_pairs,
+        "kl_drift": _kl_drift,
+        "price_quantiles": _price_quantiles,
         "orders_by_segment": _orders_by_segment,
         "top_customers": _top_customers,
         "events_hourly": _events_hourly,
@@ -3227,6 +3268,66 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": f"""
             WITH {_DSIR_CTES}
             SELECT doc_id, iw, n_features FROM dsirw
+        """,
+        # split_strat: per-lang Hamilton 98/1/1 quotas over md5-rank
+        # order; boundaries via window cumsum in split order
+        "split_strat": r"""
+            WITH d AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                          1, 8)) AS BIGINT) AS h
+              FROM documents),
+            r AS (SELECT doc_id, lang, row_number() OVER (
+                      PARTITION BY lang ORDER BY h, doc_id) - 1 AS rk
+                  FROM d),
+            n AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY lang),
+            s(name, ord, w) AS (
+              VALUES ('train', 0, 98), ('val', 1, 1), ('test', 2, 1)),
+            q0 AS (SELECT n.lang, s.name, s.ord,
+                          (n.n * s.w) // 100 AS base,
+                          (n.n * s.w) % 100 AS rem,
+                          n.n
+                   FROM n CROSS JOIN s),
+            lv AS (SELECT lang, MAX(n) - SUM(base) AS lo
+                   FROM q0 GROUP BY lang),
+            qt AS (SELECT q0.lang, q0.name, q0.ord,
+                          q0.base + CASE WHEN row_number() OVER (
+                              PARTITION BY q0.lang
+                              ORDER BY q0.rem DESC, q0.name) <= lv.lo
+                            THEN 1 ELSE 0 END AS quota
+                   FROM q0 JOIN lv USING (lang)),
+            b AS (SELECT lang, name, ord,
+                         SUM(quota) OVER (PARTITION BY lang
+                           ORDER BY ord) AS hi,
+                         COALESCE(SUM(quota) OVER (PARTITION BY lang
+                           ORDER BY ord ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND 1 PRECEDING), 0) AS lo2
+                  FROM qt)
+            SELECT r.doc_id, r.lang, b.name AS split
+            FROM r JOIN b ON b.lang = r.lang
+             AND r.rk >= b.lo2 AND r.rk < b.hi
+            ORDER BY doc_id
+        """,
+        # weighted_sample: Efraimidis-Spirakis priorities ln(u)/w
+        # quantized at 2^32 (u = md5-uniform in (0,1]); one window
+        "weighted_sample": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\S+')) + 1
+                          AS BIGINT) AS w
+              FROM documents),
+            p AS (
+              SELECT doc_id, w,
+                     CAST(floor(ln((CAST(('0x' || substr(md5(
+                            CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                            + 1.0) / 4294967296.0) / w
+                            * 4294967296.0 + 0.5) AS BIGINT)
+                       AS priority_q
+              FROM t),
+            r AS (SELECT *, row_number() OVER (
+                      ORDER BY priority_q DESC, doc_id) AS rk FROM p)
+            SELECT doc_id, w, priority_q FROM r WHERE rk <= 100
+            ORDER BY doc_id
         """,
         # budget_subset: DSIR-ranked selection under 30% of corpus
         # token mass — window cumsum replays the radix cutoff exactly

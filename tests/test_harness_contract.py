@@ -51,7 +51,7 @@ def test_first_fifty_covers_every_family():
         # LM / quality / curation
         "unigram_nll", "bigram_nll", "trigram_nll", "bm25_top20",
         "decontam_overlap", "dsir_weights", "span_scrub", "pii_redact",
-        "gopher_quality", "nb_langid", "kl_drift",
+        "gopher_quality", "nb_langid", "weighted_sample",
         # dedup / export / selection
         "exact_dedup", "budget_subset", "jaccard_clusters",
         "simhash_pairs", "embedding_neardup", "lsh_append_pairs",
@@ -61,7 +61,7 @@ def test_first_fifty_covers_every_family():
         # relational / pack / sketch / quantile / graph / clustering
         "q1_pricing_summary", "asof_click_purchase", "token_stats",
         "sample_10pct", "pack_1024", "pagerank_5", "hll_lang_tokens",
-        "price_quantiles", "kmeans_clusters", "semdedup_dups",
+        "split_strat", "kmeans_clusters", "semdedup_dups",
     }
     missing = required - set(first50)
     assert not missing, f"families pushed out of the first 50: {missing}"

@@ -663,6 +663,96 @@ def test_drop_empty_blocks_gate(ray_session):
         assert drop_empty_blocks(unsafe) is not unsafe
 
 
+def test_split_assign(ray_session):
+    """Stratified split: per-group sizes are the exact Hamilton
+    apportionment, membership matches the brute-force md5-rank
+    reference, partitioning- and bucket-invariant."""
+    import hashlib
+
+    import ray.data
+
+    from warcio_ray.ops.split import split_assign
+
+    rng = np.random.default_rng(9)
+    n = 500
+    langs = np.array(["en", "de", "fr", "zz"])[  # zz: tiny group
+        np.concatenate([rng.integers(0, 3, n - 4), [3, 3, 3, 3]])]
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype="int64"),
+                       "lang": langs})
+
+    fr = (("train", 90), ("val", 7), ("test", 3))
+
+    def reference():
+        out = {}
+        for g, grp in df.groupby("lang"):
+            ids = sorted(grp["doc_id"], key=lambda i: (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16),
+                i))
+            ng = len(ids)
+            base = [ng * w // 100 for _, w in fr]
+            rem = [ng * w % 100 for _, w in fr]
+            left = ng - sum(base)
+            for i in sorted(range(3),
+                            key=lambda i: (-rem[i], fr[i][0]))[:left]:
+                base[i] += 1
+            pos = 0
+            for (name, _), q in zip(fr, base):
+                for i in ids[pos:pos + q]:
+                    out[i] = name
+                pos += q
+        return out
+
+    want = reference()
+    for nb, bits in ((1, 7), (9, 4)):
+        got = split_assign(
+            ray.data.from_pandas(df).repartition(nb), fractions=fr,
+            bucket_bits=bits).to_pandas()
+        assert len(got) == n
+        assert dict(zip(got["doc_id"], got["split"])) == want, (nb, bits)
+    # the tiny group still gets exact Hamilton shares (4 docs at
+    # 90/7/3 -> 4/0/0)
+    zz = {i: s for i, s in want.items() if df.loc[i, "lang"] == "zz"}
+    assert sorted(zz.values()) == ["train"] * 4
+
+
+def test_weighted_sample_topk(ray_session):
+    """E-S weighted sampling: matches the brute-force priority order,
+    partitioning-invariant, rejects non-positive weights."""
+    import hashlib
+    import math
+
+    import pytest
+    import ray.data
+
+    from warcio_ray.ops.textstats import weighted_sample_topk
+
+    n = 300
+    rng = np.random.default_rng(3)
+    w = rng.integers(1, 500, n).astype("int64")
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype="int64"), "w": w})
+
+    pri = {}
+    for i, wi in zip(df["doc_id"], w):
+        h = int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
+        u = (h + 1.0) / 4294967296.0
+        pri[int(i)] = math.floor(np.log(u) / wi * 4294967296.0 + 0.5)
+    want = sorted(pri, key=lambda i: (-pri[i], i))[:25]
+
+    for nb in (1, 6):
+        got = weighted_sample_topk(
+            ray.data.from_pandas(df).repartition(nb), k=25,
+            weight_col="w")
+        assert sorted(got["doc_id"]) == sorted(want)
+        assert (got["priority_q"].to_numpy()
+                == np.array([pri[i] for i in got["doc_id"]])).all()
+
+    # the worker-side ValueError surfaces wrapped in RayTaskError
+    with pytest.raises(Exception, match="positive"):
+        weighted_sample_topk(ray.data.from_pandas(
+            pd.DataFrame({"doc_id": [1], "w": [0]})), k=1,
+            weight_col="w")
+
+
 def test_weighted_budget_select(ray_session):
     """Exact token-budget selection: matches a brute-force
     (weight desc, id asc) prefix under every budget edge (0, mid,

@@ -1,0 +1,138 @@
+"""Deterministic stratified dataset splitting (train/val/test).
+
+The last structural step before training: every (group, split) cell
+gets an EXACT Hamilton largest-remainder share of the group's rows
+(per-group split sizes are floor-or-ceil of the ideal share and sum
+exactly to the group size), and membership is decided by the md5 rank
+order within the group — reproducible at any parallelism, on any
+engine, with no RNG state, and recomputable in SQL as one row_number
+window + integer quota arithmetic.
+
+Scale shape: the shuffle_order prefix-sum idiom keyed by
+(group, hash-bucket) — one narrow projection pass, (group, bucket)
+counts fold through ``tree_aggregate`` (O(#groups x 2^bits) driver
+state, which also yields the group sizes for the quota arithmetic),
+then ONE hash shuffle of the (id, group, hash) rows into
+(group, bucket) cells that sort locally and label by broadcast rank
+boundaries. Text never shuffles; nothing corpus-sized reaches the
+driver.
+
+No reference counterpart (warcio has no training-data layer);
+operator family SURVEY §2.8.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["split_assign"]
+
+
+def split_assign(ds, fractions: Sequence[Tuple[str, int]] = (
+        ("train", 98), ("val", 1), ("test", 1)),
+        group_col: str = "lang", id_col: str = "doc_id",
+        bucket_bits: int = 7):
+    """Assign every row to a named split, stratified by ``group_col``.
+
+    ``fractions`` are (name, integer weight) pairs; within each group,
+    rows rank by (md5(id), id) and consecutive rank ranges map to the
+    splits in the given order, with range widths the Hamilton
+    largest-remainder apportionment of the group size over the weights
+    (leftover grants by (remainder desc, name asc) — same rule as
+    ``frontier.budget.apportion_budget``).
+
+    Returns a Dataset of (id_col, group_col, split).
+    """
+    import ray
+
+    from warcio_ray.ops.blocks import tree_aggregate
+    from warcio_ray.ops.textstats import _id_hash_u32
+
+    names = [str(n) for n, _ in fractions]
+    ws = [int(w) for _, w in fractions]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate split names")
+    if any(w < 0 for w in ws) or sum(ws) <= 0:
+        raise ValueError("split weights must be >= 0 with positive sum")
+    W = sum(ws)
+    shift = 32 - bucket_bits
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].astype("int64")
+        h = _id_hash_u32(ids)
+        return pd.DataFrame({id_col: ids.to_numpy(),
+                             group_col: batch[group_col]
+                             .to_numpy(dtype=object),
+                             "_h": h, "bucket": h >> shift})
+
+    # narrow projection consumed twice (counts, then the rank shuffle)
+    keyed = ds.map_batches(project, batch_format="pandas").materialize()
+
+    def cell_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch.groupby([group_col, "bucket"], sort=False,
+                           dropna=False).size().reset_index(name="c")
+        vc["c"] = vc["c"].astype("int64")
+        return vc
+
+    totals = tree_aggregate(
+        keyed.map_batches(cell_counts, batch_format="pandas"),
+        [group_col, "bucket"], sums=("c",))
+    import ray.data
+    if len(totals) == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            id_col: pd.Series(dtype="int64"),
+            group_col: pd.Series(dtype="object"),
+            "split": pd.Series(dtype="object")}))
+    totals = totals.sort_values([group_col, "bucket"]) \
+        .reset_index(drop=True)
+
+    base_map = {}       # (group, bucket) -> base rank within group
+    bounds_map = {}     # group -> cumulative quota boundaries
+    for g, grp in totals.groupby(group_col, sort=False, dropna=False):
+        c = grp["c"].to_numpy(dtype="int64")
+        bases = np.concatenate([[0], np.cumsum(c)[:-1]])
+        for b, br in zip(grp["bucket"].astype("int64"), bases):
+            base_map[(g, int(b))] = int(br)
+        n_g = int(c.sum())
+        # Hamilton quotas over the split weights
+        base_q = [n_g * w // W for w in ws]
+        rem = [n_g * w % W for w in ws]
+        leftover = n_g - sum(base_q)
+        for i in sorted(range(len(ws)),
+                        key=lambda i: (-rem[i], names[i]))[:leftover]:
+            base_q[i] += 1
+        bounds_map[g] = np.cumsum(base_q)
+    # one INT group key per (group, bucket) cell so the shuffle is a
+    # single-column groupby (strings as keys would hash per row)
+    gidx = {g: i for i, g in enumerate(bounds_map)}
+    maps_ref = ray.put((base_map, bounds_map))
+    gidx_ref = ray.put(gidx)
+    nbuckets = 1 << bucket_bits
+    names_arr = np.array(names, dtype=object)
+
+    def add_cell(batch: pd.DataFrame) -> pd.DataFrame:
+        gi = ray.get(gidx_ref)
+        batch = batch.copy()
+        batch["_cell"] = np.fromiter(
+            (gi[g] for g in batch[group_col]), dtype="int64",
+            count=len(batch)) * nbuckets \
+            + batch["bucket"].to_numpy(dtype="int64")
+        return batch
+
+    def label_cell(grp: pd.DataFrame) -> pd.DataFrame:
+        bm, qm = ray.get(maps_ref)
+        g = grp[group_col].iloc[0]
+        b = int(grp["bucket"].iloc[0])
+        grp = grp.sort_values(["_h", id_col], kind="mergesort")
+        ranks = bm[(g, b)] + np.arange(len(grp), dtype="int64")
+        idx = np.searchsorted(qm[g], ranks, side="right")
+        return pd.DataFrame({
+            id_col: grp[id_col].to_numpy(dtype="int64"),
+            group_col: grp[group_col].to_numpy(dtype=object),
+            "split": names_arr[np.minimum(idx, len(names_arr) - 1)]})
+
+    return keyed.map_batches(add_cell, batch_format="pandas") \
+        .groupby("_cell").map_groups(label_cell, batch_format="pandas")

@@ -855,6 +855,50 @@ def trigram_nll_scores(ds, vocab_size: int = 1024) -> "object":
     return ds.map_batches(score, batch_format="pandas")
 
 
+def weighted_sample_topk(ds, k: int, weight_col: str,
+                         id_col: str = "doc_id"):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006): keep the k rows with the largest priority
+    ln(u_i)/w_i, where u_i is the md5-derived uniform
+    (h_i + 1)/2^32 in (0, 1] from ``_id_hash_u32`` — items win with
+    probability proportional to weight, reproducibly at any
+    parallelism, no RNG state. Priorities quantize to int64 at 2^32
+    (ln == libm on both engines — the bm25/dsir precedent), so the
+    selection is an exact integer total order (priority desc, id asc)
+    and the SQL oracle is one row_number window.
+
+    Combiner shape: every batch emits at most its own top-k rows
+    (vectorized argpartition-free sort on two keys), so the final
+    merge sees O(batches x k) rows and the corpus never shuffles.
+    Weights must be positive integers. Returns a driver DataFrame of
+    the k winners (id, weight, priority_q) sorted by id — a sample is
+    driver-sized by construction."""
+    scale = float(np.int64(1) << np.int64(32))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch[weight_col].to_numpy(dtype="int64")
+        if (w <= 0).any():
+            raise ValueError("weighted_sample_topk needs positive "
+                             "weights")
+        h = _id_hash_u32(batch[id_col])
+        u = (h.astype(np.float64) + 1.0) / 4294967296.0
+        pri = np.floor(np.log(u) / w * scale + 0.5).astype(np.int64)
+        out = pd.DataFrame({
+            id_col: batch[id_col].to_numpy(dtype="int64"),
+            weight_col: w, "priority_q": pri})
+        return out.sort_values(
+            ["priority_q", id_col], ascending=[False, True]).head(k)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             weight_col: pd.Series(dtype="int64"),
+                             "priority_q": pd.Series(dtype="int64")})
+    return parts.sort_values(["priority_q", id_col],
+                             ascending=[False, True]).head(k) \
+        .sort_values(id_col).reset_index(drop=True)
+
+
 def rendezvous_shards(ds, n_shards: int = 16, id_col: str = "doc_id"):
     """Rendezvous (highest-random-weight, Thaler & Ravishankar 1998)
     shard assignment: every row goes to the shard s maximizing
