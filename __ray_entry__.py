@@ -169,6 +169,39 @@ def _paragraph_dedup(sf_dir: str):
     return paragraph_dedup(ds.map_batches(plant, batch_format="pandas"))
 
 
+def _line_dedup(sf_dir: str):
+    """Per-source boilerplate line removal (RefinedWeb line dedup): a
+    non-blank line appearing in >= 3 distinct docs of one source is
+    deleted EVERYWHERE and docs rebuild from the survivors. Footer /
+    cookie lines are planted deterministically (doc_id % 2 / % 3,
+    keyed by source so they repeat within a source but not across),
+    plus a unique per-doc stamp (% 7) that must survive; the SQL
+    oracle plants the same text and replays the distinct-count rule
+    with string_split + zipped unnest + HAVING count(DISTINCT)."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.boilerplate import remove_boilerplate_lines
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        d = batch["doc_id"]
+        src = batch["source"].astype(str)
+        footer = np.where(d % 2 == 0, "\n(c) footer of " + src, "")
+        cookie = np.where(d % 3 == 0, "\ncookie notice " + src
+                          + " v" + (d % 2).astype(str), "")
+        stamp = np.where(d % 7 == 0,
+                         "\nunique stamp " + d.astype(str), "")
+        batch["text"] = batch["text"].fillna("") + footer + cookie + stamp
+        return batch
+
+    return remove_boilerplate_lines(
+        ds.map_batches(plant, batch_format="pandas"), min_docs=3)
+
+
 def _host_counts(sf_dir: str):
     import ray.data
     import pandas as pd
@@ -1751,6 +1784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_packed": _export_packed,
         "export_bpe_packed": _export_bpe_packed,
         "lsh_append_pairs": _lsh_append_pairs,
+        "line_dedup": _line_dedup,
         # multimodal plumbing (unstamped in r3)
         "media_features": _media_features,
         "media_phash_dups": _media_phash_dups,
@@ -1759,7 +1793,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click_purchase": _asof_click_purchase,
         "token_stats": _token_stats,
         "gopher_quality": _gopher_quality,
-        "sample_10pct": _sample_10pct,
         "pack_1024": _pack_1024,
         "nb_langid": _nb_langid,
         "pagerank_5": _pagerank_5,
@@ -1769,6 +1802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _exact_dedup,
         # ---- position 51+: stamped green in CORRECTNESS_r03 ----
         "minhash_pairs": _minhash_pairs,
+        "sample_10pct": _sample_10pct,
         "kl_drift": _kl_drift,
         "price_quantiles": _price_quantiles,
         "orders_by_segment": _orders_by_segment,
@@ -2435,6 +2469,50 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY kept.pos), '') AS text
             FROM aug LEFT JOIN kept ON aug.doc_id = kept.doc_id
             GROUP BY aug.doc_id
+        """,
+        # line_dedup: per-source distinct-doc frequency rule; blank =
+        # empty after default trim (spaces) on both engines
+        "line_dedup": """
+            WITH aug AS (
+              SELECT doc_id, source,
+                     COALESCE(text, '')
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN chr(10)||'(c) footer of '||source
+                             ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN chr(10)||'cookie notice '||source
+                                  ||' v'||CAST(doc_id % 2 AS VARCHAR)
+                             ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN chr(10)||'unique stamp '
+                                  ||CAST(doc_id AS VARCHAR)
+                             ELSE '' END AS text
+              FROM documents),
+            ex AS (
+              SELECT doc_id, source,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(0, len(string_split(text,
+                                         chr(10))))) AS pos
+              FROM aug),
+            nb AS (
+              SELECT source, line FROM ex WHERE trim(line) <> ''
+              GROUP BY source, line
+              HAVING COUNT(DISTINCT doc_id) >= 3),
+            rem AS (
+              SELECT ex.doc_id, ex.pos
+              FROM ex JOIN nb USING (source, line)),
+            reb AS (
+              SELECT ex.doc_id,
+                     COALESCE(string_agg(ex.line, chr(10)
+                                         ORDER BY ex.pos)
+                              FILTER (WHERE rem.pos IS NULL),
+                              '') AS text,
+                     COUNT(rem.pos) AS n_removed
+              FROM ex LEFT JOIN rem ON rem.doc_id = ex.doc_id
+                                   AND rem.pos = ex.pos
+              GROUP BY ex.doc_id)
+            SELECT doc_id, text, CAST(n_removed AS BIGINT) AS n_removed
+            FROM reb ORDER BY doc_id
         """,
         "incremental_dedup": """
             SELECT doc_id FROM documents

@@ -55,12 +55,13 @@ def test_first_fifty_covers_every_family():
         # dedup / export / selection
         "exact_dedup", "budget_subset", "jaccard_clusters",
         "simhash_pairs", "embedding_neardup", "lsh_append_pairs",
+        "line_dedup",
         "pretrain_corpus", "export_packed", "export_bpe_packed",
         # multimodal
         "media_features", "media_phash_dups",
         # relational / pack / sketch / quantile / graph / clustering
         "q1_pricing_summary", "asof_click_purchase", "token_stats",
-        "sample_10pct", "pack_1024", "pagerank_5", "hll_lang_tokens",
+        "pack_1024", "pagerank_5", "hll_lang_tokens",
         "split_strat", "kmeans_clusters", "semdedup_dups",
     }
     missing = required - set(first50)

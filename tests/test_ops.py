@@ -2556,3 +2556,45 @@ def test_host_graph(ray_session):
     assert by.loc[("a.example", "b.example"), "n_src_pages"] == 2
     assert by.loc[("b.example", "a.example"), "n_links"] == 2
     assert by.loc[("b.example", "a.example"), "n_src_pages"] == 2
+
+
+def test_remove_boilerplate_lines(ray_session):
+    """Frequency-rule line removal: only lines shared by >= min_docs
+    DISTINCT docs of one group disappear (all occurrences); blank
+    lines and cross-group repeats survive; row count is stable and
+    the result is partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.boilerplate import remove_boilerplate_lines
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype="int64"),
+        "source": ["a", "a", "a", "b", "b", "b"],
+        "text": [
+            "keep me\nfooter x\n\nfooter x",   # footer x twice in doc 0
+            "footer x\nbody 1",
+            "body 2\nfooter x",
+            "footer x\nother",                  # only 1 doc in b: stays
+            "solo line\n   \nrare",
+            "",
+        ]})
+    # footer x: 3 distinct docs in 'a' (dup inside doc 0 counts once)
+    want = {
+        0: ("keep me\n", 2),   # both occurrences removed
+        1: ("body 1", 1),
+        2: ("body 2", 1),
+        3: ("footer x\nother", 0),
+        4: ("solo line\n   \nrare", 0),
+        5: ("", 0),
+    }
+    for nb in (1, 4):
+        out = remove_boilerplate_lines(
+            ray.data.from_pandas(docs).repartition(nb), min_docs=3) \
+            .to_pandas().set_index("doc_id")
+        assert len(out) == 6, nb
+        got = {int(i): (r["text"], int(r["n_removed"]))
+               for i, r in out.iterrows()}
+        assert got == want, (nb, got)
+
+    with pytest.raises(ValueError, match="min_docs"):
+        remove_boilerplate_lines(ray.data.from_pandas(docs), min_docs=1)
