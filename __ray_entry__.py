@@ -1698,6 +1698,43 @@ def _jaccard_clusters(sf_dir: str):
         .astype({"doc_id": "int64", "cluster_id": "int64"})
 
 
+def _cluster_best_rep(sf_dir: str):
+    """Quality-aware fuzzy-dedup winner selection: jaccard connected
+    components -> keep the LONGEST doc per cluster (ties: lowest id)
+    instead of the arbitrary min-id winner, flagging every clustered
+    doc. Exercises cluster_best_representative's packed-int argmax."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.dedup import (
+        cluster_best_representative,
+        connected_components_ds,
+        jaccard_similarity_join,
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    pairs = jaccard_similarity_join(ds, threshold=0.5)
+    if not len(pairs):
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cluster_id": pd.Series(dtype="int64"),
+                             "n_chars": pd.Series(dtype="int64"),
+                             "kept": pd.Series(dtype="int64")})
+    clusters = connected_components_ds(
+        ray.data.from_pandas(pairs[["a", "b"]]))
+
+    def lengths(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_chars": batch["text"].str.len().astype("int64")})
+
+    quality = ds.map_batches(lengths, batch_format="pandas")
+    out = cluster_best_representative(clusters, quality).to_pandas()
+    out["kept"] = out["kept"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "cluster_id": "int64",
+                 "n_chars": "int64"})
+
+
 def _asof_click_purchase(sf_dir: str):
     from warcio_ray.ops.relational import asof_join_events
     return asof_join_events(sf_dir, "click", "purchase")
@@ -1840,6 +1877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _incremental_dedup,
         "lsh_layout_pairs": _lsh_layout_pairs,
         "jaccard_pairs": _jaccard_pairs,
+        "cluster_best_rep": _cluster_best_rep,
     }
 
 
@@ -3230,6 +3268,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.u, t.r FROM edges e JOIN reach t ON t.node = e.v)
             SELECT node AS doc_id, MIN(r) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        # cluster_best_rep: the same recursive components, winner
+        # recomputed as a window argmax (longest text, ties by min id)
+        # — must equal the packed-int64 groupby-min argmax
+        "cluster_best_rep": f"""
+            WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+            edges AS (SELECT a AS u, b AS v FROM jp
+                      UNION ALL SELECT b AS u, a AS v FROM jp),
+            reach(node, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, t.r FROM edges e JOIN reach t ON t.node = e.v),
+            clus AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+                     FROM reach GROUP BY node)
+            SELECT c.doc_id, c.cluster_id,
+                   length(d.text) AS n_chars,
+                   CAST(CASE WHEN row_number() OVER (
+                          PARTITION BY c.cluster_id
+                          ORDER BY length(d.text) DESC, c.doc_id ASC) = 1
+                        THEN 1 ELSE 0 END AS BIGINT) AS kept
+            FROM clus c JOIN documents d USING (doc_id)
         """,
         # embedding_neardup: planted near-copies mirrored verbatim; at
         # cos ~0.9999995 the 4x8-bit hyperplane bands recall every

@@ -436,6 +436,47 @@ def test_connected_components_ds_large_star_chain(ray_session):
     assert int(out["n"].sum()) == (N_STAR + 1) + N_CHAIN
 
 
+def test_cluster_best_representative(ray_session):
+    """Winner = max quality, ties broken by min id; every clustered doc
+    labeled; winner independent of row/partition order."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.dedup import cluster_best_representative
+
+    clusters = pd.DataFrame({
+        "doc_id": [1, 2, 3, 10, 11, 20, 21, 22],
+        "cluster_id": [1, 1, 1, 10, 10, 20, 20, 20]})
+    quality = pd.DataFrame({
+        "doc_id": [1, 2, 3, 10, 11, 20, 21, 22, 99],
+        "n_chars": [5, 9, 9, 0, 0, 7, 7, 7, 1000]})  # 99: unclustered
+
+    for seed in (0, 1):  # two partition layouts
+        shuffled = clusters.sample(frac=1, random_state=seed)
+        out = cluster_best_representative(
+            ray.data.from_pandas(shuffled).repartition(3 + seed),
+            ray.data.from_pandas(quality),
+            num_partitions=4).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert len(out) == len(clusters)  # doc 99 dropped (inner join)
+        kept = set(out.loc[out["kept"], "doc_id"].astype(int))
+        # cluster 1: tie 2 vs 3 at q=9 -> min id 2; cluster 10: tie at
+        # q=0 -> id 10; cluster 20: three-way tie -> id 20
+        assert kept == {2, 10, 20}
+        assert out["n_chars"].tolist() == [5, 9, 9, 0, 0, 7, 7, 7]
+
+    # quality out of packing range must raise, not silently corrupt
+    bad = quality.assign(n_chars=[1 << 22] * 9)
+    try:
+        cluster_best_representative(
+            ray.data.from_pandas(clusters),
+            ray.data.from_pandas(bad), num_partitions=2).to_pandas()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+
+
 def test_train_centroids_bitwise_deterministic(ray_session):
     """Training twice on the same corpus must give bitwise-identical
     centroids regardless of block arrival order (the sample is sorted by

@@ -1512,3 +1512,74 @@ def snapshot_delta(old_ds, new_ds, id_col: str = "doc_id",
 
     return rows.groupby("_part").map_groups(diff_partition,
                                             batch_format="pandas")
+
+
+_REP_ID_BITS = 40  # doc ids packed into the low bits of the argmax key
+
+
+def cluster_best_representative(clusters_ds, quality_ds,
+                                id_col: str = "doc_id",
+                                cluster_col: str = "cluster_id",
+                                quality_col: str = "n_chars",
+                                num_partitions: Optional[int] = None):
+    """Quality-aware fuzzy-dedup winner selection: given component
+    labels (e.g. from ``connected_components_ds``) and an integer
+    per-doc quality column, keep exactly one doc per cluster — the one
+    maximizing (quality desc, id asc) — and label every clustered doc
+    with a ``kept`` flag. The CCNet/RefinedWeb refinement over
+    min-id winners: dedup should discard the SHORT near-copies, not
+    whichever happened to crawl first.
+
+    Scale shape: the argmax is ONE ``groupby(cluster).min(key)`` over
+    packed int64 keys ((qmax - quality) << 40 | id — an integer min is
+    partitioning-invariant and oracle-exact), then one hash join back
+    to the narrow (id, cluster) rows. Quality must be an exact integer
+    (char/token counts, quantized scores); nothing corpus-sized
+    reaches the driver.
+
+    Returns a Dataset (id_col, cluster_col, quality_col, kept).
+    """
+    import ray
+    from ray.data.aggregate import Min
+
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join
+
+    if num_partitions is None:
+        num_partitions = min(
+            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    qcap = 1 << (62 - _REP_ID_BITS)  # quality < 2^22
+    icap = 1 << _REP_ID_BITS
+
+    labeled = safe_join(clusters_ds, quality_ds, "inner",
+                        num_partitions, (id_col,))
+
+    def pack(batch: pd.DataFrame) -> pd.DataFrame:
+        q = batch[quality_col].to_numpy(dtype="int64")
+        ids = batch[id_col].to_numpy(dtype="int64")
+        if len(q) and (int(q.max()) >= qcap or int(q.min()) < 0):
+            raise ValueError(
+                f"{quality_col} must be in [0, 2^{62 - _REP_ID_BITS}) "
+                "to pack into the argmax key")
+        if len(ids) and (int(ids.max()) >= icap or int(ids.min()) < 0):
+            raise ValueError(
+                f"{id_col} must be in [0, 2^{_REP_ID_BITS}) to pack")
+        return pd.DataFrame({
+            cluster_col: batch[cluster_col].to_numpy(dtype="int64"),
+            id_col: ids, quality_col: q,
+            "_k": (qcap - 1 - q) * icap + ids})
+
+    packed = labeled.map_batches(pack, batch_format="pandas")
+    winners = arrow_blocks(packed.select_columns([cluster_col, "_k"])) \
+        .groupby(cluster_col).aggregate(Min("_k", alias_name="_wk"))
+
+    def label(batch: pd.DataFrame) -> pd.DataFrame:
+        wid = batch["_wk"].to_numpy(dtype="int64") % icap
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(dtype="int64"),
+            cluster_col: batch[cluster_col].to_numpy(dtype="int64"),
+            quality_col: batch[quality_col].to_numpy(dtype="int64"),
+            "kept": batch[id_col].to_numpy(dtype="int64") == wid})
+
+    return safe_join(packed, winners, "inner", num_partitions,
+                     (cluster_col,)) \
+        .map_batches(label, batch_format="pandas")
