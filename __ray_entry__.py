@@ -110,6 +110,17 @@ def _gopher_quality(sf_dir: str):
     return ds.map_batches(gopher_quality_batch, batch_format="pandas")
 
 
+def _lexical_diversity(sf_dir: str):
+    """Exact-integer lexical-diversity signals (Simpson collision /
+    type-token-ratio family) — stateless vectorized scan."""
+    import ray.data
+
+    from warcio_ray.ops.textstats import lexical_diversity_batch
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(lexical_diversity_batch, batch_format="pandas")
+
+
 def _top_terms(sf_dir: str):
     import ray.data
 
@@ -1878,6 +1889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_layout_pairs": _lsh_layout_pairs,
         "jaccard_pairs": _jaccard_pairs,
         "cluster_best_rep": _cluster_best_rep,
+        "lexical_diversity": _lexical_diversity,
     }
 
 
@@ -2587,6 +2599,42 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS term
                   FROM documents)
             GROUP BY term ORDER BY n DESC, term LIMIT 20
+        """,
+        # lexical_diversity: per-doc char/word type counts, Simpson
+        # collision numerator and mode word frequency — all exact
+        # integers, recomputed by brute-force GROUP BY
+        "lexical_diversity": r"""
+            WITH cc AS (
+              SELECT doc_id, c, COUNT(*) AS k
+              FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                    FROM documents)
+              GROUP BY doc_id, c),
+            chs AS (
+              SELECT doc_id, COUNT(*) AS uniq_chars,
+                     SUM(k * k) AS char_sq
+              FROM cc GROUP BY doc_id),
+            wc AS (
+              SELECT doc_id, wd, COUNT(*) AS k
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(text, '\S+')) AS wd
+                    FROM documents)
+              GROUP BY doc_id, wd),
+            ws AS (
+              SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_words,
+                     COUNT(*) AS uniq_words,
+                     MAX(k) AS top_word_count
+              FROM wc GROUP BY doc_id)
+            SELECT d.doc_id, length(d.text) AS n_chars,
+                   CAST(COALESCE(chs.uniq_chars, 0) AS BIGINT)
+                     AS uniq_chars,
+                   CAST(COALESCE(chs.char_sq, 0) AS BIGINT) AS char_sq,
+                   COALESCE(ws.n_words, 0) AS n_words,
+                   CAST(COALESCE(ws.uniq_words, 0) AS BIGINT)
+                     AS uniq_words,
+                   CAST(COALESCE(ws.top_word_count, 0) AS BIGINT)
+                     AS top_word_count
+            FROM documents d
+            LEFT JOIN chs USING (doc_id) LEFT JOIN ws USING (doc_id)
         """,
         "sample_10pct": """
             SELECT doc_id FROM documents

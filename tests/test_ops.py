@@ -579,6 +579,26 @@ def test_gopher_quality_signals():
     assert out["mean_word_len"][2] == 0.0 and out["n_lines"][2] == 0
 
 
+def test_lexical_diversity_signals():
+    from warcio_ray.ops.textstats import lexical_diversity_batch
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["aa aa bb",       # chars: a*4 b*2 ' '*2; words aa,aa,bb
+                 "",               # empty doc -> all zeros
+                 "x",              # single char
+                 "éé z"],  # non-ascii code points
+    })
+    out = lexical_diversity_batch(df)
+    assert list(out["n_chars"]) == [8, 0, 1, 4]
+    assert list(out["uniq_chars"]) == [3, 0, 1, 3]
+    assert list(out["char_sq"]) == [16 + 4 + 4, 0, 1, 4 + 1 + 1]
+    assert list(out["n_words"]) == [3, 0, 1, 2]
+    assert list(out["uniq_words"]) == [2, 0, 1, 2]
+    assert list(out["top_word_count"]) == [2, 0, 1, 1]
+    assert all(str(t) == "int64" for t in out.dtypes[1:])
+
+
 def test_top_terms_and_hash_sample(ray_session):
     import ray.data
 

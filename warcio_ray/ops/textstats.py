@@ -617,6 +617,58 @@ def repetition_signals_batch(batch: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def lexical_diversity_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Exact-integer lexical-diversity quality signals (the
+    entropy-family complement of gopher_quality_batch, without the
+    float-log quantization risk):
+
+      n_chars / uniq_chars / char_sq : document length, distinct code
+        points, and sum of per-char count^2 — char_sq/n_chars^2 is the
+        Simpson collision probability (low diversity = spammy/repeated
+        text), computable downstream with one division;
+      n_words / uniq_words : type-token ratio numerator/denominator;
+      top_word_count : mode word frequency (keyword-stuffing signal).
+
+    All integers, so the SQL oracle (GROUP BY doc,char / doc,word) is
+    exact. Stateless map_batches scan, zero shuffle. Vectorized: one
+    utf-32 decode + int64-keyed np.unique for chars, one pd.factorize
+    + keyed np.unique for words — no per-token Python loop."""
+    texts = ["" if t is None else str(t) for t in batch["text"]]
+    n = len(texts)
+    ids = batch["doc_id"].to_numpy(dtype="int64")
+
+    lens = np.array([len(t) for t in texts], dtype="int64")
+    joined = "".join(texts)
+    codes = np.frombuffer(joined.encode("utf-32-le"),
+                          dtype=np.uint32).astype(np.int64)
+    cdoc = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # code points < 2^21, batch index in the high bits
+    ck, ccnt = np.unique((cdoc << 21) | codes, return_counts=True)
+    cd = ck >> 21
+    uniq_chars = np.bincount(cd, minlength=n).astype("int64")
+    char_sq = np.zeros(n, dtype="int64")
+    np.add.at(char_sq, cd, ccnt * ccnt)
+
+    tok_lists = [t.split() for t in texts]
+    nw = np.array([len(tl) for tl in tok_lists], dtype="int64")
+    flat = [w for tl in tok_lists for w in tl]
+    wcodes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    wdoc = np.repeat(np.arange(n, dtype=np.int64), nw)
+    m = np.int64(len(uniques) + 1)
+    wk, wcnt = np.unique(wdoc * m + wcodes, return_counts=True)
+    wd = wk // m
+    uniq_words = np.bincount(wd, minlength=n).astype("int64")
+    top_word = np.zeros(n, dtype="int64")
+    np.maximum.at(top_word, wd, wcnt)
+
+    return pd.DataFrame({
+        "doc_id": ids, "n_chars": lens,
+        "uniq_chars": uniq_chars, "char_sq": char_sq,
+        "n_words": nw, "uniq_words": uniq_words,
+        "top_word_count": top_word,
+    })
+
+
 def _flat_token_ids(batch: pd.DataFrame, windex: "pd.Index",
                     oov: int, text_col: str = "text"):
     """Tokenize a whole batch and map every token to its vocab id (OOV
