@@ -1270,6 +1270,56 @@ def _cdxj_lookup(sf_dir: str):
     return out[["surt_key", "ts14", "url"]]
 
 
+def _collapse_captures(sf_dir: str):
+    """CDX-style capture collapse (pywb `collapse=urlkey` + digest
+    summary): synthesize 1-3 captures per document with a
+    deterministic ts/digest scheme (mirrored exactly in the SQL
+    oracle), then collapse_captures keeps the LATEST capture row per
+    urlkey plus total-capture and distinct-digest counts."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.pipelines.index import collapse_captures
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def synth(batch: pd.DataFrame) -> pd.DataFrame:
+        did = batch["doc_id"].to_numpy(dtype=np.int64)
+        if not len(did):
+            return pd.DataFrame({
+                "urlkey": pd.Series(dtype="string").astype(object),
+                "ts_us": pd.Series(dtype="int64"),
+                "digest": pd.Series(dtype="string").astype(object),
+                "url": pd.Series(dtype="string").astype(object),
+                "status": pd.Series(dtype="int64")})
+        reps = did % 3 + 1
+        rid = np.repeat(did, reps)
+        ends = np.cumsum(reps)
+        r = np.arange(int(ends[-1]), dtype=np.int64) \
+            - np.repeat(ends - reps, reps)
+        digest = [hashlib.md5(f"{d}:{rr & 1}".encode()).hexdigest()
+                  for d, rr in zip(rid, r)]
+        return pd.DataFrame({
+            "urlkey": [f"h{d % 251})/p{d % 17}" for d in rid],
+            "ts_us": (rid * 7919 + r * 104729) % 1000000007,
+            "digest": digest,
+            "url": [f"https://example.org/d{d}" for d in rid],
+            "status": 200 + rid % 3})
+
+    caps = docs.map_batches(synth, batch_format="pandas")
+    out = collapse_captures(caps).to_pandas()
+    cols = ["urlkey", "ts_us", "digest", "url", "status",
+            "n_captures", "n_digests"]
+    return out[cols].sort_values("urlkey", kind="mergesort") \
+        .reset_index(drop=True) \
+        .astype({"ts_us": "int64", "status": "int64",
+                 "n_captures": "int64", "n_digests": "int64"})
+
+
 def _wet_export(sf_dir: str):
     """WARC responses -> WET conversion records -> parse the WET back
     (full parse -> extract -> build -> write -> parse round trip).
@@ -1890,6 +1940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _jaccard_pairs,
         "cluster_best_rep": _cluster_best_rep,
         "lexical_diversity": _lexical_diversity,
+        "collapse_captures": _collapse_captures,
     }
 
 
@@ -4058,6 +4109,38 @@ def oracle_sql() -> dict[str, str]:
                 ON x.band_id = y.band_id AND x.band_key = y.band_key
                AND x.doc_id < y.doc_id)
             SELECT a, b FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+        """,
+        # collapse_captures: replay the deterministic capture synth
+        # (1 + doc_id%3 captures per doc; ts/digest schemes match the
+        # Ray synth literally), then per-urlkey counts + the max-ts row
+        # with ties resolved by lexicographically-largest digest.
+        "collapse_captures": """
+            WITH caps AS MATERIALIZED (
+              SELECT 'h' || CAST(doc_id % 251 AS VARCHAR) || ')/p'
+                       || CAST(doc_id % 17 AS VARCHAR) AS urlkey,
+                     (doc_id * 7919 + r * 104729) % 1000000007 AS ts_us,
+                     md5(CAST(doc_id AS VARCHAR) || ':'
+                         || CAST(r % 2 AS VARCHAR)) AS digest,
+                     'https://example.org/d'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     200 + doc_id % 3 AS status
+              FROM documents
+              CROSS JOIN (SELECT unnest(range(3)) AS r) reps
+              WHERE r <= doc_id % 3),
+            agg AS (
+              SELECT urlkey, COUNT(*) AS n_captures,
+                     COUNT(DISTINCT digest) AS n_digests,
+                     MAX(ts_us) AS wts
+              FROM caps GROUP BY urlkey),
+            win AS (
+              SELECT c.*, row_number() OVER (
+                  PARTITION BY c.urlkey ORDER BY c.digest DESC) AS rn
+              FROM caps c
+              JOIN agg a ON c.urlkey = a.urlkey AND c.ts_us = a.wts)
+            SELECT w.urlkey, w.ts_us, w.digest, w.url, w.status,
+                   a.n_captures, a.n_digests
+            FROM win w JOIN agg a ON w.urlkey = a.urlkey
+            WHERE w.rn = 1 ORDER BY w.urlkey
         """,
         # extract_text_verify / crawl_order are not SQL-expressible
         # (stateful crawl, codec) -> rows-only checks. jaccard_pairs is

@@ -509,3 +509,34 @@ def test_cdxj_layout_lookup(ray_session, tmp_path):
     assert len(cdxj_lookup(layout, ["zzz,nosuch)/"])) == 0
     # idempotent rebuild (marker short-circuits)
     assert build_cdxj_layout(paths, layout) == layout
+
+
+def test_collapse_captures(ray_session):
+    """Capture collapse: latest-ts winner per urlkey, digest-desc tie
+    break, exact capture/distinct-digest counts."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.pipelines.index import collapse_captures
+
+    caps = pd.DataFrame({
+        "urlkey": ["a)/", "a)/", "a)/", "b)/", "b)/", "c)/"],
+        "ts_us":  [10,    30,    30,    5,     5,     7],
+        "digest": ["d1",  "d2",  "d9",  "e1",  "e1",  "f1"],
+        "url":    ["u1",  "u2",  "u3",  "u4",  "u4b", "u5"],
+        "status": [200,   200,   301,   200,   404,   200],
+    })
+    out = collapse_captures(ray.data.from_pandas(caps)).to_pandas() \
+        .sort_values("urlkey").reset_index(drop=True)
+    # a)/: two rows tie at ts=30 -> digest-desc keeps d9 (u3, 301)
+    a = out[out["urlkey"] == "a)/"].iloc[0]
+    assert (a["ts_us"], a["digest"], a["url"], a["status"]) == \
+        (30, "d9", "u3", 301)
+    assert (a["n_captures"], a["n_digests"]) == (3, 3)
+    # b)/: identical (ts, digest) rows -> one survives, counts exact
+    b = out[out["urlkey"] == "b)/"].iloc[0]
+    assert (b["ts_us"], b["digest"]) == (5, "e1")
+    assert (b["n_captures"], b["n_digests"]) == (2, 1)
+    c = out[out["urlkey"] == "c)/"].iloc[0]
+    assert (c["n_captures"], c["n_digests"], c["url"]) == (1, 1, "u5")
+    assert len(out) == 3

@@ -273,3 +273,67 @@ def cdxj_lookup(layout_dir: str, prefixes) -> "pd.DataFrame":
     return out[cols].sort_values(
         ["surt_key", "ts14", "filename", "offset"],
         kind="mergesort").reset_index(drop=True)
+
+
+def collapse_captures(captures, key_col: str = "urlkey",
+                      ts_col: str = "ts_us", digest_col: str = "digest",
+                      num_partitions: Optional[int] = None):
+    """CDX-style capture collapse: many captures of the same URL ->
+    ONE summary row per urlkey carrying the LATEST capture's fields
+    plus capture statistics (the pywb/cdx `collapse=urlkey` + digest
+    summary used to pick a replay canonical and to spot unchanged
+    recrawls; the reference's indexer has no aggregation layer — this
+    is the Ray-native extension over it, cf. indexer.py:64-81 for the
+    per-record fields).
+
+    Output: (key_col, ts_col = max ts, every other capture column from
+    the winning row, n_captures, n_digests). Ties on ts keep the
+    lexicographically-largest digest row (deterministic).
+
+    Scale shape: two narrow hash aggregations — groupby(key, digest)
+    counts collapse exact-duplicate recrawls first, then groupby(key)
+    sums — plus one groupby(key).max over the packed (ts, digest-rank)
+    and a final hash join back to the capture rows. Nothing
+    corpus-sized reaches the driver; text/html payloads should NOT be
+    in `captures` (project them out; join summaries back by urlkey)."""
+    import ray
+    from ray.data.aggregate import Count, Max, Sum
+
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join
+
+    if num_partitions is None:
+        num_partitions = min(
+            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+
+    cap = arrow_blocks(captures)
+    per_digest = cap.select_columns([key_col, digest_col]) \
+        .groupby([key_col, digest_col]).aggregate(Count(alias_name="_n"))
+    stats = arrow_blocks(per_digest).groupby(key_col).aggregate(
+        Sum("_n", alias_name="n_captures"),
+        Count(alias_name="n_digests"))
+
+    winners = cap.select_columns([key_col, ts_col]) \
+        .groupby(key_col).aggregate(Max(ts_col, alias_name="_wts"))
+
+    def tag(batch: "pd.DataFrame") -> "pd.DataFrame":
+        return batch.rename(columns={"_wts": ts_col})
+
+    import pandas as pd  # noqa: F811 — local for the rename kernel
+
+    winner_rows = safe_join(
+        cap, winners.map_batches(tag, batch_format="pandas"),
+        "inner", num_partitions, (key_col, ts_col))
+
+    def dedup_ties(group: pd.DataFrame) -> pd.DataFrame:
+        # digest is the semantic tie-break; the remaining columns make
+        # the pick deterministic under any block arrival order
+        order = [digest_col] + [c for c in group.columns
+                                if c != digest_col]
+        return group.sort_values(order, kind="mergesort").tail(1)
+
+    # ts ties within a key are possible in principle: resolve per key
+    # over the already one-row-per-key-sized winner set
+    winner_rows = winner_rows.groupby(key_col).map_groups(
+        dedup_ties, batch_format="pandas")
+    return safe_join(winner_rows, stats, "inner", num_partitions,
+                     (key_col,))
