@@ -1320,6 +1320,39 @@ def _collapse_captures(sf_dir: str):
                  "n_captures": "int64", "n_digests": "int64"})
 
 
+_BLOCKLIST = ("site13.com", "site21.com", "ads.site35.com", "site48.org")
+
+
+def _blocklist_filter(sf_dir: str):
+    """UT1-style domain-blocklist curation: synthesize a URL per doc
+    (deterministic host scheme mirrored in SQL), mark each as blocked
+    when its host equals / is a subdomain of a listed domain. The
+    'site21.com' entry exercises the subdomain match (it also blocks
+    'ads.site21.com' rows)."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.urlfilter import mark_blocked
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def synth(batch: pd.DataFrame) -> pd.DataFrame:
+        did = batch["doc_id"].astype("int64")
+        host = ((did % 7 == 0).map({True: "ads.", False: ""})
+                + "site" + (did % 97).astype(str)
+                + (did % 2 == 0).map({True: ".com", False: ".org"}))
+        return pd.DataFrame({
+            "doc_id": did,
+            "url": "https://" + host + "/p" + did.astype(str)})
+
+    out = mark_blocked(docs.map_batches(synth, batch_format="pandas"),
+                       _BLOCKLIST).to_pandas()
+    return out[["doc_id", "host", "blocked"]] \
+        .sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "blocked": "int64"})
+
+
 def _wet_export(sf_dir: str):
     """WARC responses -> WET conversion records -> parse the WET back
     (full parse -> extract -> build -> write -> parse round trip).
@@ -1941,6 +1974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_best_rep": _cluster_best_rep,
         "lexical_diversity": _lexical_diversity,
         "collapse_captures": _collapse_captures,
+        "blocklist_filter": _blocklist_filter,
     }
 
 
@@ -4141,6 +4175,26 @@ def oracle_sql() -> dict[str, str]:
                    a.n_captures, a.n_digests
             FROM win w JOIN agg a ON w.urlkey = a.urlkey
             WHERE w.rn = 1 ORDER BY w.urlkey
+        """,
+        # blocklist_filter: replay the host synth, then the UT1 match
+        # (host equals a listed domain OR is a subdomain of one).
+        "blocklist_filter": """
+            WITH u AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 7 = 0 THEN 'ads.' ELSE '' END)
+                       || 'site' || CAST(doc_id % 97 AS VARCHAR)
+                       || (CASE WHEN doc_id % 2 = 0
+                           THEN '.com' ELSE '.org' END) AS host
+              FROM documents)
+            SELECT doc_id, host,
+                   CAST((host IN ('site13.com', 'site21.com',
+                                  'ads.site35.com', 'site48.org')
+                         OR host LIKE '%.site13.com'
+                         OR host LIKE '%.site21.com'
+                         OR host LIKE '%.ads.site35.com'
+                         OR host LIKE '%.site48.org')
+                        AS BIGINT) AS blocked
+            FROM u ORDER BY doc_id
         """,
         # extract_text_verify / crawl_order are not SQL-expressible
         # (stateful crawl, codec) -> rows-only checks. jaccard_pairs is

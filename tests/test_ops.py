@@ -2659,3 +2659,37 @@ def test_remove_boilerplate_lines(ray_session):
 
     with pytest.raises(ValueError, match="min_docs"):
         remove_boilerplate_lines(ray.data.from_pandas(docs), min_docs=1)
+
+
+def test_blocklist_filter(ray_session):
+    """UT1 domain blocklist: exact + subdomain matches block, siblings
+    pass, unparseable hosts block conservatively, invert audits."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.urlfilter import (blocklist_filter,
+                                          host_suffix_blocked,
+                                          mark_blocked)
+
+    assert host_suffix_blocked("bad.com", frozenset({"bad.com"}))
+    assert host_suffix_blocked("a.b.bad.com", frozenset({"bad.com"}))
+    assert not host_suffix_blocked("notbad.com", frozenset({"bad.com"}))
+    assert host_suffix_blocked(None, frozenset())
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "url": ["https://bad.com/x", "https://ads.bad.com/y",
+                "https://notbad.com/z", "http://ok.org:8080/w",
+                "not a url"]})
+    ds = ray.data.from_pandas(docs)
+    marked = mark_blocked(ds, ["bad.com"]).to_pandas() \
+        .sort_values("doc_id")
+    assert marked["blocked"].tolist() == [1, 1, 0, 0, 1]
+    assert marked["host"].tolist() == \
+        ["bad.com", "ads.bad.com", "notbad.com", "ok.org", ""]
+
+    kept = blocklist_filter(ds, ["bad.com"]).to_pandas()
+    assert sorted(kept["doc_id"]) == [3, 4]
+    audit = blocklist_filter(ds, ["bad.com"], invert=True).to_pandas()
+    assert sorted(audit["doc_id"]) == [1, 2, 5]
+    assert "blocked" not in kept.columns
