@@ -1353,6 +1353,37 @@ def _blocklist_filter(sf_dir: str):
         .astype({"doc_id": "int64", "blocked": "int64"})
 
 
+def _cdxj_append_lookup(sf_dir: str):
+    """Incremental CDXJ maintenance: build the layout over HALF the
+    WARC shards, append the other half LSM-style
+    (pipelines/index.append_cdxj_layout), then a pruned prefix lookup
+    over the merged generations must equal the full-index answer (the
+    oracle reconstructs it from the deterministic pages scheme)."""
+    import os
+    import shutil
+
+    from warcio_ray.pipelines.index import (append_cdxj_layout,
+                                            build_cdxj_layout,
+                                            cdxj_lookup)
+
+    paths = sorted(_warc_fixture_paths(sf_dir))
+    half = max(1, len(paths) // 2)
+    layout = os.path.join("/tmp/warcio_ray/cdxj_append",
+                          os.path.basename(sf_dir.rstrip("/")))
+    # the split is deterministic, but guard against a stale layout
+    # built from a different shard census
+    census = os.path.join(layout, "_CENSUS")
+    want = f"{half}/{len(paths)}"
+    if not (os.path.exists(census) and open(census).read() == want):
+        shutil.rmtree(layout, ignore_errors=True)
+    build_cdxj_layout(paths[:half], layout)
+    append_cdxj_layout(paths[half:], layout)
+    with open(census, "w") as f:
+        f.write(want)
+    out = cdxj_lookup(layout, ["example,site1)/", "example,site77)/"])
+    return out[["surt_key", "ts14", "url"]]
+
+
 def _wet_export(sf_dir: str):
     """WARC responses -> WET conversion records -> parse the WET back
     (full parse -> extract -> build -> write -> parse round trip).
@@ -1975,6 +2006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity": _lexical_diversity,
         "collapse_captures": _collapse_captures,
         "blocklist_filter": _blocklist_filter,
+        "cdxj_append_lookup": _cdxj_append_lookup,
     }
 
 
@@ -4175,6 +4207,27 @@ def oracle_sql() -> dict[str, str]:
                    a.n_captures, a.n_digests
             FROM win w JOIN agg a ON w.urlkey = a.urlkey
             WHERE w.rn = 1 ORDER BY w.urlkey
+        """,
+        # cdxj_append_lookup: generations are an implementation detail
+        # — the merged lookup equals the full-index filter, so the
+        # oracle is the cdxj_lookup reconstruction at other prefixes
+        "cdxj_append_lookup": f"""
+            WITH idx AS (
+              SELECT 'example,site' || CAST(CASE WHEN doc_id%100<30 THEN 0
+                       WHEN doc_id%100<45 THEN 1 WHEN doc_id%100<55 THEN 2
+                       WHEN doc_id%100<62 THEN 3 ELSE doc_id%100 END
+                       AS VARCHAR) || ')/doc/' || CAST(doc_id AS VARCHAR)
+                       AS surt_key,
+                     strftime(TIMESTAMP '2024-01-01 00:00:00'
+                       + doc_id * INTERVAL 1 SECOND, '%Y%m%d%H%M%S')
+                       AS ts14,
+                     {_HOST_CASE.replace("'site'", "'http://site'")}
+                       || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents)
+            SELECT surt_key, ts14, url FROM idx
+            WHERE surt_key LIKE 'example,site1)/%'
+               OR surt_key LIKE 'example,site77)/%'
+            ORDER BY surt_key, ts14
         """,
         # blocklist_filter: replay the host synth, then the UT1 match
         # (host equals a listed domain OR is a subdomain of one).

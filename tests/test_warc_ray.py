@@ -540,3 +540,44 @@ def test_collapse_captures(ray_session):
     c = out[out["urlkey"] == "c)/"].iloc[0]
     assert (c["n_captures"], c["n_digests"], c["url"]) == (1, 1, "u5")
     assert len(out) == 3
+
+
+def test_cdxj_append_layout(ray_session, tmp_path):
+    """LSM-style CDXJ append: base+appended lookups equal a full
+    build, the append batch is idempotent, generations never collide
+    with base shards, and appending to a missing layout raises."""
+    import json
+
+    import pandas as pd
+    import pytest
+
+    from warcio_ray.pipelines.index import (append_cdxj_layout,
+                                            build_cdxj_layout,
+                                            cdxj_index, cdxj_lookup)
+
+    base = [golden("valid.warc.gz")]
+    extra = [golden("legacy.arc.gz")]
+    layout = str(tmp_path / "cdxj")
+    build_cdxj_layout(base, layout)
+    n_base_shards = len(json.load(open(f"{layout}/manifest.json")))
+    append_cdxj_layout(extra, layout)
+
+    manifest = json.load(open(f"{layout}/manifest.json"))
+    assert len(manifest) > n_base_shards
+    assert any("part-g1-" in r["path"] for r in manifest)
+
+    full = cdxj_index(base + extra).to_pandas()
+    prefixes = sorted({k.split(")")[0] + ")/" for k in full["surt_key"]})
+    got = cdxj_lookup(layout, prefixes)
+    want = full.sort_values(["surt_key", "ts14", "filename", "offset"],
+                            kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    # idempotent: same batch fingerprint -> no-op
+    append_cdxj_layout(extra, layout)
+    assert json.load(open(f"{layout}/manifest.json")) == manifest
+    assert json.load(open(f"{layout}/appends.json")) == \
+        json.load(open(f"{layout}/appends.json"))
+
+    with pytest.raises(FileNotFoundError):
+        append_cdxj_layout(extra, str(tmp_path / "nolayout"))

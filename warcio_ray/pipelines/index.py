@@ -177,6 +177,37 @@ def cdxj_index(paths, rec_types=("response", "revisit", "resource")):
 # persisted CDXJ layout + pruned-read lookup (the pywb replay query path)
 # ---------------------------------------------------------------------------
 
+def _shard_writer(out_dir: str, tag: str = ""):
+    """Batch -> atomically-renamed parquet shard under
+    ``out_dir/shards`` named by a content hash (first key, last key,
+    row count), prefixed with ``tag`` to keep append generations from
+    ever colliding with base-build shards. Returns the manifest row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        import hashlib
+        keys = batch["surt_key"].to_pylist()
+        if not keys:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "min_key": pa.array([], pa.string()),
+                             "max_key": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        name = hashlib.md5(
+            (keys[0] + "\x00" + keys[-1] + "\x00"
+             + str(len(keys))).encode()).hexdigest()[:12]
+        final = os.path.join(out_dir, "shards",
+                             f"part-{tag}{name}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(batch, tmp)
+        os.replace(tmp, final)
+        return pa.table({"path": [final], "min_key": [min(keys)],
+                         "max_key": [max(keys)],
+                         "n": pa.array([len(keys)], pa.int64())})
+
+    return write_shard
+
+
 def build_cdxj_layout(paths, out_dir: str, force: bool = False) -> str:
     """Persist the globally sorted CDXJ index (cdxj_index above) as
     range-partitioned parquet shards plus a tiny ``manifest.json`` of
@@ -190,9 +221,6 @@ def build_cdxj_layout(paths, out_dir: str, force: bool = False) -> str:
     leaves a torn shard visible."""
     import json
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker) and not force:
         return out_dir
@@ -200,32 +228,72 @@ def build_cdxj_layout(paths, out_dir: str, force: bool = False) -> str:
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(os.path.join(out_dir, "shards"), exist_ok=True)
 
-    def write_shard(batch: pa.Table) -> pa.Table:
-        import hashlib
-        keys = batch["surt_key"].to_pylist()
-        if not keys:
-            return pa.table({"path": pa.array([], pa.string()),
-                             "min_key": pa.array([], pa.string()),
-                             "max_key": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        name = hashlib.md5(
-            (keys[0] + "\x00" + keys[-1] + "\x00"
-             + str(len(keys))).encode()).hexdigest()[:12]
-        final = os.path.join(out_dir, "shards", f"part-{name}.parquet")
-        tmp = final + ".tmp"
-        pq.write_table(batch, tmp)
-        os.replace(tmp, final)
-        return pa.table({"path": [final], "min_key": [min(keys)],
-                         "max_key": [max(keys)],
-                         "n": pa.array([len(keys)], pa.int64())})
-
     manifest = cdxj_index(paths) \
-        .map_batches(write_shard, batch_format="pyarrow").to_pandas()
+        .map_batches(_shard_writer(out_dir), batch_format="pyarrow") \
+        .to_pandas()
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest.to_dict(orient="records"), f)
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir
+
+
+def append_cdxj_layout(paths, layout_dir: str) -> str:
+    """Append NEW archives' captures to a standing CDXJ layout — the
+    incremental-index maintenance a continuous crawl needs (Common
+    Crawl publishes its CDX index per crawl generation the same way;
+    the reference indexer only ever writes a fresh full index).
+
+    LSM-style: only the DELTA is indexed and sorted (O(new captures),
+    never O(archive)); existing shards are untouched. Appended
+    generations may overlap base shards' key ranges — lookup
+    correctness is unchanged because ``plan_cdxj_files`` prunes each
+    shard independently and ``cdxj_lookup`` merge-sorts the survivors.
+
+    Idempotent per append batch: a fingerprint of the archive basenames
+    is logged in ``appends.json``; re-appending the same batch is a
+    no-op. Crash-safe: shards land via atomic rename first, then the
+    manifest, then the log — a torn append is invisible (manifest never
+    references its shards) and the retry rewrites identical files."""
+    import hashlib
+    import json
+
+    if not os.path.exists(os.path.join(layout_dir, "_DONE")):
+        raise FileNotFoundError(
+            f"append_cdxj_layout: no built layout at {layout_dir} "
+            "(run build_cdxj_layout first)")
+    paths = list(paths)
+    fp = hashlib.md5("\n".join(
+        sorted(os.path.basename(str(p)) for p in paths))
+        .encode()).hexdigest()
+    log_path = os.path.join(layout_dir, "appends.json")
+    log = []
+    if os.path.exists(log_path):
+        with open(log_path) as f:
+            log = json.load(f)
+    if fp in log or not paths:
+        return layout_dir
+    gen = len(log) + 1
+
+    new_rows = cdxj_index(paths) \
+        .map_batches(_shard_writer(layout_dir, tag=f"g{gen}-"),
+                     batch_format="pyarrow").to_pandas()
+
+    man_path = os.path.join(layout_dir, "manifest.json")
+    with open(man_path) as f:
+        manifest = json.load(f)
+    manifest.extend(new_rows.to_dict(orient="records"))
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, man_path)
+
+    log.append(fp)
+    tmp = log_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(log, f)
+    os.replace(tmp, log_path)
+    return layout_dir
 
 
 def plan_cdxj_files(manifest, prefixes):
