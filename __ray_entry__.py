@@ -1384,6 +1384,21 @@ def _cdxj_append_lookup(sf_dir: str):
     return out[["surt_key", "ts14", "url"]]
 
 
+def _tfidf_keywords(sf_dir: str):
+    """Per-doc tf-idf keyword extraction: top-3 whitespace terms by
+    tf * ln(N/df), ties broken by term ASC (ops/search.py
+    tfidf_topk_terms, broadcast-df path at this vocab size)."""
+    import ray.data
+
+    from warcio_ray.ops.search import tfidf_topk_terms
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = tfidf_topk_terms(ds, k=3).to_pandas()
+    out["tfidf"] = out["tfidf"].round(6)
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
 def _wet_export(sf_dir: str):
     """WARC responses -> WET conversion records -> parse the WET back
     (full parse -> extract -> build -> write -> parse round trip).
@@ -2007,6 +2022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_captures": _collapse_captures,
         "blocklist_filter": _blocklist_filter,
         "cdxj_append_lookup": _cdxj_append_lookup,
+        "tfidf_keywords": _tfidf_keywords,
     }
 
 
@@ -4228,6 +4244,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE surt_key LIKE 'example,site1)/%'
                OR surt_key LIKE 'example,site77)/%'
             ORDER BY surt_key, ts14
+        """,
+        # tfidf_keywords: exact tf / distinct-doc df over the same
+        # whitespace tokenization; identical score expression so ties
+        # and ranks agree
+        "tfidf_keywords": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\\S+')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            df AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                   FROM toks GROUP BY term),
+            nn AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+              SELECT t.doc_id, t.term,
+                     t.tf * ln(CAST(nn.n AS DOUBLE) / d.df) AS tfidf,
+                     row_number() OVER (PARTITION BY t.doc_id
+                       ORDER BY t.tf * ln(CAST(nn.n AS DOUBLE) / d.df)
+                         DESC, t.term) AS rank
+              FROM tf t JOIN df d USING (term) CROSS JOIN nn)
+            SELECT doc_id, rank, term, ROUND(tfidf, 6) AS tfidf
+            FROM scored WHERE rank <= 3 ORDER BY doc_id, rank
         """,
         # blocklist_filter: replay the host synth, then the UT1 match
         # (host equals a listed domain OR is a subdomain of one).

@@ -2693,3 +2693,40 @@ def test_blocklist_filter(ray_session):
     audit = blocklist_filter(ds, ["bad.com"], invert=True).to_pandas()
     assert sorted(audit["doc_id"]) == [1, 2, 5]
     assert "blocked" not in kept.columns
+
+
+def test_tfidf_topk_terms_paths(ray_session):
+    """tf-idf keywords: hand-checked ranks, ties by term ASC, and the
+    broadcast / join paths are output-identical."""
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.search import tfidf_topk_terms
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["apple apple banana common",
+                 "banana cherry common",
+                 "cherry cherry cherry common",
+                 ""]})
+    ds = ray.data.from_pandas(docs)
+
+    outs = []
+    for bmax in (1 << 30, 0):  # broadcast path, then join path
+        out = tfidf_topk_terms(ds, k=2, broadcast_max=bmax).to_pandas() \
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    out = outs[0]
+    # doc 4 is empty -> absent; everyone else has 2 rows
+    assert out["doc_id"].tolist() == [1, 1, 2, 2, 3, 3]
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    assert out[out.doc_id == 1]["term"].tolist() == ["apple", "banana"]
+    assert out[out.doc_id == 1]["tfidf"].iloc[0] == 2 * math.log(4 / 1)
+    # doc 2: banana and cherry tie (tf=1, df=2) -> term ASC
+    assert out[out.doc_id == 2]["term"].tolist() == ["banana", "cherry"]
+    # 'common' (df=3) never wins over rarer terms
+    assert "common" not in out[out["rank"] == 1]["term"].tolist()

@@ -187,3 +187,130 @@ def postings_lookup(layout_dir: str, terms, n_buckets: int = 64,
         .sort_values(["term", "doc_id"], kind="mergesort") \
         .reset_index(drop=True)
     return out.astype({"doc_id": "int64", "tf": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keyword extraction
+# ---------------------------------------------------------------------------
+
+def _tf_explode(batch: pd.DataFrame, text_col: str,
+                id_col: str) -> pd.DataFrame:
+    """(id, text) batch -> exact (doc_id, term, tf) rows — the same
+    vectorized split-explode-count kernel as the postings builder."""
+    s = batch.set_index(batch[id_col].astype("int64"))[text_col] \
+        .fillna("").str.split()
+    ex = s.explode().dropna()
+    if not len(ex):
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "term": pd.Series(dtype="object"),
+                             "tf": pd.Series(dtype="int64")})
+    out = ex.groupby([ex.index, ex.values]).size().reset_index()
+    out.columns = ["doc_id", "term", "tf"]
+    return out.astype({"doc_id": "int64", "tf": "int64"})
+
+
+def _topk_kernel(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """(doc_id, term, tf, df_) rows of ONE doc set -> per-doc top-k
+    (doc_id, rank, term, tfidf), tfidf = tf * ln(N/df) with ties
+    broken by term ASC. N rides in the '_n' column."""
+    tfidf = df["tf"].to_numpy(np.float64) \
+        * np.log(df["_n"].to_numpy(np.float64)
+                 / df["df_"].to_numpy(np.float64))
+    out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                        "term": df["term"].to_numpy(),
+                        "tfidf": tfidf})
+    out = out.sort_values(["doc_id", "tfidf", "term"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+    out = out.groupby("doc_id", sort=False).head(k)
+    out["rank"] = out.groupby("doc_id", sort=False).cumcount() + 1
+    return out[["doc_id", "rank", "term", "tfidf"]] \
+        .astype({"rank": "int64"})
+
+
+def term_doc_freq(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """-> (term, df_) Dataset of exact distinct-document frequencies.
+    Combiner shape: each doc's rows stay batch-local, so the per-batch
+    (term -> n_docs) partial is exact and only O(batch-distinct terms)
+    rows reach the one vocab-sized groupby."""
+    from ray.data.aggregate import Sum
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        tf = _tf_explode(batch, text_col, id_col)
+        out = tf.groupby("term", sort=False).size().reset_index()
+        out.columns = ["term", "df_"]
+        return out.astype({"df_": "int64"})
+
+    return arrow_blocks(ds.map_batches(partial, batch_format="pandas")) \
+        .groupby("term").aggregate(Sum("df_", alias_name="df_"))
+
+
+def tfidf_topk_terms(ds, k: int = 5, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     broadcast_max: int = 2_000_000,
+                     num_partitions=None):
+    """Per-document tf-idf keyword extraction: the top-k whitespace
+    terms of each doc by ``tf * ln(N / df)`` (ties: term ASC), the
+    classic curation/labeling signal (salient terms per page). No
+    warcio counterpart — LLM-pipeline operator per the build brief.
+
+    Returns a (doc_id int64, rank int64 1..k, term string,
+    tfidf float64) Dataset.
+
+    Two output-identical paths (tested): a vocab <= ``broadcast_max``
+    ships the (term -> df) map ONCE via ray.put and scoring is a
+    single stateless re-scan emitting k rows per doc — zero shuffles
+    past the df combiner. A larger vocab takes the join path: the
+    (doc_id, term, tf) explode hash-joins the df table on term, then
+    one groupby(doc_id) packs per-doc top-k — O(token-distinct) rows
+    through two shuffles, never a driver-side vocabulary."""
+    import ray
+
+    from warcio_ray.ops.blocks import safe_join
+
+    if num_partitions is None:
+        # shuffle aggregators reserve CPU; oversizing the partition
+        # count past the session's CPUs deadlocks small clusters
+        num_partitions = min(
+            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    n_docs = ds.count()
+    df_tbl = term_doc_freq(ds, text_col=text_col, id_col=id_col) \
+        .materialize()
+    vocab = df_tbl.count()
+
+    if vocab == 0:
+        return df_tbl.map_batches(lambda b: pd.DataFrame({
+            "doc_id": pd.Series(dtype="int64"),
+            "rank": pd.Series(dtype="int64"),
+            "term": pd.Series(dtype="object"),
+            "tfidf": pd.Series(dtype="float64")}),
+            batch_format="pandas")
+
+    if vocab <= broadcast_max:
+        dfp = df_tbl.to_pandas()
+        ref = ray.put(pd.Series(dfp["df_"].to_numpy(np.int64),
+                                index=dfp["term"]))
+
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            dfs = ray.get(ref)
+            tf = _tf_explode(batch, text_col, id_col)
+            tf["df_"] = dfs.reindex(tf["term"]).to_numpy(np.int64)
+            tf["_n"] = np.int64(n_docs)
+            return _topk_kernel(tf, k)
+
+        return ds.map_batches(score, batch_format="pandas")
+
+    tf_rows = ds.map_batches(
+        lambda b: _tf_explode(b, text_col, id_col),
+        batch_format="pandas")
+    joined = safe_join(tf_rows, df_tbl, "inner", num_partitions,
+                       ("term",))
+
+    def pack(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.copy()
+        group["_n"] = np.int64(n_docs)
+        return _topk_kernel(group, k)
+
+    return joined.groupby(id_col).map_groups(pack, batch_format="pandas")
