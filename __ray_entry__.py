@@ -1399,6 +1399,46 @@ def _tfidf_keywords(sf_dir: str):
     return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
 
+def _robots_allow(sf_dir: str):
+    """robots.txt evaluation through the REAL frontier parser
+    (frontier/politeness.RobotsRules): deterministic per-host robots
+    bodies (by host parity) + per-doc paths, verdict = longest-prefix
+    match with Allow winning equal-length ties (Google rule). The
+    '/q' rules are an exact-tie pair, so the oracle certifies the tie
+    behavior, not just prefix matching."""
+    import pandas as pd
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def evaluate(batch: pd.DataFrame) -> pd.DataFrame:
+        from warcio_ray.frontier.politeness import RobotsRules
+        rules = {
+            0: RobotsRules.parse("User-agent: *\nDisallow: /p3\n"
+                                 "Allow: /p3/1\nDisallow: /q\n"
+                                 "Allow: /q\n"),
+            1: RobotsRules.parse("User-agent: *\nDisallow: /p5\n"
+                                 "Allow: /p5/2\n")}
+        did = batch["doc_id"].astype("int64")
+        host = did % 50
+        path = pd.Series(
+            [f"/q/{d % 10}" if d % 11 == 0 else f"/p{d % 7}/{d % 10}"
+             for d in did], index=batch.index)
+        return pd.DataFrame({
+            "doc_id": did,
+            "host": host,
+            "path": path,
+            "allowed": pd.Series(
+                [int(rules[h % 2].allowed(p))
+                 for h, p in zip(host, path)], index=batch.index,
+                dtype="int64")})
+
+    out = docs.map_batches(evaluate, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "host": "int64", "allowed": "int64"})
+
+
 def _wet_export(sf_dir: str):
     """WARC responses -> WET conversion records -> parse the WET back
     (full parse -> extract -> build -> write -> parse round trip).
@@ -2023,6 +2063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_filter": _blocklist_filter,
         "cdxj_append_lookup": _cdxj_append_lookup,
         "tfidf_keywords": _tfidf_keywords,
+        "robots_allow": _robots_allow,
     }
 
 
@@ -4267,6 +4308,31 @@ def oracle_sql() -> dict[str, str]:
               FROM tf t JOIN df d USING (term) CROSS JOIN nn)
             SELECT doc_id, rank, term, ROUND(tfidf, 6) AS tfidf
             FROM scored WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        # robots_allow: replay the path synth; the verdict CASEs are
+        # the longest-prefix-match unrolled per host parity, with the
+        # equal-length Allow/Disallow '/q' pair resolved to Allow
+        "robots_allow": """
+            WITH u AS (
+              SELECT doc_id, doc_id % 50 AS host,
+                     CASE WHEN doc_id % 11 = 0
+                          THEN '/q/' || CAST(doc_id % 10 AS VARCHAR)
+                          ELSE '/p' || CAST(doc_id % 7 AS VARCHAR)
+                            || '/' || CAST(doc_id % 10 AS VARCHAR)
+                     END AS path
+              FROM documents)
+            SELECT doc_id, host, path,
+                   CAST(CASE WHEN host % 2 = 0 THEN
+                          CASE WHEN path LIKE '/q%' THEN 1
+                               WHEN path LIKE '/p3/1%' THEN 1
+                               WHEN path LIKE '/p3%' THEN 0
+                               ELSE 1 END
+                        ELSE
+                          CASE WHEN path LIKE '/p5/2%' THEN 1
+                               WHEN path LIKE '/p5%' THEN 0
+                               ELSE 1 END
+                   END AS BIGINT) AS allowed
+            FROM u ORDER BY doc_id
         """,
         # blocklist_filter: replay the host synth, then the UT1 match
         # (host equals a listed domain OR is a subdomain of one).

@@ -251,3 +251,22 @@ def test_recrawl_schedule(ray_session):
     out2 = recrawl_schedule(ray.data.from_pandas(
         df[["doc_id", "status"]])).to_pandas().sort_values("doc_id")
     assert out2["next_days"].tolist() == [3, 3, 14, 14, 7, 0]
+
+
+def test_robots_tie_allow_wins():
+    """Equal-length Allow/Disallow prefixes: Allow wins regardless of
+    listing order (Google's least-restrictive tie rule), longer rules
+    still dominate."""
+    from warcio_ray.frontier.politeness import RobotsRules
+
+    r = RobotsRules.parse(
+        "User-agent: *\nDisallow: /q\nAllow: /q\n")
+    assert r.allowed("/q/page")
+    r2 = RobotsRules.parse(
+        "User-agent: *\nAllow: /q\nDisallow: /q\n")
+    assert r2.allowed("/q/page")
+    # a LONGER disallow still beats the tied allow
+    r3 = RobotsRules.parse(
+        "User-agent: *\nAllow: /q\nDisallow: /q\nDisallow: /q/p\n")
+    assert not r3.allowed("/q/page")
+    assert r3.allowed("/q/x")

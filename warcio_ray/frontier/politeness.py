@@ -65,7 +65,9 @@ class RobotsRules:
         best_len = -1
         best_allow = True
         for allow, prefix in self.rules:
-            if path.startswith(prefix) and len(prefix) > best_len:
+            if path.startswith(prefix) and (
+                    len(prefix) > best_len
+                    or (len(prefix) == best_len and allow)):
                 best_len = len(prefix)
                 best_allow = allow
         return best_allow
