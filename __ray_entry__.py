@@ -735,6 +735,45 @@ def _host_graph(sf_dir: str):
     return host_graph(edges, _host_series)
 
 
+def _reciprocal_links(sf_dir: str):
+    """Link-farm reciprocity signal: doc-level edges from the real
+    html link extraction, reversed copies planted for src % 17 == 0
+    (mirrored in SQL) so reciprocated pairs exist, then per-node
+    distinct-out-degree + reciprocated-edge counts
+    (ops/graph.reciprocal_link_stats)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from warcio_ray.ops.graph import reciprocal_link_stats
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    def plant_reversals(batch: pd.DataFrame) -> pd.DataFrame:
+        rev = batch[batch["src"] % 17 == 0]
+        rev = pd.DataFrame({"src": rev["dst"].to_numpy(),
+                            "dst": rev["src"].to_numpy()})
+        return pd.concat([batch[["src", "dst"]], rev],
+                         ignore_index=True)
+
+    edges = edge_urls.map_batches(to_ids, batch_format="pyarrow") \
+        .map_batches(plant_reversals, batch_format="pandas")
+    out = reciprocal_link_stats(edges).to_pandas()
+    return out.sort_values("node").reset_index(drop=True) \
+        .astype({"node": "int64", "n_out": "int64", "n_recip": "int64"})
+
+
 def _linear_quality(sf_dir: str):
     import ray.data
 
@@ -2064,6 +2103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdxj_append_lookup": _cdxj_append_lookup,
         "tfidf_keywords": _tfidf_keywords,
         "robots_allow": _robots_allow,
+        "reciprocal_links": _reciprocal_links,
     }
 
 
@@ -4308,6 +4348,31 @@ def oracle_sql() -> dict[str, str]:
               FROM tf t JOIN df d USING (term) CROSS JOIN nn)
             SELECT doc_id, rank, term, ROUND(tfidf, 6) AS tfidf
             FROM scored WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        # reciprocal_links: rebuild the deterministic link graph, add
+        # the planted reversals, then distinct-edge reciprocity via a
+        # swapped self-join
+        "reciprocal_links": """
+            WITH n AS (SELECT COUNT(*) AS nd FROM documents),
+            e0 AS (
+              SELECT doc_id AS src,
+                     (doc_id * 31 + 7 * (j + 1)) % nd AS dst
+              FROM (SELECT doc_id, unnest(range(0, doc_id % 4)) AS j
+                    FROM documents) CROSS JOIN n),
+            e1 AS (
+              SELECT src, dst FROM e0
+              UNION ALL
+              SELECT dst AS src, src AS dst FROM e0 WHERE src % 17 = 0),
+            e AS (SELECT DISTINCT src, dst FROM e1 WHERE src <> dst),
+            r AS (
+              SELECT a.src,
+                     CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END
+                       AS recip
+              FROM e a LEFT JOIN e b
+                ON a.src = b.dst AND a.dst = b.src)
+            SELECT src AS node, COUNT(*) AS n_out,
+                   CAST(SUM(recip) AS BIGINT) AS n_recip
+            FROM r GROUP BY src ORDER BY node
         """,
         # robots_allow: replay the path synth; the verdict CASEs are
         # the longest-prefix-match unrolled per host parity, with the

@@ -2730,3 +2730,22 @@ def test_tfidf_topk_terms_paths(ray_session):
     assert out[out.doc_id == 2]["term"].tolist() == ["banana", "cherry"]
     # 'common' (df=3) never wins over rarer terms
     assert "common" not in out[out["rank"] == 1]["term"].tolist()
+
+
+def test_reciprocal_link_stats(ray_session):
+    """Reciprocity: distinct out-neighbors, both-direction detection,
+    self-loops and multi-edges ignored."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.graph import reciprocal_link_stats
+
+    edges = pd.DataFrame({
+        "src": [1, 2, 1, 1, 3, 1, 1],
+        "dst": [2, 1, 3, 3, 4, 1, 4]})  # 1<->2, 1->3 (dup), 3->4, loop, 1->4
+    out = reciprocal_link_stats(ray.data.from_pandas(edges)) \
+        .to_pandas().set_index("node").sort_index()
+    assert out.loc[1, "n_out"] == 3 and out.loc[1, "n_recip"] == 1
+    assert out.loc[2, "n_out"] == 1 and out.loc[2, "n_recip"] == 1
+    assert out.loc[3, "n_out"] == 1 and out.loc[3, "n_recip"] == 0
+    assert 4 not in out.index  # no outgoing edges

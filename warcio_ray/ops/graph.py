@@ -476,3 +476,62 @@ def host_graph(edges_ds, host_of_src, host_of_dst=None):
         .aggregate(Sum("c", alias_name="n_links"),
                    Count(alias_name="n_src_pages"))
     return out
+
+
+def reciprocal_link_stats(edges_ds):
+    """Per-node reciprocity — the classic link-farm / link-exchange
+    spam signal (a site whose outlinks are mostly reciprocated is
+    trading links, not earning them; cf. Common Crawl webgraph
+    analyses). No warcio counterpart — webgraph operator per the
+    build brief.
+
+    (src, dst) int64 edges -> (node, n_out, n_recip): distinct
+    out-neighbors and how many of those edges are reciprocated
+    (both directions present). Self-loops and multi-edges are
+    ignored.
+
+    Shape at scale: per-batch distinct (lo, hi, direction-flag) rows
+    (map-side combine), ONE hash aggregate over the undirected pair
+    key (Max merges duplicate directions exactly), a stateless
+    per-direction re-explode, then one node-keyed aggregate. Two
+    narrow int64 shuffles total; nothing node- or edge-sized touches
+    the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch[["src", "dst"]].dropna().astype("int64")
+        df = df[df["src"] != df["dst"]].drop_duplicates()
+        src = df["src"].to_numpy()
+        dst = df["dst"].to_numpy()
+        fwd = (src < dst)
+        out = pd.DataFrame({
+            "lo": np.minimum(src, dst),
+            "hi": np.maximum(src, dst),
+            "d_fwd": fwd.astype("int64"),
+            "d_rev": (~fwd).astype("int64")})
+        # duplicate (lo, hi) rows within the batch collapse here; Max
+        # in the pair aggregate finishes the job across batches
+        return out.groupby(["lo", "hi"], sort=False).max().reset_index()
+
+    from ray.data.aggregate import Max
+
+    pairs = arrow_blocks(edges_ds.map_batches(fold, batch_format="pandas")) \
+        .groupby(["lo", "hi"]).aggregate(Max("d_fwd", alias_name="d_fwd"),
+                                         Max("d_rev", alias_name="d_rev"))
+
+    def per_node(batch: pd.DataFrame) -> pd.DataFrame:
+        recip = (batch["d_fwd"] & batch["d_rev"]).astype("int64")
+        f = batch["d_fwd"].astype(bool)
+        r = batch["d_rev"].astype(bool)
+        return pd.DataFrame({
+            "node": np.concatenate([batch["lo"].to_numpy()[f],
+                                    batch["hi"].to_numpy()[r]]),
+            "recip": np.concatenate([recip.to_numpy()[f],
+                                     recip.to_numpy()[r]])
+        }).astype({"node": "int64", "recip": "int64"})
+
+    return arrow_blocks(pairs.map_batches(per_node, batch_format="pandas")) \
+        .groupby("node").aggregate(Count(alias_name="n_out"),
+                                   Sum("recip", alias_name="n_recip"))
