@@ -1478,6 +1478,39 @@ def _robots_allow(sf_dir: str):
         .astype({"doc_id": "int64", "host": "int64", "allowed": "int64"})
 
 
+def _trap_urls(sf_dir: str):
+    """Crawl-trap detection: synthesize a URL per doc with planted
+    repeated-segment mazes (doc_id % 13 == 0) and over-deep paths
+    (doc_id % 19 == 0), mirrored in SQL; flag via
+    ops/urlfilter.url_trap_signals (depth > 6 or >= 2 repeats)."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.urlfilter import url_trap_signals
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def synth(batch: pd.DataFrame) -> pd.DataFrame:
+        def path(d: int) -> str:
+            if d % 13 == 0:
+                return f"/x/x/x/d{d}"
+            if d % 19 == 0:
+                return f"/s0/s1/s2/s3/s4/s5/s6/p{d}"
+            return f"/c{d % 5}/d{d}"
+        did = batch["doc_id"].astype("int64")
+        return pd.DataFrame({
+            "doc_id": did,
+            "url": ["https://h" + str(d % 31) + ".example" + path(d)
+                    for d in did]})
+
+    out = url_trap_signals(
+        docs.map_batches(synth, batch_format="pandas")).to_pandas()
+    return out[["doc_id", "depth", "n_repeat", "is_trap"]] \
+        .sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64"})
+
+
 def _wet_export(sf_dir: str):
     """WARC responses -> WET conversion records -> parse the WET back
     (full parse -> extract -> build -> write -> parse round trip).
@@ -2104,6 +2137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": _tfidf_keywords,
         "robots_allow": _robots_allow,
         "reciprocal_links": _reciprocal_links,
+        "trap_urls": _trap_urls,
     }
 
 
@@ -4373,6 +4407,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS node, COUNT(*) AS n_out,
                    CAST(SUM(recip) AS BIGINT) AS n_recip
             FROM r GROUP BY src ORDER BY node
+        """,
+        # trap_urls: replay the path synth; depth / repeats via list
+        # kernels over the split path
+        "trap_urls": """
+            WITH u AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0
+                            THEN '/x/x/x/d' || CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 19 = 0
+                            THEN '/s0/s1/s2/s3/s4/s5/s6/p'
+                              || CAST(doc_id AS VARCHAR)
+                          ELSE '/c' || CAST(doc_id % 5 AS VARCHAR)
+                            || '/d' || CAST(doc_id AS VARCHAR)
+                     END AS path
+              FROM documents),
+            segd AS (
+              SELECT doc_id,
+                     list_filter(str_split(path, '/'),
+                                 x -> x <> '') AS segs
+              FROM u)
+            SELECT doc_id,
+                   CAST(len(segs) AS BIGINT) AS depth,
+                   CAST(len(segs) - len(list_distinct(segs)) AS BIGINT)
+                     AS n_repeat,
+                   CAST((len(segs) > 6 OR
+                         len(segs) - len(list_distinct(segs)) >= 2)
+                        AS BIGINT) AS is_trap
+            FROM segd ORDER BY doc_id
         """,
         # robots_allow: replay the path synth; the verdict CASEs are
         # the longest-prefix-match unrolled per host parity, with the

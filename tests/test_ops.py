@@ -2749,3 +2749,24 @@ def test_reciprocal_link_stats(ray_session):
     assert out.loc[2, "n_out"] == 1 and out.loc[2, "n_recip"] == 1
     assert out.loc[3, "n_out"] == 1 and out.loc[3, "n_recip"] == 0
     assert 4 not in out.index  # no outgoing edges
+
+
+def test_url_trap_signals(ray_session):
+    """Trap heuristics: repeated segments, over-deep paths, clean
+    URLs, hostless strings."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.urlfilter import url_trap_signals
+
+    urls = pd.DataFrame({"url": [
+        "https://a.com/x/x/x/page",            # 2 repeats -> trap
+        "https://a.com/a/b/c/d/e/f/g",         # depth 7 -> trap
+        "https://a.com/a/b/c",                 # clean
+        "https://a.com",                       # no path
+        "https://a.com/cal/2024/cal/2024/p",   # 2 repeats -> trap
+    ]})
+    out = url_trap_signals(ray.data.from_pandas(urls)).to_pandas()
+    assert out["depth"].tolist() == [4, 7, 3, 0, 5]
+    assert out["n_repeat"].tolist() == [2, 0, 0, 0, 2]
+    assert out["is_trap"].tolist() == [1, 1, 0, 0, 1]

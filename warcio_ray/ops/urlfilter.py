@@ -74,3 +74,49 @@ def blocklist_filter(ds, blocklist: Iterable[str], url_col: str = "url",
     want = 1 if invert else 0
     return marked.filter(expr=f"blocked == {want}") \
         .drop_columns(["blocked"])
+
+
+# ---------------------------------------------------------------------------
+# crawl-trap URL signals
+# ---------------------------------------------------------------------------
+
+def _path_of(url) -> str:
+    """Path component of a URL ('' when absent / unparseable)."""
+    if not isinstance(url, str):
+        return ""
+    i = url.find("://")
+    rest = url[i + 3:] if i >= 0 else url
+    j = rest.find("/")
+    return rest[j:] if j >= 0 else ""
+
+
+def url_trap_signals(ds, url_col: str = "url", max_depth: int = 6,
+                     min_repeat: int = 2):
+    """Crawl-trap heuristics — the frontier QA signal that keeps a
+    crawler out of calendar pages, session-id mazes and symlink loops
+    (cf. Heritrix's path-depth and path-repetition TooManyHopsDecide
+    rules; the reference has no frontier, so this is a build-brief
+    operator). Flags a URL when its path is deeper than ``max_depth``
+    segments or repeats a segment ``min_repeat``+ times beyond its
+    first occurrence (``n_repeat = #segments - #distinct``, so
+    '/x/x/x/p' scores 2).
+
+    Adds (depth, n_repeat, is_trap int64) columns. Stateless scan, no
+    shuffle; the per-row segment-set work is bounded by path length.
+    """
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        segs = [[s for s in _path_of(u).split("/") if s]
+                for u in batch[url_col]]
+        n = len(segs)
+        depth = np.fromiter((len(s) for s in segs), np.int64, n)
+        nrep = np.fromiter((len(s) - len(set(s)) for s in segs),
+                           np.int64, n)
+        out = batch.copy()
+        out["depth"] = depth
+        out["n_repeat"] = nrep
+        out["is_trap"] = ((depth > max_depth)
+                          | (nrep >= min_repeat)).astype("int64")
+        return out
+
+    return ds.map_batches(kernel, batch_format="pandas")
