@@ -476,7 +476,11 @@ def run_bench() -> dict:
                            ("export_bpe_packed", "op_bpeexport_s"),
                            ("lsh_append_pairs", "op_lshappend_s"),
                            ("unigram_nll", "op_unigram_s"),
-                           ("bigram_nll", "op_bigram_s")):
+                           ("bigram_nll", "op_bigram_s"),
+                           ("tfidf_keywords", "op_tfidf_s"),
+                           ("collapse_captures", "op_collapse_s"),
+                           ("reciprocal_links", "op_recip_s"),
+                           ("cdxj_append_lookup", "op_cdxjapp_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \
