@@ -1511,6 +1511,54 @@ def _trap_urls(sf_dir: str):
         .astype({"doc_id": "int64"})
 
 
+def _sitemap_urls(sf_dir: str):
+    """Sitemap ingestion through the real XML parser
+    (frontier/sitemap.sitemap_entries): every doc synthesizes a
+    namespaced sitemap body — a <sitemapindex> for doc_id % 10 == 0,
+    else a <urlset> with 1-3 <url><loc><lastmod> entries — and the
+    parsed explosion must equal the SQL reconstruction."""
+    import datetime as dt
+
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.frontier.sitemap import sitemap_entries
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def synth(batch: pd.DataFrame) -> pd.DataFrame:
+        xmls = []
+        ns = ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+        for d in batch["doc_id"].astype("int64"):
+            d = int(d)
+            if d % 10 == 0:
+                parts = [f"<sitemapindex{ns}>"]
+                for j in range(1 + d % 3):
+                    parts.append(f"<sitemap><loc>https://h{d % 31}"
+                                 f".example/sitemap{j}.xml</loc>"
+                                 "</sitemap>")
+                parts.append("</sitemapindex>")
+            else:
+                parts = [f"<urlset{ns}>"]
+                for j in range(1 + d % 3):
+                    date = (dt.date(2024, 1, 1) + dt.timedelta(
+                        days=(d * 3 + j) % 365)).isoformat()
+                    parts.append(f"<url><loc>https://h{d % 31}"
+                                 f".example/d{d}/p{j}</loc>"
+                                 f"<lastmod>{date}</lastmod></url>")
+                parts.append("</urlset>")
+            xmls.append("".join(parts))
+        return pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
+                             "xml": xmls})
+
+    out = sitemap_entries(
+        docs.map_batches(synth, batch_format="pandas")).to_pandas()
+    return out[["doc_id", "kind", "loc", "lastmod"]] \
+        .sort_values(["doc_id", "loc"]).reset_index(drop=True) \
+        .astype({"doc_id": "int64"})
+
+
 def _wet_export(sf_dir: str):
     """WARC responses -> WET conversion records -> parse the WET back
     (full parse -> extract -> build -> write -> parse round trip).
@@ -2138,6 +2186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_allow": _robots_allow,
         "reciprocal_links": _reciprocal_links,
         "trap_urls": _trap_urls,
+        "sitemap_urls": _sitemap_urls,
     }
 
 
@@ -4407,6 +4456,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS node, COUNT(*) AS n_out,
                    CAST(SUM(recip) AS BIGINT) AS n_recip
             FROM r GROUP BY src ORDER BY node
+        """,
+        # sitemap_urls: replay the per-doc sitemap synth as a range
+        # unnest; lastmod is date arithmetic, index entries carry ''
+        "sitemap_urls": """
+            WITH j AS (
+              SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS j
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0 THEN 'sitemapindex'
+                        ELSE 'urlset' END AS kind,
+                   CASE WHEN doc_id % 10 = 0
+                        THEN 'https://h' || CAST(doc_id % 31 AS VARCHAR)
+                          || '.example/sitemap' || CAST(j AS VARCHAR)
+                          || '.xml'
+                        ELSE 'https://h' || CAST(doc_id % 31 AS VARCHAR)
+                          || '.example/d' || CAST(doc_id AS VARCHAR)
+                          || '/p' || CAST(j AS VARCHAR)
+                   END AS loc,
+                   CASE WHEN doc_id % 10 = 0 THEN ''
+                        ELSE strftime(DATE '2024-01-01'
+                          + CAST((doc_id * 3 + j) % 365 AS INTEGER),
+                          '%Y-%m-%d')
+                   END AS lastmod
+            FROM j ORDER BY doc_id, loc
         """,
         # trap_urls: replay the path synth; depth / repeats via list
         # kernels over the split path

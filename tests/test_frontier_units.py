@@ -270,3 +270,47 @@ def test_robots_tie_allow_wins():
         "User-agent: *\nAllow: /q\nDisallow: /q\nDisallow: /q/p\n")
     assert not r3.allowed("/q/page")
     assert r3.allowed("/q/x")
+
+
+def test_sitemap_parse_edge_cases():
+    """urlset/sitemapindex/no-namespace/invalid/missing-loc handling."""
+    from warcio_ray.frontier.sitemap import parse_sitemap
+
+    ns = ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    kind, e = parse_sitemap(
+        f"<urlset{ns}><url><loc> https://a/1 </loc>"
+        "<lastmod>2024-01-02</lastmod></url>"
+        "<url><lastmod>2024-01-03</lastmod></url>"  # no loc: skipped
+        "<url><loc>https://a/2</loc></url></urlset>")
+    assert kind == "urlset"
+    assert e == [("https://a/1", "2024-01-02"), ("https://a/2", "")]
+
+    kind, e = parse_sitemap(
+        "<sitemapindex><sitemap><loc>https://a/s1.xml</loc>"
+        "</sitemap></sitemapindex>")  # no namespace
+    assert kind == "sitemapindex"
+    assert e == [("https://a/s1.xml", "")]
+
+    assert parse_sitemap("<urlset></urlset>") == ("urlset", [])
+    assert parse_sitemap("not xml <<") == ("invalid", [])
+    assert parse_sitemap(None) == ("invalid", [])
+    assert parse_sitemap("<rss><item/></rss>") == ("invalid", [])
+
+
+def test_sitemap_entries_ds(ray_session):
+    """Dataset explode: entries flatten with ids, invalid rows stay
+    observable."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.frontier.sitemap import sitemap_entries
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "xml": ["<urlset><url><loc>https://a/1</loc></url>"
+                "<url><loc>https://a/2</loc></url></urlset>",
+                "broken"]})
+    out = sitemap_entries(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values(["doc_id", "loc"]).reset_index(drop=True)
+    assert out["kind"].tolist() == ["urlset", "urlset", "invalid"]
+    assert out["loc"].tolist() == ["https://a/1", "https://a/2", ""]
