@@ -1559,6 +1559,21 @@ def _sitemap_urls(sf_dir: str):
         .astype({"doc_id": "int64"})
 
 
+def _source_cap(sf_dir: str):
+    """Per-domain document cap (the C4/FineWeb 'no mega-host
+    dominance' rule): keep at most 15 docs per source by the
+    deterministic (md5_32(id), id) rank (ops/split.cap_per_group)."""
+    import ray.data
+
+    from warcio_ray.ops.split import cap_per_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+    out = cap_per_group(ds, "source", k=15).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64"})
+
+
 def _wet_export(sf_dir: str):
     """WARC responses -> WET conversion records -> parse the WET back
     (full parse -> extract -> build -> write -> parse round trip).
@@ -2187,6 +2202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocal_links": _reciprocal_links,
         "trap_urls": _trap_urls,
         "sitemap_urls": _sitemap_urls,
+        "source_cap": _source_cap,
     }
 
 
@@ -4480,6 +4496,18 @@ def oracle_sql() -> dict[str, str]:
                           '%Y-%m-%d')
                    END AS lastmod
             FROM j ORDER BY doc_id, loc
+        """,
+        # source_cap: the md5 rank is SQL-derivable, so the cap is one
+        # row_number window
+        "source_cap": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY CAST('0x' || substr(md5(
+                         CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+                         doc_id) AS rn
+              FROM documents) t
+            WHERE rn <= 15 ORDER BY doc_id
         """,
         # trap_urls: replay the path synth; depth / repeats via list
         # kernels over the split path

@@ -2770,3 +2770,29 @@ def test_url_trap_signals(ray_session):
     assert out["depth"].tolist() == [4, 7, 3, 0, 5]
     assert out["n_repeat"].tolist() == [2, 0, 0, 0, 2]
     assert out["is_trap"].tolist() == [1, 1, 0, 0, 1]
+
+
+def test_cap_per_group(ray_session):
+    """Per-group cap: exact k per over-cap group, under-cap groups
+    pass through whole, deterministic across runs, k validation."""
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from warcio_ray.ops.split import cap_per_group
+
+    docs = pd.DataFrame({
+        "doc_id": range(20),
+        "source": ["a"] * 12 + ["b"] * 5 + ["c"] * 3})
+    ds = ray.data.from_pandas(docs)
+    out1 = cap_per_group(ds, "source", k=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    out2 = cap_per_group(ds, "source", k=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out1, out2)
+    counts = out1["source"].value_counts()
+    assert counts["a"] == 5 and counts["b"] == 5 and counts["c"] == 3
+    # under-cap groups keep exactly their members
+    assert set(out1[out1.source == "c"]["doc_id"]) == {17, 18, 19}
+    with pytest.raises(ValueError, match="k must be"):
+        cap_per_group(ds, "source", k=0)

@@ -136,3 +136,36 @@ def split_assign(ds, fractions: Sequence[Tuple[str, int]] = (
 
     return keyed.map_batches(add_cell, batch_format="pandas") \
         .groupby("_cell").map_groups(label_cell, batch_format="pandas")
+
+
+def cap_per_group(ds, group_col: str, k: int, id_col: str = "doc_id"):
+    """Keep at most ``k`` rows per group, chosen by the deterministic
+    md5 rank (md5_32(id), id) — the per-domain document cap the
+    C4/FineWeb curation recipes apply so one mega-host can't dominate
+    the corpus. Returns the kept (id_col, group_col) keys; join back
+    to the wide rows by id (text never enters this operator).
+
+    Scale shape: ONE narrow (group, id, rank) shuffle — the per-group
+    head-k runs inside ``map_groups`` over int64/group-key rows only.
+    Groups already under the cap pass through unchanged (the sort is
+    local to each group's rows). Reproducible at any parallelism and
+    in SQL: row_number() OVER (PARTITION BY group ORDER BY md5_32(id),
+    id) <= k."""
+    if k < 1:
+        raise ValueError(f"cap_per_group: k must be >= 1, got {k}")
+
+    from warcio_ray.ops.textstats import _id_hash_u32
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].astype("int64")
+        return pd.DataFrame({
+            id_col: ids,
+            group_col: batch[group_col],
+            "_r": _id_hash_u32(ids.to_numpy())})
+
+    def head_k(grp: pd.DataFrame) -> pd.DataFrame:
+        return grp.sort_values(["_r", id_col], kind="mergesort") \
+            .head(k)[[id_col, group_col]]
+
+    return ds.map_batches(project, batch_format="pandas") \
+        .groupby(group_col).map_groups(head_k, batch_format="pandas")
