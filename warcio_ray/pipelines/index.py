@@ -358,50 +358,54 @@ def collapse_captures(captures, key_col: str = "urlkey",
     the winning row, n_captures, n_digests). Ties on ts keep the
     lexicographically-largest digest row (deterministic).
 
-    Scale shape: two narrow hash aggregations — groupby(key, digest)
-    counts collapse exact-duplicate recrawls first, then groupby(key)
-    sums — plus one groupby(key).max over the packed (ts, digest-rank)
-    and a final hash join back to the capture rows. Nothing
-    corpus-sized reaches the driver; text/html payloads should NOT be
-    in `captures` (project them out; join summaries back by urlkey)."""
-    import ray
-    from ray.data.aggregate import Count, Max, Sum
+    Scale shape: ONE narrow key-hash shuffle (the partition-sweep
+    idiom, cf. ops/dedup.candidate_pairs): every capture row of a key
+    lands in the same partition, and the kernel computes counts,
+    distinct digests and the lexicographic (ts, digest, rest) winner
+    with vectorized pandas groupbys — no joins, no per-key Python
+    calls, nothing corpus-sized on the driver. Text/html payloads
+    should NOT be in `captures` (project them out; join summaries
+    back by urlkey)."""
+    import zlib
 
-    from warcio_ray.ops.blocks import arrow_blocks, safe_join
+    import numpy as np
+    import pandas as pd
+    import ray
 
     if num_partitions is None:
         num_partitions = min(
             32, max(2, int(ray.cluster_resources().get("CPU", 8))))
 
-    cap = arrow_blocks(captures)
-    per_digest = cap.select_columns([key_col, digest_col]) \
-        .groupby([key_col, digest_col]).aggregate(Count(alias_name="_n"))
-    stats = arrow_blocks(per_digest).groupby(key_col).aggregate(
-        Sum("_n", alias_name="n_captures"),
-        Count(alias_name="n_digests"))
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        col = batch[key_col]
+        if pd.api.types.is_integer_dtype(col):
+            h = col.to_numpy().astype(np.uint64, copy=False)
+        else:
+            # batch-stable string hash (see dedup._col_hash for why
+            # not hash_pandas_object)
+            h = np.fromiter(
+                (zlib.crc32(str(v).encode("utf-8")) for v in col),
+                dtype=np.uint64, count=len(col))
+        batch["_part"] = (h % np.uint64(num_partitions)).astype("int32")
+        return batch
 
-    winners = cap.select_columns([key_col, ts_col]) \
-        .groupby(key_col).aggregate(Max(ts_col, alias_name="_wts"))
+    def summarize(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop(columns=["_part"])
+        g = part.groupby(key_col, sort=False)
+        n_captures = g.size()
+        n_digests = g[digest_col].nunique()
+        # winner: lexicographic max over (ts, digest, remaining
+        # columns) — deterministic under any row arrival order
+        order = [key_col, ts_col, digest_col] + [
+            c for c in part.columns
+            if c not in (key_col, ts_col, digest_col)]
+        win = part.sort_values(order, kind="mergesort") \
+            .groupby(key_col, sort=False).tail(1)
+        win = win.set_index(key_col)
+        win["n_captures"] = n_captures.astype("int64")
+        win["n_digests"] = n_digests.astype("int64")
+        return win.reset_index()
 
-    def tag(batch: "pd.DataFrame") -> "pd.DataFrame":
-        return batch.rename(columns={"_wts": ts_col})
-
-    import pandas as pd  # noqa: F811 — local for the rename kernel
-
-    winner_rows = safe_join(
-        cap, winners.map_batches(tag, batch_format="pandas"),
-        "inner", num_partitions, (key_col, ts_col))
-
-    def dedup_ties(group: pd.DataFrame) -> pd.DataFrame:
-        # digest is the semantic tie-break; the remaining columns make
-        # the pick deterministic under any block arrival order
-        order = [digest_col] + [c for c in group.columns
-                                if c != digest_col]
-        return group.sort_values(order, kind="mergesort").tail(1)
-
-    # ts ties within a key are possible in principle: resolve per key
-    # over the already one-row-per-key-sized winner set
-    winner_rows = winner_rows.groupby(key_col).map_groups(
-        dedup_ties, batch_format="pandas")
-    return safe_join(winner_rows, stats, "inner", num_partitions,
-                     (key_col,))
+    return captures.map_batches(add_part, batch_format="pandas") \
+        .groupby("_part").map_groups(summarize, batch_format="pandas")
