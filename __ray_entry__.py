@@ -1574,6 +1574,49 @@ def _source_cap(sf_dir: str):
         .astype({"doc_id": "int64"})
 
 
+def _redirect_resolve(sf_dir: str):
+    """3xx redirect-chain canonicalization: a deterministic chain
+    scheme (doc_id % 16 in 0..2 redirects to doc_id+1 within its
+    16-block -> chains of 1-3 hops) plus a planted 11<->27 cycle that
+    must flag `looped` at the hop bound
+    (ops/urlfilter.resolve_redirects, broadcast-map path)."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.urlfilter import resolve_redirects
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    nd = docs.count()
+
+    def urlify(batch: pd.DataFrame) -> pd.DataFrame:
+        did = batch["doc_id"].astype("int64")
+        return pd.DataFrame({
+            "doc_id": did,
+            "url": "https://ex/d" + did.astype(str)})
+
+    def red_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        did = batch["doc_id"].astype("int64")
+        src = did[(did % 16 <= 2) & ((did - did % 16) + 15 < nd)]
+        return pd.DataFrame({
+            "src": "https://ex/d" + src.astype(str),
+            "dst": "https://ex/d" + (src + 1).astype(str)})
+
+    redirects = docs.map_batches(
+        red_rows, batch_format="pandas").to_pandas()
+    redirects = pd.concat([redirects, pd.DataFrame({
+        "src": ["https://ex/d11", "https://ex/d27"],
+        "dst": ["https://ex/d27", "https://ex/d11"]})],
+        ignore_index=True)
+
+    out = resolve_redirects(
+        docs.map_batches(urlify, batch_format="pandas"), redirects,
+        max_hops=5).to_pandas()
+    return out[["doc_id", "final_url", "n_hops", "looped"]] \
+        .sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64"})
+
+
 def _wet_export(sf_dir: str):
     """WARC responses -> WET conversion records -> parse the WET back
     (full parse -> extract -> build -> write -> parse round trip).
@@ -2203,6 +2246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trap_urls": _trap_urls,
         "sitemap_urls": _sitemap_urls,
         "source_cap": _source_cap,
+        "redirect_resolve": _redirect_resolve,
     }
 
 
@@ -4496,6 +4540,35 @@ def oracle_sql() -> dict[str, str]:
                           '%Y-%m-%d')
                    END AS lastmod
             FROM j ORDER BY doc_id, loc
+        """,
+        # redirect_resolve: chain lengths are a closed form of
+        # doc_id % 16 within complete 16-blocks; the planted cycle
+        # lands on the odd hop after 5 bounded steps
+        "redirect_resolve": """
+            WITH n AS (SELECT COUNT(*) AS nd FROM documents),
+            base AS (
+              SELECT doc_id, doc_id % 16 AS m,
+                     (doc_id - doc_id % 16) + 15 < nd AS inblock
+              FROM documents CROSS JOIN n)
+            SELECT doc_id,
+                   CASE WHEN doc_id = 11 THEN 'https://ex/d27'
+                        WHEN doc_id = 27 THEN 'https://ex/d11'
+                        WHEN inblock AND m = 0 THEN 'https://ex/d'
+                          || CAST(doc_id + 3 AS VARCHAR)
+                        WHEN inblock AND m = 1 THEN 'https://ex/d'
+                          || CAST(doc_id + 2 AS VARCHAR)
+                        WHEN inblock AND m = 2 THEN 'https://ex/d'
+                          || CAST(doc_id + 1 AS VARCHAR)
+                        ELSE 'https://ex/d' || CAST(doc_id AS VARCHAR)
+                   END AS final_url,
+                   CAST(CASE WHEN doc_id IN (11, 27) THEN 5
+                        WHEN inblock AND m = 0 THEN 3
+                        WHEN inblock AND m = 1 THEN 2
+                        WHEN inblock AND m = 2 THEN 1
+                        ELSE 0 END AS BIGINT) AS n_hops,
+                   CAST(CASE WHEN doc_id IN (11, 27) THEN 1 ELSE 0
+                        END AS BIGINT) AS looped
+            FROM base ORDER BY doc_id
         """,
         # source_cap: the md5 rank is SQL-derivable, so the cap is one
         # row_number window

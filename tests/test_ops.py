@@ -2796,3 +2796,41 @@ def test_cap_per_group(ray_session):
     assert set(out1[out1.source == "c"]["doc_id"]) == {17, 18, 19}
     with pytest.raises(ValueError, match="k must be"):
         cap_per_group(ds, "source", k=0)
+
+
+def test_resolve_redirects_paths(ray_session):
+    """Redirect chains: multi-hop resolution, cycle flagging at the
+    hop bound, duplicate input urls, broadcast == join path."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.urlfilter import resolve_redirects
+
+    red = pd.DataFrame({
+        "src": ["a", "b", "c", "x", "y"],
+        "dst": ["b", "c", "d", "y", "x"]})  # a->b->c->d chain; x<->y
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "url": ["a", "c", "d", "x", "z", "a"]})  # 'a' duplicated
+    ds = ray.data.from_pandas(docs)
+
+    outs = []
+    for bmax in (1 << 20, 0):
+        out = resolve_redirects(ds, red, max_hops=4,
+                                broadcast_max=bmax).to_pandas()
+        outs.append(out[["doc_id", "url", "final_url", "n_hops",
+                         "looped"]].sort_values("doc_id")
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    out = outs[0].set_index("doc_id")
+    assert (out.loc[1, "final_url"], out.loc[1, "n_hops"],
+            out.loc[1, "looped"]) == ("d", 3, 0)
+    assert (out.loc[2, "final_url"], out.loc[2, "n_hops"]) == ("d", 1)
+    assert (out.loc[3, "final_url"], out.loc[3, "n_hops"]) == ("d", 0)
+    # x<->y cycle: 4 hops land back on x, still redirecting -> looped
+    assert (out.loc[4, "final_url"], out.loc[4, "n_hops"],
+            out.loc[4, "looped"]) == ("x", 4, 1)
+    assert (out.loc[5, "final_url"], out.loc[5, "n_hops"],
+            out.loc[5, "looped"]) == ("z", 0, 0)
+    assert out.loc[6, "final_url"] == "d"  # duplicate url resolves too

@@ -120,3 +120,149 @@ def url_trap_signals(ds, url_col: str = "url", max_depth: int = 6,
         return out
 
     return ds.map_batches(kernel, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# redirect-chain resolution
+# ---------------------------------------------------------------------------
+
+def resolve_redirects(ds, redirects, url_col: str = "url",
+                      max_hops: int = 5,
+                      broadcast_max: int = 5_000_000,
+                      num_partitions=None):
+    """Resolve each URL through a (src -> dst) redirect map — the 3xx
+    canonicalization a crawl postprocess applies before dedup/graph
+    building (pywb and wget chase Location: headers the same way; the
+    reference parses the records but has no resolution layer).
+
+    Adds three columns: ``final_url`` (the URL after following up to
+    ``max_hops`` redirects), ``n_hops`` (hops actually taken), and
+    ``looped`` (int64 1 when the final URL STILL has an outgoing
+    redirect — a cycle or an over-long chain; bounded hops make cycles
+    terminate by construction).
+
+    ``redirects``: Dataset or DataFrame with (src, dst) string
+    columns. Two output-identical paths (tested): a map with <=
+    ``broadcast_max`` entries ships ONCE via ray.put and resolution is
+    one stateless scan (max_hops dict probes per row); a larger map
+    takes the iterative-join path — each hop one narrow left-outer
+    hash join over only the STILL-ACTIVE rows (the active set shrinks
+    to chained redirects after hop 1, so later hops are O(chains),
+    not O(corpus)); the wide row columns never enter the loop and are
+    joined back by ``url_col`` at the end."""
+    import ray
+
+    from warcio_ray.ops.blocks import safe_join
+
+    if num_partitions is None:
+        num_partitions = min(
+            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    if hasattr(redirects, "to_pandas") and not isinstance(
+            redirects, pd.DataFrame):
+        red_n = redirects.count()
+        red_small = redirects.to_pandas() if red_n <= broadcast_max \
+            else None
+        red_ds = redirects
+    else:
+        red_n = len(redirects)
+        red_small = redirects if red_n <= broadcast_max else None
+        red_ds = None
+
+    if red_small is not None:
+        ref = ray.put(dict(zip(red_small["src"].astype(str),
+                               red_small["dst"].astype(str))))
+
+        def resolve(batch: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(ref)
+            finals, hops, looped = [], [], []
+            for u in batch[url_col]:
+                cur, h = u, 0
+                while h < max_hops and cur in m:
+                    cur = m[cur]
+                    h += 1
+                finals.append(cur)
+                hops.append(h)
+                looped.append(int(cur in m))
+            out = batch.copy()
+            out["final_url"] = pd.Series(finals, index=batch.index,
+                                         dtype="object")
+            out["n_hops"] = pd.Series(hops, index=batch.index,
+                                      dtype="int64")
+            out["looped"] = pd.Series(looped, index=batch.index,
+                                      dtype="int64")
+            return out
+
+        return ds.map_batches(resolve, batch_format="pandas")
+
+    # ---- iterative-join path ----
+    import ray.data
+
+    if red_ds is None:
+        red_ds = ray.data.from_pandas(redirects)
+
+    def as_map(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"_cur": batch["src"].astype(str),
+                             "_nxt": batch["dst"].astype(str)})
+
+    red_narrow = red_ds.map_batches(as_map, batch_format="pandas")
+
+    def seed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({url_col: batch[url_col],
+                             "_cur": batch[url_col].astype(str),
+                             "n_hops": np.zeros(len(batch), "int64")})
+
+    # resolve each DISTINCT url once (duplicate input urls would
+    # otherwise fan out in the final join-back)
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    uniq = arrow_blocks(ds.select_columns([url_col])) \
+        .groupby(url_col).aggregate(Count(alias_name="_c")) \
+        .drop_columns(["_c"])
+    active = uniq.map_batches(seed, batch_format="pandas")
+    finals = []
+    for _ in range(max_hops):
+        j = safe_join(active, red_narrow, "left_outer",
+                      num_partitions, ("_cur",))
+
+        def split_done(batch: pd.DataFrame) -> pd.DataFrame:
+            done = batch[batch["_nxt"].isna()].copy()
+            done["looped"] = np.zeros(len(done), "int64")
+            return done[[url_col, "_cur", "n_hops", "looped"]]
+
+        def advance(batch: pd.DataFrame) -> pd.DataFrame:
+            live = batch[batch["_nxt"].notna()].copy()
+            return pd.DataFrame({
+                url_col: live[url_col],
+                "_cur": live["_nxt"].astype(str),
+                "n_hops": live["n_hops"].to_numpy("int64") + 1})
+
+        j = j.materialize()
+        finals.append(j.map_batches(split_done, batch_format="pandas"))
+        active = j.map_batches(advance, batch_format="pandas")
+
+    # whatever survived max_hops is final; looped iff one MORE
+    # redirect exists from where it stopped
+    tail = safe_join(active, red_narrow, "left_outer",
+                     num_partitions, ("_cur",))
+
+    def flag_tail(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["looped"] = batch["_nxt"].notna().astype("int64")
+        return out[[url_col, "_cur", "n_hops", "looped"]]
+
+    resolved = finals[0]
+    for f in finals[1:]:
+        resolved = resolved.union(f)
+    resolved = resolved.union(
+        tail.map_batches(flag_tail, batch_format="pandas"))
+
+    def rename_final(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={"_cur": "final_url",
+                                     url_col: "_k"})
+
+    # Ray's hash join coalesces the right key (_k) into the left key
+    return safe_join(ds, resolved.map_batches(
+        rename_final, batch_format="pandas"), "inner",
+        num_partitions, (url_col,), ("_k",))
