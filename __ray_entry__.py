@@ -1789,6 +1789,24 @@ def _jaccard_pairs(sf_dir: str):
     return jaccard_similarity_join(ds, threshold=0.5)[["a", "b"]]
 
 
+def _lsh_eval(sf_dir: str):
+    """Dedup-quality evaluation: MinHash-LSH candidate pairs vs the
+    exact shingle-Jaccard truth set -> (tp, fp, fn) counts — the
+    recall/precision audit a curation pipeline runs before trusting
+    an approximate dedup config. Composes the two standing pipelines;
+    the oracle composes their two standing SQL chains verbatim."""
+    import pandas as pd
+
+    lsh = _minhash_pairs(sf_dir)
+    ex = _jaccard_pairs(sf_dir)
+    m = lsh.merge(ex, on=["a", "b"], how="outer", indicator=True)
+    return pd.DataFrame({
+        "tp": [int((m["_merge"] == "both").sum())],
+        "fp": [int((m["_merge"] == "left_only").sum())],
+        "fn": [int((m["_merge"] == "right_only").sum())]}) \
+        .astype("int64")
+
+
 def _pretrain_corpus(sf_dir: str):
     """The composed training-data cleaning flagship: Gopher-style
     quality filter -> exact dedup -> jaccard near-dup removal. One
@@ -2247,6 +2265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_urls": _sitemap_urls,
         "source_cap": _source_cap,
         "redirect_resolve": _redirect_resolve,
+        "lsh_eval": _lsh_eval,
     }
 
 
@@ -2764,7 +2783,7 @@ def _pq_sql(m: int = 4, k: int = 16, iters: int = 2,
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -4659,3 +4678,15 @@ def oracle_sql() -> dict[str, str]:
         # (stateful crawl, codec) -> rows-only checks. jaccard_pairs is
         # the hard-oracled EXACT companion to minhash_pairs.
     }
+    # lsh_eval composes the two standing pair oracles verbatim (CTE
+    # wrapping keeps them in lockstep with any future change), so the
+    # recall/precision counts are derived, not re-specified
+    out["lsh_eval"] = f"""
+        WITH lsh AS (SELECT a, b FROM ({out["minhash_pairs"]}) tl),
+             ex AS (SELECT a, b FROM ({out["jaccard_pairs"]}) te)
+        SELECT
+          (SELECT COUNT(*) FROM lsh JOIN ex USING (a, b)) AS tp,
+          (SELECT COUNT(*) FROM lsh ANTI JOIN ex USING (a, b)) AS fp,
+          (SELECT COUNT(*) FROM ex ANTI JOIN lsh USING (a, b)) AS fn
+    """
+    return out
