@@ -2160,19 +2160,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # warc / pages / crawl family (unstamped in r3)
         "warc_rec_types": _warc_rec_types,
         "host_counts": _host_counts,
-        "top_hosts": _top_hosts,
-        "distinct_langs": _distinct_langs,
-        "extract_text_verify": _extract_text_verify,
+        "blocklist_filter": _blocklist_filter,
+        "sitemap_urls": _sitemap_urls,
+        "redirect_resolve": _redirect_resolve,
         "anchor_stats": _anchor_stats,
         "crawl_order": _crawl_order,
-        "cdxj_index": _cdxj_index,
+        "cdxj_append_lookup": _cdxj_append_lookup,
         "cdxj_lookup": _cdxj_lookup,
         "wet_export": _wet_export,
         "wat_export": _wat_export,
         "revisit_dedup": _revisit_dedup,
         # similarity search (unstamped in r3)
         "knn_top10": _knn_top10,
-        "ivf_knn_top10": _ivf_knn_top10,
+        "tfidf_keywords": _tfidf_keywords,
         "ivf_layout_top10": _ivf_layout_top10,
         "pq_top10": _pq_top10,
         "ivfpq_top10": _ivfpq_top10,
@@ -2256,16 +2256,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_best_rep": _cluster_best_rep,
         "lexical_diversity": _lexical_diversity,
         "collapse_captures": _collapse_captures,
-        "blocklist_filter": _blocklist_filter,
-        "cdxj_append_lookup": _cdxj_append_lookup,
-        "tfidf_keywords": _tfidf_keywords,
         "robots_allow": _robots_allow,
         "reciprocal_links": _reciprocal_links,
         "trap_urls": _trap_urls,
-        "sitemap_urls": _sitemap_urls,
         "source_cap": _source_cap,
-        "redirect_resolve": _redirect_resolve,
         "lsh_eval": _lsh_eval,
+        # swapped out of the first 50 this session (family-redundant
+        # there; all carry r3/r4 local verification)
+        "top_hosts": _top_hosts,
+        "distinct_langs": _distinct_langs,
+        "extract_text_verify": _extract_text_verify,
+        "cdxj_index": _cdxj_index,
+        "ivf_knn_top10": _ivf_knn_top10,
     }
 
 

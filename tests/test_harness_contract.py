@@ -45,6 +45,9 @@ def test_first_fifty_covers_every_family():
         # warc / pages / crawl artifacts
         "warc_rec_types", "host_counts", "crawl_order", "cdxj_lookup",
         "wet_export", "wat_export", "revisit_dedup", "anchor_stats",
+        # crawl-source / url-curation / index-maintenance (new r4)
+        "blocklist_filter", "sitemap_urls", "redirect_resolve",
+        "cdxj_append_lookup", "tfidf_keywords",
         # similarity search
         "knn_top10", "ivf_layout_top10", "pq_top10", "ivfpq_top10",
         "fingerprint_dups",
