@@ -570,6 +570,39 @@ def _postings_probe(sf_dir: str):
     return postings_lookup(out_dir, probes)
 
 
+def _postings_append_probe(sf_dir: str):
+    """Incremental inverted-index maintenance (Lucene segment model):
+    build the postings layout over EVEN doc_ids, append the odd half
+    as a committed generation (ops/search.append_postings_layout),
+    then a bucket-pruned lookup across base + generations must equal
+    the whole-corpus tokenize-join-count (same probe rule as
+    postings_probe, offset to doc_id % 103)."""
+    import tempfile
+
+    import ray.data
+
+    from warcio_ray.ops.search import (append_postings_layout,
+                                       build_postings_layout,
+                                       postings_lookup)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    base_half = ds.map_batches(lambda b: b[b["doc_id"] % 2 == 0],
+                               batch_format="pandas")
+    fresh_half = ds.map_batches(lambda b: b[b["doc_id"] % 2 == 1],
+                                batch_format="pandas")
+    probe_docs = ds.map_batches(lambda b: b[b["doc_id"] % 103 == 0],
+                                batch_format="pandas").to_pandas()
+    probes = {t for txt in probe_docs["text"]
+              for t in (txt or "").split()}
+
+    base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = f"{tempfile.gettempdir()}/warcio_ray_postings_app_{base}"
+    build_postings_layout(base_half, out_dir, force=True)
+    append_postings_layout(fresh_half, out_dir, batch_tag="odd-half")
+    return postings_lookup(out_dir, probes)
+
+
 def _corpus_card(sf_dir: str):
     """One-call dataset datasheet over documents: doc/token/char
     totals, exact histogram median, language spread, exact-duplicate
@@ -2261,6 +2294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trap_urls": _trap_urls,
         "source_cap": _source_cap,
         "lsh_eval": _lsh_eval,
+        "postings_append_probe": _postings_append_probe,
         # swapped out of the first 50 this session (family-redundant
         # there; all carry r3/r4 local verification)
         "top_hosts": _top_hosts,
@@ -3236,6 +3270,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT unnest(regexp_extract_all(text, '\\S+'))
                      AS tok
               FROM documents WHERE doc_id % 101 = 0)
+            SELECT t.tok AS term, t.doc_id, COUNT(*) AS tf
+            FROM toks t JOIN probes p ON t.tok = p.tok
+            GROUP BY t.tok, t.doc_id
+            ORDER BY term, doc_id
+        """,
+        # postings_append_probe: generations are an implementation
+        # detail — base+append must equal the whole-corpus counts
+        "postings_append_probe": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\\S+')) AS tok
+              FROM documents),
+            probes AS (
+              SELECT DISTINCT unnest(regexp_extract_all(text, '\\S+'))
+                     AS tok
+              FROM documents WHERE doc_id % 103 = 0)
             SELECT t.tok AS term, t.doc_id, COUNT(*) AS tf
             FROM toks t JOIN probes p ON t.tok = p.tok
             GROUP BY t.tok, t.doc_id

@@ -2834,3 +2834,52 @@ def test_resolve_redirects_paths(ray_session):
     assert (out.loc[5, "final_url"], out.loc[5, "n_hops"],
             out.loc[5, "looped"]) == ("z", 0, 0)
     assert out.loc[6, "final_url"] == "d"  # duplicate url resolves too
+
+
+def test_append_postings_layout(ray_session, tmp_path):
+    """Postings generations: base+append lookup == full build lookup,
+    tag idempotency, torn-generation cleanup, missing-layout error."""
+    import json
+    import os
+
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from warcio_ray.ops.search import (append_postings_layout,
+                                       build_postings_layout,
+                                       postings_lookup)
+
+    base = pd.DataFrame({"doc_id": [1, 2],
+                         "text": ["apple banana", "banana cherry"]})
+    fresh = pd.DataFrame({"doc_id": [3],
+                          "text": ["apple apple dates"]})
+    layout = str(tmp_path / "postings")
+    build_postings_layout(ray.data.from_pandas(base), layout,
+                          n_buckets=8)
+    append_postings_layout(ray.data.from_pandas(fresh), layout, "g1")
+
+    got = postings_lookup(layout, ["apple", "dates"], n_buckets=8)
+    full = str(tmp_path / "full")
+    build_postings_layout(
+        ray.data.from_pandas(pd.concat([base, fresh])), full,
+        n_buckets=8)
+    want = postings_lookup(full, ["apple", "dates"], n_buckets=8)
+    pd.testing.assert_frame_equal(got, want)
+    assert got[got.term == "apple"]["doc_id"].tolist() == [1, 3]
+    assert got[got.doc_id == 3].set_index("term").loc["apple", "tf"] == 2
+
+    # tag idempotency: same tag -> no new generation
+    append_postings_layout(ray.data.from_pandas(fresh), layout, "g1")
+    gens = json.load(open(os.path.join(layout, "generations.json")))
+    assert len(gens) == 1
+    # torn-generation cleanup: uncommitted dir is cleared on retry
+    os.makedirs(os.path.join(layout, "postings_g2", "bucket=0"),
+                exist_ok=True)
+    append_postings_layout(ray.data.from_pandas(fresh), layout, "g2")
+    got2 = postings_lookup(layout, ["apple"], n_buckets=8)
+    assert got2[got2.doc_id == 3]["tf"].tolist() == [2, 2]  # two gens
+
+    with pytest.raises(FileNotFoundError):
+        append_postings_layout(ray.data.from_pandas(fresh),
+                               str(tmp_path / "none"), "x")
