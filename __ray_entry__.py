@@ -1154,6 +1154,42 @@ def _ivf_layout_top10(sf_dir: str):
     return pd.DataFrame({"vec_id": out["vec_id"].astype("int64")})
 
 
+def _ivf_append_top10(sf_dir: str):
+    """Incremental IVF ingestion (FAISS IVF.add): build the layout
+    over EVEN vec_ids (centroids trained on that half and frozen),
+    append the odd half as a committed generation via the stored
+    codebook (ops/ivf.append_ivf_layout), then a full-probe search
+    across base + generations is EXACT — the oracle is brute-force
+    cosine over the whole table, centroid details cancel out."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from warcio_ray.ops.ivf import (append_ivf_layout,
+                                    build_ivf_layout,
+                                    ivf_search_layout)
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(
+        t.filter(__import__("pyarrow").compute.equal(t["vec_id"], 0))
+        ["embedding"][0].as_py(), dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    base_half = ds.map_batches(lambda b: b[b["vec_id"] % 2 == 0],
+                               batch_format="pandas")
+    fresh_half = ds.map_batches(lambda b: b[b["vec_id"] % 2 == 1],
+                                batch_format="pandas")
+    layout = os.path.join("/tmp/warcio_ray/ivf_append",
+                          os.path.basename(sf_dir.rstrip("/")))
+    build_ivf_layout(base_half, layout, n_centroids=8)
+    append_ivf_layout(fresh_half, layout, batch_tag="odd-half")
+    out = ivf_search_layout(layout, q, k=10)
+    return pd.DataFrame({"vec_id": out["vec_id"].astype("int64")})
+
+
 def _fingerprint_dups(sf_dir: str):
     import ray.data
 
@@ -2295,6 +2331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap": _source_cap,
         "lsh_eval": _lsh_eval,
         "postings_append_probe": _postings_append_probe,
+        "ivf_append_top10": _ivf_append_top10,
         # swapped out of the first 50 this session (family-redundant
         # there; all carry r3/r4 local verification)
         "top_hosts": _top_hosts,
@@ -4397,6 +4434,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "knn_top10": """
+            SELECT vec_id FROM embeddings
+            ORDER BY list_cosine_similarity(embedding,
+                (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                vec_id
+            LIMIT 10
+        """,
+        # ivf_append_top10: full probe across base + appended
+        # generations is exact, so the same brute-force oracle applies
+        "ivf_append_top10": """
             SELECT vec_id FROM embeddings
             ORDER BY list_cosine_similarity(embedding,
                 (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,

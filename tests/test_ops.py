@@ -2883,3 +2883,46 @@ def test_append_postings_layout(ray_session, tmp_path):
     with pytest.raises(FileNotFoundError):
         append_postings_layout(ray.data.from_pandas(fresh),
                                str(tmp_path / "none"), "x")
+
+
+def test_append_ivf_layout(ray_session, tmp_path):
+    """IVF generations: base+append full-probe search equals one
+    full build (exact at full probe), tag idempotency, frozen
+    centroids, missing-layout error."""
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from warcio_ray.ops.ivf import (append_ivf_layout,
+                                    build_ivf_layout,
+                                    ivf_search_layout)
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(60, 8)
+    df = pd.DataFrame({"vec_id": np.arange(60, dtype="int64"),
+                       "embedding": list(vecs)})
+    base, fresh = df[df.vec_id % 2 == 0], df[df.vec_id % 2 == 1]
+    q = vecs[0]
+
+    layout = str(tmp_path / "ivf")
+    build_ivf_layout(ray.data.from_pandas(base), layout, n_centroids=4)
+    cent_before = np.load(os.path.join(layout, "centroids.npy"))
+    append_ivf_layout(ray.data.from_pandas(fresh), layout, "g1")
+    assert np.array_equal(
+        cent_before, np.load(os.path.join(layout, "centroids.npy")))
+
+    got = ivf_search_layout(layout, q, k=5)
+    full = str(tmp_path / "full")
+    build_ivf_layout(ray.data.from_pandas(df), full, n_centroids=4)
+    want = ivf_search_layout(full, q, k=5)
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+
+    append_ivf_layout(ray.data.from_pandas(fresh), layout, "g1")
+    assert len(json.load(open(f"{layout}/generations.json"))) == 1
+    with pytest.raises(FileNotFoundError):
+        append_ivf_layout(ray.data.from_pandas(fresh),
+                          str(tmp_path / "none"), "x")

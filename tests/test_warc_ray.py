@@ -581,3 +581,42 @@ def test_cdxj_append_layout(ray_session, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         append_cdxj_layout(extra, str(tmp_path / "nolayout"))
+
+
+def test_collapse_captures_property(ray_session):
+    """Property: collapse over random capture frames equals the
+    brute-force pandas reference (winner = lexicographic max of
+    (ts, digest, rest); counts exact), at two partitionings."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.pipelines.index import collapse_captures
+
+    rng = np.random.RandomState(7)
+    n = 500
+    caps = pd.DataFrame({
+        "urlkey": [f"k{v}" for v in rng.randint(0, 60, n)],
+        "ts_us": rng.randint(0, 5, n).astype("int64"),  # many ties
+        "digest": [f"d{v}" for v in rng.randint(0, 3, n)],
+        "url": [f"u{v}" for v in rng.randint(0, 4, n)],
+        "status": rng.choice([200, 301, 404], n).astype("int64")})
+
+    def reference(df):
+        g = df.groupby("urlkey")
+        win = df.sort_values(
+            ["urlkey", "ts_us", "digest", "url", "status"],
+            kind="mergesort").groupby("urlkey").tail(1)
+        win = win.set_index("urlkey")
+        win["n_captures"] = g.size().astype("int64")
+        win["n_digests"] = g["digest"].nunique().astype("int64")
+        return win.reset_index().sort_values("urlkey") \
+            .reset_index(drop=True)
+
+    want = reference(caps)
+    for nparts in (2, 7):
+        got = collapse_captures(
+            ray.data.from_pandas(caps).repartition(nparts)) \
+            .to_pandas().sort_values("urlkey").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want)

@@ -253,8 +253,16 @@ def ivf_search_layout(layout_dir: str, queries: np.ndarray, k: int = 10,
     probes = _probe_sets(qn, centroids, nprobe)
 
     needed = sorted({int(c) for p in probes for c in p})
-    paths = [os.path.join(layout_dir, "vectors", f"centroid_id={c}")
-             for c in needed]
+    # base layout + every COMMITTED append generation (still
+    # cluster-pruned; see append_ivf_layout)
+    roots = ["vectors"]
+    gen_path = os.path.join(layout_dir, "generations.json")
+    if os.path.exists(gen_path):
+        import json
+        with open(gen_path) as f:
+            roots += [g["dir"] for g in json.load(f)]
+    paths = [os.path.join(layout_dir, r, f"centroid_id={c}")
+             for r in roots for c in needed]
     paths = [p for p in paths if os.path.isdir(p)]
     if not paths:
         return _merge_topk(pd.DataFrame(
@@ -274,3 +282,49 @@ def ivf_search_layout(layout_dir: str, queries: np.ndarray, k: int = 10,
                                include_paths=True) \
         .map_batches(restore_cid, batch_format="pandas")
     return _probe_and_merge(ds, qn, probes, k)
+
+
+def append_ivf_layout(ds_new, layout_dir: str, batch_tag: str) -> str:
+    """Append NEW vectors to a standing IVF index using its STORED
+    centroids — the FAISS `IVF.add` ingestion path (assignments use
+    the frozen codebook; retraining is a rebuild, not an append).
+    Completes the incremental-layout family (exact / LSH / CDXJ /
+    postings / IVF).
+
+    Only the delta is assigned — O(new vectors) work, base partitions
+    untouched. Each append batch writes its own generation dir
+    (``vectors_g<N>/centroid_id=K/``) and COMMITS by atomically
+    rewriting ``generations.json``; torn appends are invisible and a
+    repeated ``batch_tag`` is a no-op (same protocol as
+    search.append_postings_layout)."""
+    import json
+    import shutil
+
+    marker = os.path.join(layout_dir, "_DONE")
+    if not os.path.exists(marker):
+        raise FileNotFoundError(
+            f"append_ivf_layout: no built layout at {layout_dir} "
+            "(run build_ivf_layout first)")
+    centroids = np.load(os.path.join(layout_dir, "centroids.npy"))
+
+    gen_path = os.path.join(layout_dir, "generations.json")
+    gens = []
+    if os.path.exists(gen_path):
+        with open(gen_path) as f:
+            gens = json.load(f)
+    if any(g["tag"] == batch_tag for g in gens):
+        return layout_dir
+
+    gen_dir = f"vectors_g{len(gens) + 1}"
+    # clear any torn (uncommitted) attempt at this generation number
+    shutil.rmtree(os.path.join(layout_dir, gen_dir), ignore_errors=True)
+    assign_centroids(ds_new, centroids).write_parquet(
+        os.path.join(layout_dir, gen_dir),
+        partition_cols=["centroid_id"])
+
+    gens.append({"tag": batch_tag, "dir": gen_dir})
+    tmp = gen_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(gens, f)
+    os.replace(tmp, gen_path)
+    return layout_dir
