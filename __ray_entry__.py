@@ -1924,6 +1924,36 @@ def _trigram_nll(sf_dir: str):
     return trigram_nll_scores(ds, vocab_size=1024)
 
 
+def _ppl_filter(sf_dir: str):
+    """Perplexity-percentile curation (the CCNet 'keep the
+    lowest-perplexity slice' rule): trigram mean-NLL per doc, keep the
+    best 70% by exact (ratio, doc_id) rank — composes the trigram LM
+    chain with ops/quantile.rank_select_lowest; the oracle composes
+    the standing trigram SQL with one row_number window."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.quantile import rank_select_lowest
+    from warcio_ray.ops.textstats import trigram_nll_scores
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    scores = trigram_nll_scores(ds, vocab_size=1024)
+
+    def ratio(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["n_trigrams"] > 0]
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "ratio": b["nll_q"].to_numpy("float64")
+            / b["n_trigrams"].to_numpy("float64")})
+
+    kept = rank_select_lowest(
+        scores.map_batches(ratio, batch_format="pandas"),
+        "ratio", pct=70).to_pandas()
+    return kept[["doc_id"]].sort_values("doc_id") \
+        .reset_index(drop=True).astype({"doc_id": "int64"})
+
+
 def _repetition_signals(sf_dir: str):
     """Within-doc repetition filters (Gopher family): top word-2-gram
     count/identity/char-fraction + duplicated-3-gram char fraction.
@@ -2332,6 +2362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_eval": _lsh_eval,
         "postings_append_probe": _postings_append_probe,
         "ivf_append_top10": _ivf_append_top10,
+        "ppl_filter": _ppl_filter,
         # swapped out of the first 50 this session (family-redundant
         # there; all carry r3/r4 local verification)
         "top_hosts": _top_hosts,
@@ -4779,6 +4810,21 @@ def oracle_sql() -> dict[str, str]:
     # lsh_eval composes the two standing pair oracles verbatim (CTE
     # wrapping keeps them in lockstep with any future change), so the
     # recall/precision counts are derived, not re-specified
+    # ppl_filter composes the standing trigram-LM oracle with the
+    # shared (p*n+99)//100 rank rule and (ratio, id) tie order
+    out["ppl_filter"] = f"""
+        WITH s AS (SELECT * FROM ({out["trigram_nll"]}) t
+                   WHERE n_trigrams > 0),
+        r AS (SELECT doc_id,
+                     CAST(nll_q AS DOUBLE) / n_trigrams AS ratio
+              FROM s),
+        kk AS (SELECT (70 * COUNT(*) + 99) // 100 AS k FROM r)
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (ORDER BY ratio, doc_id)
+                 AS rn
+          FROM r) q CROSS JOIN kk
+        WHERE rn <= kk.k ORDER BY doc_id
+    """
     out["lsh_eval"] = f"""
         WITH lsh AS (SELECT a, b FROM ({out["minhash_pairs"]}) tl),
              ex AS (SELECT a, b FROM ({out["jaccard_pairs"]}) te)

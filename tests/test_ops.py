@@ -2926,3 +2926,34 @@ def test_append_ivf_layout(ray_session, tmp_path):
     with pytest.raises(FileNotFoundError):
         append_ivf_layout(ray.data.from_pandas(fresh),
                           str(tmp_path / "none"), "x")
+
+
+def test_rank_select_lowest(ray_session):
+    """Exact rank selection: brute-force parity incl. heavy ties and
+    NaN exclusion, at two partitionings; pct validation."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from warcio_ray.ops.quantile import rank_select_lowest
+
+    rng = np.random.RandomState(11)
+    vals = np.round(rng.rand(200) * 5) / 5.0  # heavy ties
+    vals[::17] = np.nan
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype="int64"),
+                       "v": vals})
+
+    clean = df.dropna(subset=["v"])
+    k = (30 * len(clean) + 99) // 100
+    want = clean.sort_values(["v", "doc_id"]).head(k)["doc_id"] \
+        .sort_values().tolist()
+
+    for nparts in (2, 5):
+        got = rank_select_lowest(
+            ray.data.from_pandas(df).repartition(nparts), "v",
+            pct=30).to_pandas()["doc_id"].sort_values().tolist()
+        assert got == want, nparts
+
+    with pytest.raises(ValueError, match="pct"):
+        rank_select_lowest(ray.data.from_pandas(df), "v", pct=0)

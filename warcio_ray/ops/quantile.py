@@ -300,3 +300,51 @@ def weighted_budget_select(ds, budget: int, weight_col: str = "iw",
         return batch[keep]
 
     return ds.map_batches(final_filter, batch_format="pandas")
+
+
+def rank_select_lowest(ds, value_col: str, pct: int,
+                       id_col: str = "doc_id"):
+    """Keep exactly the ``(pct*n+99)//100`` lowest rows by
+    (value, id) — exact percentile SELECTION without a global sort,
+    the cutoff step of a perplexity/quality filter ladder (keep the
+    best-scoring pct% of the corpus). Same rank rule as
+    ``exact_float_quantiles``; SQL-reproducible as one row_number
+    window.
+
+    Scale shape: the radix quantile finds the cutoff VALUE (4 bounded
+    combiner scans, no shuffle), a stateless filter keeps everything
+    strictly below it, and the tie stratum (== cutoff) resolves by
+    smallest id through one bounded sort+limit — tie strata are a
+    single float value's rows, tiny unless the column is degenerate
+    (a constant column degrades to sorting n ids; documented, not
+    hidden). Rows with NaN in ``value_col`` are excluded (SQL
+    aggregate semantics, matching the quantile)."""
+    import numpy as np
+    import pandas as pd
+
+    if not 1 <= int(pct) <= 100:
+        raise ValueError("pct must be in 1..100")
+
+    def drop_nan(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[~batch[value_col].isna()]
+
+    clean = ds.map_batches(drop_nan, batch_format="pandas") \
+        .materialize()
+    n = clean.count()
+    if n == 0:
+        return clean
+    k = (int(pct) * n + 99) // 100
+    cut = float(exact_float_quantiles(
+        clean, value_col, [int(pct)])["value"].iloc[0])
+
+    below = clean.map_batches(
+        lambda b: b[b[value_col].to_numpy(np.float64) < cut],
+        batch_format="pandas")
+    n_below = below.count()
+    need = k - n_below
+
+    ties = clean.map_batches(
+        lambda b: b[b[value_col].to_numpy(np.float64) == cut],
+        batch_format="pandas")
+    tie_sel = ties.sort(id_col).limit(int(need))
+    return below.union(tie_sel)
