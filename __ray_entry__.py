@@ -807,6 +807,51 @@ def _reciprocal_links(sf_dir: str):
         .astype({"node": "int64", "n_out": "int64", "n_recip": "int64"})
 
 
+def _triangle_counts(sf_dir: str):
+    """Webgraph triangle census: the real html link graph plus
+    planted 3-cliques at doc_id % 23 == 0 (mirrored in SQL), counted
+    per node by the degree-oriented wedge join
+    (ops/graph.triangle_counts)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from warcio_ray.ops.graph import triangle_counts
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+    nd = pages.count()
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    import ray.data
+
+    def plant_cliques(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].to_numpy()
+        base = d[(d % 23 == 0) & (d + 2 < nd)]
+        return pd.DataFrame({
+            "src": list(base) + list(base + 1) + list(base),
+            "dst": list(base + 1) + list(base + 2) + list(base + 2)}) \
+            .astype({"src": "int64", "dst": "int64"})
+
+    planted = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]) \
+        .map_batches(plant_cliques, batch_format="pandas")
+    edges = edge_urls.map_batches(to_ids, batch_format="pyarrow") \
+        .union(planted)
+    out = triangle_counts(edges).to_pandas()
+    return out.sort_values("node").reset_index(drop=True) \
+        .astype({"node": "int64", "n_tri": "int64"})
+
+
 def _linear_quality(sf_dir: str):
     import ray.data
 
@@ -2363,6 +2408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_append_probe": _postings_append_probe,
         "ivf_append_top10": _ivf_append_top10,
         "ppl_filter": _ppl_filter,
+        "triangle_counts": _triangle_counts,
         # swapped out of the first 50 this session (family-redundant
         # there; all carry r3/r4 local verification)
         "top_hosts": _top_hosts,
@@ -4757,6 +4803,37 @@ def oracle_sql() -> dict[str, str]:
                          len(segs) - len(list_distinct(segs)) >= 2)
                         AS BIGINT) AS is_trap
             FROM segd ORDER BY doc_id
+        """,
+        # triangle_counts: rebuild the link graph + planted 3-cliques,
+        # then the ordered 3-way self-join counts each triangle once
+        "triangle_counts": """
+            WITH n AS (SELECT COUNT(*) AS nd FROM documents),
+            e0 AS (
+              SELECT doc_id AS src,
+                     (doc_id * 31 + 7 * (j + 1)) % nd AS dst
+              FROM (SELECT doc_id, unnest(range(0, doc_id % 4)) AS j
+                    FROM documents) CROSS JOIN n
+              UNION ALL
+              SELECT doc_id, doc_id + 1 FROM documents CROSS JOIN n
+              WHERE doc_id % 23 = 0 AND doc_id + 2 < nd
+              UNION ALL
+              SELECT doc_id + 1, doc_id + 2
+              FROM documents CROSS JOIN n
+              WHERE doc_id % 23 = 0 AND doc_id + 2 < nd
+              UNION ALL
+              SELECT doc_id, doc_id + 2 FROM documents CROSS JOIN n
+              WHERE doc_id % 23 = 0 AND doc_id + 2 < nd),
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b
+                    FROM e0 WHERE src <> dst),
+            tri AS (SELECT x.a AS u, x.b AS v, y.b AS w
+                    FROM und x JOIN und y ON x.b = y.a
+                    JOIN und z ON z.a = x.a AND z.b = y.b)
+            SELECT node, COUNT(*) AS n_tri FROM (
+              SELECT u AS node FROM tri
+              UNION ALL SELECT v FROM tri
+              UNION ALL SELECT w FROM tri) c
+            GROUP BY node ORDER BY node
         """,
         # robots_allow: replay the path synth; the verdict CASEs are
         # the longest-prefix-match unrolled per host parity, with the

@@ -2957,3 +2957,40 @@ def test_rank_select_lowest(ray_session):
 
     with pytest.raises(ValueError, match="pct"):
         rank_select_lowest(ray.data.from_pandas(df), "v", pct=0)
+
+
+def test_triangle_counts(ray_session):
+    """Triangles: hand graph (K4 has 4 triangles, each node in 3),
+    duplicate/reversed edges collapse, brute-force parity on a random
+    graph."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.graph import triangle_counts
+
+    # K4 + one dangling edge, with dup/reversed noise
+    e = pd.DataFrame({
+        "src": [0, 0, 0, 1, 1, 2, 2, 3, 4],
+        "dst": [1, 2, 3, 2, 3, 3, 1, 0, 5]})
+    out = triangle_counts(ray.data.from_pandas(e)).to_pandas() \
+        .set_index("node").sort_index()
+    assert out["n_tri"].tolist() == [3, 3, 3, 3]  # nodes 0-3; 4,5 none
+
+    rng = np.random.RandomState(5)
+    edges = pd.DataFrame({"src": rng.randint(0, 30, 200),
+                          "dst": rng.randint(0, 30, 200)})
+    got = triangle_counts(ray.data.from_pandas(edges)).to_pandas() \
+        .set_index("node")["n_tri"].to_dict()
+
+    und = {tuple(sorted(p)) for p in edges.itertuples(index=False)
+           if p.src != p.dst}
+    want = {}
+    nodes = {v for p in und for v in p}
+    for a, b, c in itertools.combinations(sorted(nodes), 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    assert got == want

@@ -535,3 +535,118 @@ def reciprocal_link_stats(edges_ds):
     return arrow_blocks(pairs.map_batches(per_node, batch_format="pandas")) \
         .groupby("node").aggregate(Count(alias_name="n_out"),
                                    Sum("recip", alias_name="n_recip"))
+
+
+def triangle_counts(edges_ds, broadcast_max_nodes: int = 2_000_000,
+                    num_partitions=None):
+    """Per-node triangle counts over the undirected distinct edge set
+    — the clustering-coefficient numerator, the classic webgraph
+    cohesion metric (spam farms and boilerplate nav rings are
+    triangle-dense). No warcio counterpart — build-brief webgraph
+    operator.
+
+    Algorithm: degree-ordered edge orientation ("forward" algorithm,
+    Schank & Wagner 2005): every edge points from its lower-(deg, id)
+    endpoint to the higher one, so each triangle is counted exactly
+    once as a wedge at its lowest corner and per-source out-degrees
+    are O(sqrt(m))-bounded for heavy nodes — the wedge explosion can't
+    blow up on a celebrity host the way naive neighbor-pairing does.
+
+    Shape at scale: one distinct-edge aggregate, one degree aggregate
+    (broadcast <= ``broadcast_max_nodes``, the same gate PageRank
+    uses; a join-path orientation is the swap above it), a
+    partition-sweep wedge kernel (np.triu pair expansion per source),
+    ONE wedge⋈edge hash join, then a corner-explode count. Returns a
+    (node int64, n_tri int64) Dataset, nodes with >= 1 triangle."""
+    import zlib
+
+    import ray
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join
+
+    if num_partitions is None:
+        num_partitions = min(
+            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch[["src", "dst"]].dropna().astype("int64")
+        df = df[df["src"] != df["dst"]]
+        out = pd.DataFrame({"lo": np.minimum(df["src"], df["dst"]),
+                            "hi": np.maximum(df["src"], df["dst"])})
+        return out.drop_duplicates()
+
+    und = arrow_blocks(edges_ds.map_batches(fold, batch_format="pandas")) \
+        .groupby(["lo", "hi"]).aggregate(Count(alias_name="_c")) \
+        .drop_columns(["_c"]).materialize()
+
+    def endpoints(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [batch["lo"].to_numpy(), batch["hi"].to_numpy()])})
+
+    deg = arrow_blocks(und.map_batches(endpoints, batch_format="pandas")) \
+        .groupby("node").aggregate(Count(alias_name="deg")).to_pandas()
+    if len(deg) > broadcast_max_nodes:
+        raise ValueError(
+            f"triangle_counts: {len(deg)} nodes exceeds the degree "
+            f"broadcast gate ({broadcast_max_nodes}); raise it or add "
+            "the join-path orientation")
+    # orientation key: (deg, id) packed -> strict total order
+    dref = ray.put(pd.Series(
+        (deg["deg"].to_numpy(np.int64) << np.int64(40))
+        | deg["node"].to_numpy(np.int64), index=deg["node"]))
+
+    def orient(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(dref)
+        klo = keys.reindex(batch["lo"]).to_numpy(np.int64)
+        khi = keys.reindex(batch["hi"]).to_numpy(np.int64)
+        fwd = klo < khi
+        return pd.DataFrame({
+            "s": np.where(fwd, batch["lo"], batch["hi"]),
+            "t": np.where(fwd, batch["hi"], batch["lo"])}) \
+            .astype({"s": "int64", "t": "int64"})
+
+    oriented = und.map_batches(orient, batch_format="pandas") \
+        .materialize()
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        h = batch["s"].to_numpy().astype(np.uint64, copy=False)
+        batch["_part"] = (h % np.uint64(num_partitions)).astype("int32")
+        return batch
+
+    def wedges(part: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(dref)
+        outs = []
+        part = part.sort_values(["s", "t"], kind="mergesort")
+        for s, grp in part.groupby("s", sort=False):
+            nb = grp["t"].to_numpy(np.int64)
+            if len(nb) < 2:
+                continue
+            # orient each wedge pair the same way edges are oriented
+            k = keys.reindex(nb).to_numpy(np.int64)
+            order = np.argsort(k, kind="stable")
+            nb = nb[order]
+            i, j = np.triu_indices(len(nb), k=1)
+            outs.append(pd.DataFrame({
+                "u": np.full(len(i), s, dtype="int64"),
+                "s": nb[i], "t": nb[j]}))
+        if not outs:
+            return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="int64"),
+                                 "t": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    wedge_ds = oriented.map_batches(add_part, batch_format="pandas") \
+        .groupby("_part").map_groups(wedges, batch_format="pandas")
+
+    tri = safe_join(wedge_ds, oriented, "inner", num_partitions,
+                    ("s", "t"))
+
+    def corners(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [batch["u"].to_numpy(), batch["s"].to_numpy(),
+             batch["t"].to_numpy()])})
+
+    return arrow_blocks(tri.map_batches(corners, batch_format="pandas")) \
+        .groupby("node").aggregate(Count(alias_name="n_tri"))
