@@ -480,7 +480,11 @@ def run_bench() -> dict:
                            ("tfidf_keywords", "op_tfidf_s"),
                            ("collapse_captures", "op_collapse_s"),
                            ("reciprocal_links", "op_recip_s"),
-                           ("cdxj_append_lookup", "op_cdxjapp_s")):
+                           ("cdxj_append_lookup", "op_cdxjapp_s"),
+                           ("triangle_counts", "op_tri_s"),
+                           ("ppl_filter", "op_pplf_s"),
+                           ("postings_append_probe", "op_postapp_s"),
+                           ("ivf_append_top10", "op_ivfapp_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \
