@@ -591,6 +591,10 @@ def triangle_counts(edges_ds, broadcast_max_nodes: int = 2_000_000,
             f"triangle_counts: {len(deg)} nodes exceeds the degree "
             f"broadcast gate ({broadcast_max_nodes}); raise it or add "
             "the join-path orientation")
+    if len(deg) and int(deg["node"].max()) >= (1 << 40):
+        raise ValueError(
+            "triangle_counts: node ids must fit 40 bits for the "
+            "(deg, id) orientation pack — densify ids first")
     # orientation key: (deg, id) packed -> strict total order
     dref = ray.put(pd.Series(
         (deg["deg"].to_numpy(np.int64) << np.int64(40))
@@ -618,15 +622,14 @@ def triangle_counts(edges_ds, broadcast_max_nodes: int = 2_000_000,
     def wedges(part: pd.DataFrame) -> pd.DataFrame:
         keys = ray.get(dref)
         outs = []
-        part = part.sort_values(["s", "t"], kind="mergesort")
+        # one hashtable probe pass for the whole partition; sorting by
+        # (s, key(t)) pre-orients every group's neighbor list
+        part = part.assign(_k=keys.reindex(part["t"]).to_numpy(np.int64)) \
+            .sort_values(["s", "_k"], kind="mergesort")
         for s, grp in part.groupby("s", sort=False):
             nb = grp["t"].to_numpy(np.int64)
             if len(nb) < 2:
                 continue
-            # orient each wedge pair the same way edges are oriented
-            k = keys.reindex(nb).to_numpy(np.int64)
-            order = np.argsort(k, kind="stable")
-            nb = nb[order]
             i, j = np.triu_indices(len(nb), k=1)
             outs.append(pd.DataFrame({
                 "u": np.full(len(i), s, dtype="int64"),
