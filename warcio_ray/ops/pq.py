@@ -214,6 +214,11 @@ def ivfpq_topk(ds, query_vec, vec_col: str = "embedding",
     if nprobe is None:
         nprobe = max(1, n_clusters // 2)
 
+    # the composition scans ds 2*iters + 3 times (coarse Lloyd, PQ
+    # Lloyd, assign, encode, rerank): materialize ONCE so every pass
+    # reads object-store blocks instead of re-decoding the source
+    ds = ds.materialize()
+
     assign_ds, coarse = kmeans_exact(ds, vec_col=vec_col, id_col=id_col,
                                      k=n_clusters, iters=iters,
                                      scale=scale, return_centroids=True)
