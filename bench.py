@@ -491,6 +491,13 @@ def run_bench() -> dict:
                 else len(out)
             derived[key] = round(time.time() - t0, 3)
             derived[key[:-2] + "_rows"] = int(n_rows)
+            # drop the result's object refs before the next sample:
+            # without this, late ops measure under the accumulated
+            # object-store pressure of every prior op (paradedup read
+            # 60 s late in a full sampler vs 11 s isolated, same code)
+            del out
+            import gc
+            gc.collect()
 
     total = round(sum(timings.values()), 3)
     result = {
