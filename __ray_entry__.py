@@ -2260,6 +2260,18 @@ def _asof_click_purchase(sf_dir: str):
     return asof_join_events(sf_dir, "click", "purchase")
 
 
+def _funnel_events(sf_dir: str):
+    """Ordered conversion funnel view->click->purchase within 24 h:
+    per completing user the exact minimum span in integer
+    microseconds (ops/relational.funnel_events; the oracle is the
+    3-way ordered join with the same epoch_us arithmetic)."""
+    from warcio_ray.ops.relational import funnel_events
+
+    out = funnel_events(sf_dir, window_minutes=1440).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True) \
+        .astype({"user_id": "int64", "min_duration_us": "int64"})
+
+
 def _event_range_counts(sf_dir: str):
     from warcio_ray.ops.relational import range_count_events
     return range_count_events(sf_dir, window_minutes=5)
@@ -2409,6 +2421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_append_top10": _ivf_append_top10,
         "ppl_filter": _ppl_filter,
         "triangle_counts": _triangle_counts,
+        "funnel_events": _funnel_events,
         # swapped out of the first 50 this session (family-redundant
         # there; all carry r3/r4 local verification)
         "top_hosts": _top_hosts,
@@ -4803,6 +4816,23 @@ def oracle_sql() -> dict[str, str]:
                          len(segs) - len(list_distinct(segs)) >= 2)
                         AS BIGINT) AS is_trap
             FROM segd ORDER BY doc_id
+        """,
+        # funnel_events: 3-way ordered join, exact integer microsecond
+        # spans, same latest-anchored minimality by MIN over all triples
+        "funnel_events": """
+            WITH v AS (SELECT user_id, epoch_us(ts) AS t FROM events
+                       WHERE event_type = 'view'),
+            c AS (SELECT user_id, epoch_us(ts) AS t FROM events
+                  WHERE event_type = 'click'),
+            p AS (SELECT user_id, epoch_us(ts) AS t FROM events
+                  WHERE event_type = 'purchase'),
+            tri AS (
+              SELECT v.user_id, p.t - v.t AS dur
+              FROM v JOIN c ON c.user_id = v.user_id AND c.t >= v.t
+                     JOIN p ON p.user_id = c.user_id AND p.t >= c.t
+              WHERE p.t - v.t <= 86400000000)
+            SELECT user_id, MIN(dur) AS min_duration_us
+            FROM tri GROUP BY user_id ORDER BY user_id
         """,
         # triangle_counts: rebuild the link graph + planted 3-cliques,
         # then the ordered 3-way self-join counts each triangle once

@@ -2994,3 +2994,44 @@ def test_triangle_counts(ray_session):
             for v in (a, b, c):
                 want[v] = want.get(v, 0) + 1
     assert got == want
+
+
+def test_funnel_events_kernel(ray_session, tmp_path):
+    """Funnel minimality: latest-anchored triple yields the true
+    minimum span; out-of-order and windowed-out users excluded."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from warcio_ray.ops.relational import funnel_events
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60_000_000, "us")  # one minute
+
+    def ev(uid, typ, minutes):
+        return {"event_id": 0, "ts": t0 + minutes * m, "user_id": uid,
+                "event_type": typ, "value": 0.0, "props": ""}
+
+    rows = [
+        # user 1: v@0, v@50, c@55, p@60 -> best span 10 min (v@50)
+        ev(1, "view", 0), ev(1, "view", 50), ev(1, "click", 55),
+        ev(1, "purchase", 60),
+        # user 2: order broken (p before c) -> no funnel
+        ev(2, "view", 0), ev(2, "purchase", 5), ev(2, "click", 10),
+        # user 3: complete but spans 3 days -> windowed out at 24h
+        ev(3, "view", 0), ev(3, "click", 2000), ev(3, "purchase", 4400),
+        # user 4: simultaneous ts allowed (v==c==p)
+        ev(4, "view", 7), ev(4, "click", 7), ev(4, "purchase", 7),
+    ]
+    d = str(tmp_path / "sf")
+    import os
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)),
+                   f"{d}/events.parquet")
+
+    out = funnel_events(d, window_minutes=1440).to_pandas() \
+        .set_index("user_id").sort_index()
+    assert out.index.tolist() == [1, 4]
+    assert out.loc[1, "min_duration_us"] == 10 * 60_000_000
+    assert out.loc[4, "min_duration_us"] == 0

@@ -262,3 +262,61 @@ def events_sliding(sf_dir: str, window_minutes: int = 60,
         .groupby(["event_type", "wstart"]).aggregate(
             Count(alias_name="n_events"),
             Sum("value", alias_name="sum_value"))
+
+
+def funnel_events(sf_dir: str, steps=("view", "click", "purchase"),
+                  window_minutes: int = 60):
+    """Ordered-funnel completion per user (the CEP/conversion query:
+    did step1 <= step2 <= step3 happen within the window, and how
+    fast): for each user with at least one valid ordered triple whose
+    total span fits the window, the MINIMUM span in exact integer
+    microseconds. No reference counterpart — streaming-analytics
+    operator per the build brief.
+
+    Kernel logic (per user, vectorized): for each final-step event,
+    the latest mid-step event at-or-before it, then the latest
+    first-step event at-or-before THAT — the latest-anchored triple
+    minimizes the span for that final event; the per-user answer is
+    the min over final events. Two searchsorted passes, no triple
+    loop. Shape: one user-keyed shuffle of the narrow (user, type,
+    ts) projection; each group is one user's events."""
+    import numpy as np
+    import ray.data
+
+    s1, s2, s3 = steps
+    win_us = np.int64(window_minutes) * 60_000_000
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["event_type"].isin([s1, s2, s3])]
+
+    def funnel(grp: pd.DataFrame) -> pd.DataFrame:
+        ts = grp["ts"].to_numpy("datetime64[ns]").astype("int64") // 1000
+        typ = grp["event_type"].to_numpy()
+        t1 = np.sort(ts[typ == s1])
+        t2 = np.sort(ts[typ == s2])
+        t3 = ts[typ == s3]
+        empty = pd.DataFrame({
+            "user_id": pd.Series(dtype="int64"),
+            "min_duration_us": pd.Series(dtype="int64")})
+        if not (len(t1) and len(t2) and len(t3)):
+            return empty
+        i2 = np.searchsorted(t2, t3, side="right") - 1  # latest s2 <= s3
+        ok = i2 >= 0
+        i1 = np.searchsorted(t1, t2[np.maximum(i2, 0)],
+                             side="right") - 1           # latest s1 <= s2
+        ok &= i1 >= 0
+        if not ok.any():
+            return empty
+        dur = t3[ok] - t1[i1[ok]]
+        dur = dur[dur <= win_us]
+        if not len(dur):
+            return empty
+        return pd.DataFrame({
+            "user_id": grp["user_id"].iloc[:1].astype("int64"),
+            "min_duration_us": np.int64(dur.min())})
+
+    return ds.map_batches(pick, batch_format="pandas") \
+        .groupby("user_id").map_groups(funnel, batch_format="pandas")
