@@ -2272,6 +2272,21 @@ def _funnel_events(sf_dir: str):
         .astype({"user_id": "int64", "min_duration_us": "int64"})
 
 
+def _novelty_scores(sf_dir: str):
+    """Per-doc novelty signal: occurrences of 3-grams shared with >= 2
+    distinct docs (ops/spans.novelty_scores — the measurement
+    companion of span_scrub's removal)."""
+    import ray.data
+
+    from warcio_ray.ops.spans import novelty_scores
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = novelty_scores(ds, k=3, min_docs=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64"})
+
+
 def _event_range_counts(sf_dir: str):
     from warcio_ray.ops.relational import range_count_events
     return range_count_events(sf_dir, window_minutes=5)
@@ -2422,6 +2437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppl_filter": _ppl_filter,
         "triangle_counts": _triangle_counts,
         "funnel_events": _funnel_events,
+        "novelty_scores": _novelty_scores,
         # swapped out of the first 50 this session (family-redundant
         # there; all carry r3/r4 local verification)
         "top_hosts": _top_hosts,
@@ -4816,6 +4832,38 @@ def oracle_sql() -> dict[str, str]:
                          len(segs) - len(list_distinct(segs)) >= 2)
                         AS BIGINT) AS is_trap
             FROM segd ORDER BY doc_id
+        """,
+        # novelty_scores: same gram construction as span_scrub, df via
+        # count(DISTINCT doc_id), occurrences counted per doc
+        "novelty_scores": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                 CASE WHEN len(ts) < 3 THEN []
+                      ELSE list_transform(range(1, len(ts) - 1),
+                           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                 END AS gl
+              FROM toks
+            ), gflat AS (
+              SELECT doc_id, unnest(gl) AS gram FROM grams
+            ), rep AS (
+              SELECT gram FROM gflat
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ), per AS (
+              SELECT doc_id, COUNT(*) AS n_grams FROM gflat
+              GROUP BY doc_id
+            ), repc AS (
+              SELECT g.doc_id, COUNT(*) AS n_repeated
+              FROM gflat g JOIN rep USING (gram) GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(p.n_grams, 0) AS n_grams,
+                   COALESCE(r.n_repeated, 0) AS n_repeated
+            FROM documents d
+            LEFT JOIN per p USING (doc_id)
+            LEFT JOIN repc r USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # funnel_events: 3-way ordered join, exact integer microsecond
         # spans, same latest-anchored minimality by MIN over all triples

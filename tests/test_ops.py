@@ -3035,3 +3035,28 @@ def test_funnel_events_kernel(ray_session, tmp_path):
     assert out.index.tolist() == [1, 4]
     assert out.loc[1, "min_duration_us"] == 10 * 60_000_000
     assert out.loc[4, "min_duration_us"] == 0
+
+
+def test_novelty_scores(ray_session):
+    """Novelty: shared grams count per occurrence, short docs 0/0,
+    within-doc repeats don't make a gram 'repeated'."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.spans import novelty_scores
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c d",          # grams: abc bcd
+                 "a b c x a b c",    # abc appears twice here + doc1
+                 "z z",              # too short: 0 grams
+                 "q w e"]})          # unique gram qwe
+    out = novelty_scores(ray.data.from_pandas(docs), k=3,
+                         min_docs=2).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # 'a b c' is in docs 1 and 2 -> repeated; 'b c d' only doc1
+    assert (out.loc[1, "n_grams"], out.loc[1, "n_repeated"]) == (2, 1)
+    # doc2 grams: abc bcx cxa xab abc -> 2 occurrences of abc
+    assert (out.loc[2, "n_grams"], out.loc[2, "n_repeated"]) == (5, 2)
+    assert (out.loc[3, "n_grams"], out.loc[3, "n_repeated"]) == (0, 0)
+    assert (out.loc[4, "n_grams"], out.loc[4, "n_repeated"]) == (1, 0)

@@ -194,3 +194,49 @@ def repeated_span_scrub(ds, k: int = 3, min_docs: int = 3,
             "n_removed": np.array(removed, dtype="int64")})
 
     return joined.map_batches(rewrite, batch_format="pandas")
+
+
+def novelty_scores(ds, k: int = 3, min_docs: int = 2,
+                   broadcast_max: int = 5_000_000):
+    """Per-document novelty: of a doc's word k-gram OCCURRENCES, how
+    many belong to grams seen in >= ``min_docs`` distinct documents —
+    the inverse prize signal curation pipelines use to favor novel
+    content over recombined boilerplate (complement of the
+    repeated-span mass `repeated_span_scrub` removes; same gram
+    machinery). Returns (doc_id, n_grams, n_repeated) for EVERY doc
+    (short docs score 0/0).
+
+    Shape: the repeated-gram set from the distinct-per-batch combiner
+    (only grams with df >= min_docs survive — the small side by
+    construction) broadcasts once; scoring is a stateless re-scan.
+    Above ``broadcast_max`` repeated grams, raise — the join path in
+    ``repeated_span_scrub`` is the template for the swap."""
+    import ray
+
+    rep = repeated_gram_counts(ds, k=k) \
+        .filter(expr=f"n_docs >= {int(min_docs)}") \
+        .select_columns(["gram_h"]).materialize()
+    n_rep = rep.count()
+    if n_rep > broadcast_max:
+        raise ValueError(
+            f"novelty_scores: {n_rep} repeated grams exceeds the "
+            f"broadcast gate ({broadcast_max}); use the join path "
+            "(cf. repeated_span_scrub)")
+    rep_ref = ray.put(frozenset(
+        int(h) for h in rep.to_pandas()["gram_h"].to_numpy()) if n_rep
+        else frozenset())
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        repset = ray.get(rep_ref)
+        n_grams, n_repeated = [], []
+        for text in batch["text"]:
+            grams = _doc_grams(text, k)
+            n_grams.append(len(grams))
+            n_repeated.append(sum(
+                1 for g in grams if _gram_hash64(g) in repset))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_grams": np.array(n_grams, dtype="int64"),
+            "n_repeated": np.array(n_repeated, dtype="int64")})
+
+    return ds.map_batches(score, batch_format="pandas")
