@@ -2287,6 +2287,19 @@ def _novelty_scores(sf_dir: str):
         .astype({"doc_id": "int64"})
 
 
+def _cohort_retention(sf_dir: str):
+    """Weekly cohort retention over events: first-event epoch-week
+    cohorts x distinct active-week offsets -> member counts
+    (ops/relational.cohort_retention)."""
+    from warcio_ray.ops.relational import cohort_retention
+
+    out = cohort_retention(sf_dir).to_pandas()
+    return out.sort_values(["cohort_week", "week_offset"]) \
+        .reset_index(drop=True) \
+        .astype({"cohort_week": "int64", "week_offset": "int64",
+                 "n_users": "int64"})
+
+
 def _event_range_counts(sf_dir: str):
     from warcio_ray.ops.relational import range_count_events
     return range_count_events(sf_dir, window_minutes=5)
@@ -2438,6 +2451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": _triangle_counts,
         "funnel_events": _funnel_events,
         "novelty_scores": _novelty_scores,
+        "cohort_retention": _cohort_retention,
         # swapped out of the first 50 this session (family-redundant
         # there; all carry r3/r4 local verification)
         "top_hosts": _top_hosts,
@@ -4832,6 +4846,22 @@ def oracle_sql() -> dict[str, str]:
                          len(segs) - len(list_distinct(segs)) >= 2)
                         AS BIGINT) AS is_trap
             FROM segd ORDER BY doc_id
+        """,
+        # cohort_retention: integer epoch-week arithmetic, distinct
+        # active offsets per user
+        "cohort_retention": """
+            WITH w AS (
+              SELECT user_id,
+                     epoch_us(ts) // 604800000000 AS wk
+              FROM events),
+            f AS (SELECT user_id, MIN(wk) AS cw FROM w
+                  GROUP BY user_id),
+            a AS (SELECT DISTINCT w.user_id, f.cw AS cohort_week,
+                         w.wk - f.cw AS week_offset
+                  FROM w JOIN f USING (user_id))
+            SELECT cohort_week, week_offset, COUNT(*) AS n_users
+            FROM a GROUP BY cohort_week, week_offset
+            ORDER BY cohort_week, week_offset
         """,
         # novelty_scores: same gram construction as span_scrub, df via
         # count(DISTINCT doc_id), occurrences counted per doc

@@ -320,3 +320,41 @@ def funnel_events(sf_dir: str, steps=("view", "click", "purchase"),
 
     return ds.map_batches(pick, batch_format="pandas") \
         .groupby("user_id").map_groups(funnel, batch_format="pandas")
+
+
+def cohort_retention(sf_dir: str):
+    """Weekly cohort-retention matrix (the classic activity analysis):
+    each user joins the cohort of their first event's epoch-week; for
+    every (cohort_week, week_offset) cell, how many cohort members
+    were active that week. Exact integer week arithmetic
+    (epoch_us // 604800000000), SQL-identical.
+
+    Shape: one user-keyed shuffle of the narrow (user, ts) projection
+    — the per-user kernel emits its distinct offsets — then one
+    bounded (cohorts x offsets) hash aggregate; each user contributes
+    one row per active week, so nothing user-sized aggregates on the
+    driver."""
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    WEEK_US = np.int64(7 * 86400 * 1_000_000)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def per_user(grp: pd.DataFrame) -> pd.DataFrame:
+        wk = grp["ts"].to_numpy("datetime64[ns]").astype("int64") \
+            // 1000 // WEEK_US
+        c = wk.min()
+        offs = np.unique(wk - c)
+        return pd.DataFrame({
+            "cohort_week": np.full(len(offs), c, dtype="int64"),
+            "week_offset": offs.astype("int64")})
+
+    rows = ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+    return arrow_blocks(rows).groupby(["cohort_week", "week_offset"]) \
+        .aggregate(Count(alias_name="n_users"))
