@@ -3060,3 +3060,53 @@ def test_novelty_scores(ray_session):
     assert (out.loc[2, "n_grams"], out.loc[2, "n_repeated"]) == (5, 2)
     assert (out.loc[3, "n_grams"], out.loc[3, "n_repeated"]) == (0, 0)
     assert (out.loc[4, "n_grams"], out.loc[4, "n_repeated"]) == (1, 0)
+
+
+def test_funnel_random_bruteforce(ray_session, tmp_path):
+    """Property: funnel minimal spans equal the brute-force scan over
+    all ordered (v, c, p) triples on random event streams."""
+    import itertools
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from warcio_ray.ops.relational import funnel_events
+
+    rng = np.random.RandomState(13)
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = []
+    for uid in range(30):
+        for _ in range(rng.randint(1, 12)):
+            rows.append({
+                "event_id": len(rows),
+                "ts": t0 + int(rng.randint(0, 3000)) *
+                np.timedelta64(60_000_000, "us"),
+                "user_id": uid,
+                "event_type": rng.choice(
+                    ["view", "click", "purchase", "error"]),
+                "value": 0.0, "props": ""})
+    df = pd.DataFrame(rows)
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pandas(df), f"{d}/events.parquet")
+
+    W = 1440 * 60_000_000
+    want = {}
+    for uid, grp in df.groupby("user_id"):
+        us = grp["ts"].astype("int64") // 1000
+        vs = us[grp.event_type == "view"]
+        cs = us[grp.event_type == "click"]
+        ps = us[grp.event_type == "purchase"]
+        best = None
+        for v, c, p in itertools.product(vs, cs, ps):
+            if v <= c <= p and p - v <= W:
+                best = p - v if best is None else min(best, p - v)
+        if best is not None:
+            want[uid] = best
+
+    got = funnel_events(d, window_minutes=1440).to_pandas() \
+        .set_index("user_id")["min_duration_us"].to_dict()
+    assert got == want
