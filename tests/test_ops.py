@@ -2971,13 +2971,16 @@ def test_triangle_counts(ray_session):
 
     from warcio_ray.ops.graph import triangle_counts
 
-    # K4 + one dangling edge, with dup/reversed noise
+    # K4 + one dangling edge, with dup/reversed noise; both the
+    # degree-broadcast and join-path orientations must agree
     e = pd.DataFrame({
         "src": [0, 0, 0, 1, 1, 2, 2, 3, 4],
         "dst": [1, 2, 3, 2, 3, 3, 1, 0, 5]})
-    out = triangle_counts(ray.data.from_pandas(e)).to_pandas() \
-        .set_index("node").sort_index()
-    assert out["n_tri"].tolist() == [3, 3, 3, 3]  # nodes 0-3; 4,5 none
+    for bmax in (1 << 21, 0):
+        out = triangle_counts(ray.data.from_pandas(e),
+                              broadcast_max_nodes=bmax).to_pandas() \
+            .set_index("node").sort_index()
+        assert out["n_tri"].tolist() == [3, 3, 3, 3], bmax
 
     rng = np.random.RandomState(5)
     edges = pd.DataFrame({"src": rng.randint(0, 30, 200),
@@ -3051,9 +3054,14 @@ def test_novelty_scores(ray_session):
                  "a b c x a b c",    # abc appears twice here + doc1
                  "z z",              # too short: 0 grams
                  "q w e"]})          # unique gram qwe
-    out = novelty_scores(ray.data.from_pandas(docs), k=3,
-                         min_docs=2).to_pandas() \
-        .set_index("doc_id").sort_index()
+    outs = []
+    for bmax in (1 << 30, 0):  # broadcast path, then join path
+        out = novelty_scores(ray.data.from_pandas(docs), k=3,
+                             min_docs=2, broadcast_max=bmax) \
+            .to_pandas().set_index("doc_id").sort_index()
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
     # 'a b c' is in docs 1 and 2 -> repeated; 'b c d' only doc1
     assert (out.loc[1, "n_grams"], out.loc[1, "n_repeated"]) == (2, 1)
     # doc2 grams: abc bcx cxa xab abc -> 2 occurrences of abc

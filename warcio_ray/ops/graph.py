@@ -584,34 +584,65 @@ def triangle_counts(edges_ds, broadcast_max_nodes: int = 2_000_000,
         return pd.DataFrame({"node": np.concatenate(
             [batch["lo"].to_numpy(), batch["hi"].to_numpy()])})
 
-    deg = arrow_blocks(und.map_batches(endpoints, batch_format="pandas")) \
-        .groupby("node").aggregate(Count(alias_name="deg")).to_pandas()
-    if len(deg) > broadcast_max_nodes:
-        raise ValueError(
-            f"triangle_counts: {len(deg)} nodes exceeds the degree "
-            f"broadcast gate ({broadcast_max_nodes}); raise it or add "
-            "the join-path orientation")
-    if len(deg) and int(deg["node"].max()) >= (1 << 40):
+    deg_ds = arrow_blocks(und.map_batches(endpoints, batch_format="pandas")) \
+        .groupby("node").aggregate(Count(alias_name="deg")).materialize()
+    n_nodes = deg_ds.count()
+    if n_nodes and int(deg_ds.max(on="node")) >= (1 << 40):
         raise ValueError(
             "triangle_counts: node ids must fit 40 bits for the "
             "(deg, id) orientation pack — densify ids first")
-    # orientation key: (deg, id) packed -> strict total order
-    dref = ray.put(pd.Series(
-        (deg["deg"].to_numpy(np.int64) << np.int64(40))
-        | deg["node"].to_numpy(np.int64), index=deg["node"]))
 
-    def orient(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(dref)
-        klo = keys.reindex(batch["lo"]).to_numpy(np.int64)
-        khi = keys.reindex(batch["hi"]).to_numpy(np.int64)
+    def _finish_orient(batch: pd.DataFrame, klo: "np.ndarray",
+                       khi: "np.ndarray") -> pd.DataFrame:
+        # orientation key: (deg, id) packed -> strict total order;
+        # kt (the target's key) rides along so the wedge kernel needs
+        # no degree lookup of its own
         fwd = klo < khi
         return pd.DataFrame({
             "s": np.where(fwd, batch["lo"], batch["hi"]),
-            "t": np.where(fwd, batch["hi"], batch["lo"])}) \
-            .astype({"s": "int64", "t": "int64"})
+            "t": np.where(fwd, batch["hi"], batch["lo"]),
+            "kt": np.where(fwd, khi, klo)}) \
+            .astype({"s": "int64", "t": "int64", "kt": "int64"})
 
-    oriented = und.map_batches(orient, batch_format="pandas") \
-        .materialize()
+    if n_nodes <= broadcast_max_nodes:
+        deg = deg_ds.to_pandas()
+        dref = ray.put(pd.Series(
+            (deg["deg"].to_numpy(np.int64) << np.int64(40))
+            | deg["node"].to_numpy(np.int64), index=deg["node"]))
+
+        def orient(batch: pd.DataFrame) -> pd.DataFrame:
+            keys = ray.get(dref)
+            return _finish_orient(
+                batch,
+                keys.reindex(batch["lo"]).to_numpy(np.int64),
+                keys.reindex(batch["hi"]).to_numpy(np.int64))
+
+        oriented = und.map_batches(orient, batch_format="pandas") \
+            .materialize()
+    else:
+        # join-path orientation: two narrow und⋈deg hash joins attach
+        # both endpoints' degrees; no node-sized state on any worker
+        def deg_side(col):
+            def rename(batch: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({
+                    f"_n{col}": batch["node"].astype("int64"),
+                    f"_d{col}": batch["deg"].astype("int64")})
+            return deg_ds.map_batches(rename, batch_format="pandas")
+
+        j = safe_join(und, deg_side("lo"), "inner", num_partitions,
+                      ("lo",), ("_nlo",))
+        j = safe_join(j, deg_side("hi"), "inner", num_partitions,
+                      ("hi",), ("_nhi",))
+
+        def orient_joined(batch: pd.DataFrame) -> pd.DataFrame:
+            klo = (batch["_dlo"].to_numpy(np.int64) << np.int64(40)) \
+                | batch["lo"].to_numpy(np.int64)
+            khi = (batch["_dhi"].to_numpy(np.int64) << np.int64(40)) \
+                | batch["hi"].to_numpy(np.int64)
+            return _finish_orient(batch, klo, khi)
+
+        oriented = j.map_batches(orient_joined, batch_format="pandas") \
+            .materialize()
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -620,12 +651,10 @@ def triangle_counts(edges_ds, broadcast_max_nodes: int = 2_000_000,
         return batch
 
     def wedges(part: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(dref)
         outs = []
-        # one hashtable probe pass for the whole partition; sorting by
-        # (s, key(t)) pre-orients every group's neighbor list
-        part = part.assign(_k=keys.reindex(part["t"]).to_numpy(np.int64)) \
-            .sort_values(["s", "_k"], kind="mergesort")
+        # sorting by (s, kt) pre-orients every group's neighbor list;
+        # kt rode in on the oriented rows, so no lookup here
+        part = part.sort_values(["s", "kt"], kind="mergesort")
         for s, grp in part.groupby("s", sort=False):
             nb = grp["t"].to_numpy(np.int64)
             if len(nb) < 2:

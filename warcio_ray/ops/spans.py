@@ -208,35 +208,75 @@ def novelty_scores(ds, k: int = 3, min_docs: int = 2,
 
     Shape: the repeated-gram set from the distinct-per-batch combiner
     (only grams with df >= min_docs survive — the small side by
-    construction) broadcasts once; scoring is a stateless re-scan.
-    Above ``broadcast_max`` repeated grams, raise — the join path in
-    ``repeated_span_scrub`` is the template for the swap."""
+    construction) broadcasts once and scoring is a stateless re-scan;
+    above ``broadcast_max`` repeated grams, the JOIN path runs instead
+    (occurrence explode ⋈ repeated set on gram hash + per-doc count
+    aggregates — O(tokens) narrow rows through one hash join, never a
+    worker-resident gram set). Both paths output-identical (tested)."""
     import ray
+    from ray.data.aggregate import Count, Sum
+
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join
 
     rep = repeated_gram_counts(ds, k=k) \
         .filter(expr=f"n_docs >= {int(min_docs)}") \
         .select_columns(["gram_h"]).materialize()
     n_rep = rep.count()
-    if n_rep > broadcast_max:
-        raise ValueError(
-            f"novelty_scores: {n_rep} repeated grams exceeds the "
-            f"broadcast gate ({broadcast_max}); use the join path "
-            "(cf. repeated_span_scrub)")
-    rep_ref = ray.put(frozenset(
-        int(h) for h in rep.to_pandas()["gram_h"].to_numpy()) if n_rep
-        else frozenset())
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        repset = ray.get(rep_ref)
-        n_grams, n_repeated = [], []
-        for text in batch["text"]:
-            grams = _doc_grams(text, k)
-            n_grams.append(len(grams))
-            n_repeated.append(sum(
-                1 for g in grams if _gram_hash64(g) in repset))
+    if n_rep <= broadcast_max:
+        rep_ref = ray.put(frozenset(
+            int(h) for h in rep.to_pandas()["gram_h"].to_numpy())
+            if n_rep else frozenset())
+
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            repset = ray.get(rep_ref)
+            n_grams, n_repeated = [], []
+            for text in batch["text"]:
+                grams = _doc_grams(text, k)
+                n_grams.append(len(grams))
+                n_repeated.append(sum(
+                    1 for g in grams if _gram_hash64(g) in repset))
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"].astype("int64"),
+                "n_grams": np.array(n_grams, dtype="int64"),
+                "n_repeated": np.array(n_repeated, dtype="int64")})
+
+        return ds.map_batches(score, batch_format="pandas")
+
+    # ---- join path: per-batch (doc, gram_h-occurrence) partials ----
+    def occ_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        docs, hashes, counts = [], [], []
+        for doc, text in zip(batch["doc_id"].astype("int64"),
+                             batch["text"]):
+            c: Counter = Counter(
+                _gram_hash64(g) for g in _doc_grams(text, k))
+            docs.extend([int(doc)] * len(c))
+            hashes.extend(c.keys())
+            counts.extend(c.values())
+        return pd.DataFrame({
+            "doc_id": np.array(docs, dtype="int64"),
+            "gram_h": np.array(hashes, dtype="int64"),
+            "occ": np.array(counts, dtype="int64")})
+
+    occ = ds.map_batches(occ_partials, batch_format="pandas") \
+        .materialize()
+    num_partitions = min(
+        32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    totals = arrow_blocks(occ).groupby("doc_id") \
+        .aggregate(Sum("occ", alias_name="n_grams"))
+    rep_counts = arrow_blocks(
+        safe_join(occ, rep, "inner", num_partitions, ("gram_h",))) \
+        .groupby("doc_id").aggregate(Sum("occ", alias_name="n_repeated"))
+
+    joined = safe_join(
+        safe_join(ds.select_columns(["doc_id"]), totals, "left_outer",
+                  num_partitions, ("doc_id",)),
+        rep_counts, "left_outer", num_partitions, ("doc_id",))
+
+    def fill(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "doc_id": batch["doc_id"].astype("int64"),
-            "n_grams": np.array(n_grams, dtype="int64"),
-            "n_repeated": np.array(n_repeated, dtype="int64")})
+            "n_grams": batch["n_grams"].fillna(0).astype("int64"),
+            "n_repeated": batch["n_repeated"].fillna(0).astype("int64")})
 
-    return ds.map_batches(score, batch_format="pandas")
+    return joined.map_batches(fill, batch_format="pandas")
