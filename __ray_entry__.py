@@ -110,6 +110,45 @@ def _gopher_quality(sf_dir: str):
     return ds.map_batches(gopher_quality_batch, batch_format="pandas")
 
 
+def _host_quality(sf_dir: str):
+    """Per-host quality rollup for crawl prioritization (which hosts
+    deserve budget): exact-integer doc/word/line sums plus the count
+    of docs passing the >= 50-word gopher floor, one bounded host
+    aggregate after a map-side fold."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        did = batch["doc_id"].to_numpy(dtype="int64")
+        txt = batch["text"].fillna("").astype("string")
+        words = txt.str.count(r"\S+").to_numpy("int64")
+        lines = txt.str.count(r"[^\n]+").to_numpy("int64")
+        g = pd.DataFrame({
+            "host": _host_series(did),
+            "n_docs": np.ones(len(did), dtype="int64"),
+            "sum_words": words,
+            "sum_lines": lines,
+            "n_pass": (words >= 50).astype("int64")})
+        return g.groupby("host", sort=False).sum().reset_index()
+
+    out = arrow_blocks(ds.map_batches(fold, batch_format="pandas")) \
+        .groupby("host").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_words", alias_name="sum_words"),
+            Sum("sum_lines", alias_name="sum_lines"),
+            Sum("n_pass", alias_name="n_pass")).to_pandas()
+    return out.sort_values("host").reset_index(drop=True) \
+        .astype({c: "int64" for c in
+                 ("n_docs", "sum_words", "sum_lines", "n_pass")})
+
+
 def _lexical_diversity(sf_dir: str):
     """Exact-integer lexical-diversity signals (Simpson collision /
     type-token-ratio family) — stateless vectorized scan."""
@@ -2452,6 +2491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": _funnel_events,
         "novelty_scores": _novelty_scores,
         "cohort_retention": _cohort_retention,
+        "host_quality": _host_quality,
         # swapped out of the first 50 this session (family-redundant
         # there; all carry r3/r4 local verification)
         "top_hosts": _top_hosts,
@@ -4846,6 +4886,23 @@ def oracle_sql() -> dict[str, str]:
                          len(segs) - len(list_distinct(segs)) >= 2)
                         AS BIGINT) AS is_trap
             FROM segd ORDER BY doc_id
+        """,
+        # host_quality: same host CASE as host_counts; line count is
+        # non-empty \n segments, all integers
+        "host_quality": f"""
+            WITH q AS (
+              SELECT {_HOST_CASE} AS host,
+                     len(regexp_extract_all(COALESCE(text, ''),
+                                            '\\S+')) AS w,
+                     len(regexp_extract_all(COALESCE(text, ''),
+                                            '[^\n]+')) AS l
+              FROM documents)
+            SELECT host, COUNT(*) AS n_docs,
+                   CAST(SUM(w) AS BIGINT) AS sum_words,
+                   CAST(SUM(l) AS BIGINT) AS sum_lines,
+                   CAST(SUM(CASE WHEN w >= 50 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pass
+            FROM q GROUP BY host ORDER BY host
         """,
         # cohort_retention: integer epoch-week arithmetic, distinct
         # active offsets per user
