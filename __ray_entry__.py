@@ -2368,6 +2368,21 @@ def _top_orders_per_segment(sf_dir: str):
     return top_orders_per_segment(sf_dir, k=3)
 
 
+def _pmi_collocations(sf_dir: str):
+    """Collocation / phrase mining: PMI of adjacent whitespace bigrams
+    with c12 >= 5 (ops/colloc.py) — exact int64 counts through two
+    combiner scans + two hash joins; pmi rounded on both sides."""
+    import ray.data
+
+    from warcio_ray.ops.colloc import pmi_collocations
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    out = pmi_collocations(ds, min_count=5).to_pandas()
+    out["pmi"] = out["pmi"].round(6)
+    return out.sort_values(["w1", "w2"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry ORDER IS LOAD-BEARING: the driver's correctness run
     stamps only the FIRST 50 entries per round (observed cap,
@@ -2499,6 +2514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text_verify": _extract_text_verify,
         "cdxj_index": _cdxj_index,
         "ivf_knn_top10": _ivf_knn_top10,
+        "pmi_collocations": _pmi_collocations,
     }
 
 
@@ -5074,5 +5090,25 @@ def oracle_sql() -> dict[str, str]:
           (SELECT COUNT(*) FROM lsh JOIN ex USING (a, b)) AS tp,
           (SELECT COUNT(*) FROM lsh ANTI JOIN ex USING (a, b)) AS fp,
           (SELECT COUNT(*) FROM ex ANTI JOIN lsh USING (a, b)) AS fn
+    """
+    # pmi_collocations: Church & Hanks adjacent-bigram PMI — exact
+    # integer counts (parallel unnest of the token list against its
+    # tail zips positionally), pmi rounded identically on both sides
+    out["pmi_collocations"] = r"""
+        WITH toks AS (SELECT regexp_extract_all(text, '\S+') AS t
+                      FROM documents),
+        uni AS (SELECT unnest(t) AS w FROM toks),
+        ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+        tot AS (SELECT count(*) AS n FROM uni),
+        big AS (SELECT unnest(t[1:len(t)-1]) AS w1,
+                       unnest(t[2:len(t)]) AS w2
+                FROM toks WHERE len(t) >= 2),
+        bcnt AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2)
+        SELECT b.w1, b.w2, b.c12, c1.c AS c1, c2.c AS c2,
+               ROUND(ln(CAST(b.c12 AS DOUBLE) * (SELECT n FROM tot)
+                        / (CAST(c1.c AS DOUBLE) * c2.c)), 6) AS pmi
+        FROM bcnt b JOIN ucnt c1 ON b.w1 = c1.w
+                    JOIN ucnt c2 ON b.w2 = c2.w
+        WHERE b.c12 >= 5 ORDER BY b.w1, b.w2
     """
     return out

@@ -3118,3 +3118,44 @@ def test_funnel_random_bruteforce(ray_session, tmp_path):
     got = funnel_events(d, window_minutes=1440).to_pandas() \
         .set_index("user_id")["min_duration_us"].to_dict()
     assert got == want
+
+
+def test_pmi_collocations(ray_session):
+    """PMI bigrams: exact counts vs a brute-force reference, min_count
+    gate, empty-text docs contribute nothing, no cross-doc bigrams."""
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.colloc import pmi_collocations
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["new york is big",
+                 "new york city",
+                 "the city is big",
+                 "",            # no tokens
+                 "york"]})      # single token: no bigram
+    ds = ray.data.from_pandas(docs).repartition(3)
+    out = pmi_collocations(ds, min_count=2).to_pandas() \
+        .sort_values(["w1", "w2"]).reset_index(drop=True)
+
+    # brute force
+    from collections import Counter
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for t in docs["text"]:
+        toks = t.split()
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n = sum(uni.values())
+    want = sorted((w1, w2, c) for (w1, w2), c in big.items() if c >= 2)
+    assert list(map(tuple, out[["w1", "w2", "c12"]].to_numpy())) == \
+        [(w1, w2, c) for (w1, w2, c) in want]
+    for _, r in out.iterrows():
+        assert r["c1"] == uni[r["w1"]] and r["c2"] == uni[r["w2"]]
+        assert abs(r["pmi"] - math.log(r["c12"] * n /
+                                       (r["c1"] * r["c2"]))) < 1e-12
+    # last doc boundary: "big new" (doc0->doc1 adjacency) must NOT appear
+    assert not (((out["w1"] == "big") & (out["w2"] == "new")).any())
