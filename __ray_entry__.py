@@ -2383,6 +2383,35 @@ def _pmi_collocations(sf_dir: str):
     return out.sort_values(["w1", "w2"]).reset_index(drop=True)
 
 
+def _containment_pairs(sf_dir: str):
+    """Asymmetric n-gram containment join (doc-inside-doc detection,
+    ops/dedup.containment_join): excerpt docs planted as the first
+    max(3, 2n/5) words of every 25th doc (mirrored in SQL) are flagged
+    as contained in their source at threshold 4/5 — pure integer
+    comparison, exact candidate set (shared-gram index, caps never
+    engage at these gram dfs)."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.dedup import containment_join
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch["doc_id"] % 25 == 0]
+        words = sel["text"].fillna("").str.split()
+        snip = words.map(lambda w: " ".join(w[:max(3, (2 * len(w)) // 5)]))
+        extra = pd.DataFrame({
+            "doc_id": sel["doc_id"].to_numpy() + 200000,
+            "text": snip.to_numpy()})
+        return pd.concat([batch[["doc_id", "text"]], extra],
+                         ignore_index=True)
+
+    aug = ds.map_batches(plant, batch_format="pandas")
+    return containment_join(aug, threshold_num=4, threshold_den=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry ORDER IS LOAD-BEARING: the driver's correctness run
     stamps only the FIRST 50 entries per round (observed cap,
@@ -2515,6 +2544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdxj_index": _cdxj_index,
         "ivf_knn_top10": _ivf_knn_top10,
         "pmi_collocations": _pmi_collocations,
+        "containment_pairs": _containment_pairs,
     }
 
 
@@ -5090,6 +5120,40 @@ def oracle_sql() -> dict[str, str]:
           (SELECT COUNT(*) FROM lsh JOIN ex USING (a, b)) AS tp,
           (SELECT COUNT(*) FROM lsh ANTI JOIN ex USING (a, b)) AS fp,
           (SELECT COUNT(*) FROM ex ANTI JOIN lsh USING (a, b)) AS fn
+    """
+    # containment_pairs: asymmetric containment over distinct 3-gram
+    # shingle sets with planted excerpt docs — integer-exact threshold
+    # (5*common >= 4*|A|), same gram CASE as the jaccard CTE
+    out["containment_pairs"] = r"""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000 AS doc_id,
+                 array_to_string(t[1:greatest(3, (2*len(t))//5)], ' ')
+                   AS text
+          FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                FROM documents)
+          WHERE doc_id % 25 = 0),
+        toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                 FROM docs),
+        grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) = 0 THEN []
+                      WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                      ELSE list_distinct(list_transform(
+                           range(1, len(t)-1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                 END AS g
+          FROM toks),
+        ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+        sizes AS (SELECT doc_id, len(g) AS n FROM grams),
+        cp AS (SELECT ia.doc_id AS a, ib.doc_id AS b,
+                      count(*) AS n_common
+               FROM ex ia JOIN ex ib USING (gram)
+               WHERE ia.doc_id <> ib.doc_id GROUP BY 1, 2)
+        SELECT cp.a, cp.b, cp.n_common, sa.n AS n_a
+        FROM cp JOIN sizes sa ON sa.doc_id = cp.a
+        WHERE 5*cp.n_common >= 4*sa.n ORDER BY a, b
     """
     # pmi_collocations: Church & Hanks adjacent-bigram PMI — exact
     # integer counts (parallel unnest of the token list against its

@@ -3159,3 +3159,38 @@ def test_pmi_collocations(ray_session):
                                        (r["c1"] * r["c2"]))) < 1e-12
     # last doc boundary: "big new" (doc0->doc1 adjacency) must NOT appear
     assert not (((out["w1"] == "big") & (out["w2"] == "new")).any())
+
+
+def test_containment_join(ray_session):
+    """Directed containment: excerpt flagged inside its source (not
+    vice versa), symmetric duplicates flagged both ways, integer
+    threshold boundary exact."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.dedup import containment_join
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"   # 8 distinct 3-grams
+    excerpt = "w1 w2 w3 w4 w5"                # 3 grams, all in base
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [base, excerpt, base,          # 3 = exact dup of 1
+                 "x1 x2 x3 x4",                # disjoint
+                 ""]})                         # no grams
+    out = containment_join(
+        ray.data.from_pandas(docs).repartition(2),
+        threshold_num=4, threshold_den=5)
+    got = set(map(tuple, out[["a", "b"]].to_numpy()))
+    # excerpt (2) contained in 1 and in 3; 1 and 3 contain each other;
+    # base is NOT contained in excerpt (3/8 < 4/5); 4, 5 nowhere
+    assert got == {(2, 1), (2, 3), (1, 3), (3, 1)}
+    r21 = out[(out["a"] == 2) & (out["b"] == 1)].iloc[0]
+    assert (r21["n_common"], r21["n_a"]) == (3, 3)
+    # threshold boundary: 4 of 5 grams shared passes 4/5 exactly
+    docs2 = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a b c d e f g",             # grams abc..efg (5)
+                 "a b c d e f x"]})            # shares abc bcd cde def (4)
+    out2 = containment_join(ray.data.from_pandas(docs2),
+                            threshold_num=4, threshold_den=5)
+    assert set(map(tuple, out2[["a", "b"]].to_numpy())) == {(1, 2), (2, 1)}
