@@ -2412,6 +2412,42 @@ def _containment_pairs(sf_dir: str):
     return containment_join(aug, threshold_num=4, threshold_den=5)
 
 
+def _wcc_labels(sf_dir: str):
+    """Weakly connected components over a sampled slice of the real
+    hyperlink graph (src % 10 < 3 keeps the component structure
+    non-trivial): every linked node labeled with its component's min
+    id via the alternating-star contraction
+    (ops/graph.weakly_connected_components)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from warcio_ray.ops.graph import weakly_connected_components
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    def sample(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (batch["src"] % 10 < 3) & (batch["src"] != batch["dst"])
+        return batch.loc[keep, ["src", "dst"]]
+
+    edges = edge_urls.map_batches(to_ids, batch_format="pyarrow") \
+        .map_batches(sample, batch_format="pandas")
+    out = weakly_connected_components(edges).to_pandas()
+    return out.sort_values("node").reset_index(drop=True) \
+        .astype({"node": "int64", "component": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry ORDER IS LOAD-BEARING: the driver's correctness run
     stamps only the FIRST 50 entries per round (observed cap,
@@ -2545,6 +2581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn_top10": _ivf_knn_top10,
         "pmi_collocations": _pmi_collocations,
         "containment_pairs": _containment_pairs,
+        "wcc_labels": _wcc_labels,
     }
 
 
@@ -5120,6 +5157,29 @@ def oracle_sql() -> dict[str, str]:
           (SELECT COUNT(*) FROM lsh JOIN ex USING (a, b)) AS tp,
           (SELECT COUNT(*) FROM lsh ANTI JOIN ex USING (a, b)) AS fp,
           (SELECT COUNT(*) FROM ex ANTI JOIN lsh USING (a, b)) AS fn
+    """
+    # wcc_labels: weakly connected components over the sampled link
+    # graph — edges reconstructed from the doc_id link rule, min
+    # reachable id == the star-contraction label
+    out["wcc_labels"] = """
+        WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+        edges0 AS (
+          SELECT doc_id AS src,
+                 ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn))
+                   AS dst
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE j < doc_id % 4),
+        e AS (SELECT src, dst FROM edges0
+              WHERE src % 10 < 3 AND src <> dst),
+        edges AS (SELECT src AS u, dst AS v FROM e
+                  UNION ALL SELECT dst, src FROM e),
+        reach(node, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e2.u, t.r FROM edges e2 JOIN reach t ON t.node = e2.v)
+        SELECT node, MIN(r) AS component
+        FROM reach GROUP BY node ORDER BY node
     """
     # containment_pairs: asymmetric containment over distinct 3-gram
     # shingle sets with planted excerpt docs — integer-exact threshold

@@ -3194,3 +3194,22 @@ def test_containment_join(ray_session):
     out2 = containment_join(ray.data.from_pandas(docs2),
                             threshold_num=4, threshold_den=5)
     assert set(map(tuple, out2[["a", "b"]].to_numpy())) == {(1, 2), (2, 1)}
+
+
+def test_weakly_connected_components(ray_session):
+    """WCC wrapper: direction dropped, min-id labels, isolated edges
+    and chains labeled correctly."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.graph import weakly_connected_components
+
+    # components: {1,2,3,4} (chain + reverse edge), {10,11}, {20,21,22}
+    edges = pd.DataFrame({
+        "src": [2, 3, 4, 10, 21, 22],
+        "dst": [1, 2, 3, 11, 20, 20]})
+    out = weakly_connected_components(
+        ray.data.from_pandas(edges).repartition(3)).to_pandas() \
+        .set_index("node")["component"].to_dict()
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}

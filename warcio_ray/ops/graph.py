@@ -478,6 +478,38 @@ def host_graph(edges_ds, host_of_src, host_of_dst=None):
     return out
 
 
+def weakly_connected_components(edges_ds, num_partitions=None,
+                                max_iters: int = 64):
+    """Weakly connected components over a directed (src, dst) edge
+    Dataset — the site/mirror-cluster artifact the Common Crawl
+    webgraph releases publish alongside ranks. Direction is dropped;
+    every node that appears in any edge is labeled with its
+    component's minimum node id.
+
+    Thin delegation to the alternating large/small-star contraction
+    (``ops/dedup.connected_components_ds``): one hash shuffle of the
+    bounded edge set per half-round, O(1) driver state, O(log n)
+    rounds — the scale path for billion-edge webgraphs. Returns a
+    (node int64, component int64) Dataset."""
+    from warcio_ray.ops.dedup import N_CC_PARTITIONS, \
+        connected_components_ds
+
+    def to_ab(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": batch["src"].to_numpy(dtype="int64"),
+                             "b": batch["dst"].to_numpy(dtype="int64")})
+
+    labeled = connected_components_ds(
+        edges_ds.map_batches(to_ab, batch_format="pandas"),
+        num_partitions=num_partitions or N_CC_PARTITIONS,
+        max_iters=max_iters)
+
+    def rename(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={"doc_id": "node",
+                                     "cluster_id": "component"})
+
+    return labeled.map_batches(rename, batch_format="pandas")
+
+
 def reciprocal_link_stats(edges_ds):
     """Per-node reciprocity — the classic link-farm / link-exchange
     spam signal (a site whose outlinks are mostly reciprocated is
