@@ -2448,6 +2448,41 @@ def _wcc_labels(sf_dir: str):
         .astype({"node": "int64", "component": "int64"})
 
 
+def _url_canon_dedup(sf_dir: str):
+    """Crawl-side URL canonicalization + variant dedup
+    (ops/urlfilter.canonical_url_dedup): three spelling variants
+    planted per every-7th doc (uppercased scheme+host with tracking
+    params and a fragment; an explicit :80 port; a gclid injection) —
+    all collapse to one canonical key; one hash aggregate."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.urlfilter import canonical_url_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def mk(batch: pd.DataFrame) -> pd.DataFrame:
+        host = pd.Series(_host_series(batch["doc_id"].to_numpy()),
+                         index=batch.index)
+        did = batch["doc_id"].astype(str)
+        base = "http://" + host + "/doc/" + did
+        sel = batch["doc_id"] % 7 == 0
+        h, d = host[sel], did[sel]
+        return pd.DataFrame({"url": pd.concat([
+            base,
+            "HTTP://" + h.str.upper() + "/doc/" + d
+                + "?b=2&utm_source=feed&a=1#frag",
+            "http://" + h + ":80/doc/" + d + "?a=1&b=2",
+            "http://" + h + "/doc/" + d + "?a=1&gclid=xyz&b=2",
+        ], ignore_index=True)})
+
+    urls = ds.map_batches(mk, batch_format="pandas")
+    out = canonical_url_dedup(urls).to_pandas()
+    return out.sort_values("canon_url").reset_index(drop=True) \
+        .astype({"n_urls": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry ORDER IS LOAD-BEARING: the driver's correctness run
     stamps only the FIRST 50 entries per round (observed cap,
@@ -2582,6 +2617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": _pmi_collocations,
         "containment_pairs": _containment_pairs,
         "wcc_labels": _wcc_labels,
+        "url_canon_dedup": _url_canon_dedup,
     }
 
 
@@ -5157,6 +5193,60 @@ def oracle_sql() -> dict[str, str]:
           (SELECT COUNT(*) FROM lsh JOIN ex USING (a, b)) AS tp,
           (SELECT COUNT(*) FROM lsh ANTI JOIN ex USING (a, b)) AS fp,
           (SELECT COUNT(*) FROM ex ANTI JOIN lsh USING (a, b)) AS fn
+    """
+    # url_canon_dedup: the canonicalizer's rules replayed in SQL —
+    # fragment/tracking-param strip, scheme+host lower, default-port
+    # strip, param list_sort (binary order == pandas codepoint sort)
+    out["url_canon_dedup"] = f"""
+        WITH urls AS (
+          SELECT 'http://' || {_HOST_CASE} || '/doc/' || doc_id AS url
+          FROM documents
+          UNION ALL
+          SELECT 'HTTP://' || upper({_HOST_CASE}) || '/doc/' || doc_id
+                 || '?b=2&utm_source=feed&a=1#frag' FROM documents
+          WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT 'http://' || {_HOST_CASE} || ':80/doc/' || doc_id
+                 || '?a=1&b=2' FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT 'http://' || {_HOST_CASE} || '/doc/' || doc_id
+                 || '?a=1&gclid=xyz&b=2' FROM documents
+          WHERE doc_id % 7 = 0),
+        nofrag AS (SELECT url, regexp_extract(url, '^[^#]*') AS nf
+                   FROM urls),
+        p2 AS (SELECT url, regexp_extract(nf, '^[^?]*') AS base,
+                      CASE WHEN contains(nf, '?')
+                           THEN regexp_extract(nf, '\\?(.*)$', 1)
+                           ELSE NULL END AS q
+               FROM nofrag),
+        p3 AS (SELECT url, q,
+                 CASE WHEN regexp_matches(base,
+                           '^[A-Za-z][A-Za-z0-9+.\\-]*://')
+                 THEN regexp_replace(regexp_replace(
+                        lower(regexp_extract(base,
+                          '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/]*)', 1)),
+                        '^(http://.*):80$', '\\1'),
+                        '^(https://.*):443$', '\\1')
+                      || regexp_extract(base,
+                          '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/]*(.*)$', 1)
+                 ELSE base END AS cbase
+               FROM p2),
+        canon AS (
+          SELECT url, cbase ||
+            CASE WHEN len(ps) > 0
+                 THEN '?' || array_to_string(ps, '&') ELSE '' END
+            AS canon_url
+          FROM (SELECT url, cbase,
+                  list_sort(list_filter(str_split(coalesce(q, ''), '&'),
+                    x -> x <> '' AND NOT (
+                      starts_with(lower(regexp_extract(x, '^[^=]*')),
+                                  'utm_')
+                      OR lower(regexp_extract(x, '^[^=]*')) IN
+                        ('gclid','fbclid','msclkid','ref','jsessionid'))))
+                  AS ps
+                FROM p3))
+        SELECT canon_url, COUNT(*) AS n_urls, MIN(url) AS min_url
+        FROM canon GROUP BY 1 ORDER BY 1
     """
     # wcc_labels: weakly connected components over the sampled link
     # graph — edges reconstructed from the doc_id link rule, min

@@ -3213,3 +3213,40 @@ def test_weakly_connected_components(ray_session):
         .set_index("node")["component"].to_dict()
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_canonical_url_dedup(ray_session):
+    """Canonicalizer rules: fragment/tracking strip, case+port
+    normalization, param sort; dedup groups variants with min_url."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.urlfilter import (canonical_url_dedup,
+                                          canonicalize_url_series)
+
+    got = canonicalize_url_series(pd.Series([
+        "HTTP://Ex.COM:80/P?b=2&utm_source=f&a=1#x",
+        "https://ex.com:443/p",
+        "http://ex.com/p?",
+        "http://ex.com/p?jsessionid=abc",
+        "relative/path?k=v&REF=1",     # REF (upper) is tracking too
+        "http://ex.com:8080/p",        # non-default port kept
+    ]))
+    assert got.tolist() == [
+        "http://ex.com/P?a=1&b=2",
+        "https://ex.com/p",
+        "http://ex.com/p",
+        "http://ex.com/p",
+        "relative/path?k=v",
+        "http://ex.com:8080/p"]
+
+    urls = pd.DataFrame({"url": [
+        "http://a/x?utm_k=1", "HTTP://A/x", "http://a/x#f",
+        "http://b/y"]})
+    out = canonical_url_dedup(ray.data.from_pandas(urls).repartition(2)) \
+        .to_pandas().sort_values("canon_url").reset_index(drop=True)
+    assert out.loc[0, "canon_url"] == "http://a/x"
+    assert out.loc[0, "n_urls"] == 3
+    assert out.loc[0, "min_url"] == "HTTP://A/x"
+    assert out.loc[1, "canon_url"] == "http://b/y"
+    assert out.loc[1, "n_urls"] == 1

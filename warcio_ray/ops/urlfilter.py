@@ -266,3 +266,80 @@ def resolve_redirects(ds, redirects, url_col: str = "url",
     return safe_join(ds, resolved.map_batches(
         rename_final, batch_format="pandas"), "inner",
         num_partitions, (url_col,), ("_k",))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + variant dedup (tracking-param stripping)
+# ---------------------------------------------------------------------------
+
+# the classic strip set (Heritrix / CDX canonicalizers drop session ids
+# and click-tracking params before dedup; utm_* is the GA convention)
+TRACKING_PARAMS = frozenset(
+    {"gclid", "fbclid", "msclkid", "ref", "jsessionid"})
+
+
+def canonicalize_url_series(urls: pd.Series) -> pd.Series:
+    """Vectorized URL canonicalization for crawl-side variant dedup:
+
+    1. fragment dropped,
+    2. scheme://host lowercased, default ports (:80 http, :443 https)
+       stripped — path/query case preserved,
+    3. query params split on '&'; empty params and tracking params
+       (name in TRACKING_PARAMS or starting with 'utm_',
+       case-insensitive) dropped; survivors sorted lexicographically
+       (whole 'k=v' token) and rejoined — a paramless query loses its
+       '?'.
+
+    All pandas C string kernels plus one explode/groupby for the param
+    sort — no per-row Python. The rules are deliberately SQL-mirrorable
+    (see the url_canon_dedup oracle) and a strict superset of the
+    reference's _ensure_target_uri_format scope (which only fixes wget
+    wrapping / spaces — codec/records.py keeps that role for WARC
+    parity; THIS canonicalizer is the frontier-side dedup key)."""
+    s = urls.fillna("").astype("object").astype("string")
+    nofrag = s.str.split("#", n=1).str[0]
+    sp = nofrag.str.split("?", n=1)
+    base = sp.str[0]
+    query = sp.str[1]
+
+    m = base.str.extract(r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)(.*)$")
+    sh = m[0].str.lower() \
+        .str.replace(r"^(http://.*):80$", r"\1", regex=True) \
+        .str.replace(r"^(https://.*):443$", r"\1", regex=True)
+    canon_base = (sh + m[1]).where(m[0].notna(), base)
+
+    ex = query.fillna("").str.split("&").explode()
+    name = ex.str.split("=", n=1).str[0].str.lower()
+    keep = ex.notna() & ex.ne("") & \
+        ~(name.str.startswith("utm_").fillna(False)
+          | name.isin(TRACKING_PARAMS))
+    kept = ex[keep]
+    qtail = pd.Series("", index=s.index, dtype="object")
+    if len(kept):
+        joined = kept.to_frame("p").assign(_i=kept.index) \
+            .sort_values(["_i", "p"], kind="mergesort") \
+            .groupby("_i")["p"].agg("&".join)
+        qtail.loc[joined.index] = "?" + joined
+    return (canon_base.astype("object") + qtail).astype("object")
+
+
+def canonical_url_dedup(ds, url_col: str = "url"):
+    """(.., url) Dataset -> (canon_url, n_urls, min_url) Dataset: one
+    row per canonical URL with its variant count and lexicographic-min
+    raw spelling (the deterministic 'representative capture'). ONE hash
+    aggregate over the canon key after a stateless vectorized scan —
+    the crawl-frontier dedup that collapses tracking-param and
+    case/port spelling variants before fetch scheduling."""
+    from ray.data.aggregate import Count, Min
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    def canon_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "canon_url": canonicalize_url_series(batch[url_col]),
+            url_col: batch[url_col].astype("object")})
+
+    rows = ds.map_batches(canon_batch, batch_format="pandas")
+    return arrow_blocks(rows).groupby("canon_url").aggregate(
+        Count(alias_name="n_urls"),
+        Min(url_col, alias_name="min_url"))
