@@ -2483,6 +2483,22 @@ def _url_canon_dedup(sf_dir: str):
         .astype({"n_urls": "int64"})
 
 
+def _readability(sf_dir: str):
+    """Flesch reading-ease curation signal
+    (ops/textstats.readability_batch) — exact integer word/sentence/
+    syllable counts, one stateless vectorized scan."""
+    import ray.data
+
+    from warcio_ray.ops.textstats import readability_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(readability_batch,
+                         batch_format="pandas").to_pandas()
+    out["flesch"] = out["flesch"].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry ORDER IS LOAD-BEARING: the driver's correctness run
     stamps only the FIRST 50 entries per round (observed cap,
@@ -2618,6 +2634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _containment_pairs,
         "wcc_labels": _wcc_labels,
         "url_canon_dedup": _url_canon_dedup,
+        "readability": _readability,
     }
 
 
@@ -5193,6 +5210,31 @@ def oracle_sql() -> dict[str, str]:
           (SELECT COUNT(*) FROM lsh JOIN ex USING (a, b)) AS tp,
           (SELECT COUNT(*) FROM lsh ANTI JOIN ex USING (a, b)) AS fp,
           (SELECT COUNT(*) FROM ex ANTI JOIN lsh USING (a, b)) AS fn
+    """
+    # readability: Flesch reading ease — exact integer counts (vowel
+    # groups + vowelless-word floor), identical float formula order
+    out["readability"] = r"""
+        WITH c AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '\S+')) AS n_words,
+                 greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS n_sentences,
+                 len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS vgroups,
+                 len(list_filter(
+                       regexp_extract_all(lower(text), '\S+'),
+                       w -> regexp_matches(w, '[aeiouy]')))
+                   AS voweled
+          FROM documents)
+        SELECT doc_id, n_words, n_sentences,
+               vgroups + (n_words - voweled) AS n_syllables,
+               CASE WHEN n_words > 0 THEN
+                 ROUND(206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(vgroups + (n_words - voweled)
+                                  AS DOUBLE) / n_words), 6)
+               ELSE 0.0 END AS flesch
+        FROM c ORDER BY doc_id
     """
     # url_canon_dedup: the canonicalizer's rules replayed in SQL —
     # fragment/tracking-param strip, scheme+host lower, default-port

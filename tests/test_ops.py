@@ -3250,3 +3250,27 @@ def test_canonical_url_dedup(ray_session):
     assert out.loc[0, "min_url"] == "HTTP://A/x"
     assert out.loc[1, "canon_url"] == "http://b/y"
     assert out.loc[1, "n_urls"] == 1
+
+
+def test_readability_batch():
+    """Flesch kernel: syllable floor for vowelless words, sentence
+    floor at 1, empty doc -> 0.0."""
+    import pandas as pd
+
+    from warcio_ray.ops.textstats import readability_batch
+
+    out = readability_batch(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["The cat sat. It ran!",     # 5 words, 2 sentences
+                 "xyz 123 qrst",             # vowelless: 3 syllables
+                 "beautiful day",            # beau-ti-ful(3 vg) day(1)
+                 ""]})).set_index("doc_id")
+    assert out.loc[1, "n_words"] == 5 and out.loc[1, "n_sentences"] == 2
+    # The(1) cat(1) sat(1) It(1) ran(1) = 5 vowel groups
+    assert out.loc[1, "n_syllables"] == 5
+    f1 = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+    assert abs(out.loc[1, "flesch"] - f1) < 1e-9
+    assert out.loc[2, "n_syllables"] == 3          # all vowelless
+    assert out.loc[2, "n_sentences"] == 1          # floored
+    assert out.loc[3, "n_syllables"] == 4
+    assert out.loc[4, "flesch"] == 0.0 and out.loc[4, "n_words"] == 0

@@ -275,6 +275,46 @@ def gopher_quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def readability_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc Flesch reading-ease signal — the readability gate
+    education-quality curation filters (FineWeb-Edu-style) layer on
+    top of the gopher stats. All counts are exact integers from C
+    regex kernels (no per-row Python):
+
+      n_words      = \\S+ runs
+      n_sentences  = [.!?]+ runs, floored at 1
+      n_syllables  = [aeiouy]+ vowel groups (lowercased) + one per
+                     vowelless word (every word counts >= 1 syllable —
+                     a vowel group never spans whitespace, so the
+                     text-level count equals the per-word sum)
+      flesch       = 206.835 - 1.015*(words/sentences)
+                             - 84.6*(syllables/words)
+
+    Empty docs (0 words) emit flesch = 0.0 (counts still 0). Each
+    column is mirrored EXACTLY in the readability oracle SQL."""
+    text = batch["text"].fillna("").astype("string")
+    low = text.str.lower()
+    n_words = text.str.count(r"\S+").to_numpy(np.int64)
+    n_sent = np.maximum(
+        text.str.count(r"[.!?]+").to_numpy(np.int64), 1)
+    vgroups = low.str.count(r"[aeiouy]+").to_numpy(np.int64)
+    # vowelless words = words - words containing at least one vowel
+    voweled = low.str.count(r"(?<!\S)\S*[aeiouy]").to_numpy(np.int64)
+    n_syll = vgroups + (n_words - voweled)
+    wf = n_words.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        flesch = np.where(
+            n_words > 0,
+            206.835 - 1.015 * (wf / n_sent) - 84.6 * (n_syll / wf),
+            0.0)
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"].to_numpy(np.int64),
+        "n_words": n_words,
+        "n_sentences": n_sent,
+        "n_syllables": n_syll,
+        "flesch": flesch})
+
+
 # ---------------------------------------------------------------------------
 # corpus top-terms (document-frequency style): the canonical
 # partial-aggregate shape — per-batch Counter -> small groupby -> top-k
