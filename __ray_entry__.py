@@ -2520,21 +2520,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_stats": _anchor_stats,
         "crawl_order": _crawl_order,
         "cdxj_append_lookup": _cdxj_append_lookup,
-        "cdxj_lookup": _cdxj_lookup,
         "wet_export": _wet_export,
         "wat_export": _wat_export,
         "revisit_dedup": _revisit_dedup,
         # similarity search (unstamped in r3)
         "knn_top10": _knn_top10,
         "tfidf_keywords": _tfidf_keywords,
-        "ivf_layout_top10": _ivf_layout_top10,
-        "pq_top10": _pq_top10,
         "ivfpq_top10": _ivfpq_top10,
         "fingerprint_dups": _fingerprint_dups,
         # LM / quality / curation (unstamped in r3)
-        "unigram_nll": _unigram_nll,
-        "bigram_nll": _bigram_nll,
         "trigram_nll": _trigram_nll,
+        # new-family representatives (r4 session 3)
+        "pmi_collocations": _pmi_collocations,
+        "containment_pairs": _containment_pairs,
+        "wcc_labels": _wcc_labels,
+        "url_canon_dedup": _url_canon_dedup,
+        "readability": _readability,
         "bm25_top20": _bm25_top20,
         "decontam_overlap": _decontam_overlap,
         "dsir_weights": _dsir_weights,
@@ -2630,11 +2631,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text_verify": _extract_text_verify,
         "cdxj_index": _cdxj_index,
         "ivf_knn_top10": _ivf_knn_top10,
-        "pmi_collocations": _pmi_collocations,
-        "containment_pairs": _containment_pairs,
-        "wcc_labels": _wcc_labels,
-        "url_canon_dedup": _url_canon_dedup,
-        "readability": _readability,
+        # swapped out of the first 50 in r4 s3 (families still
+        # represented there; all locally green)
+        "cdxj_lookup": _cdxj_lookup,
+        "ivf_layout_top10": _ivf_layout_top10,
+        "pq_top10": _pq_top10,
+        "unigram_nll": _unigram_nll,
+        "bigram_nll": _bigram_nll,
     }
 
 

@@ -484,7 +484,12 @@ def run_bench() -> dict:
                            ("triangle_counts", "op_tri_s"),
                            ("ppl_filter", "op_pplf_s"),
                            ("postings_append_probe", "op_postapp_s"),
-                           ("ivf_append_top10", "op_ivfapp_s")):
+                           ("ivf_append_top10", "op_ivfapp_s"),
+                           ("pmi_collocations", "op_pmi_s"),
+                           ("containment_pairs", "op_contain_s"),
+                           ("wcc_labels", "op_wcc_s"),
+                           ("url_canon_dedup", "op_urlcanon_s"),
+                           ("readability", "op_read_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \

@@ -42,19 +42,24 @@ def test_first_fifty_covers_every_family():
     mod = _entry()
     first50 = list(mod.queries())[:50]
     required = {
-        # warc / pages / crawl artifacts
-        "warc_rec_types", "host_counts", "crawl_order", "cdxj_lookup",
+        # warc / pages / crawl artifacts (cdxj_append_lookup composes
+        # build+append+lookup; the plain cdxj_lookup moved to the tail)
+        "warc_rec_types", "host_counts", "crawl_order",
         "wet_export", "wat_export", "revisit_dedup", "anchor_stats",
         # crawl-source / url-curation / index-maintenance (new r4)
         "blocklist_filter", "sitemap_urls", "redirect_resolve",
-        "cdxj_append_lookup", "tfidf_keywords",
-        # similarity search
-        "knn_top10", "ivf_layout_top10", "pq_top10", "ivfpq_top10",
-        "fingerprint_dups",
-        # LM / quality / curation
-        "unigram_nll", "bigram_nll", "trigram_nll", "bm25_top20",
+        "cdxj_append_lookup", "tfidf_keywords", "url_canon_dedup",
+        # similarity search (ivfpq composes pq+ivf; the standalone
+        # layout/pq entries moved to the tail in r4 s3)
+        "knn_top10", "ivfpq_top10", "fingerprint_dups",
+        # LM / quality / curation (trigram interp composes the
+        # unigram/bigram ladder, which moved to the tail in r4 s3)
+        "trigram_nll", "bm25_top20",
         "decontam_overlap", "dsir_weights", "span_scrub", "pii_redact",
         "gopher_quality", "nb_langid", "weighted_sample",
+        "pmi_collocations", "readability",
+        # graph / dedup new families (r4 s3)
+        "wcc_labels", "containment_pairs",
         # dedup / export / selection
         "exact_dedup", "budget_subset", "jaccard_clusters",
         "simhash_pairs", "embedding_neardup", "lsh_append_pairs",
