@@ -2499,6 +2499,35 @@ def _readability(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _export_shards(sf_dir: str):
+    """Resumable training-shard SINK over the export flagship
+    (pipelines/shards.write_training_shards): segments land in atomic
+    bin-range shard dirs with _DONE markers; the read-back of
+    committed shards must reproduce the export table exactly (the
+    sink loses and duplicates nothing)."""
+    import shutil
+    import uuid
+
+    import ray.data
+
+    from warcio_ray.pipelines.export import export_packed
+    from warcio_ray.pipelines.shards import (read_training_shards,
+                                             write_training_shards)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    seg = export_packed(ds, window=256)
+    out_dir = f"/tmp/warcio_ray_export_shards_{uuid.uuid4().hex}"
+    try:
+        write_training_shards(seg, out_dir, bins_per_shard=8)
+        back = read_training_shards(out_dir).to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    back["shard"] = (back["bin_id"] // 8).astype("int64")
+    return back.sort_values(["shuffle_rank", "bin_id"]) \
+        .reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry ORDER IS LOAD-BEARING: the driver's correctness run
     stamps only the FIRST 50 entries per round (observed cap,
@@ -2551,6 +2580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pretrain_corpus": _pretrain_corpus,
         "export_packed": _export_packed,
         "export_bpe_packed": _export_bpe_packed,
+        "export_shards": _export_shards,
         "lsh_append_pairs": _lsh_append_pairs,
         "line_dedup": _line_dedup,
         # multimodal plumbing (unstamped in r3)
@@ -5350,6 +5380,12 @@ def oracle_sql() -> dict[str, str]:
         FROM cp JOIN sizes sa ON sa.doc_id = cp.a
         WHERE 5*cp.n_common >= 4*sa.n ORDER BY a, b
     """
+    # export_shards: the resumable sink composes the standing export
+    # oracle verbatim — read-back parity + the pure shard key
+    out["export_shards"] = (
+        "SELECT t.*, bin_id // 8 AS shard FROM ("
+        + out["export_packed"]
+        + ") t ORDER BY shuffle_rank, bin_id")
     # pmi_collocations: Church & Hanks adjacent-bigram PMI — exact
     # integer counts (parallel unnest of the token list against its
     # tail zips positionally), pmi rounded identically on both sides

@@ -3274,3 +3274,53 @@ def test_readability_batch():
     assert out.loc[2, "n_sentences"] == 1          # floored
     assert out.loc[3, "n_syllables"] == 4
     assert out.loc[4, "flesch"] == 0.0 and out.loc[4, "n_words"] == 0
+
+
+def test_write_training_shards_resume(ray_session, tmp_path):
+    """Resumable shard export: parity on read-back, rerun skips every
+    committed shard, a missing shard (torn run) is rebuilt alone."""
+    import os
+
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.pipelines.shards import (read_training_shards,
+                                             write_training_shards)
+
+    seg = pd.DataFrame({
+        "doc_id": range(40),
+        "shuffle_rank": range(40),
+        "bin_id": [i // 2 for i in range(40)],     # bins 0..19
+        "doc_off": [0] * 40,
+        "bin_off": [i % 2 for i in range(40)],
+        "n_tok": [7] * 40}).astype("int64")
+    ds = ray.data.from_pandas(seg).repartition(4)
+    out = str(tmp_path / "shards")
+
+    m1 = write_training_shards(ds, out, bins_per_shard=8)
+    assert m1["shard"].tolist() == [0, 1, 2]       # bins 0-7, 8-15, 16-19
+    assert not m1["skipped"].any()
+    assert m1["n_rows"].sum() == 40
+
+    back = read_training_shards(out).to_pandas() \
+        .sort_values(["shuffle_rank", "bin_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        back[seg.columns.tolist()],
+        seg.sort_values(["shuffle_rank", "bin_id"]).reset_index(drop=True))
+
+    # rerun: everything skipped, data files untouched
+    p0 = os.path.join(out, "shard=0", "part.parquet")
+    mt0 = os.path.getmtime(p0)
+    m2 = write_training_shards(ds, out, bins_per_shard=8)
+    assert m2["skipped"].all()
+    assert os.path.getmtime(p0) == mt0
+
+    # torn run: drop shard=1 entirely -> only it is rebuilt
+    import shutil
+    shutil.rmtree(os.path.join(out, "shard=1"))
+    m3 = write_training_shards(ds, out, bins_per_shard=8)
+    assert m3.set_index("shard")["skipped"].to_dict() == {
+        0: True, 1: False, 2: True}
+    assert os.path.getmtime(p0) == mt0
+    back3 = read_training_shards(out).to_pandas()
+    assert len(back3) == 40
