@@ -2528,6 +2528,50 @@ def _export_shards(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _frontier_candidates(sf_dir: str):
+    """Crawl-discovery composition (pipelines/discover.py): real html
+    link extraction -> planted utm variants for every 5th source
+    (mirrored in SQL) -> canonicalize + ONE inlink-count aggregate ->
+    anti-join the seen set (docs with id % 3 != 0 are 'crawled') ->
+    site3.example blocklist gate."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.pages import read_pages
+    from warcio_ray.pipelines.discover import discover_candidates
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    raw_links = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        sid = batch["src_url"].str.extract(r"/doc/(\d+)$")[0] \
+            .astype("int64")
+        extra = batch[sid % 5 == 0].copy()
+        extra["dst_url"] = extra["dst_url"] + "?utm_source=feed"
+        return pd.concat([batch, extra], ignore_index=True)
+
+    links = raw_links.map_batches(plant, batch_format="pandas")
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def mk_seen(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch["doc_id"] % 3 != 0]
+        host = pd.Series(_host_series(sel["doc_id"].to_numpy()),
+                         index=sel.index)
+        return pd.DataFrame({
+            "url": "http://" + host + "/doc/" + sel["doc_id"].astype(str)})
+
+    seen = docs.map_batches(mk_seen, batch_format="pandas")
+    out = discover_candidates(None, seen,
+                              blocklist=["site3.example"],
+                              links=links).to_pandas()
+    return out.sort_values("url").reset_index(drop=True) \
+        .astype({"n_inlinks": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry ORDER IS LOAD-BEARING: the driver's correctness run
     stamps only the FIRST 50 entries per round (observed cap,
@@ -2565,6 +2609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wcc_labels": _wcc_labels,
         "url_canon_dedup": _url_canon_dedup,
         "readability": _readability,
+        "frontier_candidates": _frontier_candidates,
         "bm25_top20": _bm25_top20,
         "decontam_overlap": _decontam_overlap,
         "dsir_weights": _dsir_weights,
@@ -5379,6 +5424,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT cp.a, cp.b, cp.n_common, sa.n AS n_a
         FROM cp JOIN sizes sa ON sa.doc_id = cp.a
         WHERE 5*cp.n_common >= 4*sa.n ORDER BY a, b
+    """
+    # frontier_candidates: discovery composition — link rule + planted
+    # utm votes collapse under canonicalization, unseen = id % 3 == 0,
+    # blocklist = equals-or-subdomain of site3.example
+    out["frontier_candidates"] = f"""
+        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        links AS (
+          SELECT doc_id AS src,
+                 ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn))
+                   AS dst
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE j < doc_id % 4),
+        votes AS (SELECT src, dst FROM links
+                  UNION ALL
+                  SELECT src, dst FROM links WHERE src % 5 = 0),
+        tgt AS (SELECT dst, COUNT(*) AS n_inlinks FROM votes
+                GROUP BY 1),
+        named AS (
+          SELECT dst, n_inlinks,
+                 {_HOST_CASE.replace("doc_id", "dst")} AS h
+          FROM tgt)
+        SELECT 'http://' || h || '/doc/' || dst AS url, n_inlinks
+        FROM named
+        WHERE dst % 3 = 0
+          AND NOT (h = 'site3.example' OR h LIKE '%.site3.example')
+        ORDER BY url
     """
     # export_shards: the resumable sink composes the standing export
     # oracle verbatim — read-back parity + the pure shard key

@@ -3324,3 +3324,29 @@ def test_write_training_shards_resume(ray_session, tmp_path):
     assert os.path.getmtime(p0) == mt0
     back3 = read_training_shards(out).to_pandas()
     assert len(back3) == 40
+
+
+def test_discover_candidates(ray_session):
+    """Discovery composition: canon collapses variant votes, seen
+    anti-join and blocklist gate both apply, counts exact."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.pipelines.discover import discover_candidates
+
+    links = pd.DataFrame({
+        "src_url": ["http://a/1"] * 4 + ["http://b/2"] * 2,
+        "dst_url": ["http://t.x/p?utm_source=f",  # variant of t.x/p
+                    "http://t.x/p",               # 2 votes after canon
+                    "http://seen.x/q",            # seen -> dropped
+                    "http://bad.x/r",             # blocklisted
+                    "http://t.x/p",               # third vote
+                    "http://new.x/s"]})
+    seen = pd.DataFrame({"url": ["http://seen.x/q"]})
+    out = discover_candidates(
+        None, ray.data.from_pandas(seen),
+        blocklist=["bad.x"],
+        links=ray.data.from_pandas(links).repartition(2)) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    assert out["url"].tolist() == ["http://new.x/s", "http://t.x/p"]
+    assert out["n_inlinks"].tolist() == [1, 3]
