@@ -2609,7 +2609,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wcc_labels": _wcc_labels,
         "url_canon_dedup": _url_canon_dedup,
         "readability": _readability,
-        "frontier_candidates": _frontier_candidates,
         "bm25_top20": _bm25_top20,
         "decontam_overlap": _decontam_overlap,
         "dsir_weights": _dsir_weights,
@@ -2623,9 +2622,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _simhash_pairs,
         "embedding_neardup": _embedding_neardup,
         "pretrain_corpus": _pretrain_corpus,
-        "export_packed": _export_packed,
         "export_bpe_packed": _export_bpe_packed,
         "export_shards": _export_shards,
+        "frontier_candidates": _frontier_candidates,
         "lsh_append_pairs": _lsh_append_pairs,
         "line_dedup": _line_dedup,
         # multimodal plumbing (unstamped in r3)
@@ -2642,7 +2641,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_lang_tokens": _hll_lang_tokens,
         "kmeans_clusters": _kmeans_clusters,
         "semdedup_dups": _semdedup_dups,
-        "exact_dedup": _exact_dedup,
         # ---- position 51+: stamped green in CORRECTNESS_r03 ----
         "minhash_pairs": _minhash_pairs,
         "sample_10pct": _sample_10pct,
@@ -2713,6 +2711,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_top10": _pq_top10,
         "unigram_nll": _unigram_nll,
         "bigram_nll": _bigram_nll,
+        "export_packed": _export_packed,
+        "exact_dedup": _exact_dedup,
     }
 
 

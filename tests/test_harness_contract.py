@@ -61,10 +61,11 @@ def test_first_fifty_covers_every_family():
         # graph / dedup new families (r4 s3)
         "wcc_labels", "containment_pairs",
         # dedup / export / selection
-        "exact_dedup", "budget_subset", "jaccard_clusters",
+        "budget_subset", "jaccard_clusters",
         "simhash_pairs", "embedding_neardup", "lsh_append_pairs",
         "line_dedup",
-        "pretrain_corpus", "export_packed", "export_bpe_packed",
+        "pretrain_corpus", "export_bpe_packed", "export_shards",
+        "frontier_candidates",
         # multimodal
         "media_features", "media_phash_dups",
         # relational / pack / sketch / quantile / graph / clustering
