@@ -2572,6 +2572,48 @@ def _frontier_candidates(sf_dir: str):
         .astype({"n_inlinks": "int64"})
 
 
+def _hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval: reciprocal rank fusion (k=60) of the BM25
+    lexical top-20 and the cosine-kNN top-10 (ops/search.rrf_fuse).
+    Both lists are RE-RANKED by (rounded score DESC, id ASC) so the
+    rank key is cross-engine stable; the fusion sum is two IEEE
+    doubles (commutative), rounded like every float column."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from warcio_ray.ops.knn import knn_bruteforce
+    from warcio_ray.ops.search import bm25_topk, rrf_fuse
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    lex = bm25_topk(docs, ["spark", "join", "query"], k=20).to_pandas()
+    lex["score"] = lex["score"].round(6)
+    lex = lex.sort_values(["score", "doc_id"],
+                          ascending=[False, True], kind="mergesort")
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(
+        t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float64)
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    # fetch 20 by full precision, keep 10 by the ROUNDED key — the
+    # same (round(cs,6) DESC, id) selection the oracle's LIMIT uses
+    vec = knn_bruteforce(emb, q, k=20).rename(
+        columns={"vec_id": "doc_id"})
+    vec["score"] = vec["score"].round(6)
+    vec = vec.sort_values(["score", "doc_id"],
+                          ascending=[False, True],
+                          kind="mergesort").head(10)
+
+    out = rrf_fuse([lex, vec], k=60)
+    out["rrf"] = out["rrf"].round(6)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry ORDER IS LOAD-BEARING: the driver's correctness run
     stamps only the FIRST 50 entries per round (observed cap,
@@ -2625,6 +2667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_bpe_packed": _export_bpe_packed,
         "export_shards": _export_shards,
         "frontier_candidates": _frontier_candidates,
+        "hybrid_rrf": _hybrid_rrf,
         "lsh_append_pairs": _lsh_append_pairs,
         "line_dedup": _line_dedup,
         # multimodal plumbing (unstamped in r3)
@@ -5424,6 +5467,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT cp.a, cp.b, cp.n_common, sa.n AS n_a
         FROM cp JOIN sizes sa ON sa.doc_id = cp.a
         WHERE 5*cp.n_common >= 4*sa.n ORDER BY a, b
+    """
+    # hybrid_rrf: reciprocal rank fusion — ranks replayed over the
+    # standing bm25 CTE (rounded-score key) and the rounded-cosine
+    # top-10; the fusion sum is two commutative doubles
+    out["hybrid_rrf"] = f"""
+        WITH lex AS (
+          SELECT doc_id, row_number() OVER (
+                   ORDER BY ROUND(score, 6) DESC, doc_id) AS r
+          FROM ({out["bm25_top20"]}) b),
+        vcs AS (
+          SELECT vec_id AS doc_id,
+                 ROUND(list_cosine_similarity(embedding,
+                   (SELECT embedding FROM embeddings
+                    WHERE vec_id = 0)), 6) AS cs
+          FROM embeddings),
+        vtop AS (SELECT doc_id, cs FROM vcs
+                 ORDER BY cs DESC, doc_id LIMIT 10),
+        vec AS (SELECT doc_id, row_number() OVER (
+                  ORDER BY cs DESC, doc_id) AS r FROM vtop),
+        allr AS (SELECT doc_id, r FROM lex
+                 UNION ALL SELECT doc_id, r FROM vec)
+        SELECT doc_id, ROUND(SUM(1.0 / (60 + r)), 6) AS rrf
+        FROM allr GROUP BY 1 ORDER BY 1
     """
     # frontier_candidates: discovery composition — link rule + planted
     # utm votes collapse under canonicalization, unseen = id % 3 == 0,

@@ -3350,3 +3350,19 @@ def test_discover_candidates(ray_session):
         .to_pandas().sort_values("url").reset_index(drop=True)
     assert out["url"].tolist() == ["http://new.x/s", "http://t.x/p"]
     assert out["n_inlinks"].tolist() == [1, 3]
+
+
+def test_rrf_fuse():
+    """RRF arithmetic: overlap sums both lists, rank 1-based, k added."""
+    import pandas as pd
+
+    from warcio_ray.ops.search import rrf_fuse
+
+    lex = pd.DataFrame({"doc_id": [7, 3, 9]})   # ranks 1,2,3
+    vec = pd.DataFrame({"doc_id": [3, 5]})      # ranks 1,2
+    out = rrf_fuse([lex, vec], k=60).set_index("doc_id")["rrf"]
+    assert abs(out[7] - 1 / 61) < 1e-12
+    assert abs(out[3] - (1 / 62 + 1 / 61)) < 1e-12
+    assert abs(out[9] - 1 / 63) < 1e-12
+    assert abs(out[5] - 1 / 62) < 1e-12
+    assert out.index.tolist() == [3, 5, 7, 9]

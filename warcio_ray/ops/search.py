@@ -389,3 +389,31 @@ def tfidf_topk_terms(ds, k: int = 5, text_col: str = "text",
         return _topk_kernel(group, k)
 
     return joined.groupby(id_col).map_groups(pack, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal rank fusion of lexical + vector toplists
+# ---------------------------------------------------------------------------
+
+def rrf_fuse(ranked_lists, k: int = 60, id_col: str = "doc_id") -> pd.DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) of already-ranked
+    top-k lists: ``rrf(d) = sum over lists 1/(k + rank_d)`` with ranks
+    1-based from each list's ROW ORDER. The standard way to fuse a
+    BM25 toplist with an embedding-kNN toplist without score
+    calibration.
+
+    Driver-side by design: the inputs are top-k lists (tens of rows) —
+    the distributed work happened in the retrieval ops that produced
+    them. Callers must rank each list by a cross-engine-stable key
+    (e.g. ROUNDED score desc, id asc) when an external oracle replays
+    the fusion. Returns (id_col, rrf float64) sorted by id."""
+    from collections import defaultdict
+
+    acc: "defaultdict[int, float]" = defaultdict(float)
+    for lst in ranked_lists:
+        ids = lst[id_col].astype("int64").tolist()
+        for rank, did in enumerate(ids, start=1):
+            acc[did] += 1.0 / (k + rank)
+    out = pd.DataFrame({id_col: np.array(sorted(acc), dtype="int64")})
+    out["rrf"] = [acc[d] for d in out[id_col]]
+    return out
