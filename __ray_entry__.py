@@ -2667,7 +2667,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_bpe_packed": _export_bpe_packed,
         "export_shards": _export_shards,
         "frontier_candidates": _frontier_candidates,
-        "hybrid_rrf": _hybrid_rrf,
         "lsh_append_pairs": _lsh_append_pairs,
         "line_dedup": _line_dedup,
         # multimodal plumbing (unstamped in r3)
@@ -2756,6 +2755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_nll": _bigram_nll,
         "export_packed": _export_packed,
         "exact_dedup": _exact_dedup,
+        "hybrid_rrf": _hybrid_rrf,
     }
 
 
