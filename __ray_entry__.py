@@ -2614,6 +2614,20 @@ def _hybrid_rrf(sf_dir: str):
     return out
 
 
+def _table_profile(sf_dir: str):
+    """Column profiling / data-quality verification
+    (ops/profile.profile_table): exact n/null/distinct/min/max per
+    column — one combiner fold for the mergeable stats + one narrow
+    non-null groupby per column for exact distincts."""
+    import ray.data
+
+    from warcio_ray.ops.profile import profile_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "source"])
+    return profile_table(ds, ["doc_id", "lang", "source"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry ORDER IS LOAD-BEARING: the driver's correctness run
     stamps only the FIRST 50 entries per round (observed cap,
@@ -2756,6 +2770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_packed": _export_packed,
         "exact_dedup": _exact_dedup,
         "hybrid_rrf": _hybrid_rrf,
+        "table_profile": _table_profile,
     }
 
 
@@ -5467,6 +5482,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT cp.a, cp.b, cp.n_common, sa.n AS n_a
         FROM cp JOIN sizes sa ON sa.doc_id = cp.a
         WHERE 5*cp.n_common >= 4*sa.n ORDER BY a, b
+    """
+    # table_profile: per-column data-quality stats — min/max rendered
+    # to VARCHAR after native-type aggregation on both sides
+    out["table_profile"] = """
+        SELECT 'doc_id' AS "column", COUNT(*) AS n,
+               COUNT(*) - COUNT(doc_id) AS n_null,
+               COUNT(DISTINCT doc_id) AS n_distinct,
+               CAST(MIN(doc_id) AS VARCHAR) AS min_v,
+               CAST(MAX(doc_id) AS VARCHAR) AS max_v
+        FROM documents
+        UNION ALL
+        SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+               COUNT(DISTINCT lang),
+               CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+               COUNT(DISTINCT source),
+               CAST(MIN(source) AS VARCHAR),
+               CAST(MAX(source) AS VARCHAR)
+        FROM documents
+        ORDER BY "column"
     """
     # hybrid_rrf: reciprocal rank fusion — ranks replayed over the
     # standing bm25 CTE (rounded-score key) and the rounded-cosine

@@ -3366,3 +3366,20 @@ def test_rrf_fuse():
     assert abs(out[9] - 1 / 63) < 1e-12
     assert abs(out[5] - 1 / 62) < 1e-12
     assert out.index.tolist() == [3, 5, 7, 9]
+
+
+def test_profile_table(ray_session):
+    """Profiler: null accounting, exact distincts exclude nulls,
+    min/max on native types rendered to strings."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.profile import profile_table
+
+    df = pd.DataFrame({
+        "k": [3, 1, 1, 2, 3],
+        "s": ["b", None, "a", "a", None]})
+    out = profile_table(ray.data.from_pandas(df).repartition(3),
+                        ["k", "s"]).set_index("column")
+    assert out.loc["k"].tolist() == [5, 0, 3, "1", "3"]
+    assert out.loc["s"].tolist() == [5, 2, 2, "a", "b"]

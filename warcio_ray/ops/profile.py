@@ -1,0 +1,86 @@
+"""Column profiling / data-quality verification — the stats-collection
+stage a production pipeline runs before trusting a new partition of
+crawl output (cf. "Differential Data Quality Verification on
+Partitioned Data", ICDE 2019 — per-partition stats that merge, so
+verification cost is proportional to the NEW partitions; see
+PAPERS.md).
+
+Per column: row count, null count, exact distinct count, min, max —
+the invariants schema-drift and ingestion-bug checks assert on
+(null-rate spikes, id-range regressions, vanished categories).
+
+Shape at scale:
+  - n / n_null / min / max fold in ONE combiner pass over all profiled
+    columns together (per-batch partial -> tiny per-batch rows -> one
+    bounded fold): associative, so per-partition partials merge — the
+    differential-verification property.
+  - exact distinct is one narrow groupby per column (only the column's
+    non-null values shuffle). That is the EXACT path; for billions of
+    distinct values run the HLL sketch (ops/sketch.py) instead and
+    accept the epsilon.
+
+Output is engine-comparable: min/max are computed on the NATIVE type
+and then rendered to strings, so one schema covers int and string
+columns without float-format hazards (profile numeric-float columns
+via the quantile ops instead).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def profile_table(ds, columns):
+    """Dataset + column names -> pandas DataFrame
+    (column, n, n_null, n_distinct, min_v, max_v), one row per
+    profiled column, sorted by column name. Null-only columns render
+    min_v/max_v as empty strings."""
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    columns = list(columns)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in columns:
+            col = batch[c]
+            nn = int(col.isna().sum())
+            present = col.dropna()
+            rows.append({
+                "column": c,
+                "n": np.int64(len(col)),
+                "n_null": np.int64(nn),
+                # min/max rendered per-batch; string render of the
+                # native min/max is order-preserving per type because
+                # the final fold re-compares NATIVE values, not strings
+                "has_vals": np.int64(1 if len(present) else 0),
+                "min_v": present.min() if len(present) else None,
+                "max_v": present.max() if len(present) else None,
+            })
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+
+    out_rows = []
+    for c in columns:
+        sub = parts[parts["column"] == c]
+        vals = sub[sub["has_vals"] == 1]
+        # drop nulls BEFORE the groupby: a null is not a distinct
+        # value, and Ray 2.49's sort-based groupby cannot order None
+        # against strings
+        nd = arrow_blocks(ds.select_columns([c])) \
+            .map_batches(lambda t: t.drop_null(),
+                         batch_format="pyarrow", batch_size=None) \
+            .groupby(c).count().count()
+        mn = vals["min_v"].min() if len(vals) else None
+        mx = vals["max_v"].max() if len(vals) else None
+        out_rows.append({
+            "column": c,
+            "n": int(sub["n"].sum()),
+            "n_null": int(sub["n_null"].sum()),
+            "n_distinct": int(nd),
+            "min_v": "" if mn is None else str(mn),
+            "max_v": "" if mx is None else str(mx)})
+    out = pd.DataFrame(out_rows).sort_values("column") \
+        .reset_index(drop=True)
+    return out.astype({"n": "int64", "n_null": "int64",
+                       "n_distinct": "int64"})
