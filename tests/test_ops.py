@@ -3383,3 +3383,51 @@ def test_profile_table(ray_session):
                         ["k", "s"]).set_index("column")
     assert out.loc["k"].tolist() == [5, 0, 3, "1", "3"]
     assert out.loc["s"].tolist() == [5, 2, 2, "a", "b"]
+
+
+def test_session3_ops_partitioning_invariance(ray_session):
+    """Distributed-correctness property: every session-3 operator
+    yields IDENTICAL output at 1, 3, and 7 input partitions."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.colloc import pmi_collocations
+    from warcio_ray.ops.dedup import containment_join
+    from warcio_ray.ops.graph import weakly_connected_components
+    from warcio_ray.ops.profile import profile_table
+    from warcio_ray.ops.textstats import readability_batch
+    from warcio_ray.ops.urlfilter import canonical_url_dedup
+
+    docs = pd.DataFrame({
+        "doc_id": range(30),
+        "text": [f"w{i % 5} w{(i + 1) % 5} w{(i + 2) % 5} end{i % 3}"
+                 for i in range(30)]})
+    edges = pd.DataFrame({"src": [i for i in range(20)],
+                          "dst": [(i * 7 + 3) % 20 for i in range(20)]})
+    urls = pd.DataFrame({"url": [
+        f"http://h{i % 4}.x/p{i % 6}?utm_s=1&a={i % 2}#f"
+        for i in range(30)]})
+
+    def run(n):
+        d = ray.data.from_pandas(docs).repartition(n)
+        e = ray.data.from_pandas(edges).repartition(n)
+        u = ray.data.from_pandas(urls).repartition(n)
+        return (
+            pmi_collocations(d, min_count=2).to_pandas()
+            .sort_values(["w1", "w2"]).reset_index(drop=True),
+            containment_join(d, 4, 5)[["a", "b"]].reset_index(drop=True),
+            weakly_connected_components(e).to_pandas()
+            .sort_values("node").reset_index(drop=True),
+            canonical_url_dedup(u).to_pandas()
+            .sort_values("canon_url").reset_index(drop=True),
+            d.map_batches(readability_batch, batch_format="pandas")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True),
+            profile_table(d, ["doc_id", "text"]),
+        )
+
+    base = run(1)
+    for n in (3, 7):
+        got = run(n)
+        for b, g in zip(base, got):
+            pd.testing.assert_frame_equal(
+                b.reset_index(drop=True), g.reset_index(drop=True))
