@@ -160,6 +160,18 @@ def _lexical_diversity(sf_dir: str):
     return ds.map_batches(lexical_diversity_batch, batch_format="pandas")
 
 
+def _signal_auc(sf_dir: str):
+    """Exact Mann-Whitney ROC-AUC of integer quality signals vs the
+    lang=='en' label — histogram combiner + bounded groupby, driver
+    finishes on the tiny (signal, score) histogram."""
+    import ray.data
+
+    from warcio_ray.ops.evals import signal_auc
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    return signal_auc(ds)
+
+
 def _top_terms(sf_dir: str):
     import ray.data
 
@@ -2771,6 +2783,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _exact_dedup,
         "hybrid_rrf": _hybrid_rrf,
         "table_profile": _table_profile,
+        # r4 session-4 additions (re-fitted into the first 50 at the
+        # end of the session; see the pin test)
+        "signal_auc": _signal_auc,
     }
 
 
@@ -5580,5 +5595,45 @@ def oracle_sql() -> dict[str, str]:
         FROM bcnt b JOIN ucnt c1 ON b.w1 = c1.w
                     JOIN ucnt c2 ON b.w2 = c2.w
         WHERE b.c12 >= 5 ORDER BY b.w1, b.w2
+    """
+    # signal_auc: exact Mann-Whitney AUC — per-signal score histogram,
+    # cumulative negatives below each score, 2U = sum p*(2*below + n);
+    # all integers until the final rounded division
+    out["signal_auc"] = r"""
+        WITH wc AS (
+          SELECT doc_id, COUNT(DISTINCT wd) AS uniq_words
+          FROM (SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS wd
+                FROM documents)
+          GROUP BY doc_id),
+        sig AS (
+          SELECT 'n_chars' AS signal, length(text) AS score,
+                 CAST(lang = 'en' AS BIGINT) AS pos
+          FROM documents
+          UNION ALL
+          SELECT 'n_words', len(regexp_extract_all(text, '\S+')),
+                 CAST(lang = 'en' AS BIGINT)
+          FROM documents
+          UNION ALL
+          SELECT 'uniq_words', COALESCE(w.uniq_words, 0),
+                 CAST(d.lang = 'en' AS BIGINT)
+          FROM documents d LEFT JOIN wc w USING (doc_id)),
+        h AS (
+          SELECT signal, score, SUM(pos) AS p, SUM(1 - pos) AS nn
+          FROM sig GROUP BY 1, 2),
+        cum AS (
+          SELECT signal, score, p, nn,
+                 COALESCE(SUM(nn) OVER (
+                   PARTITION BY signal ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS below
+          FROM h)
+        SELECT signal,
+               CAST(SUM(p) AS BIGINT) AS n_pos,
+               CAST(SUM(nn) AS BIGINT) AS n_neg,
+               CAST(SUM(p * (2 * below + nn)) AS BIGINT) AS u2,
+               ROUND(SUM(p * (2 * below + nn))
+                     / (2.0 * SUM(p) * SUM(nn)), 6) AS auc
+        FROM cum GROUP BY signal ORDER BY signal
     """
     return out

@@ -3431,3 +3431,43 @@ def test_session3_ops_partitioning_invariance(ray_session):
         for b, g in zip(base, got):
             pd.testing.assert_frame_equal(
                 b.reset_index(drop=True), g.reset_index(drop=True))
+
+
+def test_signal_auc_matches_bruteforce(ray_session):
+    """Exact Mann-Whitney AUC: histogram path == O(n^2) pair count
+    (ties at 0.5), and a constant signal reads exactly 0.5."""
+    import ray.data
+
+    from warcio_ray.ops.evals import signal_auc
+
+    rng = np.random.RandomState(7)
+    n = 120
+    langs = np.where(rng.rand(n) < 0.4, "en", "de")
+    # text length correlates with the label -> AUC well above 0.5
+    texts = ["w " * (10 + (30 if l == "en" else 0) + int(rng.rand() * 9))
+             for l in langs]
+    df = pd.DataFrame({"doc_id": np.arange(n), "text": texts,
+                       "lang": langs})
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = signal_auc(ds).set_index("signal")
+
+    for name, score in (("n_chars",
+                         np.array([len(t) for t in texts], dtype=np.int64)),
+                        ("n_words",
+                         np.array([len(t.split()) for t in texts],
+                                  dtype=np.int64))):
+        pos_s = score[langs == "en"]
+        neg_s = score[langs != "en"]
+        wins = (pos_s[:, None] > neg_s[None, :]).sum()
+        ties = (pos_s[:, None] == neg_s[None, :]).sum()
+        u2 = int(2 * wins + ties)
+        assert out.loc[name, "u2"] == u2
+        assert out.loc[name, "auc"] == round(
+            u2 / (2.0 * len(pos_s) * len(neg_s)), 6)
+
+    # constant signal -> all ties -> exactly 0.5
+    df2 = pd.DataFrame({"doc_id": np.arange(20),
+                        "text": ["same text here"] * 20,
+                        "lang": ["en"] * 9 + ["de"] * 11})
+    out2 = signal_auc(ray.data.from_pandas(df2)).set_index("signal")
+    assert out2.loc["n_chars", "auc"] == 0.5
