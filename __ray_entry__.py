@@ -712,6 +712,47 @@ def _pagerank_5(sf_dir: str):
     return pagerank_ds(edges, nodes, iters=5)
 
 
+def _trustrank_3(sf_dir: str):
+    """TrustRank (Gyongyi et al. 2004) over the real extracted link
+    graph: teleport/init/dangling mass restricted to the trusted seed
+    set doc_id % 53 == 0 — the webspam-demotion companion of
+    pagerank_5, exercising pagerank_ds's `seeds` branch end to end.
+    Exact-integer updates, so the oracle unrolls bit-identically."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from warcio_ray.ops.graph import pagerank_ds
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    edges = edge_urls.map_batches(to_ids, batch_format="pyarrow")
+    node_ids = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    nodes = node_ids.map_batches(
+        lambda b: b.rename_columns(["node"]), batch_format="pyarrow")
+    # the trusted seed list: small by TrustRank semantics (hand-vetted
+    # hosts in production; a deterministic 1/53 slice here) — collected
+    # driver-side and broadcast once via ray.put inside pagerank_ds
+    seed_arr = np.sort(node_ids.map_batches(
+        lambda b: b[b["doc_id"] % 53 == 0],
+        batch_format="pandas").to_pandas()["doc_id"]
+        .to_numpy(dtype="int64"))
+    return pagerank_ds(edges, nodes, iters=3, seeds=seed_arr)
+
+
 def _hits_2(sf_dir: str):
     """HITS hubs/authorities (2 rounds) over the real extracted link
     graph — exact-integer with bit-length down-shift normalization
@@ -2786,6 +2827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4 session-4 additions (re-fitted into the first 50 at the
         # end of the session; see the pin test)
         "signal_auc": _signal_auc,
+        "trustrank_3": _trustrank_3,
     }
 
 
@@ -2905,12 +2947,23 @@ def _fingerprint_cte(k: int = 5, window: int = 4) -> str:
 
 
 def _pagerank_sql(iters: int = 5, damping: int = 85,
-                  scale: int = 10 ** 12) -> str:
+                  scale: int = 10 ** 12,
+                  seed_mod: int = 0) -> str:
     """Unrolled integer-PageRank CTE chain mirroring
     warcio_ray.ops.graph.pagerank_ds exactly (all-integer updates, so
     the unrolled SQL is bit-identical, not approximately equal). Edges
-    regenerate from the deterministic link rule pages.py:links_for."""
+    regenerate from the deterministic link rule pages.py:links_for.
+
+    ``seed_mod`` > 0 unrolls the TrustRank variant instead: the seed
+    flag is ``doc_id % seed_mod = 0``, and initial mass, teleport base
+    and the dangling share all multiply by it — mirroring the
+    ``seeds=`` branch of pagerank_ds."""
     base = ((100 - damping) * scale) // 100
+    t_expr = ("1" if not seed_mod
+              else f"CASE WHEN doc_id % {seed_mod} = 0 "
+                   f"THEN 1 ELSE 0 END")
+    tele_n = ("(SELECT n FROM nn)" if not seed_mod
+              else "(SELECT SUM(t) FROM nd)")
     ctes = [f"""
         nn AS (SELECT COUNT(*) AS n FROM documents),
         edges AS (
@@ -2920,9 +2973,12 @@ def _pagerank_sql(iters: int = 5, damping: int = 85,
           CROSS JOIN (SELECT unnest(range(3)) AS j) js
           WHERE j < doc_id % 4),
         deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
-        nd AS (SELECT doc_id AS node, COALESCE(deg.d, 0) AS d
+        nd AS (SELECT doc_id AS node, COALESCE(deg.d, 0) AS d,
+                      {t_expr} AS t
                FROM documents LEFT JOIN deg ON doc_id = deg.src),
-        r0 AS (SELECT node, d, {scale}::BIGINT AS rank FROM nd)"""]
+        r0 AS (SELECT node, d, t,
+                      CAST({scale}::BIGINT * t AS BIGINT) AS rank
+               FROM nd)"""]
     for i in range(iters):
         p, q = f"r{i}", f"r{i + 1}"
         ctes.append(f"""
@@ -2931,9 +2987,9 @@ def _pagerank_sql(iters: int = 5, damping: int = 85,
         s{i} AS (SELECT e.dst AS node, SUM(r.rank // r.d) AS s
                  FROM edges e JOIN {p} r ON e.src = r.node
                  GROUP BY e.dst),
-        {q} AS (SELECT nd.node, nd.d,
-                  CAST({base} + ({damping} * (COALESCE(s{i}.s, 0)
-                    + (SELECT m FROM dang{i}) // (SELECT n FROM nn)))
+        {q} AS (SELECT nd.node, nd.d, nd.t,
+                  CAST({base} * nd.t + ({damping} * (COALESCE(s{i}.s, 0)
+                    + ((SELECT m FROM dang{i}) // {tele_n}) * nd.t))
                     // 100 AS BIGINT) AS rank
                 FROM nd LEFT JOIN s{i} ON nd.node = s{i}.node)""")
     return ("WITH " + ",".join(ctes)
@@ -3539,6 +3595,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "pagerank_5": _pagerank_sql(),
+        # trustrank_3: seed-personalized PageRank (seeds doc_id%53=0),
+        # same generator with the seed flag threaded through — exact
+        "trustrank_3": _pagerank_sql(iters=3, seed_mod=53),
         # hits_2: exact-integer HITS with down-shift normalization —
         # unrolled generated CTE, bit-identical (hash compare)
         "hits_2": _hits_sql(),

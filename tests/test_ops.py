@@ -1230,6 +1230,74 @@ def test_pagerank_fixed_point(ray_session):
                     got_join["rank"].astype(int))) == want
 
 
+def test_trustrank_seeded(ray_session):
+    """TrustRank (seeds= on pagerank_ds): bit-identical to an
+    in-process mirror (teleport/init/dangling restricted to seeds),
+    broadcast and join paths bit-equal, non-seed dead-ends decay to
+    exactly 0 teleport mass, unknown seed ids ignored, empty seed
+    set raises."""
+    import numpy as np
+    import pytest
+    import ray.data
+
+    from warcio_ray.ops.graph import pagerank_ds
+
+    edges = pd.DataFrame({"src": [0, 1, 2, 5, 5, 3],
+                          "dst": [1, 2, 0, 0, 1, 4]})
+    nodes = pd.DataFrame({"node": [0, 1, 2, 3, 4, 5]})
+    SCALE = 10 ** 12
+    seeds = [0, 5, 99]  # 99 is outside the universe -> ignored
+
+    def reference(iters=3, damping=85):
+        n_tele = 2
+        deg = edges.groupby("src").size().to_dict()
+        sset = {0, 5}
+        r = {int(v): (SCALE if int(v) in sset else 0)
+             for v in nodes["node"]}
+        base = ((100 - damping) * SCALE) // 100
+        for _ in range(iters):
+            dang = sum(r[v] for v in r if deg.get(v, 0) == 0)
+            s = {v: 0 for v in r}
+            for a, b in zip(edges["src"], edges["dst"]):
+                if deg[int(a)]:
+                    s[int(b)] += r[int(a)] // deg[int(a)]
+            r = {v: (base if v in sset else 0)
+                 + (damping * (s[v] + (dang // n_tele
+                                       if v in sset else 0))) // 100
+                 for v in r}
+        return r
+
+    want = reference()
+    for np_ in [1, 3]:
+        got = pagerank_ds(
+            ray.data.from_pandas(edges).repartition(np_),
+            ray.data.from_pandas(nodes).repartition(np_),
+            iters=3, seeds=np.array(seeds)).to_pandas()
+        assert dict(zip(got["node"].astype(int),
+                        got["rank"].astype(int))) == want
+    got_join = pagerank_ds(
+        ray.data.from_pandas(edges), ray.data.from_pandas(nodes),
+        iters=3, seeds=np.array(seeds),
+        broadcast_max_nodes=0).to_pandas()
+    assert dict(zip(got_join["node"].astype(int),
+                    got_join["rank"].astype(int))) == want
+    # node 4 (isolated, non-seed, fed only by dangling seedless 3):
+    # no teleport mass -> rank exactly 0 after its inflow dries up
+    assert want[4] == 0
+    # ... and so does its seedless feeder (no teleport, no inflow)
+    assert want[3] == 0
+    # seeds always retain at least the teleport base
+    base = ((100 - 85) * SCALE) // 100
+    assert want[0] >= base and want[5] >= base
+
+    for bmn in (0, 2_000_000):
+        with pytest.raises(ValueError, match="seed set is empty"):
+            pagerank_ds(ray.data.from_pandas(edges),
+                        ray.data.from_pandas(nodes), iters=1,
+                        seeds=np.array([999]),
+                        broadcast_max_nodes=bmn)
+
+
 def test_hll_distinct(ray_session):
     """HLL sketch: estimate within ~3x sigma of truth (sigma = 1.04/sqrt(m)),
     partitioning-invariant (bit-identical estimates), and exact-integer

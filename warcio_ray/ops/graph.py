@@ -32,6 +32,20 @@ bucketed-pages pattern) and co-partition ranks to skip half of that.
 
 No reference counterpart; PageRank per Page et al. 1999, with the
 standard uniform dangling-mass redistribution.
+
+TrustRank (Gyongyi et al., VLDB 2004) is the ``seeds`` parameter:
+teleport mass, initial mass and the dangling redistribution all go to
+the trusted seed set only —
+
+    r0(node)    = scale if seed else 0
+    r'(node)    = (((100-d) * scale) // 100) * [seed]
+                  + (d * (S(node) + (dang // n_seeds) * [seed])) // 100
+
+— same integer arithmetic, same two execution paths, so the unrolled
+SQL oracle stays bit-identical. The seed list broadcasts once
+(``ray.put`` of a sorted int64 array); TrustRank's semantics make it
+small by construction (a hand-vetted trusted set), so the broadcast
+never becomes the bottleneck even when the graph needs the join path.
 """
 
 from __future__ import annotations
@@ -47,7 +61,7 @@ DEFAULT_SCALE = 10 ** 12
 
 
 def _pagerank_broadcast(edges_ds, node_deg, n, iters, damping_pct,
-                        scale):
+                        scale, seeds=None):
     """Small-graph iteration core: (node, d) universe + int64 rank
     vectors on the driver; per iteration one edges scan emits (dst,
     share) partials and ONE integer groupby-sum reduces them. Bit-equal
@@ -61,11 +75,17 @@ def _pagerank_broadcast(edges_ds, node_deg, n, iters, damping_pct,
     nd = node_deg.to_pandas().sort_values("node").reset_index(drop=True)
     nodes = nd["node"].to_numpy(dtype="int64")
     deg = nd["d"].to_numpy(dtype="int64")
-    rank = np.full(len(nd), np.int64(scale), dtype=np.int64)
+    if seeds is None:
+        is_seed = np.ones(len(nd), dtype=np.int64)
+        n_tele = n
+    else:
+        is_seed = np.isin(nodes, seeds).astype(np.int64)
+        n_tele = int(is_seed.sum())
+    rank = (np.int64(scale) * is_seed).astype(np.int64)
     pos = pd.Series(np.arange(len(nd), dtype="int64"), index=nodes)
 
     for _ in range(iters):
-        dang_share = int(rank[deg == 0].sum()) // n
+        dang_share = int(rank[deg == 0].sum()) // n_tele
         live = deg > 0
         # two sorted numpy arrays in plasma (zero-copy reads), mapped
         # per batch via searchsorted — no per-batch dict unpickling,
@@ -107,8 +127,9 @@ def _pagerank_broadcast(edges_ds, node_deg, n, iters, damping_pct,
             known = dsts.isin(pos.index).to_numpy()
             p = pos.reindex(dsts[known]).to_numpy(dtype="int64")
             s_arr[p] = summed["s"].to_numpy(dtype="int64")[known]
-        rank = (base + (damping_pct * (s_arr + dang_share)) // 100) \
-            .astype(np.int64)
+        rank = (base * is_seed
+                + (damping_pct * (s_arr + dang_share * is_seed)) // 100
+                ).astype(np.int64)
 
     import ray.data
     return ray.data.from_pandas(pd.DataFrame({"node": nodes,
@@ -123,11 +144,18 @@ def _adaptive_partitions() -> int:
 def pagerank_ds(edges_ds, nodes_ds, iters: int = 5,
                 damping_pct: int = 85, scale: int = DEFAULT_SCALE,
                 num_partitions: Optional[int] = None,
-                broadcast_max_nodes: int = 2_000_000):
+                broadcast_max_nodes: int = 2_000_000,
+                seeds=None):
     """``edges_ds``: (src, dst) int64 rows. ``nodes_ds``: (node) int64
     rows — the node universe (isolated nodes included). Returns a
     Dataset (node, rank) of int64 fixed-point ranks after ``iters``
     damped iterations from a uniform start of ``scale`` per node.
+
+    ``seeds`` (optional int64 array of node ids) switches the
+    computation to TrustRank: initial mass, the (100-damping)%
+    teleport and the dangling redistribution are restricted to the
+    seed set (see module docstring). Unknown seed ids are ignored;
+    an empty effective seed set raises.
     """
     from ray.data.aggregate import Count, Sum
 
@@ -135,6 +163,8 @@ def pagerank_ds(edges_ds, nodes_ds, iters: int = 5,
 
     if num_partitions is None:
         num_partitions = _adaptive_partitions()
+    if seeds is not None:
+        seeds = np.unique(np.asarray(seeds, dtype=np.int64))
 
     # the edge table is the iteration working set — materialize ONCE so
     # the (possibly expensive) upstream that produced it (html parse,
@@ -189,10 +219,15 @@ def pagerank_ds(edges_ds, nodes_ds, iters: int = 5,
         merged = node_pd.merge(deg_pd.rename(columns={"src": "node"}),
                                on="node", how="left")
         merged["d"] = merged["d"].fillna(0).astype("int64")
+        if seeds is not None and not np.isin(
+                merged["node"].to_numpy(dtype="int64"), seeds).any():
+            raise ValueError("TrustRank seed set is empty after "
+                             "intersecting with the node universe")
         import ray.data
         return _pagerank_broadcast(edges_ds,
                                    ray.data.from_pandas(merged), n,
-                                   iters, damping_pct, scale)
+                                   iters, damping_pct, scale,
+                                   seeds=seeds)
 
     # arrow blocks before aggregate: per-ROW Python on pandas blocks
     deg = arrow_blocks(edges_ds).groupby("src") \
@@ -202,17 +237,32 @@ def pagerank_ds(edges_ds, nodes_ds, iters: int = 5,
     node_deg = safe_join(nodes_ds, deg, "left_outer", num_partitions,
                          ("node",), right_on=("src",))
 
+    import ray as _ray
+    seed_ref = _ray.put(seeds) if seeds is not None else None
+
     def stamp_deg(batch: pd.DataFrame) -> pd.DataFrame:
+        node = batch["node"].astype("int64")
+        t = np.ones(len(batch), dtype=np.int64) if seed_ref is None \
+            else np.isin(node.to_numpy(dtype="int64"),
+                         _ray.get(seed_ref)).astype(np.int64)
         return pd.DataFrame({
-            "node": batch["node"].astype("int64"),
-            "d": batch["d"].fillna(0).astype("int64")})
+            "node": node,
+            "d": batch["d"].fillna(0).astype("int64"),
+            "t": t})
 
     node_deg = node_deg.map_batches(
         stamp_deg, batch_format="pandas").materialize()
+    # teleport-population size: n for PageRank, |seeds ∩ universe| for
+    # TrustRank (one int64 scan of the bounded universe table)
+    n_tele = n if seeds is None else int(node_deg.sum("t") or 0)
+    if n_tele == 0:
+        raise ValueError("TrustRank seed set is empty after "
+                         "intersecting with the node universe")
 
     def init_rank(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch[["node", "d"]].copy()
-        out["rank"] = np.int64(scale)
+        out = batch[["node", "d", "t"]].copy()
+        out["rank"] = (np.int64(scale)
+                       * out["t"].to_numpy(dtype="int64"))
         return out
 
     # ranks carry the static out-degree so the per-iteration state join
@@ -226,7 +276,7 @@ def pagerank_ds(edges_ds, nodes_ds, iters: int = 5,
             lambda b: pd.DataFrame({"m": [np.int64(
                 b.loc[b["d"] == 0, "rank"].sum())]}),
             batch_format="pandas").sum("m") or 0
-        dang_share = int(dang) // n
+        dang_share = int(dang) // n_tele
 
         def shares(batch: pd.DataFrame) -> pd.DataFrame:
             live = batch[batch["d"] > 0]
@@ -246,16 +296,19 @@ def pagerank_ds(edges_ds, nodes_ds, iters: int = 5,
                    ) -> pd.DataFrame:
             s = batch["s"].fillna(0).astype("int64") if "s" in batch \
                 else pd.Series(np.zeros(len(batch), dtype="int64"))
+            t = batch["t"].astype("int64")
             return pd.DataFrame({
                 "node": batch["node"].astype("int64"),
                 "d": batch["d"].astype("int64"),
-                "rank": (base + (damping_pct * (s + dang_share)) // 100
+                "t": t,
+                "rank": (base * t
+                         + (damping_pct * (s + dang_share * t)) // 100
                          ).astype("int64")})
 
         ranks = nxt.map_batches(update, batch_format="pandas") \
             .materialize()
 
-    return ranks.drop_columns(["d"])
+    return ranks.drop_columns(["d", "t"])
 
 
 def anchor_stats(pages_ds, num_partitions=None):
