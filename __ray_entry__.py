@@ -712,6 +712,19 @@ def _pagerank_5(sf_dir: str):
     return pagerank_ds(edges, nodes, iters=5)
 
 
+def _chunk_windows(sf_dir: str):
+    """RAG / long-context prep: explode documents into 64-token
+    windows advancing 48 tokens (16-token overlap) — stateless
+    map_batches explode, no shuffle (ops/chunk.py)."""
+    import ray.data
+
+    from warcio_ray.ops.chunk import chunk_windows
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return chunk_windows(ds, window=64, stride=48)
+
+
 def _trustrank_3(sf_dir: str):
     """TrustRank (Gyongyi et al. 2004) over the real extracted link
     graph: teleport/init/dangling mass restricted to the trusted seed
@@ -2828,6 +2841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # end of the session; see the pin test)
         "signal_auc": _signal_auc,
         "trustrank_3": _trustrank_3,
+        "chunk_windows": _chunk_windows,
     }
 
 
@@ -3598,6 +3612,31 @@ def oracle_sql() -> dict[str, str]:
         # trustrank_3: seed-personalized PageRank (seeds doc_id%53=0),
         # same generator with the seed flag threaded through — exact
         "trustrank_3": _pagerank_sql(iters=3, seed_mod=53),
+        # chunk_windows: W=64/S=48 sliding-window chunk rule replayed
+        # with range() + list_slice over the \S+ token list; DuckDB's
+        # // is floor division like numpy's, and both sides join
+        # chunk tokens with a single space
+        "chunk_windows": r"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(text, '\S+') AS t
+                          FROM documents),
+                 nt AS (SELECT doc_id, t, len(t) AS n
+                        FROM toks WHERE len(t) > 0),
+                 ks AS (SELECT doc_id, t, n,
+                               unnest(range(
+                                 (GREATEST(n - 64, 0) + 47) // 48 + 1
+                               )) AS k
+                        FROM nt)
+            SELECT doc_id,
+                   CAST(k AS BIGINT) AS chunk_id,
+                   CAST(k * 48 AS BIGINT) AS start_tok,
+                   CAST(LEAST(k * 48 + 64, n) - k * 48 AS BIGINT)
+                     AS n_tok,
+                   array_to_string(
+                     list_slice(t, k * 48 + 1, LEAST(k * 48 + 64, n)),
+                     ' ') AS chunk_text
+            FROM ks
+        """,
         # hits_2: exact-integer HITS with down-shift normalization —
         # unrolled generated CTE, bit-identical (hash compare)
         "hits_2": _hits_sql(),

@@ -3539,3 +3539,68 @@ def test_signal_auc_matches_bruteforce(ray_session):
                         "lang": ["en"] * 9 + ["de"] * 11})
     out2 = signal_auc(ray.data.from_pandas(df2)).set_index("signal")
     assert out2.loc["n_chars", "auc"] == 0.5
+
+
+def test_chunk_windows(ray_session):
+    """Sliding-window chunking: brute-force mirror over edge cases
+    (empty, short, exact-fit, window+1, multi-space text), full token
+    coverage, disjoint mode at stride==window, partition invariance,
+    bad-stride rejection."""
+    import ray.data
+
+    from warcio_ray.ops.chunk import chunk_windows
+
+    W, S = 4, 3
+    texts = ["",                         # no chunks
+             "a b",                      # one short chunk
+             "t0 t1 t2 t3",              # exact fit -> one chunk
+             "u0 u1 u2 u3 u4",           # window+1 -> two chunks
+             "  v0   v1\tv2\nv3 v4 v5 v6 v7 v8 v9  ",  # 10 toks
+             None]                       # null -> no chunks
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                       "text": texts})
+
+    def brute(window, stride):
+        rows = []
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            n = len(toks)
+            if n == 0:
+                continue
+            kmax = (max(n - window, 0) + stride - 1) // stride
+            for k in range(kmax + 1):
+                s = k * stride
+                e = min(s + window, n)
+                rows.append((i, k, s, e - s, " ".join(toks[s:e])))
+        return sorted(rows)
+
+    for window, stride in [(W, S), (W, W), (3, 1)]:
+        want = brute(window, stride)
+        for np_ in [1, 3]:
+            got = chunk_windows(
+                ray.data.from_pandas(df).repartition(np_),
+                window=window, stride=stride).to_pandas()
+            rows = sorted(zip(got["doc_id"], got["chunk_id"],
+                              got["start_tok"], got["n_tok"],
+                              got["chunk_text"]))
+            assert rows == want
+        # full coverage: every token index of every doc is in a chunk
+        cov = {}
+        for i, k, s, nt, _ in want:
+            cov.setdefault(i, set()).update(range(s, s + nt))
+        for i, t in enumerate(texts):
+            n = len((t or "").split())
+            if n:
+                assert cov[i] == set(range(n))
+
+    # stride == window -> disjoint chunks, lengths sum to n
+    got = chunk_windows(ray.data.from_pandas(df), window=W,
+                        stride=W).to_pandas()
+    per_doc = got.groupby("doc_id")["n_tok"].sum()
+    assert per_doc[4] == 10 and per_doc[2] == 4
+
+    import pytest
+    with pytest.raises(ValueError, match="stride"):
+        chunk_windows(ray.data.from_pandas(df), window=4, stride=0)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_windows(ray.data.from_pandas(df), window=4, stride=5)
