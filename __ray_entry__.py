@@ -654,6 +654,40 @@ def _postings_append_probe(sf_dir: str):
     return postings_lookup(out_dir, probes)
 
 
+def _postings_compact_probe(sf_dir: str):
+    """LSM compaction end to end: build over thirds of the corpus
+    (base + two append generations), COMPACT into one root
+    (ops/search.compact_postings_layout — one atomic manifest swap,
+    absorbed dirs reclaimed), then the pruned lookup over the
+    compacted layout must STILL equal the whole-corpus truth
+    (compaction is observationally a no-op)."""
+    import tempfile
+
+    import ray.data
+
+    from warcio_ray.ops.search import (append_postings_layout,
+                                       build_postings_layout,
+                                       compact_postings_layout,
+                                       postings_lookup)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    parts = [ds.map_batches(lambda b, r=r: b[b["doc_id"] % 3 == r],
+                            batch_format="pandas") for r in range(3)]
+    probe_docs = ds.map_batches(lambda b: b[b["doc_id"] % 103 == 0],
+                                batch_format="pandas").to_pandas()
+    probes = {t for txt in probe_docs["text"]
+              for t in (txt or "").split()}
+
+    base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = f"{tempfile.gettempdir()}/warcio_ray_postings_cmp_{base}"
+    build_postings_layout(parts[0], out_dir, force=True)
+    append_postings_layout(parts[1], out_dir, batch_tag="third-1")
+    append_postings_layout(parts[2], out_dir, batch_tag="third-2")
+    compact_postings_layout(out_dir)
+    return postings_lookup(out_dir, probes)
+
+
 def _corpus_card(sf_dir: str):
     """One-call dataset datasheet over documents: doc/token/char
     totals, exact histogram median, language spread, exact-duplicate
@@ -2842,6 +2876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signal_auc": _signal_auc,
         "trustrank_3": _trustrank_3,
         "chunk_windows": _chunk_windows,
+        "postings_compact_probe": _postings_compact_probe,
     }
 
 
@@ -3860,6 +3895,22 @@ def oracle_sql() -> dict[str, str]:
         # postings_append_probe: generations are an implementation
         # detail — base+append must equal the whole-corpus counts
         "postings_append_probe": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\\S+')) AS tok
+              FROM documents),
+            probes AS (
+              SELECT DISTINCT unnest(regexp_extract_all(text, '\\S+'))
+                     AS tok
+              FROM documents WHERE doc_id % 103 = 0)
+            SELECT t.tok AS term, t.doc_id, COUNT(*) AS tf
+            FROM toks t JOIN probes p ON t.tok = p.tok
+            GROUP BY t.tok, t.doc_id
+            ORDER BY term, doc_id
+        """,
+        # postings_compact_probe: compaction is observationally a
+        # no-op — the compacted layout must equal whole-corpus counts
+        "postings_compact_probe": """
             WITH toks AS (
               SELECT doc_id,
                      unnest(regexp_extract_all(text, '\\S+')) AS tok

@@ -2953,6 +2953,78 @@ def test_append_postings_layout(ray_session, tmp_path):
                                str(tmp_path / "none"), "x")
 
 
+def test_compact_postings_layout(ray_session, tmp_path):
+    """LSM compaction: lookups bit-identical before/after, absorbed
+    dirs removed, append-tag idempotency survives, torn compaction
+    invisible, single-root no-op, post-compaction appends work."""
+    import json
+    import os
+
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from warcio_ray.ops.search import (append_postings_layout,
+                                       build_postings_layout,
+                                       compact_postings_layout,
+                                       postings_lookup)
+
+    base = pd.DataFrame({"doc_id": [1, 2],
+                         "text": ["apple banana", "banana cherry"]})
+    g1 = pd.DataFrame({"doc_id": [3], "text": ["apple apple dates"]})
+    g2 = pd.DataFrame({"doc_id": [4], "text": ["cherry dates"]})
+    layout = str(tmp_path / "p")
+    build_postings_layout(ray.data.from_pandas(base), layout,
+                          n_buckets=8)
+    append_postings_layout(ray.data.from_pandas(g1), layout, "g1")
+    append_postings_layout(ray.data.from_pandas(g2), layout, "g2")
+    probes = ["apple", "banana", "cherry", "dates"]
+    before = postings_lookup(layout, probes, n_buckets=8)
+
+    # torn compaction: a half-written postings_c3 dir without the
+    # manifest commit must be invisible to lookups
+    os.makedirs(os.path.join(layout, "postings_c3", "bucket=0"),
+                exist_ok=True)
+    pd.testing.assert_frame_equal(
+        postings_lookup(layout, probes, n_buckets=8), before)
+
+    compact_postings_layout(layout)
+    after = postings_lookup(layout, probes, n_buckets=8)
+    pd.testing.assert_frame_equal(after, before)
+    gens = json.load(open(os.path.join(layout, "generations.json")))
+    assert len(gens) == 1 and gens[0]["replaces_base"]
+    assert sorted(gens[0]["absorbed_tags"]) == ["g1", "g2"]
+    # absorbed dirs reclaimed
+    assert not os.path.isdir(os.path.join(layout, "postings"))
+    assert not os.path.isdir(os.path.join(layout, "postings_g1"))
+
+    # replayed append of an absorbed tag stays a no-op
+    append_postings_layout(ray.data.from_pandas(g1), layout, "g1")
+    pd.testing.assert_frame_equal(
+        postings_lookup(layout, probes, n_buckets=8), before)
+
+    # second compaction with a single root: no-op
+    compact_postings_layout(layout)
+    assert json.load(open(os.path.join(layout,
+                                       "generations.json"))) == gens
+
+    # post-compaction appends land as fresh generations and compact
+    # again cleanly
+    g3 = pd.DataFrame({"doc_id": [5], "text": ["banana elder"]})
+    append_postings_layout(ray.data.from_pandas(g3), layout, "g3")
+    compact_postings_layout(layout)
+    got = postings_lookup(layout, probes + ["elder"], n_buckets=8)
+    full = str(tmp_path / "full")
+    build_postings_layout(
+        ray.data.from_pandas(pd.concat([base, g1, g2, g3])), full,
+        n_buckets=8)
+    want = postings_lookup(full, probes + ["elder"], n_buckets=8)
+    pd.testing.assert_frame_equal(got, want)
+
+    with pytest.raises(FileNotFoundError):
+        compact_postings_layout(str(tmp_path / "none"))
+
+
 def test_append_ivf_layout(ray_session, tmp_path):
     """IVF generations: base+append full-probe search equals one
     full build (exact at full probe), tag idempotency, frozen

@@ -185,7 +185,8 @@ def append_postings_layout(ds_new, layout_dir: str, batch_tag: str,
     if os.path.exists(gen_path):
         with open(gen_path) as f:
             gens = json.load(f)
-    if any(g["tag"] == batch_tag for g in gens):
+    if any(g["tag"] == batch_tag or
+           batch_tag in g.get("absorbed_tags", []) for g in gens):
         return layout_dir
 
     gen_dir = f"postings_g{len(gens) + 1}"
@@ -206,6 +207,107 @@ def append_postings_layout(ds_new, layout_dir: str, batch_tag: str,
     with open(tmp, "w") as f:
         json.dump(gens, f)
     os.replace(tmp, gen_path)
+    return layout_dir
+
+
+def _postings_roots(layout_dir: str):
+    """Current root dirs of a postings layout: the base ``postings``
+    plus committed generations — unless a compaction entry
+    (``replaces_base``) absorbed everything before it, in which case
+    roots start there. Shared by lookup and compaction."""
+    import json
+    import os
+
+    gens = []
+    gen_path = os.path.join(layout_dir, "generations.json")
+    if os.path.exists(gen_path):
+        with open(gen_path) as f:
+            gens = json.load(f)
+    last_compact = max((i for i, g in enumerate(gens)
+                        if g.get("replaces_base")), default=None)
+    if last_compact is None:
+        return ["postings"] + [g["dir"] for g in gens], gens
+    return [g["dir"] for g in gens[last_compact:]], gens
+
+
+def compact_postings_layout(layout_dir: str) -> str:
+    """Merge the base + every committed append generation into ONE
+    fresh bucket-partitioned dir — the LSM compaction step that keeps
+    per-lookup file counts bounded as append generations accumulate
+    (Lucene's segment merge). Observationally a NO-OP: postings rows
+    are concatenated as-is (appends are new documents, and even a
+    duplicate (term, doc) row would have been returned twice before
+    compaction too), so any lookup is bit-identical before and after.
+
+    Commit protocol: the merged rows land in an uncommitted
+    ``postings_c<N>/`` dir, then ONE atomic ``generations.json``
+    rewrite installs ``[{tag: __compact_N__, dir, replaces_base}]`` —
+    the same single-manifest protocol the appends use, so a torn
+    compaction is invisible and a retry converges. Absorbed dirs are
+    deleted best-effort AFTER the commit (space reclaim). Single
+    writer assumed, like the appends (sequential crawl generations).
+    """
+    import json
+    import os
+    import shutil
+
+    import ray.data
+
+    marker = os.path.join(layout_dir, "_DONE")
+    if not os.path.exists(marker):
+        raise FileNotFoundError(
+            f"compact_postings_layout: no built layout at "
+            f"{layout_dir} (run build_postings_layout first)")
+    n_buckets = int(open(marker).read().strip())
+
+    roots, gens = _postings_roots(layout_dir)
+    if len(roots) <= 1:
+        return layout_dir  # single root: nothing to merge
+
+    # monotonic c-numbering (NOT len(gens)+1: that can collide with a
+    # standing compacted root, and the pre-write rmtree below would
+    # then delete the compaction's own input)
+    import re
+    prev_c = max((int(m.group(1)) for g in gens
+                  if (m := re.fullmatch(r"postings_c(\d+)", g["dir"]))),
+                 default=0)
+    comp_dir = f"postings_c{prev_c + 1}"
+    assert comp_dir not in roots
+    shutil.rmtree(os.path.join(layout_dir, comp_dir),
+                  ignore_errors=True)
+    paths = [os.path.join(layout_dir, r) for r in roots]
+    paths = [p for p in paths if os.path.isdir(p)]
+
+    def rebucket(batch: pd.DataFrame) -> pd.DataFrame:
+        # recompute the bucket from the term (md5 once per distinct
+        # term) instead of trusting hive-partition inference
+        out = batch[["term", "doc_id", "tf"]].copy()
+        bmap = {t: _term_bucket(t, n_buckets)
+                for t in pd.unique(out["term"])}
+        out["bucket"] = out["term"].map(bmap).astype("int64")
+        return out
+
+    ray.data.read_parquet(paths, file_extensions=["parquet"]) \
+        .map_batches(rebucket, batch_format="pandas") \
+        .write_parquet(os.path.join(layout_dir, comp_dir),
+                       partition_cols=["bucket"])
+
+    # tag idempotency must survive compaction: remember every append
+    # tag the merged dir absorbed so a replayed append stays a no-op
+    absorbed = sorted({g["tag"] for g in gens} |
+                      {t for g in gens
+                       for t in g.get("absorbed_tags", [])})
+    new_gens = [{"tag": f"__compact_{prev_c + 1}__",
+                 "dir": comp_dir, "replaces_base": True,
+                 "absorbed_tags": absorbed}]
+    gen_path = os.path.join(layout_dir, "generations.json")
+    tmp = gen_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_gens, f)
+    os.replace(tmp, gen_path)
+
+    for r in roots:  # absorbed; manifest no longer references them
+        shutil.rmtree(os.path.join(layout_dir, r), ignore_errors=True)
     return layout_dir
 
 
@@ -230,13 +332,10 @@ def postings_lookup(layout_dir: str, terms, n_buckets: int = 64,
     probe_list = sorted(set(map(str, terms)))
     needed = sorted({_term_bucket(t, n_buckets) for t in probe_list})
     # base layout + every COMMITTED append generation (Lucene-style
-    # segments; see append_postings_layout) — still bucket-pruned
-    roots = ["postings"]
-    gen_path = os.path.join(layout_dir, "generations.json")
-    if os.path.exists(gen_path):
-        import json
-        with open(gen_path) as f:
-            roots += [g["dir"] for g in json.load(f)]
+    # segments; see append_postings_layout), or the compacted root
+    # that absorbed them (compact_postings_layout) — still
+    # bucket-pruned either way
+    roots, _ = _postings_roots(layout_dir)
     paths = [os.path.join(layout_dir, r, f"bucket={b}")
              for r in roots for b in needed]
     paths = [p for p in paths if os.path.isdir(p)]
