@@ -746,6 +746,45 @@ def _pagerank_5(sf_dir: str):
     return pagerank_ds(edges, nodes, iters=5)
 
 
+def _kcore_4(sf_dir: str):
+    """4-core of the undirected page graph: real extracted content
+    links UNION next-page navigation edges (doc_id -> doc_id+1 — the
+    sequential nav links real sites carry). Parallel peel
+    (ops/graph.kcore_nodes); survivors with their in-core degree."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from warcio_ray.ops.graph import kcore_nodes
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    links = edge_urls.map_batches(to_ids, batch_format="pyarrow")
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = docs.count()
+
+    def nav(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].to_numpy(dtype="int64")
+        d = d[d + 1 < n]
+        return pd.DataFrame({"src": d, "dst": d + 1})
+
+    edges = links.union(docs.map_batches(nav, batch_format="pandas"))
+    return kcore_nodes(edges, k=4)
+
+
 def _chunk_windows(sf_dir: str):
     """RAG / long-context prep: explode documents into 64-token
     windows advancing 48 tokens (16-token overlap) — stateless
@@ -2877,6 +2916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trustrank_3": _trustrank_3,
         "chunk_windows": _chunk_windows,
         "postings_compact_probe": _postings_compact_probe,
+        "kcore_4": _kcore_4,
     }
 
 
@@ -3043,6 +3083,49 @@ def _pagerank_sql(iters: int = 5, damping: int = 85,
                 FROM nd LEFT JOIN s{i} ON nd.node = s{i}.node)""")
     return ("WITH " + ",".join(ctes)
             + f" SELECT node, rank FROM r{iters}")
+
+
+def _kcore_sql(k: int = 4, rounds: int = 8) -> str:
+    """Unrolled parallel k-core peel mirroring
+    warcio_ray.ops.graph.kcore_nodes over the link-rule + next-page
+    nav edge set. Each unrolled round removes every node with current
+    degree < k; ``rounds`` must be >= the graph's peel depth (2 at the
+    test sfs, margin to 8 — extra rounds are no-ops at the fixpoint,
+    matching the engine's early stop). MATERIALIZED is load-bearing:
+    e{i} is referenced twice by round i+1."""
+    ctes = [f"""
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        raw AS (
+          SELECT doc_id AS src,
+                 ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn)) AS dst
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE j < doc_id % 4
+          UNION ALL
+          SELECT doc_id, doc_id + 1 FROM documents
+          WHERE doc_id + 1 < (SELECT n FROM nn)),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS lo,
+                          GREATEST(src, dst) AS hi
+          FROM raw WHERE src <> dst)"""]
+    for i in range(rounds):
+        ctes.append(f"""
+        d{i} AS (SELECT node, COUNT(*) AS deg FROM (
+                   SELECT lo AS node FROM e{i}
+                   UNION ALL SELECT hi FROM e{i})
+                 GROUP BY node),
+        a{i} AS (SELECT node FROM d{i} WHERE deg >= {k}),
+        e{i + 1} AS MATERIALIZED (
+          SELECT e.lo, e.hi FROM e{i} e
+          JOIN a{i} x ON e.lo = x.node
+          JOIN a{i} y ON e.hi = y.node)""")
+    return ("WITH " + ",".join(ctes) + f"""
+        SELECT node, CAST(deg AS BIGINT) AS deg FROM (
+          SELECT node, COUNT(*) AS deg FROM (
+            SELECT lo AS node FROM e{rounds}
+            UNION ALL SELECT hi FROM e{rounds})
+          GROUP BY node)
+        WHERE deg >= {k} ORDER BY node""")
 
 
 def _hits_sql(rounds: int = 2, cap_bits: int = 40) -> str:
@@ -3647,6 +3730,8 @@ def oracle_sql() -> dict[str, str]:
         # trustrank_3: seed-personalized PageRank (seeds doc_id%53=0),
         # same generator with the seed flag threaded through — exact
         "trustrank_3": _pagerank_sql(iters=3, seed_mod=53),
+        # kcore_4: unrolled parallel peel over links + nav edges
+        "kcore_4": _kcore_sql(k=4, rounds=8),
         # chunk_windows: W=64/S=48 sliding-window chunk rule replayed
         # with range() + list_slice over the \S+ token list; DuckDB's
         # // is floor division like numpy's, and both sides join

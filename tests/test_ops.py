@@ -3676,3 +3676,69 @@ def test_chunk_windows(ray_session):
         chunk_windows(ray.data.from_pandas(df), window=4, stride=0)
     with pytest.raises(ValueError, match="stride"):
         chunk_windows(ray.data.from_pandas(df), window=4, stride=5)
+
+
+def test_kcore_nodes(ray_session):
+    """k-core parallel peel: equals a brute-force sequential peel on
+    random graphs (both paths, two partitionings), handles self-loops
+    / multi-edges / full-peel-to-empty, survivors all keep deg >= k."""
+    import ray.data
+
+    from warcio_ray.ops.graph import kcore_nodes
+
+    def brute(edges, k):
+        und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        while True:
+            deg = {}
+            for a, b in und:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            dead = {v for v, d in deg.items() if d < k}
+            if not dead:
+                return dict(sorted(deg.items()))
+            if not und:
+                return {}
+            und = {(a, b) for a, b in und
+                   if a not in dead and b not in dead}
+            if not und:
+                return {}
+
+    # deterministic pseudo-random graph + planted K5 (survives k=4)
+    rng = np.random.RandomState(7)
+    e = rng.randint(0, 40, size=(260, 2))
+    edges = [tuple(map(int, r)) for r in e]
+    edges += [(100 + i, 100 + j) for i in range(5) for j in range(5)
+              if i < j]
+    edges += [(3, 3), (5, 5), (0, 1), (1, 0)]  # self-loops + both dirs
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+
+    def as_map(got):
+        return {} if got.empty else dict(zip(got["node"].astype(int),
+                                             got["deg"].astype(int)))
+
+    for k in (2, 4, 9):
+        want = brute(edges, k)
+        for np_ in (1, 3):
+            got = kcore_nodes(
+                ray.data.from_pandas(df).repartition(np_),
+                k=k).to_pandas()
+            assert as_map(got) == want
+        got_j = kcore_nodes(ray.data.from_pandas(df), k=k,
+                            broadcast_max_nodes=0).to_pandas()
+        assert as_map(got_j) == want
+        assert all(d >= k for d in want.values())
+    # K5 core survives k=4
+    w4 = brute(edges, 4)
+    assert {100, 101, 102, 103, 104} <= set(w4)
+
+    # full peel to empty (a path graph at k=2)
+    path = pd.DataFrame({"src": range(9), "dst": range(1, 10)})
+    for bmn in (0, 10 ** 6):
+        out = kcore_nodes(ray.data.from_pandas(path), k=2,
+                          broadcast_max_nodes=bmn).to_pandas()
+        assert len(out) == 0
+
+    # non-convergence is loud, not a silent partial core
+    import pytest
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore_nodes(ray.data.from_pandas(path), k=2, max_rounds=1)

@@ -767,3 +767,128 @@ def triangle_counts(edges_ds, broadcast_max_nodes: int = 2_000_000,
 
     return arrow_blocks(tri.map_batches(corners, batch_format="pandas")) \
         .groupby("node").aggregate(Count(alias_name="n_tri"))
+
+
+def kcore_nodes(edges_ds, k: int = 3, num_partitions=None,
+                broadcast_max_nodes: int = 2_000_000,
+                max_rounds: int = 64):
+    """k-core of the undirected simple graph under a directed (src,
+    dst) edge Dataset — the classic webgraph density/spam artifact
+    (Common Crawl's webgraph releases ship core numbers next to
+    ranks): the maximal subgraph where every node keeps degree >= k.
+    Returns a (node, deg) Dataset — survivors with their in-core
+    degree.
+
+    Parallel peel (Matula & Beck): each round removes EVERY node whose
+    current degree is < k simultaneously, until a fixpoint. Self-loops
+    dropped, multi-edges collapsed first (one (lo, hi) hash aggregate).
+
+    Scale shape: the edge set materializes once and only shrinks.
+    Below ``broadcast_max_nodes`` each round is ONE edge scan folding
+    bounded (node, deg) partials through the tree combiner, the alive
+    set broadcast back as a sorted int64 array (searchsorted filter);
+    above it, degree is a real hash aggregate and the edge filter is
+    two alive-semi-joins, driver state O(1). Both paths remove the
+    same node set each round, so they are bit-equal (tested).
+    Raises RuntimeError if ``max_rounds`` rounds don't converge
+    (parallel peel needs O(peel depth) rounds — tens on real
+    webgraphs; an adversarial path graph can need n/2, and a silent
+    partial core would be wrong).
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from warcio_ray.ops.blocks import (arrow_blocks, safe_join,
+                                       tree_aggregate)
+
+    if num_partitions is None:
+        num_partitions = _adaptive_partitions()
+
+    def to_und(batch: pd.DataFrame) -> pd.DataFrame:
+        src = batch["src"].to_numpy(dtype="int64")
+        dst = batch["dst"].to_numpy(dtype="int64")
+        keep = src != dst
+        lo = np.minimum(src[keep], dst[keep])
+        hi = np.maximum(src[keep], dst[keep])
+        return pd.DataFrame({"lo": lo, "hi": hi}).drop_duplicates()
+
+    und = arrow_blocks(
+        edges_ds.map_batches(to_und, batch_format="pandas")) \
+        .groupby(["lo", "hi"]).aggregate(Count(alias_name="_c")) \
+        .drop_columns(["_c"]).materialize()
+
+    def deg_fold(batch: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate([batch["lo"].to_numpy(dtype="int64"),
+                                batch["hi"].to_numpy(dtype="int64")])
+        ud, cnt = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": ud, "dg": cnt.astype("int64")})
+
+    n_nodes = int(und.map_batches(
+        lambda b: pd.DataFrame({"n": [b["lo"].nunique()
+                                      + b["hi"].nunique()]}),
+        batch_format="pandas").sum("n") or 0)  # upper bound is fine
+
+    empty = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                          "deg": pd.Series(dtype="int64")})
+
+    if n_nodes <= broadcast_max_nodes:
+        # endpoint universe fits the driver: per round one edge scan
+        # (bounded (node, deg) combiner) + one broadcast filter
+        for _ in range(max_rounds):
+            deg = tree_aggregate(
+                und.map_batches(deg_fold, batch_format="pandas"),
+                ["node"], sums=("dg",))
+            if not len(deg):
+                return ray.data.from_pandas(empty)
+            dead = deg["dg"].to_numpy(dtype="int64") < k
+            if not dead.any():
+                out = deg.rename(columns={"dg": "deg"}) \
+                    .sort_values("node").reset_index(drop=True)
+                return ray.data.from_pandas(out)
+            alive = np.sort(deg.loc[~dead, "node"]
+                            .to_numpy(dtype="int64"))
+            aref = ray.put(alive)
+
+            def keep(batch: pd.DataFrame) -> pd.DataFrame:
+                a = ray.get(aref)
+                lo = batch["lo"].to_numpy(dtype="int64")
+                hi = batch["hi"].to_numpy(dtype="int64")
+                pl = np.searchsorted(a, lo)
+                ph = np.searchsorted(a, hi)
+                ok = ((pl < len(a)) & (ph < len(a)))
+                ok[ok] &= ((a[pl[ok]] == lo[ok])
+                           & (a[ph[ok]] == hi[ok]))
+                return batch[ok]
+
+            und = und.map_batches(keep,
+                                  batch_format="pandas").materialize()
+        raise RuntimeError(f"k-core peel did not converge in "
+                           f"{max_rounds} rounds")
+
+    # join path: degree is a real hash aggregate; the edge filter is
+    # two semi-joins against the alive node set (ids only move)
+    for _ in range(max_rounds):
+        deg = arrow_blocks(
+            und.map_batches(deg_fold, batch_format="pandas")) \
+            .groupby("node").aggregate(Sum("dg", alias_name="deg")) \
+            .materialize()
+        n_dead = deg.filter(expr=f"deg < {k}").count()
+        if deg.count() == 0:
+            return ray.data.from_pandas(empty)
+        if n_dead == 0:
+            def stamp(batch: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "node": batch["node"].astype("int64"),
+                    "deg": batch["deg"].astype("int64")})
+            return deg.map_batches(stamp, batch_format="pandas")
+        alive = deg.filter(expr=f"deg >= {k}") \
+            .drop_columns(["deg"]).materialize()
+        for col in ("lo", "hi"):
+            # inner semi-join: alive carries only its key, so the join
+            # output is exactly (lo, hi) again
+            und = safe_join(und, alive, "inner", num_partitions,
+                            (col,), right_on=("node",))
+        und = und.materialize()
+    raise RuntimeError(f"k-core peel did not converge in "
+                       f"{max_rounds} rounds")
