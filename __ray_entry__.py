@@ -746,6 +746,46 @@ def _pagerank_5(sf_dir: str):
     return pagerank_ds(edges, nodes, iters=5)
 
 
+def _cocitation_pairs(sf_dir: str):
+    """Related-page discovery: co-citation counts over the real page
+    graph (content links + next-page nav edges) — pages cited together
+    by common sources (ops/graph.cocitation_pairs; cap never binds on
+    this graph and truncation is accounted)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from warcio_ray.ops.graph import cocitation_pairs
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    links = edge_urls.map_batches(to_ids, batch_format="pyarrow")
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = docs.count()
+
+    def nav(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].to_numpy(dtype="int64")
+        d = d[d + 1 < n]
+        return pd.DataFrame({"src": d, "dst": d + 1})
+
+    edges = links.union(docs.map_batches(nav, batch_format="pandas"))
+    pairs, _ = cocitation_pairs(edges)
+    return pairs
+
+
 def _kcore_4(sf_dir: str):
     """4-core of the undirected page graph: real extracted content
     links UNION next-page navigation edges (doc_id -> doc_id+1 — the
@@ -2917,6 +2957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_windows": _chunk_windows,
         "postings_compact_probe": _postings_compact_probe,
         "kcore_4": _kcore_4,
+        "cocitation_pairs": _cocitation_pairs,
     }
 
 
@@ -3732,6 +3773,26 @@ def oracle_sql() -> dict[str, str]:
         "trustrank_3": _pagerank_sql(iters=3, seed_mod=53),
         # kcore_4: unrolled parallel peel over links + nav edges
         "kcore_4": _kcore_sql(k=4, rounds=8),
+        # cocitation_pairs: distinct (src,dst) -> per-src unordered
+        # dst pairs -> common-citer counts (same links + nav edges)
+        "cocitation_pairs": """
+            WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+            raw AS (
+              SELECT doc_id AS src,
+                     ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn))
+                       AS dst
+              FROM documents
+              CROSS JOIN (SELECT unnest(range(3)) AS j) js
+              WHERE j < doc_id % 4
+              UNION ALL
+              SELECT doc_id, doc_id + 1 FROM documents
+              WHERE doc_id + 1 < (SELECT n FROM nn)),
+            ed AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)
+            SELECT x.dst AS a, y.dst AS b, COUNT(*) AS n_common
+            FROM ed x JOIN ed y
+              ON x.src = y.src AND x.dst < y.dst
+            GROUP BY x.dst, y.dst
+        """,
         # chunk_windows: W=64/S=48 sliding-window chunk rule replayed
         # with range() + list_slice over the \S+ token list; DuckDB's
         # // is floor division like numpy's, and both sides join

@@ -3742,3 +3742,51 @@ def test_kcore_nodes(ray_session):
     import pytest
     with pytest.raises(RuntimeError, match="did not converge"):
         kcore_nodes(ray.data.from_pandas(path), k=2, max_rounds=1)
+
+
+def test_cocitation_pairs(ray_session):
+    """Co-citation: brute-force parity (multi-edges collapse,
+    self-loops ignored), cap truncation keeps smallest ids and is
+    accounted, partition invariance."""
+    import itertools
+
+    import ray.data
+
+    from warcio_ray.ops.graph import cocitation_pairs
+
+    edges = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (2, 11),
+             (3, 10), (3, 12), (3, 3), (4, 20), (5, 10)]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+
+    def brute(cap):
+        cnt = {}
+        trunc = 0
+        by_src = {}
+        for s, d in edges:
+            if s != d:
+                by_src.setdefault(s, set()).add(d)
+        for s, ds_ in by_src.items():
+            ds_ = sorted(ds_)
+            if len(ds_) > cap:
+                trunc += 1
+                ds_ = ds_[:cap]
+            for a, b in itertools.combinations(ds_, 2):
+                cnt[(a, b)] = cnt.get((a, b), 0) + 1
+        return cnt, trunc
+
+    for cap in (256, 2):
+        want, wtrunc = brute(cap)
+        for np_ in (1, 4):
+            got, gtrunc = cocitation_pairs(
+                ray.data.from_pandas(df).repartition(np_),
+                max_out_degree=cap)
+            gp = got.to_pandas()
+            gmap = {} if gp.empty else {
+                (int(r.a), int(r.b)): int(r.n_common)
+                for r in gp.itertuples()}
+            assert gmap == want
+            assert gtrunc == wtrunc
+    # cap=2: sources 1 and 3 (deg 3 and 2 after self-loop drop)...
+    want2, t2 = brute(2)
+    assert t2 == 1  # only src 1 exceeds 2 distinct dsts
+    assert (10, 11) in want2 and (11, 12) not in want2

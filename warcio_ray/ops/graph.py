@@ -892,3 +892,85 @@ def kcore_nodes(edges_ds, k: int = 3, num_partitions=None,
         und = und.materialize()
     raise RuntimeError(f"k-core peel did not converge in "
                        f"{max_rounds} rounds")
+
+
+def cocitation_pairs(edges_ds, max_out_degree: int = 256,
+                     num_partitions=None):
+    """Co-citation counts (Small 1973, the related-page signal search
+    engines derive from the link graph): for every unordered pair of
+    pages cited by a common source, how many distinct sources cite
+    both. Returns (a, b, n_common) with a < b, plus the number of
+    OVER-CAP sources truncated (second return value) — a source
+    citing more than ``max_out_degree`` distinct pages contributes
+    only its ``max_out_degree`` smallest-id citations (pair fan-out is
+    quadratic in out-degree; an uncapped mega-hub would emit billions
+    of pairs), and the truncation is accounted, never silent.
+
+    Shape at scale: per-batch distinct (src, dst) fold, ONE src-hash
+    partition sweep generates each source's pairs with a vectorized
+    per-partition kernel (never a per-src map_groups group), then ONE
+    (a, b) hash aggregate counts common citers. Self-loops ignored;
+    duplicate (src, dst) edges collapse before pairing, so multi-edges
+    don't inflate counts.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    if num_partitions is None:
+        num_partitions = _adaptive_partitions()
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "src": batch["src"].to_numpy(dtype="int64"),
+            "dst": batch["dst"].to_numpy(dtype="int64")})
+        df = df[df["src"] != df["dst"]].drop_duplicates()
+        df["_part"] = (df["src"].to_numpy(dtype="int64")
+                       % num_partitions)
+        return df
+
+    def pair_kernel(grp: pd.DataFrame) -> pd.DataFrame:
+        # whole partition at once: global (src, dst) dedup, then pair
+        # expansion per source over sorted contiguous runs
+        g = grp.drop_duplicates(["src", "dst"]) \
+            .sort_values(["src", "dst"], kind="mergesort")
+        src = g["src"].to_numpy(dtype="int64")
+        dst = g["dst"].to_numpy(dtype="int64")
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        ends = np.r_[starts[1:], len(src)]
+        a_out, b_out, n_trunc = [], [], 0
+        for s, e in zip(starts, ends):
+            if e - s > max_out_degree:
+                n_trunc += 1
+                e = s + max_out_degree  # smallest ids (sorted run)
+            d = dst[s:e]
+            m = len(d)
+            if m < 2:
+                continue
+            iu = np.triu_indices(m, k=1)
+            a_out.append(d[iu[0]])
+            b_out.append(d[iu[1]])
+        if a_out:
+            out = pd.DataFrame({
+                "a": np.concatenate(a_out),
+                "b": np.concatenate(b_out)})
+        else:
+            out = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                "b": pd.Series(dtype="int64")})
+        if n_trunc:
+            out = pd.concat([out, pd.DataFrame(
+                {"a": [-1], "b": [-n_trunc]})], ignore_index=True)
+        return out.astype({"a": "int64", "b": "int64"})
+
+    pairs = edges_ds.map_batches(fold, batch_format="pandas") \
+        .groupby("_part").map_groups(pair_kernel,
+                                     batch_format="pandas") \
+        .materialize()
+    n_truncated = -int(pairs.filter(expr="a == -1")
+                       .sum("b") or 0)
+    real = pairs.filter(expr="a >= 0")
+    counted = arrow_blocks(real).groupby(["a", "b"]) \
+        .aggregate(Count(alias_name="n_common"))
+    return counted, n_truncated
