@@ -746,6 +746,19 @@ def _pagerank_5(sf_dir: str):
     return pagerank_ds(edges, nodes, iters=5)
 
 
+def _embedding_outliers(sf_dir: str):
+    """Embedding-space curation: per-cluster farthest-5 vectors by
+    exact quantized distance-to-centroid (ops/kmeans.embedding_outliers
+    — composes the oracle-shared exact k-means)."""
+    import ray.data
+
+    from warcio_ray.ops.kmeans import embedding_outliers
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return embedding_outliers(ds, per_cluster_topk=5)
+
+
 def _cocitation_pairs(sf_dir: str):
     """Related-page discovery: co-citation counts over the real page
     graph (content links + next-page nav edges) — pages cited together
@@ -2958,6 +2971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_compact_probe": _postings_compact_probe,
         "kcore_4": _kcore_4,
         "cocitation_pairs": _cocitation_pairs,
+        "embedding_outliers": _embedding_outliers,
     }
 
 
@@ -3866,6 +3880,25 @@ def oracle_sql() -> dict[str, str]:
         # kmeans_clusters: exact-integer Lloyd — unrolled generated CTE
         # chain, bit-identical (hash compare)
         "kmeans_clusters": _kmeans_sql(),
+        # embedding_outliers: composes the SAME kmeans CTE chain, then
+        # exact d2 to the assigned centroid + a farthest-5 window per
+        # cluster (ties by vec_id) — tracks any future kmeans change
+        "embedding_outliers": ("WITH " + _kmeans_sql(ctes_only=True)
+                               + """,
+            dd AS (
+              SELECT a.vec_id, a.cl,
+                     SUM((e.qx - c.cx) * (e.qx - c.cx)) AS d2
+              FROM afin a
+              JOIN e ON e.vec_id = a.vec_id
+              JOIN c3 c ON c.cl = a.cl AND c.i = e.i
+              GROUP BY a.vec_id, a.cl)
+            SELECT vec_id, CAST(cl AS BIGINT) AS cluster,
+                   CAST(d2 AS BIGINT) AS d2
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY cl ORDER BY d2 DESC, vec_id) AS rn
+                  FROM dd)
+            WHERE rn <= 5
+        """),
         # semdedup_dups: k-means (shared CTE chain) + HUGEINT-safe
         # quantized-cosine pair test — bit-identical (hash compare)
         "semdedup_dups": _semdedup_sql(),

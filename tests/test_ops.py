@@ -3790,3 +3790,56 @@ def test_cocitation_pairs(ray_session):
     want2, t2 = brute(2)
     assert t2 == 1  # only src 1 exceeds 2 distinct dsts
     assert (10, 11) in want2 and (11, 12) not in want2
+
+
+def test_embedding_outliers(ray_session):
+    """Per-cluster farthest-M selection: numpy-reference parity
+    (distances, assignment, top-M with (d2 desc, id asc) ties) at two
+    partitionings; planted far point always selected; M larger than a
+    cluster returns the whole cluster."""
+    import ray.data
+
+    from warcio_ray.ops.kmeans import (_quantize, embedding_outliers,
+                                       kmeans_exact)
+
+    rng = np.random.RandomState(3)
+    base = np.r_[rng.normal(0, .05, (30, 8)),
+                 rng.normal(1, .05, (30, 8))]
+    base[7] = 0.45  # planted: between clusters, far from both
+    df = pd.DataFrame({
+        "vec_id": np.arange(60, dtype="int64"),
+        "embedding": [r.astype("float32") for r in base]})
+
+    def reference(M, k=4, iters=3, scale=1 << 16):
+        import ray.data as rd
+        _, cents = kmeans_exact(rd.from_pandas(df), k=k, iters=iters,
+                                scale=scale, return_centroids=True)
+        q = _quantize(df["embedding"], scale)
+        diff = q[:, None, :] - cents[None, :, :]
+        d2k = (diff * diff).sum(axis=2)
+        cl = np.argmin(d2k, axis=1)
+        d2 = d2k[np.arange(len(cl)), cl]
+        t = pd.DataFrame({"vec_id": df["vec_id"], "cluster": cl,
+                          "d2": d2})
+        t = t.sort_values(["cluster", "d2", "vec_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        return t.groupby("cluster", sort=False).head(M) \
+            .reset_index(drop=True)
+
+    for M in (3, 100):
+        want = reference(M)
+        for np_ in (1, 4):
+            got = embedding_outliers(
+                ray.data.from_pandas(df).repartition(np_),
+                per_cluster_topk=M).to_pandas()
+            pd.testing.assert_frame_equal(
+                got.reset_index(drop=True), want, check_dtype=False)
+    # planted far point is among its cluster's top-3
+    got3 = embedding_outliers(ray.data.from_pandas(df),
+                              per_cluster_topk=3).to_pandas()
+    assert 7 in set(got3["vec_id"])
+    # M=100 > cluster sizes: every vector comes back exactly once
+    got_all = embedding_outliers(ray.data.from_pandas(df),
+                                 per_cluster_topk=100).to_pandas()
+    assert sorted(got_all["vec_id"]) == list(range(60))

@@ -121,3 +121,64 @@ def kmeans_exact(ds, vec_col: str = "embedding", id_col: str = "vec_id",
 
     out = ds.map_batches(final_assign, batch_format="pandas")
     return (out, cents) if return_centroids else out
+
+
+def embedding_outliers(ds, vec_col: str = "embedding",
+                       id_col: str = "vec_id", k: int = 4,
+                       iters: int = 3, scale: int = 1 << 16,
+                       per_cluster_topk: int = 5):
+    """Distance-to-centroid outlier detection — the embedding-space
+    curation signal (mislabeled / off-distribution vectors sit far
+    from their cluster's center; cf. SemDeDup's inverse use of the
+    same geometry). Clusters with ``kmeans_exact``, then returns the
+    ``per_cluster_topk`` FARTHEST vectors of every cluster as
+    (id_col, cluster, d2) rows — d2 the exact int64 quantized squared
+    distance, ties broken by lowest id (a fixed-size exact selection,
+    robust to any distance distribution; a mean-multiple threshold
+    degenerates on tight synthetic clusters).
+
+    Scale shape: kmeans passes + ONE further corpus scan — each batch
+    folds to its per-cluster top-M candidates (<= k*M rows leave any
+    task), merged by one final driver fold over O(batches * k * M)
+    candidate rows; the corpus never shuffles. Distances recompute
+    from the broadcast (k, d) int64 codebook (identical argmin) — no
+    assignment join ever ships vectors. Overflow: d2 <=
+    d*(2*scale*max|x|)^2 (2^42 at d=64, scale 2^16, |x|<=2).
+    """
+    import ray
+    import ray.data
+
+    _, cents = kmeans_exact(ds, vec_col=vec_col, id_col=id_col, k=k,
+                            iters=iters, scale=scale,
+                            return_centroids=True)
+    empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                          "cluster": pd.Series(dtype="int64"),
+                          "d2": pd.Series(dtype="int64")})
+    if cents.size == 0:
+        return ray.data.from_pandas(empty)
+    cref = ray.put(cents)
+
+    def dists(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        q = _quantize(batch[vec_col], scale)
+        diff = q[:, None, :] - c[None, :, :]
+        d2k = (diff * diff).sum(axis=2)
+        cl = np.argmin(d2k, axis=1)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(dtype="int64"),
+            "cluster": cl.astype("int64"),
+            "d2": d2k[np.arange(len(cl)), cl].astype("int64")})
+
+    def top_fold(batch: pd.DataFrame) -> pd.DataFrame:
+        # exact per-cluster top-M: sort by (cluster, -d2, id), head M
+        b = batch.sort_values(["cluster", "d2", id_col],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        return b.groupby("cluster", sort=False).head(per_cluster_topk)
+
+    cand = ds.map_batches(dists, batch_format="pandas") \
+        .map_batches(top_fold, batch_format="pandas").to_pandas()
+    if not len(cand):
+        return ray.data.from_pandas(empty)
+    out = top_fold(cand).reset_index(drop=True)
+    return ray.data.from_pandas(out[[id_col, "cluster", "d2"]])
