@@ -544,6 +544,46 @@ def _bpe_encode_counts(sf_dir: str):
         batch_format="pandas")
 
 
+def _bpe_fertility(sf_dir: str):
+    """Tokenizer-equity audit: per-language BPE fertility (chars per
+    token — languages a tokenizer serves poorly pay more tokens per
+    character; the multilingual-pretraining report metric). Composes
+    the trained 30-merge BPE encoder with a bounded per-lang fold:
+    encode scan -> per-batch (lang, docs, tokens, chars) partials ->
+    tree combiner; fertility = ONE IEEE division per language."""
+    import functools
+
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.blocks import tree_aggregate
+    from warcio_ray.ops.bpe import encode_bpe_batch, train_bpe
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    merges = train_bpe(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["text"]), n_merges=30)
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        enc = encode_bpe_batch(batch, merges_df=merges)
+        enc["lang"] = batch["lang"].to_numpy()
+        g = enc.groupby("lang", sort=False).agg(
+            n_docs=("doc_id", "size"),
+            n_tokens=("n_bpe_tokens", "sum"),
+            n_chars=("n_chars", "sum")).reset_index()
+        return g.astype({"n_docs": "int64", "n_tokens": "int64",
+                         "n_chars": "int64"})
+
+    agg = tree_aggregate(ds.map_batches(fold, batch_format="pandas"),
+                         ["lang"],
+                         sums=("n_docs", "n_tokens", "n_chars"))
+    agg = agg.sort_values("lang").reset_index(drop=True)
+    agg["chars_per_token"] = (agg["n_chars"]
+                              / agg["n_tokens"]).round(6)
+    return agg
+
+
 def _shuffle_ranks(sf_dir: str):
     """Deterministic global shuffle order (md5 rank) — the
     training-shard ordering primitive; exact distributed rank via
@@ -2972,6 +3012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_4": _kcore_4,
         "cocitation_pairs": _cocitation_pairs,
         "embedding_outliers": _embedding_outliers,
+        "bpe_fertility": _bpe_fertility,
     }
 
 
@@ -4499,6 +4540,35 @@ def oracle_sql() -> dict[str, str]:
         # round by round; encode lengths fall out of the final vocab
         "bpe_merges_30": _bpe_merges_sql(30),
         "bpe_encode_counts": _bpe_encode_sql(30),
+        # bpe_fertility: per-lang rollup of the SAME encode replay —
+        # chars/token with the identical float division + round
+        "bpe_fertility": f"""
+            WITH {_bpe_sql_ctes(30)},
+            tokcnt AS (
+              SELECT word,
+                     len(regexp_extract_all(s, '\\(([^)]*)\\)', 1))
+                       AS wt
+              FROM v30),
+            dtoks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\\S+')) AS word
+              FROM documents),
+            per_doc AS (
+              SELECT dtoks.doc_id, SUM(tokcnt.wt) AS nt
+              FROM dtoks JOIN tokcnt USING (word)
+              GROUP BY dtoks.doc_id)
+            SELECT d.lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(COALESCE(p.nt, 0)) AS BIGINT) AS n_tokens,
+                   CAST(SUM(length(COALESCE(d.text, ''))) AS BIGINT)
+                     AS n_chars,
+                   round(CAST(SUM(length(COALESCE(d.text, '')))
+                              AS DOUBLE)
+                         / SUM(COALESCE(p.nt, 0)), 6)
+                     AS chars_per_token
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            GROUP BY d.lang ORDER BY d.lang
+        """,
         "export_bpe_packed": _export_bpe_packed_sql(30, 256),
         "export_packed": """
             WITH q AS (
