@@ -1808,6 +1808,38 @@ def _cdxj_append_lookup(sf_dir: str):
     return out[["surt_key", "ts14", "url"]]
 
 
+def _cdxj_compact_lookup(sf_dir: str):
+    """CDXJ LSM compaction end to end: build over a third of the WARC
+    shards, append the other two thirds as generations, COMPACT into
+    one freshly range-sorted shard set (pipelines/index.
+    compact_cdxj_layout — restores minimal prefix pruning), then the
+    pruned lookup must STILL equal the full-index answer."""
+    import os
+    import shutil
+
+    from warcio_ray.pipelines.index import (append_cdxj_layout,
+                                            build_cdxj_layout,
+                                            cdxj_lookup,
+                                            compact_cdxj_layout)
+
+    paths = sorted(_warc_fixture_paths(sf_dir))
+    third = max(1, len(paths) // 3)
+    layout = os.path.join("/tmp/warcio_ray/cdxj_compact",
+                          os.path.basename(sf_dir.rstrip("/")))
+    census = os.path.join(layout, "_CENSUS")
+    want = f"{third}/{len(paths)}"
+    if not (os.path.exists(census) and open(census).read() == want):
+        shutil.rmtree(layout, ignore_errors=True)
+    build_cdxj_layout(paths[:third], layout)
+    append_cdxj_layout(paths[third:2 * third], layout)
+    append_cdxj_layout(paths[2 * third:], layout)
+    compact_cdxj_layout(layout)
+    with open(census, "w") as f:
+        f.write(want)
+    out = cdxj_lookup(layout, ["example,site2)/", "example,site55)/"])
+    return out[["surt_key", "ts14", "url"]]
+
+
 def _tfidf_keywords(sf_dir: str):
     """Per-doc tf-idf keyword extraction: top-3 whitespace terms by
     tf * ln(N/df), ties broken by term ASC (ops/search.py
@@ -3013,6 +3045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cocitation_pairs": _cocitation_pairs,
         "embedding_outliers": _embedding_outliers,
         "bpe_fertility": _bpe_fertility,
+        "cdxj_compact_lookup": _cdxj_compact_lookup,
     }
 
 
@@ -5429,6 +5462,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT surt_key, ts14, url FROM idx
             WHERE surt_key LIKE 'example,site1)/%'
                OR surt_key LIKE 'example,site77)/%'
+            ORDER BY surt_key, ts14
+        """,
+        # cdxj_compact_lookup: compaction is observationally a no-op
+        # — same full-index reconstruction at the compact probe
+        # prefixes
+        "cdxj_compact_lookup": f"""
+            WITH idx AS (
+              SELECT 'example,site' || CAST(CASE WHEN doc_id%100<30 THEN 0
+                       WHEN doc_id%100<45 THEN 1 WHEN doc_id%100<55 THEN 2
+                       WHEN doc_id%100<62 THEN 3 ELSE doc_id%100 END
+                       AS VARCHAR) || ')/doc/' || CAST(doc_id AS VARCHAR)
+                       AS surt_key,
+                     strftime(TIMESTAMP '2024-01-01 00:00:00'
+                       + doc_id * INTERVAL 1 SECOND, '%Y%m%d%H%M%S')
+                       AS ts14,
+                     {_HOST_CASE.replace("'site'", "'http://site'")}
+                       || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents)
+            SELECT surt_key, ts14, url FROM idx
+            WHERE surt_key LIKE 'example,site2)/%'
+               OR surt_key LIKE 'example,site55)/%'
             ORDER BY surt_key, ts14
         """,
         # tfidf_keywords: exact tf / distinct-doc df over the same

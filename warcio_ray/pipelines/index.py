@@ -193,9 +193,19 @@ def _shard_writer(out_dir: str, tag: str = ""):
                              "min_key": pa.array([], pa.string()),
                              "max_key": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        name = hashlib.md5(
-            (keys[0] + "\x00" + keys[-1] + "\x00"
-             + str(len(keys))).encode()).hexdigest()[:12]
+        # hash the FULL row content, not (first, last, count): two
+        # single-key batches from a sort split collided under the old
+        # rule, the second overwrote the first and the manifest
+        # double-referenced it (one capture duplicated, one lost).
+        # With full-content names a collision implies byte-identical
+        # batches — double-referencing one file then reproduces the
+        # duplicate rows exactly, so it stays correct.
+        h = hashlib.md5()
+        for col in batch.column_names:
+            h.update("\x1f".join(
+                map(str, batch[col].to_pylist())).encode("utf-8"))
+            h.update(b"\x1e")
+        name = h.hexdigest()[:12]
         final = os.path.join(out_dir, "shards",
                              f"part-{tag}{name}.parquet")
         tmp = final + ".tmp"
@@ -293,6 +303,62 @@ def append_cdxj_layout(paths, layout_dir: str) -> str:
     with open(tmp, "w") as f:
         json.dump(log, f)
     os.replace(tmp, log_path)
+    return layout_dir
+
+
+def compact_cdxj_layout(layout_dir: str) -> str:
+    """Merge ALL standing shards (base + every append generation) into
+    one freshly range-sorted shard set — the LSM compaction that
+    restores the non-overlapping-range property appends erode (each
+    append generation's shards may overlap base ranges, so prefix
+    lookups read more shards per probe as generations pile up; after
+    compaction pruning is minimal again). Observationally a no-op:
+    ``cdxj_lookup`` merge-sorts survivors either way, so results are
+    bit-identical before and after.
+
+    Commit protocol: fresh ``c<N>-`` shards land via the same
+    atomic-rename writer the builds use, then ONE atomic
+    ``manifest.json`` rewrite installs the new shard list — a torn
+    compaction is invisible (unreferenced files) and a retry rewrites
+    identical content-hash names. ``appends.json`` is untouched, so
+    batch idempotency survives compaction. Absorbed shard files are
+    deleted best-effort AFTER the commit. Single writer assumed, like
+    the appends."""
+    import json
+    import re
+
+    import ray.data
+
+    if not os.path.exists(os.path.join(layout_dir, "_DONE")):
+        raise FileNotFoundError(
+            f"compact_cdxj_layout: no built layout at {layout_dir} "
+            "(run build_cdxj_layout first)")
+    man_path = os.path.join(layout_dir, "manifest.json")
+    with open(man_path) as f:
+        manifest = json.load(f)
+    if len(manifest) <= 1:
+        return layout_dir  # zero/one shard: nothing to merge
+    old_paths = [row["path"] for row in manifest]
+
+    prev_c = max((int(m.group(1)) for row in manifest
+                  if (m := re.search(r"part-c(\d+)-",
+                                     os.path.basename(row["path"])))),
+                 default=0)
+    new_rows = ray.data.read_parquet(old_paths) \
+        .sort(["surt_key", "ts14", "filename", "offset"]) \
+        .map_batches(_shard_writer(layout_dir, tag=f"c{prev_c + 1}-"),
+                     batch_format="pyarrow").to_pandas()
+
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_rows.to_dict(orient="records"), f)
+    os.replace(tmp, man_path)
+
+    for p in old_paths:  # absorbed; manifest no longer references them
+        try:
+            os.remove(p)
+        except OSError:
+            pass
     return layout_dir
 
 
