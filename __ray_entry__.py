@@ -1506,6 +1506,45 @@ def _ivf_append_top10(sf_dir: str):
     return pd.DataFrame({"vec_id": out["vec_id"].astype("int64")})
 
 
+def _ivf_compact_top10(sf_dir: str):
+    """IVF segment merge: build over thirds (base + two frozen-codebook
+    append generations), COMPACT into one centroid-partitioned root
+    (ops/ivf.compact_ivf_layout), then a full-probe search over the
+    compacted layout is still EXACT — brute-force cosine oracle."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from warcio_ray.ops.ivf import (append_ivf_layout,
+                                    build_ivf_layout,
+                                    compact_ivf_layout,
+                                    ivf_search_layout)
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(
+        t.filter(__import__("pyarrow").compute.equal(t["vec_id"], 0))
+        ["embedding"][0].as_py(), dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    parts = [ds.map_batches(lambda b, r=r: b[b["vec_id"] % 3 == r],
+                            batch_format="pandas") for r in range(3)]
+    layout = os.path.join("/tmp/warcio_ray/ivf_compact",
+                          os.path.basename(sf_dir.rstrip("/")))
+    # compaction mutates the layout in place; a stale half-compacted
+    # dir from an earlier census would skip the build, so start clean
+    shutil.rmtree(layout, ignore_errors=True)
+    build_ivf_layout(parts[0], layout, n_centroids=8)
+    append_ivf_layout(parts[1], layout, batch_tag="third-1")
+    append_ivf_layout(parts[2], layout, batch_tag="third-2")
+    compact_ivf_layout(layout)
+    out = ivf_search_layout(layout, q, k=10)
+    return pd.DataFrame({"vec_id": out["vec_id"].astype("int64")})
+
+
 def _fingerprint_dups(sf_dir: str):
     import ray.data
 
@@ -3046,6 +3085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_outliers": _embedding_outliers,
         "bpe_fertility": _bpe_fertility,
         "cdxj_compact_lookup": _cdxj_compact_lookup,
+        "ivf_compact_top10": _ivf_compact_top10,
     }
 
 
@@ -5328,6 +5368,15 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "ivf_knn_top10": """
+            SELECT vec_id FROM embeddings
+            ORDER BY list_cosine_similarity(embedding,
+                (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                vec_id
+            LIMIT 10
+        """,
+        # ivf_compact_top10: compaction is observationally a no-op —
+        # full probe stays exact, same brute-force oracle
+        "ivf_compact_top10": """
             SELECT vec_id FROM embeddings
             ORDER BY list_cosine_similarity(embedding,
                 (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,

@@ -3068,6 +3068,78 @@ def test_append_ivf_layout(ray_session, tmp_path):
                           str(tmp_path / "none"), "x")
 
 
+def test_compact_ivf_layout(ray_session, tmp_path):
+    """IVF compaction: searches identical before/after (pruned AND
+    full probe), frozen centroids untouched, absorbed dirs reclaimed,
+    replayed appends stay no-ops, single-root no-op, post-compaction
+    append + recompact correct."""
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from warcio_ray.ops.ivf import (append_ivf_layout,
+                                    build_ivf_layout,
+                                    compact_ivf_layout,
+                                    ivf_search_layout)
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(90, 8)
+    df = pd.DataFrame({"vec_id": np.arange(90, dtype="int64"),
+                       "embedding": list(vecs)})
+    parts = [df[df.vec_id % 3 == r] for r in range(3)]
+    q = vecs[:3]
+
+    layout = str(tmp_path / "ivf")
+    build_ivf_layout(ray.data.from_pandas(parts[0]), layout,
+                     n_centroids=4)
+    append_ivf_layout(ray.data.from_pandas(parts[1]), layout, "g1")
+    append_ivf_layout(ray.data.from_pandas(parts[2]), layout, "g2")
+    cent = np.load(os.path.join(layout, "centroids.npy"))
+    before_full = ivf_search_layout(layout, q, k=7)
+    before_p1 = ivf_search_layout(layout, q, k=7, nprobe=1)
+
+    compact_ivf_layout(layout)
+    assert np.array_equal(
+        cent, np.load(os.path.join(layout, "centroids.npy")))
+    gens = json.load(open(f"{layout}/generations.json"))
+    assert len(gens) == 1 and gens[0]["replaces_base"]
+    assert sorted(gens[0]["absorbed_tags"]) == ["g1", "g2"]
+    assert not os.path.isdir(os.path.join(layout, "vectors"))
+    assert not os.path.isdir(os.path.join(layout, "vectors_g1"))
+    pd.testing.assert_frame_equal(
+        ivf_search_layout(layout, q, k=7), before_full)
+    pd.testing.assert_frame_equal(
+        ivf_search_layout(layout, q, k=7, nprobe=1), before_p1)
+
+    # replayed absorbed tag: no-op
+    append_ivf_layout(ray.data.from_pandas(parts[1]), layout, "g1")
+    assert json.load(open(f"{layout}/generations.json")) == gens
+    # single root: compaction no-op
+    compact_ivf_layout(layout)
+    assert json.load(open(f"{layout}/generations.json")) == gens
+
+    # post-compaction append + recompact == one full build (full probe
+    # is exact, so centroid provenance doesn't matter)
+    extra = pd.DataFrame({"vec_id": np.arange(90, 100, dtype="int64"),
+                          "embedding": list(rng.randn(10, 8))})
+    append_ivf_layout(ray.data.from_pandas(extra), layout, "g3")
+    compact_ivf_layout(layout)
+    got = ivf_search_layout(layout, q, k=7)
+    full = str(tmp_path / "full")
+    build_ivf_layout(
+        ray.data.from_pandas(pd.concat([df, extra])), full,
+        n_centroids=4)
+    want = ivf_search_layout(full, q, k=7)
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+
+    with pytest.raises(FileNotFoundError):
+        compact_ivf_layout(str(tmp_path / "none"))
+
+
 def test_rank_select_lowest(ray_session):
     """Exact rank selection: brute-force parity incl. heavy ties and
     NaN exclusion, at two partitionings; pct validation."""

@@ -253,14 +253,9 @@ def ivf_search_layout(layout_dir: str, queries: np.ndarray, k: int = 10,
     probes = _probe_sets(qn, centroids, nprobe)
 
     needed = sorted({int(c) for p in probes for c in p})
-    # base layout + every COMMITTED append generation (still
-    # cluster-pruned; see append_ivf_layout)
-    roots = ["vectors"]
-    gen_path = os.path.join(layout_dir, "generations.json")
-    if os.path.exists(gen_path):
-        import json
-        with open(gen_path) as f:
-            roots += [g["dir"] for g in json.load(f)]
+    # base layout + every COMMITTED append generation, or the
+    # compacted root that absorbed them — still cluster-pruned
+    roots, _ = _ivf_roots(layout_dir)
     paths = [os.path.join(layout_dir, r, f"centroid_id={c}")
              for r in roots for c in needed]
     paths = [p for p in paths if os.path.isdir(p)]
@@ -282,6 +277,93 @@ def ivf_search_layout(layout_dir: str, queries: np.ndarray, k: int = 10,
                                include_paths=True) \
         .map_batches(restore_cid, batch_format="pandas")
     return _probe_and_merge(ds, qn, probes, k)
+
+
+def _ivf_roots(layout_dir: str):
+    """Current root dirs of an IVF layout: base ``vectors`` + committed
+    generations, unless a compaction entry (``replaces_base``)
+    absorbed everything before it. Shared by search and compaction."""
+    import json
+
+    gens = []
+    gen_path = os.path.join(layout_dir, "generations.json")
+    if os.path.exists(gen_path):
+        with open(gen_path) as f:
+            gens = json.load(f)
+    last_compact = max((i for i, g in enumerate(gens)
+                        if g.get("replaces_base")), default=None)
+    if last_compact is None:
+        return ["vectors"] + [g["dir"] for g in gens], gens
+    return [g["dir"] for g in gens[last_compact:]], gens
+
+
+def compact_ivf_layout(layout_dir: str) -> str:
+    """Merge the base + every committed append generation into ONE
+    fresh centroid-partitioned dir — the FAISS-side segment merge
+    keeping per-probe file counts bounded as `IVF.add` generations
+    accumulate. Observationally a no-op: assignments are immutable
+    under the frozen codebook, so any search reads the same vector
+    multiset before and after.
+
+    Same commit protocol as search.compact_postings_layout: merged
+    rows land uncommitted in ``vectors_c<N>/``, ONE atomic
+    ``generations.json`` rewrite installs the ``replaces_base`` entry
+    (carrying absorbed tags so replayed appends stay no-ops),
+    absorbed dirs reclaimed after commit. Monotonic c-numbering so a
+    retry can never rmtree its own input. Single writer assumed."""
+    import json
+    import re
+    import shutil
+
+    import ray.data
+
+    marker = os.path.join(layout_dir, "_DONE")
+    if not os.path.exists(marker):
+        raise FileNotFoundError(
+            f"compact_ivf_layout: no built layout at {layout_dir} "
+            "(run build_ivf_layout first)")
+
+    roots, gens = _ivf_roots(layout_dir)
+    if len(roots) <= 1:
+        return layout_dir  # single root: nothing to merge
+
+    prev_c = max((int(m.group(1)) for g in gens
+                  if (m := re.fullmatch(r"vectors_c(\d+)", g["dir"]))),
+                 default=0)
+    comp_dir = f"vectors_c{prev_c + 1}"
+    shutil.rmtree(os.path.join(layout_dir, comp_dir),
+                  ignore_errors=True)
+    paths = [os.path.join(layout_dir, r) for r in roots]
+    paths = [p for p in paths if os.path.isdir(p)]
+
+    def restore_cid(batch: pd.DataFrame) -> pd.DataFrame:
+        cids = batch["path"].str.extract(r"centroid_id=(\d+)")[0] \
+            .astype("int64")
+        batch = batch.drop(columns=["path"])
+        batch["centroid_id"] = cids
+        return batch
+
+    ray.data.read_parquet(paths, file_extensions=["parquet"],
+                          include_paths=True) \
+        .map_batches(restore_cid, batch_format="pandas") \
+        .write_parquet(os.path.join(layout_dir, comp_dir),
+                       partition_cols=["centroid_id"])
+
+    absorbed = sorted({g["tag"] for g in gens} |
+                      {t for g in gens
+                       for t in g.get("absorbed_tags", [])})
+    new_gens = [{"tag": f"__compact_{prev_c + 1}__",
+                 "dir": comp_dir, "replaces_base": True,
+                 "absorbed_tags": absorbed}]
+    gen_path = os.path.join(layout_dir, "generations.json")
+    tmp = gen_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_gens, f)
+    os.replace(tmp, gen_path)
+
+    for r in roots:
+        shutil.rmtree(os.path.join(layout_dir, r), ignore_errors=True)
+    return layout_dir
 
 
 def append_ivf_layout(ds_new, layout_dir: str, batch_tag: str) -> str:
@@ -312,7 +394,8 @@ def append_ivf_layout(ds_new, layout_dir: str, batch_tag: str) -> str:
     if os.path.exists(gen_path):
         with open(gen_path) as f:
             gens = json.load(f)
-    if any(g["tag"] == batch_tag for g in gens):
+    if any(g["tag"] == batch_tag or
+           batch_tag in g.get("absorbed_tags", []) for g in gens):
         return layout_dir
 
     gen_dir = f"vectors_g{len(gens) + 1}"
