@@ -544,6 +544,23 @@ def _bpe_encode_counts(sf_dir: str):
         batch_format="pandas")
 
 
+def _phrase_search(sf_dir: str):
+    """Exact phrase search (the positional-index query class): count
+    per-doc occurrences of doc 0's first trigram across the corpus —
+    one vectorized shifted-mask scan, overlaps counted
+    (ops/search.phrase_counts)."""
+    import ray.data
+
+    from warcio_ray.ops.search import phrase_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    probe = ds.map_batches(lambda b: b[b["doc_id"] == 0],
+                           batch_format="pandas").to_pandas()
+    phrase = (probe["text"].iloc[0] or "").split()[:3]
+    return phrase_counts(ds, phrase)
+
+
 def _bpe_fertility(sf_dir: str):
     """Tokenizer-equity audit: per-language BPE fertility (chars per
     token — languages a tokenizer serves poorly pay more tokens per
@@ -3086,6 +3103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_fertility": _bpe_fertility,
         "cdxj_compact_lookup": _cdxj_compact_lookup,
         "ivf_compact_top10": _ivf_compact_top10,
+        "phrase_search": _phrase_search,
     }
 
 
@@ -5533,6 +5551,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE surt_key LIKE 'example,site2)/%'
                OR surt_key LIKE 'example,site55)/%'
             ORDER BY surt_key, ts14
+        """,
+        # phrase_search: doc 0's first trigram, counted with the same
+        # shifted-window rule (1-based list indexing; overlaps count)
+        "phrase_search": r"""
+            WITH ph AS (
+              SELECT p[1] AS w1, p[2] AS w2, p[3] AS w3 FROM (
+                SELECT regexp_extract_all(text, '\S+') AS p
+                FROM documents WHERE doc_id = 0)),
+            toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+              FROM documents),
+            cnt AS (
+              SELECT doc_id,
+                     len(list_filter(
+                       range(GREATEST(len(t) - 2, 0)), i ->
+                         t[i + 1] = w1 AND t[i + 2] = w2
+                         AND t[i + 3] = w3)) AS n_matches
+              FROM toks CROSS JOIN ph)
+            SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
+            FROM cnt WHERE n_matches > 0
         """,
         # tfidf_keywords: exact tf / distinct-doc df over the same
         # whitespace tokenization; identical score expression so ties

@@ -3915,3 +3915,49 @@ def test_embedding_outliers(ray_session):
     got_all = embedding_outliers(ray.data.from_pandas(df),
                                  per_cluster_topk=100).to_pandas()
     assert sorted(got_all["vec_id"]) == list(range(60))
+
+
+def test_phrase_counts(ray_session):
+    """Exact phrase search: brute-force parity incl. OVERLAPPING
+    matches, cross-doc boundary rejection, single-token phrases,
+    partition invariance, empty-phrase rejection."""
+    import pytest
+    import ray.data
+
+    from warcio_ray.ops.search import phrase_counts
+
+    texts = ["a b c a b",        # "a b" twice
+             "a a a a",          # "a a" overlaps -> 3
+             "b c",              # phrase ends here, next doc starts a
+             "a b",              # contributes to "a b"
+             "",                 # empty
+             "x a"]              # "a b" would span into next doc: no
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                       "text": texts})
+
+    def brute(phrase):
+        m = len(phrase)
+        out = {}
+        for i, t in enumerate(texts):
+            toks = t.split()
+            c = sum(1 for p in range(len(toks) - m + 1)
+                    if toks[p:p + m] == list(phrase))
+            if c:
+                out[i] = c
+        return out
+
+    for phrase in (["a", "b"], ["a", "a"], ["b"], ["z", "q"],
+                   ["b", "c", "a"]):
+        want = brute(phrase)
+        for np_ in (1, 6):
+            got = phrase_counts(
+                ray.data.from_pandas(df).repartition(np_),
+                phrase).to_pandas()
+            gmap = {} if got.empty else dict(
+                zip(got["doc_id"].astype(int),
+                    got["n_matches"].astype(int)))
+            assert gmap == want, (phrase, np_)
+
+    assert brute(["a", "a"])[1] == 3  # overlap sanity
+    with pytest.raises(ValueError, match="at least one token"):
+        phrase_counts(ray.data.from_pandas(df), [])

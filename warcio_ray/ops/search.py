@@ -516,3 +516,52 @@ def rrf_fuse(ranked_lists, k: int = 60, id_col: str = "doc_id") -> pd.DataFrame:
     out = pd.DataFrame({id_col: np.array(sorted(acc), dtype="int64")})
     out["rrf"] = [acc[d] for d in out[id_col]]
     return out
+
+
+def phrase_counts(ds, phrase, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Exact phrase search — per-document occurrence counts of a token
+    sequence (the positional-index query class BM25's bag-of-words
+    scoring can't answer; overlapping occurrences all count). Returns
+    (id_col, n_matches) rows for documents with >= 1 match.
+
+    Scale shape: ONE stateless scan, fully vectorized — each batch
+    flattens its token arrays once, ANDs m shifted equality masks
+    (m = phrase length), and maps hit positions back to documents via
+    one searchsorted against the doc-boundary prefix sums; a hit
+    spanning two documents is rejected by the boundary check. No
+    shuffle, no driver state, partitioning-invariant by construction.
+    """
+    words = [str(w) for w in phrase]
+    m = len(words)
+    if m == 0:
+        raise ValueError("phrase must have at least one token")
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                              "n_matches": pd.Series(dtype="int64")})
+        toks = batch[text_col].fillna("").str.split()
+        n = toks.str.len().to_numpy(dtype="int64")
+        if n.sum() < m:
+            return empty
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if t])
+        if len(flat) < m:
+            return empty
+        mask = np.ones(len(flat) - m + 1, dtype=bool)
+        for j, w in enumerate(words):
+            mask &= flat[j:len(flat) - m + 1 + j] == w
+        p = np.flatnonzero(mask)
+        if not len(p):
+            return empty
+        bounds = np.cumsum(n)
+        doc = np.searchsorted(bounds, p, side="right")
+        doc = doc[p + m <= bounds[doc]]  # no cross-doc phantom hits
+        if not len(doc):
+            return empty
+        ids = batch[id_col].to_numpy(dtype="int64")
+        ud, cnt = np.unique(doc, return_counts=True)
+        return pd.DataFrame({id_col: ids[ud],
+                             "n_matches": cnt.astype("int64")})
+
+    return ds.map_batches(scan, batch_format="pandas")
