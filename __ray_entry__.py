@@ -544,6 +544,50 @@ def _bpe_encode_counts(sf_dir: str):
         batch_format="pandas")
 
 
+def _crawl_horizon_3(sf_dir: str):
+    """Depth-budget planning: BFS depth labels within 3 hops of the
+    seed set doc_id % 97 == 0 over the real page graph (content links
+    + next-page nav edges) — ops/graph.crawl_horizon."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from warcio_ray.ops.graph import crawl_horizon
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    links = edge_urls.map_batches(to_ids, batch_format="pyarrow")
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = docs.count()
+
+    def nav(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].to_numpy(dtype="int64")
+        d = d[d + 1 < n]
+        return pd.DataFrame({"src": d, "dst": d + 1})
+
+    edges = links.union(docs.map_batches(nav, batch_format="pandas"))
+    seeds = docs.map_batches(lambda b: b[b["doc_id"] % 97 == 0],
+                             batch_format="pandas").to_pandas()
+    return crawl_horizon(edges,
+                         np.sort(seeds["doc_id"]
+                                 .to_numpy(dtype="int64")),
+                         max_depth=3)
+
+
 def _phrase_search(sf_dir: str):
     """Exact phrase search (the positional-index query class): count
     per-doc occurrences of doc 0's first trigram across the corpus —
@@ -3104,6 +3148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdxj_compact_lookup": _cdxj_compact_lookup,
         "ivf_compact_top10": _ivf_compact_top10,
         "phrase_search": _phrase_search,
+        "crawl_horizon_3": _crawl_horizon_3,
     }
 
 
@@ -3270,6 +3315,40 @@ def _pagerank_sql(iters: int = 5, damping: int = 85,
                 FROM nd LEFT JOIN s{i} ON nd.node = s{i}.node)""")
     return ("WITH " + ",".join(ctes)
             + f" SELECT node, rank FROM r{iters}")
+
+
+def _crawl_horizon_sql(seed_mod: int = 97, depth: int = 3) -> str:
+    """Unrolled parallel BFS mirroring ops/graph.crawl_horizon over
+    the link-rule + nav edges: per round, frontier neighbors minus
+    everything already labeled. MATERIALIZED seen-sets (referenced
+    twice per round)."""
+    ctes = [f"""
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        raw AS (
+          SELECT doc_id AS src,
+                 ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn)) AS dst
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE j < doc_id % 4
+          UNION ALL
+          SELECT doc_id, doc_id + 1 FROM documents
+          WHERE doc_id + 1 < (SELECT n FROM nn)),
+        s0 AS MATERIALIZED (
+          SELECT doc_id AS node, 0 AS depth FROM documents
+          WHERE doc_id % {seed_mod} = 0)"""]
+    for d in range(1, depth + 1):
+        p, q = f"s{d - 1}", f"s{d}"
+        ctes.append(f"""
+        f{d} AS (
+          SELECT DISTINCT e.dst AS node
+          FROM raw e JOIN {p} s ON e.src = s.node AND s.depth = {d - 1}
+          WHERE e.dst NOT IN (SELECT node FROM {p})),
+        {q} AS MATERIALIZED (
+          SELECT node, depth FROM {p}
+          UNION ALL SELECT node, {d} AS depth FROM f{d})""")
+    return ("WITH " + ",".join(ctes)
+            + f""" SELECT node, CAST(depth AS BIGINT) AS depth
+                   FROM s{depth}""")
 
 
 def _kcore_sql(k: int = 4, rounds: int = 8) -> str:
@@ -3919,6 +3998,8 @@ def oracle_sql() -> dict[str, str]:
         "trustrank_3": _pagerank_sql(iters=3, seed_mod=53),
         # kcore_4: unrolled parallel peel over links + nav edges
         "kcore_4": _kcore_sql(k=4, rounds=8),
+        # crawl_horizon_3: unrolled BFS rounds, frontier minus seen
+        "crawl_horizon_3": _crawl_horizon_sql(seed_mod=97, depth=3),
         # cocitation_pairs: distinct (src,dst) -> per-src unordered
         # dst pairs -> common-citer counts (same links + nav edges)
         "cocitation_pairs": """

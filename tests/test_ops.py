@@ -3961,3 +3961,47 @@ def test_phrase_counts(ray_session):
     assert brute(["a", "a"])[1] == 3  # overlap sanity
     with pytest.raises(ValueError, match="at least one token"):
         phrase_counts(ray.data.from_pandas(df), [])
+
+
+def test_crawl_horizon(ray_session):
+    """BFS depth labeling: brute-force parity (min-hop depths, seeds
+    at 0, unreached absent), both paths bit-equal, early exhaustion,
+    cycles, empty-seed rejection."""
+    import pytest
+    import ray.data
+
+    from warcio_ray.ops.graph import crawl_horizon
+
+    # two components + a cycle + a chain deeper than max_depth
+    edges = [(0, 1), (1, 2), (2, 0), (1, 3), (3, 4), (4, 5), (5, 6),
+             (10, 11), (11, 10), (20, 21)]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+
+    def brute(seeds, D):
+        depth = {s: 0 for s in seeds}
+        frontier = set(seeds)
+        for d in range(1, D + 1):
+            nxt = {b for a, b in edges if a in frontier} - depth.keys()
+            for v in nxt:
+                depth[v] = d
+            frontier = nxt
+            if not frontier:
+                break
+        return depth
+
+    for seeds, D in ([(0,), 3], [(0, 10), 2], [(20,), 5], [(6,), 3]):
+        want = brute(set(seeds), D)
+        for bmn in (0, 10 ** 6):
+            got = crawl_horizon(ray.data.from_pandas(df),
+                                np.array(seeds), max_depth=D,
+                                broadcast_max_nodes=bmn).to_pandas()
+            gmap = dict(zip(got["node"].astype(int),
+                            got["depth"].astype(int)))
+            assert gmap == want, (seeds, D, bmn)
+    # chain check: depth-3 horizon from 0 (0-1-3-4) misses node 5
+    # (4 hops) and node 6 (5 hops)
+    w = brute({0}, 3)
+    assert w == {0: 0, 1: 1, 2: 2, 3: 2, 4: 3}
+
+    with pytest.raises(ValueError, match="empty seed"):
+        crawl_horizon(ray.data.from_pandas(df), np.array([]))

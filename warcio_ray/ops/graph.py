@@ -974,3 +974,119 @@ def cocitation_pairs(edges_ds, max_out_degree: int = 256,
     counted = arrow_blocks(real).groupby(["a", "b"]) \
         .aggregate(Count(alias_name="n_common"))
     return counted, n_truncated
+
+
+def crawl_horizon(edges_ds, seeds, max_depth: int = 3,
+                  num_partitions=None,
+                  broadcast_max_nodes: int = 2_000_000):
+    """BFS depth labeling from a seed set over the directed link graph
+    — the crawl-horizon / depth-budget planning artifact (which pages
+    a depth-``max_depth`` crawl from these seeds can reach, and how
+    deep each sits). Returns (node, depth) — depth = minimum hop count
+    from any seed, seeds at 0; unreached nodes are absent.
+
+    Parallel BFS: per round ONE edges⋈frontier join (or a broadcast
+    searchsorted filter below ``broadcast_max_nodes`` endpoints)
+    produces the next neighbor set, minus everything already labeled.
+    The frontier and the seen set only grow by newly-labeled nodes, so
+    work is O(edges within the horizon) total, not per round.
+
+    The broadcast path keeps the seen set driver-side as ONE sorted
+    int64 array (bounded by the gate); the join path keeps both
+    frontier and seen as Datasets — each round is edges⋈frontier
+    (inner) then a seen anti-join, ids only, O(1) driver state.
+    Both paths label identical sets (tested).
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join
+
+    if num_partitions is None:
+        num_partitions = _adaptive_partitions()
+    seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+    if not len(seeds):
+        raise ValueError("crawl_horizon: empty seed set")
+
+    edges_ds = edges_ds.materialize()
+    n_nodes = int(edges_ds.map_batches(
+        lambda b: pd.DataFrame({"n": [b["src"].nunique()
+                                      + b["dst"].nunique()]}),
+        batch_format="pandas").sum("n") or 0)  # upper bound
+
+    if n_nodes + len(seeds) <= broadcast_max_nodes:
+        seen = seeds.copy()          # sorted
+        frontier = seeds.copy()
+        out_nodes = [seeds]
+        out_depths = [np.zeros(len(seeds), dtype=np.int64)]
+        for depth in range(1, max_depth + 1):
+            fref = ray.put(frontier)
+            sref = ray.put(seen)
+
+            def nxt(batch: pd.DataFrame) -> pd.DataFrame:
+                f = ray.get(fref)
+                s = ray.get(sref)
+                src = batch["src"].to_numpy(dtype="int64")
+                dst = batch["dst"].to_numpy(dtype="int64")
+                p = np.searchsorted(f, src)
+                ok = (p < len(f))
+                ok[ok] &= f[p[ok]] == src[ok]
+                cand = np.unique(dst[ok])
+                q = np.searchsorted(s, cand)
+                new = (q >= len(s))
+                new[~new] |= s[q[~new]] != cand[~new]
+                return pd.DataFrame({"node": cand[new]})
+
+            nxt_pd = edges_ds.map_batches(
+                nxt, batch_format="pandas").to_pandas()
+            frontier = np.unique(
+                nxt_pd["node"].to_numpy(dtype="int64")) \
+                if len(nxt_pd) else np.array([], dtype=np.int64)
+            if not len(frontier):
+                break
+            seen = np.union1d(seen, frontier)
+            out_nodes.append(frontier)
+            out_depths.append(np.full(len(frontier), depth,
+                                      dtype=np.int64))
+        return ray.data.from_pandas(pd.DataFrame({
+            "node": np.concatenate(out_nodes),
+            "depth": np.concatenate(out_depths)}))
+
+    # join path: frontier / seen as Datasets, ids only
+    frontier = ray.data.from_pandas(pd.DataFrame({"node": seeds}))
+    labeled = ray.data.from_pandas(pd.DataFrame({
+        "node": seeds, "depth": np.zeros(len(seeds),
+                                         dtype=np.int64)})) \
+        .materialize()
+    for depth in range(1, max_depth + 1):
+        # neighbors of the frontier (ids only move)
+        nbr = safe_join(edges_ds, frontier, "inner", num_partitions,
+                        ("src",), right_on=("node",))
+
+        def to_node(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": pd.unique(batch["dst"].to_numpy(dtype="int64"))})
+
+        cand = arrow_blocks(
+            nbr.map_batches(to_node, batch_format="pandas")) \
+            .groupby("node").aggregate(Count(alias_name="_c")) \
+            .drop_columns(["_c"])
+        # anti-join vs labeled: left_outer + null filter on depth
+        j = safe_join(cand, labeled, "left_outer", num_partitions,
+                      ("node",))
+
+        def only_new(batch: pd.DataFrame, depth=depth) -> pd.DataFrame:
+            new = batch[batch["depth"].isna()] if "depth" in batch \
+                else batch
+            return pd.DataFrame({
+                "node": new["node"].astype("int64"),
+                "depth": np.full(len(new), depth, dtype=np.int64)})
+
+        fresh = j.map_batches(only_new,
+                              batch_format="pandas").materialize()
+        if fresh.count() == 0:
+            break
+        labeled = labeled.union(fresh).materialize()
+        frontier = fresh.drop_columns(["depth"])
+    return labeled
