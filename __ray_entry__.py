@@ -3020,7 +3020,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top10": _knn_top10,
         "tfidf_keywords": _tfidf_keywords,
         "ivfpq_top10": _ivfpq_top10,
-        "fingerprint_dups": _fingerprint_dups,
+        # chunking family (r4 s4; fingerprint_dups -> tail, dedup
+        # family keeps 4 other first-50 reps)
+        "chunk_windows": _chunk_windows,
         # LM / quality / curation (unstamped in r3)
         "trigram_nll": _trigram_nll,
         # new-family representatives (r4 session 3)
@@ -3039,7 +3041,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _pii_redact,
         # dedup / export (unstamped in r3 + new this round)
         "jaccard_clusters": _jaccard_clusters,
-        "simhash_pairs": _simhash_pairs,
+        # compaction family (r4 s4; simhash_pairs -> tail)
+        "postings_compact_probe": _postings_compact_probe,
         "embedding_neardup": _embedding_neardup,
         "pretrain_corpus": _pretrain_corpus,
         "export_bpe_packed": _export_bpe_packed,
@@ -3139,8 +3142,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # end of the session; see the pin test)
         "signal_auc": _signal_auc,
         "trustrank_3": _trustrank_3,
-        "chunk_windows": _chunk_windows,
-        "postings_compact_probe": _postings_compact_probe,
         "kcore_4": _kcore_4,
         "cocitation_pairs": _cocitation_pairs,
         "embedding_outliers": _embedding_outliers,
@@ -3149,6 +3150,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_compact_top10": _ivf_compact_top10,
         "phrase_search": _phrase_search,
         "crawl_horizon_3": _crawl_horizon_3,
+        # demoted from the first 50 in the r4 s4 refit (families still
+        # represented there); swept locally like the rest of the tail
+        "fingerprint_dups": _fingerprint_dups,
+        "simhash_pairs": _simhash_pairs,
     }
 
 

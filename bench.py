@@ -489,7 +489,14 @@ def run_bench() -> dict:
                            ("containment_pairs", "op_contain_s"),
                            ("wcc_labels", "op_wcc_s"),
                            ("url_canon_dedup", "op_urlcanon_s"),
-                           ("readability", "op_read_s")):
+                           ("readability", "op_read_s"),
+                           ("trustrank_3", "op_trustrank_s"),
+                           ("chunk_windows", "op_chunk_s"),
+                           ("kcore_4", "op_kcore_s"),
+                           ("cocitation_pairs", "op_cocite_s"),
+                           ("postings_compact_probe", "op_postcmp_s"),
+                           ("crawl_horizon_3", "op_horizon_s"),
+                           ("phrase_search", "op_phrase_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \

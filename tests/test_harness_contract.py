@@ -51,7 +51,11 @@ def test_first_fifty_covers_every_family():
         "cdxj_append_lookup", "tfidf_keywords", "url_canon_dedup",
         # similarity search (ivfpq composes pq+ivf; the standalone
         # layout/pq entries moved to the tail in r4 s3)
-        "knn_top10", "ivfpq_top10", "fingerprint_dups",
+        "knn_top10", "ivfpq_top10",
+        # chunking + layout-compaction families (r4 s4;
+        # fingerprint_dups / simhash_pairs demoted to the tail —
+        # dedup keeps jaccard/embedding/lsh-append/line reps)
+        "chunk_windows", "postings_compact_probe",
         # LM / quality / curation (trigram interp composes the
         # unigram/bigram ladder, which moved to the tail in r4 s3)
         "trigram_nll", "bm25_top20",
@@ -62,7 +66,7 @@ def test_first_fifty_covers_every_family():
         "wcc_labels", "containment_pairs",
         # dedup / export / selection
         "budget_subset", "jaccard_clusters",
-        "simhash_pairs", "embedding_neardup", "lsh_append_pairs",
+        "embedding_neardup", "lsh_append_pairs",
         "line_dedup",
         "pretrain_corpus", "export_bpe_packed", "export_shards",
         "frontier_candidates",
