@@ -544,6 +544,23 @@ def _bpe_encode_counts(sf_dir: str):
         batch_format="pandas")
 
 
+def _kwic_snippets(sf_dir: str):
+    """SERP snippet generation: first-5-per-doc keyword-in-context
+    windows (±3 tokens) for doc 0's first token
+    (ops/search.kwic_snippets — same flattened-token kernel as
+    phrase_counts)."""
+    import ray.data
+
+    from warcio_ray.ops.search import kwic_snippets
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    probe = ds.map_batches(lambda b: b[b["doc_id"] == 0],
+                           batch_format="pandas").to_pandas()
+    term = (probe["text"].iloc[0] or "").split()[0]
+    return kwic_snippets(ds, term, width=3, max_per_doc=5)
+
+
 def _crawl_horizon_3(sf_dir: str):
     """Depth-budget planning: BFS depth labels within 3 hops of the
     seed set doc_id % 97 == 0 over the real page graph (content links
@@ -3150,6 +3167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_compact_top10": _ivf_compact_top10,
         "phrase_search": _phrase_search,
         "crawl_horizon_3": _crawl_horizon_3,
+        "kwic_snippets": _kwic_snippets,
         # demoted from the first 50 in the r4 s4 refit (families still
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
@@ -5657,6 +5675,30 @@ def oracle_sql() -> dict[str, str]:
               FROM toks CROSS JOIN ph)
             SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
             FROM cnt WHERE n_matches > 0
+        """,
+        # kwic_snippets: first-5 positions of doc 0's first token,
+        # ±3-token windows clamped at doc edges (1-based list_slice)
+        "kwic_snippets": r"""
+            WITH ph AS (
+              SELECT p[1] AS w1 FROM (
+                SELECT regexp_extract_all(text, '\S+') AS p
+                FROM documents WHERE doc_id = 0)),
+            toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+              FROM documents),
+            pos AS (
+              SELECT doc_id, t,
+                     list_slice(list_filter(range(len(t)),
+                                            i -> t[i + 1] = w1),
+                                1, 5) AS ps
+              FROM toks CROSS JOIN ph),
+            hits AS (SELECT doc_id, t, unnest(ps) AS p FROM pos)
+            SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                   array_to_string(
+                     list_slice(t, GREATEST(p + 1 - 3, 1),
+                                LEAST(p + 1 + 3, len(t))), ' ')
+                     AS snippet
+            FROM hits
         """,
         # tfidf_keywords: exact tf / distinct-doc df over the same
         # whitespace tokenization; identical score expression so ties

@@ -4005,3 +4005,43 @@ def test_crawl_horizon(ray_session):
 
     with pytest.raises(ValueError, match="empty seed"):
         crawl_horizon(ray.data.from_pandas(df), np.array([]))
+
+
+def test_kwic_snippets(ray_session):
+    """KWIC: brute-force parity (positions, window clamping at doc
+    edges, first-K cap), multi-doc runs, partition invariance."""
+    import ray.data
+
+    from warcio_ray.ops.search import kwic_snippets
+
+    texts = ["x a y z a",            # hits at 1, 4 (clamped right)
+             "a b c d e f a g a",    # hits at 0 (clamped left), 6, 8
+             "no hits here",
+             "a a a a a a a a",      # 8 hits -> capped
+             ""]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                       "text": texts})
+
+    def brute(term, width, cap):
+        rows = []
+        for i, t in enumerate(texts):
+            toks = t.split()
+            hits = [p for p, w in enumerate(toks) if w == term][:cap]
+            for p in hits:
+                lo, hi = max(p - width, 0), min(p + width + 1, len(toks))
+                rows.append((i, p, " ".join(toks[lo:hi])))
+        return sorted(rows)
+
+    for width, cap in ((3, 5), (1, 2), (0, 100)):
+        want = brute("a", width, cap)
+        for np_ in (1, 4):
+            got = kwic_snippets(
+                ray.data.from_pandas(df).repartition(np_), "a",
+                width=width, max_per_doc=cap).to_pandas()
+            rows = sorted(zip(got["doc_id"].astype(int),
+                              got["pos"].astype(int), got["snippet"]))
+            assert rows == want, (width, cap, np_)
+    # cap check: doc 3 contributes exactly 5 hits at default cap
+    got = kwic_snippets(ray.data.from_pandas(df), "a").to_pandas()
+    assert (got["doc_id"] == 3).sum() == 5
+    assert got[got["doc_id"] == 3]["pos"].tolist() == [0, 1, 2, 3, 4]

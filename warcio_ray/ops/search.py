@@ -565,3 +565,55 @@ def phrase_counts(ds, phrase, text_col: str = "text",
                              "n_matches": cnt.astype("int64")})
 
     return ds.map_batches(scan, batch_format="pandas")
+
+
+def kwic_snippets(ds, term: str, width: int = 3,
+                  max_per_doc: int = 5, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Keyword-in-context snippet extraction — the SERP-snippet /
+    concordance op: for each occurrence of ``term`` (exact whitespace
+    token match), emit (id, pos, snippet) where snippet is the
+    ``width``-token window either side of the hit. Occurrences are
+    capped at the FIRST ``max_per_doc`` per document (a stopword probe
+    would otherwise emit O(doc length) rows per doc — the cap keeps
+    output O(docs), and "first K" is the deterministic, SQL-mirrorable
+    rule a result page wants anyway).
+
+    Scale shape: ONE stateless scan — the same flattened-token +
+    boundary-searchsorted kernel as phrase_counts; only snippet string
+    assembly is per-hit Python. No shuffle, partitioning-invariant.
+    """
+    term = str(term)
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                              "pos": pd.Series(dtype="int64"),
+                              "snippet": pd.Series(dtype="object")})
+        toks = batch[text_col].fillna("").str.split()
+        n = toks.str.len().to_numpy(dtype="int64")
+        if n.sum() == 0:
+            return empty
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if t])
+        p = np.flatnonzero(flat == term)
+        if not len(p):
+            return empty
+        bounds = np.cumsum(n)
+        starts = bounds - n
+        doc = np.searchsorted(bounds, p, side="right")
+        # first max_per_doc hits per doc: p is ascending, so a rank
+        # within each doc run is a vectorized cumcount
+        first_of_run = np.r_[True, doc[1:] != doc[:-1]]
+        run_start = np.maximum.accumulate(
+            np.where(first_of_run, np.arange(len(doc)), 0))
+        keep = (np.arange(len(doc)) - run_start) < max_per_doc
+        p, doc = p[keep], doc[keep]
+        lo = np.maximum(p - width, starts[doc])
+        hi = np.minimum(p + width + 1, bounds[doc])
+        ids = batch[id_col].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            id_col: ids[doc],
+            "pos": (p - starts[doc]).astype("int64"),
+            "snippet": [" ".join(flat[a:b]) for a, b in zip(lo, hi)]})
+
+    return ds.map_batches(scan, batch_format="pandas")
