@@ -544,6 +544,19 @@ def _bpe_encode_counts(sf_dir: str):
         batch_format="pandas")
 
 
+def _span_corrupt(sf_dir: str):
+    """T5-style denoising pair generation: 3-token blocks masked at
+    15% by the md5 block rule, ordinal sentinels, (corrupted, target)
+    strings + exact counts (ops/denoise.span_corrupt)."""
+    import ray.data
+
+    from warcio_ray.ops.denoise import span_corrupt
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return span_corrupt(ds, span=3, mask_pct=15)
+
+
 def _kwic_snippets(sf_dir: str):
     """SERP snippet generation: first-5-per-doc keyword-in-context
     windows (±3 tokens) for doc 0's first token
@@ -3168,6 +3181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _phrase_search,
         "crawl_horizon_3": _crawl_horizon_3,
         "kwic_snippets": _kwic_snippets,
+        "span_corrupt": _span_corrupt,
         # demoted from the first 50 in the r4 s4 refit (families still
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
@@ -5675,6 +5689,46 @@ def oracle_sql() -> dict[str, str]:
               FROM toks CROSS JOIN ph)
             SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
             FROM cnt WHERE n_matches > 0
+        """,
+        # span_corrupt: md5 block rule + ordinal sentinels replayed
+        # with a window cumcount + ordered string_agg
+        "span_corrupt": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+              FROM documents
+              WHERE len(regexp_extract_all(text, '\S+')) > 0),
+            blocks AS (
+              SELECT doc_id, t, unnest(range((len(t) + 2) // 3)) AS b
+              FROM toks),
+            fl AS (
+              SELECT doc_id, b,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                       || ':' || CAST(b AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 < 15 AS m,
+                     array_to_string(list_slice(t, b * 3 + 1,
+                       LEAST((b + 1) * 3, len(t))), ' ') AS seg
+              FROM blocks),
+            w AS (
+              SELECT doc_id, b, m, seg,
+                     CAST(COALESCE(SUM(CASE WHEN m THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY b
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS sid
+              FROM fl)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_masked_blocks,
+                   CAST(COALESCE(SUM(CASE WHEN m THEN
+                     len(string_split(seg, ' ')) ELSE 0 END), 0)
+                     AS BIGINT) AS n_masked_tokens,
+                   string_agg(CASE WHEN m THEN '<extra_id_'
+                     || CAST(sid AS VARCHAR) || '>' ELSE seg END,
+                     ' ' ORDER BY b) AS corrupted,
+                   COALESCE(string_agg(CASE WHEN m THEN '<extra_id_'
+                     || CAST(sid AS VARCHAR) || '> ' || seg END,
+                     ' ' ORDER BY b) FILTER (WHERE m), '') AS target
+            FROM w GROUP BY doc_id
         """,
         # kwic_snippets: first-5 positions of doc 0's first token,
         # ±3-token windows clamped at doc edges (1-based list_slice)

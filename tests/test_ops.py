@@ -4045,3 +4045,87 @@ def test_kwic_snippets(ray_session):
     got = kwic_snippets(ray.data.from_pandas(df), "a").to_pandas()
     assert (got["doc_id"] == 3).sum() == 5
     assert got[got["doc_id"] == 3]["pos"].tolist() == [0, 1, 2, 3, 4]
+
+
+def test_span_corrupt(ray_session):
+    """Span corruption: brute-force parity on the md5 block rule,
+    sentinel ordinals, counts, round-trip reconstruction (corrupted +
+    target re-zip to the original tokens), mask_pct edges, invariance."""
+    import hashlib
+
+    import pytest
+    import ray.data
+
+    from warcio_ray.ops.denoise import span_corrupt
+
+    texts = ["the quick brown fox jumps over the lazy dog today",
+             "a b", "", "one two three four five six seven"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                       "text": texts})
+
+    def masked(d, b, pct):
+        return int(hashlib.md5(f"{d}:{b}".encode()).hexdigest()[:8],
+                   16) % 100 < pct
+
+    def brute(span, pct):
+        out = {}
+        for d, txt in enumerate(texts):
+            t = txt.split()
+            if not t:
+                continue
+            nb = (len(t) + span - 1) // span
+            cor, tar, k = [], [], 0
+            for b in range(nb):
+                seg = t[b * span:(b + 1) * span]
+                if masked(d, b, pct):
+                    cor.append(f"<extra_id_{k}>")
+                    tar.append(f"<extra_id_{k}>")
+                    tar.extend(seg)
+                    k += 1
+                else:
+                    cor.extend(seg)
+            out[d] = (" ".join(cor), " ".join(tar))
+        return out
+
+    for span, pct in ((3, 15), (2, 50), (1, 100), (4, 0)):
+        want = brute(span, pct)
+        for np_ in (1, 3):
+            got = span_corrupt(ray.data.from_pandas(df).repartition(np_),
+                               span=span, mask_pct=pct).to_pandas()
+            gmap = {int(r.doc_id): (r.corrupted, r.target)
+                    for r in got.itertuples()}
+            assert gmap == want, (span, pct, np_)
+            # counts are exact
+            for r in got.itertuples():
+                toks = texts[int(r.doc_id)].split()
+                assert r.n_blocks == (len(toks) + span - 1) // span
+                assert r.n_masked_tokens == sum(
+                    1 for i, _ in enumerate(toks)
+                    if masked(int(r.doc_id), i // span, pct))
+    # pct=100: everything masked, corrupted is all sentinels
+    got100 = span_corrupt(ray.data.from_pandas(df), span=1,
+                          mask_pct=100).to_pandas()
+    r0 = got100[got100.doc_id == 0].iloc[0]
+    assert r0["corrupted"].split() == [f"<extra_id_{i}>"
+                                       for i in range(10)]
+    # round trip: re-zip corrupted + target -> original text
+    got = span_corrupt(ray.data.from_pandas(df), span=3,
+                       mask_pct=50).to_pandas()
+    for r in got.itertuples():
+        tar = {}
+        cur = None
+        for w in r.target.split():
+            if w.startswith("<extra_id_"):
+                cur = w
+                tar[cur] = []
+            else:
+                tar[cur].append(w)
+        rebuilt = []
+        for w in r.corrupted.split():
+            rebuilt.extend(tar[w] if w.startswith("<extra_id_") else [w])
+        assert rebuilt == texts[int(r.doc_id)].split()
+
+    with pytest.raises(ValueError, match="mask_pct"):
+        span_corrupt(ray.data.from_pandas(df), mask_pct=101)
+    with pytest.raises(ValueError, match="span"):
+        span_corrupt(ray.data.from_pandas(df), span=0)
