@@ -557,6 +557,19 @@ def _span_corrupt(sf_dir: str):
     return span_corrupt(ds, span=3, mask_pct=15)
 
 
+def _fim_transform(sf_dir: str):
+    """Fill-in-the-middle (code-LLM data prep): PSM reorder at two
+    md5-deterministic token cuts; short docs pass through
+    (ops/denoise.fim_transform)."""
+    import ray.data
+
+    from warcio_ray.ops.denoise import fim_transform
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return fim_transform(ds, min_tokens=8)
+
+
 def _kwic_snippets(sf_dir: str):
     """SERP snippet generation: first-5-per-doc keyword-in-context
     windows (±3 tokens) for doc 0's first token
@@ -3182,6 +3195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_horizon_3": _crawl_horizon_3,
         "kwic_snippets": _kwic_snippets,
         "span_corrupt": _span_corrupt,
+        "fim_transform": _fim_transform,
         # demoted from the first 50 in the r4 s4 refit (families still
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
@@ -5729,6 +5743,37 @@ def oracle_sql() -> dict[str, str]:
                      || CAST(sid AS VARCHAR) || '> ' || seg END,
                      ' ' ORDER BY b) FILTER (WHERE m), '') AS target
             FROM w GROUP BY doc_id
+        """,
+        # fim_transform: md5 cut rule + PSM list concatenation
+        "fim_transform": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS t,
+                     len(regexp_extract_all(text, '\S+')) AS n
+              FROM documents),
+            c AS (
+              SELECT doc_id, t, n,
+                     1 + CAST(('0x' || substr(md5(
+                       CAST(doc_id AS VARCHAR) || ':fim1'), 1, 8))
+                       AS BIGINT) % (n - 1) AS c1,
+                     1 + CAST(('0x' || substr(md5(
+                       CAST(doc_id AS VARCHAR) || ':fim2'), 1, 8))
+                       AS BIGINT) % (n - 1) AS c2
+              FROM toks WHERE n >= 8),
+            s AS (SELECT doc_id, t, n, LEAST(c1, c2) AS lo,
+                         GREATEST(c1, c2) AS hi FROM c)
+            SELECT doc_id, CAST(lo AS BIGINT) AS n_prefix,
+                   CAST(hi - lo AS BIGINT) AS n_middle,
+                   CAST(n - hi AS BIGINT) AS n_suffix,
+                   array_to_string(
+                     ['<PRE>'] || list_slice(t, 1, lo)
+                     || ['<SUF>'] || list_slice(t, hi + 1, n)
+                     || ['<MID>'] || list_slice(t, lo + 1, hi), ' ')
+                     AS fim_text
+            FROM s
+            UNION ALL
+            SELECT doc_id, CAST(n AS BIGINT), 0::BIGINT, 0::BIGINT,
+                   array_to_string(t, ' ')
+            FROM toks WHERE n < 8
         """,
         # kwic_snippets: first-5 positions of doc 0's first token,
         # ±3-token windows clamped at doc edges (1-based list_slice)

@@ -4129,3 +4129,58 @@ def test_span_corrupt(ray_session):
         span_corrupt(ray.data.from_pandas(df), mask_pct=101)
     with pytest.raises(ValueError, match="span"):
         span_corrupt(ray.data.from_pandas(df), span=0)
+
+
+def test_fim_transform(ray_session):
+    """FIM: brute-force parity on the md5 cut rule, PSM reassembly
+    round-trips to the original tokens, short docs pass through,
+    empty-middle case, invariance, min_tokens validation."""
+    import hashlib
+
+    import pytest
+    import ray.data
+
+    from warcio_ray.ops.denoise import fim_transform
+
+    texts = ["t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11",
+             "short doc", "", "a b c d e f g h"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                       "text": texts})
+
+    def cut(d, i, n):
+        return 1 + int(hashlib.md5(f"{d}:fim{i}".encode())
+                       .hexdigest()[:8], 16) % (n - 1)
+
+    got = fim_transform(ray.data.from_pandas(df),
+                        min_tokens=8).to_pandas()
+    for r in got.itertuples():
+        t = texts[int(r.doc_id)].split()
+        n = len(t)
+        if n < 8:
+            assert (r.n_prefix, r.n_middle, r.n_suffix) == (n, 0, 0)
+            assert r.fim_text == " ".join(t)
+            continue
+        c1, c2 = cut(int(r.doc_id), 1, n), cut(int(r.doc_id), 2, n)
+        lo, hi = min(c1, c2), max(c1, c2)
+        assert (r.n_prefix, r.n_middle, r.n_suffix) == \
+            (lo, hi - lo, n - hi)
+        want = (["<PRE>"] + t[:lo] + ["<SUF>"] + t[hi:]
+                + ["<MID>"] + t[lo:hi])
+        assert r.fim_text.split() == want
+        # PSM round trip
+        parts = r.fim_text
+        pre = parts.split("<PRE>")[1].split("<SUF>")[0].split()
+        suf = parts.split("<SUF>")[1].split("<MID>")[0].split()
+        mid = parts.split("<MID>")[1].split()
+        assert pre + mid + suf == t
+        assert len(pre) >= 1 and len(suf) >= 1
+
+    for np_ in (1, 3):
+        g2 = fim_transform(ray.data.from_pandas(df).repartition(np_),
+                           min_tokens=8).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            g2, got.sort_values("doc_id").reset_index(drop=True))
+
+    with pytest.raises(ValueError, match="min_tokens"):
+        fim_transform(ray.data.from_pandas(df), min_tokens=2)

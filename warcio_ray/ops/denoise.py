@@ -90,3 +90,61 @@ def span_corrupt(ds, span: int = 3, mask_pct: int = 15,
                            "n_masked_tokens": "int64"})
 
     return ds.map_batches(scan, batch_format="pandas")
+
+
+def fim_transform(ds, min_tokens: int = 8, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Fill-in-the-middle transformation (Bavarian et al. 2022) — the
+    code-LLM data prep step: split each document at two deterministic
+    token cuts into (prefix, middle, suffix) and emit the PSM-ordered
+    training string ``<PRE> prefix <SUF> suffix <MID> middle``.
+
+    Deterministic cuts (same md5-rank idiom as span_corrupt):
+        c_i = 1 + int(md5(f"{doc_id}:fim{i}")[:8], 16) % (n - 1)
+    for i in (1, 2), lo/hi = min/max(c1, c2) — both cuts land in
+    [1, n-1] so prefix and suffix are never empty; c1 == c2 gives an
+    empty middle (a real case FIM training keeps). Docs under
+    ``min_tokens`` tokens pass through unchanged (fim_text = text,
+    n_middle = 0 convention with n_prefix = n, n_suffix = 0) so the
+    output stays corpus-complete for packing.
+
+    ONE stateless scan: two hashes per doc, list slicing + joins.
+    """
+    if min_tokens < 3:
+        raise ValueError("min_tokens must be >= 3 (need room for "
+                         "non-empty prefix and suffix)")
+
+    def cut(d: int, i: int, n: int) -> int:
+        h = int(hashlib.md5(f"{d}:fim{i}".encode()).hexdigest()[:8],
+                16)
+        return 1 + h % (n - 1)
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {id_col: [], "n_prefix": [], "n_middle": [],
+                "n_suffix": [], "fim_text": []}
+        ids = batch[id_col].to_numpy(dtype="int64")
+        texts = batch[text_col].fillna("")
+        toks = texts.str.split()
+        for d, raw, t in zip(ids, texts, toks):
+            n = len(t)
+            if n < min_tokens:
+                rows[id_col].append(d)
+                rows["n_prefix"].append(n)
+                rows["n_middle"].append(0)
+                rows["n_suffix"].append(0)
+                rows["fim_text"].append(" ".join(t))
+                continue
+            c1, c2 = cut(int(d), 1, n), cut(int(d), 2, n)
+            lo, hi = min(c1, c2), max(c1, c2)
+            rows[id_col].append(d)
+            rows["n_prefix"].append(lo)
+            rows["n_middle"].append(hi - lo)
+            rows["n_suffix"].append(n - hi)
+            rows["fim_text"].append(" ".join(
+                ["<PRE>"] + t[:lo] + ["<SUF>"] + t[hi:]
+                + ["<MID>"] + t[lo:hi]))
+        out = pd.DataFrame(rows)
+        return out.astype({id_col: "int64", "n_prefix": "int64",
+                           "n_middle": "int64", "n_suffix": "int64"})
+
+    return ds.map_batches(scan, batch_format="pandas")
