@@ -557,6 +557,19 @@ def _span_corrupt(sf_dir: str):
     return span_corrupt(ds, span=3, mask_pct=15)
 
 
+def _burst_hours(sf_dir: str):
+    """Traffic-burst detection: hours whose event count beats 5/4 of
+    the trailing-24h mean (full window required), exact integers
+    (ops/relational.burst_hours)."""
+    import ray.data
+
+    from warcio_ray.ops.relational import burst_hours
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+    return burst_hours(ds, window=24, num=5, den=4)
+
+
 def _fim_transform(sf_dir: str):
     """Fill-in-the-middle (code-LLM data prep): PSM reorder at two
     md5-deterministic token cuts; short docs pass through
@@ -3196,6 +3209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kwic_snippets": _kwic_snippets,
         "span_corrupt": _span_corrupt,
         "fim_transform": _fim_transform,
+        "burst_hours": _burst_hours,
         # demoted from the first 50 in the r4 s4 refit (families still
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
@@ -5743,6 +5757,22 @@ def oracle_sql() -> dict[str, str]:
                      || CAST(sid AS VARCHAR) || '> ' || seg END,
                      ' ' ORDER BY b) FILTER (WHERE m), '') AS target
             FROM w GROUP BY doc_id
+        """,
+        # burst_hours: trailing-ROWS window + identical integer test
+        "burst_hours": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+              FROM events GROUP BY 1),
+            w AS (
+              SELECT hour, cnt,
+                     SUM(cnt) OVER (ORDER BY hour ROWS BETWEEN
+                       24 PRECEDING AND 1 PRECEDING) AS trail,
+                     COUNT(*) OVER (ORDER BY hour ROWS BETWEEN
+                       24 PRECEDING AND 1 PRECEDING) AS nprev
+              FROM h)
+            SELECT hour, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(trail AS BIGINT) AS trail
+            FROM w WHERE nprev = 24 AND cnt * 24 * 4 > 5 * trail
         """,
         # fim_transform: md5 cut rule + PSM list concatenation
         "fim_transform": r"""

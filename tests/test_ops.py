@@ -4184,3 +4184,52 @@ def test_fim_transform(ray_session):
 
     with pytest.raises(ValueError, match="min_tokens"):
         fim_transform(ray.data.from_pandas(df), min_tokens=2)
+
+
+def test_burst_hours(ray_session):
+    """Burst detection: brute-force parity (full-window requirement,
+    exact integer test, missing-hour gaps use PRESENT rows), planted
+    burst flagged, partition invariance."""
+    import ray.data
+
+    from warcio_ray.ops.relational import burst_hours
+
+    # 30 hourly buckets, ~10 events each, hour 27 bursts to 40;
+    # hours 5-6 are MISSING (gap -> ROWS-window semantics observable)
+    rows = []
+    eid = 0
+    for h in range(30):
+        if h in (5, 6):
+            continue
+        n = 40 if h == 27 else 10 + (h % 3)
+        for i in range(n):
+            rows.append((eid, pd.Timestamp("2024-03-01")
+                         + pd.Timedelta(hours=h, minutes=i % 60)))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts"])
+
+    def brute(window, num, den):
+        h = df["ts"].dt.floor("h").value_counts().sort_index()
+        cnt = h.to_numpy()
+        out = []
+        for i in range(len(cnt)):
+            lo = max(i - window, 0)
+            if i - lo != window:
+                continue
+            trail = int(cnt[lo:i].sum())
+            if cnt[i] * window * den > num * trail:
+                out.append((h.index[i], int(cnt[i]), trail))
+        return out
+
+    for window, num, den in ((24, 5, 4), (10, 3, 2), (5, 1, 1)):
+        want = brute(window, num, den)
+        for np_ in (1, 4):
+            got = burst_hours(
+                ray.data.from_pandas(df).repartition(np_),
+                window=window, num=num, den=den).to_pandas()
+            rows_got = [(r.hour, int(r.cnt), int(r.trail))
+                        for r in got.itertuples()]
+            assert sorted(rows_got) == sorted(want), (window, num, den)
+    # the planted burst is caught by the 10-hour window
+    w = brute(10, 3, 2)
+    assert any(c == 40 for _, c, _ in w)

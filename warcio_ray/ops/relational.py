@@ -358,3 +358,54 @@ def cohort_retention(sf_dir: str):
                                             batch_format="pandas")
     return arrow_blocks(rows).groupby(["cohort_week", "week_offset"]) \
         .aggregate(Count(alias_name="n_users"))
+
+
+def burst_hours(events_ds, window: int = 24, num: int = 5,
+                den: int = 4, ts_col: str = "ts"):
+    """Traffic-burst detection over the event stream (the crawl-ops /
+    monitoring artifact: which hours ran hot vs their trailing
+    baseline). Flags every hour whose event count exceeds num/den
+    times the mean of the ``window`` preceding hours — all-integer
+    test (exact, partitioning-invariant):
+
+        cnt * window * den > num * trailing_sum
+
+    evaluated only where a FULL trailing window of ``window`` distinct
+    preceding hours exists (ROWS semantics over present hours, like
+    the SQL mirror). Returns (hour, cnt, trail) for flagged hours.
+
+    Scale shape: ONE corpus scan folds (hour, cnt) partials through
+    the tree combiner — the hour key space is bounded by the stream's
+    calendar span, not its row count — then the trailing sums are a
+    vectorized driver cumsum over that bounded series. Nothing
+    row-scale ever reaches the driver.
+    """
+    import ray.data
+
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        hours = batch[ts_col].dt.floor("h")
+        vc = hours.value_counts()
+        return pd.DataFrame({"hour": vc.index,
+                             "cnt": vc.to_numpy(dtype="int64")})
+
+    agg = tree_aggregate(
+        events_ds.map_batches(fold, batch_format="pandas"),
+        ["hour"], sums=("cnt",))
+    agg = agg.sort_values("hour").reset_index(drop=True)
+    cnt = agg["cnt"].to_numpy(dtype="int64")
+    cum = np.concatenate([[0], np.cumsum(cnt)])
+    # trailing sum over the `window` PRESENT rows before row i
+    lo = np.maximum(np.arange(len(cnt)) - window, 0)
+    trail = cum[np.arange(len(cnt))] - cum[lo]
+    nprev = np.arange(len(cnt)) - lo
+    flag = (nprev == window) & (cnt * window * den > num * trail)
+    out = pd.DataFrame({"hour": agg["hour"][flag],
+                        "cnt": cnt[flag],
+                        "trail": trail[flag]}).reset_index(drop=True)
+    return ray.data.from_pandas(out) if len(out) else \
+        ray.data.from_pandas(pd.DataFrame({
+            "hour": pd.Series(dtype="datetime64[us]"),
+            "cnt": pd.Series(dtype="int64"),
+            "trail": pd.Series(dtype="int64")}))
