@@ -916,6 +916,19 @@ def _embedding_outliers(sf_dir: str):
     return embedding_outliers(ds, per_cluster_topk=5)
 
 
+def _contrastive_triplets(sf_dir: str):
+    """Embedding-training data prep: deterministic (anchor, positive,
+    negative) triplets over the oracle-shared k-means clustering
+    (ops/kmeans.contrastive_triplets)."""
+    import ray.data
+
+    from warcio_ray.ops.kmeans import contrastive_triplets
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return contrastive_triplets(ds)
+
+
 def _cocitation_pairs(sf_dir: str):
     """Related-page discovery: co-citation counts over the real page
     graph (content links + next-page nav edges) — pages cited together
@@ -3210,6 +3223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corrupt": _span_corrupt,
         "fim_transform": _fim_transform,
         "burst_hours": _burst_hours,
+        "contrastive_triplets": _contrastive_triplets,
         # demoted from the first 50 in the r4 s4 refit (families still
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
@@ -4158,6 +4172,43 @@ def oracle_sql() -> dict[str, str]:
         # kmeans_clusters: exact-integer Lloyd — unrolled generated CTE
         # chain, bit-identical (hash compare)
         "kmeans_clusters": _kmeans_sql(),
+        # contrastive_triplets: composes the SAME kmeans CTE chain +
+        # per-cluster rank windows + the md5 neg-cluster arithmetic
+        "contrastive_triplets": ("WITH "
+                                 + _kmeans_sql(ctes_only=True) + """,
+            byc AS (
+              SELECT vec_id, cl,
+                     row_number() OVER (PARTITION BY cl
+                                        ORDER BY vec_id) - 1 AS r,
+                     COUNT(*) OVER (PARTITION BY cl) AS n
+              FROM afin),
+            live AS (
+              SELECT cl, row_number() OVER (ORDER BY cl) - 1 AS ci
+              FROM (SELECT DISTINCT cl FROM afin)),
+            ke AS (SELECT COUNT(*) AS k FROM live),
+            wants AS (
+              SELECT b.vec_id AS anchor, b.cl AS cluster,
+                     (b.r + 1) % b.n AS pos_r,
+                     lv2.cl AS neg_cluster, b.r AS r0
+              FROM byc b
+              JOIN live lv ON lv.cl = b.cl
+              JOIN live lv2 ON lv2.ci =
+                (lv.ci + 1 + (CAST(('0x' || substr(md5(
+                   CAST(b.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % ((SELECT k FROM ke) - 1)))
+                % (SELECT k FROM ke)
+              WHERE b.n > 1),
+            posj AS (
+              SELECT w.anchor, w.cluster, w.neg_cluster, w.r0,
+                     m.vec_id AS positive
+              FROM wants w
+              JOIN byc m ON m.cl = w.cluster AND m.r = w.pos_r)
+            SELECT p.anchor, CAST(p.cluster AS BIGINT) AS cluster,
+                   p.positive, m.vec_id AS negative
+            FROM posj p
+            JOIN byc m ON m.cl = p.neg_cluster
+                      AND m.r = p.r0 % m.n
+        """),
         # embedding_outliers: composes the SAME kmeans CTE chain, then
         # exact d2 to the assigned centroid + a farthest-5 window per
         # cluster (ties by vec_id) — tracks any future kmeans change

@@ -4233,3 +4233,60 @@ def test_burst_hours(ray_session):
     # the planted burst is caught by the 10-hour window
     w = brute(10, 3, 2)
     assert any(c == 40 for _, c, _ in w)
+
+
+def test_contrastive_triplets(ray_session):
+    """Triplet mining: brute-force parity on the rank/md5 rules,
+    positives share the anchor's cluster (never self), negatives
+    never do, singleton clusters emit nothing, invariance."""
+    import hashlib
+
+    import ray.data
+
+    from warcio_ray.ops.kmeans import contrastive_triplets, kmeans_exact
+
+    rng = np.random.RandomState(11)
+    base = np.r_[rng.normal(0, .04, (20, 6)),
+                 rng.normal(1, .04, (20, 6)),
+                 rng.normal(-1, .04, (13, 6))]
+    df = pd.DataFrame({"vec_id": np.arange(len(base), dtype="int64"),
+                       "embedding": [r.astype("float32") for r in base]})
+
+    def brute(k=4, iters=3):
+        import ray.data as rd
+        asn = kmeans_exact(rd.from_pandas(df), k=k,
+                           iters=iters).to_pandas()
+        byc = {c: sorted(g["vec_id"])
+               for c, g in asn.groupby("cluster")}
+        live = sorted(c for c, m in byc.items() if m)
+        ke = len(live)
+        po = {c: i for i, c in enumerate(live)}
+        out = []
+        for c, mem in byc.items():
+            if len(mem) < 2:
+                continue
+            for r, v in enumerate(mem):
+                pos = mem[(r + 1) % len(mem)]
+                h = int(hashlib.md5(str(v).encode()).hexdigest()[:8],
+                        16)
+                nc = live[(po[c] + 1 + h % (ke - 1)) % ke]
+                neg = byc[nc][r % len(byc[nc])]
+                out.append((v, c, pos, neg))
+        return sorted(out)
+
+    want = brute()
+    for np_ in (1, 3):
+        got = contrastive_triplets(
+            ray.data.from_pandas(df).repartition(np_)).to_pandas()
+        rows = sorted(zip(got["anchor"].astype(int),
+                          got["cluster"].astype(int),
+                          got["positive"].astype(int),
+                          got["negative"].astype(int)))
+        assert rows == want
+    # semantic invariants
+    gmap = {a: (c, p, n) for a, c, p, n in want}
+    asn = kmeans_exact(ray.data.from_pandas(df)).to_pandas()
+    cl_of = dict(zip(asn["vec_id"].astype(int),
+                     asn["cluster"].astype(int)))
+    for a, (c, p, n) in gmap.items():
+        assert p != a and cl_of[p] == c and cl_of[n] != c

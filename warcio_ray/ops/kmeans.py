@@ -182,3 +182,130 @@ def embedding_outliers(ds, vec_col: str = "embedding",
         return ray.data.from_pandas(empty)
     out = top_fold(cand).reset_index(drop=True)
     return ray.data.from_pandas(out[[id_col, "cluster", "d2"]])
+
+
+def contrastive_triplets(ds, vec_col: str = "embedding",
+                         id_col: str = "vec_id", k: int = 4,
+                         iters: int = 3, scale: int = 1 << 16,
+                         num_partitions=None):
+    """Deterministic (anchor, positive, negative) triplet mining for
+    contrastive / embedding-model training: positives share the
+    anchor's k-means cluster, negatives come from a different one.
+
+    Rules (exact, SQL-mirrorable — no RNG):
+      rank r(v)  = v's 0-based position in its cluster's sorted ids
+      positive   = the id at rank (r+1) mod size(c) in cluster c
+                   (the next same-cluster vector cyclically; singleton
+                   clusters emit nothing — no self-positives)
+      neg cluster c' = (c + 1 + md5(id) % (k_eff - 1)) mod k_eff over
+                   the NON-EMPTY clusters (sorted), k_eff their count
+      negative   = the id at rank r mod size(c') in cluster c'
+
+    Scale shape: kmeans passes + ONE narrow (id, cluster) partition
+    sweep assigns ranks (vectorized argsort per cluster-hash
+    partition, never per-key map_groups), then TWO hash joins on
+    (cluster, rank) resolve positives and negatives — only int64
+    triples move, vectors never shuffle. Cluster sizes (<= k ints)
+    broadcast driver-side.
+    """
+    import hashlib
+
+    import ray
+    import ray.data
+
+    from warcio_ray.ops.blocks import safe_join
+
+    if num_partitions is None:
+        import ray as _r
+        num_partitions = min(32, max(2, int(
+            _r.cluster_resources().get("CPU", 8))))
+
+    assign = kmeans_exact(ds, vec_col=vec_col, id_col=id_col, k=k,
+                          iters=iters, scale=scale)
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            id_col: batch[id_col].astype("int64"),
+            "cluster": batch["cluster"].astype("int64")})
+        out["_part"] = out["cluster"] % num_partitions
+        return out
+
+    def rank_sweep(grp: pd.DataFrame) -> pd.DataFrame:
+        g = grp.sort_values(["cluster", id_col], kind="mergesort")
+        cl = g["cluster"].to_numpy(dtype="int64")
+        starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+        reps = np.r_[starts[1:], len(cl)] - starts
+        r = np.arange(len(cl), dtype="int64") \
+            - np.repeat(starts, reps)
+        out = g[[id_col, "cluster"]].copy()
+        out["r"] = r
+        return out
+
+    ranked = assign.map_batches(add_part, batch_format="pandas") \
+        .groupby("_part").map_groups(rank_sweep,
+                                     batch_format="pandas") \
+        .materialize()
+
+    sizes_pd = ranked.map_batches(
+        lambda b: b.groupby("cluster", sort=False).size()
+        .reset_index(name="n"),
+        batch_format="pandas").to_pandas() \
+        .groupby("cluster")["n"].sum()
+    live = np.sort(sizes_pd[sizes_pd > 0].index.to_numpy("int64"))
+    k_eff = len(live)
+    if k_eff < 2:
+        return ray.data.from_pandas(pd.DataFrame({
+            "anchor": pd.Series(dtype="int64"),
+            "cluster": pd.Series(dtype="int64"),
+            "positive": pd.Series(dtype="int64"),
+            "negative": pd.Series(dtype="int64")}))
+    size_of = dict(sizes_pd.items())
+    pos_of = {int(c): i for i, c in enumerate(live)}
+    sref = ray.put((live, size_of, pos_of, k_eff))
+
+    def wants(batch: pd.DataFrame) -> pd.DataFrame:
+        lv, sz, po, ke = ray.get(sref)
+        ids = batch[id_col].to_numpy(dtype="int64")
+        cl = batch["cluster"].to_numpy(dtype="int64")
+        r = batch["r"].to_numpy(dtype="int64")
+        n_c = np.array([sz[c] for c in cl], dtype="int64")
+        keep = n_c > 1  # singleton clusters: no positive
+        ids, cl, r, n_c = ids[keep], cl[keep], r[keep], n_c[keep]
+        h = np.array([int(hashlib.md5(str(int(i)).encode())
+                          .hexdigest()[:8], 16) for i in ids],
+                     dtype="int64")
+        ci = np.array([po[c] for c in cl], dtype="int64")
+        neg_cl = lv[(ci + 1 + h % (ke - 1)) % ke]
+        n_n = np.array([sz[c] for c in neg_cl], dtype="int64")
+        return pd.DataFrame({
+            "anchor": ids, "cluster": cl,
+            "pos_r": (r + 1) % n_c,
+            "neg_cluster": neg_cl, "neg_r": r % n_n})
+
+    want_ds = ranked.map_batches(wants, batch_format="pandas")
+    members = ranked  # (id, cluster, r)
+
+    pos_j = safe_join(want_ds, members, "inner", num_partitions,
+                      ("cluster", "pos_r"), right_on=("cluster", "r"))
+
+    def name_pos(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "anchor": batch["anchor"].astype("int64"),
+            "cluster": batch["cluster"].astype("int64"),
+            "positive": batch[id_col].astype("int64"),
+            "neg_cluster": batch["neg_cluster"].astype("int64"),
+            "neg_r": batch["neg_r"].astype("int64")})
+
+    pos_done = pos_j.map_batches(name_pos, batch_format="pandas")
+    neg_j = safe_join(pos_done, members, "inner", num_partitions,
+                      ("neg_cluster", "neg_r"),
+                      right_on=("cluster", "r"))
+
+    def name_neg(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "anchor": batch["anchor"].astype("int64"),
+            "cluster": batch["cluster"].astype("int64"),
+            "positive": batch["positive"].astype("int64"),
+            "negative": batch[id_col].astype("int64")})
+
+    return neg_j.map_batches(name_neg, batch_format="pandas")
