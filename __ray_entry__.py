@@ -557,6 +557,19 @@ def _span_corrupt(sf_dir: str):
     return span_corrupt(ds, span=3, mask_pct=15)
 
 
+def _vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth at 10 shuffle-order checkpoints
+    (ops/textstats.vocab_growth — shuffle ranks + per-token MIN rank
+    + bounded checkpoint fold)."""
+    import ray.data
+
+    from warcio_ray.ops.textstats import vocab_growth
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return vocab_growth(ds, n_checkpoints=10)
+
+
 def _burst_hours(sf_dir: str):
     """Traffic-burst detection: hours whose event count beats 5/4 of
     the trailing-24h mean (full window required), exact integers
@@ -3224,6 +3237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fim_transform": _fim_transform,
         "burst_hours": _burst_hours,
         "contrastive_triplets": _contrastive_triplets,
+        "vocab_growth": _vocab_growth,
         # demoted from the first 50 in the r4 s4 refit (families still
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
@@ -5808,6 +5822,31 @@ def oracle_sql() -> dict[str, str]:
                      || CAST(sid AS VARCHAR) || '> ' || seg END,
                      ' ' ORDER BY b) FILTER (WHERE m), '') AS target
             FROM w GROUP BY doc_id
+        """,
+        # vocab_growth: shuffle-rank row_number + per-token MIN rank
+        # + ceil-prefix checkpoint counts
+        "vocab_growth": r"""
+            WITH r AS (
+              SELECT doc_id, text, row_number() OVER (ORDER BY
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                  1, 8)) AS BIGINT), doc_id) - 1 AS rk
+              FROM documents),
+            nn AS (SELECT COUNT(*) AS n FROM documents),
+            fr AS (
+              SELECT MIN(rk) AS fr FROM (
+                SELECT rk,
+                       unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM r)
+              GROUP BY tok),
+            cps AS (
+              SELECT i, ((i * (SELECT n FROM nn) + 9) // 10) AS size
+              FROM (SELECT unnest(range(1, 11)) AS i))
+            SELECT CAST(i AS BIGINT) AS checkpoint,
+                   CAST(size AS BIGINT) AS n_docs,
+                   CAST((SELECT COUNT(*) FROM fr
+                         WHERE fr.fr < cps.size) AS BIGINT)
+                     AS distinct_tokens
+            FROM cps ORDER BY i
         """,
         # burst_hours: trailing-ROWS window + identical integer test
         "burst_hours": """

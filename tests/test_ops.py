@@ -4290,3 +4290,47 @@ def test_contrastive_triplets(ray_session):
                      asn["cluster"].astype(int)))
     for a, (c, p, n) in gmap.items():
         assert p != a and cl_of[p] == c and cl_of[n] != c
+
+
+def test_vocab_growth(ray_session):
+    """Heaps curve: brute-force parity against the md5 shuffle-rank
+    rule (running distinct-token counts at ceil-prefix checkpoints),
+    monotonicity, final point = corpus vocab, invariance."""
+    import hashlib
+
+    import ray.data
+
+    from warcio_ray.ops.textstats import vocab_growth
+
+    texts = ["a b c", "a d", "", "e e e a", "f g", "h", "a b",
+             "i j k l", "m", "a"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                       "text": texts})
+
+    def brute(K):
+        order = sorted(range(len(texts)), key=lambda i: (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16), i))
+        n = len(texts)
+        out = []
+        for i in range(1, K + 1):
+            size = (i * n + K - 1) // K
+            seen = set()
+            for d in order[:size]:
+                seen.update(texts[d].split())
+            out.append((i, size, len(seen)))
+        return out
+
+    for K in (10, 3, 1):
+        want = brute(K)
+        for np_ in (1, 4):
+            got = vocab_growth(
+                ray.data.from_pandas(df).repartition(np_),
+                n_checkpoints=K)
+            rows = list(zip(got["checkpoint"].astype(int),
+                            got["n_docs"].astype(int),
+                            got["distinct_tokens"].astype(int)))
+            assert rows == want, (K, np_)
+        # monotone, final = full vocab
+        assert [r[2] for r in want] == sorted(r[2] for r in want)
+        assert want[-1][2] == len({w for t in texts
+                                   for w in t.split()})

@@ -1017,3 +1017,87 @@ def rendezvous_shards(ds, n_shards: int = 16, id_col: str = "doc_id"):
                              .astype("int64")})
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def vocab_growth(ds, n_checkpoints: int = 10, text_col: str = "text",
+                 id_col: str = "doc_id", bucket_bits: int = 10):
+    """Heaps'-law vocabulary-growth curve — the corpus-scaling report
+    (how fast does the distinct-token vocabulary grow as the corpus
+    streams in deterministic shuffle order?). At each checkpoint i
+    (the first ceil(i*n/K) docs by md5 shuffle rank), reports the
+    exact distinct-token count seen so far.
+
+    Exact and shuffle-free beyond what the rank already pays: ranks
+    come from ``shuffle_order`` (bucket prefix sums, no global sort);
+    each doc's tokens explode to (token, rank) partials that combine
+    per batch to per-token MIN rank candidates; ONE vocab-keyed hash
+    aggregate takes the global min; a final bounded fold buckets those
+    first-occurrence ranks into the K checkpoint bins (K rows to the
+    driver). Returns (checkpoint, n_docs, distinct_tokens) — the
+    running vocabulary size after each prefix.
+    """
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join, \
+        tree_aggregate
+
+    if n_checkpoints < 1:
+        raise ValueError("n_checkpoints must be >= 1")
+    ranked = shuffle_order(ds.select_columns([id_col]),
+                           id_col=id_col,
+                           bucket_bits=bucket_bits)  # (id, rank)
+    n = ds.count()
+    if n == 0:
+        return pd.DataFrame({"checkpoint": pd.Series(dtype="int64"),
+                             "n_docs": pd.Series(dtype="int64"),
+                             "distinct_tokens":
+                                 pd.Series(dtype="int64")})
+    # prefix sizes: checkpoint i covers the first ceil(i*n/K) docs
+    sizes = [(i * n + n_checkpoints - 1) // n_checkpoints
+             for i in range(1, n_checkpoints + 1)]
+
+    import ray as _r
+    npart = min(32, max(2, int(_r.cluster_resources()
+                               .get("CPU", 8))))
+    with_rank = safe_join(ds.select_columns([id_col, text_col]),
+                          ranked, "inner", npart, (id_col,))
+
+    def explode_min(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.set_index(batch["shuffle_rank"]
+                            .astype("int64"))[text_col] \
+            .fillna("").str.split()
+        ex = s.explode().dropna()
+        if not len(ex):
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "r": pd.Series(dtype="int64")})
+        # per-batch combine: min rank per distinct token
+        m = ex.index.to_series().groupby(ex.values).min()
+        return pd.DataFrame({"token": m.index.astype(object),
+                             "r": m.to_numpy(dtype="int64")})
+
+    first_rank = arrow_blocks(
+        with_rank.map_batches(explode_min, batch_format="pandas")) \
+        .groupby("token").aggregate(Min("r", alias_name="fr"))
+
+    bounds = np.asarray(sizes, dtype="int64")
+
+    def bin_fold(batch: pd.DataFrame) -> pd.DataFrame:
+        fr = batch["fr"].to_numpy(dtype="int64")
+        # token first seen at rank fr is inside checkpoint i iff
+        # fr < sizes[i]; count per FIRST such bin, cumsum later
+        b = np.searchsorted(bounds, fr, side="right")
+        ud, cnt = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bin": ud, "c": cnt.astype("int64")})
+
+    bins = tree_aggregate(
+        first_rank.map_batches(bin_fold, batch_format="pandas"),
+        ["bin"], sums=("c",))
+    acc = np.zeros(n_checkpoints, dtype="int64")
+    for b, c in zip(bins["bin"].astype(int), bins["c"].astype(int)):
+        if b < n_checkpoints:
+            acc[b] += c
+    return pd.DataFrame({
+        "checkpoint": np.arange(1, n_checkpoints + 1, dtype="int64"),
+        "n_docs": bounds,
+        "distinct_tokens": np.cumsum(acc)})
