@@ -557,6 +557,19 @@ def _span_corrupt(sf_dir: str):
     return span_corrupt(ds, span=3, mask_pct=15)
 
 
+def _curriculum_order(sf_dir: str):
+    """Length-curriculum data ordering: rank the corpus by (token-count
+    decile, md5 shuffle) — easiest-first with in-bucket shuffle
+    (ops/textstats.curriculum_order)."""
+    import ray.data
+
+    from warcio_ray.ops.textstats import curriculum_order
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return curriculum_order(ds, n_buckets=10)
+
+
 def _vocab_growth(sf_dir: str):
     """Heaps'-law vocabulary growth at 10 shuffle-order checkpoints
     (ops/textstats.vocab_growth — shuffle ranks + per-token MIN rank
@@ -3238,6 +3251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_hours": _burst_hours,
         "contrastive_triplets": _contrastive_triplets,
         "vocab_growth": _vocab_growth,
+        "curriculum_order": _curriculum_order,
         # demoted from the first 50 in the r4 s4 refit (families still
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
@@ -5822,6 +5836,34 @@ def oracle_sql() -> dict[str, str]:
                      || CAST(sid AS VARCHAR) || '> ' || seg END,
                      ' ' ORDER BY b) FILTER (WHERE m), '') AS target
             FROM w GROUP BY doc_id
+        """,
+        # curriculum_order: decile cutoffs via the shared rank rule,
+        # bucket = COUNT(cutoffs < wc), rank = (bucket, md5, id) window
+        "curriculum_order": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\S+')) AS wc
+              FROM documents),
+            nn AS (SELECT COUNT(*) AS n FROM t),
+            sc AS (SELECT wc, row_number() OVER (ORDER BY wc) AS rn
+                   FROM t),
+            cuts AS (
+              SELECT DISTINCT wc AS cut FROM sc
+              WHERE rn IN (
+                SELECT ((100 * i // 10) * (SELECT n FROM nn) + 99)
+                       // 100
+                FROM (SELECT unnest(range(1, 10)) AS i))),
+            bq AS (
+              SELECT doc_id, wc,
+                     (SELECT COUNT(*) FROM cuts WHERE cut < t.wc)
+                       AS bucket
+              FROM t)
+            SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+                   row_number() OVER (ORDER BY bucket,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                       1, 8)) AS BIGINT), doc_id) - 1
+                     AS curriculum_rank
+            FROM bq
         """,
         # vocab_growth: shuffle-rank row_number + per-token MIN rank
         # + ceil-prefix checkpoint counts

@@ -4334,3 +4334,48 @@ def test_vocab_growth(ray_session):
         assert [r[2] for r in want] == sorted(r[2] for r in want)
         assert want[-1][2] == len({w for t in texts
                                    for w in t.split()})
+
+
+def test_curriculum_order(ray_session):
+    """Curriculum ordering: brute-force parity against (decile bucket,
+    md5, id) sort, ranks are a permutation, buckets nondecreasing
+    along the rank order, invariance."""
+    import hashlib
+
+    import ray.data
+
+    from warcio_ray.ops.textstats import curriculum_order
+
+    rng = np.random.RandomState(4)
+    lens = rng.randint(0, 40, size=60)
+    texts = [" ".join(f"w{j}" for j in range(l)) for l in lens]
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype="int64"),
+                       "text": texts})
+
+    def brute(K):
+        wc = np.array([len(t.split()) for t in texts])
+        n = len(wc)
+        # exact percentile rule (p*n+99)//100 over the sorted counts
+        sc = np.sort(wc)
+        cuts = sorted({sc[((100 * i // K) * n + 99) // 100 - 1]
+                       for i in range(1, K)})
+        bq = np.searchsorted(np.asarray(cuts), wc, side="left")
+        h = np.array([int(hashlib.md5(str(i).encode())
+                          .hexdigest()[:8], 16) for i in range(n)])
+        order = sorted(range(n), key=lambda i: (bq[i], h[i], i))
+        return {d: (int(bq[d]), r) for r, d in enumerate(order)}
+
+    for K in (10, 4):
+        want = brute(K)
+        for np_ in (1, 4):
+            got = curriculum_order(
+                ray.data.from_pandas(df).repartition(np_),
+                n_buckets=K).to_pandas()
+            gmap = {int(r.doc_id): (int(r.bucket),
+                                    int(r.curriculum_rank))
+                    for r in got.itertuples()}
+            assert gmap == want, (K, np_)
+        ranks = sorted(r for _, r in want.values())
+        assert ranks == list(range(60))
+        by_rank = sorted(want.values(), key=lambda x: x[1])
+        assert [b for b, _ in by_rank] == sorted(b for b, _ in by_rank)

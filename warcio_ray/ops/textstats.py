@@ -1101,3 +1101,92 @@ def vocab_growth(ds, n_checkpoints: int = 10, text_col: str = "text",
         "checkpoint": np.arange(1, n_checkpoints + 1, dtype="int64"),
         "n_docs": bounds,
         "distinct_tokens": np.cumsum(acc)})
+
+
+def curriculum_order(ds, n_buckets: int = 10,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     bucket_bits: int = 10):
+    """Curriculum data ordering — rank the corpus easiest-first by a
+    difficulty proxy (token count), shuffled WITHIN each difficulty
+    decile: sort key (difficulty_bucket, md5(id), id). The standard
+    length-curriculum recipe for LLM pretraining, exact at any
+    parallelism.
+
+    Difficulty buckets: exact token-count deciles via the standing
+    ``histogram_quantiles`` rank rule ((p*n+99)//100 over the bounded
+    count histogram); bucket(doc) = #cutoffs strictly below its count
+    plus ties-to-the-right (searchsorted side='left' on the cutoff
+    array — SQL mirrors it as a COUNT of cutoffs < wc OR (== handled
+    identically)). Within a bucket the order is the md5 shuffle rank.
+
+    Scale shape: the shuffle_order machinery with a composite cell
+    key (bucket << bits | md5_top_bits) — ONE narrow projection pass
+    (+ the bounded histogram pass for cutoffs), cell counts through
+    the tree combiner, O(n_buckets * 2^bits) driver prefix sums, ONE
+    hash shuffle with vectorized local sorts. Text never shuffles.
+
+    Returns (id_col, bucket, curriculum_rank), rank 0-based over the
+    whole corpus.
+    """
+    import ray
+    import ray.data
+
+    from warcio_ray.ops.blocks import tree_aggregate
+    from warcio_ray.ops.quantile import histogram_quantiles
+
+    counts = ds.map_batches(
+        lambda b: pd.DataFrame({
+            id_col: b[id_col].astype("int64"),
+            "wc": b[text_col].fillna("").str.count(r"\S+")
+            .astype("int64")}),
+        batch_format="pandas").materialize()
+
+    pcts = [100 * i // n_buckets for i in range(1, n_buckets)]
+    qs = histogram_quantiles(counts, value_col="wc", pcts=pcts)
+    cutoffs = np.asarray(sorted(qs["value"].astype(int)),
+                         dtype="int64")
+
+    shift = 32 - bucket_bits
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].astype("int64")
+        wc = batch["wc"].to_numpy(dtype="int64")
+        bq = np.searchsorted(cutoffs, wc, side="left").astype("int64")
+        h = _id_hash_u32(ids)
+        return pd.DataFrame({
+            id_col: ids, "bucket_q": bq, "_h": h,
+            "cell": (bq << np.int64(bucket_bits)) + (h >> shift)})
+
+    keyed = counts.map_batches(project,
+                               batch_format="pandas").materialize()
+
+    def cell_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["cell"].value_counts()
+        return pd.DataFrame({"cell": vc.index.to_numpy(dtype="int64"),
+                             "c": vc.to_numpy(dtype="int64")})
+
+    totals = tree_aggregate(
+        keyed.map_batches(cell_counts, batch_format="pandas"),
+        ["cell"], sums=("c",))
+    if len(totals) == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            id_col: pd.Series(dtype="int64"),
+            "bucket": pd.Series(dtype="int64"),
+            "curriculum_rank": pd.Series(dtype="int64")}))
+    totals = totals.sort_values("cell").reset_index(drop=True)
+    c = totals["c"].to_numpy(dtype="int64")
+    base = np.concatenate([[0], np.cumsum(c)[:-1]])
+    base_ref = ray.put(dict(zip(totals["cell"].astype("int64"),
+                                base)))
+
+    def rank_group(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.sort_values(["_h", id_col], kind="mergesort")
+        b = ray.get(base_ref)[int(grp["cell"].iloc[0])]
+        return pd.DataFrame({
+            id_col: grp[id_col].to_numpy(dtype="int64"),
+            "bucket": grp["bucket_q"].to_numpy(dtype="int64"),
+            "curriculum_rank": b + np.arange(len(grp),
+                                             dtype="int64")})
+
+    return keyed.groupby("cell").map_groups(rank_group,
+                                            batch_format="pandas")
