@@ -926,6 +926,11 @@ def cocitation_pairs(edges_ds, max_out_degree: int = 256,
         df = pd.DataFrame({
             "src": batch["src"].to_numpy(dtype="int64"),
             "dst": batch["dst"].to_numpy(dtype="int64")})
+        if len(df) and int(df["dst"].min()) < 0:
+            # a = -1 is the truncation sentinel downstream; negative
+            # node ids would silently vanish into it
+            raise ValueError("cocitation_pairs requires non-negative "
+                             "node ids")
         df = df[df["src"] != df["dst"]].drop_duplicates()
         df["_part"] = (df["src"].to_numpy(dtype="int64")
                        % num_partitions)
