@@ -557,6 +557,47 @@ def _span_corrupt(sf_dir: str):
     return span_corrupt(ds, span=3, mask_pct=15)
 
 
+def _continuation_pairs(sf_dir: str):
+    """Pagination-stitch detection over an augmented corpus: every
+    doc_id % 7 == 0 with >= 16 tokens is split into two planted pages
+    overlapping by k=8 tokens (A = tokens[:n//2+8] at id+100000,
+    B = tokens[n//2:] at id+200000); the detector must recover the
+    (A, B) continuation pairs (ops/dedup.continuation_pairs)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.dedup import continuation_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def augment(batch: pd.DataFrame) -> pd.DataFrame:
+        out = [batch[["doc_id", "text"]]]
+        sel = batch[batch["doc_id"] % 7 == 0]
+        ids, a_txt, b_txt = [], [], []
+        for d, t in zip(sel["doc_id"], sel["text"]):
+            tok = (t or "").split()
+            n = len(tok)
+            if n < 16:
+                continue
+            m = n // 2
+            ids.append(int(d))
+            a_txt.append(" ".join(tok[:m + 8]))
+            b_txt.append(" ".join(tok[m:]))
+        if ids:
+            ids = np.asarray(ids, dtype="int64")
+            out.append(pd.DataFrame({"doc_id": ids + 100000,
+                                     "text": a_txt}))
+            out.append(pd.DataFrame({"doc_id": ids + 200000,
+                                     "text": b_txt}))
+        return pd.concat(out, ignore_index=True)
+
+    aug = ds.map_batches(augment, batch_format="pandas")
+    pairs, _ = continuation_pairs(aug, k=8)
+    return pairs
+
+
 def _curriculum_order(sf_dir: str):
     """Length-curriculum data ordering: rank the corpus by (token-count
     decile, md5 shuffle) — easiest-first with in-bucket shuffle
@@ -3252,6 +3293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrastive_triplets": _contrastive_triplets,
         "vocab_growth": _vocab_growth,
         "curriculum_order": _curriculum_order,
+        "continuation_pairs": _continuation_pairs,
         # demoted from the first 50 in the r4 s4 refit (families still
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
@@ -5836,6 +5878,43 @@ def oracle_sql() -> dict[str, str]:
                      || CAST(sid AS VARCHAR) || '> ' || seg END,
                      ' ' ORDER BY b) FILTER (WHERE m), '') AS target
             FROM w GROUP BY doc_id
+        """,
+        # continuation_pairs: replay the planted pagination splits,
+        # join tails to heads on the literal k-token strings (md5
+        # equality == string equality absent collisions)
+        "continuation_pairs": r"""
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     array_to_string(list_slice(t, 1, n // 2 + 8), ' ')
+              FROM (SELECT doc_id,
+                           regexp_extract_all(text, '\S+') AS t,
+                           len(regexp_extract_all(text, '\S+')) AS n
+                    FROM documents WHERE doc_id % 7 = 0)
+              WHERE n >= 16
+              UNION ALL
+              SELECT doc_id + 200000,
+                     array_to_string(list_slice(t, n // 2 + 1, n), ' ')
+              FROM (SELECT doc_id,
+                           regexp_extract_all(text, '\S+') AS t,
+                           len(regexp_extract_all(text, '\S+')) AS n
+                    FROM documents WHERE doc_id % 7 = 0)
+              WHERE n >= 16),
+            keys AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(t, 1, 8), ' ')
+                       AS head_k,
+                     array_to_string(list_slice(t, len(t) - 7,
+                                                len(t)), ' ')
+                       AS tail_k
+              FROM (SELECT doc_id,
+                           regexp_extract_all(text, '\S+') AS t
+                    FROM aug)
+              WHERE len(t) >= 8)
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM keys x JOIN keys y
+              ON x.tail_k = y.head_k AND x.doc_id <> y.doc_id
         """,
         # curriculum_order: decile cutoffs via the shared rank rule,
         # bucket = COUNT(cutoffs < wc), rank = (bucket, md5, id) window

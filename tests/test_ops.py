@@ -4379,3 +4379,65 @@ def test_curriculum_order(ray_session):
         assert ranks == list(range(60))
         by_rank = sorted(want.values(), key=lambda x: x[1])
         assert [b for b, _ in by_rank] == sorted(b for b, _ in by_rank)
+
+
+def test_continuation_pairs(ray_session):
+    """Pagination stitching: planted tail->head splits found,
+    self-pairs excluded, short docs skipped, per-key cap accounted,
+    partition invariance."""
+    import ray.data
+
+    from warcio_ray.ops.dedup import continuation_pairs
+
+    k = 4
+    mid = "s1 s2 s3 s4"
+    texts = {
+        0: "a0 a1 a2 a3 " + mid,          # tail = mid
+        1: mid + " b0 b1 b2",             # head = mid -> (0, 1)
+        2: mid + " c0 c1",                # head = mid -> (0, 2)
+        3: "x0 x1 x2 x3 y0 y1 y2 y3",     # no partner
+        4: "too short",                   # skipped (< k tokens)
+        5: mid,                           # head == tail == mid:
+                                          # pairs with 0,1,2 both ways
+    }
+    df = pd.DataFrame({"doc_id": list(texts), "text": list(
+        texts.values())})
+
+    def brute(cap):
+        tails, heads = {}, {}
+        for d, t in texts.items():
+            tok = t.split()
+            if len(tok) < k:
+                continue
+            heads.setdefault(" ".join(tok[:k]), []).append(d)
+            tails.setdefault(" ".join(tok[-k:]), []).append(d)
+        out = set()
+        capped = 0
+        for key, ts in tails.items():
+            hs = heads.get(key, [])
+            if not hs:
+                continue
+            ts2, hs2 = sorted(ts), sorted(hs)
+            if len(ts2) > cap or len(hs2) > cap:
+                capped += 1
+                ts2, hs2 = ts2[:cap], hs2[:cap]
+            for a in ts2:
+                for b in hs2:
+                    if a != b:
+                        out.add((a, b))
+        return out, capped
+
+    for cap in (64, 1):
+        want, wcap = brute(cap)
+        for np_ in (1, 4):
+            got, gcap = continuation_pairs(
+                ray.data.from_pandas(df).repartition(np_),
+                k=k, max_per_key=cap)
+            gp = got.to_pandas()
+            gset = set(zip(gp["a"].astype(int), gp["b"].astype(int)))
+            assert gset == want, (cap, np_)
+            assert gcap == wcap
+    want64, _ = brute(64)
+    assert (0, 1) in want64 and (0, 2) in want64
+    assert (5, 1) in want64 and (0, 5) in want64
+    assert not any(a == b for a, b in want64)

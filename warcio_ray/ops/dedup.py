@@ -1698,3 +1698,91 @@ def cluster_best_representative(clusters_ds, quality_ds,
     return safe_join(packed, winners, "inner", num_partitions,
                      (cluster_col,)) \
         .map_batches(label, batch_format="pandas")
+
+
+def continuation_pairs(ds, k: int = 8, max_per_key: int = 64,
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       num_partitions=None):
+    """Pagination-stitching detection — the multi-page-article crawl
+    artifact: find ordered document pairs (a, b) where a's LAST ``k``
+    whitespace tokens equal b's FIRST ``k`` (a's tail continues into
+    b's head), so downstream curation can stitch or dedup paginated
+    splits. Docs shorter than ``k`` tokens can't participate.
+
+    Shape at scale: ONE stateless scan emits two narrow md5-key rows
+    per doc — (tail_key, id) and (head_key, id); one key-hash
+    partition sweep joins tails to heads with a vectorized
+    per-partition merge (never per-key map_groups). A boilerplate key
+    shared by many docs explodes quadratically, so per-key fan-out is
+    capped at ``max_per_key`` tails x heads (smallest ids kept) with
+    the dropped-key count returned — (pairs_ds, n_capped_keys).
+    md5 of the joined token string stands in for token-list equality
+    (collision odds ~2^-64 at these key counts).
+    """
+    import hashlib
+
+    import ray
+    import ray.data
+
+    if num_partitions is None:
+        num_partitions = min(64, max(2, int(
+            ray.cluster_resources().get("CPU", 8))))
+
+    def keys(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(dtype="int64")
+        toks = batch[text_col].fillna("").str.split()
+        out_k, out_id, out_side = [], [], []
+        for d, t in zip(ids, toks):
+            if len(t) < k:
+                continue
+            hk = int(hashlib.md5(
+                " ".join(t[:k]).encode("utf-8")).hexdigest()[:15], 16)
+            tk = int(hashlib.md5(
+                " ".join(t[-k:]).encode("utf-8")).hexdigest()[:15], 16)
+            out_k += [tk, hk]
+            out_id += [d, d]
+            out_side += [0, 1]  # 0 = tail, 1 = head
+        return pd.DataFrame({
+            "key": pd.Series(out_k, dtype="int64"),
+            id_col: pd.Series(out_id, dtype="int64"),
+            "side": pd.Series(out_side, dtype="int64"),
+            "_part": pd.Series(
+                np.asarray(out_k, dtype="int64") % num_partitions
+                if out_k else [], dtype="int64")})
+
+    def sweep(grp: pd.DataFrame) -> pd.DataFrame:
+        g = grp.drop_duplicates(["key", id_col, "side"]) \
+            .sort_values(["key", "side", id_col], kind="mergesort")
+        out_a, out_b, capped = [], [], 0
+        for key, kg in g.groupby("key", sort=False):
+            tails = kg.loc[kg["side"] == 0, id_col] \
+                .to_numpy(dtype="int64")
+            heads = kg.loc[kg["side"] == 1, id_col] \
+                .to_numpy(dtype="int64")
+            if not len(tails) or not len(heads):
+                continue
+            if len(tails) > max_per_key or len(heads) > max_per_key:
+                capped += 1
+                tails = tails[:max_per_key]  # smallest ids (sorted)
+                heads = heads[:max_per_key]
+            aa = np.repeat(tails, len(heads))
+            bb = np.tile(heads, len(tails))
+            ok = aa != bb
+            out_a.append(aa[ok])
+            out_b.append(bb[ok])
+        a = np.concatenate(out_a) if out_a else \
+            np.array([], dtype="int64")
+        b = np.concatenate(out_b) if out_b else \
+            np.array([], dtype="int64")
+        out = pd.DataFrame({"a": a, "b": b})
+        if capped:
+            out = pd.concat([out, pd.DataFrame(
+                {"a": [-1], "b": [-capped]})], ignore_index=True)
+        return out.astype({"a": "int64", "b": "int64"})
+
+    pairs = ds.map_batches(keys, batch_format="pandas") \
+        .groupby("_part").map_groups(sweep, batch_format="pandas") \
+        .materialize()
+    n_capped = -int(pairs.filter(expr="a == -1").sum("b") or 0)
+    return pairs.filter(expr="a >= 0"), n_capped
