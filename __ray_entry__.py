@@ -557,6 +557,19 @@ def _span_corrupt(sf_dir: str):
     return span_corrupt(ds, span=3, mask_pct=15)
 
 
+def _skipgram_pmi(sf_dir: str):
+    """Window-4 skipgram PMI (the word2vec co-occurrence statistic):
+    ordered pairs within 4 token distances, c12 >= 5
+    (ops/colloc.pmi_collocations(window=4))."""
+    import ray.data
+
+    from warcio_ray.ops.colloc import pmi_collocations
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return pmi_collocations(ds, min_count=5, window=4)
+
+
 def _continuation_pairs(sf_dir: str):
     """Pagination-stitch detection over an augmented corpus: every
     doc_id % 7 == 0 with >= 16 tokens is split into two planted pages
@@ -3294,6 +3307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": _vocab_growth,
         "curriculum_order": _curriculum_order,
         "continuation_pairs": _continuation_pairs,
+        "skipgram_pmi": _skipgram_pmi,
         # demoted from the first 50 in the r4 s4 refit (families still
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
@@ -6596,6 +6610,29 @@ def oracle_sql() -> dict[str, str]:
                        unnest(t[2:len(t)]) AS w2
                 FROM toks WHERE len(t) >= 2),
         bcnt AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2)
+        SELECT b.w1, b.w2, b.c12, c1.c AS c1, c2.c AS c2,
+               ROUND(ln(CAST(b.c12 AS DOUBLE) * (SELECT n FROM tot)
+                        / (CAST(c1.c AS DOUBLE) * c2.c)), 6) AS pmi
+        FROM bcnt b JOIN ucnt c1 ON b.w1 = c1.w
+                    JOIN ucnt c2 ON b.w2 = c2.w
+        WHERE b.c12 >= 5 ORDER BY b.w1, b.w2
+    """
+    # skipgram_pmi: distance-bounded positions self-join, same
+    # marginals/formula as the adjacent oracle
+    out["skipgram_pmi"] = r"""
+        WITH toks AS (SELECT doc_id,
+                             regexp_extract_all(text, '\S+') AS t
+                      FROM documents),
+        posd AS (SELECT doc_id, generate_subscripts(t, 1) AS p,
+                        unnest(t) AS w
+                 FROM toks),
+        ucnt AS (SELECT w, count(*) AS c FROM posd GROUP BY 1),
+        tot AS (SELECT count(*) AS n FROM posd),
+        bcnt AS (SELECT x.w AS w1, y.w AS w2, count(*) AS c12
+                 FROM posd x JOIN posd y
+                   ON x.doc_id = y.doc_id
+                  AND y.p - x.p BETWEEN 1 AND 4
+                 GROUP BY 1, 2)
         SELECT b.w1, b.w2, b.c12, c1.c AS c1, c2.c AS c2,
                ROUND(ln(CAST(b.c12 AS DOUBLE) * (SELECT n FROM tot)
                         / (CAST(c1.c AS DOUBLE) * c2.c)), 6) AS pmi

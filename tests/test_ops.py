@@ -4441,3 +4441,46 @@ def test_continuation_pairs(ray_session):
     assert (0, 1) in want64 and (0, 2) in want64
     assert (5, 1) in want64 and (0, 5) in want64
     assert not any(a == b for a, b in want64)
+
+
+def test_skipgram_pmi_window(ray_session):
+    """window>1 PMI: brute-force distance-bounded ordered pair counts,
+    window=1 equals the adjacent path, invariance."""
+    import math
+
+    import ray.data
+
+    from warcio_ray.ops.colloc import pmi_collocations
+
+    texts = ["a b c a b", "b c d", "", "a a a"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                       "text": texts})
+
+    def brute(window, min_count):
+        from collections import Counter
+        c12, c1 = Counter(), Counter()
+        for t in texts:
+            tok = t.split()
+            c1.update(tok)
+            for i in range(len(tok)):
+                for d in range(1, window + 1):
+                    if i + d < len(tok):
+                        c12[(tok[i], tok[i + d])] += 1
+        n = sum(c1.values())
+        return {p: (c, c1[p[0]], c1[p[1]],
+                    round(math.log(c * n / (c1[p[0]] * c1[p[1]])), 6))
+                for p, c in c12.items() if c >= min_count}
+
+    for window, mc in ((4, 2), (2, 1), (1, 2)):
+        want = brute(window, mc)
+        for np_ in (1, 3):
+            got = pmi_collocations(
+                ray.data.from_pandas(df).repartition(np_),
+                min_count=mc, window=window).to_pandas()
+            gmap = {(r.w1, r.w2): (int(r.c12), int(r.c1), int(r.c2),
+                                   round(float(r.pmi), 6))
+                    for r in got.itertuples()}
+            assert gmap == want, (window, mc, np_)
+    # window=4 catches the distance-3 pair ("b","b") in "a b c a b"
+    w4 = brute(4, 1)
+    assert ("b", "b") in w4 and ("b", "b") not in brute(1, 1)

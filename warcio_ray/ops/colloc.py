@@ -33,10 +33,12 @@ import numpy as np
 import pandas as pd
 
 
-def _bigram_partial(batch: pd.DataFrame, text_col: str) -> pd.DataFrame:
-    """Batch -> exact partial (w1, w2, c12) adjacent-bigram counts.
-    Vectorized: one split/explode, one shift compare for doc
-    boundaries, one pandas groupby."""
+def _bigram_partial(batch: pd.DataFrame, text_col: str,
+                    window: int = 1) -> pd.DataFrame:
+    """Batch -> exact partial (w1, w2, c12) ordered co-occurrence
+    counts at token distances 1..window (window=1: classic adjacent
+    bigrams). Vectorized: one split/explode, one shift compare per
+    distance for doc boundaries, one pandas groupby."""
     s = batch[text_col].fillna("").str.split()
     ex = s.explode().dropna()
     empty = pd.DataFrame({"w1": pd.Series(dtype="object"),
@@ -46,10 +48,18 @@ def _bigram_partial(batch: pd.DataFrame, text_col: str) -> pd.DataFrame:
         return empty
     idx = ex.index.to_numpy()
     w = ex.to_numpy()
-    m = idx[1:] == idx[:-1]  # adjacent tokens of the SAME doc
-    if not m.any():
+    lefts, rights = [], []
+    for d in range(1, window + 1):
+        if len(w) <= d:
+            break
+        m = idx[d:] == idx[:-d]  # distance-d tokens of the SAME doc
+        if m.any():
+            lefts.append(w[:-d][m])
+            rights.append(w[d:][m])
+    if not lefts:
         return empty
-    df = pd.DataFrame({"w1": w[:-1][m], "w2": w[1:][m]})
+    df = pd.DataFrame({"w1": np.concatenate(lefts),
+                       "w2": np.concatenate(rights)})
     out = df.groupby(["w1", "w2"], sort=False).size().reset_index(
         name="c12")
     return out.astype({"c12": "int64"})
@@ -67,10 +77,14 @@ def _unigram_partial(batch: pd.DataFrame, text_col: str) -> pd.DataFrame:
 
 
 def pmi_collocations(ds, min_count: int = 2, text_col: str = "text",
-                     num_partitions=None):
+                     num_partitions=None, window: int = 1):
     """(.., text) Dataset -> (w1, w2, c12, c1, c2, pmi) Dataset of all
-    adjacent-bigram collocations with c12 >= ``min_count``. Unordered;
-    callers sort (by (w1, w2) for compares, by pmi DESC for mining)."""
+    ordered co-occurrence pairs within ``window`` token distances with
+    c12 >= ``min_count`` (window=1: classic adjacent-bigram
+    collocations; window>1: the skipgram/word2vec co-occurrence
+    statistic — pair mass grows ~window x tokens, still collapsed
+    per batch before the shuffle). Unordered; callers sort (by
+    (w1, w2) for compares, by pmi DESC for mining)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -82,7 +96,8 @@ def pmi_collocations(ds, min_count: int = 2, text_col: str = "text",
 
     pairs = arrow_blocks(
         ds.map_batches(_bigram_partial, batch_format="pandas",
-                       fn_kwargs={"text_col": text_col})) \
+                       fn_kwargs={"text_col": text_col,
+                                  "window": int(window)})) \
         .groupby(["w1", "w2"]).aggregate(Sum("c12", alias_name="c12")) \
         .filter(expr=f"c12 >= {int(min_count)}")
 
