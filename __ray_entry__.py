@@ -557,6 +557,33 @@ def _span_corrupt(sf_dir: str):
     return span_corrupt(ds, span=3, mask_pct=15)
 
 
+def _soft_dedup_sample(sf_dir: str):
+    """Dedup-aware soft sampling: jaccard connected components ->
+    keep each member of an s-doc cluster with probability 1/sqrt(s)
+    (md5 rule), unclustered docs always kept
+    (ops/dedup.cluster_size_sample)."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.dedup import (cluster_size_sample,
+                                      connected_components_ds,
+                                      jaccard_similarity_join)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"])
+    pairs = jaccard_similarity_join(ds, threshold=0.5)
+    if not len(pairs):
+        labels = ray.data.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series(dtype="int64"),
+            "cluster_id": pd.Series(dtype="int64")}))
+    else:
+        labels = connected_components_ds(
+            ray.data.from_pandas(pairs[["a", "b"]]))
+    return cluster_size_sample(ids, labels)
+
+
 def _skipgram_pmi(sf_dir: str):
     """Window-4 skipgram PMI (the word2vec co-occurrence statistic):
     ordered pairs within 4 token distances, c12 >= 5
@@ -3308,6 +3335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_order": _curriculum_order,
         "continuation_pairs": _continuation_pairs,
         "skipgram_pmi": _skipgram_pmi,
+        "soft_dedup_sample": _soft_dedup_sample,
         # demoted from the first 50 in the r4 s4 refit (families still
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
@@ -5019,6 +5047,31 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY length(d.text) DESC, c.doc_id ASC) = 1
                         THEN 1 ELSE 0 END AS BIGINT) AS kept
             FROM clus c JOIN documents d USING (doc_id)
+        """,
+        # soft_dedup_sample: the same recursive components + size
+        # counts + the identical 1/sqrt(s) md5 threshold
+        "soft_dedup_sample": f"""
+            WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+            edges AS (SELECT a AS u, b AS v FROM jp
+                      UNION ALL SELECT b AS u, a AS v FROM jp),
+            reach(node, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, t.r FROM edges e JOIN reach t ON t.node = e.v),
+            clus AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+                     FROM reach GROUP BY node),
+            sz AS (SELECT cluster_id, COUNT(*) AS s FROM clus
+                   GROUP BY cluster_id),
+            lab AS (SELECT clus.doc_id, sz.s
+                    FROM clus JOIN sz USING (cluster_id))
+            SELECT d.doc_id,
+                   CAST(COALESCE(l.s, 1) AS BIGINT) AS cluster_size,
+                   CAST(CASE WHEN CAST(('0x' || substr(md5(
+                          CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        < FLOOR(4294967296.0 / sqrt(
+                            CAST(COALESCE(l.s, 1) AS DOUBLE)))
+                        THEN 1 ELSE 0 END AS BIGINT) AS kept
+            FROM documents d LEFT JOIN lab l USING (doc_id)
         """,
         # embedding_neardup: planted near-copies mirrored verbatim; at
         # cos ~0.9999995 the 4x8-bit hyperplane bands recall every

@@ -4484,3 +4484,46 @@ def test_skipgram_pmi_window(ray_session):
     # window=4 catches the distance-3 pair ("b","b") in "a b c a b"
     w4 = brute(4, 1)
     assert ("b", "b") in w4 and ("b", "b") not in brute(1, 1)
+
+
+def test_cluster_size_sample(ray_session):
+    """Soft dedup: brute-force parity on the 1/sqrt(s) md5 keep rule,
+    singletons always kept (threshold 2^32 > any md5_32), cluster
+    sizes exact, invariance."""
+    import hashlib
+    import math
+
+    import ray.data
+
+    from warcio_ray.ops.dedup import cluster_size_sample
+
+    ids = pd.DataFrame({"doc_id": np.arange(40, dtype="int64")})
+    # clusters: {0..9} -> c0, {10..13} -> c1, 14 clustered alone is
+    # impossible by CC construction; rest unlabeled
+    labels = pd.DataFrame({
+        "doc_id": list(range(10)) + [10, 11, 12, 13],
+        "cluster_id": [0] * 10 + [10] * 4})
+
+    def brute():
+        size = {d: 10 for d in range(10)}
+        size.update({d: 4 for d in (10, 11, 12, 13)})
+        out = {}
+        for d in range(40):
+            s = size.get(d, 1)
+            thr = math.floor((1 << 32) / math.sqrt(float(s)))
+            h = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+            out[d] = (s, int(h < thr))
+        return out
+
+    want = brute()
+    for np_ in (1, 4):
+        got = cluster_size_sample(
+            ray.data.from_pandas(ids).repartition(np_),
+            ray.data.from_pandas(labels).repartition(np_)).to_pandas()
+        gmap = {int(r.doc_id): (int(r.cluster_size), int(r.kept))
+                for r in got.itertuples()}
+        assert gmap == want, np_
+    # singletons always kept (2^32/sqrt(1) = 2^32 > any 32-bit hash)
+    assert all(k == 1 for d, (s, k) in want.items() if s == 1)
+    # big cluster thins: fewer than all 10 survive under 1/sqrt(10)
+    assert sum(k for d, (s, k) in want.items() if s == 10) < 10

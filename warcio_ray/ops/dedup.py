@@ -1786,3 +1786,55 @@ def continuation_pairs(ds, k: int = 8, max_per_key: int = 64,
         .materialize()
     n_capped = -int(pairs.filter(expr="a == -1").sum("b") or 0)
     return pairs.filter(expr="a >= 0"), n_capped
+
+
+def cluster_size_sample(ids_ds, labels_ds, id_col: str = "doc_id",
+                        num_partitions=None):
+    """Dedup-aware sampling — downweight near-duplicate clusters
+    instead of hard-deleting them (the soft-dedup recipe: a cluster of
+    s near-copies keeps each member with probability 1/sqrt(s), so
+    cluster mass grows ~sqrt(s) instead of s; unclustered docs always
+    survive). ``labels_ds``: (id_col, cluster_id) from
+    ``connected_components_ds``; ``ids_ds``: the full corpus ids.
+
+    Keep rule (deterministic, the temperature_sample convention):
+        md5_32(id) < floor(2^32 / sqrt(s))
+    ONE IEEE sqrt + division per cluster — bit-identical in SQL.
+
+    Shape: one bounded cluster-size aggregate, one labels⋈sizes join
+    + one ids left-join (ids only), then a stateless keep scan.
+    Returns (id_col, cluster_size, kept) for the whole corpus.
+    """
+    import math
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join
+    from warcio_ray.ops.textstats import _id_hash_u32
+
+    if num_partitions is None:
+        num_partitions = min(32, max(2, int(
+            ray.cluster_resources().get("CPU", 8))))
+
+    sizes = arrow_blocks(labels_ds).groupby("cluster_id") \
+        .aggregate(Count(alias_name="s"))
+    lab_sz = safe_join(labels_ds, sizes, "inner", num_partitions,
+                       ("cluster_id",)).drop_columns(["cluster_id"])
+    joined = safe_join(ids_ds, lab_sz, "left_outer", num_partitions,
+                       (id_col,))
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].astype("int64")
+        s = batch["s"].fillna(1).astype("int64").to_numpy() \
+            if "s" in batch else np.ones(len(batch), dtype="int64")
+        thr = np.array([math.floor((1 << 32) / math.sqrt(float(x)))
+                        for x in s], dtype="int64")
+        h = _id_hash_u32(ids)
+        return pd.DataFrame({
+            id_col: ids.to_numpy(dtype="int64"),
+            "cluster_size": s,
+            "kept": (h < thr).astype("int64")})
+
+    return joined.map_batches(keep, batch_format="pandas")
