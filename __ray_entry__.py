@@ -557,6 +557,64 @@ def _span_corrupt(sf_dir: str):
     return span_corrupt(ds, span=3, mask_pct=15)
 
 
+def _host_pagerank(sf_dir: str):
+    """Host-level authority: collapse the real extracted link graph to
+    distinct host-to-host edges (self-links dropped), then 3 exact-
+    integer PageRank iterations over the host universe — the
+    crawl-prioritization rank Common Crawl publishes per domain."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from warcio_ray.ops.graph import pagerank_ds
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def host_id(ids: "np.ndarray") -> "np.ndarray":
+        m = ids % 100
+        return np.where(m < 30, 0, np.where(m < 45, 1, np.where(
+            m < 55, 2, np.where(m < 62, 3, m)))).astype("int64")
+
+    import numpy as np
+
+    def to_host_edges(batch: pa.Table) -> pd.DataFrame:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+        hs = host_id(ids("src_url"))
+        hd = host_id(ids("dst_url"))
+        df = pd.DataFrame({"src": hs, "dst": hd})
+        return df[df["src"] != df["dst"]].drop_duplicates()
+
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    edges = arrow_blocks(
+        edge_urls.map_batches(to_host_edges, batch_format="pyarrow")) \
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_c")) \
+        .drop_columns(["_c"])
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def host_nodes(batch: pd.DataFrame) -> pd.DataFrame:
+        h = host_id(batch["doc_id"].to_numpy(dtype="int64"))
+        return pd.DataFrame({"node": np.unique(h)})
+
+    nodes = arrow_blocks(
+        docs.map_batches(host_nodes, batch_format="pandas")) \
+        .groupby("node").aggregate(Count(alias_name="_c")) \
+        .drop_columns(["_c"])
+    return pagerank_ds(edges, nodes, iters=3)
+
+
 def _soft_dedup_sample(sf_dir: str):
     """Dedup-aware soft sampling: jaccard connected components ->
     keep each member of an s-doc cluster with probability 1/sqrt(s)
@@ -3336,6 +3394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "continuation_pairs": _continuation_pairs,
         "skipgram_pmi": _skipgram_pmi,
         "soft_dedup_sample": _soft_dedup_sample,
+        "host_pagerank": _host_pagerank,
         # demoted from the first 50 in the r4 s4 refit (families still
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
@@ -3460,7 +3519,8 @@ def _fingerprint_cte(k: int = 5, window: int = 4) -> str:
 
 def _pagerank_sql(iters: int = 5, damping: int = 85,
                   scale: int = 10 ** 12,
-                  seed_mod: int = 0) -> str:
+                  seed_mod: int = 0,
+                  graph_cte: str = "") -> str:
     """Unrolled integer-PageRank CTE chain mirroring
     warcio_ray.ops.graph.pagerank_ds exactly (all-integer updates, so
     the unrolled SQL is bit-identical, not approximately equal). Edges
@@ -3469,14 +3529,19 @@ def _pagerank_sql(iters: int = 5, damping: int = 85,
     ``seed_mod`` > 0 unrolls the TrustRank variant instead: the seed
     flag is ``doc_id % seed_mod = 0``, and initial mass, teleport base
     and the dangling share all multiply by it — mirroring the
-    ``seeds=`` branch of pagerank_ds."""
+    ``seeds=`` branch of pagerank_ds.
+
+    ``graph_cte`` overrides the default document-link graph prologue:
+    it must define ``nn(n)`` (node count), ``edges(src, dst)`` and
+    ``nodesrc(node)`` (the node universe) — the iteration template
+    only touches those."""
     base = ((100 - damping) * scale) // 100
     t_expr = ("1" if not seed_mod
-              else f"CASE WHEN doc_id % {seed_mod} = 0 "
+              else f"CASE WHEN node % {seed_mod} = 0 "
                    f"THEN 1 ELSE 0 END")
     tele_n = ("(SELECT n FROM nn)" if not seed_mod
               else "(SELECT SUM(t) FROM nd)")
-    ctes = [f"""
+    prologue = graph_cte or """
         nn AS (SELECT COUNT(*) AS n FROM documents),
         edges AS (
           SELECT doc_id AS src,
@@ -3484,10 +3549,12 @@ def _pagerank_sql(iters: int = 5, damping: int = 85,
           FROM documents
           CROSS JOIN (SELECT unnest(range(3)) AS j) js
           WHERE j < doc_id % 4),
+        nodesrc AS (SELECT doc_id AS node FROM documents)"""
+    ctes = [f"""{prologue},
         deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
-        nd AS (SELECT doc_id AS node, COALESCE(deg.d, 0) AS d,
+        nd AS (SELECT node, COALESCE(deg.d, 0) AS d,
                       {t_expr} AS t
-               FROM documents LEFT JOIN deg ON doc_id = deg.src),
+               FROM nodesrc LEFT JOIN deg ON node = deg.src),
         r0 AS (SELECT node, d, t,
                       CAST({scale}::BIGINT * t AS BIGINT) AS rank
                FROM nd)"""]
@@ -4187,6 +4254,32 @@ def oracle_sql() -> dict[str, str]:
         # trustrank_3: seed-personalized PageRank (seeds doc_id%53=0),
         # same generator with the seed flag threaded through — exact
         "trustrank_3": _pagerank_sql(iters=3, seed_mod=53),
+        # host_pagerank: the same round template over the host graph
+        # (distinct host edges from the link rule, self-links dropped)
+        "host_pagerank": _pagerank_sql(iters=3, graph_cte="""
+        hid AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN doc_id % 100 < 30 THEN 0
+                      WHEN doc_id % 100 < 45 THEN 1
+                      WHEN doc_id % 100 < 55 THEN 2
+                      WHEN doc_id % 100 < 62 THEN 3
+                      ELSE doc_id % 100 END AS BIGINT) AS h
+          FROM documents),
+        dn AS (SELECT COUNT(*) AS n FROM documents),
+        rawe AS (
+          SELECT x.h AS src, y.h AS dst
+          FROM (SELECT doc_id,
+                       ((doc_id * 31 + 7 * (j + 1))
+                        % (SELECT n FROM dn)) AS dd
+                FROM documents
+                CROSS JOIN (SELECT unnest(range(3)) AS j) js
+                WHERE j < doc_id % 4) e
+          JOIN hid x ON x.doc_id = e.doc_id
+          JOIN hid y ON y.doc_id = e.dd),
+        edges AS (SELECT DISTINCT src, dst FROM rawe
+                  WHERE src <> dst),
+        nodesrc AS (SELECT DISTINCT h AS node FROM hid),
+        nn AS (SELECT COUNT(*) AS n FROM nodesrc)"""),
         # kcore_4: unrolled parallel peel over links + nav edges
         "kcore_4": _kcore_sql(k=4, rounds=8),
         # crawl_horizon_3: unrolled BFS rounds, frontier minus seen
