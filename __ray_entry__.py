@@ -557,6 +557,19 @@ def _span_corrupt(sf_dir: str):
     return span_corrupt(ds, span=3, mask_pct=15)
 
 
+def _props_rollup(sf_dir: str):
+    """Semi-structured payloads: per-event-type exact stats of the
+    numeric JSON field props.k (ops/relational.json_props_rollup —
+    vectorized Arrow RE2 extraction, bounded combiner)."""
+    import ray.data
+
+    from warcio_ray.ops.relational import json_props_rollup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "props"])
+    return json_props_rollup(ds, key="k")
+
+
 def _host_pagerank(sf_dir: str):
     """Host-level authority: collapse the real extracted link graph to
     distinct host-to-host edges (self-links dropped), then 3 exact-
@@ -3395,6 +3408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_pmi": _skipgram_pmi,
         "soft_dedup_sample": _soft_dedup_sample,
         "host_pagerank": _host_pagerank,
+        "props_rollup": _props_rollup,
         # demoted from the first 50 in the r4 s4 refit (families still
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
@@ -6128,6 +6142,23 @@ def oracle_sql() -> dict[str, str]:
                          WHERE fr.fr < cps.size) AS BIGINT)
                      AS distinct_tokens
             FROM cps ORDER BY i
+        """,
+        # props_rollup: a REAL JSON parse on the oracle side
+        # (json_extract) vs the engine's flat-object regex fast path —
+        # agreement is part of what's being checked
+        "props_rollup": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN json_extract(props, '$.k')
+                        IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_missing,
+                   CAST(COALESCE(SUM(CAST(json_extract(props, '$.k')
+                        AS BIGINT)), 0) AS BIGINT) AS sum_v,
+                   CAST(MAX(CAST(json_extract(props, '$.k')
+                        AS BIGINT)) AS BIGINT) AS max_v,
+                   CAST(MIN(CAST(json_extract(props, '$.k')
+                        AS BIGINT)) AS BIGINT) AS min_v
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # burst_hours: trailing-ROWS window + identical integer test
         "burst_hours": """

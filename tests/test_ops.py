@@ -4527,3 +4527,31 @@ def test_cluster_size_sample(ray_session):
     assert all(k == 1 for d, (s, k) in want.items() if s == 1)
     # big cluster thins: fewer than all 10 survive under 1/sqrt(10)
     assert sum(k for d, (s, k) in want.items() if s == 10) < 10
+
+
+def test_json_props_rollup(ray_session):
+    """Schema-on-read JSON rollup: brute-force parity (counts, sums,
+    min/max, missing-key accounting, negatives), invariance."""
+    import ray.data
+
+    from warcio_ray.ops.relational import json_props_rollup
+
+    props = ['{"k": 5}', '{"k": -3}', '{"x": 1}', '{"k": 0}',
+             '{ "k" : 12 }', "{}", '{"k": 7}', None]
+    types = ["a", "a", "a", "b", "b", "b", "c", "c"]
+    df = pd.DataFrame({"event_id": np.arange(len(props)),
+                       "props": props, "event_type": types})
+
+    want = {
+        "a": (3, 1, 2, -3, 5),    # n, miss, sum, min, max
+        "b": (3, 1, 12, 0, 12),
+        "c": (2, 1, 7, 7, 7),
+    }
+    for np_ in (1, 3):
+        got = json_props_rollup(
+            ray.data.from_pandas(df).repartition(np_))
+        gmap = {r.event_type: (int(r.n), int(r.n_missing),
+                               int(r.sum_v), int(r.min_v),
+                               int(r.max_v))
+                for r in got.itertuples()}
+        assert gmap == want, np_

@@ -409,3 +409,62 @@ def burst_hours(events_ds, window: int = 24, num: int = 5,
             "hour": pd.Series(dtype="datetime64[us]"),
             "cnt": pd.Series(dtype="int64"),
             "trail": pd.Series(dtype="int64")}))
+
+
+def json_props_rollup(events_ds, key: str = "k",
+                      props_col: str = "props",
+                      group_col: str = "event_type"):
+    """Schema-on-read JSON property extraction + rollup — the
+    semi-structured event-payload op (per-group exact stats of a
+    numeric JSON field). Extraction uses a vectorized Arrow RE2
+    kernel matching the spec JSON number production for FLAT objects
+    (`"key" : -?digits`) — the zero-copy fast path for the
+    overwhelmingly common flat-props case; nested objects that repeat
+    the key inside sub-objects are outside this contract (a real
+    parser belongs in an actor-pool stage at that point). Rows whose
+    props lack the key are counted separately (``n_missing``).
+
+    ONE pyarrow scan folds (group, n, n_missing, sum, min, max)
+    partials — bounded by the group key space — through the tree
+    combiner. All exact int64.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    import re as _re
+    pat = '"' + _re.escape(key) + r'"\s*:\s*(?P<v>-?\d+)'
+
+    def fold(batch: pa.Table) -> pd.DataFrame:
+        s = pc.cast(batch[props_col], pa.large_string())
+        ex = pc.extract_regex(s, pat)
+        v = pc.struct_field(ex, "v")
+        present = pc.is_valid(v)
+        vi = pc.cast(v, pa.int64())
+        g = batch[group_col].to_pandas()
+        df = pd.DataFrame({
+            "g": g,
+            "p": present.to_pandas().fillna(False).astype(bool),
+            "v": vi.to_pandas()})
+        SENT = 1 << 62  # absent-partial sentinel, far outside int32 k
+        out = []
+        for grp, sub in df.groupby("g", sort=False):
+            pv = sub.loc[sub["p"], "v"]
+            out.append((grp, len(sub), int((~sub["p"]).sum()),
+                        int(pv.sum()) if len(pv) else 0,
+                        # min folds as a MAX of the negation (the
+                        # combiner tree only speaks sums/maxs)
+                        -int(pv.min()) if len(pv) else -SENT,
+                        int(pv.max()) if len(pv) else -SENT))
+        return pd.DataFrame(out, columns=[
+            group_col, "n", "n_missing", "sum_v", "neg_min_v",
+            "max_v"])
+
+    agg = tree_aggregate(
+        events_ds.map_batches(fold, batch_format="pyarrow"),
+        [group_col], sums=("n", "n_missing", "sum_v"),
+        maxs=("neg_min_v", "max_v"))
+    agg["min_v"] = -agg["neg_min_v"].astype("int64")
+    agg = agg.drop(columns=["neg_min_v"])
+    return agg.sort_values(group_col).reset_index(drop=True)
