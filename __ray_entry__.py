@@ -557,6 +557,44 @@ def _span_corrupt(sf_dir: str):
     return span_corrupt(ds, span=3, mask_pct=15)
 
 
+def _lang_wc_quantiles(sf_dir: str):
+    """Per-language word-count quartiles — grouped exact percentiles
+    (ops/quantile.grouped_quantiles, the grouped sibling of
+    wordcount_quantiles)."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.quantile import grouped_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+
+    def wc(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": batch["lang"],
+            "wc": batch["text"].fillna("").str.count(r"\S+")
+            .astype("int64")})
+
+    return grouped_quantiles(ds.map_batches(wc,
+                                            batch_format="pandas"),
+                             "lang", "wc", pcts=(25, 50, 75))
+
+
+def _orders_rollup(sf_dir: str):
+    """OLAP ROLLUP report: order counts + exact integer cents at
+    (priority, status), (priority) and grand-total granularities
+    (ops/relational.rollup_counts)."""
+    import ray.data
+
+    from warcio_ray.ops.relational import rollup_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    return rollup_counts(ds, ["o_orderpriority", "o_orderstatus"],
+                         price_col="o_totalprice")
+
+
 def _props_rollup(sf_dir: str):
     """Semi-structured payloads: per-event-type exact stats of the
     numeric JSON field props.k (ops/relational.json_props_rollup —
@@ -3409,6 +3447,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soft_dedup_sample": _soft_dedup_sample,
         "host_pagerank": _host_pagerank,
         "props_rollup": _props_rollup,
+        "orders_rollup": _orders_rollup,
+        "lang_wc_quantiles": _lang_wc_quantiles,
         # demoted from the first 50 in the r4 s4 refit (families still
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
@@ -6142,6 +6182,37 @@ def oracle_sql() -> dict[str, str]:
                          WHERE fr.fr < cps.size) AS BIGINT)
                      AS distinct_tokens
             FROM cps ORDER BY i
+        """,
+        # lang_wc_quantiles: per-group window replay of the shared
+        # (p*n+99)//100 rank rule
+        "lang_wc_quantiles": r"""
+            WITH t AS (
+              SELECT lang,
+                     len(regexp_extract_all(text, '\S+')) AS wc
+              FROM documents),
+            r AS (SELECT lang, wc,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY wc) AS rn,
+                         COUNT(*) OVER (PARTITION BY lang) AS n
+                  FROM t)
+            SELECT lang, CAST(p AS BIGINT) AS pct,
+                   CAST(wc AS BIGINT) AS value
+            FROM r CROSS JOIN (SELECT unnest([25, 50, 75]) AS p)
+            WHERE rn = (p * n + 99) // 100
+            ORDER BY lang, pct
+        """,
+        # orders_rollup: GROUP BY ROLLUP with the same cents
+        # quantization and the '(all)' NULL sentinel
+        "orders_rollup": """
+            SELECT COALESCE(o_orderpriority, '(all)')
+                     AS o_orderpriority,
+                   COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS cents
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+            ORDER BY o_orderpriority, o_orderstatus
         """,
         # props_rollup: a REAL JSON parse on the oracle side
         # (json_extract) vs the engine's flat-object regex fast path —

@@ -4555,3 +4555,73 @@ def test_json_props_rollup(ray_session):
                                int(r.max_v))
                 for r in got.itertuples()}
         assert gmap == want, np_
+
+
+def test_rollup_counts(ray_session):
+    """ROLLUP: brute-force parity at all three granularities, exact
+    cents arithmetic, invariance."""
+    import ray.data
+
+    from warcio_ray.ops.relational import rollup_counts
+
+    df = pd.DataFrame({
+        "p": ["hi", "hi", "lo", "lo", "lo"],
+        "s": ["O", "F", "O", "O", "F"],
+        "price": [1.01, 2.50, 0.99, 10.00, 0.01]})
+
+    want = {
+        ("hi", "O"): (1, 101), ("hi", "F"): (1, 250),
+        ("lo", "O"): (2, 1099), ("lo", "F"): (1, 1),
+        ("hi", "(all)"): (2, 351), ("lo", "(all)"): (3, 1100),
+        ("(all)", "(all)"): (5, 1451)}
+    for np_ in (1, 3):
+        got = rollup_counts(
+            ray.data.from_pandas(df).repartition(np_),
+            ["p", "s"], price_col="price")
+        gmap = {(r.p, r.s): (int(r.n), int(r.cents))
+                for r in got.itertuples()}
+        assert gmap == want, np_
+
+
+def test_grouped_quantiles(ray_session):
+    """Grouped percentiles: brute-force parity with the shared rank
+    rule per group, null exclusion, single-row groups, invariance."""
+    import ray.data
+
+    from warcio_ray.ops.quantile import grouped_quantiles
+
+    rng = np.random.RandomState(9)
+    g = rng.choice(["x", "y", "z"], size=80)
+    v = rng.randint(0, 25, size=80).astype(float)
+    v[::11] = np.nan
+    df = pd.DataFrame({"lang": g, "wc": v})
+    df = pd.concat([df, pd.DataFrame({"lang": ["solo"],
+                                      "wc": [7.0]})],
+                   ignore_index=True)
+
+    def brute(pcts):
+        out = []
+        for grp in sorted(df["lang"].unique()):
+            vals = np.sort(df.loc[(df["lang"] == grp)
+                                  & df["wc"].notna(),
+                                  "wc"].astype(int))
+            if not len(vals):
+                continue
+            n = len(vals)
+            for p in pcts:
+                rank = (p * n + 99) // 100
+                out.append((grp, p, int(vals[rank - 1])))
+        return out
+
+    for pcts in ((25, 50, 75), (1, 100)):
+        want = brute(pcts)
+        for np_ in (1, 4):
+            got = grouped_quantiles(
+                ray.data.from_pandas(df).repartition(np_),
+                "lang", "wc", pcts=pcts)
+            rows = list(zip(got["lang"], got["pct"].astype(int),
+                            got["value"].astype(int)))
+            assert rows == want, (pcts, np_)
+    # single-row group: every pct returns its one value
+    w = dict(((g_, p), v_) for g_, p, v_ in brute((1, 50, 100)))
+    assert w[("solo", 1)] == w[("solo", 100)] == 7

@@ -348,3 +348,53 @@ def rank_select_lowest(ds, value_col: str, pct: int,
         batch_format="pandas")
     tie_sel = ties.sort(id_col).limit(int(need))
     return below.union(tie_sel)
+
+
+def grouped_quantiles(ds, group_col: str, value_col: str,
+                      pcts=(25, 50, 75)) -> pd.DataFrame:
+    """Per-GROUP exact integer percentiles — the grouped sibling of
+    ``histogram_quantiles`` (same 1-indexed rank rule
+    (p*n_g+99)//100 within each group). Returns (group, pct, value)
+    rows; groups whose rows are all null are absent.
+
+    Shape: ONE scan folds (group, value) counts through the combiner
+    tree — key space bounded by groups x distinct values, the same
+    boundedness histogram_quantiles relies on — then per-group
+    cumsums on the driver over that bounded table.
+    """
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    pcts = sorted(int(p) for p in pcts)
+    if not pcts or pcts[0] < 1 or pcts[-1] > 100:
+        raise ValueError("pcts must be integers in 1..100")
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"g": batch[group_col],
+                           "v": batch[value_col]}).dropna()
+        if not len(df):
+            return pd.DataFrame({"g": pd.Series(dtype="object"),
+                                 "v": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        g = df.groupby(["g", "v"], sort=False).size() \
+            .reset_index(name="c")
+        return g.astype({"v": "int64", "c": "int64"})
+
+    hist = tree_aggregate(
+        ds.map_batches(partials, batch_format="pandas"),
+        ["g", "v"], sums=("c",))
+    if len(hist) == 0:
+        return pd.DataFrame({group_col: pd.Series(dtype="object"),
+                             "pct": pd.Series(dtype="int64"),
+                             "value": pd.Series(dtype="int64")})
+    out = []
+    for grp, sub in hist.groupby("g", sort=True):
+        sub = sub.sort_values("v", kind="mergesort")
+        cum = sub["c"].to_numpy(dtype="int64").cumsum()
+        vals = sub["v"].to_numpy(dtype="int64")
+        n = int(cum[-1])
+        for p in pcts:
+            rank = (p * n + 99) // 100
+            out.append((grp, p,
+                        int(vals[int(np.searchsorted(cum, rank))])))
+    return pd.DataFrame(out, columns=[group_col, "pct", "value"]) \
+        .astype({"pct": "int64", "value": "int64"})

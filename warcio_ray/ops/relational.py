@@ -468,3 +468,51 @@ def json_props_rollup(events_ds, key: str = "k",
     agg["min_v"] = -agg["neg_min_v"].astype("int64")
     agg = agg.drop(columns=["neg_min_v"])
     return agg.sort_values(group_col).reset_index(drop=True)
+
+
+def rollup_counts(ds, cols, price_col: str = None):
+    """SQL ROLLUP over a bounded pair of group columns — subtotal rows
+    at every prefix granularity ((a, b), (a), ()) like
+    ``GROUP BY ROLLUP(a, b)``, the OLAP report shape. Numeric mass is
+    carried as exact integer CENTS (floor(x*100 + 0.5), exact for
+    2-decimal money) so subtotals are order-independent — never a
+    float sum.
+
+    ONE corpus scan folds finest-level (a, b, n, cents) partials
+    through the combiner tree (bounded key space); the coarser levels
+    are driver-side integer sums over that bounded table. NULL group
+    values render as the sentinel '(all)' so the row set is
+    hash-comparable across engines.
+    """
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    a_col, b_col = cols
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "a": batch[a_col].astype(str),
+            "b": batch[b_col].astype(str)})
+        if price_col is not None:
+            df["cents"] = np.floor(
+                batch[price_col].to_numpy(np.float64) * 100.0
+                + 0.5).astype("int64")
+        else:
+            df["cents"] = np.int64(0)
+        g = df.groupby(["a", "b"], sort=False) \
+            .agg(n=("cents", "size"), cents=("cents", "sum")) \
+            .reset_index()
+        return g.astype({"n": "int64", "cents": "int64"})
+
+    fine = tree_aggregate(
+        ds.map_batches(fold, batch_format="pandas"),
+        ["a", "b"], sums=("n", "cents"))
+    mid = fine.groupby("a", as_index=False)[["n", "cents"]].sum()
+    mid["b"] = "(all)"
+    top = pd.DataFrame({"a": ["(all)"], "b": ["(all)"],
+                        "n": [fine["n"].sum()],
+                        "cents": [fine["cents"].sum()]})
+    out = pd.concat([fine, mid, top], ignore_index=True) \
+        [["a", "b", "n", "cents"]] \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    return out.rename(columns={"a": a_col, "b": b_col}) \
+        .astype({"n": "int64", "cents": "int64"})
