@@ -557,6 +557,40 @@ def _span_corrupt(sf_dir: str):
     return span_corrupt(ds, span=3, mask_pct=15)
 
 
+def _bloom_seen_probe(sf_dir: str):
+    """Crawl URL-seen set as a data op: distributed Bloom build over
+    the deterministic page urls (ops/sketch.bloom_bits, md5 bit rule),
+    probed with 1/41 of the crawled urls (always maybe_present — no
+    false negatives) plus 50 never-crawled urls (false positives only
+    as genuine bit collisions, which the oracle replays exactly)."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.sketch import bloom_bits, bloom_probe
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    import numpy as np
+
+    def to_url(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype="int64")
+        m = ids % 100
+        site = np.where(m < 30, 0, np.where(m < 45, 1, np.where(
+            m < 55, 2, np.where(m < 62, 3, m))))
+        url = ["http://site%d.example/doc/%d" % (s, d)
+               for s, d in zip(site, ids)]
+        return pd.DataFrame({"doc_id": ids, "url": url})
+
+    urls = docs.map_batches(to_url, batch_format="pandas")
+    bits = bloom_bits(urls, "url")
+    probe_pd = urls.map_batches(lambda b: b[b["doc_id"] % 41 == 0],
+                                batch_format="pandas").to_pandas()
+    probes = sorted(probe_pd["url"]) + [
+        f"http://absent{i}.example/doc/{i}" for i in range(50)]
+    return bloom_probe(bits, probes)
+
+
 def _lang_wc_quantiles(sf_dir: str):
     """Per-language word-count quartiles — grouped exact percentiles
     (ops/quantile.grouped_quantiles, the grouped sibling of
@@ -3449,6 +3483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_rollup": _props_rollup,
         "orders_rollup": _orders_rollup,
         "lang_wc_quantiles": _lang_wc_quantiles,
+        "bloom_seen_probe": _bloom_seen_probe,
         # demoted from the first 50 in the r4 s4 refit (families still
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
@@ -6182,6 +6217,38 @@ def oracle_sql() -> dict[str, str]:
                          WHERE fr.fr < cps.size) AS BIGINT)
                      AS distinct_tokens
             FROM cps ORDER BY i
+        """,
+        # bloom_seen_probe: replay the md5 bit rule — bits over all
+        # urls x k, probe = all k bits present (incl. genuine
+        # false-positive collisions)
+        "bloom_seen_probe": f"""
+            WITH u AS (
+              SELECT doc_id,
+                     {_HOST_CASE.replace("'site'", "'http://site'")}
+                     || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents),
+            ks AS (SELECT unnest(range(3)) AS i),
+            bits AS (
+              SELECT DISTINCT
+                CAST(('0x' || substr(md5(url || ':'
+                  || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 262144
+                  AS bit
+              FROM u CROSS JOIN ks),
+            probes AS (
+              SELECT url AS probe FROM u WHERE doc_id % 41 = 0
+              UNION ALL
+              SELECT 'http://absent' || CAST(i AS VARCHAR)
+                     || '.example/doc/' || CAST(i AS VARCHAR)
+              FROM (SELECT unnest(range(50)) AS i))
+            SELECT probe,
+                   CAST(CASE WHEN (
+                     SELECT COUNT(*) FROM ks WHERE
+                       CAST(('0x' || substr(md5(probe || ':'
+                         || CAST(ks.i AS VARCHAR)), 1, 8)) AS BIGINT)
+                         % 262144 IN (SELECT bit FROM bits)
+                   ) = 3 THEN 1 ELSE 0 END AS BIGINT)
+                     AS maybe_present
+            FROM probes
         """,
         # lang_wc_quantiles: per-group window replay of the shared
         # (p*n+99)//100 rank rule

@@ -4625,3 +4625,48 @@ def test_grouped_quantiles(ray_session):
     # single-row group: every pct returns its one value
     w = dict(((g_, p), v_) for g_, p, v_ in brute((1, 50, 100)))
     assert w[("solo", 1)] == w[("solo", 100)] == 7
+
+
+def test_bloom_build_probe(ray_session):
+    """Bloom: no false negatives ever, false positives only as md5
+    collisions (verified against the exact bit rule), invariance,
+    empty build rejects everything."""
+    import hashlib
+
+    import ray.data
+
+    from warcio_ray.ops.sketch import bloom_bits, bloom_probe
+
+    urls = [f"http://h{i % 5}.x/p{i}" for i in range(200)]
+    df = pd.DataFrame({"url": urls})
+    M, K = 1 << 12, 3
+
+    def bit(v, i):
+        return int(hashlib.md5(f"{v}:{i}".encode()).hexdigest()[:8],
+                   16) % M
+
+    want_bits = sorted({bit(v, i) for v in urls for i in range(K)})
+    for np_ in (1, 4):
+        bits = bloom_bits(ray.data.from_pandas(df).repartition(np_),
+                          "url", m_bits=M, k_hashes=K)
+        assert bits.tolist() == want_bits
+
+    bits = np.asarray(want_bits, dtype="int64")
+    present = urls[:50]
+    absent = [f"http://other{i}.y/q" for i in range(50)]
+    out = bloom_probe(bits, present + absent, m_bits=M, k_hashes=K) \
+        .set_index("probe")["maybe_present"]
+    # no false negatives
+    assert all(out[p] == 1 for p in present)
+    # any positive among the absent must be a genuine bit collision
+    bset = set(want_bits)
+    for a in absent:
+        expect = int(all(bit(a, i) in bset for i in range(K)))
+        assert out[a] == expect
+
+    empty = bloom_bits(ray.data.from_pandas(
+        pd.DataFrame({"url": pd.Series(dtype="object")})), "url",
+        m_bits=M, k_hashes=K)
+    assert len(empty) == 0
+    out2 = bloom_probe(empty, ["x"], m_bits=M, k_hashes=K)
+    assert out2["maybe_present"].tolist() == [0]

@@ -212,3 +212,59 @@ def count_min_probe(ds, value_col: str, probes, d: int = 4, w: int = 2048,
     return pd.DataFrame({"term": probe_list,
                          "est_count": np.array(ests, dtype="int64"),
                          "true_count": true_counts})
+
+
+def bloom_bits(ds, value_col: str, m_bits: int = 1 << 18,
+               k_hashes: int = 3) -> "np.ndarray":
+    """Distributed Bloom-filter BUILD over a string column — the
+    crawl URL-seen-set structure as a data op (the frontier's
+    counting-bloom sibling in ``frontier/filters.py`` serves the live
+    crawl; this one materializes the set-membership sketch from a
+    corpus pass). Bit rule (md5, SQL-replayable):
+
+        bit_i(v) = int(md5(f"{v}:{i}")[:8], 16) % m_bits,  i < k
+
+    Returns the SORTED int64 array of set bit indices (<= m_bits,
+    bounded driver state). Shape: each batch emits its DISTINCT bit
+    indices (map-side dedup), ONE bounded groupby collapses them —
+    set-bit union is exactly the duplicate-collapse of a bounded key
+    space, no bit-twiddling aggregate needed.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = batch[value_col].dropna().astype(str)
+        bits = {
+            int(hashlib.md5(f"{v}:{i}".encode()).hexdigest()[:8], 16)
+            % m_bits
+            for v in vals for i in range(k_hashes)}
+        return pd.DataFrame({"bit": sorted(bits)}, dtype="int64")
+
+    agg = arrow_blocks(
+        ds.map_batches(fold, batch_format="pandas")) \
+        .groupby("bit").aggregate(Count(alias_name="_c")) \
+        .drop_columns(["_c"]).to_pandas()
+    return np.sort(agg["bit"].to_numpy(dtype="int64")) \
+        if len(agg) else np.array([], dtype="int64")
+
+
+def bloom_probe(bits: "np.ndarray", probes, m_bits: int = 1 << 18,
+                k_hashes: int = 3) -> pd.DataFrame:
+    """Probe a built Bloom bit set: (probe, maybe_present) — the
+    standard no-false-negative / possible-false-positive contract.
+    Vectorized searchsorted over the sorted bit array."""
+    import hashlib
+
+    rows = []
+    for v in probes:
+        pos = [int(hashlib.md5(f"{v}:{i}".encode()).hexdigest()[:8],
+                   16) % m_bits for i in range(k_hashes)]
+        p = np.searchsorted(bits, pos)
+        ok = bool(np.all((p < len(bits)) & (bits[np.minimum(
+            p, len(bits) - 1)] == pos))) if len(bits) else False
+        rows.append((str(v), int(ok)))
+    return pd.DataFrame(rows, columns=["probe", "maybe_present"])
