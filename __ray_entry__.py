@@ -557,6 +557,19 @@ def _span_corrupt(sf_dir: str):
     return span_corrupt(ds, span=3, mask_pct=15)
 
 
+def _ab_chisquare(sf_dir: str):
+    """Experiment analysis: two-proportion chi-square of purchase rate
+    between the user-parity A/B arms (ops/relational.ab_chisquare —
+    exact 2x2 cells, Python-int statistic)."""
+    import ray.data
+
+    from warcio_ray.ops.relational import ab_chisquare
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return ab_chisquare(ds)
+
+
 def _bloom_seen_probe(sf_dir: str):
     """Crawl URL-seen set as a data op: distributed Bloom build over
     the deterministic page urls (ops/sketch.bloom_bits, md5 bit rule),
@@ -3484,6 +3497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": _orders_rollup,
         "lang_wc_quantiles": _lang_wc_quantiles,
         "bloom_seen_probe": _bloom_seen_probe,
+        "ab_chisquare": _ab_chisquare,
         # demoted from the first 50 in the r4 s4 refit (families still
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
@@ -6217,6 +6231,33 @@ def oracle_sql() -> dict[str, str]:
                          WHERE fr.fr < cps.size) AS BIGINT)
                      AS distinct_tokens
             FROM cps ORDER BY i
+        """,
+        # ab_chisquare: exact 2x2 cells + the identical formula
+        # (HUGEINT keeps (ad-bc)^2 exact like Python ints)
+        "ab_chisquare": """
+            WITH cells AS (
+              SELECT SUM(CASE WHEN user_id % 2 = 0
+                         AND event_type = 'purchase'
+                         THEN 1 ELSE 0 END)::HUGEINT AS a,
+                     SUM(CASE WHEN user_id % 2 = 0
+                         AND event_type <> 'purchase'
+                         THEN 1 ELSE 0 END)::HUGEINT AS b,
+                     SUM(CASE WHEN user_id % 2 = 1
+                         AND event_type = 'purchase'
+                         THEN 1 ELSE 0 END)::HUGEINT AS c,
+                     SUM(CASE WHEN user_id % 2 = 1
+                         AND event_type <> 'purchase'
+                         THEN 1 ELSE 0 END)::HUGEINT AS d
+              FROM events)
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+                   CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) = 0 THEN 0.0
+                        ELSE round(CAST((a+b+c+d) * (a*d - b*c)
+                               * (a*d - b*c) AS DOUBLE)
+                             / CAST((a+b)*(c+d)*(a+c)*(b+d)
+                                    AS DOUBLE), 6)
+                   END AS chi2
+            FROM cells
         """,
         # bloom_seen_probe: replay the md5 bit rule — bits over all
         # urls x k, probe = all k bits present (incl. genuine

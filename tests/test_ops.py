@@ -4670,3 +4670,51 @@ def test_bloom_build_probe(ray_session):
     assert len(empty) == 0
     out2 = bloom_probe(empty, ["x"], m_bits=M, k_hashes=K)
     assert out2["maybe_present"].tolist() == [0]
+
+
+def test_ab_chisquare(ray_session):
+    """A/B chi-square: brute-force parity, scipy-formula agreement on
+    a hand case, degenerate margin -> 0, invariance."""
+    import ray.data
+
+    from warcio_ray.ops.relational import ab_chisquare
+
+    rng = np.random.RandomState(2)
+    users = rng.randint(0, 100, size=400)
+    types = np.where(
+        (users % 2 == 0) & (rng.rand(400) < 0.3), "purchase",
+        np.where(rng.rand(400) < 0.15, "purchase", "view"))
+    df = pd.DataFrame({"user_id": users, "event_type": types})
+
+    def brute():
+        arm = users % 2
+        suc = types == "purchase"
+        a = int(((arm == 0) & suc).sum())
+        b = int(((arm == 0) & ~suc).sum())
+        c = int(((arm == 1) & suc).sum())
+        d = int(((arm == 1) & ~suc).sum())
+        n = a + b + c + d
+        den = (a + b) * (c + d) * (a + c) * (b + d)
+        return a, b, c, d, round(
+            float(n * (a * d - b * c) ** 2) / float(den), 6)
+
+    want = brute()
+    for np_ in (1, 4):
+        got = ab_chisquare(
+            ray.data.from_pandas(df).repartition(np_))
+        r = got.iloc[0]
+        assert (int(r.a), int(r.b), int(r.c), int(r.d),
+                float(r.chi2)) == want, np_
+    # textbook 2x2: (10,10 / 20,0) -> chi2 = 40*(0-200)^2/(20*20*30*10)
+    df2 = pd.DataFrame({
+        "user_id": [0] * 20 + [1] * 20,
+        "event_type": ["purchase"] * 10 + ["view"] * 10
+        + ["purchase"] * 20})
+    r2 = ab_chisquare(ray.data.from_pandas(df2)).iloc[0]
+    assert float(r2.chi2) == round(40 * 200 ** 2 / (20 * 20 * 30 * 10),
+                                   6)
+    # degenerate: one arm only
+    df3 = pd.DataFrame({"user_id": [0, 2, 4],
+                        "event_type": ["view", "view", "purchase"]})
+    assert float(ab_chisquare(
+        ray.data.from_pandas(df3)).iloc[0].chi2) == 0.0

@@ -516,3 +516,49 @@ def rollup_counts(ds, cols, price_col: str = None):
         .sort_values(["a", "b"]).reset_index(drop=True)
     return out.rename(columns={"a": a_col, "b": b_col}) \
         .astype({"n": "int64", "cents": "int64"})
+
+
+def ab_chisquare(events_ds, success_type: str = "purchase",
+                 user_col: str = "user_id",
+                 type_col: str = "event_type"):
+    """Two-proportion chi-square over a deterministic A/B assignment
+    (user_id parity = arm) — the experiment-analysis primitive run
+    against event streams. Counts are exact int64 folded through the
+    combiner tree (4 cells); the statistic is computed driver-side
+    from PYTHON ints (no int64 overflow on (ad-bc)^2 at any n) and
+    rounded for cross-engine compare:
+
+        chi2 = n * (a*d - b*c)^2 / ((a+b) * (c+d) * (a+c) * (b+d))
+
+    with a/b = arm-0 successes/failures, c/d = arm-1. Returns one row
+    (a, b, c, d, chi2); a degenerate margin (any factor 0) yields
+    chi2 = 0.0 by convention.
+    """
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        arm = (batch[user_col].to_numpy(dtype="int64") % 2)
+        suc = (batch[type_col] == success_type).to_numpy()
+        df = pd.DataFrame({"arm": arm, "s": suc.astype("int64")})
+        g = df.groupby(["arm", "s"], sort=False).size() \
+            .reset_index(name="c")
+        return g.astype({"c": "int64"})
+
+    cells = tree_aggregate(
+        events_ds.map_batches(fold, batch_format="pandas"),
+        ["arm", "s"], sums=("c",))
+    cnt = {(int(r.arm), int(r.s)): int(r.c)
+           for r in cells.itertuples()}
+    a, b = cnt.get((0, 1), 0), cnt.get((0, 0), 0)
+    c, d = cnt.get((1, 1), 0), cnt.get((1, 0), 0)
+    n = a + b + c + d
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    # cast numerator/denominator to double BEFORE dividing (matching
+    # SQL's CAST AS DOUBLE semantics): the exact-int numerator can
+    # exceed 2^53, and Python's exact-rational int/int division would
+    # round differently at ulp boundaries
+    chi2 = round(float(n * (a * d - b * c) ** 2) / float(den), 6) \
+        if den else 0.0
+    return pd.DataFrame({"a": [a], "b": [b], "c": [c], "d": [d],
+                         "chi2": [chi2]}).astype(
+        {"a": "int64", "b": "int64", "c": "int64", "d": "int64"})
