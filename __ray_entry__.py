@@ -3375,7 +3375,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_clusters": _jaccard_clusters,
         # compaction family (r4 s4; simhash_pairs -> tail)
         "postings_compact_probe": _postings_compact_probe,
-        "embedding_neardup": _embedding_neardup,
+        # denoising-pair family (r4 s4; embedding_neardup -> tail,
+        # embedding similarity keeps knn/ivfpq/semdedup first-50 reps)
+        "span_corrupt": _span_corrupt,
         "pretrain_corpus": _pretrain_corpus,
         "export_bpe_packed": _export_bpe_packed,
         "export_shards": _export_shards,
@@ -3483,7 +3485,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _phrase_search,
         "crawl_horizon_3": _crawl_horizon_3,
         "kwic_snippets": _kwic_snippets,
-        "span_corrupt": _span_corrupt,
         "fim_transform": _fim_transform,
         "burst_hours": _burst_hours,
         "contrastive_triplets": _contrastive_triplets,
@@ -3502,6 +3503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
         "simhash_pairs": _simhash_pairs,
+        "embedding_neardup": _embedding_neardup,
     }
 
 

@@ -56,6 +56,9 @@ def test_first_fifty_covers_every_family():
         # fingerprint_dups / simhash_pairs demoted to the tail —
         # dedup keeps jaccard/embedding/lsh-append/line reps)
         "chunk_windows", "postings_compact_probe",
+        # denoising-pair family (r4 s4; embedding_neardup demoted —
+        # embedding similarity keeps knn/ivfpq/semdedup reps)
+        "span_corrupt",
         # LM / quality / curation (trigram interp composes the
         # unigram/bigram ladder, which moved to the tail in r4 s3)
         "trigram_nll", "bm25_top20",
@@ -66,7 +69,7 @@ def test_first_fifty_covers_every_family():
         "wcc_labels", "containment_pairs",
         # dedup / export / selection
         "budget_subset", "jaccard_clusters",
-        "embedding_neardup", "lsh_append_pairs",
+        "lsh_append_pairs",
         "line_dedup",
         "pretrain_corpus", "export_bpe_packed", "export_shards",
         "frontier_candidates",
