@@ -220,6 +220,12 @@ def weighted_budget_select(ds, budget: int, weight_col: str = "iw",
         return ds.limit(0)  # schema-preserving empty (any doc with
         # cum_before 0 would otherwise be kept, so only 0 is empty)
 
+    # 4 radix scans + the tie pass + the final filter = 6 consumptions
+    # of `ds`; an unmaterialized upstream (a scoring join) would
+    # re-execute per pass (learning #25: >2 passes -> materialize at
+    # composition entry). Narrow rows (id, weight, count) only.
+    ds = ds.materialize()
+
     def level_scan(level: int, parents):
         shift = np.uint64(64 - 16 * level)
         parent_shift = np.uint64(64 - 16 * (level - 1))
