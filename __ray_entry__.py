@@ -557,6 +557,34 @@ def _span_corrupt(sf_dir: str):
     return span_corrupt(ds, span=3, mask_pct=15)
 
 
+def _random_walks_4(sf_dir: str):
+    """Graph-embedding training data: deterministic 4-hop DeepWalk
+    corpus over the real extracted link graph
+    (ops/graph.random_walks — md5 hop rule over sorted-neighbor
+    ranks)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from warcio_ray.ops.graph import random_walks
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    edges = edge_urls.map_batches(to_ids, batch_format="pyarrow")
+    return random_walks(edges, walk_len=4)
+
+
 def _ab_chisquare(sf_dir: str):
     """Experiment analysis: two-proportion chi-square of purchase rate
     between the user-parity A/B arms (ops/relational.ab_chisquare —
@@ -3499,6 +3527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_wc_quantiles": _lang_wc_quantiles,
         "bloom_seen_probe": _bloom_seen_probe,
         "ab_chisquare": _ab_chisquare,
+        "random_walks_4": _random_walks_4,
         # demoted from the first 50 in the r4 s4 refit (families still
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
@@ -3678,6 +3707,41 @@ def _pagerank_sql(iters: int = 5, damping: int = 85,
                 FROM nd LEFT JOIN s{i} ON nd.node = s{i}.node)""")
     return ("WITH " + ",".join(ctes)
             + f" SELECT node, rank FROM r{iters}")
+
+
+def _walks_sql(walk_len: int = 4) -> str:
+    """Unrolled deterministic random walks mirroring
+    ops/graph.random_walks over the link-rule graph: sorted-neighbor
+    ranks per src, hop i picks rank md5(start:i) % out_degree."""
+    ctes = ["""
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        raw AS (
+          SELECT DISTINCT doc_id AS src,
+                 ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn)) AS dst
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE j < doc_id % 4),
+        adj AS MATERIALIZED (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY dst) - 1 AS r,
+                 COUNT(*) OVER (PARTITION BY src) AS d
+          FROM raw),
+        w0 AS (SELECT DISTINCT src AS start, src AS cur FROM adj)"""]
+    for i in range(1, walk_len + 1):
+        ctes.append(f"""
+        w{i} AS MATERIALIZED (
+          SELECT w.start, a.dst AS cur
+          FROM w{i - 1} w JOIN adj a
+            ON a.src = w.cur
+           AND a.r = CAST(('0x' || substr(md5(
+                 CAST(w.start AS VARCHAR) || ':{i}'), 1, 8))
+                 AS BIGINT) % a.d)""")
+    unions = ["SELECT start, 0 AS step, start AS node FROM w0"]
+    unions += [f"SELECT start, {i} AS step, cur AS node FROM w{i}"
+               for i in range(1, walk_len + 1)]
+    return ("WITH " + ",".join(ctes) + " "
+            + " UNION ALL ".join(unions))
 
 
 def _crawl_horizon_sql(seed_mod: int = 97, depth: int = 3) -> str:
@@ -4389,6 +4453,8 @@ def oracle_sql() -> dict[str, str]:
         "kcore_4": _kcore_sql(k=4, rounds=8),
         # crawl_horizon_3: unrolled BFS rounds, frontier minus seen
         "crawl_horizon_3": _crawl_horizon_sql(seed_mod=97, depth=3),
+        # random_walks_4: unrolled md5-hop walks over sorted ranks
+        "random_walks_4": _walks_sql(4),
         # cocitation_pairs: distinct (src,dst) -> per-src unordered
         # dst pairs -> common-citer counts (same links + nav edges)
         "cocitation_pairs": """

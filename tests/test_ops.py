@@ -4718,3 +4718,53 @@ def test_ab_chisquare(ray_session):
                         "event_type": ["view", "view", "purchase"]})
     assert float(ab_chisquare(
         ray.data.from_pandas(df3)).iloc[0].chi2) == 0.0
+
+
+def test_random_walks(ray_session):
+    """Deterministic walks: brute-force parity on the md5 hop rule
+    (sorted-neighbor rank), early stop at dangling nodes, step-0
+    rows, invariance."""
+    import hashlib
+
+    import ray.data
+
+    from warcio_ray.ops.graph import random_walks
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 4), (2, 0), (4, 4),
+             (5, 6)]  # 3 is dangling; 6 is dangling; 4 self-loops
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+
+    def brute(L):
+        adj = {}
+        for a, b in sorted(set(edges)):
+            adj.setdefault(a, []).append(b)
+        rows = []
+        for s in sorted(adj):
+            cur = s
+            rows.append((s, 0, s))
+            for step in range(1, L + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                h = int(hashlib.md5(f"{s}:{step}".encode())
+                        .hexdigest()[:8], 16)
+                cur = sorted(nbrs)[h % len(nbrs)]
+                rows.append((s, step, cur))
+        return sorted(rows)
+
+    for L in (4, 1):
+        want = brute(L)
+        for np_ in (1, 3):
+            got = random_walks(
+                ray.data.from_pandas(df).repartition(np_),
+                walk_len=L).to_pandas()
+            rows = sorted(zip(got["start"].astype(int),
+                              got["step"].astype(int),
+                              got["node"].astype(int)))
+            assert rows == want, (L, np_)
+    # every start emits a step-0 row; walk from 5 dies at 6 (dangling)
+    w = brute(4)
+    assert (5, 0, 5) in w and (5, 1, 6) in w
+    assert not any(s == 5 and st >= 2 for s, st, _ in w)
+    # self-loop walk keeps going to full length
+    assert (4, 4, 4) in w

@@ -1095,3 +1095,113 @@ def crawl_horizon(edges_ds, seeds, max_depth: int = 3,
         labeled = labeled.union(fresh).materialize()
         frontier = fresh.drop_columns(["depth"])
     return labeled
+
+
+def random_walks(edges_ds, walk_len: int = 4, num_partitions=None):
+    """DeepWalk-style random-walk corpus generation (Perozzi et al.
+    2014) — the graph-embedding training-data prep: one walk per
+    node, ``walk_len`` hops, next hop drawn from the current node's
+    sorted out-neighbors by the md5 rule
+
+        nbr_rank = int(md5(f"{start}:{step}")[:8], 16) % out_degree
+
+    (deterministic => partitioning-invariant => SQL-replayable by
+    unrolling the steps; a walk stops early at a dangling node).
+    Returns (start, step, node) rows — step 0 is the start itself.
+
+    Scale shape: the adjacency builds once — ONE src-hash partition
+    sweep assigns each edge its per-src sorted neighbor rank (the
+    contiguous-run kernel cocitation uses) — then each hop is ONE
+    hash join of the walk frontier against (src, rank) adjacency
+    rows; only (start, node) int64 pairs move per hop.
+    """
+    import hashlib
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join
+
+    if num_partitions is None:
+        num_partitions = _adaptive_partitions()
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "src": batch["src"].to_numpy(dtype="int64"),
+            "dst": batch["dst"].to_numpy(dtype="int64")}) \
+            .drop_duplicates()
+        df["_part"] = df["src"] % num_partitions
+        return df
+
+    def rank_kernel(grp: pd.DataFrame) -> pd.DataFrame:
+        g = grp.drop_duplicates(["src", "dst"]) \
+            .sort_values(["src", "dst"], kind="mergesort")
+        src = g["src"].to_numpy(dtype="int64")
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        reps = np.r_[starts[1:], len(src)] - starts
+        out = g[["src", "dst"]].copy()
+        out["r"] = (np.arange(len(src), dtype="int64")
+                    - np.repeat(starts, reps))
+        out["d"] = np.repeat(reps, reps).astype("int64")
+        return out
+
+    adj = edges_ds.map_batches(fold, batch_format="pandas") \
+        .groupby("_part").map_groups(rank_kernel,
+                                     batch_format="pandas") \
+        .materialize()
+
+    # walk state: (start, cur); step 0 rows = the starts themselves
+    starts = arrow_blocks(adj).groupby("src") \
+        .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+
+    def init(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["src"].to_numpy(dtype="int64")
+        return pd.DataFrame({"start": s, "cur": s})
+
+    frontier = starts.map_batches(init, batch_format="pandas") \
+        .materialize()
+    out_parts = [frontier.map_batches(
+        lambda b: pd.DataFrame({"start": b["start"],
+                                "step": np.int64(0),
+                                "node": b["cur"]}),
+        batch_format="pandas")]
+
+    for step in range(1, walk_len + 1):
+        # pick each walk's neighbor rank, join against adjacency
+        def want(batch: pd.DataFrame, step=step) -> pd.DataFrame:
+            st = batch["start"].to_numpy(dtype="int64")
+            h = np.array([int(hashlib.md5(
+                f"{s}:{step}".encode()).hexdigest()[:8], 16)
+                for s in st], dtype="int64")
+            return pd.DataFrame({"start": st,
+                                 "cur": batch["cur"]
+                                 .to_numpy(dtype="int64"),
+                                 "h": h})
+
+        j = safe_join(frontier.map_batches(want,
+                                           batch_format="pandas"),
+                      adj, "inner", num_partitions,
+                      ("cur",), right_on=("src",))
+
+        def pick(batch: pd.DataFrame, step=step) -> pd.DataFrame:
+            sel = batch[batch["r"] == batch["h"] % batch["d"]]
+            return pd.DataFrame({
+                "start": sel["start"].astype("int64"),
+                "step": np.full(len(sel), step, dtype="int64"),
+                "node": sel["dst"].astype("int64")})
+
+        stepped = j.map_batches(pick,
+                                batch_format="pandas").materialize()
+        if stepped.count() == 0:
+            break
+        out_parts.append(stepped)
+        frontier = stepped.map_batches(
+            lambda b: pd.DataFrame({"start": b["start"],
+                                    "cur": b["node"]}),
+            batch_format="pandas").materialize()
+
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.union(p)
+    return out
