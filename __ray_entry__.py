@@ -557,6 +557,55 @@ def _span_corrupt(sf_dir: str):
     return span_corrupt(ds, span=3, mask_pct=15)
 
 
+def _er_matches(sf_dir: str):
+    """Entity resolution on the customer master: every c_custkey % 13
+    == 0 gets a planted variant record (key+100000, one md5-chosen
+    digit dropped from the name, same nation); blocking on
+    (nationkey, name[:14]) + exact char-trigram Jaccard >= 1/2
+    (ops/er.entity_match_pairs) must link each variant to its
+    original."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.er import entity_match_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"])
+
+    def augment(batch: pd.DataFrame) -> pd.DataFrame:
+        base = batch[["c_custkey", "c_name", "c_nationkey"]].copy()
+        sel = base[base["c_custkey"] % 13 == 0]
+        keys, names, nats = [], [], []
+        for k, nm, nat in zip(sel["c_custkey"], sel["c_name"],
+                              sel["c_nationkey"]):
+            p = 14 + int(hashlib.md5(str(int(k)).encode())
+                         .hexdigest()[:8], 16) % 4
+            keys.append(int(k) + 100000)
+            names.append(nm[:p] + nm[p + 1:])
+            nats.append(nat)
+        aug = pd.DataFrame({"c_custkey": pd.Series(keys,
+                                                   dtype="int64"),
+                            "c_name": names,
+                            "c_nationkey": pd.Series(
+                                nats, dtype=base["c_nationkey"].dtype)})
+        return pd.concat([base, aug], ignore_index=True)
+
+    def add_block(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["pfx"] = batch["c_name"].str.slice(0, 14)
+        return batch
+
+    aug = ds.map_batches(augment, batch_format="pandas") \
+        .map_batches(add_block, batch_format="pandas")
+    pairs, _ = entity_match_pairs(aug, "c_custkey", "c_name",
+                                  ["c_nationkey", "pfx"],
+                                  q=3, num=1, den=2)
+    return pairs
+
+
 def _random_walks_4(sf_dir: str):
     """Graph-embedding training data: deterministic 4-hop DeepWalk
     corpus over the real extracted link graph
@@ -3528,6 +3577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_seen_probe": _bloom_seen_probe,
         "ab_chisquare": _ab_chisquare,
         "random_walks_4": _random_walks_4,
+        "er_matches": _er_matches,
         # demoted from the first 50 in the r4 s4 refit (families still
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
@@ -4455,6 +4505,42 @@ def oracle_sql() -> dict[str, str]:
         "crawl_horizon_3": _crawl_horizon_sql(seed_mod=97, depth=3),
         # random_walks_4: unrolled md5-hop walks over sorted ranks
         "random_walks_4": _walks_sql(4),
+        # er_matches: replay the planted variants + blocking + exact
+        # char-trigram jaccard with list_intersect
+        "er_matches": r"""
+            WITH aug AS (
+              SELECT c_custkey, c_name, c_nationkey FROM customer
+              UNION ALL
+              SELECT c_custkey + 100000,
+                     substr(c_name, 1, p) || substr(c_name, p + 2),
+                     c_nationkey
+              FROM (SELECT c_custkey, c_name, c_nationkey,
+                           14 + CAST(('0x' || substr(md5(
+                             CAST(c_custkey AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 4 AS p
+                    FROM customer WHERE c_custkey % 13 = 0)),
+            rec AS (
+              SELECT c_custkey AS k,
+                     CAST(c_nationkey AS BIGINT) AS nat,
+                     substr(c_name, 1, 14) AS pfx,
+                     list_distinct(list_transform(
+                       range(GREATEST(length(c_name) - 2, 0)),
+                       i -> substr(c_name, i + 1, 3))) AS g
+              FROM aug)
+            SELECT x.k AS a, y.k AS b,
+                   CAST(len(list_intersect(x.g, y.g)) AS BIGINT)
+                     AS inter,
+                   CAST(len(x.g) + len(y.g)
+                        - len(list_intersect(x.g, y.g)) AS BIGINT)
+                     AS union_n
+            FROM rec x JOIN rec y
+              ON x.nat = y.nat AND x.pfx = y.pfx AND x.k < y.k
+            WHERE len(x.g) + len(y.g)
+                  - len(list_intersect(x.g, y.g)) > 0
+              AND 2 * len(list_intersect(x.g, y.g))
+                  >= len(x.g) + len(y.g)
+                  - len(list_intersect(x.g, y.g))
+        """,
         # cocitation_pairs: distinct (src,dst) -> per-src unordered
         # dst pairs -> common-citer counts (same links + nav edges)
         "cocitation_pairs": """

@@ -4768,3 +4768,71 @@ def test_random_walks(ray_session):
     assert not any(s == 5 and st >= 2 for s, st, _ in w)
     # self-loop walk keeps going to full length
     assert (4, 4, 4) in w
+
+
+def test_entity_match_pairs(ray_session):
+    """ER: brute-force parity (blocking isolates candidates, exact
+    q-gram jaccard test), cross-block pairs never emitted, block cap
+    accounted, invariance."""
+    import itertools
+
+    import ray.data
+
+    from warcio_ray.ops.er import entity_match_pairs
+
+    rows = [
+        (1, "jonathan smith", "US"),
+        (2, "jonathan smyth", "US"),   # near-dup of 1, same block
+        (3, "jonathan smith", "DE"),   # identical name, OTHER block
+        (4, "maria garcia", "US"),
+        (5, "maria garcias", "US"),    # near-dup of 4
+        (6, "bob", "US"),
+        (7, "tob", "US"),              # 3-grams disjoint from bob
+        (8, "jonathan smith", "US"),   # exact dup of 1
+    ]
+    df = pd.DataFrame(rows, columns=["key", "name", "country"])
+
+    def qg(s, q=3):
+        return frozenset(s[i:i + q] for i in range(len(s) - q + 1)) \
+            if len(s) >= q else frozenset([s] if s else [])
+
+    def brute(num, den, cap=1000):
+        out = {}
+        capped = 0
+        for blk, sub in df.groupby("country"):
+            sub = sub.sort_values("key")
+            if len(sub) > cap:
+                capped += 1
+                sub = sub.head(cap)
+            for (ka, na), (kb, nb) in itertools.combinations(
+                    zip(sub["key"], sub["name"]), 2):
+                i = len(qg(na) & qg(nb))
+                u = len(qg(na) | qg(nb))
+                if u and den * i >= num * u:
+                    out[(ka, kb)] = (i, u)
+        return out, capped
+
+    for num, den in ((1, 2), (1, 1)):
+        want, wcap = brute(num, den)
+        for np_ in (1, 4):
+            got, gcap = entity_match_pairs(
+                ray.data.from_pandas(df).repartition(np_),
+                "key", "name", ["country"], num=num, den=den)
+            gp = got.to_pandas()
+            gmap = {(int(r.a), int(r.b)): (int(r.inter),
+                                           int(r.union_n))
+                    for r in gp.itertuples()}
+            assert gmap == want, (num, den, np_)
+            assert gcap == wcap
+    w, _ = brute(1, 2)
+    assert (1, 2) in w and (4, 5) in w and (1, 8) in w
+    assert (1, 3) not in w          # blocking isolates DE
+    assert (6, 7) not in w          # disjoint grams
+    # cap: block US has 7 records; cap=2 keeps keys 1,2 only
+    w2, c2 = brute(1, 2, cap=2)
+    got2, gcap2 = entity_match_pairs(
+        ray.data.from_pandas(df), "key", "name", ["country"],
+        max_block=2)
+    gmap2 = {(int(r.a), int(r.b)) for r in got2.to_pandas()
+             .itertuples()}
+    assert gmap2 == set(w2) and gcap2 == c2 == 1
