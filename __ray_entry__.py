@@ -3462,7 +3462,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_append_pairs": _lsh_append_pairs,
         "line_dedup": _line_dedup,
         # multimodal plumbing (unstamped in r3)
-        "media_features": _media_features,
+        # record-linkage family (r4 s4; media_features -> tail,
+        # multimodal keeps media_phash_dups)
+        "er_matches": _er_matches,
         "media_phash_dups": _media_phash_dups,
         # family representatives already stamped green in r3
         "q1_pricing_summary": _q1,
@@ -3577,12 +3579,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_seen_probe": _bloom_seen_probe,
         "ab_chisquare": _ab_chisquare,
         "random_walks_4": _random_walks_4,
-        "er_matches": _er_matches,
         # demoted from the first 50 in the r4 s4 refit (families still
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
         "simhash_pairs": _simhash_pairs,
         "embedding_neardup": _embedding_neardup,
+        "media_features": _media_features,
     }
 
 

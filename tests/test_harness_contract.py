@@ -73,8 +73,10 @@ def test_first_fifty_covers_every_family():
         "line_dedup",
         "pretrain_corpus", "export_bpe_packed", "export_shards",
         "frontier_candidates",
-        # multimodal
-        "media_features", "media_phash_dups",
+        # multimodal (media_features -> tail in the r4 s4 refit)
+        "media_phash_dups",
+        # record-linkage family (r4 s4)
+        "er_matches",
         # relational / pack / sketch / quantile / graph / clustering
         "q1_pricing_summary", "asof_click_purchase", "token_stats",
         "pack_1024", "pagerank_5", "hll_lang_tokens",
