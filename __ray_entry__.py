@@ -557,6 +557,49 @@ def _span_corrupt(sf_dir: str):
     return span_corrupt(ds, span=3, mask_pct=15)
 
 
+def _wcc_append_labels(sf_dir: str):
+    """Incremental WCC (recrawl graph update): label the EVEN-dst half
+    of the sampled link graph, then fold the odd-dst delta in via
+    star-edges + contraction (ops/graph.wcc_append) — must equal the
+    full-graph components (same oracle reconstruction as
+    wcc_labels)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from warcio_ray.ops.graph import (wcc_append,
+                                      weakly_connected_components)
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    def sample(batch: pd.DataFrame, parity: int) -> pd.DataFrame:
+        keep = ((batch["src"] % 10 < 3)
+                & (batch["src"] != batch["dst"])
+                & (batch["dst"] % 2 == parity))
+        return batch.loc[keep, ["src", "dst"]]
+
+    ids = edge_urls.map_batches(to_ids, batch_format="pyarrow")
+    base = ids.map_batches(sample, batch_format="pandas",
+                           fn_kwargs={"parity": 0})
+    delta = ids.map_batches(sample, batch_format="pandas",
+                            fn_kwargs={"parity": 1})
+    labels = weakly_connected_components(base)
+    out = wcc_append(labels, delta).to_pandas()
+    return out.sort_values("node").reset_index(drop=True) \
+        .astype({"node": "int64", "component": "int64"})
+
+
 def _er_matches(sf_dir: str):
     """Entity resolution on the customer master: every c_custkey % 13
     == 0 gets a planted variant record (key+100000, one md5-chosen
@@ -3579,6 +3622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_seen_probe": _bloom_seen_probe,
         "ab_chisquare": _ab_chisquare,
         "random_walks_4": _random_walks_4,
+        "wcc_append_labels": _wcc_append_labels,
         # demoted from the first 50 in the r4 s4 refit (families still
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
@@ -6997,6 +7041,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, MIN(r) AS component
         FROM reach GROUP BY node ORDER BY node
     """
+    # wcc_append_labels: incremental labels must equal the
+    # full-graph reconstruction — identical recursive CTE
+    out["wcc_append_labels"] = out["wcc_labels"]
     # containment_pairs: asymmetric containment over distinct 3-gram
     # shingle sets with planted excerpt docs — integer-exact threshold
     # (5*common >= 4*|A|), same gram CASE as the jaccard CTE

@@ -4836,3 +4836,46 @@ def test_entity_match_pairs(ray_session):
     gmap2 = {(int(r.a), int(r.b)) for r in got2.to_pandas()
              .itertuples()}
     assert gmap2 == set(w2) and gcap2 == c2 == 1
+
+
+def test_wcc_append(ray_session):
+    """Incremental WCC: star-edges-plus-delta equals full-graph CC
+    (merging two standing components, adding brand-new nodes,
+    no-merge deltas), invariance."""
+    import ray.data
+
+    from warcio_ray.ops.graph import (wcc_append,
+                                      weakly_connected_components)
+
+    base = pd.DataFrame({"src": [0, 1, 10, 11, 20],
+                         "dst": [1, 2, 11, 12, 21]})
+    # delta merges {0,1,2} with {10,11,12}, adds fresh {30,31}
+    delta = pd.DataFrame({"src": [2, 30], "dst": [10, 31]})
+    full = pd.concat([base, delta], ignore_index=True)
+
+    want = weakly_connected_components(
+        ray.data.from_pandas(full)).to_pandas()
+    wmap = dict(zip(want["node"].astype(int),
+                    want["component"].astype(int)))
+
+    for np_ in (1, 3):
+        labels = weakly_connected_components(
+            ray.data.from_pandas(base).repartition(np_))
+        got = wcc_append(labels,
+                         ray.data.from_pandas(delta).repartition(np_)
+                         ).to_pandas()
+        gmap = dict(zip(got["node"].astype(int),
+                        got["component"].astype(int)))
+        assert gmap == wmap, np_
+    assert wmap[12] == wmap[0] == 0      # merged, min-id labeled
+    assert wmap[31] == 30 and wmap[21] == 20
+
+    # no-merge delta: labels unchanged
+    labels = weakly_connected_components(ray.data.from_pandas(base))
+    same = wcc_append(labels, ray.data.from_pandas(
+        pd.DataFrame({"src": [20], "dst": [21]}))).to_pandas()
+    base_map = dict(zip(
+        labels.to_pandas()["node"].astype(int),
+        labels.to_pandas()["component"].astype(int)))
+    assert dict(zip(same["node"].astype(int),
+                    same["component"].astype(int))) == base_map

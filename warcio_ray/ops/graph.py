@@ -1205,3 +1205,43 @@ def random_walks(edges_ds, walk_len: int = 4, num_partitions=None):
     for p in out_parts[1:]:
         out = out.union(p)
     return out
+
+
+def wcc_append(labels_ds, new_edges_ds, num_partitions=None,
+               max_iters: int = 64):
+    """Incremental weakly-connected components — fold NEW edges into a
+    standing (node, component) labeling without re-shipping the
+    original edge multiset (the recrawl-generation graph update).
+    Correctness: a partition's star edges (node -> its component id)
+    preserve connectivity exactly, so CC over (star edges ∪ delta)
+    equals CC over (original ∪ delta). Cost is O(labeled nodes +
+    delta edges) — node-bounded, not edge-bounded; component merges
+    can span the whole graph, so no algorithm can be o(affected
+    nodes), but the original edges (usually >> nodes) never move
+    again. Returns fresh min-id (node, component) labels covering
+    old and new nodes."""
+    from warcio_ray.ops.dedup import N_CC_PARTITIONS, \
+        connected_components_ds
+
+    def star(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "a": batch["node"].to_numpy(dtype="int64"),
+            "b": batch["component"].to_numpy(dtype="int64")})
+
+    def to_ab(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "a": batch["src"].to_numpy(dtype="int64"),
+            "b": batch["dst"].to_numpy(dtype="int64")})
+
+    edges = labels_ds.map_batches(star, batch_format="pandas") \
+        .union(new_edges_ds.map_batches(to_ab,
+                                        batch_format="pandas"))
+    labeled = connected_components_ds(
+        edges, num_partitions=num_partitions or N_CC_PARTITIONS,
+        max_iters=max_iters)
+
+    def rename(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={"doc_id": "node",
+                                     "cluster_id": "component"})
+
+    return labeled.map_batches(rename, batch_format="pandas")
