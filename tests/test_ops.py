@@ -4879,3 +4879,80 @@ def test_wcc_append(ray_session):
         labels.to_pandas()["component"].astype(int)))
     assert dict(zip(same["node"].astype(int),
                     same["component"].astype(int))) == base_map
+
+
+def test_session4_string_ops_properties(ray_session):
+    """Property (hypothesis): over random corpora, chunking covers
+    every token exactly per the rule, span-corruption pairs re-zip to
+    the original tokens, and FIM segments re-concatenate — all at a
+    nontrivial partitioning."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import ray.data
+
+    from warcio_ray.ops.chunk import chunk_windows
+    from warcio_ray.ops.denoise import fim_transform, span_corrupt
+
+    token = st.text(alphabet="abxyz", min_size=1, max_size=3)
+    doc = st.lists(token, min_size=0, max_size=40).map(" ".join)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8),
+           st.integers(min_value=1, max_value=6),
+           st.integers(min_value=1, max_value=6))
+    def run(texts, window, stride):
+        stride = min(stride, window)
+        df = pd.DataFrame({
+            "doc_id": np.arange(len(texts), dtype="int64"),
+            "text": texts})
+        d = ray.data.from_pandas(df).repartition(3)
+
+        ch = chunk_windows(d, window=window, stride=stride) \
+            .to_pandas()
+        if ch.empty:  # all-empty corpora lose schema through Ray
+            assert all(len(t.split()) == 0 for t in texts)
+            ch = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+        for i, t in enumerate(texts):
+            n = len(t.split())
+            rows = ch[ch["doc_id"] == i] if "chunk_id" in ch \
+                else ch.iloc[0:0]
+            if n == 0:
+                assert len(rows) == 0
+                continue
+            cov = set()
+            for r in rows.itertuples():
+                assert len(r.chunk_text.split()) == r.n_tok
+                cov.update(range(r.start_tok, r.start_tok + r.n_tok))
+            assert cov == set(range(n))
+
+        sc = span_corrupt(d, span=3, mask_pct=40).to_pandas()
+        if sc.empty:
+            sc = pd.DataFrame()
+        for r in sc.itertuples():
+            tar, cur = {}, None
+            for w in r.target.split():
+                if w.startswith("<extra_id_"):
+                    cur = w
+                    tar[cur] = []
+                else:
+                    tar[cur].append(w)
+            rebuilt = []
+            for w in r.corrupted.split():
+                rebuilt.extend(tar[w] if w.startswith("<extra_id_")
+                               else [w])
+            assert rebuilt == texts[int(r.doc_id)].split()
+
+        fim = fim_transform(d, min_tokens=8).to_pandas()
+        for r in fim.itertuples():
+            toks = texts[int(r.doc_id)].split()
+            if len(toks) < 8:
+                assert r.fim_text == " ".join(toks)
+                continue
+            s = r.fim_text
+            pre = s.split("<PRE>")[1].split("<SUF>")[0].split()
+            suf = s.split("<SUF>")[1].split("<MID>")[0].split()
+            mid = s.split("<MID>")[1].split()
+            assert pre + mid + suf == toks
+
+    run()
