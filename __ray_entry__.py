@@ -1404,6 +1404,23 @@ def _chunk_windows(sf_dir: str):
     return chunk_windows(ds, window=64, stride=48)
 
 
+def _cdc_shared(sf_dir: str):
+    """Content-defined chunking (LBFS lineage): shift-resilient
+    chunk boundaries from a byte-window multiplicative hash, then the
+    cross-document shared-chunk ledger (hash, n_bytes, n_docs, n_occ)
+    for chunks in >= 2 distinct docs — storage-level dedup savings.
+    Text never shuffles; only (hash, doc) int64 rows (ops/cdc.py)."""
+    import ray.data
+
+    from warcio_ray.ops.cdc import cdc_shared_chunks
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = cdc_shared_chunks(ds, mask=16, min_docs=2).to_pandas()
+    return out[["h", "n_bytes", "n_docs", "n_occ"]] \
+        .sort_values("h").reset_index(drop=True).astype("int64")
+
+
 def _trustrank_3(sf_dir: str):
     """TrustRank (Gyongyi et al. 2004) over the real extracted link
     graph: teleport/init/dangling mass restricted to the trusted seed
@@ -3473,8 +3490,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": _tfidf_keywords,
         "ivfpq_top10": _ivfpq_top10,
         # chunking family (r4 s4; fingerprint_dups -> tail, dedup
-        # family keeps 4 other first-50 reps)
-        "chunk_windows": _chunk_windows,
+        # family keeps 4 other first-50 reps). cdc_shared replaces
+        # chunk_windows as the rep (r4 s5): it exercises the chunk
+        # boundary machinery AND the cross-doc dedup aggregate.
+        "cdc_shared": _cdc_shared,
         # LM / quality / curation (unstamped in r3)
         "trigram_nll": _trigram_nll,
         # new-family representatives (r4 session 3)
@@ -3626,6 +3645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # demoted from the first 50 in the r4 s4 refit (families still
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
+        "chunk_windows": _chunk_windows,
         "simhash_pairs": _simhash_pairs,
         "embedding_neardup": _embedding_neardup,
         "media_features": _media_features,
@@ -4631,6 +4651,49 @@ def oracle_sql() -> dict[str, str]:
                      list_slice(t, k * 48 + 1, LEAST(k * 48 + 64, n)),
                      ' ') AS chunk_text
             FROM ks
+        """,
+        # cdc_shared: the CDC boundary rule replayed per character —
+        # w(i) = 4-byte big-endian window, cut after i+3 iff
+        # (w * 2654435761) mod 2^32 mod 16 == 0 (corpus is ASCII, so
+        # ascii() per char == the byte; the multiply needs HUGEINT:
+        # 2^32 * K overflows int64). Chunks = substrings between
+        # consecutive distinct boundaries; hash = md5 prefix as int64.
+        "cdc_shared": r"""
+            WITH docs AS (SELECT doc_id, text FROM documents
+                          WHERE text IS NOT NULL
+                            AND length(text) >= 1),
+            pos AS (SELECT doc_id, text,
+                           unnest(range(1,
+                             greatest(length(text)-3, 0)+1)) AS i
+                    FROM docs),
+            cuts AS (SELECT doc_id, i+3 AS cut FROM pos
+                     WHERE (CAST(ascii(substr(text,i,1))*16777216
+                               + ascii(substr(text,i+1,1))*65536
+                               + ascii(substr(text,i+2,1))*256
+                               + ascii(substr(text,i+3,1)) AS HUGEINT)
+                            * 2654435761) % 4294967296 % 16 = 0),
+            db AS (SELECT DISTINCT doc_id, cut FROM (
+                     SELECT doc_id, cut FROM cuts
+                     UNION ALL SELECT doc_id, 0 FROM docs
+                     UNION ALL SELECT doc_id, length(text)
+                     FROM docs)),
+            seq AS (SELECT doc_id, cut AS s,
+                           lead(cut) OVER (PARTITION BY doc_id
+                                           ORDER BY cut) AS e
+                    FROM db),
+            chunks AS (SELECT c.doc_id, c.e - c.s AS n_bytes,
+                              CAST(('0x' || substr(md5(substr(d.text,
+                                   c.s+1, c.e-c.s)), 1, 15))
+                                AS BIGINT) AS h
+                       FROM seq c JOIN docs d USING (doc_id)
+                       WHERE c.e IS NOT NULL),
+            perdoc AS (SELECT h, doc_id, COUNT(*) AS n_occ,
+                              MAX(n_bytes) AS n_bytes
+                       FROM chunks GROUP BY h, doc_id)
+            SELECT h, CAST(MAX(n_bytes) AS BIGINT) AS n_bytes,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_occ) AS BIGINT) AS n_occ
+            FROM perdoc GROUP BY h HAVING COUNT(*) >= 2
         """,
         # hits_2: exact-integer HITS with down-shift normalization —
         # unrolled generated CTE, bit-identical (hash compare)

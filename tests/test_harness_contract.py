@@ -52,10 +52,12 @@ def test_first_fifty_covers_every_family():
         # similarity search (ivfpq composes pq+ivf; the standalone
         # layout/pq entries moved to the tail in r4 s3)
         "knn_top10", "ivfpq_top10",
-        # chunking + layout-compaction families (r4 s4;
+        # chunking + layout-compaction families (r4 s5: cdc_shared
+        # replaces chunk_windows as the chunking rep — it exercises
+        # boundary machinery AND the cross-doc dedup aggregate;
         # fingerprint_dups / simhash_pairs demoted to the tail —
         # dedup keeps jaccard/embedding/lsh-append/line reps)
-        "chunk_windows", "postings_compact_probe",
+        "cdc_shared", "postings_compact_probe",
         # denoising-pair family (r4 s4; embedding_neardup demoted —
         # embedding similarity keeps knn/ivfpq/semdedup reps)
         "span_corrupt",

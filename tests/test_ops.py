@@ -4956,3 +4956,70 @@ def test_session4_string_ops_properties(ray_session):
             assert pre + mid + suf == toks
 
     run()
+
+
+def test_cdc_chunks(ray_session):
+    """CDC: brute-force boundary parity, full byte coverage,
+    SHIFT-RESILIENCE (prefix insertion preserves downstream chunk
+    hashes), shared-chunk detection across docs, invariance."""
+    import hashlib
+
+    import ray.data
+
+    from warcio_ray.ops.cdc import cdc_chunk_batch, cdc_shared_chunks
+
+    shared = "the quick brown fox jumps over the lazy dog " * 3
+    texts = [shared + " tail one",
+             "PREFIX INSERTED HERE " + shared + " tail two",
+             "completely different content with no overlap at all",
+             "", "ab"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                       "text": texts})
+
+    K, M32 = 2654435761, 1 << 32
+
+    def brute_chunks(t, mask=16):
+        b = t.encode()
+        n = len(b)
+        if n == 0:
+            return []
+        cuts = []
+        for i in range(max(n - 3, 0)):
+            w = (b[i] << 24) + (b[i + 1] << 16) + (b[i + 2] << 8) \
+                + b[i + 3]
+            if (w * K) % M32 % mask == 0:
+                cuts.append(i + 4)
+        bounds = [0] + cuts + ([n] if (not cuts or cuts[-1] != n)
+                               else [])
+        return [(s, e - s,
+                 int(hashlib.md5(b[s:e]).hexdigest()[:15], 16))
+                for s, e in zip(bounds[:-1], bounds[1:])]
+
+    got = cdc_chunk_batch(df)
+    for i, t in enumerate(texts):
+        want = brute_chunks(t)
+        rows = got[got["doc_id"] == i]
+        assert [(int(r.start), int(r.n_bytes), int(r.h))
+                for r in rows.itertuples()] == want
+        # full coverage, in order
+        assert sum(w[1] for w in want) == len(t.encode())
+
+    # shift resilience: most of doc 0's chunk hashes recur in doc 1
+    h0 = {h for _, _, h in brute_chunks(texts[0])}
+    h1 = {h for _, _, h in brute_chunks(texts[1])}
+    assert len(h0 & h1) >= len(h0) // 2
+    h2 = {h for _, _, h in brute_chunks(texts[2])}
+    # unrelated docs share at most trivial (tiny) chunks
+    tiny = {h for _, ln, h in brute_chunks(texts[2]) if ln <= 4}
+    assert (h0 & h2) <= tiny
+
+    # expected shared set: hash in >= 2 DISTINCT docs (brute force)
+    doc_sets = [{h for _, _, h in brute_chunks(t)} for t in texts]
+    from collections import Counter
+    presence = Counter(h for s in doc_sets for h in s)
+    expect = {h for h, c in presence.items() if c >= 2}
+    for np_ in (1, 3):
+        sh = cdc_shared_chunks(
+            ray.data.from_pandas(df).repartition(np_)).to_pandas()
+        assert set(sh["h"]) == expect
+        assert (sh["n_docs"] >= 2).all()
