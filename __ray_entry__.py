@@ -1421,6 +1421,24 @@ def _cdc_shared(sf_dir: str):
         .sort_values("h").reset_index(drop=True).astype("int64")
 
 
+def _substring_spans(sf_dir: str):
+    """Exact substring-level dedup (Lee et al. 2022): maximal spans
+    covered by 40-byte windows repeating >= 2 times anywhere in the
+    corpus (cross-doc or self-repetition). Rolling-hash count shuffle
+    + broadcast probe + exact gram recount + per-doc interval merge
+    (ops/substr.py) — the distributed stand-in for the paper's
+    monolithic suffix array."""
+    import ray.data
+
+    from warcio_ray.ops.substr import repeated_substring_spans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = repeated_substring_spans(ds, L=40, min_count=2).to_pandas()
+    return out.sort_values(["doc_id", "span_start"]) \
+        .reset_index(drop=True).astype("int64")
+
+
 def _trustrank_3(sf_dir: str):
     """TrustRank (Gyongyi et al. 2004) over the real extracted link
     graph: teleport/init/dangling mass restricted to the trusted seed
@@ -3522,7 +3540,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_shards": _export_shards,
         "frontier_candidates": _frontier_candidates,
         "lsh_append_pairs": _lsh_append_pairs,
-        "line_dedup": _line_dedup,
+        # substring-level dedup (r4 s5) replaces line_dedup as the
+        # exact-span dedup rep: line dedup is the newline-aligned
+        # special case of repeated-span removal
+        "substring_spans": _substring_spans,
         # multimodal plumbing (unstamped in r3)
         # record-linkage family (r4 s4; media_features -> tail,
         # multimodal keeps media_phash_dups)
@@ -3646,6 +3667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
         "chunk_windows": _chunk_windows,
+        "line_dedup": _line_dedup,
         "simhash_pairs": _simhash_pairs,
         "embedding_neardup": _embedding_neardup,
         "media_features": _media_features,
@@ -4694,6 +4716,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_occ) AS BIGINT) AS n_occ
             FROM perdoc GROUP BY h HAVING COUNT(*) >= 2
+        """,
+        # substring_spans: repeated 40-byte windows grouped by the
+        # LITERAL substring (exact — the Ray side's hash phase is a
+        # prefilter whose aliases the gram recount kills), positions
+        # merged per doc via gaps-and-islands (new island iff start >
+        # running max end; touching intervals coalesce, matching the
+        # op's s > cummax(prev e) rule)
+        "substring_spans": r"""
+            WITH docs AS (SELECT doc_id, text FROM documents
+                          WHERE length(text) >= 40),
+            pos AS (SELECT doc_id, text,
+                           unnest(range(1, length(text)-40+2)) AS i
+                    FROM docs),
+            w AS (SELECT doc_id, i, substr(text, i, 40) AS g
+                  FROM pos),
+            rep AS (SELECT g FROM w GROUP BY g HAVING COUNT(*) >= 2),
+            hits AS (SELECT doc_id, i-1 AS s, i-1+40 AS e
+                     FROM w JOIN rep USING (g)),
+            marked AS (SELECT doc_id, s, e,
+              CASE WHEN s > COALESCE(MAX(e) OVER (
+                       PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), -1)
+                   THEN 1 ELSE 0 END AS brk FROM hits),
+            grp AS (SELECT doc_id, s, e,
+                    SUM(brk) OVER (PARTITION BY doc_id
+                                   ORDER BY s, e) AS gid
+                    FROM marked)
+            SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+                   CAST(MAX(e) AS BIGINT) AS span_end,
+                   CAST(MAX(e)-MIN(s) AS BIGINT) AS n_bytes
+            FROM grp GROUP BY doc_id, gid
         """,
         # hits_2: exact-integer HITS with down-shift normalization —
         # unrolled generated CTE, bit-identical (hash compare)

@@ -72,7 +72,9 @@ def test_first_fifty_covers_every_family():
         # dedup / export / selection
         "budget_subset", "jaccard_clusters",
         "lsh_append_pairs",
-        "line_dedup",
+        # substring-level exact-span dedup (r4 s5) replaces
+        # line_dedup (the newline-aligned special case) as the rep
+        "substring_spans",
         "pretrain_corpus", "export_bpe_packed", "export_shards",
         "frontier_candidates",
         # multimodal (media_features -> tail in the r4 s4 refit)

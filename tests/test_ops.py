@@ -5023,3 +5023,68 @@ def test_cdc_chunks(ray_session):
             ray.data.from_pandas(df).repartition(np_)).to_pandas()
         assert set(sh["h"]) == expect
         assert (sh["n_docs"] >= 2).all()
+
+
+def test_repeated_substring_spans(ray_session):
+    """Exact substring dedup: brute-force window-count parity on a
+    corpus with planted cross-doc repeats, SELF-repetition, touching
+    windows, and below-threshold docs; partition invariance."""
+    from collections import Counter
+
+    import ray.data
+
+    from warcio_ray.ops.substr import repeated_substring_spans
+
+    L = 12
+    boiler = "SHARED BOILERPLATE SENTENCE REPEATED ACROSS DOCS."
+    texts = [
+        "intro text one " + boiler + " outro alpha",
+        "different intro " + boiler + " different outro",
+        # self-repetition within ONE doc (counts toward min_count)
+        "xyz " + "SELFREPEATBLOCK!" * 2 + " qqq",
+        "no repeats here at all, totally unique content 12345",
+        "short",  # below L
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                       "text": texts})
+
+    # brute force: count every L-gram, mark positions of grams with
+    # count >= 2, merge touching/overlapping [p, p+L) intervals
+    cnt = Counter()
+    for t in texts:
+        for i in range(len(t) - L + 1):
+            cnt[t[i:i + L]] += 1
+    expect = []
+    for d, t in enumerate(texts):
+        ivs = [(i, i + L) for i in range(len(t) - L + 1)
+               if cnt[t[i:i + L]] >= 2]
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        expect += [(d, s, e, e - s) for s, e in merged]
+
+    assert expect, "test corpus must plant repeats"
+    # the planted boilerplate must surface in docs 0 AND 1, and the
+    # self-repeat in doc 2
+    assert {d for d, *_ in expect} == {0, 1, 2}
+
+    for np_ in (1, 4):
+        got = repeated_substring_spans(
+            ray.data.from_pandas(df).repartition(np_), L=L) \
+            .to_pandas().sort_values(["doc_id", "span_start"])
+        assert [tuple(int(x) for x in r)
+                for r in got.itertuples(index=False)] == expect
+
+    # no repeats at all -> empty result with the right schema
+    lone = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [0], "text": ["absolutely unique text body"]}))
+    empty = repeated_substring_spans(lone, L=L)
+    assert empty.count() == 0
+    # (to_pandas() on a fully-empty Dataset drops columns — a Ray
+    # quirk — so assert the schema on the Dataset itself)
+    assert empty.schema().names == ["doc_id", "span_start",
+                                    "span_end", "n_bytes"]
