@@ -3479,6 +3479,114 @@ def _table_profile(sf_dir: str):
     return profile_table(ds, ["doc_id", "lang", "source"])
 
 
+def _late_events(sf_dir: str):
+    """Watermark late-data accounting (ops/stream.late_event_flags):
+    arrival order is a planted deterministic permutation of event_id
+    (XOR 3 — reverses each 4-block, so event times arrive locally out
+    of order), the watermark trails the running max event time by
+    300 s, and each arrival is flagged late + by how much. Distributed
+    prefix max: bucket maxima -> driver exclusive prefix -> one hash
+    shuffle; only (id, ts) moves."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.stream import late_event_flags
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts"])
+
+    def arrival(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "arrival_id": batch["event_id"].astype("int64") ^ 3,
+            "ts": batch["ts"]})
+
+    flags = late_event_flags(
+        ev.map_batches(arrival, batch_format="pandas"),
+        lag_us=300_000_000, id_col="arrival_id", bucket_size=512)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": batch["arrival_id"].astype("int64") ^ 3,
+            "late": batch["late"].astype("int64"),
+            "lateness_us": batch["lateness_us"].astype("int64")})
+
+    out = flags.map_batches(finish, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _param_mining(sf_dir: str):
+    """Session-id / trap URL-parameter mining
+    (ops/urlfilter.mine_url_params): synthesize a query-string per doc
+    (page= low-cardinality, sid= per-visit token, ref= binary), parse
+    the URLs back into (host, key, value) triples and flag keys whose
+    value cardinality tracks their occurrence count. The oracle builds
+    the triples directly from doc_id, so the Ray-side URL parse is
+    verified end to end."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.urlfilter import mine_url_params
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def synth(batch: pd.DataFrame) -> pd.DataFrame:
+        did = batch["doc_id"].astype("int64")
+        host = "site" + (did % 20).astype(str) + ".example"
+        page = "page=" + (did % 7).astype(str)
+        sid = pd.Series(
+            np.where(did % 3 == 0, "&sid=s" + did.astype(str), ""),
+            index=did.index)
+        ref = pd.Series(
+            np.where(did % 2 == 0,
+                     "&ref=r" + (did % 3).astype(str), ""),
+            index=did.index)
+        return pd.DataFrame({
+            "host": host,
+            "url": "https://" + host + "/p?" + page + sid + ref})
+
+    out = mine_url_params(
+        docs.map_batches(synth, batch_format="pandas"),
+        min_occurrences=5).to_pandas()
+    return out.sort_values(["host", "key"]).reset_index(drop=True) \
+        .astype({"n_occurrences": "int64",
+                 "n_distinct_values": "int64",
+                 "is_trap_key": "int64"})
+
+
+def _mirror_hosts(sf_dir: str):
+    """Mirror-host detection (ops/textstats.mirror_host_pairs): docs
+    map to hosts doc_id%10, and a planted mirror farm (hosts 100+h)
+    re-serves every 4th page of host h — those pairs share a quarter
+    of h's winnowing fingerprints and must surface. Host-level lift of
+    the fingerprint inverted index; one fp-key shuffle."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.textstats import mirror_host_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def primary(batch: pd.DataFrame) -> pd.DataFrame:
+        did = batch["doc_id"].astype("int64")
+        return pd.DataFrame({"doc_id": did, "text": batch["text"],
+                             "host_id": did % 10})
+
+    def mirrored(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["doc_id"].astype("int64") % 4 == 0]
+        did = b["doc_id"].astype("int64")
+        return pd.DataFrame({"doc_id": did, "text": b["text"],
+                             "host_id": 100 + did % 10})
+
+    hosted = docs.map_batches(primary, batch_format="pandas").union(
+        docs.map_batches(mirrored, batch_format="pandas"))
+    out = mirror_host_pairs(hosted, min_shared=20)
+    return out.astype({"host_a": "int64", "host_b": "int64",
+                       "n_shared": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry ORDER IS LOAD-BEARING: the driver's correctness run
     stamps only the FIRST 50 entries per round (observed cap,
@@ -3666,6 +3774,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # demoted from the first 50 in the r4 s4 refit (families still
         # represented there); swept locally like the rest of the tail
         "fingerprint_dups": _fingerprint_dups,
+        # r4 session-5 additions (streaming watermark, crawl param
+        # mining, mirror-farm detection)
+        "late_events": _late_events,
+        "param_mining": _param_mining,
+        "mirror_hosts": _mirror_hosts,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
         "simhash_pairs": _simhash_pairs,
@@ -7355,5 +7468,74 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(p * (2 * below + nn))
                      / (2.0 * SUM(p) * SUM(nn)), 6) AS auc
         FROM cum GROUP BY signal ORDER BY signal
+    """
+    # late_events: the watermark is one window max over arrival order
+    # (event_id XOR 3); all arithmetic in integer epoch microseconds
+    out["late_events"] = r"""
+        WITH o AS (
+          SELECT event_id, xor(event_id, 3) AS a, epoch_us(ts) AS t
+          FROM events),
+        w AS (
+          SELECT event_id, t,
+                 max(t) OVER (ORDER BY a ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND 1 PRECEDING) AS pm
+          FROM o)
+        SELECT event_id,
+               CASE WHEN pm IS NOT NULL AND t < pm - 300000000
+                    THEN 1 ELSE 0 END AS late,
+               CASE WHEN pm IS NOT NULL AND t < pm - 300000000
+                    THEN pm - 300000000 - t ELSE 0 END AS lateness_us
+        FROM w ORDER BY event_id
+    """
+    # param_mining: the oracle synthesizes the (host, key, value)
+    # triples directly from doc_id — the Ray side must reconstruct
+    # them by PARSING the URL strings it built, so a parser bug breaks
+    # the match
+    out["param_mining"] = r"""
+        WITH h AS (SELECT doc_id,
+                          'site' || CAST(doc_id % 20 AS VARCHAR)
+                          || '.example' AS host
+                   FROM documents),
+        triples AS (
+          SELECT host, 'page' AS key,
+                 CAST(doc_id % 7 AS VARCHAR) AS value FROM h
+          UNION ALL
+          SELECT host, 'sid', 's' || CAST(doc_id AS VARCHAR)
+          FROM h WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT host, 'ref', 'r' || CAST(doc_id % 3 AS VARCHAR)
+          FROM h WHERE doc_id % 2 = 0),
+        g AS (
+          SELECT host, key, COUNT(*) AS n_occurrences,
+                 COUNT(DISTINCT value) AS n_distinct_values
+          FROM triples GROUP BY host, key)
+        SELECT host, key, n_occurrences, n_distinct_values,
+               CASE WHEN n_occurrences >= 5
+                     AND 2 * n_distinct_values >= n_occurrences
+                    THEN 1 ELSE 0 END AS is_trap_key
+        FROM g ORDER BY host, key
+    """
+    # mirror_hosts: composes the standing winnowing-fingerprint CTE;
+    # hosts join per doc (primary doc_id%10 + the planted mirror farm
+    # 100+h on every 4th page), DISTINCT (host, fp), self-join count
+    out["mirror_hosts"] = f"""
+        WITH {_fingerprint_cte()},
+        hosted AS (
+          SELECT doc_id % 10 AS hid, doc_id FROM documents
+          UNION ALL
+          SELECT 100 + doc_id % 10, doc_id FROM documents
+          WHERE doc_id % 4 = 0),
+        ex AS (
+          SELECT DISTINCT h.hid, e.fp
+          FROM hosted h
+          JOIN (SELECT doc_id, unnest(f) AS fp FROM fps) e
+            USING (doc_id)),
+        pairs AS (
+          SELECT a.hid AS host_a, b.hid AS host_b,
+                 COUNT(*) AS n_shared
+          FROM ex a JOIN ex b USING (fp)
+          WHERE a.hid < b.hid GROUP BY 1, 2)
+        SELECT host_a, host_b, n_shared FROM pairs
+        WHERE n_shared >= 20 ORDER BY host_a, host_b
     """
     return out

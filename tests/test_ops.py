@@ -5088,3 +5088,104 @@ def test_repeated_substring_spans(ray_session):
     # quirk — so assert the schema on the Dataset itself)
     assert empty.schema().names == ["doc_id", "span_start",
                                     "span_end", "n_bytes"]
+
+
+def test_late_event_flags(ray_session):
+    """Distributed prefix-max watermark vs a sequential reference;
+    partition invariance; empty input schema."""
+    import ray.data
+
+    from warcio_ray.ops.stream import late_event_flags
+
+    rng = np.random.RandomState(7)
+    n = 300
+    ids = np.arange(n, dtype="int64")
+    # event times: mostly increasing with planted disorder
+    ts = (np.cumsum(rng.randint(0, 120, n)).astype("int64")
+          - rng.randint(0, 400, n)) * 1_000_000
+    lag = 90 * 1_000_000
+    df = pd.DataFrame({"event_id": ids,
+                       "ts": pd.to_datetime(ts, unit="us")})
+
+    # sequential reference over arrival (= id) order
+    best = None
+    exp_late, exp_lateness = [], []
+    for t in ts:
+        if best is not None and t < best - lag:
+            exp_late.append(1)
+            exp_lateness.append(best - lag - t)
+        else:
+            exp_late.append(0)
+            exp_lateness.append(0)
+        best = t if best is None else max(best, t)
+    assert sum(exp_late) not in (0, n), "need a mixed corpus"
+
+    for np_ in (1, 5):
+        got = late_event_flags(
+            ray.data.from_pandas(df).repartition(np_),
+            lag_us=lag, bucket_size=64) \
+            .to_pandas().sort_values("event_id")
+        assert list(got["late"]) == exp_late
+        assert list(got["lateness_us"]) == exp_lateness
+
+    empty = late_event_flags(
+        ray.data.from_pandas(df.iloc[:0]), lag_us=lag)
+    assert empty.count() == 0
+
+
+def test_mine_url_params(ray_session):
+    """URL parser edge cases (no query, empty value, fragment, dup
+    key in one URL) + the exact integer trap rule."""
+    import ray.data
+
+    from warcio_ray.ops.urlfilter import mine_url_params
+
+    urls = [
+        # k=5 distinct sid values on h1 -> trap (5 occ, 5 distinct)
+        *[f"https://h1/p?sid=s{i}" for i in range(5)],
+        # 6 occurrences, 2 distinct page values -> not a trap
+        *[f"https://h1/p?page={i % 2}" for i in range(6)],
+        # below min_occurrences -> never a trap
+        "https://h2/p?tok=a", "https://h2/p?tok=b",
+        # fragment must not leak into the value
+        "https://h2/p?x=1#frag",
+        # valueless key and empty value are both value ''
+        "https://h2/p?flag", "https://h2/p?flag=",
+        # no query string at all -> contributes nothing
+        "https://h2/plain",
+    ]
+    hosts = [u.split("/")[2] for u in urls]
+    ds = ray.data.from_pandas(pd.DataFrame({"host": hosts, "url": urls}))
+    out = mine_url_params(ds, min_occurrences=5).to_pandas() \
+        .sort_values(["host", "key"]).reset_index(drop=True)
+    rows = {(r.host, r.key): (r.n_occurrences, r.n_distinct_values,
+                              r.is_trap_key)
+            for r in out.itertuples(index=False)}
+    assert rows[("h1", "sid")] == (5, 5, 1)
+    assert rows[("h1", "page")] == (6, 2, 0)
+    assert rows[("h2", "tok")] == (2, 2, 0)
+    assert rows[("h2", "x")] == (1, 1, 0)
+    assert rows[("h2", "flag")] == (2, 1, 0)
+    assert len(rows) == 5
+
+
+def test_mirror_host_pairs(ray_session):
+    """Planted mirror host shares its page texts; unrelated hosts with
+    disjoint texts must not pair."""
+    import ray.data
+
+    from warcio_ray.ops.textstats import mirror_host_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again while numbers {} march on forever and ever more")
+    rows = []
+    for i in range(8):
+        text = base.format(i) + f" unique tail {i} " + ("pad%d " % i) * 20
+        rows.append((i, text, 1))          # host 1 originals
+        rows.append((100 + i, text, 2))    # host 2 mirrors host 1
+        rows.append((200 + i, f"totally different corpus {i} " * 15, 3))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "host_id"])
+    out = mirror_host_pairs(ray.data.from_pandas(df), min_shared=5)
+    pairs = {(a, b) for a, b in zip(out["host_a"], out["host_b"])}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)

@@ -1,0 +1,98 @@
+"""Streaming-semantics operators over event logs.
+
+Out-of-order / late-data accounting is the one streaming concept the
+engine did not yet model: given an ARRIVAL order (here the stable
+``event_id`` order of the log), a watermark trails the running maximum
+event-time by a fixed lag, and an event is *late* when its own
+event-time is already behind the watermark at the moment it arrives
+(Ray Data has no notion of this; reference warcio has no event layer at
+all — this is part of the LLM-data/streaming extension surface).
+
+The core primitive is a distributed PREFIX MAX over a total order —
+same scale shape as ops/textstats.shuffle_order's distributed rank:
+bucket by id range, per-bucket maxima fold to an O(#buckets) driver
+array, exclusive prefix max broadcasts back, one hash shuffle gives
+each bucket its rows for the vectorized in-bucket running max. No
+global sort, no driver materialization of the log.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def late_event_flags(events_ds, lag_us: int, id_col: str = "event_id",
+                     ts_col: str = "ts", bucket_size: int = 4096):
+    """Per-event watermark lateness over arrival order ``id_col``.
+
+    watermark(i) = max(ts[j] for j < i) - lag_us   (undefined for the
+    first arrival). Event i is late iff ts[i] < watermark(i);
+    ``lateness_us`` = watermark(i) - ts[i] when late else 0.
+
+    Returns a Dataset of (id_col, late:int64, lateness_us:int64).
+
+    Scale shape: rows bucket by ``id // bucket_size`` (ids need not be
+    contiguous — empty buckets simply don't appear). Per-bucket
+    (bucket, max_ts) partials tree-fold to the driver (O(n/bucket_size)
+    rows), an exclusive running max over bucket order is broadcast via
+    ray.put, and ONE hash shuffle lands each bucket on a worker that
+    sorts locally by id and runs np.maximum.accumulate with the
+    carried-in prefix. Only (id, ts) ever moves.
+    """
+    import ray
+
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    bsz = int(bucket_size)
+    lag = np.int64(lag_us)
+    NEG = np.int64(np.iinfo(np.int64).min)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(dtype="int64")
+        ts = batch[ts_col].astype("datetime64[us]").to_numpy() \
+            .astype("int64")
+        return pd.DataFrame({id_col: ids, "_ts": ts,
+                             "bucket": ids // bsz})
+
+    keyed = events_ds.map_batches(project,
+                                  batch_format="pandas").materialize()
+
+    def bucket_max(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("bucket", sort=False)["_ts"].max()
+        return pd.DataFrame({"bucket": g.index.to_numpy(dtype="int64"),
+                             "m": g.to_numpy(dtype="int64")})
+
+    totals = tree_aggregate(
+        keyed.map_batches(bucket_max, batch_format="pandas"),
+        ["bucket"], maxs=("m",))
+    if len(totals) == 0:
+        import ray.data
+        return ray.data.from_pandas(pd.DataFrame({
+            id_col: pd.Series(dtype="int64"),
+            "late": pd.Series(dtype="int64"),
+            "lateness_us": pd.Series(dtype="int64")}))
+    totals = totals.sort_values("bucket").reset_index(drop=True)
+    m = totals["m"].to_numpy(dtype="int64")
+    # exclusive prefix max over bucket order; NEG = "no earlier event"
+    excl = np.concatenate([[NEG], np.maximum.accumulate(m)[:-1]])
+    carry_ref = ray.put(dict(zip(
+        totals["bucket"].astype("int64"), excl.astype("int64"))))
+
+    def score_group(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.sort_values(id_col, kind="mergesort")
+        ts = grp["_ts"].to_numpy(dtype="int64")
+        carry = ray.get(carry_ref)[int(grp["bucket"].iloc[0])]
+        # exclusive running max within the bucket, seeded by the carry
+        shifted = np.concatenate([[carry], ts[:-1]])
+        pmax = np.maximum.accumulate(shifted)
+        has_prev = pmax != NEG
+        lateness = np.where(has_prev & (ts < pmax - lag),
+                            pmax - lag - ts, 0).astype("int64")
+        return pd.DataFrame({
+            id_col: grp[id_col].to_numpy(dtype="int64"),
+            "late": (lateness > 0).astype("int64"),
+            "lateness_us": lateness})
+
+    return keyed.groupby("bucket").map_groups(score_group,
+                                              batch_format="pandas")

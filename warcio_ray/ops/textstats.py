@@ -227,6 +227,66 @@ def fingerprint_dedup(ds, min_shared: int = 5, k: int = 5, window: int = 4,
     return out
 
 
+def mirror_host_pairs(ds, host_id_col: str = "host_id",
+                      min_shared: int = 20, k: int = 5, window: int = 4,
+                      max_bucket: int = 512) -> pd.DataFrame:
+    """Mirror / spam-farm detection: host pairs whose pages share many
+    winnowing fingerprints (the host-level lift of fingerprint_dedup —
+    web archives use this to collapse example.com vs example.org
+    mirrors before frontier budgeting; the reference has no dedup
+    layer, build-brief operator).
+
+    Input rows need (doc_id, text, host_id int). Shape: explode the
+    winnowing fingerprint sets, collapse to DISTINCT (fp, host) so a
+    host contributes once per fingerprint however many of its pages
+    carry it, then the standard capped inverted-index pair count
+    (ops/dedup.candidate_pairs) keyed by fp over host ids. Text never
+    shuffles; hot fingerprints are capped with drop accounting.
+
+    Returns (host_a, host_b, n_shared) pandas, pairs with
+    n_shared >= min_shared, sorted.
+    """
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks
+    from warcio_ray.ops.dedup import (
+        _DROP_SENTINEL,
+        _sum_dropped,
+        candidate_pairs,
+    )
+
+    def explode_hosted(batch: pd.DataFrame) -> pd.DataFrame:
+        fps_all, hosts_all = [], []
+        for hid, text in zip(batch[host_id_col], batch["text"]):
+            fps = _winnow_fps(text, k, window)
+            fps_all.append(fps)
+            hosts_all.append(np.full(len(fps), int(hid), dtype="int64"))
+        if not fps_all:
+            return pd.DataFrame({"fp": pd.Series(dtype="uint64"),
+                                 "doc_id": pd.Series(dtype="int64")})
+        # candidate_pairs pairs the 'doc_id' column — here host ids
+        return pd.DataFrame({"fp": np.concatenate(fps_all),
+                             "doc_id": np.concatenate(hosts_all)})
+
+    exploded = ds.map_batches(explode_hosted, batch_format="pandas")
+    distinct = arrow_blocks(exploded).groupby(["fp", "doc_id"]) \
+        .aggregate(Count(alias_name="_n")) \
+        .select_columns(["fp", "doc_id"])
+    raw = candidate_pairs(distinct, ["fp"], max_bucket).materialize()
+    n_dropped = _sum_dropped(raw)
+    counts = arrow_blocks(raw.filter(expr=f"a != {_DROP_SENTINEL}")) \
+        .groupby(["a", "b"]).aggregate(Count(alias_name="n_shared")) \
+        .filter(expr=f"n_shared >= {int(min_shared)}").to_pandas()
+    if not len(counts):
+        counts = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                               "b": pd.Series(dtype="int64"),
+                               "n_shared": pd.Series(dtype="int64")})
+    out = counts.rename(columns={"a": "host_a", "b": "host_b"}) \
+        .sort_values(["host_a", "host_b"]).reset_index(drop=True)
+    out.attrs["lsh_dropped_ids"] = n_dropped
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style quality filters (Rae et al. 2021 §A1.1 heuristics, the
 # SQL-mirrorable subset) — per-doc repetition + word-shape signals

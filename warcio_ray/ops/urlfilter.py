@@ -123,6 +123,80 @@ def url_trap_signals(ds, url_col: str = "url", max_depth: int = 6,
 
 
 # ---------------------------------------------------------------------------
+# query-parameter mining (session-id / trap parameter detection)
+# ---------------------------------------------------------------------------
+
+def mine_url_params(ds, url_col: str = "url", host_col: str = "host",
+                    min_occurrences: int = 5):
+    """Per-(host, param-key) query-string statistics, flagging
+    high-cardinality keys (session ids, cache busters, per-visit
+    tokens) that multiply a crawl frontier without adding content —
+    the canonicalization-rule miner behind tools like Heritrix's
+    session-id strip lists (the reference has no frontier; build-brief
+    operator, SURV §2.6 URL-seen canonicalization support).
+
+    For each (host, key): ``n_occurrences`` (URLs carrying the key),
+    ``n_distinct_values``, and ``is_trap_key`` = 1 when the key
+    appears >= ``min_occurrences`` times AND at least half its
+    occurrences carry a distinct value (2*n_distinct >= n_occ) —
+    exact integer rule, no float thresholds.
+
+    Scale shape: stateless explode of (host, key, value) triples, one
+    distributed groupby to collapse distinct values, a second to fold
+    per-key counts. Keys-space is bounded by real-world param
+    vocabularies; values never leave their first groupby.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        hosts, keys, vals = [], [], []
+        for host, url in zip(batch[host_col], batch[url_col]):
+            if not isinstance(url, str):
+                continue
+            q = url.find("?")
+            if q < 0:
+                continue
+            qs = url[q + 1:]
+            f = qs.find("#")
+            if f >= 0:
+                qs = qs[:f]
+            for part in qs.split("&"):
+                if not part:
+                    continue
+                eq = part.find("=")
+                k, v = (part, "") if eq < 0 else (part[:eq],
+                                                  part[eq + 1:])
+                hosts.append(host)
+                keys.append(k)
+                vals.append(v)
+        return pd.DataFrame({"host": pd.Series(hosts, dtype="object"),
+                             "key": pd.Series(keys, dtype="object"),
+                             "value": pd.Series(vals, dtype="object")})
+
+    triples = ds.map_batches(explode, batch_format="pandas")
+    distinct = arrow_blocks(triples).groupby(
+        ["host", "key", "value"]).aggregate(Count(alias_name="n_occ"))
+    per_key = arrow_blocks(distinct).groupby(["host", "key"]).aggregate(
+        Sum("n_occ", alias_name="n_occurrences"),
+        Count(alias_name="n_distinct_values"))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        occ = batch["n_occurrences"].to_numpy(dtype="int64")
+        dis = batch["n_distinct_values"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "host": batch["host"],
+            "key": batch["key"],
+            "n_occurrences": occ,
+            "n_distinct_values": dis,
+            "is_trap_key": ((occ >= int(min_occurrences))
+                            & (2 * dis >= occ)).astype("int64")})
+
+    return per_key.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # redirect-chain resolution
 # ---------------------------------------------------------------------------
 
