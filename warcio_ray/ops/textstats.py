@@ -885,25 +885,12 @@ def bigram_nll_scores(ds, vocab_size: int = 1024) -> "pd.DataFrame":
     return ds.map_batches(score, batch_format="pandas")
 
 
-def trigram_nll_scores(ds, vocab_size: int = 1024) -> "object":
-    """EXACT-integer interpolated trigram LM scoring — the deepest
-    rung of the no-external-model perplexity-filter ladder (unigram ->
-    bigram -> this).  p(w|u,v) = 0.2*p1(w) + 0.3*p2(w|v) + 0.5*p3(w|u,v)
-    with each order add-1 smoothed over the (top-``vocab_size`` + OOV)
-    id space; per-position -ln p quantized to int64 at 2^32 (the
-    bm25/dsir ln==libm precedent — the mixture is ONE fixed float
-    expression tree, identical in SQL) and per-doc scores are integer
-    sums: partitioning/order-invariant, hash-comparable.
-
-    Scale shape: pass 1 is the top_terms combiner; pass 2 folds every
-    batch's unigram/bigram/trigram cells into ONE flat int64 key space
-    (unigram w < n; bigram n + v*n + w; trigram n + n^2 + u*n^2 +
-    v*n + w — max ~1.1e9 at the default, far inside int64) so a single
-    groupby merges all three orders; the driver holds the sorted
-    key/count arrays (O(distinct n-grams of the corpus), the honest
-    LM-size bound) and broadcasts them; pass 3 is a stateless
-    searchsorted scan.  Returns a Dataset of (doc_id, nll_q,
-    n_trigrams); docs with < 3 tokens score (0, 0)."""
+def _trigram_model(ds, vocab_size: int):
+    """Shared trigram count-model build for the trigram LM scorers
+    (interpolated add-1 and stupid backoff): top-``vocab_size`` vocab,
+    one flat-keyed groupby folding uni/bi/trigram cells, sorted
+    count arrays broadcast via ray.put. Returns
+    (wref, model_ref, oov, n_ids, n2, total)."""
     from ray.data.aggregate import Sum
 
     import ray
@@ -968,14 +955,39 @@ def trigram_nll_scores(ds, vocab_size: int = 1024) -> "object":
         ctx3_vals = np.array([], dtype="int64")
     model = ray.put((keys2, c2, cv2, keys3, c3, ctx3_keys, ctx3_vals,
                      c1))
+    return wref, model, oov, n_ids, n2, total
 
-    def _lookup(sk: np.ndarray, sv: np.ndarray,
-                probe: np.ndarray) -> np.ndarray:
-        if not len(sk):
-            return np.zeros(len(probe), dtype=np.int64)
-        pos = np.minimum(np.searchsorted(sk, probe), len(sk) - 1)
-        return np.where(sk[pos] == probe, sv[pos], 0)
 
+def _lookup(sk: np.ndarray, sv: np.ndarray,
+            probe: np.ndarray) -> np.ndarray:
+    if not len(sk):
+        return np.zeros(len(probe), dtype=np.int64)
+    pos = np.minimum(np.searchsorted(sk, probe), len(sk) - 1)
+    return np.where(sk[pos] == probe, sv[pos], 0)
+
+
+def trigram_nll_scores(ds, vocab_size: int = 1024) -> "object":
+    """EXACT-integer interpolated trigram LM scoring — the deepest
+    rung of the no-external-model perplexity-filter ladder (unigram ->
+    bigram -> this).  p(w|u,v) = 0.2*p1(w) + 0.3*p2(w|v) + 0.5*p3(w|u,v)
+    with each order add-1 smoothed over the (top-``vocab_size`` + OOV)
+    id space; per-position -ln p quantized to int64 at 2^32 (the
+    bm25/dsir ln==libm precedent — the mixture is ONE fixed float
+    expression tree, identical in SQL) and per-doc scores are integer
+    sums: partitioning/order-invariant, hash-comparable.
+
+    Scale shape: pass 1 is the top_terms combiner; pass 2 folds every
+    batch's unigram/bigram/trigram cells into ONE flat int64 key space
+    (unigram w < n; bigram n + v*n + w; trigram n + n^2 + u*n^2 +
+    v*n + w — max ~1.1e9 at the default, far inside int64) so a single
+    groupby merges all three orders; the driver holds the sorted
+    key/count arrays (O(distinct n-grams of the corpus), the honest
+    LM-size bound) and broadcasts them; pass 3 is a stateless
+    searchsorted scan.  Returns a Dataset of (doc_id, nll_q,
+    n_trigrams); docs with < 3 tokens score (0, 0)."""
+    import ray
+
+    wref, model, oov, n_ids, n2, total = _trigram_model(ds, vocab_size)
     fn = float(n_ids)
     scale = float(np.int64(1) << np.int64(32))
 
@@ -1002,6 +1014,63 @@ def trigram_nll_scores(ds, vocab_size: int = 1024) -> "object":
             nt = np.bincount(t_of, minlength=len(batch)) \
                 .astype("int64")
         return pd.DataFrame({"doc_id": out_id, "nll_q": nll,
+                             "n_trigrams": nt})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def stupid_backoff_scores(ds, vocab_size: int = 1024,
+                          train_ds=None) -> "object":
+    """Stupid Backoff trigram scoring (Brants et al. 2007, the
+    count-only LM built for web-scale corpora precisely because it
+    needs NO normalization pass): S(w|u,v) = c(uvw)/c(uv·) when the
+    trigram was seen in the TRAINING corpus, else 0.4·S(w|v), else
+    0.4·0.4·S_1(w) with the base rung add-1 smoothed so unseen words
+    stay finite. ``train_ds`` holds the count corpus (defaults to
+    ``ds`` — note self-scoring never backs off, every trigram is its
+    own evidence; pass a held-out split to exercise the ladder). Each
+    position's -ln S quantizes to int64 at 2^32 (same libm-ln
+    precedent as the interpolated scorer; the backoff CASE is one
+    fixed float expression tree, identical in SQL via exact-integer
+    divisions). Shares the count model build with trigram_nll_scores
+    (one flat-keyed groupby, driver-bounded by distinct n-grams).
+    Returns a Dataset of (doc_id, sb_q, n_trigrams)."""
+    import ray
+
+    wref, model, oov, n_ids, n2, total = _trigram_model(
+        ds if train_ds is None else train_ds, vocab_size)
+    fn = float(n_ids)
+    scale = float(np.int64(1) << np.int64(32))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        k2s, c2s, cv2s, k3s, c3s, cx3k, cx3v, c1s = ray.get(model)
+        out_id = batch["doc_id"].to_numpy(dtype="int64")
+        sb = np.zeros(len(batch), dtype=np.int64)
+        nt = np.zeros(len(batch), dtype=np.int64)
+        ids, doc_of = _flat_token_ids(batch, ray.get(wref), oov)
+        if len(ids) >= 3:
+            v3 = (doc_of[:-2] == doc_of[1:-1]) \
+                & (doc_of[1:-1] == doc_of[2:])
+            u, v, w = ids[:-2][v3], ids[1:-1][v3], ids[2:][v3]
+            t_of = doc_of[2:][v3]
+            tc = _lookup(k3s, c3s, u * n2 + v * n_ids + w)
+            tcv = _lookup(cx3k, cx3v, u * n_ids + v)
+            bc = _lookup(k2s, c2s, v * n_ids + w)
+            # the three rungs; denominators are exact ints -> float64
+            # divisions, the same casts the SQL CASE performs. tcv>0
+            # whenever tc>0 (a seen trigram implies its context);
+            # np.where still evaluates the masked lanes, so guard the
+            # denominators with maximum(1, ·) — selected lanes are
+            # unaffected.
+            s3 = tc / np.maximum(tcv, 1).astype(np.float64)
+            s2 = 0.4 * (bc / np.maximum(cv2s[v], 1).astype(np.float64))
+            s1 = 0.4 * (0.4 * ((c1s[w] + 1.0) / (total + fn)))
+            s = np.where(tc > 0, s3, np.where(bc > 0, s2, s1))
+            q = np.floor(-np.log(s) * scale + 0.5).astype(np.int64)
+            np.add.at(sb, t_of, q)
+            nt = np.bincount(t_of, minlength=len(batch)) \
+                .astype("int64")
+        return pd.DataFrame({"doc_id": out_id, "sb_q": sb,
                              "n_trigrams": nt})
 
     return ds.map_batches(score, batch_format="pandas")
