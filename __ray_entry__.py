@@ -3630,6 +3630,47 @@ def _sq8_top10(sf_dir: str):
     return sq8_topk(emb, q, k=10)
 
 
+def _scc_labels(sf_dir: str):
+    """Strongly connected components of the directed hyperlink graph
+    (ops/graph.strongly_connected_components): the wcc_labels edge
+    sample (src % 10 < 3) with reversed copies planted for
+    src % 5 == 0 (mirrored in SQL) so non-trivial mutual-reachability
+    clusters exist; every linked node labeled with its SCC's min id
+    via forward-backward min-label peeling."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from warcio_ray.ops.graph import strongly_connected_components
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    def sample_reverse(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (batch["src"] % 10 < 3) & (batch["src"] != batch["dst"])
+        e = batch.loc[keep, ["src", "dst"]]
+        rev = e[e["src"] % 5 == 0]
+        return pd.concat([e, pd.DataFrame({
+            "src": rev["dst"].to_numpy(),
+            "dst": rev["src"].to_numpy()})], ignore_index=True)
+
+    edges = edge_urls.map_batches(to_ids, batch_format="pyarrow") \
+        .map_batches(sample_reverse, batch_format="pandas")
+    out = strongly_connected_components(edges).to_pandas()
+    return out.sort_values("node").reset_index(drop=True) \
+        .astype({"node": "int64", "scc_id": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry ORDER IS LOAD-BEARING: the driver's correctness run
     stamps only the FIRST 50 entries per round (observed cap,
@@ -3824,6 +3865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mirror_hosts": _mirror_hosts,
         "backoff_nll": _backoff_nll,
         "sq8_top10": _sq8_top10,
+        "scc_labels": _scc_labels,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
         "simhash_pairs": _simhash_pairs,
@@ -7682,5 +7724,38 @@ def oracle_sql() -> dict[str, str]:
           FROM codes JOIN qq USING (i) GROUP BY vec_id)
         SELECT vec_id, dot FROM dots ORDER BY dot DESC, vec_id
         LIMIT 10
+    """
+    # scc_labels: mutual reachability by definition — transitive
+    # closure both ways on the sampled+reversed edge set; scc id of a
+    # node = min over itself and every mutually-reachable partner
+    out["scc_labels"] = """
+        WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+        edges0 AS (
+          SELECT doc_id AS src,
+                 ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn))
+                   AS dst
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE j < doc_id % 4),
+        e AS (SELECT src, dst FROM edges0
+              WHERE src % 10 < 3 AND src <> dst),
+        edges AS (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM e
+          UNION ALL
+          SELECT dst AS src, src AS dst FROM e WHERE src % 5 = 0)),
+        reach(s, d) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.s, e2.dst FROM reach r
+          JOIN edges e2 ON e2.src = r.d),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        mutual AS (SELECT a.s AS u, a.d AS v FROM reach a
+                   JOIN reach b ON b.s = a.d AND b.d = a.s)
+        SELECT n.node,
+               CAST(LEAST(n.node, COALESCE(MIN(m.v), n.node))
+                    AS BIGINT) AS scc_id
+        FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+        GROUP BY n.node ORDER BY n.node
     """
     return out

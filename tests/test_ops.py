@@ -5305,3 +5305,25 @@ def test_sq8_topk_matches_reference(ray_session):
     tmn, tmx = sq8_train(ray.data.from_pandas(df))
     np.testing.assert_allclose(tmn, mn)
     np.testing.assert_allclose(tmx, mx)
+
+
+def test_strongly_connected_components(ray_session):
+    """SCC peeling: known bowtie-ish graph (3-cycle, 2-cycle, chain,
+    tail), labels = per-SCC min id, partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.graph import strongly_connected_components
+
+    edges = pd.DataFrame({"src": [1, 2, 3, 3, 4, 5, 6, 7, 10, 11],
+                          "dst": [2, 3, 1, 4, 5, 6, 5, 1, 11, 10]})
+    want = {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7, 10: 10, 11: 10}
+    for nparts in (1, 4):
+        ds = ray.data.from_pandas(edges).repartition(nparts)
+        out = strongly_connected_components(ds).to_pandas()
+        assert dict(zip(out["node"], out["scc_id"])) == want
+
+    # a pure DAG (no cycles): every node is its own SCC
+    dag = pd.DataFrame({"src": [9, 8, 7, 6], "dst": [8, 7, 6, 5]})
+    out = strongly_connected_components(
+        ray.data.from_pandas(dag)).to_pandas()
+    assert (out["node"] == out["scc_id"]).all()

@@ -1245,3 +1245,151 @@ def wcc_append(labels_ds, new_edges_ds, num_partitions=None,
                                      "cluster_id": "component"})
 
     return labeled.map_batches(rename, batch_format="pandas")
+
+
+def strongly_connected_components(edges_ds,
+                                  broadcast_max_nodes: int = 2_000_000,
+                                  max_inner: int = 256,
+                                  max_outer: int = 64):
+    """Strongly connected components of a DIRECTED (src, dst) edge
+    Dataset — the web-spam / link-farm structural unit (the giant SCC
+    vs IN/OUT "bowtie" of Broder et al., WWW 2000; mutual-reachability
+    clusters are where reciprocal link schemes live, cf. the
+    reciprocity signal above). WCC (``weakly_connected_components``)
+    ignores direction; this does not. No reference counterpart —
+    webgraph operator per the build brief.
+
+    Algorithm: forward-backward min-label peeling. Per outer round,
+    over the still-unsettled subgraph,
+
+        F(u) = min node id forward-reachable from u (incl. u)
+        B(u) = min node id that reaches u backward (incl. u)
+
+    each computed by min-label propagation to fixpoint (F flows
+    AGAINST edge direction: F(u) <- min(F(u), F(v)) per edge u->v; B
+    flows with it). F and B are constant on an SCC (its members share
+    both reachable sets), and F(u) == B(u) == m proves u and m mutually
+    reachable, so every node with F == B settles with scc_id = F —
+    provably the minimum id of its SCC (any smaller mutual partner
+    would lower both F and B). Each round settles at least the SCC of
+    the smallest unsettled id, so the loop terminates; on bowtie-shaped
+    webgraphs the giant SCC plus everything that min-reaches it
+    settles in round one.
+
+    Scale shape: the BROADCAST path (the pagerank/HITS <= 2M-node
+    gate): label vectors live on the driver, each propagation round is
+    ONE streamed edge scan emitting per-batch (node, candidate-min)
+    combines folded by a bounded ``tree_aggregate`` — no shuffle of
+    the edge set, edges materialize once as narrow int64 pairs.
+    Settled nodes drop out via a broadcast sorted-array filter inside
+    the scan, never a re-materialization. Above the gate the same
+    rounds run as edges-with-labels hash joins (the documented
+    pagerank join-path analogue: ids + int64 labels only, O(1) driver
+    state); that path raises here until a corpus needs it.
+
+    Returns a (node int64, scc_id int64) Dataset over every node that
+    appears in any edge."""
+    import ray
+    import ray.data
+
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    def fold_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch[["src", "dst"]].dropna().astype("int64")
+        df = df[df["src"] != df["dst"]].drop_duplicates()
+        return df
+
+    # narrow int64 pairs, scanned once per propagation round
+    edges = edges_ds.map_batches(fold_edges,
+                                 batch_format="pandas").materialize()
+
+    def endpoints(batch: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(np.concatenate(
+            [batch["src"].to_numpy(dtype="int64"),
+             batch["dst"].to_numpy(dtype="int64")]))
+        # the constant col exists because tree_aggregate wants >= 1
+        # agg; the fold is a pure distinct-collapse
+        return pd.DataFrame({"node": u,
+                             "one": np.ones(len(u), dtype="int64")})
+
+    uni = tree_aggregate(
+        edges.map_batches(endpoints, batch_format="pandas"),
+        ["node"], maxs=("one",))
+    nodes = np.sort(uni["node"].to_numpy(dtype="int64"))
+    n = len(nodes)
+    if n > broadcast_max_nodes:
+        raise NotImplementedError(
+            "SCC join path (> broadcast_max_nodes) not wired yet; "
+            "see docstring for the shape")
+    if n == 0:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"node": pd.Series(dtype="int64"),
+             "scc_id": pd.Series(dtype="int64")}))
+
+    scc = np.full(n, -1, dtype=np.int64)
+
+    def fixpoint(follow_src: bool) -> np.ndarray:
+        """Min-label propagation to fixpoint over unsettled nodes.
+        follow_src=True: label of dst flows to src (computes F);
+        False: src's label flows to dst (computes B)."""
+        lab = nodes.copy()
+        lab[scc >= 0] = np.iinfo(np.int64).max  # settled: inert
+        for _ in range(max_inner):
+            ref = ray.put((nodes, lab))
+
+            def proposals(batch: pd.DataFrame) -> pd.DataFrame:
+                nds, lb = ray.get(ref)
+                src = batch["src"].to_numpy(dtype="int64")
+                dst = batch["dst"].to_numpy(dtype="int64")
+                ps = np.searchsorted(nds, src)
+                pdd = np.searchsorted(nds, dst)
+                # drop edges with a settled endpoint (inert label)
+                big = np.iinfo(np.int64).max
+                keep = (lb[ps] != big) & (lb[pdd] != big)
+                to_p, from_p = ((ps, pdd) if follow_src
+                                else (pdd, ps))
+                to_p, from_p = to_p[keep], from_p[keep]
+                # LOCAL fixpoint over this batch's edge subset before
+                # emitting: min-propagation is confluent (unique least
+                # fixpoint), so extra within-batch hops only cut the
+                # number of GLOBAL rounds (~partition-quotient
+                # diameter instead of graph diameter), never change
+                # the answer. Labels copy-on-write: lb is a shared
+                # plasma read.
+                loc = lb.copy()
+                for _ in range(len(loc)):
+                    prev = loc[to_p].copy()
+                    np.minimum.at(loc, to_p, loc[from_p])
+                    if np.array_equal(loc[to_p], prev):
+                        break
+                ut = np.unique(to_p)
+                return pd.DataFrame({"p": ut, "neg": -loc[ut]})
+
+            got = tree_aggregate(
+                edges.map_batches(proposals, batch_format="pandas"),
+                ["p"], maxs=("neg",))
+            new = lab.copy()
+            if len(got):
+                p = got["p"].to_numpy(dtype="int64")
+                cand = -got["neg"].to_numpy(dtype="int64")
+                new[p] = np.minimum(new[p], cand)
+            if np.array_equal(new, lab):
+                return lab
+            lab = new
+        raise RuntimeError(f"SCC propagation exceeded {max_inner} "
+                           "rounds (graph diameter too large)")
+
+    for _ in range(max_outer):
+        if (scc >= 0).all():
+            break
+        f = fixpoint(follow_src=True)
+        b = fixpoint(follow_src=False)
+        done = (scc < 0) & (f == b)
+        if not done.any():
+            raise RuntimeError("SCC peel made no progress")
+        scc[done] = f[done]
+    else:
+        raise RuntimeError(f"SCC exceeded {max_outer} peel rounds")
+
+    return ray.data.from_pandas(pd.DataFrame({"node": nodes,
+                                              "scc_id": scc}))
