@@ -3671,6 +3671,62 @@ def _scc_labels(sf_dir: str):
         .astype({"node": "int64", "scc_id": "int64"})
 
 
+def _kcenter_8(sf_dir: str):
+    """Greedy k-center coreset selection (ops/coreset.kcenter_select):
+    8 farthest-point picks from the min-id seed over the embeddings
+    table, exact integer quantized-L2 distances, (max dist, min id)
+    tie rule — the diversity-maximizing training-subset primitive."""
+    import ray.data
+
+    from warcio_ray.ops.coreset import kcenter_select
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return kcenter_select(emb, 8)
+
+
+def _kcenter_sql(k: int = 8, scale: int = 1 << 16) -> str:
+    """Unrolled greedy farthest-point traversal mirroring
+    warcio_ray.ops.coreset.kcenter_select bit-for-bit: same
+    quantization, int64 squared-L2, (max dist, min vec_id) winner per
+    round, running min-distance folded with LEAST."""
+    ctes = [f"""
+        e AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                            * {scale}.0 + 0.5) AS BIGINT) AS qx
+          FROM embeddings),
+        s0 AS (SELECT MIN(vec_id) AS c FROM embeddings),
+        d1 AS (
+          SELECT e.vec_id,
+                 CAST(SUM((e.qx - s.qx) * (e.qx - s.qx)) AS BIGINT)
+                   AS md
+          FROM e JOIN e s ON s.i = e.i
+                         AND s.vec_id = (SELECT c FROM s0)
+          GROUP BY e.vec_id),
+        w1 AS (SELECT vec_id, md FROM d1
+               ORDER BY md DESC, vec_id LIMIT 1)"""]
+    for t in range(2, k):
+        ctes.append(f"""
+        d{t} AS (
+          SELECT d.vec_id, LEAST(d.md, x.dd) AS md
+          FROM d{t - 1} d JOIN (
+            SELECT e.vec_id,
+                   CAST(SUM((e.qx - s.qx) * (e.qx - s.qx)) AS BIGINT)
+                     AS dd
+            FROM e JOIN e s ON s.i = e.i
+                           AND s.vec_id = (SELECT vec_id FROM w{t - 1})
+            GROUP BY e.vec_id) x USING (vec_id)),
+        w{t} AS (SELECT vec_id, md FROM d{t}
+                 ORDER BY md DESC, vec_id LIMIT 1)""")
+    rows = [("SELECT CAST(0 AS BIGINT) AS sel_rank, "
+             "(SELECT c FROM s0) AS vec_id, CAST(0 AS BIGINT) AS mind")]
+    rows += [f"SELECT CAST({t} AS BIGINT), vec_id, md FROM w{t}"
+             for t in range(1, k)]
+    return ("WITH " + ",".join(ctes) + " "
+            + " UNION ALL ".join(rows) + " ORDER BY sel_rank")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry ORDER IS LOAD-BEARING: the driver's correctness run
     stamps only the FIRST 50 entries per round (observed cap,
@@ -3866,6 +3922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "backoff_nll": _backoff_nll,
         "sq8_top10": _sq8_top10,
         "scc_labels": _scc_labels,
+        "kcenter_8": _kcenter_8,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
         "simhash_pairs": _simhash_pairs,
@@ -7758,4 +7815,7 @@ def oracle_sql() -> dict[str, str]:
         FROM nodes n LEFT JOIN mutual m ON m.u = n.node
         GROUP BY n.node ORDER BY n.node
     """
+    # kcenter_8: unrolled greedy farthest-point rounds (generated CTE
+    # chain) — bit-identical integer distances and tie rule
+    out["kcenter_8"] = _kcenter_sql()
     return out

@@ -5327,3 +5327,41 @@ def test_strongly_connected_components(ray_session):
     out = strongly_connected_components(
         ray.data.from_pandas(dag)).to_pandas()
     assert (out["node"] == out["scc_id"]).all()
+
+
+def test_kcenter_select(ray_session):
+    """Greedy k-center: matches a from-first-principles quantized
+    reference on the sf0.001 embeddings, partitioning-invariant."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from warcio_ray.ops.coreset import kcenter_select
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    mat = np.floor(np.stack([np.asarray(v, dtype=np.float64)
+                             for v in t["embedding"].to_pylist()])
+                   * (1 << 16) + 0.5).astype(np.int64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+
+    sel = [0]                                    # min id seed
+    mind = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+    want = [(0, ids[0], 0)]
+    cur = 0
+    for r in range(1, 6):
+        diff = mat - mat[cur]
+        mind = np.minimum(mind, np.einsum("ij,ij->i", diff, diff))
+        best = np.lexsort((ids, -mind))[0]
+        want.append((r, int(ids[best]), int(mind[best])))
+        cur = best
+
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"])
+    for nparts in (None, 5):
+        ds = emb if nparts is None else emb.repartition(nparts)
+        out = kcenter_select(ds, 6)
+        got = list(zip(out["sel_rank"], out["vec_id"], out["mind"]))
+        assert got == want
