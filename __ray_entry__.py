@@ -3685,6 +3685,73 @@ def _kcenter_8(sf_dir: str):
     return kcenter_select(emb, 8)
 
 
+def _mmr_top10(sf_dir: str):
+    """MMR diverse retrieval (ops/mmr.mmr_topk): integer-exact top-50
+    relevance pool against the vec_id-0 query, then 10 greedy
+    relevance-minus-max-similarity picks — near-duplicate results
+    can't crowd the top-k."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from warcio_ray.ops.mmr import mmr_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(
+        t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float64)
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return mmr_topk(emb, q, k=10, pool=50)
+
+
+def _mmr_sql(k: int = 10, pool: int = 50, scale: int = 1 << 16) -> str:
+    """Unrolled greedy MMR mirroring warcio_ray.ops.mmr.mmr_topk
+    bit-for-bit: same quantization, integer dots, (score DESC, vec_id)
+    winner per round, cumulative selected set."""
+    ctes = [f"""
+        e AS MATERIALIZED (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                            * {scale}.0 + 0.5) AS BIGINT) AS qx
+          FROM embeddings),
+        qv AS (SELECT i, qx FROM e WHERE vec_id = 0),
+        rels AS (SELECT e.vec_id,
+                        CAST(SUM(e.qx * qv.qx) AS BIGINT) AS rel
+                 FROM e JOIN qv USING (i) GROUP BY e.vec_id),
+        pool AS MATERIALIZED (SELECT vec_id, rel FROM rels
+                 ORDER BY rel DESC, vec_id LIMIT {pool}),
+        sims AS MATERIALIZED (
+          SELECT a.vec_id AS u, b.vec_id AS v,
+                 CAST(SUM(ea.qx * eb.qx) AS BIGINT) AS s
+          FROM pool a JOIN pool b ON b.vec_id <> a.vec_id
+          JOIN e ea ON ea.vec_id = a.vec_id
+          JOIN e eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+          GROUP BY 1, 2),
+        w0 AS MATERIALIZED (SELECT vec_id, rel, 7 * rel AS mmr
+               FROM pool ORDER BY rel DESC, vec_id LIMIT 1),
+        c0 AS MATERIALIZED (SELECT vec_id FROM w0)"""]
+    for t in range(1, k):
+        ctes.append(f"""
+        m{t} AS MATERIALIZED (
+          SELECT p.vec_id, p.rel, 7 * p.rel - 3 * MAX(s.s) AS score
+          FROM pool p
+          JOIN sims s ON s.u = p.vec_id
+          JOIN c{t - 1} c ON c.vec_id = s.v
+          WHERE p.vec_id NOT IN (SELECT vec_id FROM c{t - 1})
+          GROUP BY p.vec_id, p.rel),
+        w{t} AS MATERIALIZED (SELECT vec_id, rel, score AS mmr FROM m{t}
+                 ORDER BY score DESC, vec_id LIMIT 1),
+        c{t} AS MATERIALIZED (SELECT vec_id FROM c{t - 1}
+                 UNION ALL SELECT vec_id FROM w{t})""")
+    rows = [f"SELECT CAST({t} AS BIGINT) AS sel_rank, vec_id, rel, "
+            f"CAST(mmr AS BIGINT) AS mmr FROM w{t}"
+            for t in range(k)]
+    return ("WITH " + ",".join(ctes) + " "
+            + " UNION ALL ".join(rows) + " ORDER BY sel_rank")
+
+
 def _kcenter_sql(k: int = 8, scale: int = 1 << 16) -> str:
     """Unrolled greedy farthest-point traversal mirroring
     warcio_ray.ops.coreset.kcenter_select bit-for-bit: same
@@ -3923,6 +3990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sq8_top10": _sq8_top10,
         "scc_labels": _scc_labels,
         "kcenter_8": _kcenter_8,
+        "mmr_top10": _mmr_top10,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
         "simhash_pairs": _simhash_pairs,
@@ -7818,4 +7886,7 @@ def oracle_sql() -> dict[str, str]:
     # kcenter_8: unrolled greedy farthest-point rounds (generated CTE
     # chain) — bit-identical integer distances and tie rule
     out["kcenter_8"] = _kcenter_sql()
+    # mmr_top10: unrolled greedy MMR rounds (generated CTE chain) —
+    # integer pool cut, pairwise dots, cumulative selected set
+    out["mmr_top10"] = _mmr_sql()
     return out

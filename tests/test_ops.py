@@ -5365,3 +5365,53 @@ def test_kcenter_select(ray_session):
         out = kcenter_select(ds, 6)
         got = list(zip(out["sel_rank"], out["vec_id"], out["mind"]))
         assert got == want
+
+
+def test_mmr_topk(ray_session):
+    """MMR reranking: partitioning-invariant, prefix-consistent with
+    a from-first-principles greedy reference, and genuinely diverse
+    (differs from pure relevance order past rank 0)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from warcio_ray.ops.mmr import mmr_topk
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    q = np.asarray(
+        t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float64)
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"])
+
+    outs = [mmr_topk(emb if n is None else emb.repartition(n), q,
+                     k=10, pool=50)
+            for n in (None, 6)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+
+    # reference greedy over the exact quantized pool
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    mat = np.floor(np.stack([np.asarray(v, dtype=np.float64)
+                             for v in t["embedding"].to_pylist()])
+                   * (1 << 16) + 0.5).astype(np.int64)
+    qc = np.floor(q * (1 << 16) + 0.5).astype(np.int64)
+    rel = mat @ qc
+    order = np.lexsort((ids, -rel))[:50]
+    pids, prel, pmat = ids[order], rel[order], mat[order]
+    sims = pmat @ pmat.T
+    picked, maxsim = [], np.full(50, -(1 << 62), dtype=np.int64)
+    for r in range(10):
+        score = 7 * prel if r == 0 else 7 * prel - 3 * maxsim
+        neg = np.array([(1 << 62) if i in picked else -score[i]
+                        for i in range(50)])
+        best = int(np.lexsort((pids, neg))[0])
+        picked.append(best)
+        assert out["vec_id"][r] == pids[best]
+        assert out["mmr"][r] == score[best]
+        maxsim = np.maximum(maxsim, sims[:, best])
+
+    # diversity: the MMR order is not just the relevance order
+    assert list(out["vec_id"][1:]) != [int(i) for i in pids[1:10]]
