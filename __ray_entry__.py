@@ -3706,6 +3706,38 @@ def _mmr_top10(sf_dir: str):
     return mmr_topk(emb, q, k=10, pool=50)
 
 
+def _boilerplate_lines(sf_dir: str):
+    """Per-host boilerplate detection (ops/boilerplate): documents
+    rendered with a planted per-host header line (every doc) and
+    footer line (even doc_ids only, mirrored in SQL); lines in >= 60%
+    of a host's docs surface as (host, line, n_docs, host_docs)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.boilerplate import boilerplate_lines
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def render(batch: pd.DataFrame) -> pd.DataFrame:
+        did = batch["doc_id"].to_numpy(dtype="int64")
+        b = did % 100
+        host = np.select([b < 30, b < 45, b < 55, b < 62],
+                         [0, 1, 2, 3], default=b)
+        hs = pd.Series(host.astype(str), index=batch.index)
+        text = "welcome to site" + hs + "\n" + batch["text"]
+        foot = np.where(did % 2 == 0,
+                        "\ncopyright site" + hs, "")
+        return pd.DataFrame({"host": host.astype("int64"),
+                             "doc_id": did,
+                             "text": text + foot})
+
+    ds = docs.map_batches(render, batch_format="pandas")
+    out = boilerplate_lines(ds, pct=60).to_pandas()
+    return out.sort_values(["host", "line"]).reset_index(drop=True)
+
+
 def _mmr_sql(k: int = 10, pool: int = 50, scale: int = 1 << 16) -> str:
     """Unrolled greedy MMR mirroring warcio_ray.ops.mmr.mmr_topk
     bit-for-bit: same quantization, integer dots, (score DESC, vec_id)
@@ -3991,6 +4023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_labels": _scc_labels,
         "kcenter_8": _kcenter_8,
         "mmr_top10": _mmr_top10,
+        "boilerplate_lines": _boilerplate_lines,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
         "simhash_pairs": _simhash_pairs,
@@ -7889,4 +7922,35 @@ def oracle_sql() -> dict[str, str]:
     # mmr_top10: unrolled greedy MMR rounds (generated CTE chain) —
     # integer pool cut, pairwise dots, cumulative selected set
     out["mmr_top10"] = _mmr_sql()
+    # boilerplate_lines: per-host document-frequency threshold over
+    # the planted header/footer render — integer-exact 60% cut
+    out["boilerplate_lines"] = """
+        WITH hosts AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN doc_id%100<30 THEN 0
+                      WHEN doc_id%100<45 THEN 1
+                      WHEN doc_id%100<55 THEN 2
+                      WHEN doc_id%100<62 THEN 3
+                      ELSE doc_id%100 END AS BIGINT) AS host,
+                 text FROM documents),
+        rendered AS (
+          SELECT doc_id, host,
+                 'welcome to site' || host || chr(10) || text ||
+                 CASE WHEN doc_id % 2 = 0
+                      THEN chr(10) || 'copyright site' || host
+                      ELSE '' END AS text
+          FROM hosts),
+        lines AS (
+          SELECT DISTINCT doc_id, host,
+                 unnest(string_split(text, chr(10))) AS line
+          FROM rendered),
+        tot AS (SELECT host, COUNT(DISTINCT doc_id) AS host_docs
+                FROM hosts GROUP BY host),
+        cnt AS (SELECT host, line, COUNT(*) AS n_docs
+                FROM lines GROUP BY host, line)
+        SELECT c.host, c.line, c.n_docs, t.host_docs
+        FROM cnt c JOIN tot t USING (host)
+        WHERE c.n_docs * 100 >= t.host_docs * 60
+        ORDER BY host, line
+    """
     return out

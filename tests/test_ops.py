@@ -5415,3 +5415,28 @@ def test_mmr_topk(ray_session):
 
     # diversity: the MMR order is not just the relevance order
     assert list(out["vec_id"][1:]) != [int(i) for i in pids[1:10]]
+
+
+def test_boilerplate_lines(ray_session):
+    """Per-host line document-frequency threshold, integer-exact,
+    per-doc distinct (repeats within a doc count once)."""
+    import ray.data
+
+    from warcio_ray.ops.boilerplate import boilerplate_lines
+
+    df = pd.DataFrame({
+        "host": [1, 1, 1, 2, 2],
+        "doc_id": [10, 11, 12, 20, 21],
+        "text": ["nav\nbody A\nnav",        # nav twice in one doc
+                 "nav\nbody B",
+                 "body C",                   # nav in 2/3 = 66% >= 60
+                 "foot\nunique x",
+                 "foot\nunique y"],          # foot 2/2 = 100%
+    })
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = boilerplate_lines(ds, pct=60).to_pandas() \
+            .sort_values(["host", "line"]).reset_index(drop=True)
+        got = {(r.host, r.line): (r.n_docs, r.host_docs)
+               for r in out.itertuples()}
+        assert got == {(1, "nav"): (2, 3), (2, "foot"): (2, 2)}

@@ -31,7 +31,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
-__all__ = ["remove_boilerplate_lines"]
+__all__ = ["remove_boilerplate_lines", "boilerplate_lines"]
 
 _LINE_POS_BITS = 20  # positions per doc packed into the low bits of k
 
@@ -150,3 +150,66 @@ def remove_boilerplate_lines(ds, min_docs: int = 3,
             "n_removed": np.asarray(removed, dtype="int64")})
 
     return joined.map_batches(rebuild, batch_format="pandas")
+
+
+def boilerplate_lines(ds, pct: int = 60, host_col: str = "host",
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """Per-host boilerplate line DETECTION — the audit companion to
+    ``remove_boilerplate_lines`` above (which removes by absolute
+    distinct-doc count): a line is boilerplate for a host when it
+    appears in at least ``pct`` PERCENT of that host's documents
+    (integer-exact: n_docs * 100 >= host_docs * pct), the CCNet-style
+    document-frequency ratio rule.
+
+    Scale shape: one map-side explode to per-doc DISTINCT (host,
+    line) rows, ONE hash aggregate counting docs per (host, line),
+    host doc totals via a bounded combiner tree (hosts are a small
+    key space) broadcast into a stateless threshold filter. Returns a
+    Dataset of (host, line, n_docs, host_docs)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks, tree_aggregate
+
+    def host_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(host_col, sort=False)[id_col].count()
+        return pd.DataFrame({"host": g.index.to_numpy(dtype="int64"),
+                             "n": g.to_numpy(dtype="int64")})
+
+    totals = tree_aggregate(
+        ds.map_batches(host_partial, batch_format="pandas"),
+        ["host"], sums=("n",))
+    tot_hosts = totals["host"].to_numpy(dtype="int64")
+    tot_n = totals["n"].to_numpy(dtype="int64")
+    order = np.argsort(tot_hosts)
+    tref = ray.put((tot_hosts[order], tot_n[order]))
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        lines = batch[text_col].str.split("\n")
+        n = lines.str.len().to_numpy(dtype="int64")
+        host = np.repeat(batch[host_col].to_numpy(dtype="int64"), n)
+        doc = np.repeat(batch[id_col].to_numpy(dtype="int64"), n)
+        flat = np.concatenate(lines.to_numpy()) if len(batch) \
+            else np.array([], dtype=object)
+        out = pd.DataFrame({"host": host, "doc_id": doc,
+                            "line": flat})
+        # per-doc distinct: a line repeated within one document still
+        # counts that document once
+        return out.drop_duplicates()
+
+    counts = arrow_blocks(
+        ds.map_batches(explode, batch_format="pandas")) \
+        .groupby(["host", "line"]).aggregate(Count(alias_name="n_docs"))
+
+    def threshold(batch: pd.DataFrame) -> pd.DataFrame:
+        th, tn = ray.get(tref)
+        host = batch["host"].to_numpy(dtype="int64")
+        hd = tn[np.searchsorted(th, host)]
+        keep = batch["n_docs"].to_numpy(dtype="int64") * 100 \
+            >= hd * pct
+        out = batch.loc[keep, ["host", "line", "n_docs"]].copy()
+        out["host_docs"] = hd[keep]
+        return out.astype({"host": "int64", "n_docs": "int64",
+                           "host_docs": "int64"})
+
+    return counts.map_batches(threshold, batch_format="pandas")
