@@ -3738,6 +3738,51 @@ def _boilerplate_lines(sf_dir: str):
     return out.sort_values(["host", "line"]).reset_index(drop=True)
 
 
+def _seq_patterns(sf_dir: str):
+    """Sequential pattern mining (ops/seqmine.frequent_event_trigrams):
+    consecutive event-type trigrams ordered by (ts, event_id) within
+    each user, kept when >= 5 distinct users' streams contain them —
+    sequence-level support a la GSP."""
+    import ray.data
+
+    from warcio_ray.ops.seqmine import frequent_event_trigrams
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return frequent_event_trigrams(ev, min_users=5)
+
+
+def _length_outliers(sf_dir: str):
+    """Per-host length anomalies (ops/anomaly.group_zscore_outliers):
+    docs whose n_chars sits >= 1.5 population sigma from their
+    host's mean, tested via the exact cross-multiplied integer
+    inequality — no float, no sqrt, bit-identical to the SQL."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.anomaly import group_zscore_outliers
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+
+    def add_host(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch["doc_id"].to_numpy(dtype="int64") % 100
+        batch = batch.copy()
+        batch["host"] = np.select([b < 30, b < 45, b < 55, b < 62],
+                                  [0, 1, 2, 3], default=b) \
+            .astype("int64")
+        return batch
+
+    ds = docs.map_batches(add_host, batch_format="pandas")
+    out = group_zscore_outliers(ds, "host", "n_chars",
+                                z_pct=150).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "host": "int64",
+                 "n_chars": "int64"})
+
+
 def _mmr_sql(k: int = 10, pool: int = 50, scale: int = 1 << 16) -> str:
     """Unrolled greedy MMR mirroring warcio_ray.ops.mmr.mmr_topk
     bit-for-bit: same quantization, integer dots, (score DESC, vec_id)
@@ -4024,6 +4069,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_8": _kcenter_8,
         "mmr_top10": _mmr_top10,
         "boilerplate_lines": _boilerplate_lines,
+        "seq_patterns": _seq_patterns,
+        "length_outliers": _length_outliers,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
         "simhash_pairs": _simhash_pairs,
@@ -7952,5 +7999,42 @@ def oracle_sql() -> dict[str, str]:
         FROM cnt c JOIN tot t USING (host)
         WHERE c.n_docs * 100 >= t.host_docs * 60
         ORDER BY host, line
+    """
+    # seq_patterns: lead() windows per user ordered (ts, event_id),
+    # distinct-user support per consecutive event-type trigram
+    out["seq_patterns"] = """
+        WITH ordered AS (
+          SELECT user_id, event_type AS e1,
+                 lead(event_type, 1) OVER w AS e2,
+                 lead(event_type, 2) OVER w AS e3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        tri AS (SELECT DISTINCT user_id, e1, e2, e3
+                FROM ordered WHERE e3 IS NOT NULL)
+        SELECT e1, e2, e3, COUNT(*) AS n_users
+        FROM tri GROUP BY e1, e2, e3 HAVING COUNT(*) >= 5
+        ORDER BY e1, e2, e3
+    """
+    # length_outliers: |z| >= 1.5 as the cross-multiplied integer
+    # inequality (n*x - s)^2 * 100^2 >= 150^2 * (n*q - s^2) — DuckDB
+    # evaluates the products in HUGEINT, the engine guards int64
+    out["length_outliers"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN doc_id%100<30 THEN 0
+                      WHEN doc_id%100<45 THEN 1
+                      WHEN doc_id%100<55 THEN 2
+                      WHEN doc_id%100<62 THEN 3
+                      ELSE doc_id%100 END AS BIGINT) AS host,
+                 n_chars FROM documents),
+        g AS (SELECT host, COUNT(*) AS n, SUM(n_chars) AS s,
+                     SUM(n_chars * n_chars) AS q
+              FROM d GROUP BY host)
+        SELECT d.doc_id, d.host, d.n_chars
+        FROM d JOIN g USING (host)
+        WHERE g.n >= 2
+          AND (g.n * d.n_chars - g.s) * (g.n * d.n_chars - g.s)
+              * 10000 >= 150 * 150 * (g.n * g.q - g.s * g.s)
+        ORDER BY d.doc_id
     """
     return out

@@ -496,7 +496,13 @@ def run_bench() -> dict:
                            ("cocitation_pairs", "op_cocite_s"),
                            ("postings_compact_probe", "op_postcmp_s"),
                            ("crawl_horizon_3", "op_horizon_s"),
-                           ("phrase_search", "op_phrase_s")):
+                           ("phrase_search", "op_phrase_s"),
+                           ("backoff_nll", "op_backoff_s"),
+                           ("sq8_top10", "op_sq8_s"),
+                           ("scc_labels", "op_scc_s"),
+                           ("kcenter_8", "op_kcenter_s"),
+                           ("mmr_top10", "op_mmr_s"),
+                           ("boilerplate_lines", "op_boiler_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \

@@ -5440,3 +5440,58 @@ def test_boilerplate_lines(ray_session):
         got = {(r.host, r.line): (r.n_docs, r.host_docs)
                for r in out.itertuples()}
         assert got == {(1, "nav"): (2, 3), (2, "foot"): (2, 2)}
+
+
+def test_frequent_event_trigrams(ray_session):
+    """Sequence support: per-user distinct (a repeated trigram in one
+    user counts once), (ts, event_id) ordering, threshold exact,
+    partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.seqmine import frequent_event_trigrams
+
+    rows = []
+    # users 1..3 all emit a->b->c (user 3 twice: counts once)
+    for u, seq in ((1, "abc"), (2, "abc"), (3, "abcabc"),
+                   (4, "acb"), (5, "ab")):
+        for i, t in enumerate(seq):
+            rows.append((u * 100 + i, pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(seconds=i), u, t))
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    for nparts in (1, 4):
+        ds = ray.data.from_pandas(ev).repartition(nparts)
+        out = frequent_event_trigrams(ds, min_users=3)
+        got = {(r.e1, r.e2, r.e3): r.n_users for r in out.itertuples()}
+        assert got == {("a", "b", "c"): 3}
+        # user 3's second occurrence counted once; bca/cab appear in
+        # user 3 only (support 1), acb in user 4 only
+        out2 = frequent_event_trigrams(ds, min_users=1)
+        got2 = {(r.e1, r.e2, r.e3): r.n_users
+                for r in out2.itertuples()}
+        assert got2[("a", "b", "c")] == 3
+        assert got2[("b", "c", "a")] == 1
+        assert got2[("c", "a", "b")] == 1
+        assert got2[("a", "c", "b")] == 1
+
+
+def test_group_zscore_outliers(ray_session):
+    """Integer z-score inequality: exact 2-sigma boundary behavior on
+    a hand-computed group, n<2 groups never flag."""
+    import ray.data
+
+    from warcio_ray.ops.anomaly import group_zscore_outliers
+
+    # group 1: values 10,10,10,10,30 -> mean 14, var 64, sigma 8
+    # z(30) = 2.0 exactly -> flagged at >= 2; z(10) = 0.5 -> not
+    df = pd.DataFrame({"doc_id": range(6),
+                       "host": [1, 1, 1, 1, 1, 2],
+                       "n_chars": [10, 10, 10, 10, 30, 999]})
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = group_zscore_outliers(ds, "host", "n_chars",
+                                    z_pct=200).to_pandas()
+        assert sorted(out["doc_id"]) == [4]      # singleton never flags
+        out2 = group_zscore_outliers(ds, "host", "n_chars",
+                                     z_pct=201).to_pandas()
+        assert len(out2) == 0                    # boundary is exact
