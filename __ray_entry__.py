@@ -3783,6 +3783,21 @@ def _length_outliers(sf_dir: str):
                  "n_chars": "int64"})
 
 
+def _lang_logodds(sf_dir: str):
+    """Fightin'-Words comparative stats (ops/fightin.log_odds_terms):
+    the 20 terms most characteristic of the English docs vs the rest,
+    Dirichlet-smoothed log-odds quantized at 2^32 over exact integer
+    counts (top-512 vocab, one bounded cell fold)."""
+    import ray.data
+
+    from warcio_ray.ops.fightin import log_odds_terms
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text", "lang"])
+    return log_odds_terms(docs, target_value="en", group_col="lang",
+                          vocab_size=512, topk=20)
+
+
 def _mmr_sql(k: int = 10, pool: int = 50, scale: int = 1 << 16) -> str:
     """Unrolled greedy MMR mirroring warcio_ray.ops.mmr.mmr_topk
     bit-for-bit: same quantization, integer dots, (score DESC, vec_id)
@@ -4071,6 +4086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_lines": _boilerplate_lines,
         "seq_patterns": _seq_patterns,
         "length_outliers": _length_outliers,
+        "lang_logodds": _lang_logodds,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
         "simhash_pairs": _simhash_pairs,
@@ -8036,5 +8052,34 @@ def oracle_sql() -> dict[str, str]:
           AND (g.n * d.n_chars - g.s) * (g.n * d.n_chars - g.s)
               * 10000 >= 150 * 150 * (g.n * g.q - g.s * g.s)
         ORDER BY d.doc_id
+    """
+    # lang_logodds: Dirichlet log-odds over exact integer counts —
+    # the fixed float tree (ln quotients of integer-valued doubles)
+    # is evaluated cast-for-cast as the numpy scorer
+    out["lang_logodds"] = r"""
+        WITH toks AS (
+          SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS term
+          FROM documents),
+        cells AS (SELECT term, CAST(lang = 'en' AS BIGINT) AS t,
+                         COUNT(*) AS n
+                  FROM toks GROUP BY 1, 2),
+        tot AS (SELECT term, SUM(n) AS c FROM cells GROUP BY term
+                ORDER BY c DESC, term LIMIT 512),
+        vn AS (SELECT COUNT(*) AS v FROM tot),
+        gt AS (SELECT COALESCE(SUM(n) FILTER (t = 1), 0) AS nt,
+                      COALESCE(SUM(n) FILTER (t = 0), 0) AS nr
+               FROM cells),
+        y AS (SELECT tot.term,
+                     COALESCE(SUM(c2.n) FILTER (c2.t = 1), 0) AS yt,
+                     COALESCE(SUM(c2.n) FILTER (c2.t = 0), 0) AS yr
+              FROM tot LEFT JOIN cells c2 USING (term)
+              GROUP BY tot.term)
+        SELECT term, CAST(yt AS BIGINT) AS y_target,
+               CAST(yr AS BIGINT) AS y_rest,
+               CAST(floor((ln((yt + 1.0) / (gt.nt + vn.v - yt - 1.0))
+                         - ln((yr + 1.0) / (gt.nr + vn.v - yr - 1.0)))
+                    * 4294967296.0 + 0.5) AS BIGINT) AS delta_q
+        FROM y CROSS JOIN gt CROSS JOIN vn
+        ORDER BY delta_q DESC, term LIMIT 20
     """
     return out

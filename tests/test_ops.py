@@ -5495,3 +5495,31 @@ def test_group_zscore_outliers(ray_session):
         out2 = group_zscore_outliers(ds, "host", "n_chars",
                                      z_pct=201).to_pandas()
         assert len(out2) == 0                    # boundary is exact
+
+
+def test_log_odds_terms(ray_session):
+    """Fightin'-Words delta: sign and ranking sanity on a planted
+    two-group corpus, partitioning-invariant, exact integer counts."""
+    import ray.data
+
+    from warcio_ray.ops.fightin import log_odds_terms
+
+    df = pd.DataFrame({
+        "lang": ["en"] * 3 + ["de"] * 3,
+        "text": ["apple apple shared", "apple shared x",
+                 "apple banana shared",
+                 "kartoffel shared y", "kartoffel shared",
+                 "kartoffel kartoffel shared"]})
+    outs = []
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = log_odds_terms(ds, "en", vocab_size=16, topk=16)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0].set_index("term")
+
+    assert out.index[0] == "apple"                # most en-flavored
+    assert out.loc["apple", "y_target"] == 4
+    assert out.loc["apple", "y_rest"] == 0
+    assert out.loc["kartoffel", "delta_q"] < 0    # de-flavored
+    assert out.loc["apple", "delta_q"] > out.loc["shared", "delta_q"]
