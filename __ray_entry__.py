@@ -3798,6 +3798,54 @@ def _lang_logodds(sf_dir: str):
                           vocab_size=512, topk=20)
 
 
+def _host_modularity(sf_dir: str):
+    """Newman modularity of the HOST partition over the sampled doc
+    link graph (ops/graph.modularity_score): are same-host pages more
+    linked than chance? Exact rational (q_num, q_den) — no float."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from warcio_ray.ops.graph import modularity_score
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    def sample(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (batch["src"] % 10 < 3) & (batch["src"] != batch["dst"])
+        return batch.loc[keep, ["src", "dst"]]
+
+    edges = edge_urls.map_batches(to_ids, batch_format="pyarrow") \
+        .map_batches(sample, batch_format="pandas")
+
+    def node_hosts(batch: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.unique(np.concatenate(
+            [batch["src"].to_numpy(dtype="int64"),
+             batch["dst"].to_numpy(dtype="int64")]))
+        b = nodes % 100
+        host = np.select([b < 30, b < 45, b < 55, b < 62],
+                         [0, 1, 2, 3], default=b)
+        return pd.DataFrame({"node": nodes,
+                             "component": host.astype("int64")})
+
+    labels = edges.map_batches(node_hosts, batch_format="pandas") \
+        .to_pandas().drop_duplicates("node")
+    import ray.data as rd
+    return modularity_score(edges, rd.from_pandas(labels))
+
+
 def _mmr_sql(k: int = 10, pool: int = 50, scale: int = 1 << 16) -> str:
     """Unrolled greedy MMR mirroring warcio_ray.ops.mmr.mmr_topk
     bit-for-bit: same quantization, integer dots, (score DESC, vec_id)
@@ -4087,6 +4135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_patterns": _seq_patterns,
         "length_outliers": _length_outliers,
         "lang_logodds": _lang_logodds,
+        "host_modularity": _host_modularity,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
         "simhash_pairs": _simhash_pairs,
@@ -8081,5 +8130,44 @@ def oracle_sql() -> dict[str, str]:
                     * 4294967296.0 + 0.5) AS BIGINT) AS delta_q
         FROM y CROSS JOIN gt CROSS JOIN vn
         ORDER BY delta_q DESC, term LIMIT 20
+    """
+    # host_modularity: exact rational Q of the host partition —
+    # distinct undirected pairs, per-host degree sums, intra count
+    out["host_modularity"] = """
+        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        edges0 AS (
+          SELECT doc_id AS src,
+                 ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn))
+                   AS dst
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE j < doc_id % 4),
+        e AS (SELECT src, dst FROM edges0
+              WHERE src % 10 < 3 AND src <> dst),
+        und AS (SELECT DISTINCT LEAST(src, dst) AS lo,
+                       GREATEST(src, dst) AS hi FROM e),
+        ends AS (SELECT lo AS node FROM und
+                 UNION ALL SELECT hi FROM und),
+        lab AS (SELECT node,
+                       CAST(CASE WHEN node%100<30 THEN 0
+                            WHEN node%100<45 THEN 1
+                            WHEN node%100<55 THEN 2
+                            WHEN node%100<62 THEN 3
+                            ELSE node%100 END AS BIGINT) AS c
+                FROM ends),
+        m AS (SELECT COUNT(*) AS m FROM und),
+        deg AS (SELECT c, COUNT(*) AS d FROM lab GROUP BY c),
+        intra AS (
+          SELECT COUNT(*) AS li FROM und
+          WHERE (CASE WHEN lo%100<30 THEN 0 WHEN lo%100<45 THEN 1
+                 WHEN lo%100<55 THEN 2 WHEN lo%100<62 THEN 3
+                 ELSE lo%100 END)
+              = (CASE WHEN hi%100<30 THEN 0 WHEN hi%100<45 THEN 1
+                 WHEN hi%100<55 THEN 2 WHEN hi%100<62 THEN 3
+                 ELSE hi%100 END))
+        SELECT CAST(4 * m.m * intra.li
+                    - (SELECT SUM(d * d) FROM deg) AS BIGINT) AS q_num,
+               CAST(4 * m.m * m.m AS BIGINT) AS q_den
+        FROM m, intra
     """
     return out

@@ -5523,3 +5523,31 @@ def test_log_odds_terms(ray_session):
     assert out.loc["apple", "y_rest"] == 0
     assert out.loc["kartoffel", "delta_q"] < 0    # de-flavored
     assert out.loc["apple", "delta_q"] > out.loc["shared", "delta_q"]
+
+
+def test_modularity_score(ray_session):
+    """Exact rational Q: two perfect cliques under their own labels
+    give the textbook Q = 1/2; one merged label gives Q = 0;
+    partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.graph import modularity_score
+
+    # two disjoint triangles (cliques), m = 6
+    edges = pd.DataFrame({"src": [1, 2, 3, 4, 5, 6],
+                          "dst": [2, 3, 1, 5, 6, 4]})
+    lab2 = pd.DataFrame({"node": [1, 2, 3, 4, 5, 6],
+                         "component": [0, 0, 0, 9, 9, 9]})
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(edges).repartition(nparts)
+        out = modularity_score(ds, ray.data.from_pandas(lab2)) \
+            .iloc[0]
+        # L_c = 3 each, D_c = 6 each, m = 6:
+        # Q = (4*6*6 - 2*36) / (4*36) = 72/144 = 1/2
+        assert (out["q_num"], out["q_den"]) == (72, 144)
+
+    lab1 = lab2.assign(component=0)
+    out = modularity_score(ray.data.from_pandas(edges),
+                           ray.data.from_pandas(lab1)).iloc[0]
+    # one community: L = m, D = 2m -> Q = 0 exactly
+    assert out["q_num"] == 0

@@ -1393,3 +1393,86 @@ def strongly_connected_components(edges_ds,
 
     return ray.data.from_pandas(pd.DataFrame({"node": nodes,
                                               "scc_id": scc}))
+
+
+def modularity_score(edges_ds, labels_ds,
+                     broadcast_max_nodes: int = 2_000_000):
+    """Newman modularity Q of a node partition over an UNDIRECTED
+    graph — the standard partition-quality score (Newman & Girvan
+    2004) for judging a mirror-cluster / community labeling before
+    acting on it (e.g. collapsing hosts). Exact rational arithmetic:
+
+        Q = sum_c [ L_c/m - (D_c/(2m))^2 ]
+          = (4*m*sum_c L_c - sum_c D_c^2) / (4*m^2)
+
+    with m = distinct undirected edges, L_c = intra-community edges,
+    D_c = community degree sum — returned as the int64 pair (q_num,
+    q_den), so the score is bit-exact, partitioning-invariant and
+    SQL-replayable (no float division).
+
+    Scale shape: edges fold to distinct (lo, hi) pairs map-side + one
+    hash aggregate (the reciprocity precedent); labels broadcast under
+    the pagerank <= 2M-node gate (above it the two label lookups
+    become the documented edges-with-labels hash joins); intra counts
+    and degree sums fold through bounded combiner trees keyed by
+    community. Driver state: O(nodes) under the gate, O(communities)
+    after."""
+    import ray
+    from ray.data.aggregate import Max
+
+    from warcio_ray.ops.blocks import arrow_blocks, tree_aggregate
+
+    lab = labels_ds.to_pandas()
+    if len(lab) > broadcast_max_nodes:
+        raise NotImplementedError(
+            "modularity join path (> broadcast_max_nodes) not wired "
+            "yet; see docstring for the shape")
+    lab = lab.sort_values("node").reset_index(drop=True)
+    lref = ray.put((lab["node"].to_numpy(dtype="int64"),
+                    lab["component"].to_numpy(dtype="int64")))
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch[["src", "dst"]].dropna().astype("int64")
+        df = df[df["src"] != df["dst"]]
+        lo = np.minimum(df["src"].to_numpy(), df["dst"].to_numpy())
+        hi = np.maximum(df["src"].to_numpy(), df["dst"].to_numpy())
+        return pd.DataFrame({"lo": lo, "hi": hi,
+                             "one": np.ones(len(lo), dtype="int64")}) \
+            .drop_duplicates(["lo", "hi"])
+
+    pairs = arrow_blocks(
+        edges_ds.map_batches(fold, batch_format="pandas")) \
+        .groupby(["lo", "hi"]).aggregate(Max("one", alias_name="one"))
+
+    def per_pair(batch: pd.DataFrame) -> pd.DataFrame:
+        nodes, comp = ray.get(lref)
+        lo = batch["lo"].to_numpy(dtype="int64")
+        hi = batch["hi"].to_numpy(dtype="int64")
+        cl = comp[np.searchsorted(nodes, lo)]
+        ch = comp[np.searchsorted(nodes, hi)]
+        # each distinct undirected edge contributes: m += 1, one
+        # degree to each endpoint's community, and an intra edge when
+        # the labels agree
+        deg = pd.DataFrame({"c": np.concatenate([cl, ch]),
+                            "d": np.ones(2 * len(lo), dtype="int64"),
+                            "li": np.zeros(2 * len(lo),
+                                           dtype="int64")})
+        intra = pd.DataFrame({"c": cl[cl == ch],
+                              "d": np.zeros(int((cl == ch).sum()),
+                                            dtype="int64"),
+                              "li": np.ones(int((cl == ch).sum()),
+                                            dtype="int64")})
+        both = pd.concat([deg, intra], ignore_index=True)
+        return both.groupby("c", sort=False).sum().reset_index()
+
+    cs = tree_aggregate(pairs.map_batches(per_pair,
+                                          batch_format="pandas"),
+                        ["c"], sums=("d", "li"))
+    m = int(cs["d"].sum()) // 2
+    l_intra = int(cs["li"].sum())
+    d2 = int((cs["d"].to_numpy(dtype="int64") ** 2).sum())
+    if m == 0:
+        return pd.DataFrame({"q_num": [0], "q_den": [1]}) \
+            .astype("int64")
+    return pd.DataFrame({"q_num": [4 * m * l_intra - d2],
+                         "q_den": [4 * m * m]}).astype("int64")
