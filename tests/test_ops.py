@@ -5551,3 +5551,46 @@ def test_modularity_score(ray_session):
                            ray.data.from_pandas(lab1)).iloc[0]
     # one community: L = m, D = 2m -> Q = 0 exactly
     assert out["q_num"] == 0
+
+
+def test_scc_property_random_digraphs(ray_session):
+    """Property (hypothesis): on random small digraphs, SCC labels
+    equal the mutual-reachability closure reference (min id per SCC),
+    at a nontrivial partitioning."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import ray.data
+
+    from warcio_ray.ops.graph import strongly_connected_components
+
+    edge = st.tuples(st.integers(0, 9), st.integers(0, 9))
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=25))
+    def run(pairs):
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            return
+        nodes = sorted({x for p in pairs for x in p})
+        # closure reference
+        reach = {u: {u} for u in nodes}
+        changed = True
+        while changed:
+            changed = False
+            for a, b in pairs:
+                new = reach[b] - reach[a]
+                if new:
+                    reach[a] |= new
+                    changed = True
+        want = {u: min(v for v in reach[u] if u in reach[v])
+                for u in nodes}
+
+        df = pd.DataFrame(pairs, columns=["src", "dst"])
+        out = strongly_connected_components(
+            ray.data.from_pandas(df).repartition(3)).to_pandas()
+        got = dict(zip(out["node"].astype(int),
+                       out["scc_id"].astype(int)))
+        assert got == want
+
+    run()
