@@ -3846,6 +3846,31 @@ def _host_modularity(sf_dir: str):
     return modularity_score(edges, rd.from_pandas(labels))
 
 
+def _kmv_overlap(sf_dir: str):
+    """KMV bottom-k sketch Jaccard (ops/kmv.kmv_jaccard) between two
+    overlapping snapshot slices of the corpus (doc_id % 3 != 0 vs
+    % 5 != 0) — set-operation sketching HLL/CMS can't do; the
+    deterministic md5 bottom-k makes the ESTIMATE itself exactly
+    replayable."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.kmv import kmv_jaccard
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def side(mod):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["doc_id"] % mod != 0]
+        fn.__name__ = f"side_{mod}"
+        return fn
+
+    a = docs.map_batches(side(3), batch_format="pandas")
+    b = docs.map_batches(side(5), batch_format="pandas")
+    return kmv_jaccard(a, b, k=128)
+
+
 def _mmr_sql(k: int = 10, pool: int = 50, scale: int = 1 << 16) -> str:
     """Unrolled greedy MMR mirroring warcio_ray.ops.mmr.mmr_topk
     bit-for-bit: same quantization, integer dots, (score DESC, vec_id)
@@ -4136,6 +4161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_outliers": _length_outliers,
         "lang_logodds": _lang_logodds,
         "host_modularity": _host_modularity,
+        "kmv_overlap": _kmv_overlap,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
         "simhash_pairs": _simhash_pairs,
@@ -8169,5 +8195,34 @@ def oracle_sql() -> dict[str, str]:
                     - (SELECT SUM(d * d) FROM deg) AS BIGINT) AS q_num,
                CAST(4 * m.m * m.m AS BIGINT) AS q_den
         FROM m, intra
+    """
+    # kmv_overlap: bottom-128 md5 sketches; membership in the side's
+    # bottom-k equals membership in the side for any hash inside the
+    # union's bottom-k (kth(union) <= kth(side)); the union estimate
+    # runs in HUGEINT (67-bit numerator) then casts
+    out["kmv_overlap"] = """
+        WITH ha AS (SELECT DISTINCT
+                      CAST(('0x' || substr(md5(text), 1, 15))
+                        AS BIGINT) AS h
+                    FROM documents WHERE doc_id % 3 <> 0),
+        hb AS (SELECT DISTINCT
+                 CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                   AS h
+               FROM documents WHERE doc_id % 5 <> 0),
+        bka AS (SELECT h FROM ha ORDER BY h LIMIT 128),
+        bkb AS (SELECT h FROM hb ORDER BY h LIMIT 128),
+        u AS (SELECT h FROM (SELECT h FROM bka
+                             UNION SELECT h FROM bkb)
+              ORDER BY h LIMIT 128),
+        st AS (SELECT COUNT(*) AS k_used, MAX(h) AS kth FROM u),
+        mm AS (SELECT COUNT(*) AS m FROM u
+               WHERE h IN (SELECT h FROM bka)
+                 AND h IN (SELECT h FROM bkb))
+        SELECT CAST(mm.m AS BIGINT) AS m,
+               CAST(st.k_used AS BIGINT) AS k_used,
+               CAST((CAST(st.k_used - 1 AS HUGEINT)
+                     * 1152921504606846976)
+                    // GREATEST(st.kth, 1) AS BIGINT) AS union_est
+        FROM mm, st
     """
     return out

@@ -5594,3 +5594,26 @@ def test_scc_property_random_digraphs(ray_session):
         assert got == want
 
     run()
+
+
+def test_kmv_jaccard(ray_session):
+    """Bottom-k Jaccard: with k >= |union| the estimate is EXACT
+    (m = |intersection|, k_used = |union|); partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.kmv import kmv_jaccard
+
+    a = pd.DataFrame({"text": [f"doc {i}" for i in range(30)]})
+    b = pd.DataFrame({"text": [f"doc {i}" for i in range(20, 50)]})
+    for nparts in (1, 4):
+        da = ray.data.from_pandas(a).repartition(nparts)
+        db = ray.data.from_pandas(b).repartition(nparts)
+        out = kmv_jaccard(da, db, k=128).iloc[0]
+        assert out["k_used"] == 50          # |union| < k -> exact
+        assert out["m"] == 10               # |intersection|
+        assert out["union_est"] > 0
+
+    # small k: still deterministic, m <= k_used = k
+    out = kmv_jaccard(ray.data.from_pandas(a),
+                      ray.data.from_pandas(b), k=8).iloc[0]
+    assert out["k_used"] == 8 and 0 <= out["m"] <= 8
