@@ -13,11 +13,12 @@ quantize to int64 at 2^32 — the ln-equals-libm precedent shared with
 bm25/dsir/the LM ladder, since the expression is ONE fixed float tree
 over exact integer counts, identical in SQL.
 
-Scale shape: vocab = the top-``vocab_size`` terms by corpus count
-(the top_terms combiner pattern), then ONE bounded fold of
-(term, in-target) count cells (key space 2V) through a combiner tree;
-the driver computes V deltas and keeps the top-k. Nothing
-corpus-sized leaves the scan.
+Scale shape: map-side combined (term, in-target) partial counts feed
+ONE distributed hash aggregate (O(vocab) rows move, never O(tokens) —
+the top_terms combiner pattern); the vocab cut is a distributed
+two-key sort + limit, so the UNBOUNDED term space never folds through
+the driver (tree_aggregate is for bounded keys only, per its
+contract); only the V vocab rows and the two group totals collect.
 
 No reference counterpart — corpus-analytics operator per the build
 brief.
@@ -38,7 +39,9 @@ def log_odds_terms(ds, target_value: str, group_col: str = "lang",
     ``group_col`` equals ``target_value``, by quantized Dirichlet
     log-odds. Returns (term, y_target, y_rest, delta_q) ordered by
     (delta_q DESC, term)."""
-    from warcio_ray.ops.blocks import tree_aggregate
+    from ray.data.aggregate import Sum
+
+    from warcio_ray.ops.blocks import arrow_blocks, tree_aggregate
 
     def term_counts(batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch[text_col].str.findall(r"\S+")
@@ -53,27 +56,54 @@ def log_odds_terms(ds, target_value: str, group_col: str = "lang",
         g["n"] = g["n"].astype("int64")
         return g
 
-    # pass 1+2 fused: one fold keyed (term, in-target); the corpus
-    # vocab cut and the group split both read from it
-    cells = tree_aggregate(
-        ds.map_batches(term_counts, batch_format="pandas"),
-        ["term", "t"], sums=("n",))
-    tot = cells.groupby("term", sort=False)["n"].sum() \
-        .reset_index(name="c")
-    tot = tot.sort_values(["c", "term"],
-                          ascending=[False, True]).head(vocab_size)
+    # one distributed hash aggregate over map-side combined cells:
+    # O(vocab) rows shuffle, the term space never touches the driver
+    cells = arrow_blocks(
+        ds.map_batches(term_counts, batch_format="pandas")) \
+        .groupby(["term", "t"]).aggregate(Sum("n", alias_name="n")) \
+        .materialize()
+
+    # group token totals: bounded fold (key space = {0, 1})
+    def t_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("t", sort=False)["n"].sum().reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    gt = tree_aggregate(
+        cells.map_batches(t_partial, batch_format="pandas"),
+        ["t"], sums=("n",))
+    nt = int(gt.loc[gt["t"] == 1, "n"].sum())
+    nr = int(gt.loc[gt["t"] == 0, "n"].sum())
+
+    # vocab cut: distributed re-aggregate by term + two-key sort +
+    # limit (exact under count ties) — only V rows collect
+    def drop_t(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["term", "n"]]
+
+    tot = arrow_blocks(
+        cells.map_batches(drop_t, batch_format="pandas")) \
+        .groupby("term").aggregate(Sum("n", alias_name="c")) \
+        .sort(["c", "term"], descending=[True, False]) \
+        .limit(vocab_size).to_pandas()
     vocab = tot["term"].to_numpy(dtype=object)
 
-    sub = cells[cells["term"].isin(vocab)]
+    # per-vocab-term group counts: broadcast membership filter, then
+    # a <= 2V-row collect
+    import ray
+    vref = ray.put(set(vocab.tolist()))
+
+    def in_vocab(batch: pd.DataFrame) -> pd.DataFrame:
+        vs = ray.get(vref)
+        return batch[batch["term"].isin(vs)]
+
+    sub = cells.map_batches(in_vocab,
+                            batch_format="pandas").to_pandas()
     pv = sub.pivot_table(index="term", columns="t", values="n",
                          aggfunc="sum", fill_value=0)
     yt = pv[1].reindex(vocab, fill_value=0).to_numpy(dtype="int64") \
         if 1 in pv.columns else np.zeros(len(vocab), dtype=np.int64)
     yr = pv[0].reindex(vocab, fill_value=0).to_numpy(dtype="int64") \
         if 0 in pv.columns else np.zeros(len(vocab), dtype=np.int64)
-    # group totals over the FULL token stream, not just the vocab cut
-    nt = int(cells.loc[cells["t"] == 1, "n"].sum())
-    nr = int(cells.loc[cells["t"] == 0, "n"].sum())
 
     a = float(alpha)
     a0 = float(alpha * len(vocab))
