@@ -3871,6 +3871,36 @@ def _kmv_overlap(sf_dir: str):
     return kmv_jaccard(a, b, k=128)
 
 
+def _orders_multiagg(sf_dir: str):
+    """Shared-scan batch aggregation (ops/multiagg.grouped_multiagg,
+    the LMFAO pattern): counts + exact cent sums by order status AND
+    priority AND month from ONE scan + ONE aggregate instead of three
+    of each."""
+    import numpy as np
+    import ray.data
+
+    from warcio_ray.ops.multiagg import grouped_multiagg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_orderdate",
+                 "o_totalprice"])
+
+    dims = {
+        "status": lambda b: b["o_orderstatus"].astype(str),
+        "priority": lambda b: b["o_orderpriority"].astype(str),
+        "month": lambda b: b["o_orderdate"].dt.strftime("%Y-%m"),
+    }
+
+    def cents(b):
+        return np.floor(b["o_totalprice"].to_numpy(dtype="float64")
+                        * 100.0 + 0.5).astype("int64")
+
+    out = grouped_multiagg(ds, dims, cents).to_pandas()
+    return out.sort_values(["dim", "key"]).reset_index(drop=True) \
+        .astype({"n": "int64", "sum_cents": "int64"})
+
+
 def _mmr_sql(k: int = 10, pool: int = 50, scale: int = 1 << 16) -> str:
     """Unrolled greedy MMR mirroring warcio_ray.ops.mmr.mmr_topk
     bit-for-bit: same quantization, integer dots, (score DESC, vec_id)
@@ -4162,6 +4192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_logodds": _lang_logodds,
         "host_modularity": _host_modularity,
         "kmv_overlap": _kmv_overlap,
+        "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
         "simhash_pairs": _simhash_pairs,
@@ -8224,5 +8255,26 @@ def oracle_sql() -> dict[str, str]:
                      * 1152921504606846976)
                     // GREATEST(st.kth, 1) AS BIGINT) AS union_est
         FROM mm, st
+    """
+    # orders_multiagg: one UNION ALL of plain GROUP BYs — the engine
+    # computes all three from one scan; cents via the same float tree
+    out["orders_multiagg"] = """
+        WITH base AS (
+          SELECT o_orderstatus AS status, o_orderpriority AS priority,
+                 strftime(o_orderdate, '%Y-%m') AS month,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                   AS cents
+          FROM orders)
+        SELECT 'status' AS dim, status AS key, COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM base GROUP BY status
+        UNION ALL
+        SELECT 'priority', priority, COUNT(*),
+               CAST(SUM(cents) AS BIGINT)
+        FROM base GROUP BY priority
+        UNION ALL
+        SELECT 'month', month, COUNT(*), CAST(SUM(cents) AS BIGINT)
+        FROM base GROUP BY month
+        ORDER BY dim, key
     """
     return out

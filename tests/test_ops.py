@@ -5617,3 +5617,36 @@ def test_kmv_jaccard(ray_session):
     out = kmv_jaccard(ray.data.from_pandas(a),
                       ray.data.from_pandas(b), k=8).iloc[0]
     assert out["k_used"] == 8 and 0 <= out["m"] <= 8
+
+
+def test_grouped_multiagg(ray_session):
+    """LMFAO-style shared scan: all dimensions from one aggregate
+    equal the per-dimension groupbys, exact cent sums,
+    partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.multiagg import grouped_multiagg
+
+    df = pd.DataFrame({
+        "status": ["O", "F", "O", "F", "P"],
+        "month": ["2024-01", "2024-01", "2024-02", "2024-02",
+                  "2024-02"],
+        "price": [1.25, 2.50, 3.75, 0.25, 10.00]})
+    dims = {"status": lambda b: b["status"],
+            "month": lambda b: b["month"]}
+
+    def cents(b):
+        return np.floor(b["price"].to_numpy() * 100.0
+                        + 0.5).astype("int64")
+
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = grouped_multiagg(ds, dims, cents).to_pandas() \
+            .sort_values(["dim", "key"]).reset_index(drop=True)
+        got = {(r.dim, r.key): (r.n, r.sum_cents)
+               for r in out.itertuples()}
+        assert got == {("month", "2024-01"): (2, 375),
+                       ("month", "2024-02"): (3, 1400),
+                       ("status", "F"): (2, 275),
+                       ("status", "O"): (2, 500),
+                       ("status", "P"): (1, 1000)}
