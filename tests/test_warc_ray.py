@@ -261,7 +261,9 @@ def test_chunked_yield_bounds_memory():
     """A 480 MB-decompressed archive parses through iter_archive_tables
     at a FLAT memory plateau (~3 chunk footprints), where the whole-file
     parse needs the full decompressed size (measured 371 MB vs 1071 MB
-    in this harness). Runs in a subprocess so ru_maxrss is isolated."""
+    in this harness). Each mode runs in its own subprocess so ru_maxrss
+    is isolated; asserting the chunked/whole RATIO (not an absolute MB
+    cutoff) keeps the test stable under host memory pressure."""
     import subprocess
     import sys
 
@@ -284,18 +286,27 @@ for i in range(480):
     blobs.append(serialize_record(rec, gzip=True))
 data = b"".join(blobs)
 assert len(data) < 5_000_000        # compressed input is tiny
-n = sum(t.num_rows for t in iter_archive_tables(data, "big.warc.gz"))
+if sys.argv[1] == "whole":
+    kw = {"chunk_records": 1 << 30, "chunk_bytes": 1 << 50}
+else:
+    kw = {}
+n = sum(t.num_rows for t in iter_archive_tables(data, "big.warc.gz", **kw))
 assert n == 480
 print(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024)
 """
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, check=True)
-    peak_mb = int(out.stdout.strip().splitlines()[-1])
-    # whole-file parsing of the same input measures ~1071 MB; with the
-    # zero-copy consume-payloads conversion the chunked plateau is
-    # ~305 MB (~64 MB harness base + ~3.8x chunk: pending records +
-    # accumulation buffer + the consumer-held previous table)
-    assert peak_mb < 400, f"peak RSS {peak_mb} MB: chunking not bounding"
+
+    def peak(mode):
+        out = subprocess.run([sys.executable, "-c", code, mode],
+                             capture_output=True, text=True, check=True)
+        return int(out.stdout.strip().splitlines()[-1])
+
+    chunked_mb, whole_mb = peak("chunked"), peak("whole")
+    # whole-file parsing measures ~1071 MB; the chunked plateau ~305 MB
+    # (~64 MB harness base + ~3.8x chunk: pending records + accumulation
+    # buffer + the consumer-held previous table)
+    assert chunked_mb < 0.5 * whole_mb, \
+        f"peak RSS chunked {chunked_mb} MB vs whole {whole_mb} MB: " \
+        "chunking not bounding"
 
 
 def test_chunked_err_count_sums_to_whole_file(ray_session):
