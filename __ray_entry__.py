@@ -3608,6 +3608,27 @@ def _backoff_nll(sf_dir: str):
     return stupid_backoff_scores(docs, vocab_size=1024, train_ds=train)
 
 
+def _kn_nll(sf_dir: str):
+    """Interpolated Kneser-Ney trigram scoring with a HELD-OUT model
+    (ops/textstats.kneser_ney_scores): continuation-type-count lower
+    orders, D=0.75 absolute discount; counts train on the even
+    doc_ids, every doc scores against them — odd docs exercise the
+    full backoff branches. Exact-integer quantized scores."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.textstats import kneser_ney_scores
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def even_half(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["doc_id"].astype("int64") % 2 == 0]
+
+    train = docs.map_batches(even_half, batch_format="pandas")
+    return kneser_ney_scores(docs, vocab_size=1024, train_ds=train)
+
+
 def _sq8_top10(sf_dir: str):
     """SQ8 scalar-quantized similarity search (ops/sq.sq8_topk): each
     dim maps to an int8 code between the corpus per-dim min/max, the
@@ -4182,6 +4203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "param_mining": _param_mining,
         "mirror_hosts": _mirror_hosts,
         "backoff_nll": _backoff_nll,
+        "kn_nll": _kn_nll,
         "sq8_top10": _sq8_top10,
         "scc_labels": _scc_labels,
         "kcenter_8": _kcenter_8,
@@ -8020,6 +8042,93 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(s.nt, 0) AS n_trigrams
         FROM toks LEFT JOIN (
           SELECT doc_id, CAST(SUM(q) AS BIGINT) AS sb_q,
+                 COUNT(*) AS nt
+          FROM scored GROUP BY doc_id) s USING (doc_id)
+    """
+    # kn_nll: interpolated Kneser-Ney over HELD-OUT counts — every
+    # statistic is an exact-integer TYPE count (COUNT(*)/COUNT(DISTINCT)
+    # over the distinct n-gram sets), each rung one single-division
+    # float expression replicated literally from the numpy scorer, so
+    # the 2^32-quantized scores are bitwise-identical
+    out["kn_nll"] = r"""
+        WITH toks AS (SELECT doc_id,
+                             regexp_extract_all(text, '\S+') AS t
+                      FROM documents),
+        vocab AS (
+          SELECT term, row_number() OVER (ORDER BY n DESC, term) - 1
+                   AS wid
+          FROM (SELECT term, COUNT(*) AS n
+                FROM (SELECT unnest(t) AS term FROM toks
+                      WHERE doc_id % 2 = 0)
+                GROUP BY term ORDER BY n DESC, term LIMIT 1024)),
+        seq AS (SELECT doc_id, unnest(t) AS term,
+                       unnest(range(1, len(t) + 1)) AS pos
+                FROM toks),
+        vn AS (SELECT COUNT(*) AS nv FROM vocab),
+        ids AS (SELECT doc_id, pos,
+                       COALESCE(vocab.wid, vn.nv) AS wid
+                FROM seq LEFT JOIN vocab USING (term) CROSS JOIN vn),
+        tids AS (SELECT * FROM ids WHERE doc_id % 2 = 0),
+        bi AS (
+          SELECT a.wid AS v, b.wid AS w, COUNT(*) AS c
+          FROM tids a JOIN tids b
+            ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          GROUP BY 1, 2),
+        tri AS (
+          SELECT a.wid AS u, b.wid AS v, d.wid AS w, COUNT(*) AS c
+          FROM tids a
+          JOIN tids b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          JOIN tids d ON d.doc_id = a.doc_id AND d.pos = a.pos + 2
+          GROUP BY 1, 2, 3),
+        ctx3 AS (SELECT u, v, SUM(c) AS cv, COUNT(*) AS tf
+                 FROM tri GROUP BY u, v),
+        mid AS (SELECT v, w, COUNT(*) AS c FROM tri GROUP BY v, w),
+        midv AS (SELECT v, COUNT(*) AS c,
+                        COUNT(DISTINCT w) AS f
+                 FROM tri GROUP BY v),
+        contw AS (SELECT w, COUNT(*) AS c FROM bi GROUP BY w),
+        ubt AS (SELECT COUNT(*) AS n FROM bi),
+        stris AS (
+          SELECT a.doc_id, a.wid AS u, b.wid AS v, d.wid AS w
+          FROM ids a
+          JOIN ids b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          JOIN ids d ON d.doc_id = a.doc_id AND d.pos = a.pos + 2),
+        l1 AS (
+          SELECT p.doc_id, p.u, p.v, p.w,
+                 tri.c AS tc, ctx3.cv AS tctx, ctx3.tf AS tfol,
+                 mid.c AS mc, midv.c AS mdv, midv.f AS mdf,
+                 (COALESCE(contw.c, 0) + 1.0)
+                   / (ubt.n + vn.nv + 1.0) AS p1
+          FROM stris p
+          CROSS JOIN vn CROSS JOIN ubt
+          LEFT JOIN contw ON contw.w = p.w
+          LEFT JOIN mid ON mid.v = p.v AND mid.w = p.w
+          LEFT JOIN midv ON midv.v = p.v
+          LEFT JOIN tri ON tri.u = p.u AND tri.v = p.v
+                       AND tri.w = p.w
+          LEFT JOIN ctx3 ON ctx3.u = p.u AND ctx3.v = p.v),
+        l2 AS (
+          SELECT *,
+                 CASE WHEN mdv IS NOT NULL
+                      THEN (GREATEST(COALESCE(mc, 0) - 0.75, 0.0)
+                            + 0.75 * mdf * p1) / CAST(mdv AS DOUBLE)
+                      ELSE p1 END AS p2
+          FROM l1),
+        scored AS (
+          SELECT doc_id,
+                 CAST(floor(-ln(
+                   CASE WHEN tctx IS NOT NULL
+                        THEN (GREATEST(COALESCE(tc, 0) - 0.75, 0.0)
+                              + 0.75 * tfol * p2)
+                             / CAST(tctx AS DOUBLE)
+                        ELSE p2 END) * 4294967296.0 + 0.5)
+                   AS BIGINT) AS q
+          FROM l2)
+        SELECT toks.doc_id,
+               COALESCE(s.kn_q, 0) AS kn_q,
+               COALESCE(s.nt, 0) AS n_trigrams
+        FROM toks LEFT JOIN (
+          SELECT doc_id, CAST(SUM(q) AS BIGINT) AS kn_q,
                  COUNT(*) AS nt
           FROM scored GROUP BY doc_id) s USING (doc_id)
     """

@@ -5267,6 +5267,103 @@ def test_stupid_backoff_scores(ray_session):
         assert int(row["n_trigrams"]) == nt, d
 
 
+def test_kneser_ney_scores(ray_session):
+    """Interpolated Kneser-Ney: matches a from-first-principles
+    reference exactly (continuation type counts, all three rungs plus
+    both full-backoff branches via a held-out train split),
+    partitioning-invariant."""
+    import math
+
+    import ray.data
+
+    from warcio_ray.ops.textstats import kneser_ney_scores
+
+    docs = {
+        0: "a b c a b c d b c",        # train (even)
+        1: "a b c c b a x y z",        # odd: seen + unseen + OOV
+        2: "b c a b c a e",            # train
+        3: "c c c a a b q q q",        # odd: mid/base rungs
+    }
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+
+    def even_half(b):
+        return b[b["doc_id"] % 2 == 0]
+
+    outs = []
+    for nparts in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        train = ds.map_batches(even_half, batch_format="pandas")
+        out = kneser_ney_scores(ds, vocab_size=8, train_ds=train) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+
+    # reference: counts over even docs only, vocab = top-8 of train
+    train_toks = [docs[d].split() for d in (0, 2)]
+    from collections import Counter
+    unic = Counter(w for s in train_toks for w in s)
+    vocab = [w for w, _ in sorted(unic.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:8]]
+    wid = {w: i for i, w in enumerate(vocab)}
+    n = len(vocab) + 1     # + OOV id
+
+    def ids(seq):
+        return [wid.get(w, len(vocab)) for w in seq]
+
+    tri, bi = Counter(), Counter()
+    for s in train_toks:
+        i = ids(s)
+        for j in range(len(i) - 1):
+            bi[(i[j], i[j + 1])] += 1
+            if j + 2 < len(i):
+                tri[(i[j], i[j + 1], i[j + 2])] += 1
+    ctx3 = Counter()            # c(uv.)
+    tfol = Counter()            # N1+(uv.)
+    mid = Counter()             # N1+(.vw)
+    midv = Counter()            # N1+(.v.)
+    midfol_set = {}             # v -> set of w  (N1+(v*))
+    for (u, v, w), c in tri.items():
+        ctx3[(u, v)] += c
+        tfol[(u, v)] += 1
+        mid[(v, w)] += 1
+        midv[v] += 1
+        midfol_set.setdefault(v, set()).add(w)
+    contw = Counter(w for (_, w) in bi)   # N1+(.w)
+    n_bi_types = len(bi)
+    D = 0.75
+
+    scale = float(1 << 32)
+    for d, text in docs.items():
+        i = ids(text.split())
+        acc = 0
+        nt = 0
+        for j in range(len(i) - 2):
+            u, v, w = i[j], i[j + 1], i[j + 2]
+            p1 = (contw[w] + 1.0) / (n_bi_types + float(n))
+            if midv[v] > 0:
+                p2 = (max(mid[(v, w)] - D, 0.0)
+                      + D * len(midfol_set[v]) * p1) / float(midv[v])
+            else:
+                p2 = p1
+            if ctx3[(u, v)] > 0:
+                p = (max(tri[(u, v, w)] - D, 0.0)
+                     + D * tfol[(u, v)] * p2) / float(ctx3[(u, v)])
+            else:
+                p = p2
+            acc += int(math.floor(-math.log(p) * scale + 0.5))
+            nt += 1
+        row = out[out["doc_id"] == d].iloc[0]
+        assert int(row["kn_q"]) == acc, d
+        assert int(row["n_trigrams"]) == nt, d
+    # sanity: rung coverage — doc 1 must contain a trigram whose
+    # context is unseen (full backoff) and one fully seen
+    i1 = ids(docs[1].split())
+    ctxs = [(i1[j], i1[j + 1]) for j in range(len(i1) - 2)]
+    assert any(ctx3[c] == 0 for c in ctxs)
+    assert any(ctx3[c] > 0 for c in ctxs)
+
+
 def test_sq8_topk_matches_reference(ray_session):
     """SQ8 search: codes and integer dots match an in-process
     reference (incl. a degenerate constant dim), and on a spread-out

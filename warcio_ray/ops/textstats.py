@@ -1076,6 +1076,114 @@ def stupid_backoff_scores(ds, vocab_size: int = 1024,
     return ds.map_batches(score, batch_format="pandas")
 
 
+def kneser_ney_scores(ds, vocab_size: int = 1024,
+                      train_ds=None, discount: float = 0.75) -> "object":
+    """Interpolated Kneser-Ney trigram scoring (Chen & Goodman 1999,
+    fixed absolute discount D=0.75) — the canonical top rung of the
+    no-external-model perplexity ladder (unigram -> bigram ->
+    interpolated add-1 -> Stupid Backoff -> this).  The lower-order
+    distributions use CONTINUATION type counts, not raw counts:
+
+      p(w|u,v) = (max(c(uvw)-D, 0) + D*N1+(uv.)*p(w|v)) / c(uv.)
+      p(w|v)   = (max(N1+(.vw)-D, 0) + D*N1+(v*)*p(w)) / N1+(.v.)
+      p(w)     = (N1+(.w) + 1) / (N1+(..) + V)          [add-1 for OOV]
+
+    with full backoff to the lower order when a denominator is absent
+    (c(uv.)=0 -> p(w|v); N1+(.v.)=0 -> p(w)).  Every statistic is an
+    exact-integer TYPE count derived from the distinct n-gram key sets
+    (no float state), each rung is ONE single-division float expression
+    tree replicated literally in the SQL oracle, and per-position
+    -ln p quantizes to int64 at 2^32 (the bm25/dsir libm-ln precedent)
+    so per-doc scores are exact integer sums — partitioning/order
+    invariant and hash-comparable.
+
+    ``train_ds`` holds the count corpus (defaults to ``ds``; pass a
+    held-out split so unseen trigrams genuinely exercise the
+    continuation rungs).  Shares the flat-keyed count-model build with
+    trigram_nll_scores; the extra KN type counts are O(distinct
+    n-grams) driver arrays computed from the already-held sorted key
+    arrays and broadcast once.  Returns a Dataset of (doc_id, kn_q,
+    n_trigrams); docs with < 3 tokens score (0, 0)."""
+    import ray
+
+    wref, model, oov, n_ids, n2, total = _trigram_model(
+        ds if train_ds is None else train_ds, vocab_size)
+    k2s, c2s, cv2s, k3s, c3s, cx3k, cx3v, c1s = ray.get(model)
+
+    # KN type counts, all from the sorted distinct key arrays:
+    # N1+(uv.) — distinct continuations per trigram context = run
+    # lengths of k3s // n_ids (contexts sorted, same runs as cx3k)
+    k3ctx = k3s // n_ids
+    if len(k3ctx):
+        bounds = np.flatnonzero(np.diff(k3ctx)) + 1
+        starts = np.concatenate([[0], bounds])
+        tfol_vals = np.diff(np.concatenate(
+            [starts, [len(k3ctx)]])).astype("int64")
+    else:
+        tfol_vals = np.array([], dtype="int64")
+    # N1+(.vw) — distinct predecessors per (v, w) = multiplicity of the
+    # trigram-key residual v*n + w; N1+(.v.) / N1+(v*) — trigram types
+    # with middle v / distinct (v, w) pairs per v
+    mid_raw = k3s % n2
+    mid_keys, mid_vals = (np.unique(mid_raw, return_counts=True)
+                          if len(mid_raw)
+                          else (np.array([], dtype="int64"),) * 2)
+    mid_vals = mid_vals.astype("int64")
+    midv = np.zeros(n_ids, dtype=np.int64)
+    np.add.at(midv, mid_raw // n_ids, 1)
+    midfol = np.zeros(n_ids, dtype=np.int64)
+    np.add.at(midfol, mid_keys // n_ids, 1)
+    # N1+(.w) — distinct predecessors per w over bigram types;
+    # N1+(..) — total bigram types
+    contw = np.zeros(n_ids, dtype=np.int64)
+    np.add.at(contw, k2s % n_ids, 1)
+    n_bi_types = int(len(k2s))
+
+    kn_ref = ray.put((k3s, c3s, cx3k, cx3v, tfol_vals, mid_keys,
+                      mid_vals, midv, midfol, contw))
+    fn = float(n_ids)
+    dsc = float(discount)
+    scale = float(np.int64(1) << np.int64(32))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        (k3l, c3l, cxk, cxv, tfv, mks, mvs, mdv, mdf, cw) = \
+            ray.get(kn_ref)
+        out_id = batch["doc_id"].to_numpy(dtype="int64")
+        kn = np.zeros(len(batch), dtype=np.int64)
+        nt = np.zeros(len(batch), dtype=np.int64)
+        ids, doc_of = _flat_token_ids(batch, ray.get(wref), oov)
+        if len(ids) >= 3:
+            v3 = (doc_of[:-2] == doc_of[1:-1]) \
+                & (doc_of[1:-1] == doc_of[2:])
+            u, v, w = ids[:-2][v3], ids[1:-1][v3], ids[2:][v3]
+            t_of = doc_of[2:][v3]
+            ctx = u * n_ids + v
+            tc = _lookup(k3l, c3l, u * n2 + v * n_ids + w)
+            tctx = _lookup(cxk, cxv, ctx)
+            tfol = _lookup(cxk, tfv, ctx)
+            mc = _lookup(mks, mvs, v * n_ids + w)
+            # each rung is a single division; np.where evaluates the
+            # masked lanes too, so guard denominators with max(., 1)
+            # (no-op on selected lanes — counts are >= 1 when present)
+            p1 = (cw[w] + 1.0) / (n_bi_types + fn)
+            den2 = np.maximum(mdv[v], 1).astype(np.float64)
+            p2 = np.where(mdv[v] > 0,
+                          (np.maximum(mc - dsc, 0.0)
+                           + dsc * mdf[v] * p1) / den2, p1)
+            den3 = np.maximum(tctx, 1).astype(np.float64)
+            p = np.where(tctx > 0,
+                         (np.maximum(tc - dsc, 0.0)
+                          + dsc * tfol * p2) / den3, p2)
+            q = np.floor(-np.log(p) * scale + 0.5).astype(np.int64)
+            np.add.at(kn, t_of, q)  # exact int64 per-doc sums
+            nt = np.bincount(t_of, minlength=len(batch)) \
+                .astype("int64")
+        return pd.DataFrame({"doc_id": out_id, "kn_q": kn,
+                             "n_trigrams": nt})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def weighted_sample_topk(ds, k: int, weight_col: str,
                          id_col: str = "doc_id"):
     """Deterministic weighted sampling WITHOUT replacement (Efraimidis
