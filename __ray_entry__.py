@@ -1352,6 +1352,48 @@ def _cocitation_pairs(sf_dir: str):
     return pairs
 
 
+def _adamic_adar(sf_dir: str):
+    """Link prediction: top-20 Adamic-Adar-scored non-adjacent pairs
+    over the real page graph (content links + next-page nav edges,
+    same construction as cocitation) — per-z 1/ln(deg) weights
+    quantized at 2^32, exact integer pair sums
+    (ops/graph.adamic_adar_topk; the degree cap never binds here and
+    truncation is accounted)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from warcio_ray.ops.graph import adamic_adar_topk
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    links = edge_urls.map_batches(to_ids, batch_format="pyarrow")
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = docs.count()
+
+    def nav(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].to_numpy(dtype="int64")
+        d = d[d + 1 < n]
+        return pd.DataFrame({"src": d, "dst": d + 1})
+
+    edges = links.union(docs.map_batches(nav, batch_format="pandas"))
+    top, _ = adamic_adar_topk(edges, k=20)
+    return top
+
+
 def _kcore_4(sf_dir: str):
     """4-core of the undirected page graph: real extracted content
     links UNION next-page navigation edges (doc_id -> doc_id+1 — the
@@ -4171,6 +4213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trustrank_3": _trustrank_3,
         "kcore_4": _kcore_4,
         "cocitation_pairs": _cocitation_pairs,
+        "adamic_adar_top20": _adamic_adar,
         "embedding_outliers": _embedding_outliers,
         "bpe_fertility": _bpe_fertility,
         "cdxj_compact_lookup": _cdxj_compact_lookup,
@@ -5197,6 +5240,44 @@ def oracle_sql() -> dict[str, str]:
             FROM ed x JOIN ed y
               ON x.src = y.src AND x.dst < y.dst
             GROUP BY x.dst, y.dst
+        """,
+        # adamic_adar_top20: the wedge sum by definition — undirected
+        # distinct adjacency, per-center 1/ln(deg) weight quantized at
+        # 2^32 (same floor(x + 0.5) tree as the numpy kernel), exact
+        # BIGINT pair sums, existing edges anti-joined out
+        "adamic_adar_top20": """
+            WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+            raw AS (
+              SELECT doc_id AS src,
+                     ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn))
+                       AS dst
+              FROM documents
+              CROSS JOIN (SELECT unnest(range(3)) AS j) js
+              WHERE j < doc_id % 4
+              UNION ALL
+              SELECT doc_id, doc_id + 1 FROM documents
+              WHERE doc_id + 1 < (SELECT n FROM nn)),
+            ed AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+            und AS (SELECT DISTINCT z, x FROM (
+              SELECT src AS z, dst AS x FROM ed
+              UNION ALL
+              SELECT dst AS z, src AS x FROM ed)),
+            wt AS (SELECT z, CAST(floor(
+                     4294967296.0 / ln(CAST(COUNT(*) AS DOUBLE)) + 0.5)
+                     AS BIGINT) AS wq
+                   FROM und GROUP BY z HAVING COUNT(*) >= 2),
+            wedges AS (
+              SELECT u1.x AS a, u2.x AS b, wt.wq
+              FROM und u1 JOIN und u2
+                ON u1.z = u2.z AND u1.x < u2.x
+              JOIN wt ON wt.z = u1.z),
+            scores AS (SELECT a, b, CAST(SUM(wq) AS BIGINT) AS aa_q
+                       FROM wedges GROUP BY a, b),
+            cand AS (SELECT s.a, s.b, s.aa_q FROM scores s
+                     LEFT JOIN und u ON u.z = s.a AND u.x = s.b
+                     WHERE u.z IS NULL)
+            SELECT a, b, aa_q FROM cand
+            ORDER BY aa_q DESC, a, b LIMIT 20
         """,
         # chunk_windows: W=64/S=48 sliding-window chunk rule replayed
         # with range() + list_slice over the \S+ token list; DuckDB's

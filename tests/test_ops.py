@@ -3864,6 +3864,73 @@ def test_cocitation_pairs(ray_session):
     assert (10, 11) in want2 and (11, 12) not in want2
 
 
+def test_adamic_adar_topk(ray_session):
+    """Adamic-Adar link prediction: brute-force parity (undirected
+    dedup, existing-edge exclusion, 2^32-quantized 1/ln(deg) weights
+    summed exactly), cap truncation uses the TRUE degree for the
+    weight and is accounted, partition invariance."""
+    import itertools
+    import math
+
+    import ray.data
+
+    from warcio_ray.ops.graph import adamic_adar_topk
+
+    # hub 0 connects 1..4; 1-2 already adjacent; 5 dangles off 4;
+    # a duplicate + reversed edge exercise the dedup
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (4, 5),
+             (1, 0), (0, 1), (3, 3)]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+
+    def brute(cap):
+        adj = {}
+        for s, d in edges:
+            if s != d:
+                adj.setdefault(s, set()).add(d)
+                adj.setdefault(d, set()).add(s)
+        und = {(min(a, b), max(a, b))
+               for a, ns in adj.items() for b in ns}
+        scale = float(1 << 32)
+        sc = {}
+        trunc = 0
+        for z, ns in adj.items():
+            m = len(ns)
+            if m < 2:
+                continue
+            nl = sorted(ns)
+            if m > cap:
+                trunc += 1
+                nl = nl[:cap]
+            if len(nl) < 2:
+                continue
+            wq = int(math.floor(scale / math.log(m) + 0.5))
+            for a, b in itertools.combinations(nl, 2):
+                sc[(a, b)] = sc.get((a, b), 0) + wq
+        cand = {p: v for p, v in sc.items() if p not in und and v > 0}
+        top = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))
+        return top, trunc
+
+    for cap in (256, 3):
+        want, wtrunc = brute(cap)
+        for np_ in (1, 4):
+            top, gtrunc = adamic_adar_topk(
+                ray.data.from_pandas(df).repartition(np_),
+                k=20, max_degree=cap)
+            gp = top.to_pandas()
+            got = [((int(r.a), int(r.b)), int(r.aa_q))
+                   for r in gp.itertuples()]
+            assert got == want, (cap, np_)
+            assert gtrunc == wtrunc
+    # sanity on the uncapped graph: (1,2) is adjacent -> excluded even
+    # though it has common neighbor 0; (1,3) scores via hub 0 only
+    want, _ = brute(256)
+    keys = [p for p, _ in want]
+    assert (1, 2) not in keys and (1, 3) in keys
+    # truncation at cap=3 drops hub 0's largest neighbor (4)
+    _, t3 = brute(3)
+    assert t3 == 1
+
+
 def test_embedding_outliers(ray_session):
     """Per-cluster farthest-M selection: numpy-reference parity
     (distances, assignment, top-M with (d2 desc, id asc) ties) at two
