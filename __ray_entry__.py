@@ -507,6 +507,23 @@ def _embedding_gram(sf_dir: str):
     return embedding_gram(ds)
 
 
+def _pca_projection(sf_dir: str):
+    """Exact-integer centered PCA: quantized power iteration on the
+    driver-held n-scaled covariance (built from ONE distributed
+    gram+colsum fold), then a stateless scan projects every embedding
+    onto the top principal direction (ops/linalg.pca_project). All
+    integer arithmetic — the oracle replays the identical iteration
+    over HUGEINT."""
+    import ray.data
+
+    from warcio_ray.ops.linalg import pca_project
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out, _ = pca_project(ds, scale=1 << 8, iters=8, renorm_bits=13)
+    return out
+
+
 def _bpe_merges_30(sf_dir: str):
     """BPE tokenizer training (30 merges) over documents — the only
     corpus-sized pass is the word-count combiner; the merge loop runs
@@ -4163,6 +4180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wordcount_quantiles": _wordcount_quantiles,
         "normalize_text": _normalize_text,
         "embedding_gram": _embedding_gram,
+        "pca_projection": _pca_projection,
         "bpe_merges_30": _bpe_merges_30,
         "bpe_encode_counts": _bpe_encode_counts,
         "shuffle_ranks": _shuffle_ranks,
@@ -4378,6 +4396,65 @@ def _fingerprint_cte(k: int = 5, window: int = 4) -> str:
               i -> list_min(h[i:i+{window}-1])))
             END AS f
           FROM roll)
+    """
+
+
+def _pca_sql(iters: int = 8, scale: int = 256,
+             renorm: int = 8192) -> str:
+    """Unrolled integer power-iteration CTE chain mirroring
+    warcio_ray.ops.linalg.pca_project exactly: fixed-point quantize,
+    HUGEINT gram + column sums, n-scaled centered covariance, per-step
+    integer renormalization with truncation-toward-zero division
+    (DuckDB's ``//``), exact centered projection. MATERIALIZED is
+    load-bearing — each v{k} is referenced twice by round k+1 and a
+    plain CTE chain would inline exponentially."""
+    steps = []
+    for k in range(1, iters + 1):
+        p = k - 1
+        steps.append(f"""
+        w{k} AS MATERIALIZED (
+          SELECT c.i, SUM(c.c * v.v) AS w
+          FROM c JOIN v{p} v ON v.i = c.j GROUP BY c.i),
+        m{k} AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w{k}),
+        v{k} AS MATERIALIZED (
+          SELECT w.i,
+                 CASE WHEN m.m = 0 THEN vp.v
+                      ELSE (CASE WHEN w.w < 0
+                            THEN -((-w.w) // (m.m // {renorm} + 1))
+                            ELSE w.w // (m.m // {renorm} + 1) END)
+                 END AS v
+          FROM w{k} w CROSS JOIN m{k} m
+          JOIN v{p} vp ON vp.i = w.i)""")
+    return f"""
+        WITH e AS (
+          SELECT vec_id,
+                 generate_subscripts(embedding, 1) - 1 AS i,
+                 unnest(embedding) AS x
+          FROM embeddings),
+        q AS MATERIALIZED (
+          SELECT vec_id, i,
+                 CAST(floor(CAST(x AS DOUBLE) * {scale}.0 + 0.5)
+                      AS BIGINT) AS qx
+          FROM e),
+        nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings),
+        g AS MATERIALIZED (
+          SELECT a.i AS i, b.i AS j,
+                 CAST(SUM(a.qx * b.qx) AS HUGEINT) AS g
+          FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
+        cs AS MATERIALIZED (
+          SELECT i, CAST(SUM(qx) AS HUGEINT) AS s FROM q GROUP BY i),
+        c AS MATERIALIZED (
+          SELECT g.i, g.j, nn.n * g.g - sa.s * sb.s AS c
+          FROM g CROSS JOIN nn
+          JOIN cs sa ON sa.i = g.i JOIN cs sb ON sb.i = g.j),
+        v0 AS (SELECT i, CAST(1 AS HUGEINT) AS v FROM cs),
+        {','.join(steps)},
+        sv AS (SELECT SUM(cs.s * v.v) AS sv
+               FROM cs JOIN v{iters} v USING (i)),
+        p AS (SELECT q.vec_id, SUM(q.qx * v.v) AS d
+              FROM q JOIN v{iters} v USING (i) GROUP BY q.vec_id)
+        SELECT p.vec_id, CAST(nn.n * p.d - sv.sv AS BIGINT) AS proj_q
+        FROM p CROSS JOIN nn CROSS JOIN sv ORDER BY vec_id
     """
 
 
@@ -5629,6 +5706,10 @@ def oracle_sql() -> dict[str, str]:
             FROM q a JOIN q b USING (vec_id)
             GROUP BY a.i, b.i ORDER BY i, j
         """,
+        # pca_projection: the exact-integer power iteration unrolled —
+        # HUGEINT covariance, truncation-toward-zero renorm divisions,
+        # centered projection (bit-identical, not approximate)
+        "pca_projection": _pca_sql(),
         # shuffle_ranks: pure integer rank over (md5-hash, id) — exact
         # on both engines (hash compare)
         "shuffle_ranks": """

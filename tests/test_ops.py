@@ -1457,6 +1457,76 @@ def test_embedding_gram(ray_session):
         embedding_gram(ray.data.from_pandas(big), scale=1 << 31)
 
 
+def test_pca_project(ray_session):
+    """Exact-integer centered PCA: matches a pure-Python reference of
+    the same quantized iteration exactly, is partitioning-invariant,
+    recovers a planted dominant direction (|cosine| > 0.99 vs the
+    numpy eigenvector of the centered covariance), and centering
+    makes projections mean-zero up to quantization (sum of proj_q
+    over rows is exactly n*(sum q)·v - n*s·v = 0)."""
+    import ray.data
+
+    from warcio_ray.ops.linalg import pca_project
+
+    rng = np.random.RandomState(11)
+    axis = np.array([3.0, 1.0, -2.0, 0.5, 0.0, 0.0])
+    axis /= np.linalg.norm(axis)
+    mat = (rng.randn(60, 1) * 2.0) @ axis[None, :] \
+        + rng.randn(60, 6) * 0.05 + 0.3   # offset exercises centering
+    mat = mat.astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(60, dtype="int64"),
+                       "embedding": [r for r in mat]})
+
+    scale, iters, rb = 1 << 8, 8, 13
+    outs, vs = [], []
+    for nparts in (1, 5):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out, v = pca_project(ds, scale=scale, iters=iters,
+                             renorm_bits=rb)
+        outs.append(out.to_pandas().sort_values("vec_id")
+                    .reset_index(drop=True))
+        vs.append(v)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert vs[0] == vs[1]
+    out, v = outs[0], vs[0]
+
+    # pure-Python reference of the identical iteration
+    q = np.floor(mat.astype(np.float64) * scale + 0.5).astype(np.int64)
+    n, d = q.shape
+    G = (q.T @ q).tolist()
+    s = q.sum(axis=0).tolist()
+    C = [[n * G[i][j] - s[i] * s[j] for j in range(d)]
+         for i in range(d)]
+    vr = [1] * d
+    for _ in range(iters):
+        w = [sum(C[i][j] * vr[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        qd = (m >> rb) + 1
+        vr = [(-((-x) // qd) if x < 0 else x // qd) for x in w]
+    assert v == vr
+    sv = sum(s[i] * vr[i] for i in range(d))
+    want = n * (q @ np.array(vr, dtype=np.int64)) - sv
+    assert (out["proj_q"].to_numpy() == want).all()
+
+    # direction sanity: aligns with the true top eigenvector
+    X = mat.astype(np.float64) - mat.astype(np.float64).mean(axis=0)
+    evals, evecs = np.linalg.eigh(X.T @ X)
+    top = evecs[:, -1]
+    va = np.array(v, dtype=np.float64)
+    cos = abs(va @ top) / np.linalg.norm(va)
+    assert cos > 0.99, cos
+
+    # exact mean-zero: sum over rows of n*(q_i.v) - s.v = 0
+    assert int(out["proj_q"].sum()) == 0
+
+    # overflow tripwire on the distributed projection bound
+    with pytest.raises(OverflowError):
+        pca_project(ray.data.from_pandas(df), scale=1 << 30,
+                    renorm_bits=40)
+
+
 def _bpe_reference(word_counts, n_merges):
     """From-first-principles BPE trainer (independent of ops/bpe.py
     internals) for equivalence checking."""

@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["embedding_gram"]
+__all__ = ["embedding_gram", "pca_project"]
 
 
 def embedding_gram(ds, vec_col: str = "embedding",
@@ -82,3 +82,123 @@ def embedding_gram(ds, vec_col: str = "embedding",
     out = out[["i", "j", "gram"]].sort_values(["i", "j"], kind="mergesort") \
         .reset_index(drop=True).astype("int64")
     return out
+
+
+def pca_project(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                scale: int = 1 << 8, iters: int = 8,
+                renorm_bits: int = 13):
+    """Project every embedding onto the corpus's top principal
+    direction — EXACT-INTEGER centered PCA by quantized power
+    iteration, the embedding-curation rung between the Gram matrix
+    (above) and k-means (density/outlier scoring, curriculum ordering
+    by the dominant axis).
+
+    Pipeline: ONE distributed pass folds the fixed-point Gram cells
+    AND per-dim column sums into a bounded (d*d + d)-cell combiner
+    tree; the driver forms the n-scaled centered covariance
+    C = n*G - s s^T in PYTHON ints (exact, no overflow by
+    construction) and runs ``iters`` power steps v <- C v with integer
+    renormalization v_i <- sign(w_i) * (|w_i| // (max|w| // 2^renorm_bits
+    + 1)) — truncation toward zero, exactly DuckDB's ``//`` — so the
+    direction vector is a deterministic integer object, no float in
+    the loop; a second stateless pass broadcasts (v, s.v, n) and emits
+    the exact centered projection proj_q = n*(q_x . v) - s . v per
+    row. Everything is partitioning/order-invariant and replayable in
+    SQL over HUGEINT.
+
+    Scale shape: corpus touches the cluster twice (one bounded-key
+    combiner fold, one stateless scan); driver state is O(d^2). The
+    int64 bound on the DISTRIBUTED projection, n * d * qmax * 2^renorm
+    < 2^62, is checked exactly and raised on, with ``scale`` /
+    ``renorm_bits`` as the pressure valves for bigger corpora (the
+    driver loop itself cannot overflow — Python ints).
+
+    Returns (Dataset of (id_col, proj_q) int64, direction list[int]).
+    No reference counterpart (warcio has no vector layer)."""
+    import ray
+
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = batch[vec_col]
+        if len(vecs) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in ("i", "j", "val", "bn",
+                                           "qmax")})
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        q = np.floor(mat * scale + 0.5).astype(np.int64)
+        g = q.T @ q
+        d = g.shape[0]
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        # column-sum cells ride as j = -1 rows through the same tree
+        i_all = np.concatenate([ii.ravel(), np.arange(d)])
+        j_all = np.concatenate([jj.ravel(), np.full(d, -1)])
+        v_all = np.concatenate([g.ravel(), q.sum(axis=0)])
+        return pd.DataFrame({
+            "i": i_all.astype("int64"), "j": j_all.astype("int64"),
+            "val": v_all.astype("int64"),
+            "bn": np.full(len(i_all), len(mat), dtype="int64"),
+            "qmax": np.full(len(i_all), np.abs(q).max(),
+                            dtype="int64")})
+
+    cells = tree_aggregate(ds.map_batches(partials,
+                                          batch_format="pandas"),
+                           ["i", "j"], sums=("val", "bn"),
+                           maxs=("qmax",))
+    if len(cells) == 0:
+        import ray.data
+        empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                              "proj_q": pd.Series(dtype="int64")})
+        return ray.data.from_pandas(empty), []
+
+    n = int(cells["bn"].iloc[0])  # every batch stamps every cell
+    qmax = int(cells["qmax"].max())
+    gm = cells[cells["j"] >= 0]
+    d = int(gm["i"].max()) + 1
+    G = [[0] * d for _ in range(d)]
+    for i, j, v in zip(gm["i"], gm["j"], gm["val"]):
+        G[int(i)][int(j)] = int(v)
+    sm = cells[cells["j"] == -1].set_index("i")["val"]
+    s = [int(sm.get(i, 0)) for i in range(d)]
+
+    # int64 guard for the DISTRIBUTED projection pass (driver loop is
+    # Python ints, exempt): |proj_q| <= n*d*qmax*2^renorm + d*n*qmax
+    # * 2^renorm — bound both terms together with a factor 2
+    if 2 * n * d * qmax * (1 << renorm_bits) >= 1 << 62:
+        raise OverflowError(
+            f"pca_project: projection bound 2*n*d*qmax*2^renorm = "
+            f"{2 * n * d * qmax * (1 << renorm_bits):.3g} can exceed "
+            f"int64 — lower scale (={scale}) or renorm_bits "
+            f"(={renorm_bits})")
+
+    # exact centered covariance (scaled by n) + power iteration,
+    # all Python ints — overflow-free at any corpus size
+    C = [[n * G[i][j] - s[i] * s[j] for j in range(d)]
+         for i in range(d)]
+    v = [1] * d
+    for _ in range(iters):
+        w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        qd = (m >> renorm_bits) + 1
+        # truncation toward zero on both engines (DuckDB // truncates)
+        v = [(-((-x) // qd) if x < 0 else x // qd) for x in w]
+
+    sv = sum(s[i] * v[i] for i in range(d))
+    vref = ray.put((np.array(v, dtype=np.int64), int(sv), int(n)))
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        va, svi, ni = ray.get(vref)
+        vecs = batch[vec_col]
+        if len(vecs) == 0:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "proj_q": pd.Series(dtype="int64")})
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        q = np.floor(mat * scale + 0.5).astype(np.int64)
+        proj = ni * (q @ va) - svi
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(dtype="int64"),
+            "proj_q": proj.astype("int64")})
+
+    return ds.map_batches(project, batch_format="pandas"), v
