@@ -507,6 +507,18 @@ def _embedding_gram(sf_dir: str):
     return embedding_gram(ds)
 
 
+def _html_features(sf_dir: str):
+    """Markup-side curation signals (tag/link/paragraph counts, nav
+    anchor-text mass, text-vs-html size) measured with RE2 kernels
+    over the REAL page html (ops/htmlstats.html_features); the oracle
+    replays the deterministic renderer's arithmetic."""
+    from warcio_ray.ops.htmlstats import html_features
+    from warcio_ray.pages import read_pages
+
+    pages = read_pages(sf_dir, columns=["url", "html", "text"])
+    return html_features(pages)
+
+
 def _pca_projection(sf_dir: str):
     """Exact-integer centered PCA: quantized power iteration on the
     driver-held n-scaled covariance (built from ONE distributed
@@ -4181,6 +4193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _normalize_text,
         "embedding_gram": _embedding_gram,
         "pca_projection": _pca_projection,
+        "html_features": _html_features,
         "bpe_merges_30": _bpe_merges_30,
         "bpe_encode_counts": _bpe_encode_counts,
         "shuffle_ranks": _shuffle_ranks,
@@ -4396,6 +4409,74 @@ def _fingerprint_cte(k: int = 5, window: int = 4) -> str:
               i -> list_min(h[i:i+{window}-1])))
             END AS f
           FROM roll)
+    """
+
+
+def _htmlfeat_sql() -> str:
+    """HTML structural features replayed as renderer arithmetic: the
+    pages layout is deterministic (html.render_page over documents +
+    pages.links_for), so every count/length the Ray side measures with
+    RE2 kernels over the REAL markup is an exact integer function of
+    (text, lang, doc_id, n_docs). Constants are derived from the
+    template at generation time, never hand-counted."""
+    import re as _re
+
+    from warcio_ray.html import _PAGE_TEMPLATE
+
+    tpl_empty = _PAGE_TEMPLATE.format(lang="", title="", page_id="",
+                                      body="", nav="")
+    fixed_len = len(tpl_empty)
+    fixed_tags = len(_re.findall(r"<[^>]*>", tpl_empty))
+    url_fixed = len("http://site.example/doc/")
+    # per-anchor chars beyond the url; the index digit is constant
+    # width (links_for emits at most 4 anchors, i in 0..3)
+    anchor_fixed = len('<a href="">link 0</a>')
+    return f"""
+        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        base AS (
+          SELECT doc_id,
+                 CAST(doc_id % 4 AS BIGINT) AS n_links,
+                 CAST(len(string_split(text, chr(10))) AS BIGINT)
+                   AS n_paras,
+                 CAST(length(CAST(doc_id AS VARCHAR)) AS BIGINT)
+                   AS idw,
+                 CAST(length(text) AS BIGINT) AS tc,
+                 CAST(length(lang) AS BIGINT) AS lc
+          FROM documents),
+        links AS (
+          SELECT b.doc_id,
+                 ((b.doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn))
+                   AS dd
+          FROM base b
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE j < b.doc_id % 4),
+        navagg AS (
+          SELECT doc_id,
+                 CAST(SUM({anchor_fixed} + {url_fixed}
+                   + (CASE WHEN (CASE WHEN (dd % 100) < 30 THEN 0
+                                 WHEN (dd % 100) < 45 THEN 1
+                                 WHEN (dd % 100) < 55 THEN 2
+                                 WHEN (dd % 100) < 62 THEN 3
+                                 ELSE dd % 100 END) < 10
+                      THEN 1 ELSE 2 END)
+                   + length(CAST(dd AS VARCHAR))) AS BIGINT)
+                   AS nav_urls
+          FROM links GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST({fixed_len} + b.lc + (4 + b.idw) + b.idw
+                    + (b.tc + 7 * b.n_paras)
+                    + COALESCE(na.nav_urls, 0)
+                    + GREATEST(b.n_links - 1, 0) AS BIGINT)
+                 AS html_bytes,
+               CAST(b.tc + 7 * b.n_links AS BIGINT) AS text_chars,
+               CAST({fixed_tags} + 2 * b.n_paras + 2 * b.n_links
+                    AS BIGINT) AS n_tags,
+               b.n_links,
+               b.n_paras,
+               CAST(6 * b.n_links + GREATEST(b.n_links - 1, 0) + 2
+                    AS BIGINT) AS nav_text_chars
+        FROM base b LEFT JOIN navagg na USING (doc_id)
+        ORDER BY b.doc_id
     """
 
 
@@ -5710,6 +5791,8 @@ def oracle_sql() -> dict[str, str]:
         # HUGEINT covariance, truncation-toward-zero renorm divisions,
         # centered projection (bit-identical, not approximate)
         "pca_projection": _pca_sql(),
+        # html_features: renderer-arithmetic replay (see _htmlfeat_sql)
+        "html_features": _htmlfeat_sql(),
         # shuffle_ranks: pure integer rank over (md5-hash, id) — exact
         # on both engines (hash compare)
         "shuffle_ranks": """

@@ -1429,6 +1429,51 @@ def test_normalize_text(ray_session):
     assert out["changed"].tolist() == [True, True, True, False]
 
 
+def test_html_features(ray_session):
+    """HTML structural features over hand-built markup (independent of
+    the page renderer): tag/link/para counts, nav anchor-text mass,
+    byte vs char lengths, missing-<nav> page scores 0, partitioning
+    invariance."""
+    import ray.data
+
+    from warcio_ray.ops.htmlstats import html_features
+
+    h1 = (b"<!DOCTYPE html>\n<html><body>"
+          b"<p>hello</p><P CLASS='x'>world</p>"
+          b"<nav><a href='/a'>go</a>\n<A HREF='/b'>back</a></nav>"
+          b"</body></html>")
+    h2 = b"<html><body><p>two \xc3\xa9</p></body></html>"  # utf-8, no nav
+    df = pd.DataFrame({
+        "url": ["http://s.example/doc/7", "http://s.example/doc/8"],
+        "html": [h1, h2],
+        "text": ["hello\nworld\ngo\nback", "two é"]})
+
+    outs = []
+    for nparts in (1, 2):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        outs.append(html_features(ds).to_pandas()
+                    .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+
+    r7 = out[out["doc_id"] == 7].iloc[0]
+    # tags: DOCTYPE, html, body, p, /p, P, /p, nav, a, /a, A, /a,
+    # /nav, /body, /html = 15
+    assert int(r7["n_tags"]) == 15
+    assert int(r7["n_links"]) == 2          # <a ...> and <A ...>
+    assert int(r7["n_paras"]) == 2          # <p> and <P ...>
+    assert int(r7["html_bytes"]) == len(h1)
+    assert int(r7["text_chars"]) == len("hello\nworld\ngo\nback")
+    # nav body minus tags: "go" + "\n" + "back"
+    assert int(r7["nav_text_chars"]) == len("go\nback")
+
+    r8 = out[out["doc_id"] == 8].iloc[0]
+    assert int(r8["nav_text_chars"]) == 0   # no <nav> block
+    assert int(r8["html_bytes"]) == len(h2)           # bytes
+    assert int(r8["text_chars"]) == len("two é")  # chars, not bytes
+    assert int(r8["n_links"]) == 0
+
+
 def test_embedding_gram(ray_session):
     """Fixed-point Gram matrix: matches a numpy reference exactly,
     partitioning-invariant, and the overflow tripwire fires."""
