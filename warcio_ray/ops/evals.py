@@ -101,3 +101,38 @@ def signal_auc(ds, signals=DEFAULT_SIGNALS, pos_label: str = "en",
         rows.append((name, n_pos, n_neg, u2, auc))
     return pd.DataFrame(rows,
                         columns=["signal", "n_pos", "n_neg", "u2", "auc"])
+
+
+def ann_recall_at_k(ds, queries, centroids, k: int = 10,
+                    nprobe: int = 2) -> pd.DataFrame:
+    """Recall@k of the APPROXIMATE IVF probe path against exact brute
+    force — the acceptance measurement for any nprobe/n_centroids
+    setting before trusting it at corpus scale (the similarity-search
+    twin of ``lsh_eval`` on the dedup side).
+
+    Runs ``ivf_search`` restricted to each query's ``nprobe`` closest
+    of the given ``centroids`` and ``knn_bruteforce`` over the same
+    Dataset, then intersects the two toplists per query. Both searches
+    stream the corpus (broadcast queries, per-batch partial top-k);
+    the intersection runs on 2*Q*k driver rows — small by
+    construction at any corpus size. Centroids are passed EXPLICITLY
+    so the measurement (and its SQL replay) is independent of any
+    trainer. Returns (query_id, n_hits) int64, one row per query,
+    n_hits in [0, k]."""
+    from warcio_ray.ops.ivf import ivf_search
+    from warcio_ray.ops.knn import knn_bruteforce
+
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    approx = ivf_search(ds, queries, k=k, nprobe=nprobe,
+                        centroids=np.asarray(centroids,
+                                             dtype=np.float64))
+    exact = knn_bruteforce(ds, queries, k=k)
+    rows = []
+    for qi in range(len(queries)):
+        a = set(approx[approx["query_id"] == qi]["vec_id"]
+                .astype("int64"))
+        e = set(exact[exact["query_id"] == qi]["vec_id"]
+                .astype("int64"))
+        rows.append((qi, len(a & e)))
+    return pd.DataFrame(rows, columns=["query_id", "n_hits"]) \
+        .astype("int64")
