@@ -3707,6 +3707,20 @@ def _backoff_nll(sf_dir: str):
     return stupid_backoff_scores(docs, vocab_size=1024, train_ds=train)
 
 
+def _word_entropy(sf_dir: str):
+    """Per-doc Shannon word entropy as an exact integer
+    (ops/textstats.word_entropy_scores): per-word (ln T - ln c) terms
+    quantized at 2^32 then count-weighted and summed — the
+    information-density quality gate."""
+    import ray.data
+
+    from warcio_ray.ops.textstats import word_entropy_scores
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return word_entropy_scores(ds)
+
+
 def _kn_nll(sf_dir: str):
     """Interpolated Kneser-Ney trigram scoring with a HELD-OUT model
     (ops/textstats.kneser_ney_scores): continuation-type-count lower
@@ -4307,6 +4321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "backoff_nll": _backoff_nll,
         "kn_nll": _kn_nll,
         "ann_recall_10": _ann_recall,
+        "word_entropy": _word_entropy,
         "sq8_top10": _sq8_top10,
         "scc_labels": _scc_labels,
         "kcenter_8": _kcenter_8,
@@ -8461,6 +8476,29 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, CAST(SUM(q) AS BIGINT) AS kn_q,
                  COUNT(*) AS nt
           FROM scored GROUP BY doc_id) s USING (doc_id)
+    """
+    # word_entropy: H*T by definition — per-(doc, word) counts, the
+    # identical (ln T - ln c) quantization, exact BIGINT sums
+    out["word_entropy"] = r"""
+        WITH toks AS (SELECT doc_id,
+                             regexp_extract_all(text, '\S+') AS t
+                      FROM documents),
+        flat AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        cts AS (SELECT doc_id, w, COUNT(*) AS c
+                FROM flat GROUP BY doc_id, w),
+        tl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM toks),
+        ent AS (
+          SELECT c.doc_id,
+                 SUM(c.c * CAST(floor(
+                   (ln(CAST(tl.n AS DOUBLE))
+                    - ln(CAST(c.c AS DOUBLE)))
+                   * 4294967296.0 + 0.5) AS BIGINT)) AS e
+          FROM cts c JOIN tl ON tl.doc_id = c.doc_id
+          GROUP BY c.doc_id)
+        SELECT tl.doc_id, tl.n AS n_words,
+               CAST(COALESCE(ent.e, 0) AS BIGINT) AS ent_q
+        FROM tl LEFT JOIN ent USING (doc_id)
+        ORDER BY tl.doc_id
     """
     # sq8_top10: the whole SQ8 chain in SQL — per-dim min/max, the
     # identical floor/clamp linear map on corpus and query, integer

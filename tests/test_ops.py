@@ -5509,6 +5509,49 @@ def test_stupid_backoff_scores(ray_session):
         assert int(row["n_trigrams"]) == nt, d
 
 
+def test_word_entropy_scores(ray_session):
+    """Word entropy: matches a from-first-principles reference
+    exactly; constant-token spam scores 0; uniform tokens score
+    ~ln(n); empty docs (0, 0); partitioning-invariant."""
+    import math
+
+    import ray.data
+
+    from warcio_ray.ops.textstats import word_entropy_scores
+
+    docs = {0: "a a a a a a", 1: "a b c d e f",
+            2: "a a b b c", 3: "", 4: "x"}
+    df = pd.DataFrame({"doc_id": list(docs),
+                       "text": list(docs.values())})
+    outs = []
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        outs.append(word_entropy_scores(ds).to_pandas()
+                    .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+
+    scale = float(1 << 32)
+    for d, text in docs.items():
+        ws = text.split()
+        t = len(ws)
+        ent = 0
+        if t:
+            from collections import Counter
+            for c in Counter(ws).values():
+                ent += c * int(math.floor(
+                    (math.log(float(t)) - math.log(float(c)))
+                    * scale + 0.5))
+        row = out[out["doc_id"] == d].iloc[0]
+        assert int(row["n_words"]) == t, d
+        assert int(row["ent_q"]) == ent, d
+    # shape: constant spam = 0, uniform = T*ln(T)*2^32-ish
+    r0 = out[out["doc_id"] == 0].iloc[0]
+    r1 = out[out["doc_id"] == 1].iloc[0]
+    assert int(r0["ent_q"]) == 0
+    assert abs(int(r1["ent_q"]) / (6 * scale) - math.log(6)) < 1e-6
+
+
 def test_kneser_ney_scores(ray_session):
     """Interpolated Kneser-Ney: matches a from-first-principles
     reference exactly (continuation type counts, all three rungs plus

@@ -1076,6 +1076,51 @@ def stupid_backoff_scores(ds, vocab_size: int = 1024,
     return ds.map_batches(score, batch_format="pandas")
 
 
+def word_entropy_scores(ds) -> "object":
+    """Per-document Shannon entropy of the word distribution — the
+    information-density quality signal between the Simpson/TTR counts
+    (lexical_diversity) and the LM-NLL ladder: near-zero entropy means
+    keyword-stuffed or repeated-token spam regardless of length.
+
+    Exactness: H*T = sum over distinct words of c*(ln T - ln c); each
+    per-WORD term (ln T - ln c) quantizes to int64 at 2^32 FIRST (the
+    libm-ln precedent — one fixed float expression, identical in SQL),
+    then multiplies by the exact count and sums — so ``ent_q`` is an
+    exact integer, partitioning/order-invariant and hash-comparable;
+    H itself is ent_q / (n_words * 2^32) downstream.
+
+    Shape: stateless scan, zero shuffle — one vectorized
+    explode + (doc, word) pandas groupby per batch, never a per-token
+    Python loop. Returns a Dataset of (doc_id, n_words, ent_q);
+    empty docs score (0, 0)."""
+    scale = float(np.int64(1) << np.int64(32))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype="int64")
+        toks = batch["text"].astype("string").fillna("") \
+            .str.findall(r"\S+")
+        lens = toks.str.len().to_numpy(dtype="int64")
+        out_ent = np.zeros(len(batch), dtype=np.int64)
+        if lens.sum():
+            flat = pd.DataFrame({
+                "row": np.repeat(np.arange(len(batch)), lens),
+                "w": np.concatenate([np.asarray(t, dtype=object)
+                                     for t in toks])})
+            cts = flat.groupby(["row", "w"], sort=False) \
+                .size().reset_index(name="c")
+            row = cts["row"].to_numpy(dtype="int64")
+            c = cts["c"].to_numpy(dtype="int64")
+            t = lens[row].astype(np.float64)
+            q = np.floor((np.log(t) - np.log(c.astype(np.float64)))
+                         * scale + 0.5).astype(np.int64)
+            np.add.at(out_ent, row, c * q)  # exact int64 per-doc sums
+        return pd.DataFrame({"doc_id": ids,
+                             "n_words": lens,
+                             "ent_q": out_ent})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def kneser_ney_scores(ds, vocab_size: int = 1024,
                       train_ds=None, discount: float = 0.75) -> "object":
     """Interpolated Kneser-Ney trigram scoring (Chen & Goodman 1999,
