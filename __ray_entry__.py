@@ -3183,6 +3183,22 @@ def _bm25_top20(sf_dir: str):
     return bm25_topk(ds, ["spark", "join", "query"], k=20)
 
 
+def _rm3_top20(sf_dir: str):
+    """RM3 pseudo-relevance feedback over the fixed 3-term query
+    (ops/search.rm3_topk): BM25 feedback top-10 -> exact-integer RM1
+    expansion weights -> 5 expansion terms at weight 0.5 -> re-rank
+    with per-(doc, term) contributions quantized at 2^32 and
+    integer-summed (order-invariant despite the dynamic term set)."""
+    import ray.data
+
+    from warcio_ray.ops.search import rm3_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return rm3_topk(ds, ["spark", "join", "query"], k=20,
+                    fb_docs=10, fb_terms=5)
+
+
 def _jaccard_clusters(sf_dir: str):
     """Connected components over the EXACT jaccard pair set through the
     distributed star-contraction operator — the hard oracle for
@@ -4322,6 +4338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_nll": _kn_nll,
         "ann_recall_10": _ann_recall,
         "word_entropy": _word_entropy,
+        "rm3_top20": _rm3_top20,
         "sq8_top10": _sq8_top10,
         "scc_labels": _scc_labels,
         "kcenter_8": _kcenter_8,
@@ -8323,6 +8340,69 @@ def oracle_sql() -> dict[str, str]:
     # even doc_ids, score = all docs); each rung is an exact-integer
     # division cast to double at the same points the numpy scorer
     # casts, so the quantized scores are bitwise-identical
+    # rm3_top20: the full feedback chain in SQL — feedback docs from
+    # the literal bm25_top20 scorer (reused verbatim), exact-integer
+    # RM1 weights (tf*2^32 // dl, truncating division on both
+    # engines), dynamic term set scored sparsely per (doc, term) with
+    # the identical quantize-then-sum (zero-tf terms contribute
+    # floor(0.5)=0 on both sides, so the sparse join equals the dense
+    # numpy scan)
+    out["rm3_top20"] = f"""
+        WITH fb AS (
+          SELECT doc_id FROM ({out["bm25_top20"]})
+          ORDER BY score DESC, doc_id LIMIT 10),
+        toks AS (SELECT doc_id,
+                        regexp_extract_all(coalesce(text, ''),
+                                           '\\S+') AS ts
+                 FROM documents),
+        st AS (SELECT count(*) AS n,
+                      CAST(sum(len(ts)) AS DOUBLE) AS sumlen
+               FROM toks),
+        flat AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+        dltab AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl
+                  FROM toks),
+        ftf AS (SELECT f.doc_id, f.tok,
+                       CAST(COUNT(*) AS BIGINT) AS tf
+                FROM flat f JOIN fb USING (doc_id)
+                GROUP BY f.doc_id, f.tok),
+        expw AS (SELECT tok,
+                        CAST(SUM((tf * 4294967296) // dl) AS BIGINT)
+                          AS wq
+                 FROM ftf JOIN dltab USING (doc_id)
+                 WHERE tok NOT IN ('spark', 'join', 'query')
+                 GROUP BY tok),
+        exp5 AS (SELECT tok, 0.5 AS w FROM expw
+                 ORDER BY wq DESC, tok LIMIT 5),
+        qterms AS (
+          SELECT unnest(['spark', 'join', 'query']) AS tok, 1.0 AS w
+          UNION ALL SELECT tok, w FROM exp5),
+        atf AS (SELECT f.doc_id, f.tok,
+                       CAST(COUNT(*) AS BIGINT) AS tf
+                FROM flat f JOIN qterms USING (tok)
+                GROUP BY f.doc_id, f.tok),
+        adf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+                FROM atf GROUP BY tok),
+        sc AS (
+          SELECT a.doc_id,
+                 CAST(floor(
+                   (q.w * ln((st.n - adf.df + 0.5)
+                             / (adf.df + 0.5) + 1.0))
+                   * (CAST(a.tf AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(a.tf AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75
+                               + 0.75 * CAST(d.dl AS DOUBLE)
+                                 / (st.sumlen / st.n)))
+                   * 4294967296.0 + 0.5) AS BIGINT) AS sq
+          FROM atf a
+          JOIN qterms q USING (tok)
+          JOIN adf USING (tok)
+          JOIN dltab d ON d.doc_id = a.doc_id
+          CROSS JOIN st),
+        tot AS (SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS score_q
+                FROM sc GROUP BY doc_id)
+        SELECT doc_id, score_q FROM tot WHERE score_q > 0
+        ORDER BY score_q DESC, doc_id LIMIT 20
+    """
     out["backoff_nll"] = r"""
         WITH toks AS (SELECT doc_id,
                              regexp_extract_all(text, '\S+') AS t

@@ -992,6 +992,84 @@ def test_redact_pii(ray_session):
     assert out["doc_id"].dtype == "int64"
 
 
+def test_rm3_topk(ray_session):
+    """RM3 expansion: matches a from-first-principles reference of the
+    whole chain (feedback top-k -> integer RM1 weights -> weighted
+    quantized re-rank), surfaces a doc containing ONLY expansion terms
+    (which plain BM25 can never rank), partitioning-invariant."""
+    import math
+    from collections import Counter
+
+    import ray.data
+
+    from warcio_ray.ops.search import bm25_topk, rm3_topk
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["spark shuffle shuffle",   # feedback: rich in shuffle
+                 "spark shuffle stage",     # feedback: shuffle+stage
+                 "shuffle shuffle shuffle", # NO query term
+                 "stage stage",             # NO query term
+                 "nothing here"],
+    })
+    terms = ["spark"]
+    K, FB, FT, EW = 4, 2, 2, 0.5
+
+    outs = []
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        outs.append(rm3_topk(ds, terms, k=K, fb_docs=FB, fb_terms=FT,
+                             expansion_weight=EW).to_pandas()
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+
+    # reference
+    toks = {int(d): (t or "").split()
+            for d, t in zip(df["doc_id"], df["text"])}
+    n = len(toks)
+    avgdl = sum(map(len, toks.values())) / n
+
+    def bm25_scores(ts_weighted):
+        dfs = {t: sum(t in ts for ts in toks.values())
+               for t, _ in ts_weighted}
+        rows = []
+        for did, ts in toks.items():
+            sq = 0
+            for t, w in ts_weighted:
+                idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5)
+                               + 1.0)
+                tf = float(ts.count(t))
+                sq += int(math.floor(
+                    (w * idf) * (tf * 2.2)
+                    / (tf + 1.2 * (1 - 0.75 + 0.75 * len(ts) / avgdl))
+                    * float(1 << 32) + 0.5))
+            if sq > 0:
+                rows.append((did, sq))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows
+
+    fb = [d for d, _ in bm25_topk(
+        ray.data.from_pandas(df), terms, k=FB).to_pandas()
+        [["doc_id", "score"]].itertuples(index=False)]
+    w = Counter()
+    for d in fb:
+        ts = toks[int(d)]
+        for t, c in Counter(ts).items():
+            w[t] += (c * (1 << 32)) // len(ts)
+    exp = sorted((t for t in w if t not in terms),
+                 key=lambda t: (-w[t], t))[:FT]
+    want = bm25_scores([(t, 1.0) for t in terms]
+                       + [(t, EW) for t in exp])[:K]
+    got = [(int(r.doc_id), int(r.score_q)) for r in out.itertuples()]
+    assert got == want
+    # docs 2 and 3 carry no query term — only expansion surfaces them
+    assert {2, 3} & {d for d, _ in got}
+    plain = set(bm25_topk(ray.data.from_pandas(df), terms, k=K)
+                .to_pandas()["doc_id"].astype(int))
+    assert 2 not in plain and 3 not in plain
+
+
 def test_bm25_topk(ray_session):
     import math
 

@@ -85,6 +85,106 @@ def bm25_topk(ds, terms: Sequence[str], k: int = 10,
         .sort(["score", id_col], descending=[True, False]).limit(k)
 
 
+def rm3_topk(ds, terms: Sequence[str], k: int = 20,
+             fb_docs: int = 10, fb_terms: int = 5,
+             expansion_weight: float = 0.5,
+             k1: float = 1.2, b: float = 0.75,
+             text_col: str = "text", id_col: str = "doc_id"):
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 relevance
+    model, the Anserini/Indri default expansion): run BM25, mine
+    expansion terms from the top ``fb_docs`` results, re-rank with the
+    expanded weighted query — the retrieval-family rung above plain
+    ``bm25_topk`` and the fusion ops.
+
+    Determinism/oracle: expansion-term weights are EXACT integers
+    (per feedback doc floor(tf * 2^32 / dl), summed — the RM1 MLE
+    tf/|d| in fixed point), selection is (weight DESC, term ASC)
+    excluding the original terms; final per-(doc, term) BM25
+    contributions quantize to int64 at 2^32 BEFORE summation (one
+    fixed float expression tree — the bm25_top20 precedent — but
+    integer-summed, so the DYNAMIC term set needs no literal per-term
+    SQL chain and the total is order-invariant). A zero-tf term
+    contributes exactly floor(0.5) = 0 on both engines, so SQL's
+    sparse (doc, term) join equals the dense numpy scan.
+
+    Shape at scale: pass 1 = bm25_topk (two shuffle-free scans);
+    pass 2 touches only the ``fb_docs`` feedback docs (broadcast id
+    set, per-batch token fold, driver merge bounded by the feedback
+    vocab); pass 3 = one stats combiner + one stateless scoring scan
+    with per-batch top-k. Returns a top-k Dataset of
+    (id_col, score_q), score_q DESC / id ASC."""
+    import ray
+
+    terms = list(terms)
+    fb = bm25_topk(ds, terms, k=fb_docs, k1=k1, b=b,
+                   text_col=text_col, id_col=id_col).to_pandas()
+    fb_ids = frozenset(int(i) for i in fb[id_col])
+    fbref = ray.put(fb_ids)
+    big = np.int64(1) << np.int64(32)
+
+    def fb_weights(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(fbref)
+        m = batch[id_col].astype("int64").isin(ids)
+        sub = batch.loc[m, text_col].fillna("").astype("string")
+        if not len(sub):
+            return pd.DataFrame({"tok": pd.Series(dtype="object"),
+                                 "wq": pd.Series(dtype="int64")})
+        toks = sub.str.findall(r"\S+")
+        lens = toks.str.len().to_numpy(dtype="int64")
+        keep = lens > 0
+        toks, lens = toks[keep], lens[keep]
+        flat = pd.DataFrame({
+            "row": np.repeat(np.arange(len(toks)), lens),
+            "tok": np.concatenate([np.asarray(t, dtype=object)
+                                   for t in toks])})
+        cts = flat.groupby(["row", "tok"], sort=False) \
+            .size().reset_index(name="tf")
+        dl = lens[cts["row"].to_numpy(dtype="int64")]
+        cts["wq"] = (cts["tf"].to_numpy(dtype="int64") * big) // dl
+        return cts.groupby("tok", sort=False)["wq"].sum() \
+            .reset_index()
+
+    # bounded collect: rows <= the feedback docs' distinct vocabulary
+    wdf = ds.map_batches(fb_weights, batch_format="pandas").to_pandas()
+    if len(wdf):
+        wdf = wdf.groupby("tok")["wq"].sum().reset_index()
+        wdf = wdf[~wdf["tok"].isin(terms)]
+        wdf = wdf.sort_values(["wq", "tok"],
+                              ascending=[False, True]).head(fb_terms)
+        expansion = [str(t) for t in wdf["tok"]]
+    else:
+        expansion = []
+
+    all_terms = terms + expansion
+    weights = [1.0] * len(terms) + [expansion_weight] * len(expansion)
+    pats = _term_patterns(all_terms)
+    n, sum_len, dfs = bm25_corpus_stats(ds, all_terms,
+                                        text_col=text_col)
+    avgdl = (float(sum_len) / float(n)) if sum_len > 0 else 1.0
+    wi = [w * math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+          for w, df in zip(weights, dfs)]
+    scale = float(np.int64(1) << np.int64(32))
+
+    def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[text_col].fillna("").astype("string")
+        dl = text.str.count(r"\S+").to_numpy(np.float64)
+        denom_base = k1 * (1.0 - b + b * dl / avgdl)
+        score_q = np.zeros(len(batch), dtype=np.int64)
+        for w, p in zip(wi, pats):
+            tf = text.str.count(p).to_numpy(np.float64)
+            sq = np.floor(w * (tf * (k1 + 1.0)) / (tf + denom_base)
+                          * scale + 0.5).astype(np.int64)
+            score_q = score_q + sq  # exact int64, order-invariant
+        out = pd.DataFrame({id_col: batch[id_col].astype("int64"),
+                            "score_q": score_q})
+        out = out[out["score_q"] > 0]
+        return out.sort_values(["score_q", id_col],
+                               ascending=[False, True]).head(k)
+
+    return ds.map_batches(score_batch, batch_format="pandas") \
+        .sort(["score_q", id_col], descending=[True, False]).limit(k)
+
+
 # ---------------------------------------------------------------------------
 # persisted inverted index (postings layout with pruned reads)
 # ---------------------------------------------------------------------------
