@@ -4021,6 +4021,22 @@ def _kmv_overlap(sf_dir: str):
     return kmv_jaccard(a, b, k=128)
 
 
+def _mg_heavy(sf_dir: str):
+    """Misra-Gries mergeable heavy hitters
+    (ops/sketch.misra_gries_heavy, k=64): every term with corpus
+    frequency > N/65 with its EXACT count — per-batch k-counter
+    compress, pointwise-add merge, broadcast exact recount. The output
+    set is exact (integer inequality on recounted candidates), so the
+    sketch path is hard-oracled by the plain frequency scan."""
+    import ray.data
+
+    from warcio_ray.ops.sketch import misra_gries_heavy
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return misra_gries_heavy(ds, text_col="text", k=64)
+
+
 def _orders_multiagg(sf_dir: str):
     """Shared-scan batch aggregation (ops/multiagg.grouped_multiagg,
     the LMFAO pattern): counts + exact cent sums by order status AND
@@ -4349,6 +4365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_logodds": _lang_logodds,
         "host_modularity": _host_modularity,
         "kmv_overlap": _kmv_overlap,
+        "mg_heavy_terms": _mg_heavy,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -8833,5 +8850,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'month', month, COUNT(*), CAST(SUM(cents) AS BIGINT)
         FROM base GROUP BY month
         ORDER BY dim, key
+    """
+    # mg_heavy_terms: the MG guarantee makes the sketch output EXACTLY
+    # {term : count x (k+1) > N}, so the oracle is the plain frequency
+    # scan with the same integer threshold (k=64)
+    out["mg_heavy_terms"] = r"""
+        WITH flat AS (SELECT unnest(regexp_extract_all(text, '\S+'))
+                        AS w
+                      FROM documents),
+        tot AS (SELECT COUNT(*) AS n FROM flat),
+        cts AS (SELECT w, COUNT(*) AS c FROM flat GROUP BY w)
+        SELECT w AS term, CAST(c AS BIGINT) AS n_occ
+        FROM cts, tot WHERE c * 65 > tot.n
+        ORDER BY n_occ DESC, term
     """
     return out

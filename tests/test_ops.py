@@ -6110,3 +6110,40 @@ def test_grouped_multiagg(ray_session):
                        ("status", "F"): (2, 275),
                        ("status", "O"): (2, 500),
                        ("status", "P"): (1, 1000)}
+
+
+def test_misra_gries_heavy(ray_session):
+    """MG sketch output == exact {term: count*(k+1) > N} regardless of
+    partitioning; small k forces real per-batch compression."""
+    import collections
+
+    import ray.data
+
+    from warcio_ray.ops.sketch import misra_gries_heavy
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(200)]
+    # skewed corpus: 3 hot terms + a long tail
+    texts = []
+    for i in range(120):
+        toks = ["hot_a"] * 6 + ["hot_b"] * 4 + ["hot_c"] * 3 + \
+            [vocab[j] for j in rng.randint(0, 200, size=20)]
+        rng.shuffle(toks)
+        texts.append(" ".join(toks))
+    df = pd.DataFrame({"text": texts})
+    cts = collections.Counter(
+        w for t in texts for w in t.split())
+    n = sum(cts.values())
+    for k in (8, 64):
+        expect = sorted(
+            [(w, c) for w, c in cts.items() if c * (k + 1) > n],
+            key=lambda x: (-x[1], x[0]))
+        for nparts in (1, 5):
+            ds = ray.data.from_pandas(df).repartition(nparts)
+            out = misra_gries_heavy(ds, k=k)
+            got = list(zip(out["term"], out["n_occ"]))
+            assert got == expect, (k, nparts)
+
+    # empty corpus
+    empty = ray.data.from_pandas(pd.DataFrame({"text": ["", "  "]}))
+    assert len(misra_gries_heavy(empty, k=4)) == 0

@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["hll_distinct", "hll_estimate_from_registers",
-           "count_min_probe"]
+           "count_min_probe", "misra_gries_heavy"]
 
 # per-worker-process token hash memo, keyed by precision b
 _hash_memo: dict = {}
@@ -268,3 +268,101 @@ def bloom_probe(bits: "np.ndarray", probes, m_bits: int = 1 << 18,
             p, len(bits) - 1)] == pos))) if len(bits) else False
         rows.append((str(v), int(ok)))
     return pd.DataFrame(rows, columns=["probe", "maybe_present"])
+
+
+def misra_gries_heavy(ds, text_col: str = "text", k: int = 64):
+    """Misra-Gries mergeable heavy-hitters (Misra & Gries 1982;
+    mergeability per Agarwal et al., "Mergeable Summaries", PODS 2012):
+    every term whose corpus frequency exceeds N/(k+1) tokens, with its
+    EXACT count — the frequent-vocabulary miner (stopword discovery,
+    boilerplate tokens, tokenizer seed lists) that never shuffles the
+    full term space.
+
+    Two passes, both bounded:
+      1. each batch folds its tokens into an exact local count table
+         and COMPRESSES it to <= k counters (subtract the (k+1)-th
+         largest count from all, drop non-positives) — the MG compress;
+         a '' sentinel row carries the batch token total. The global
+         merge is pointwise addition (one groupby(term).sum over
+         <= (k+1) rows per batch) followed by one more compress — by
+         the mergeable-summaries theorem every compress removes
+         >= (k+1) x (subtracted value) of total weight, so the summed
+         decrement is <= N/(k+1) and every term with true count
+         > N/(k+1) survives with a positive residual.
+      2. the <= k surviving candidates broadcast into an exact recount
+         (vectorized isin per batch, groupby sum), and the output
+         keeps exactly {term : count x (k+1) > N} — an integer
+         inequality, so the result is EXACT and partitioning-invariant
+         even though the sketch itself is approximate.
+
+    Scale shape: the exchange is O(k x #batches) rows in pass 1 and
+    O(k x #batches) in pass 2, independent of vocabulary size; an
+    exact top-frequency scan would shuffle O(vocab) rows. Returns a
+    pandas DataFrame (term, n_occ) sorted by count desc, term asc —
+    at most k rows by construction.
+
+    No reference counterpart (warcio has no sketches).
+    """
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    def compress(cts: pd.Series, cap: int) -> pd.Series:
+        """MG compress: keep <= cap counters. cts index=term."""
+        if len(cts) <= cap:
+            return cts
+        vals = np.sort(cts.to_numpy(dtype="int64"))[::-1]
+        thr = int(vals[cap])  # the (cap+1)-th largest
+        out = cts - thr
+        return out[out > 0]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].astype("string").fillna("") \
+            .str.findall(r"\S+")
+        n_tok = int(toks.str.len().sum())
+        if n_tok == 0:
+            return pd.DataFrame({"term": [""], "cnt": [0]}) \
+                .astype({"cnt": "int64"})
+        flat = pd.Series(np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks]))
+        cts = compress(flat.value_counts(), k)
+        return pd.DataFrame({
+            "term": np.concatenate([cts.index.to_numpy(dtype=object),
+                                    np.asarray([""], dtype=object)]),
+            "cnt": np.concatenate([cts.to_numpy(dtype="int64"),
+                                   np.asarray([n_tok], dtype="int64")]),
+        })
+
+    merged = arrow_blocks(
+        ds.map_batches(partial, batch_format="pandas")) \
+        .groupby("term").sum("cnt").to_pandas()  # O(k x batches) rows
+    total = int(merged.loc[merged["term"] == "", "sum(cnt)"].sum())
+    summary = merged[merged["term"] != ""].set_index("term")["sum(cnt)"]
+    summary = compress(summary.astype("int64"), k)
+    cands = sorted(summary.index.tolist())
+    if not cands or total == 0:
+        return pd.DataFrame({"term": pd.Series([], dtype=object),
+                             "n_occ": pd.Series([], dtype="int64")})
+
+    cand_arr = np.asarray(cands, dtype=object)
+
+    def recount(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].astype("string").fillna("") \
+            .str.findall(r"\S+")
+        lens = toks.str.len().to_numpy(dtype="int64")
+        if lens.sum() == 0:
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype="int64")})
+        flat = pd.Series(np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks]))
+        cts = flat[flat.isin(cand_arr)].value_counts()
+        return pd.DataFrame({"term": cts.index.to_numpy(dtype=object),
+                             "cnt": cts.to_numpy(dtype="int64")})
+
+    exact = arrow_blocks(
+        ds.map_batches(recount, batch_format="pandas")) \
+        .groupby("term").sum("cnt").to_pandas()
+    exact = exact.rename(columns={"sum(cnt)": "n_occ"})
+    exact["n_occ"] = exact["n_occ"].astype("int64")
+    out = exact[exact["n_occ"] * (k + 1) > total]
+    return out.sort_values(["n_occ", "term"],
+                           ascending=[False, True],
+                           kind="mergesort").reset_index(drop=True)
