@@ -4037,6 +4037,20 @@ def _mg_heavy(sf_dir: str):
     return misra_gries_heavy(ds, text_col="text", k=64)
 
 
+def _zipf_slope(sf_dir: str):
+    """Zipf rank-frequency OLS slope over the top-100 terms
+    (ops/textstats.zipf_slope): 2^16-quantized ln(rank)/ln(count)
+    points, exact-integer closed-form slope as a (num, den) rational —
+    the one-row corpus naturalness signal."""
+    import ray.data
+
+    from warcio_ray.ops.textstats import zipf_slope
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return zipf_slope(ds, top_n=100)
+
+
 def _orders_multiagg(sf_dir: str):
     """Shared-scan batch aggregation (ops/multiagg.grouped_multiagg,
     the LMFAO pattern): counts + exact cent sums by order status AND
@@ -4366,6 +4380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_modularity": _host_modularity,
         "kmv_overlap": _kmv_overlap,
         "mg_heavy_terms": _mg_heavy,
+        "zipf_slope": _zipf_slope,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -8863,5 +8878,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT w AS term, CAST(c AS BIGINT) AS n_occ
         FROM cts, tot WHERE c * 65 > tot.n
         ORDER BY n_occ DESC, term
+    """
+    # zipf_slope: the identical 2^16 ln quantization on (rank, count)
+    # of the top-100 terms, exact-integer OLS closed form; HUGEINT
+    # intermediates guard the BIGINT products
+    out["zipf_slope"] = r"""
+        WITH flat AS (SELECT unnest(regexp_extract_all(text, '\S+'))
+                        AS w
+                      FROM documents),
+        cts AS (SELECT w, COUNT(*) AS c FROM flat GROUP BY w),
+        top AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r
+                FROM cts QUALIFY r <= 100),
+        q AS (SELECT
+                CAST(floor(ln(CAST(r AS DOUBLE)) * 65536.0 + 0.5)
+                  AS HUGEINT) AS x,
+                CAST(floor(ln(CAST(c AS DOUBLE)) * 65536.0 + 0.5)
+                  AS HUGEINT) AS y
+              FROM top),
+        s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+                     SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+              FROM q)
+        SELECT CAST(n AS BIGINT) AS n_terms,
+               CAST(n*sxy - sx*sy AS BIGINT) AS slope_num,
+               CAST(n*sxx - sx*sx AS BIGINT) AS slope_den
+        FROM s
     """
     return out

@@ -6147,3 +6147,33 @@ def test_misra_gries_heavy(ray_session):
     # empty corpus
     empty = ray.data.from_pandas(pd.DataFrame({"text": ["", "  "]}))
     assert len(misra_gries_heavy(empty, k=4)) == 0
+
+
+def test_zipf_slope(ray_session):
+    """Closed-form quantized OLS equals a direct float fit within
+    quantization error; partitioning-invariant; near -1 on a synthetic
+    Zipfian corpus."""
+    import ray.data
+
+    from warcio_ray.ops.textstats import zipf_slope
+
+    # exact Zipf: term i appears floor(1200/i) times
+    texts = []
+    for i in range(1, 60):
+        texts.extend([f"t{i:03d}"] * (1200 // i))
+    rng = np.random.RandomState(3)
+    rng.shuffle(texts)
+    docs = [" ".join(texts[j::40]) for j in range(40)]
+    df = pd.DataFrame({"text": docs})
+    outs = []
+    for nparts in (1, 6):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = zipf_slope(ds, top_n=50)
+        outs.append(tuple(out.iloc[0]))
+        slope = out["slope_num"][0] / out["slope_den"][0]
+        assert -1.05 < slope < -0.95, slope
+    assert outs[0] == outs[1]
+
+    empty = ray.data.from_pandas(pd.DataFrame({"text": [""]}))
+    z = zipf_slope(empty)
+    assert int(z["n_terms"][0]) == 0

@@ -408,6 +408,9 @@ def top_terms(ds, k: int = 20) -> pd.DataFrame:
     # when the k-th count value is tied across many terms
     out = counts.sort(["n", "term"], descending=[True, False]) \
         .limit(k).to_pandas()
+    if "n" not in out.columns:  # empty vocabulary: aggregate of zero
+        return pd.DataFrame({"term": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
     return out.reset_index(drop=True).astype({"n": "int64"})
 
 
@@ -1472,3 +1475,44 @@ def curriculum_order(ds, n_buckets: int = 10,
 
     return keyed.groupby("cell").map_groups(rank_group,
                                             batch_format="pandas")
+
+
+def zipf_slope(ds, top_n: int = 100) -> pd.DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: the OLS
+    slope of ln(count) on ln(rank) across the top ``top_n`` terms — a
+    one-row corpus-health signal (natural text sits near -1; template
+    spam and boilerplate flatten it, keyword stuffing steepens it).
+
+    Exactness: each per-term ln value quantizes to int64 at 2^16 FIRST
+    (the libm-ln precedent — one fixed float expression, identical in
+    SQL), then the closed-form slope numerator/denominator
+    (n*Sxy - Sx*Sy, n*Sxx - Sx^2) accumulates in Python ints over the
+    <= top_n quantized points — exact integers, no float division.
+    With n <= 1000 and counts < 2^40, every sum stays < 2^63.
+
+    Scale shape: reuses the top_terms combiner (per-batch distinct-term
+    partials, one O(vocab) groupby, distributed 2-key sort + limit);
+    the regression itself touches top_n rows on the driver. Returns a
+    one-row DataFrame (n_terms, slope_num, slope_den).
+
+    No reference counterpart (corpus-statistics operator)."""
+    top = top_terms(ds, k=top_n)
+    n = len(top)
+    if n == 0:
+        return pd.DataFrame({"n_terms": [0], "slope_num": [0],
+                             "slope_den": [0]}).astype("int64")
+    scale = float(1 << 16)
+    ranks = np.arange(1, n + 1, dtype=np.float64)
+    cts = top["n"].to_numpy(dtype="int64").astype(np.float64)
+    x = np.floor(np.log(ranks) * scale + 0.5).astype(np.int64)
+    y = np.floor(np.log(cts) * scale + 0.5).astype(np.int64)
+    xi = [int(v) for v in x]
+    yi = [int(v) for v in y]
+    sx, sy = sum(xi), sum(yi)
+    sxy = sum(a * b for a, b in zip(xi, yi))
+    sxx = sum(a * a for a in xi)
+    return pd.DataFrame({
+        "n_terms": [n],
+        "slope_num": [n * sxy - sx * sy],
+        "slope_den": [n * sxx - sx * sx],
+    }).astype("int64")
