@@ -4037,6 +4037,21 @@ def _mg_heavy(sf_dir: str):
     return misra_gries_heavy(ds, text_col="text", k=64)
 
 
+def _decayed_counts(sf_dir: str):
+    """Exponentially time-decayed per-type event activity
+    (ops/stream.decayed_counts, tau=30 days vs the corpus max date):
+    per-event exp(-age/30) quantized at 2^32 then exactly summed — the
+    streaming freshness aggregate."""
+    import ray.data
+
+    from warcio_ray.ops.stream import decayed_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+    return decayed_counts(ds, key_col="event_type", ts_col="ts",
+                          tau_days=30.0)
+
+
 def _zipf_slope(sf_dir: str):
     """Zipf rank-frequency OLS slope over the top-100 terms
     (ops/textstats.zipf_slope): 2^16-quantized ln(rank)/ln(count)
@@ -4381,6 +4396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_overlap": _kmv_overlap,
         "mg_heavy_terms": _mg_heavy,
         "zipf_slope": _zipf_slope,
+        "decayed_counts": _decayed_counts,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -8902,5 +8918,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(n*sxy - sx*sy AS BIGINT) AS slope_num,
                CAST(n*sxx - sx*sx AS BIGINT) AS slope_den
         FROM s
+    """
+    # decayed_counts: identical integer day ages vs the max date, the
+    # same double divide + libm exp quantized at 2^32, exact BIGINT sums
+    out["decayed_counts"] = """
+        WITH ref AS (SELECT CAST(MAX(ts) AS DATE) AS d FROM events),
+        terms AS (
+          SELECT event_type AS key,
+                 CAST(floor(exp(-(CAST(date_diff('day',
+                        CAST(ts AS DATE), (SELECT d FROM ref))
+                      AS BIGINT) / 30.0)) * 4294967296.0 + 0.5)
+                   AS BIGINT) AS q
+          FROM events)
+        SELECT key, COUNT(*) AS n_events,
+               CAST(SUM(q) AS BIGINT) AS fresh_q
+        FROM terms GROUP BY key ORDER BY key
     """
     return out

@@ -6177,3 +6177,32 @@ def test_zipf_slope(ray_session):
     empty = ray.data.from_pandas(pd.DataFrame({"text": [""]}))
     z = zipf_slope(empty)
     assert int(z["n_terms"][0]) == 0
+
+
+def test_decayed_counts(ray_session):
+    """Decayed freshness equals the direct per-event quantized-exp sum;
+    partitioning/order-invariant; newest-day events carry weight 2^32."""
+    import ray.data
+
+    from warcio_ray.ops.stream import decayed_counts
+
+    ts = pd.to_datetime([
+        "2026-01-31 12:00", "2026-01-31 01:00", "2026-01-01 05:00",
+        "2026-01-16 09:00", "2026-01-16 23:59", "2026-01-31 00:00"])
+    df = pd.DataFrame({"event_type": ["a", "a", "a", "b", "b", "b"],
+                       "ts": ts})
+    ref = pd.Timestamp("2026-01-31")
+    ages = (ref - ts.normalize()).days.to_numpy()
+    q = np.floor(np.exp(-(ages / 30.0)) * 2.0**32 + 0.5).astype("int64")
+    expect = {
+        "a": (3, int(q[0] + q[1] + q[2])),
+        "b": (3, int(q[3] + q[4] + q[5])),
+    }
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = decayed_counts(ds).to_pandas().set_index("key")
+        got = {k: (int(out.loc[k, "n_events"]),
+                   int(out.loc[k, "fresh_q"])) for k in ("a", "b")}
+        assert got == expect, nparts
+    # same-day events score exactly 2^32 each
+    assert q[0] == q[1] == 1 << 32

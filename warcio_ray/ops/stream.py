@@ -96,3 +96,49 @@ def late_event_flags(events_ds, lag_us: int, id_col: str = "event_id",
 
     return keyed.groupby("bucket").map_groups(score_group,
                                               batch_format="pandas")
+
+
+def decayed_counts(events_ds, key_col: str = "event_type",
+                   ts_col: str = "ts", half_col: str = None,
+                   tau_days: float = 30.0):
+    """Exponentially time-decayed activity per key — the streaming
+    freshness aggregate (recency-weighted host/type popularity for
+    recrawl prioritization and trending detection): each event
+    contributes exp(-age_days / tau) of weight relative to the newest
+    event in the log, so a key's score decays smoothly instead of
+    falling off a sliding-window cliff.
+
+    Exactness: age_days is an exact integer (calendar-day difference
+    to the corpus max date); each per-event decay term quantizes to
+    int64 at 2^32 FIRST (one fixed float expression — double divide +
+    libm exp — identical in SQL), then sums exactly, so ``fresh_q`` is
+    an exact integer, partitioning/order-invariant; the float score is
+    fresh_q / 2^32 downstream.
+
+    Scale shape: pass 1 is a max() aggregate for the reference time;
+    pass 2 folds each batch to (key, age) partial sums before the
+    shuffle — distinct ages are bounded by the log's day span, so the
+    exchange is O(#keys x #days) rows, never O(#events). Returns a
+    Dataset of (key, n_events, fresh_q).
+
+    No reference counterpart (streaming-extension operator)."""
+    scale = float(np.int64(1) << np.int64(32))
+    ref_date = pd.Timestamp(events_ds.max(ts_col)).normalize()
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        days = (ref_date - batch[ts_col].dt.normalize()).dt.days \
+            .to_numpy(dtype="int64")
+        q = np.floor(np.exp(-(days / tau_days)) * scale + 0.5) \
+            .astype(np.int64)
+        out = pd.DataFrame({"key": batch[key_col].astype(str),
+                            "n_events": np.int64(1), "fresh_q": q})
+        agg = out.groupby("key", sort=False).sum().reset_index()
+        return agg.astype({"n_events": "int64", "fresh_q": "int64"})
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    return arrow_blocks(
+        events_ds.map_batches(partial, batch_format="pandas")) \
+        .groupby("key").sum(["n_events", "fresh_q"]) \
+        .rename_columns({"sum(n_events)": "n_events",
+                         "sum(fresh_q)": "fresh_q"})
