@@ -4037,6 +4037,46 @@ def _mg_heavy(sf_dir: str):
     return misra_gries_heavy(ds, text_col="text", k=64)
 
 
+def _path_templates(sf_dir: str):
+    """URL path-template mining (ops/urlfilter.mine_path_templates):
+    synthesize four path shapes per doc (dated archive, flat product,
+    static page, paginated tag; query strings on every 6th URL), then
+    generalize digit runs to {d} and count URLs + distinct concrete
+    paths per (host, template). The oracle rebuilds the same URLs from
+    doc_id, so path extraction, query stripping and the regexp
+    generalization are verified end to end."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.urlfilter import mine_path_templates
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def synth(batch: pd.DataFrame) -> pd.DataFrame:
+        did = batch["doc_id"].astype("int64")
+        host = "site" + (did % 20).astype(str) + ".example"
+        year = (2010 + did % 15).astype(str)
+        path = pd.Series(
+            ["/about/team"] * len(did), index=did.index, dtype=object)
+        m = (did % 4 == 0)
+        path[m] = ("/archive/" + year + "/" + did.astype(str)
+                   + "/post-" + (did % 50).astype(str) + ".html")[m]
+        m = (did % 4 == 1)
+        path[m] = ("/product/" + did.astype(str))[m]
+        m = (did % 4 == 3)
+        path[m] = ("/tag/t" + (did % 30).astype(str) + "/page/"
+                   + (did % 7).astype(str))[m]
+        q = pd.Series(np.where(did % 6 == 0, "?utm=1", ""),
+                      index=did.index)
+        return pd.DataFrame({"url": "https://" + host + path + q,
+                             "host": host})
+
+    urls = docs.map_batches(synth, batch_format="pandas")
+    return mine_path_templates(urls, min_count=5)
+
+
 def _decayed_counts(sf_dir: str):
     """Exponentially time-decayed per-type event activity
     (ops/stream.decayed_counts, tau=30 days vs the corpus max date):
@@ -4397,6 +4437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mg_heavy_terms": _mg_heavy,
         "zipf_slope": _zipf_slope,
         "decayed_counts": _decayed_counts,
+        "path_templates": _path_templates,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -8933,5 +8974,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT key, COUNT(*) AS n_events,
                CAST(SUM(q) AS BIGINT) AS fresh_q
         FROM terms GROUP BY key ORDER BY key
+    """
+    # path_templates: rebuild the synthetic URLs from doc_id, strip the
+    # query, generalize digit runs with the same RE2 class — distinct
+    # path counting by definition
+    out["path_templates"] = """
+        WITH base AS (
+          SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example'
+                   AS host,
+                 CASE
+                   WHEN doc_id % 4 = 0 THEN
+                     '/archive/' || CAST(2010 + doc_id % 15 AS VARCHAR)
+                     || '/' || CAST(doc_id AS VARCHAR)
+                     || '/post-' || CAST(doc_id % 50 AS VARCHAR)
+                     || '.html'
+                   WHEN doc_id % 4 = 1 THEN
+                     '/product/' || CAST(doc_id AS VARCHAR)
+                   WHEN doc_id % 4 = 3 THEN
+                     '/tag/t' || CAST(doc_id % 30 AS VARCHAR)
+                     || '/page/' || CAST(doc_id % 7 AS VARCHAR)
+                   ELSE '/about/team'
+                 END AS path
+          FROM documents),
+        t AS (SELECT host,
+                     regexp_replace(path, '[0-9]+', '{d}', 'g')
+                       AS template,
+                     path
+              FROM base)
+        SELECT host, template, COUNT(*) AS n_urls,
+               COUNT(DISTINCT path) AS n_distinct_paths
+        FROM t GROUP BY host, template
+        HAVING COUNT(*) >= 5
+        ORDER BY host, template
     """
     return out

@@ -6206,3 +6206,30 @@ def test_decayed_counts(ray_session):
         assert got == expect, nparts
     # same-day events score exactly 2^32 each
     assert q[0] == q[1] == 1 << 32
+
+
+def test_mine_path_templates(ray_session):
+    """Digit-run generalization, query stripping, distinct-path
+    counting, min_count gate; partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.urlfilter import mine_path_templates
+
+    urls = (
+        [f"https://a.example/item/{i}" for i in range(6)]
+        + ["https://a.example/item/3?ref=x"]   # query stripped -> dup
+        + ["https://a.example/static"] * 5
+        + ["https://b.example/item/1"] * 2     # below min_count
+    )
+    df = pd.DataFrame({"url": urls,
+                       "host": [u.split("/")[2] for u in urls]})
+    for nparts in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = mine_path_templates(ds, min_count=5).to_pandas() \
+            .sort_values(["host", "template"]).reset_index(drop=True)
+        got = {(r.host, r.template): (r.n_urls, r.n_distinct_paths)
+               for r in out.itertuples()}
+        assert got == {
+            ("a.example", "/item/{d}"): (7, 6),
+            ("a.example", "/static"): (5, 1),
+        }, nparts
