@@ -4037,6 +4037,31 @@ def _mg_heavy(sf_dir: str):
     return misra_gries_heavy(ds, text_col="text", k=64)
 
 
+def _maxcover_hosts(sf_dir: str):
+    """Greedy maximum-coverage host selection
+    (ops/cover.greedy_max_coverage, k=8): pick the 8 synthetic hosts
+    whose documents jointly cover the most distinct md5-hashed terms,
+    exact marginal gains, ties by host asc — the submodular
+    breadth-keeping curation pick."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.cover import greedy_max_coverage
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def with_host(batch: pd.DataFrame) -> pd.DataFrame:
+        did = batch["doc_id"].astype("int64")
+        return pd.DataFrame({
+            "host": "site" + (did % 20).astype(str) + ".example",
+            "text": batch["text"]})
+
+    hosted = docs.map_batches(with_host, batch_format="pandas")
+    out = greedy_max_coverage(hosted, key_col="host", k=8)
+    return out.rename(columns={"key": "host"})
+
+
 def _path_templates(sf_dir: str):
     """URL path-template mining (ops/urlfilter.mine_path_templates):
     synthesize four path shapes per doc (dated archive, flat product,
@@ -4438,6 +4463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope": _zipf_slope,
         "decayed_counts": _decayed_counts,
         "path_templates": _path_templates,
+        "maxcover_hosts": _maxcover_hosts,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -4493,6 +4519,47 @@ _DSIR_CTES = r"""toks AS (SELECT doc_id,
               UNION ALL
               SELECT doc_id, 0 AS iw, 0 AS n_features
               FROM toks WHERE len(t) = 0)"""
+
+
+def _maxcover_sql(k: int = 8) -> str:
+    """Greedy max-coverage unroll: round i picks argmax over keys not
+    yet done of COUNT(uncovered hashes), ties by key asc, then folds
+    the winner's hashes into the covered set. Every round-i CTE is
+    MATERIALIZED (referenced twice downstream — the DuckDB inlining
+    hazard, learning #21)."""
+    parts = [r"""pairs AS MATERIALIZED (
+        SELECT DISTINCT
+          'site' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS key,
+          CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS w
+              FROM documents)),
+    cov0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS h WHERE 1=0),
+    done0 AS MATERIALIZED (SELECT CAST(NULL AS VARCHAR) AS key
+                           WHERE 1=0)"""]
+    for i in range(1, k + 1):
+        parts.append(f"""
+    g{i} AS MATERIALIZED (
+      SELECT key, COUNT(*) FILTER (
+               h NOT IN (SELECT h FROM cov{i - 1})) AS g
+      FROM pairs
+      WHERE key NOT IN (SELECT key FROM done{i - 1})
+      GROUP BY key),
+    w{i} AS MATERIALIZED (
+      SELECT key, g FROM g{i} ORDER BY g DESC, key LIMIT 1),
+    done{i} AS MATERIALIZED (
+      SELECT key FROM done{i - 1}
+      UNION ALL SELECT key FROM w{i}),
+    cov{i} AS MATERIALIZED (
+      SELECT h FROM cov{i - 1}
+      UNION
+      SELECT h FROM pairs
+      WHERE key IN (SELECT key FROM w{i}))""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {i} AS pick_rank, key AS host, CAST(g AS BIGINT) "
+        f"AS gain FROM w{i}" for i in range(1, k + 1))
+    return ("WITH " + ",".join(parts)
+            + f"\n    SELECT * FROM ({finals}) ORDER BY pick_rank")
 
 
 def _jaccard_cte(src: str = "documents") -> str:
@@ -9007,4 +9074,7 @@ def oracle_sql() -> dict[str, str]:
         HAVING COUNT(*) >= 5
         ORDER BY host, template
     """
+    # maxcover_hosts: the greedy unroll by definition (see
+    # _maxcover_sql) — identical md5 term hashes, gains, tie-breaks
+    out["maxcover_hosts"] = _maxcover_sql(k=8)
     return out

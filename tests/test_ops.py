@@ -6233,3 +6233,41 @@ def test_mine_path_templates(ray_session):
             ("a.example", "/item/{d}"): (7, 6),
             ("a.example", "/static"): (5, 1),
         }, nparts
+
+
+def test_greedy_max_coverage(ray_session):
+    """Greedy picks match a brute-force greedy replay on raw sets;
+    zero-gain rounds still pick (smallest candidate);
+    partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.cover import greedy_max_coverage
+
+    corpora = {
+        "h1": "a b c d e f",        # biggest vocab -> pick 1
+        "h2": "a b c",              # fully covered after h1
+        "h3": "g h",                # gain 2
+        "h4": "a g i",              # after h1,h3: gain 1 (i)
+    }
+    df = pd.DataFrame({"key": list(corpora), "text": list(corpora.values())})
+
+    def replay(k):
+        covered, done, rows = set(), set(), []
+        for r in range(1, k + 1):
+            best = min(((-len(set(t.split()) - covered), key)
+                        for key, t in corpora.items()
+                        if key not in done))
+            key, gain = best[1], -best[0]
+            covered |= set(corpora[key].split())
+            done.add(key)
+            rows.append((r, key, gain))
+        return rows
+
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = greedy_max_coverage(ds, key_col="key", k=4)
+        got = [tuple(r) for r in out.itertuples(index=False)]
+        assert got == replay(4), nparts
+    # k=4 forces a zero-gain pick (h2 after h1): verify explicitly
+    assert got[0] == (1, "h1", 6)
+    assert (3, "h2", 0) in got or (4, "h2", 0) in got
