@@ -4037,6 +4037,20 @@ def _mg_heavy(sf_dir: str):
     return misra_gries_heavy(ds, text_col="text", k=64)
 
 
+def _edit1_pairs(sf_dir: str):
+    """Edit-distance-1 variant mining (ops/er.edit1_pairs): symmetric
+    deletion-key candidates over the customer name master, exact
+    vectorized Levenshtein verify — pairs differing in one character
+    (here: one digit of the id), the typo rung of record linkage."""
+    import ray.data
+
+    from warcio_ray.ops.er import edit1_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_name"])
+    return edit1_pairs(ds, id_col="c_custkey", name_col="c_name")
+
+
 def _maxcover_hosts(sf_dir: str):
     """Greedy maximum-coverage host selection
     (ops/cover.greedy_max_coverage, k=8): pick the 8 synthetic hosts
@@ -4464,6 +4478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_counts": _decayed_counts,
         "path_templates": _path_templates,
         "maxcover_hosts": _maxcover_hosts,
+        "edit1_pairs": _edit1_pairs,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -9077,4 +9092,14 @@ def oracle_sql() -> dict[str, str]:
     # maxcover_hosts: the greedy unroll by definition (see
     # _maxcover_sql) — identical md5 term hashes, gains, tie-breaks
     out["maxcover_hosts"] = _maxcover_sql(k=8)
+    # edit1_pairs: Levenshtein by definition over the name master; the
+    # length prefilter only prunes (d=1 implies |len diff| <= 1)
+    out["edit1_pairs"] = """
+        WITH v AS (SELECT c_name AS w FROM customer)
+        SELECT a.w AS name_a, b.w AS name_b
+        FROM v a JOIN v b
+          ON a.w < b.w AND abs(len(a.w) - len(b.w)) <= 1
+         AND levenshtein(a.w, b.w) = 1
+        ORDER BY name_a, name_b
+    """
     return out

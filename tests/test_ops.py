@@ -6271,3 +6271,52 @@ def test_greedy_max_coverage(ray_session):
     # k=4 forces a zero-gain pick (h2 after h1): verify explicitly
     assert got[0] == (1, "h1", 6)
     assert (3, "h2", 0) in got or (4, "h2", 0) in got
+
+
+def test_edit1_pairs(ray_session):
+    """Symmetric-delete candidates + exact DP verify: substitutions,
+    insertions, deletions found; distance-2 shared-variant false
+    candidates rejected; partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.er import _lev_grouped, edit1_pairs
+
+    names = ["cat", "cut", "cats", "at", "dog", "dogs",
+             "xabc", "abcy",   # share deletion 'abc' but d=2
+             "hello", "hello"]  # exact dup: d=0, excluded
+    df = pd.DataFrame({"rid": range(len(names)), "name": names})
+    expect = set()
+    for i in range(len(names)):
+        for j in range(len(names)):
+            a, b = names[i], names[j]
+            if a < b and int(_lev_grouped([a], [b])[0]) == 1:
+                expect.add((a, b))
+    assert ("cat", "cut") in expect and ("xabc", "abcy") not in expect
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = edit1_pairs(ds, id_col="rid", name_col="name").to_pandas()
+        got = set(zip(out["name_a"], out["name_b"]))
+        assert got == expect, nparts
+
+    # the DP itself against python-only reference on random strings
+    rng = np.random.RandomState(11)
+    import difflib
+
+    def ref_lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(cur + 1, dp[j - 1] + 1,
+                            prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[n]
+
+    A = ["".join(rng.choice(list("abcd"), rng.randint(0, 7)))
+         for _ in range(40)]
+    B = ["".join(rng.choice(list("abcd"), rng.randint(0, 7)))
+         for _ in range(40)]
+    got = _lev_grouped(A, B)
+    assert [int(x) for x in got] == [ref_lev(a, b) for a, b in zip(A, B)]
