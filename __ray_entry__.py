@@ -4051,6 +4051,23 @@ def _edit1_pairs(sf_dir: str):
     return edit1_pairs(ds, id_col="c_custkey", name_col="c_name")
 
 
+def _onion_coverage(sf_dir: str):
+    """Onion-style n-gram coverage dedup (ops/dedup.ngram_coverage,
+    n=5, drop at coverage >= 1/2): per-doc fraction of distinct word
+    5-grams first owned by an earlier doc — the per-gram-ownership
+    dedup rung that catches stitched-together docs no whole-doc or
+    minhash similarity test can. One gram-hash shuffle + one doc-id
+    aggregate; text moves exactly once."""
+    import ray.data
+
+    from warcio_ray.ops.dedup import ngram_coverage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ngram_coverage(ds, id_col="doc_id", text_col="text",
+                          n=5, num=1, den=2)
+
+
 def _maxcover_hosts(sf_dir: str):
     """Greedy maximum-coverage host selection
     (ops/cover.greedy_max_coverage, k=8): pick the 8 synthetic hosts
@@ -4479,6 +4496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_templates": _path_templates,
         "maxcover_hosts": _maxcover_hosts,
         "edit1_pairs": _edit1_pairs,
+        "onion_coverage": _onion_coverage,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -9092,6 +9110,38 @@ def oracle_sql() -> dict[str, str]:
     # maxcover_hosts: the greedy unroll by definition (see
     # _maxcover_sql) — identical md5 term hashes, gains, tie-breaks
     out["maxcover_hosts"] = _maxcover_sql(k=8)
+    # onion_coverage: gram ownership replayed literally — same \S+
+    # tokens, same short-doc/empty-doc gram fallbacks, same md5-derived
+    # 32-bit gram hash (deduped per doc AFTER hashing), owner = min
+    # doc_id per hash, kept iff 2*covered < total (exact integers)
+    out["onion_coverage"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, CASE WHEN len(t) = 0 THEN ['']
+               WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t)-3),
+                    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]
+                         ||' '||t[i+4]))
+               END AS g
+          FROM toks),
+        dpairs AS (
+          SELECT DISTINCT doc_id,
+                 CAST(('0x' || substr(md5(gram),1,8)) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(g) AS gram FROM grams)),
+        owners AS (SELECT h, min(doc_id) AS owner FROM dpairs GROUP BY h),
+        cov AS (
+          SELECT d.doc_id, count(*) AS total_grams,
+                 sum(CASE WHEN o.owner < d.doc_id THEN 1 ELSE 0 END)
+                     AS covered_grams
+          FROM dpairs d JOIN owners o USING (h) GROUP BY d.doc_id)
+        SELECT doc_id, CAST(total_grams AS BIGINT) AS total_grams,
+               CAST(covered_grams AS BIGINT) AS covered_grams,
+               CAST(CASE WHEN 2*covered_grams < total_grams
+                    THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM cov ORDER BY doc_id
+    """
     # edit1_pairs: Levenshtein by definition over the name master; the
     # length prefilter only prunes (d=1 implies |len diff| <= 1)
     out["edit1_pairs"] = """

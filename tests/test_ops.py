@@ -6320,3 +6320,46 @@ def test_edit1_pairs(ray_session):
          for _ in range(40)]
     got = _lev_grouped(A, B)
     assert [int(x) for x in got] == [ref_lev(a, b) for a, b in zip(A, B)]
+
+
+def test_ngram_coverage(ray_session):
+    """Onion coverage dedup: the corpus-first holder of a gram set is
+    kept; an exact later copy is fully covered and dropped; a doc
+    stitched from two earlier docs is caught (coverage from BOTH
+    sources counts); short-doc single-gram and empty-doc fallbacks;
+    partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.dedup import ngram_coverage
+
+    a = "the quick brown fox jumps over the lazy dog tonight"
+    b = "pack my box with five dozen fresh liquor jugs now"
+    texts = [
+        a,                          # 0: first holder -> kept
+        b,                          # 1: first holder -> kept
+        a,                          # 2: exact copy of 0 -> covered 100%
+        a + " " + b,                # 3: stitched -> mostly covered
+        "tiny doc",                 # 4: <n tokens, one gram, novel
+        "tiny doc",                 # 5: same single gram -> covered
+        "",                         # 6: empty -> one '' gram, novel
+        "completely novel words appearing nowhere else in this corpus",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = ngram_coverage(ds, n=5, num=1, den=2) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert len(out) == len(texts), nparts
+        kept = dict(zip(out["doc_id"], out["kept"]))
+        cov = dict(zip(out["doc_id"], out["covered_grams"]))
+        tot = dict(zip(out["doc_id"], out["total_grams"]))
+        assert kept[0] == 1 and cov[0] == 0
+        assert kept[1] == 1 and cov[1] == 0
+        assert kept[2] == 0 and cov[2] == tot[2] == 6
+        # stitched doc: all grams fully inside a or b are covered;
+        # only the 4 grams spanning the seam are novel
+        assert tot[3] == 16 and cov[3] == 12 and kept[3] == 0
+        assert kept[4] == 1 and tot[4] == 1
+        assert kept[5] == 0 and cov[5] == 1
+        assert kept[6] == 1 and tot[6] == 1 and cov[6] == 0
+        assert kept[7] == 1 and cov[7] == 0

@@ -1838,3 +1838,97 @@ def cluster_size_sample(ids_ds, labels_ds, id_col: str = "doc_id",
             "kept": (h < thr).astype("int64")})
 
     return joined.map_batches(keep, batch_format="pandas")
+
+
+def ngram_coverage(ds, id_col: str = "doc_id", text_col: str = "text",
+                   n: int = 5, num: int = 1, den: int = 2,
+                   num_partitions=None):
+    """Onion-style n-gram coverage dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", the coverage variant):
+    a document's coverage is the fraction of its DISTINCT word n-grams
+    whose first occurrence in the corpus (min doc id over all holders)
+    belongs to an EARLIER document; docs at or above ``num/den``
+    coverage are marked dropped. Unlike exact/minhash dedup (whole-doc
+    or sampled similarity) this charges per-gram ownership, so a doc
+    stitched from many earlier docs is caught even when no single
+    source is similar.
+
+    Gram definition (mirrored exactly by the SQL oracle): tokens are
+    ``\\S+`` runs; docs with 0 tokens contribute the single empty gram
+    ``''``; docs with fewer than ``n`` tokens contribute one gram (the
+    whole token string, space-joined); otherwise the distinct n-grams.
+    Gram identity is the md5-derived 32-bit hash of the gram string
+    (same convention as the winnowing fingerprints), deduped per doc
+    AFTER hashing so both sides agree on collision behavior.
+
+    Shape at scale: one stateless scan emits (gram_hash, doc_id) rows
+    bounded by total token count; ownership is ONE bounded
+    ``groupby(h).min(id)``; the ownership lookup is a hash join back on
+    the same key (same partitioning, no second shuffle pattern); the
+    per-doc tally is one aggregate keyed by doc id. No driver state,
+    no full-text movement — text never leaves the first scan.
+
+    Returns a Dataset of (id_col, total_grams, covered_grams, kept)
+    with kept=1 iff ``den*covered < num*total`` (exact integers; a doc
+    is never covered by itself, so the corpus-first holder of every
+    gram set is always kept).
+    """
+    import hashlib
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Min, Sum
+
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join
+
+    if num_partitions is None:
+        num_partitions = min(32, max(2, int(
+            ray.cluster_resources().get("CPU", 8))))
+
+    def grams(batch: pd.DataFrame) -> pd.DataFrame:
+        import re
+        ids_out, hs_out = [], []
+        for did, text in zip(batch[id_col].astype("int64"),
+                             batch[text_col].astype(str)):
+            toks = re.findall(r"\S+", text)
+            if not toks:
+                gset = ("",)
+            elif len(toks) < n:
+                gset = (" ".join(toks),)
+            else:
+                gset = {" ".join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1)}
+            hset = {int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+                    for g in gset}
+            ids_out.extend([did] * len(hset))
+            hs_out.extend(hset)
+        return pd.DataFrame({"h": np.array(hs_out, dtype="int64"),
+                             id_col: np.array(ids_out, dtype="int64")})
+
+    pairs = ds.select_columns([id_col, text_col]) \
+        .map_batches(grams, batch_format="pandas").materialize()
+    owners = arrow_blocks(pairs).groupby("h") \
+        .aggregate(Min(id_col, alias_name="owner"))
+    joined = safe_join(pairs, owners, "inner", num_partitions, ("h",))
+
+    def tally(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(dtype="int64"),
+            "cov": (batch["owner"].to_numpy(dtype="int64")
+                    < batch[id_col].to_numpy(dtype="int64"))
+            .astype("int64")})
+
+    per_doc = arrow_blocks(joined.map_batches(tally, batch_format="pandas")) \
+        .groupby(id_col) \
+        .aggregate(Count(alias_name="total_grams"),
+                   Sum("cov", alias_name="covered_grams"))
+
+    def verdict(batch: pd.DataFrame) -> pd.DataFrame:
+        tot = batch["total_grams"].to_numpy(dtype="int64")
+        cov = batch["covered_grams"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(dtype="int64"),
+            "total_grams": tot, "covered_grams": cov,
+            "kept": (den * cov < num * tot).astype("int64")})
+
+    return per_doc.map_batches(verdict, batch_format="pandas")
