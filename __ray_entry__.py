@@ -4051,6 +4051,46 @@ def _edit1_pairs(sf_dir: str):
     return edit1_pairs(ds, id_col="c_custkey", name_col="c_name")
 
 
+def _c4_filter(sf_dir: str):
+    """C4 heuristic cleaning (ops/c4.c4_quality_filter, Raffel et al.
+    2020 rules): terminal-punctuation / min-5-words / javascript line
+    retention + lorem-ipsum / curly-brace / min-3-lines page kills.
+    Line structure is planted deterministically (8-word chunks, the
+    (doc_id+j)%4 chunk loses its period; %5 docs get a javascript
+    line, %97 a lorem-ipsum line, %89 a curly-brace line) so every
+    rule fires; the oracle replays the planting and the rule set with
+    list_filter and proves the REBUILT text byte-identical via md5."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.c4 import c4_quality_filter
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        import re
+        out = []
+        for d, t in zip(batch["doc_id"].astype("int64"),
+                        batch["text"].astype(str)):
+            w = re.findall(r"\S+", t)
+            lines = [" ".join(w[8 * j:8 * j + 8])
+                     + ("." if (d + j) % 4 != 3 else "")
+                     for j in range((len(w) + 7) // 8)]
+            if d % 5 == 0:
+                lines.append("please enable javascript to view this page.")
+            if d % 97 == 0:
+                lines.append("lorem ipsum dolor sit amet consectetur.")
+            if d % 89 == 0:
+                lines.append("config { display: none }")
+            out.append("\n".join(lines))
+        batch["text"] = out
+        return batch
+
+    return c4_quality_filter(ds.map_batches(plant, batch_format="pandas"),
+                             min_words=5, min_lines=3)
+
+
 def _onion_coverage(sf_dir: str):
     """Onion-style n-gram coverage dedup (ops/dedup.ngram_coverage,
     n=5, drop at coverage >= 1/2): per-doc fraction of distinct word
@@ -4497,6 +4537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maxcover_hosts": _maxcover_hosts,
         "edit1_pairs": _edit1_pairs,
         "onion_coverage": _onion_coverage,
+        "c4_filter": _c4_filter,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -9141,6 +9182,48 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN 2*covered_grams < total_grams
                     THEN 1 ELSE 0 END AS BIGINT) AS kept
         FROM cov ORDER BY doc_id
+    """
+    # c4_filter: the planting (8-word chunks, modular punctuation and
+    # poison lines) and the whole rule set replayed as list arithmetic;
+    # md5 of the rebuilt text proves byte-level agreement
+    out["c4_filter"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+          FROM documents),
+        chunked AS (
+          SELECT doc_id,
+                 list_transform(range(0, (len(t)+7)//8),
+                   j -> array_to_string(t[8*j+1:8*j+8], ' ')
+                        || CASE WHEN (doc_id+j)%4<>3
+                                THEN '.' ELSE '' END) AS ls
+          FROM toks),
+        planted AS (
+          SELECT doc_id, list_concat(list_concat(list_concat(ls,
+                 CASE WHEN doc_id%5=0 THEN
+                   ['please enable javascript to view this page.']
+                   ELSE [] END),
+                 CASE WHEN doc_id%97=0 THEN
+                   ['lorem ipsum dolor sit amet consectetur.']
+                   ELSE [] END),
+                 CASE WHEN doc_id%89=0 THEN
+                   ['config { display: none }'] ELSE [] END) AS ls
+          FROM chunked),
+        scored AS (
+          SELECT doc_id, len(ls) AS n_lines,
+                 list_filter(ls, l ->
+                     len(regexp_extract_all(l, '\S+')) >= 5
+                     AND regexp_matches(l, '[.!?"]$')
+                     AND NOT contains(lower(l), 'javascript')) AS kl,
+                 array_to_string(ls, chr(10)) AS full_text
+          FROM planted)
+        SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+               CAST(len(kl) AS BIGINT) AS n_kept_lines,
+               CAST(CASE WHEN len(kl) >= 3
+                         AND NOT contains(lower(full_text), 'lorem ipsum')
+                         AND NOT contains(full_text, '{')
+                    THEN 1 ELSE 0 END AS BIGINT) AS kept,
+               md5(coalesce(array_to_string(kl, chr(10)), '')) AS clean_md5
+        FROM scored ORDER BY doc_id
     """
     # edit1_pairs: Levenshtein by definition over the name master; the
     # length prefilter only prunes (d=1 implies |len diff| <= 1)

@@ -6363,3 +6363,43 @@ def test_ngram_coverage(ray_session):
         assert kept[5] == 0 and cov[5] == 1
         assert kept[6] == 1 and tot[6] == 1 and cov[6] == 0
         assert kept[7] == 1 and cov[7] == 0
+
+
+def test_c4_quality_filter(ray_session):
+    """Each C4 rule fires independently: terminal punctuation,
+    min-words, javascript blacklist, lorem-ipsum / curly-brace page
+    kills, min-kept-lines; rebuilt-text md5 matches a python replay;
+    empty text has zero lines; partitioning-invariant."""
+    import hashlib
+
+    import ray.data
+
+    from warcio_ray.ops.c4 import c4_quality_filter
+
+    good = "alpha beta gamma delta epsilon zeta."
+    texts = [
+        "\n".join([good, good, good]),                  # 0: kept
+        "\n".join([good, good]),                        # 1: <3 lines
+        "\n".join([good, good, "no terminal punct here at all",
+                   good]),                              # 2: kept, 1 dropped
+        "\n".join([good, good, good, "too few."]),      # 3: min-words
+        "\n".join([good, good, "enable JavaScript to view this page.",
+                   good]),                              # 4: blacklist line
+        "\n".join([good, good, good, "lorem ipsum dolor."]),  # 5: page kill
+        "\n".join([good, good, good, "x { y }."]),      # 6: brace kill
+        "",                                             # 7: empty
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = c4_quality_filter(ds).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        kept = out["kept"].tolist()
+        assert kept == [1, 0, 1, 1, 1, 0, 0, 0], nparts
+        assert out["n_lines"].tolist() == [3, 2, 4, 4, 4, 4, 4, 0]
+        assert out["n_kept_lines"].tolist() == [3, 2, 3, 3, 3, 3, 3, 0]
+        md3 = hashlib.md5("\n".join([good] * 3).encode()).hexdigest()
+        assert out["clean_md5"][0] == md3
+        assert out["clean_md5"][2] == md3          # dropped line excised
+        assert out["clean_md5"][4] == md3          # blacklist line excised
+        assert out["clean_md5"][7] == hashlib.md5(b"").hexdigest()
