@@ -1490,6 +1490,54 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _ktruss_4(sf_dir: str):
+    """4-truss of the page graph (ops/graph.ktruss_edges): real
+    extracted links + nav edges + planted stride-25 community edges
+    (doc -> doc+25k, k=1..3 — sliding K4s, so the truss has real
+    mass). Parallel support peel over the shared forward-algorithm
+    triangle kernel; fixpoint in 4 rounds at the test sfs. Returns
+    surviving edges with their in-truss support."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from warcio_ray.ops.graph import ktruss_edges
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    links = edge_urls.map_batches(to_ids, batch_format="pyarrow")
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = docs.count()
+
+    def extra(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        d = batch["doc_id"].to_numpy(dtype="int64")
+        srcs = [d[d + 1 < n]]
+        dsts = [d[d + 1 < n] + 1]
+        for k in (1, 2, 3):
+            keep = d + 25 * k < n
+            srcs.append(d[keep])
+            dsts.append(d[keep] + 25 * k)
+        return pd.DataFrame({"src": np.concatenate(srcs),
+                             "dst": np.concatenate(dsts)})
+
+    edges = links.union(docs.map_batches(extra, batch_format="pandas"))
+    return ktruss_edges(edges, k=4)
+
+
 def _chunk_windows(sf_dir: str):
     """RAG / long-context prep: explode documents into 64-token
     windows advancing 48 tokens (16-token overlap) — stateless
@@ -4538,6 +4586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit1_pairs": _edit1_pairs,
         "onion_coverage": _onion_coverage,
         "c4_filter": _c4_filter,
+        "ktruss_4": _ktruss_4,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -4998,6 +5047,57 @@ def _kcore_sql(k: int = 4, rounds: int = 8) -> str:
             UNION ALL SELECT hi FROM e{rounds})
           GROUP BY node)
         WHERE deg >= {k} ORDER BY node""")
+
+
+def _ktruss_sql(k: int = 4, rounds: int = 8) -> str:
+    """Unrolled parallel k-truss peel mirroring
+    warcio_ray.ops.graph.ktruss_edges over the link-rule + nav +
+    stride-25 community edge set. Triangles are enumerated id-ordered
+    (u < v < w) — the engine's degree-ordered enumeration yields the
+    same triangle SET, so supports agree. ``rounds`` must be >= the
+    peel depth (4 at the test sfs, margin to 8; extra rounds are
+    no-ops at the fixpoint, matching the engine's early stop).
+    MATERIALIZED is load-bearing: t{i} is referenced three times by
+    s{i}, e{i} three times by t{i}."""
+    need = k - 2
+    ctes = ["""
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        raw AS (
+          SELECT doc_id AS src,
+                 ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn)) AS dst
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE j < doc_id % 4
+          UNION ALL
+          SELECT doc_id, doc_id + 1 FROM documents
+          WHERE doc_id + 1 < (SELECT n FROM nn)
+          UNION ALL
+          SELECT doc_id, doc_id + 25 * (j + 1) FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE doc_id + 25 * (j + 1) < (SELECT n FROM nn)),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS lo,
+                          GREATEST(src, dst) AS hi
+          FROM raw WHERE src <> dst)"""]
+    for i in range(rounds + 1):
+        ctes.append(f"""
+        t{i} AS MATERIALIZED (
+          SELECT a.lo AS u, a.hi AS v, b.hi AS w
+          FROM e{i} a JOIN e{i} b ON a.lo = b.lo AND a.hi < b.hi
+          JOIN e{i} c ON c.lo = a.hi AND c.hi = b.hi),
+        s{i} AS MATERIALIZED (
+          SELECT lo, hi, COUNT(*) AS c FROM (
+            SELECT u AS lo, v AS hi FROM t{i}
+            UNION ALL SELECT u, w FROM t{i}
+            UNION ALL SELECT v, w FROM t{i})
+          GROUP BY lo, hi)""")
+        if i < rounds:
+            ctes.append(f"""
+        e{i + 1} AS MATERIALIZED (
+          SELECT lo, hi FROM s{i} WHERE c >= {need})""")
+    return ("WITH " + ",".join(ctes) + f"""
+        SELECT lo, hi, CAST(c AS BIGINT) AS support
+        FROM s{rounds} WHERE c >= {need} ORDER BY lo, hi""")
 
 
 def _hits_sql(rounds: int = 2, cap_bits: int = 40) -> str:
@@ -5630,6 +5730,7 @@ def oracle_sql() -> dict[str, str]:
         nn AS (SELECT COUNT(*) AS n FROM nodesrc)"""),
         # kcore_4: unrolled parallel peel over links + nav edges
         "kcore_4": _kcore_sql(k=4, rounds=8),
+        "ktruss_4": _ktruss_sql(k=4, rounds=8),
         # crawl_horizon_3: unrolled BFS rounds, frontier minus seen
         "crawl_horizon_3": _crawl_horizon_sql(seed_mod=97, depth=3),
         # random_walks_4: unrolled md5-hop walks over sorted ranks

@@ -6403,3 +6403,42 @@ def test_c4_quality_filter(ray_session):
         assert out["clean_md5"][2] == md3          # dropped line excised
         assert out["clean_md5"][4] == md3          # blacklist line excised
         assert out["clean_md5"][7] == hashlib.md5(b"").hexdigest()
+
+
+def test_ktruss_edges(ray_session):
+    """k-truss peel: K5 survives (support 3 everywhere); a dangling
+    triangle survives k=3 but not k=4; the two-triangles-sharing-an-
+    edge cascade (side edges die first, then the shared edge's
+    support collapses) fully peels at k=4; k<3 rejected;
+    partitioning-invariant."""
+    import itertools
+
+    import pytest
+    import ray.data
+
+    from warcio_ray.ops.graph import ktruss_edges
+
+    k5 = list(itertools.combinations(range(5), 2))        # nodes 0-4
+    tri = [(10, 11), (11, 12), (10, 12)]                  # lone triangle
+    bowtie = [(20, 21), (20, 22), (21, 22), (20, 23), (21, 23)]
+    edges = k5 + tri + bowtie
+    df = pd.DataFrame({"src": [a for a, _ in edges],
+                       "dst": [b for _, b in edges]})
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out4 = ktruss_edges(ds, k=4).to_pandas()
+        got4 = set(zip(out4["lo"], out4["hi"]))
+        assert got4 == set(k5), nparts                    # cascade peeled
+        assert set(out4["support"]) == {3}
+        out3 = ktruss_edges(ds, k=3).to_pandas()
+        got3 = set(zip(out3["lo"], out3["hi"]))
+        assert got3 == set(k5) | set(tri) | {(20, 21), (20, 22), (21, 22),
+                                             (20, 23), (21, 23)}, nparts
+        sup3 = dict(zip(zip(out3["lo"], out3["hi"]), out3["support"]))
+        assert sup3[(10, 11)] == 1 and sup3[(20, 21)] == 2
+    with pytest.raises(ValueError):
+        ktruss_edges(ray.data.from_pandas(df), k=2)
+    # fully-sparse graph -> empty result with the right schema
+    path = ray.data.from_pandas(pd.DataFrame({"src": [0, 1], "dst": [1, 2]}))
+    out = ktruss_edges(path, k=3).to_pandas()
+    assert len(out) == 0

@@ -664,6 +664,30 @@ def triangle_counts(edges_ds, broadcast_max_nodes: int = 2_000_000,
     und = arrow_blocks(edges_ds.map_batches(fold, batch_format="pandas")) \
         .groupby(["lo", "hi"]).aggregate(Count(alias_name="_c")) \
         .drop_columns(["_c"]).materialize()
+    tri = _oriented_triangles(und, broadcast_max_nodes, num_partitions)
+
+    def corners(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [batch["u"].to_numpy(), batch["s"].to_numpy(),
+             batch["t"].to_numpy()])})
+
+    return arrow_blocks(tri.map_batches(corners, batch_format="pandas")) \
+        .groupby("node").aggregate(Count(alias_name="n_tri"))
+
+
+def _oriented_triangles(und, broadcast_max_nodes: int,
+                        num_partitions: int):
+    """Shared forward-algorithm triangle enumeration over a
+    materialized distinct undirected edge set (lo, hi): returns a
+    Dataset of (u, s, t) corner triples, one row per triangle (u is
+    the lowest corner in (deg, id) orientation; the triangle SET is
+    orientation-independent, so callers needing canonical edges just
+    min/max the pairs). Used by ``triangle_counts`` (corner counts)
+    and ``ktruss_edges`` (per-edge support, per peel round)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join
 
     def endpoints(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": np.concatenate(
@@ -757,16 +781,93 @@ def triangle_counts(edges_ds, broadcast_max_nodes: int = 2_000_000,
     wedge_ds = oriented.map_batches(add_part, batch_format="pandas") \
         .groupby("_part").map_groups(wedges, batch_format="pandas")
 
-    tri = safe_join(wedge_ds, oriented, "inner", num_partitions,
-                    ("s", "t"))
+    return safe_join(wedge_ds, oriented.drop_columns(["kt"]),
+                     "inner", num_partitions, ("s", "t"))
 
-    def corners(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": np.concatenate(
-            [batch["u"].to_numpy(), batch["s"].to_numpy(),
-             batch["t"].to_numpy()])})
 
-    return arrow_blocks(tri.map_batches(corners, batch_format="pandas")) \
-        .groupby("node").aggregate(Count(alias_name="n_tri"))
+def ktruss_edges(edges_ds, k: int = 4, num_partitions=None,
+                 broadcast_max_nodes: int = 2_000_000,
+                 max_rounds: int = 64):
+    """k-truss decomposition of the undirected simple graph — the
+    cohesion rung ABOVE k-core (every k-truss is a (k-1)-core, not
+    vice versa): the maximal subgraph where every EDGE closes at
+    least k-2 triangles. The standard community-backbone / spam-ring
+    extractor (Cohen 2008); link farms survive k-core by volume but
+    die here because their edges lack closed wedges.
+
+    Parallel peel: each round enumerates triangles over the current
+    edge set with the shared forward-algorithm kernel
+    (``_oriented_triangles`` — degree-ordered wedges, one wedge⋈edge
+    hash join), tallies per-edge support via one bounded (lo, hi)
+    aggregate, and drops EVERY edge under support simultaneously,
+    until a fixpoint. Support tallies and the surviving edge set are
+    orientation-independent, so results are partitioning-invariant
+    and SQL-replayable (id-ordered triangle join in the oracle).
+
+    Shape at scale: per round, triangles flow straight into the
+    support aggregate (never to the driver); driver state is ONE
+    integer (the edge count) per round. Rounds are bounded by the
+    peel depth, in practice a handful.
+
+    Returns (lo, hi, support) — the surviving edges with their
+    in-truss support (all >= k-2). k must be >= 3."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    if k < 3:
+        raise ValueError("ktruss_edges: need k >= 3")
+    if num_partitions is None:
+        num_partitions = min(
+            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    need = k - 2
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch[["src", "dst"]].dropna().astype("int64")
+        df = df[df["src"] != df["dst"]]
+        out = pd.DataFrame({"lo": np.minimum(df["src"], df["dst"]),
+                            "hi": np.maximum(df["src"], df["dst"])})
+        return out.drop_duplicates()
+
+    und = arrow_blocks(edges_ds.map_batches(fold, batch_format="pandas")) \
+        .groupby(["lo", "hi"]).aggregate(Count(alias_name="_c")) \
+        .drop_columns(["_c"]).materialize()
+    m = und.count()
+    empty = pd.DataFrame({"lo": pd.Series(dtype="int64"),
+                          "hi": pd.Series(dtype="int64"),
+                          "support": pd.Series(dtype="int64")})
+
+    def tri_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["u"].to_numpy(np.int64)
+        s = batch["s"].to_numpy(np.int64)
+        t = batch["t"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "lo": np.concatenate([np.minimum(u, s), np.minimum(u, t),
+                                  np.minimum(s, t)]),
+            "hi": np.concatenate([np.maximum(u, s), np.maximum(u, t),
+                                  np.maximum(s, t)])})
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["support"].to_numpy() >= need]
+
+    kept = None
+    for _ in range(max_rounds):
+        if m == 0:
+            return ray.data.from_pandas(empty)
+        tri = _oriented_triangles(und, broadcast_max_nodes,
+                                  num_partitions)
+        sup = arrow_blocks(
+            tri.map_batches(tri_edges, batch_format="pandas")) \
+            .groupby(["lo", "hi"]).aggregate(Count(alias_name="support"))
+        kept = sup.map_batches(keep, batch_format="pandas").materialize()
+        m2 = kept.count()
+        if m2 == m:
+            return kept
+        und = kept.drop_columns(["support"]).materialize()
+        m = m2
+    return kept
 
 
 def kcore_nodes(edges_ds, k: int = 3, num_partitions=None,
