@@ -1490,6 +1490,21 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _style_delta(sf_dir: str):
+    """Burrows' Delta authorship distance between sources
+    (ops/stylo.burrows_delta, f=20 function words): exact-integer
+    quantized z-scored function-word profiles, pairwise L1 — the
+    mirror-site / content-farm attribution signal. One bounded
+    (source x term) cell shuffle; driver finishes on the tiny grid."""
+    import ray.data
+
+    from warcio_ray.ops.stylo import burrows_delta
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+    return burrows_delta(ds, f=20)
+
+
 def _ktruss_4(sf_dir: str):
     """4-truss of the page graph (ops/graph.ktruss_edges): real
     extracted links + nav edges + planted stride-25 community edges
@@ -4587,6 +4602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "onion_coverage": _onion_coverage,
         "c4_filter": _c4_filter,
         "ktruss_4": _ktruss_4,
+        "style_delta": _style_delta,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -9252,6 +9268,59 @@ def oracle_sql() -> dict[str, str]:
     # maxcover_hosts: the greedy unroll by definition (see
     # _maxcover_sql) — identical md5 term hashes, gains, tie-breaks
     out["maxcover_hosts"] = _maxcover_sql(k=8)
+    # style_delta: the exact-integer Delta pipeline replayed in
+    # HUGEINT — top-20 terms (count desc, term asc), Q=(n<<40)//N_s
+    # (nonneg, floor==trunc), scaled deviation d=S*Q-sum(Q), sigma by
+    # double-sqrt seed + exact +-2 integer adjust (== math.isqrt for
+    # these magnitudes), sign-decomposed truncating z division
+    out["style_delta"] = r"""
+        WITH toks AS (
+          SELECT source, unnest(regexp_extract_all(text, '\S+')) AS w
+          FROM documents),
+        gcounts AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY w),
+        fwords AS (SELECT w FROM gcounts ORDER BY n DESC, w ASC LIMIT 20),
+        totals AS (SELECT source, COUNT(*) AS nt FROM toks GROUP BY source),
+        cells AS (
+          SELECT t.source, t.w, COUNT(*) AS n
+          FROM toks t JOIN fwords f ON f.w = t.w
+          GROUP BY t.source, t.w),
+        grid AS (
+          SELECT s.source, f.w, COALESCE(c.n, 0)::HUGEINT AS n,
+                 GREATEST(s.nt, 1)::HUGEINT AS nt
+          FROM totals s CROSS JOIN fwords f
+          LEFT JOIN cells c ON c.source = s.source AND c.w = f.w),
+        q AS (
+          SELECT source, w,
+                 (n * 1099511627776::HUGEINT) // nt AS qv
+          FROM grid),
+        tw AS (SELECT w, SUM(qv) AS tv, COUNT(*) AS s FROM q GROUP BY w),
+        dev AS (
+          SELECT q.source, q.w, (tw.s * q.qv - tw.tv) AS d
+          FROM q JOIN tw ON tw.w = q.w),
+        varw AS (SELECT w, SUM(d * d) AS vn FROM dev GROUP BY w),
+        sig AS (
+          SELECT w, GREATEST(CASE
+              WHEN (c0+2)*(c0+2) <= vn THEN c0+2
+              WHEN (c0+1)*(c0+1) <= vn THEN c0+1
+              WHEN c0*c0 <= vn THEN c0
+              WHEN (c0-1)*(c0-1) <= vn THEN c0-1
+              ELSE c0-2 END, 1) AS sg
+          FROM (SELECT w, vn,
+                       CAST(floor(sqrt(CAST(vn AS DOUBLE))) AS HUGEINT)
+                           AS c0
+                FROM varw)),
+        z AS (
+          SELECT dev.source, dev.w,
+                 CASE WHEN d >= 0
+                      THEN (d * 1048576::HUGEINT) // sg
+                      ELSE -(((-d) * 1048576::HUGEINT) // sg)
+                 END AS zv
+          FROM dev JOIN sig ON sig.w = dev.w)
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(SUM(ABS(a.zv - b.zv)) AS BIGINT) AS delta
+        FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
     # onion_coverage: gram ownership replayed literally — same \S+
     # tokens, same short-doc/empty-doc gram fallbacks, same md5-derived
     # 32-bit gram hash (deduped per doc AFTER hashing), owner = min

@@ -6442,3 +6442,53 @@ def test_ktruss_edges(ray_session):
     path = ray.data.from_pandas(pd.DataFrame({"src": [0, 1], "dst": [1, 2]}))
     out = ktruss_edges(path, k=3).to_pandas()
     assert len(out) == 0
+
+
+def test_burrows_delta(ray_session):
+    """Burrows' Delta: two sources sharing function-word style sit
+    closer than a divergent third; exact agreement with a pure-python
+    replay of the quantized z pipeline; partitioning-invariant."""
+    import math
+
+    import ray.data
+
+    from warcio_ray.ops.stylo import burrows_delta
+
+    # a/b: 'the of and' heavy; c: 'zz yy' heavy. 2 docs per source.
+    docs = {
+        "a": ["the of and the of xray", "the and of the zebra word"],
+        "b": ["the of and of the quill", "and the of the of words"],
+        "c": ["zz yy zz yy zz other", "yy zz yy zz yy things"],
+    }
+    rows = [(s, t) for s, ts in docs.items() for t in ts]
+    df = pd.DataFrame(rows, columns=["source", "text"])
+
+    # pure-python replay
+    from collections import Counter
+    gc = Counter(w for _, t in rows for w in t.split())
+    fwords = [w for w, _ in sorted(gc.items(),
+                                   key=lambda kv: (-kv[1], kv[0]))[:4]]
+    totals = {s: sum(len(t.split()) for t in ts) for s, ts in docs.items()}
+    cnt = {s: Counter(w for t in ts for w in t.split())
+           for s, ts in docs.items()}
+    S = len(docs)
+    q = {(s, w): (cnt[s][w] << 40) // totals[s]
+         for s in docs for w in fwords}
+    z = {}
+    for w in fwords:
+        tv = sum(q[(s, w)] for s in docs)
+        devs = {s: S * q[(s, w)] - tv for s in docs}
+        sig = max(math.isqrt(sum(d * d for d in devs.values())), 1)
+        for s, d in devs.items():
+            z[(s, w)] = (abs(d) << 20) // sig * (1 if d >= 0 else -1)
+    exp = {(a, b): sum(abs(z[(a, w)] - z[(b, w)]) for w in fwords)
+           for a in docs for b in docs if a < b}
+
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = burrows_delta(ds, f=4)
+        got = {(r.source_a, r.source_b): int(r.delta)
+               for r in out.itertuples(index=False)}
+        assert got == exp, nparts
+    assert exp[("a", "b")] < exp[("a", "c")]
+    assert exp[("a", "b")] < exp[("b", "c")]
