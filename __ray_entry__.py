@@ -1490,6 +1490,21 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _margin_pairs(sf_dir: str):
+    """Margin-criterion pair mining between embedding label groups 0
+    and 1 (ops/mining.margin_mine, k=4): Artetxe-Schwenk distance
+    margin over exact quantized-L2 — a pair is mined only when it
+    beats the local neighborhood density on both sides. Side B
+    broadcasts once; two streaming passes over A."""
+    import ray.data
+
+    from warcio_ray.ops.mining import margin_mine
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
+    return margin_mine(ds, label_a=0, label_b=1, k=4)
+
+
 def _style_delta(sf_dir: str):
     """Burrows' Delta authorship distance between sources
     (ops/stylo.burrows_delta, f=20 function words): exact-integer
@@ -4603,6 +4618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_filter": _c4_filter,
         "ktruss_4": _ktruss_4,
         "style_delta": _style_delta,
+        "margin_pairs": _margin_pairs,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -9268,6 +9284,46 @@ def oracle_sql() -> dict[str, str]:
     # maxcover_hosts: the greedy unroll by definition (see
     # _maxcover_sql) — identical md5 term hashes, gains, tie-breaks
     out["maxcover_hosts"] = _maxcover_sql(k=8)
+    # margin_pairs: the distance-margin rule by definition — same
+    # floor(x*65536+0.5) quantization, exact integer squared-L2,
+    # N_k = sum of the 4 smallest cross-side distances, argmax by
+    # (score desc, dist asc, b_id asc), kept iff score > 0
+    out["margin_pairs"] = """
+        WITH e AS (
+          SELECT vec_id, label,
+                 generate_subscripts(embedding, 1) - 1 AS i,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                            * 65536.0 + 0.5) AS BIGINT) AS qx
+          FROM embeddings WHERE label IN (0, 1)),
+        pairs AS MATERIALIZED (
+          SELECT a.vec_id AS aid, b.vec_id AS bid,
+                 SUM((a.qx - b.qx) * (a.qx - b.qx)) AS d
+          FROM (SELECT * FROM e WHERE label = 0) a
+          JOIN (SELECT * FROM e WHERE label = 1) b USING (i)
+          GROUP BY 1, 2),
+        nka AS (
+          SELECT aid, SUM(d) AS nk FROM (
+            SELECT aid, d, row_number() OVER (
+              PARTITION BY aid ORDER BY d, bid) AS rn FROM pairs)
+          WHERE rn <= 4 GROUP BY aid),
+        nkb AS (
+          SELECT bid, SUM(d) AS nk FROM (
+            SELECT bid, d, row_number() OVER (
+              PARTITION BY bid ORDER BY d, aid) AS rn FROM pairs)
+          WHERE rn <= 4 GROUP BY bid),
+        scored AS (
+          SELECT p.aid, p.bid, p.d,
+                 nka.nk + nkb.nk - 8 * p.d AS score
+          FROM pairs p JOIN nka USING (aid) JOIN nkb USING (bid)),
+        best AS (
+          SELECT aid, bid, d, score, row_number() OVER (
+            PARTITION BY aid
+            ORDER BY score DESC, d ASC, bid ASC) AS rn
+          FROM scored)
+        SELECT aid AS a_id, bid AS b_id, CAST(d AS BIGINT) AS dist,
+               CAST(score AS BIGINT) AS score
+        FROM best WHERE rn = 1 AND score > 0 ORDER BY a_id
+    """
     # style_delta: the exact-integer Delta pipeline replayed in
     # HUGEINT — top-20 terms (count desc, term asc), Q=(n<<40)//N_s
     # (nonneg, floor==trunc), scaled deviation d=S*Q-sum(Q), sigma by

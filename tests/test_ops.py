@@ -6492,3 +6492,29 @@ def test_burrows_delta(ray_session):
         assert got == exp, nparts
     assert exp[("a", "b")] < exp[("a", "c")]
     assert exp[("a", "b")] < exp[("b", "c")]
+
+
+def test_margin_mine(ray_session):
+    """Margin criterion vs plain nearest neighbor: a symmetric
+    ambiguous square (every cross distance equal) mines NOTHING
+    (score == 0 is rejected), while an isolated true pair mines with
+    the exact integer score; partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.mining import margin_mine
+
+    # 2-D coords embedded in dim-2 vectors; label 0 = A, 1 = B
+    A = {0: (0.0, 0.0), 2: (2.0, 0.0), 4: (50.0, 50.0)}
+    B = {1: (1.0, 1.0), 3: (1.0, -1.0), 5: (50.0, 51.0)}
+    rows = [(i, list(v), 0) for i, v in A.items()] + \
+           [(i, list(v), 1) for i, v in B.items()]
+    df = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    U = 65536 * 65536  # squared quantization unit
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = margin_mine(ds, label_a=0, label_b=1, k=2)
+        got = {(r.a_id, r.b_id): (int(r.dist), int(r.score))
+               for r in out.itertuples(index=False)}
+        # square corners (0, 2) x (1, 3): all cross dists equal ->
+        # every margin score is 0 or negative -> nothing mined
+        assert got == {(4, 5): (U, 9705 * U)}, nparts
