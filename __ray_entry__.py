@@ -1490,6 +1490,23 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _event_markov(sf_dir: str):
+    """First-order Markov model of the event stream + stationary
+    distribution (ops/stream.markov_stationary): per-user consecutive
+    event-type transitions, exact-integer quantized row-stochastic
+    matrix, 8 integer power steps from uniform. One user-keyed
+    shuffle + bounded T x T aggregate; driver iterates the tiny
+    matrix."""
+    import ray.data
+
+    from warcio_ray.ops.stream import markov_stationary
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"])
+    return markov_stationary(ds, iters=8)
+
+
 def _margin_pairs(sf_dir: str):
     """Margin-criterion pair mining between embedding label groups 0
     and 1 (ops/mining.margin_mine, k=4): Artetxe-Schwenk distance
@@ -4619,6 +4636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss_4": _ktruss_4,
         "style_delta": _style_delta,
         "margin_pairs": _margin_pairs,
+        "event_markov": _event_markov,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -5079,6 +5097,50 @@ def _kcore_sql(k: int = 4, rounds: int = 8) -> str:
             UNION ALL SELECT hi FROM e{rounds})
           GROUP BY node)
         WHERE deg >= {k} ORDER BY node""")
+
+
+def _markov_sql(iters: int = 8, qbits: int = 30) -> str:
+    """Unrolled exact-integer power iteration mirroring
+    warcio_ray.ops.stream.markov_stationary bit-for-bit: lead() per
+    user (ts, event_id order) == the engine's shifted-array bigrams,
+    HUGEINT // == the engine's nonnegative floor-shift, dangling rows
+    uniform. MATERIALIZED is load-bearing on the v{i} chain."""
+    one = 1 << qbits
+    ctes = [f"""
+        seq AS (
+          SELECT event_type AS t1,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS t2
+          FROM events),
+        types AS (SELECT DISTINCT event_type AS t FROM events),
+        tc AS (SELECT COUNT(*) AS tn FROM types),
+        trans AS (SELECT t1, t2, COUNT(*) AS c FROM seq
+                  WHERE t2 IS NOT NULL GROUP BY t1, t2),
+        rs AS (SELECT t1, SUM(c) AS rsum FROM trans GROUP BY t1),
+        pq AS MATERIALIZED (
+          SELECT a.t AS t1, b.t AS t2,
+                 CASE WHEN r.rsum IS NULL THEN
+                        {one}::HUGEINT // (SELECT tn FROM tc)
+                      ELSE (COALESCE(tr.c, 0)::HUGEINT
+                            * {one}::HUGEINT) // r.rsum
+                 END AS p
+          FROM types a CROSS JOIN types b
+          LEFT JOIN rs r ON r.t1 = a.t
+          LEFT JOIN trans tr ON tr.t1 = a.t AND tr.t2 = b.t),
+        v0 AS (SELECT t, {one}::HUGEINT // (SELECT tn FROM tc) AS val
+               FROM types)"""]
+    for i in range(iters):
+        ctes.append(f"""
+        v{i + 1} AS MATERIALIZED (
+          SELECT pq.t2 AS t,
+                 SUM(v{i}.val * pq.p) // {one}::HUGEINT AS val
+          FROM v{i} JOIN pq ON pq.t1 = v{i}.t GROUP BY pq.t2)""")
+    return ("WITH " + ",".join(ctes) + f"""
+        SELECT v.t AS event_type,
+               CAST(COALESCE(r.rsum, 0) AS BIGINT) AS out_n,
+               CAST(v.val AS BIGINT) AS station_q
+        FROM v{iters} v LEFT JOIN rs r ON r.t1 = v.t
+        ORDER BY event_type""")
 
 
 def _ktruss_sql(k: int = 4, rounds: int = 8) -> str:
@@ -5763,6 +5825,7 @@ def oracle_sql() -> dict[str, str]:
         # kcore_4: unrolled parallel peel over links + nav edges
         "kcore_4": _kcore_sql(k=4, rounds=8),
         "ktruss_4": _ktruss_sql(k=4, rounds=8),
+        "event_markov": _markov_sql(iters=8),
         # crawl_horizon_3: unrolled BFS rounds, frontier minus seen
         "crawl_horizon_3": _crawl_horizon_sql(seed_mod=97, depth=3),
         # random_walks_4: unrolled md5-hop walks over sorted ranks

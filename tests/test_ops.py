@@ -6518,3 +6518,44 @@ def test_margin_mine(ray_session):
         # square corners (0, 2) x (1, 3): all cross dists equal ->
         # every margin score is 0 or negative -> nothing mined
         assert got == {(4, 5): (U, 9705 * U)}, nparts
+
+
+def test_markov_stationary(ray_session):
+    """Exact-integer Markov stationary distribution: a deterministic
+    2-state cycle converges to the alternating mass split; a dangling
+    state (never a source) gets the uniform escape row; python-replay
+    agreement; partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.stream import markov_stationary
+
+    # user 1: a b a b a  (a<->b cycle); user 2: c (dangling type)
+    rows = [(1, 1, "a", 0), (2, 1, "b", 1), (3, 1, "a", 2),
+            (4, 1, "b", 3), (5, 1, "a", 4), (6, 2, "c", 0)]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                     "event_type", "_t"])
+    df["ts"] = pd.to_datetime(df["_t"], unit="s")
+    df = df.drop(columns=["_t"])
+
+    # python replay
+    one = 1 << 30
+    types = ["a", "b", "c"]
+    C = {("a", "b"): 2, ("b", "a"): 2}
+    rowsum = {"a": 2, "b": 2, "c": 0}
+    P = {(i, j): (C.get((i, j), 0) * one) // rowsum[i]
+         if rowsum[i] else one // 3
+         for i in types for j in types}
+    v = {t: one // 3 for t in types}
+    for _ in range(8):
+        v = {j: sum(v[i] * P[(i, j)] for i in types) >> 30
+             for j in types}
+
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = markov_stationary(ds, iters=8) \
+            .sort_values("event_type").reset_index(drop=True)
+        assert out["event_type"].tolist() == types, nparts
+        assert out["out_n"].tolist() == [2, 2, 0]
+        assert out["station_q"].tolist() == [v["a"], v["b"], v["c"]]
+    # the cycle should dominate: a+b mass >> c mass
+    assert v["a"] + v["b"] > 10 * v["c"]

@@ -142,3 +142,87 @@ def decayed_counts(events_ds, key_col: str = "event_type",
         .groupby("key").sum(["n_events", "fresh_q"]) \
         .rename_columns({"sum(n_events)": "n_events",
                          "sum(fresh_q)": "fresh_q"})
+
+
+def markov_stationary(events_ds, iters: int = 8, qbits: int = 30,
+                      user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      ts_col: str = "ts", id_col: str = "event_id",
+                      num_partitions=None) -> pd.DataFrame:
+    """First-order Markov model of the event stream + its stationary
+    distribution — the behavioral-profile aggregate (what state does a
+    user's session converge to?) behind churn/funnel diagnostics.
+
+    Transitions are consecutive event-type pairs per user, ordered by
+    (ts, id) — the frequent_event_trigrams sequencing contract. The
+    row-stochastic matrix is quantized exactly: P_q[t1][t2] =
+    (count << qbits) // rowsum(t1), dangling rows (no outgoing
+    transitions) uniform at (1 << qbits) // T. The stationary vector
+    is ``iters`` exact-integer power steps from the uniform start:
+    v'[j] = (sum_i v[i] * P_q[i][j]) >> qbits (all nonnegative, so
+    floor == trunc == shift and the SQL replay agrees bit-for-bit).
+
+    Shape at scale: one user-keyed hash shuffle (a user's stream
+    co-locates, so local shifted-array bigrams are globally exact),
+    ONE bounded (T x T) transition aggregate, then the driver iterates
+    the tiny T x T integer matrix. Returns (event_type, out_n,
+    station_q) — T rows."""
+    import ray
+
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    if num_partitions is None:
+        num_partitions = min(
+            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[user_col, type_col, ts_col, id_col]].copy()
+        batch["_part"] = (batch[user_col].astype("int64")
+                          % num_partitions).astype("int32")
+        return batch
+
+    def bigrams(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.sort_values([user_col, ts_col, id_col],
+                              kind="mergesort")
+        u = grp[user_col].to_numpy(dtype="int64")
+        t = grp[type_col].to_numpy(dtype=object)
+        # every observed type contributes a presence row (n=0 pair
+        # with itself) so the state space is the full alphabet even
+        # for types that never transition
+        pres = pd.DataFrame({"t1": pd.unique(t), "t2": pd.unique(t),
+                             "n": np.int64(0)})
+        if len(u) < 2:
+            return pres
+        same = u[:-1] == u[1:]
+        bi = pd.DataFrame({"t1": t[:-1][same], "t2": t[1:][same]})
+        out = bi.groupby(["t1", "t2"], sort=False).size() \
+            .reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return pd.concat([out, pres], ignore_index=True)
+
+    parts = events_ds.map_batches(add_part, batch_format="pandas") \
+        .groupby("_part").map_groups(bigrams, batch_format="pandas")
+    counts = tree_aggregate(parts, ["t1", "t2"], sums=("n",))
+
+    # ---- driver: tiny T x T exact-integer power iteration
+    types = sorted(set(counts["t1"]) | set(counts["t2"]))
+    T = len(types)
+    if T == 0:
+        return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                             "out_n": pd.Series(dtype="int64"),
+                             "station_q": pd.Series(dtype="int64")})
+    idx = {t: i for i, t in enumerate(types)}
+    C = [[0] * T for _ in range(T)]
+    for t1, t2, n in counts.itertuples(index=False):
+        C[idx[t1]][idx[t2]] += int(n)
+    one = 1 << qbits
+    rowsum = [sum(r) for r in C]
+    P = [[(C[i][j] * one) // rowsum[i] if rowsum[i] else one // T
+          for j in range(T)] for i in range(T)]
+    v = [one // T] * T
+    for _ in range(iters):
+        v = [sum(v[i] * P[i][j] for i in range(T)) >> qbits
+             for j in range(T)]
+    return pd.DataFrame({"event_type": types,
+                         "out_n": np.array(rowsum, dtype="int64"),
+                         "station_q": np.array(v, dtype="int64")})
