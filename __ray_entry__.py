@@ -1490,6 +1490,21 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _kendall_signals(sf_dir: str):
+    """Kendall tau-b rank agreement between the n_words and
+    uniq_words quality signals (ops/evals.kendall_signals): exact
+    concordant/discordant/tie masses from ONE bounded (s1, s2)
+    histogram; driver finishes the pair counting on the tiny cell
+    table. The can-this-cheap-proxy-replace-that-signal eval."""
+    import ray.data
+
+    from warcio_ray.ops.evals import kendall_signals
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return kendall_signals(ds)
+
+
 def _event_markov(sf_dir: str):
     """First-order Markov model of the event stream + stationary
     distribution (ops/stream.markov_stationary): per-user consecutive
@@ -4637,6 +4652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "style_delta": _style_delta,
         "margin_pairs": _margin_pairs,
         "event_markov": _event_markov,
+        "kendall_signals": _kendall_signals,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -9347,6 +9363,39 @@ def oracle_sql() -> dict[str, str]:
     # maxcover_hosts: the greedy unroll by definition (see
     # _maxcover_sql) — identical md5 term hashes, gains, tie-breaks
     out["maxcover_hosts"] = _maxcover_sql(k=8)
+    # kendall_signals: tau-b by definition over the bounded cell
+    # histogram — each unordered cell pair counted once via the
+    # asymmetric a-condition; sqrt/div on identical exact integers
+    out["kendall_signals"] = r"""
+        WITH toks AS (
+          SELECT regexp_extract_all(text, '\S+') AS t FROM documents),
+        sig AS (SELECT CAST(len(t) AS BIGINT) AS a,
+                       CAST(len(list_distinct(t)) AS BIGINT) AS b
+                FROM toks),
+        cells AS (SELECT a, b, COUNT(*)::HUGEINT AS h
+                  FROM sig GROUP BY a, b),
+        tot AS (SELECT SUM(h) AS n FROM cells),
+        cd AS (SELECT
+                 SUM(CASE WHEN c1.a < c2.a AND c1.b < c2.b
+                     THEN c1.h * c2.h ELSE 0 END) AS conc,
+                 SUM(CASE WHEN c1.a < c2.a AND c1.b > c2.b
+                     THEN c1.h * c2.h ELSE 0 END) AS disc
+               FROM cells c1, cells c2),
+        t1 AS (SELECT SUM(s * (s - 1) // 2) AS v FROM
+                 (SELECT SUM(h) AS s FROM cells GROUP BY a)),
+        t2 AS (SELECT SUM(s * (s - 1) // 2) AS v FROM
+                 (SELECT SUM(h) AS s FROM cells GROUP BY b)),
+        t12 AS (SELECT SUM(h * (h - 1) // 2) AS v FROM cells)
+        SELECT CAST(n AS BIGINT) AS n, CAST(conc AS BIGINT) AS conc,
+               CAST(disc AS BIGINT) AS disc,
+               CAST(t1.v AS BIGINT) AS ties_s1,
+               CAST(t2.v AS BIGINT) AS ties_s2,
+               CAST(t12.v AS BIGINT) AS ties_both,
+               round((conc - disc) / sqrt(
+                 CAST((n * (n-1) // 2 - t1.v)
+                      * (n * (n-1) // 2 - t2.v) AS DOUBLE)), 6) AS tau_b
+        FROM tot, cd, t1, t2, t12
+    """
     # margin_pairs: the distance-margin rule by definition — same
     # floor(x*65536+0.5) quantization, exact integer squared-L2,
     # N_k = sum of the 4 smallest cross-side distances, argmax by

@@ -6559,3 +6559,41 @@ def test_markov_stationary(ray_session):
         assert out["station_q"].tolist() == [v["a"], v["b"], v["c"]]
     # the cycle should dominate: a+b mass >> c mass
     assert v["a"] + v["b"] > 10 * v["c"]
+
+
+def test_kendall_signals(ray_session):
+    """tau-b vs scipy-free brute force on a small corpus with ties in
+    both signals; partitioning-invariant."""
+    import itertools
+
+    import ray.data
+
+    from warcio_ray.ops.evals import kendall_signals
+
+    texts = ["a b c", "a a b", "x y z w", "p p p p", "q r",
+             "s s t t u", "m", "n n"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sig = [(len(t.split()), len(set(t.split()))) for t in texts]
+    conc = disc = t1 = t2 = t12 = 0
+    for (a1, b1), (a2, b2) in itertools.combinations(sig, 2):
+        if a1 == a2 and b1 == b2:
+            t12 += 1
+        if a1 == a2:
+            t1 += 1
+        if b1 == b2:
+            t2 += 1
+        if (a1 < a2 and b1 < b2) or (a1 > a2 and b1 > b2):
+            conc += 1
+        if (a1 < a2 and b1 > b2) or (a1 > a2 and b1 < b2):
+            disc += 1
+    n = len(sig)
+    n0 = n * (n - 1) // 2
+    tau = round((conc - disc) / (((n0 - t1) * (n0 - t2)) ** 0.5), 6)
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = kendall_signals(ds).iloc[0]
+        assert (int(out.n), int(out.conc), int(out.disc)) == \
+            (n, conc, disc), nparts
+        assert (int(out.ties_s1), int(out.ties_s2),
+                int(out.ties_both)) == (t1, t2, t12)
+        assert abs(float(out.tau_b) - tau) < 1e-9

@@ -136,3 +136,80 @@ def ann_recall_at_k(ds, queries, centroids, k: int = 10,
         rows.append((qi, len(a & e)))
     return pd.DataFrame(rows, columns=["query_id", "n_hits"]) \
         .astype("int64")
+
+
+def kendall_signals(ds, s1: str = "n_words", s2: str = "uniq_words"
+                    ) -> pd.DataFrame:
+    """Exact Kendall tau-b agreement between two integer quality
+    signals — do two filters RANK documents the same way, not just
+    split them the same way (the question before replacing an
+    expensive signal with a cheap proxy). Complements ``signal_auc``
+    (signal vs label) with signal-vs-signal rank correlation.
+
+    Shape at scale: the same bounded-histogram trick as the AUC — one
+    stateless scan emits per-batch (s1, s2) CELL counts, one bounded
+    combiner-tree sum (cells are bounded by the signals' value ranges,
+    never the corpus), and the driver finishes the pair counting on
+    the tiny cell table with exact Python ints:
+
+        concordant = sum_{cells c < c'} h_c * h_{c'}   (both strictly)
+        discordant = likewise with s2 reversed
+        T1/T2/T12  = tie masses from the cell marginals
+        tau_b = (C - D) / sqrt((n0 - T1) * (n0 - T2)),  n0 = n(n-1)/2
+
+    Returns ONE row: (n, conc, disc, ties_s1, ties_s2, ties_both,
+    tau_b) — every count exact int64, tau_b the only float (rounded
+    to 6 decimals, computed from identical integers on both engines).
+    """
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sig = lexical_diversity_batch(batch)
+        a = sig[s1].to_numpy(dtype="int64")
+        b = sig[s2].to_numpy(dtype="int64")
+        key = a * (int(b.max()) + 1 if len(b) else 1) + b
+        uk, cnt = np.unique(key, return_counts=True)
+        mb = (int(b.max()) + 1) if len(b) else 1
+        return pd.DataFrame({"a": uk // mb, "b": uk % mb,
+                             "h": cnt.astype("int64")})
+
+    cells = tree_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["a", "b"], sums=("h",))
+    if len(cells) == 0:
+        return pd.DataFrame([{"n": 0, "conc": 0, "disc": 0,
+                              "ties_s1": 0, "ties_s2": 0,
+                              "ties_both": 0, "tau_b": 0.0}])
+
+    a = cells["a"].to_numpy(dtype="int64")
+    b = cells["b"].to_numpy(dtype="int64")
+    h = cells["h"].to_numpy(dtype="int64")
+    n = int(h.sum())
+    n0 = n * (n - 1) // 2
+    t12 = int((h * (h - 1) // 2).sum())
+
+    def tie_mass(keys):
+        tot = pd.Series(h).groupby(pd.Series(keys)).sum() \
+            .to_numpy(dtype="int64")
+        return int((tot * (tot - 1) // 2).sum())
+
+    t1, t2 = tie_mass(a), tie_mass(b)
+    # O(C^2) dominance count over the BOUNDED cell table (chunked to
+    # cap the broadcast temp); exact int64 — h*h' sums fit far below
+    # 2^63 for any n < 3e9
+    conc = disc = 0
+    for i0 in range(0, len(a), 2048):
+        i1 = min(i0 + 2048, len(a))
+        gt_a = a[i0:i1, None] < a[None, :]
+        conc += int((h[i0:i1, None] * h[None, :]
+                     * (gt_a & (b[i0:i1, None] < b[None, :]))).sum())
+        disc += int((h[i0:i1, None] * h[None, :]
+                     * (gt_a & (b[i0:i1, None] > b[None, :]))).sum())
+    denom = (n0 - t1) * (n0 - t2)
+    tau = round((conc - disc) / (denom ** 0.5), 6) if denom > 0 else 0.0
+    return pd.DataFrame([{"n": n, "conc": conc, "disc": disc,
+                          "ties_s1": t1, "ties_s2": t2,
+                          "ties_both": t12, "tau_b": tau}]) \
+        .astype({"n": "int64", "conc": "int64", "disc": "int64",
+                 "ties_s1": "int64", "ties_s2": "int64",
+                 "ties_both": "int64"})
