@@ -1490,6 +1490,21 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _textrank_terms(sf_dir: str):
+    """TextRank keyword extraction (ops/textrank.textrank_keywords,
+    k=20, 5 iterations): quantized weighted PageRank over the
+    distance-2 word co-occurrence graph — the graph-based complement
+    of tfidf_keywords. One vocab-bounded pair aggregate; driver
+    iterates the word graph."""
+    import ray.data
+
+    from warcio_ray.ops.textrank import textrank_keywords
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return textrank_keywords(ds, k=20, iters=5)
+
+
 def _kendall_signals(sf_dir: str):
     """Kendall tau-b rank agreement between the n_words and
     uniq_words quality signals (ops/evals.kendall_signals): exact
@@ -4653,6 +4668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "margin_pairs": _margin_pairs,
         "event_markov": _event_markov,
         "kendall_signals": _kendall_signals,
+        "textrank_terms": _textrank_terms,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -5113,6 +5129,52 @@ def _kcore_sql(k: int = 4, rounds: int = 8) -> str:
             UNION ALL SELECT hi FROM e{rounds})
           GROUP BY node)
         WHERE deg >= {k} ORDER BY node""")
+
+
+def _textrank_sql(k: int = 20, iters: int = 5, window: int = 2) -> str:
+    """Unrolled quantized weighted PageRank over the word
+    co-occurrence graph, mirroring
+    warcio_ray.ops.textrank.textrank_keywords bit-for-bit: per-edge
+    floor on every share, 15/100 + 85/100 integer damping, nodes =
+    words with >= 1 co-occurrence."""
+    one = 1 << 30
+    base = (15 * one) // 100
+    ctes = [f"""
+        pos AS (
+          SELECT doc_id, unnest(t) AS w,
+                 generate_subscripts(t, 1) AS i
+          FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+                FROM documents)),
+        und AS (
+          SELECT LEAST(a.w, b.w) AS wa, GREATEST(a.w, b.w) AS wb,
+                 COUNT(*) AS c
+          FROM pos a JOIN pos b
+            ON a.doc_id = b.doc_id AND b.i > a.i
+           AND b.i <= a.i + {window} AND a.w <> b.w
+          GROUP BY 1, 2),
+        dir AS MATERIALIZED (
+          SELECT wa AS s, wb AS d, c FROM und
+          UNION ALL SELECT wb, wa, c FROM und),
+        wsum AS (SELECT s, SUM(c) AS ws FROM dir GROUP BY s),
+        q AS MATERIALIZED (
+          SELECT dir.s, dir.d,
+                 (dir.c::HUGEINT * {one}::HUGEINT) // wsum.ws AS p
+          FROM dir JOIN wsum USING (s)),
+        nodes AS (SELECT DISTINCT s AS w FROM dir),
+        r0 AS (SELECT w, {one}::HUGEINT AS r FROM nodes)"""]
+    for it in range(iters):
+        ctes.append(f"""
+        r{it + 1} AS MATERIALIZED (
+          SELECT n.w,
+                 {base} + (85 * COALESCE(acc.a, 0)) // 100 AS r
+          FROM nodes n LEFT JOIN (
+            SELECT q.d AS w,
+                   SUM((r{it}.r * q.p) // {one}::HUGEINT) AS a
+            FROM r{it} JOIN q ON q.s = r{it}.w GROUP BY q.d) acc
+            ON acc.w = n.w)""")
+    return ("WITH " + ",".join(ctes) + f"""
+        SELECT w AS term, CAST(r AS BIGINT) AS rank_q
+        FROM r{iters} ORDER BY r DESC, w ASC LIMIT {k}""")
 
 
 def _markov_sql(iters: int = 8, qbits: int = 30) -> str:
@@ -5842,6 +5904,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_4": _kcore_sql(k=4, rounds=8),
         "ktruss_4": _ktruss_sql(k=4, rounds=8),
         "event_markov": _markov_sql(iters=8),
+        "textrank_terms": _textrank_sql(k=20, iters=5),
         # crawl_horizon_3: unrolled BFS rounds, frontier minus seen
         "crawl_horizon_3": _crawl_horizon_sql(seed_mod=97, depth=3),
         # random_walks_4: unrolled md5-hop walks over sorted ranks

@@ -6597,3 +6597,52 @@ def test_kendall_signals(ray_session):
         assert (int(out.ties_s1), int(out.ties_s2),
                 int(out.ties_both)) == (t1, t2, t12)
         assert abs(float(out.tau_b) - tau) < 1e-9
+
+
+def test_textrank_keywords(ray_session):
+    """TextRank: hub word co-occurring with everything outranks a
+    frequent-but-isolated pair; python-replay exactness;
+    window respects doc boundaries; partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.textrank import textrank_keywords
+
+    texts = [
+        "hub alpha hub beta hub gamma hub delta",
+        "spam spam2 spam spam2 spam spam2 spam spam2 spam spam2",
+        "alpha beta", "gamma delta",
+    ]
+    df = pd.DataFrame({"text": texts})
+
+    # python replay (same quantized rules)
+    from collections import Counter
+    cooc: Counter = Counter()
+    for t in texts:
+        w = t.split()
+        for off in (1, 2):
+            for i in range(len(w) - off):
+                if w[i] != w[i + off]:
+                    cooc[(min(w[i], w[i + off]),
+                          max(w[i], w[i + off]))] += 1
+    one = 1 << 30
+    edges = [(s, d, c) for (a, b), c in cooc.items()
+             for s, d in ((a, b), (b, a))]
+    nodes = sorted({s for s, _, _ in edges})
+    ws = {n: sum(c for s, _, c in edges if s == n) for n in nodes}
+    q = {(s, d): (c * one) // ws[s] for s, d, c in edges}
+    r = {n: one for n in nodes}
+    base = (15 * one) // 100
+    for _ in range(5):
+        acc = {n: 0 for n in nodes}
+        for (s, d), p in q.items():
+            acc[d] += (r[s] * p) >> 30
+        r = {n: base + (85 * acc[n]) // 100 for n in nodes}
+    exp = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    for nparts in (1, 2):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = textrank_keywords(ds, k=len(nodes), iters=5)
+        got = list(zip(out["term"], out["rank_q"]))
+        assert got == exp, nparts
+    assert exp[0][0] == "hub"                     # hub beats spam
+    assert dict(exp)["hub"] > dict(exp)["spam"]
