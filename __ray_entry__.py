@@ -1490,6 +1490,21 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _quality_gains(sf_dir: str):
+    """Decile gains table of the integer quality signals vs the
+    lang=='en' label (ops/evals.gains_table): tie-safe exact rank
+    binning computed entirely from the bounded (signal, score)
+    histogram signal_auc already pays for — the where-do-positives-
+    concentrate diagnostic behind threshold picking."""
+    import ray.data
+
+    from warcio_ray.ops.evals import gains_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    return gains_table(ds)
+
+
 def _textrank_terms(sf_dir: str):
     """TextRank keyword extraction (ops/textrank.textrank_keywords,
     k=20, 5 iterations): quantized weighted PageRank over the
@@ -4669,6 +4684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_markov": _event_markov,
         "kendall_signals": _kendall_signals,
         "textrank_terms": _textrank_terms,
+        "quality_gains": _quality_gains,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -9426,6 +9442,42 @@ def oracle_sql() -> dict[str, str]:
     # maxcover_hosts: the greedy unroll by definition (see
     # _maxcover_sql) — identical md5 term hashes, gains, tie-breaks
     out["maxcover_hosts"] = _maxcover_sql(k=8)
+    # quality_gains: the tie-safe rank binning replayed over the same
+    # signal long-form the AUC oracle uses — bin = (strictly-smaller
+    # cumulative count * 10) // N, all mass of a score in one bin
+    out["quality_gains"] = r"""
+        WITH wc AS (
+          SELECT doc_id, COUNT(DISTINCT wd) AS uniq_words
+          FROM (SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS wd
+                FROM documents)
+          GROUP BY doc_id),
+        sig AS (
+          SELECT 'n_chars' AS signal, length(text) AS score,
+                 CAST(lang = 'en' AS BIGINT) AS pos
+          FROM documents
+          UNION ALL
+          SELECT 'n_words', len(regexp_extract_all(text, '\S+')),
+                 CAST(lang = 'en' AS BIGINT)
+          FROM documents
+          UNION ALL
+          SELECT 'uniq_words', COALESCE(w.uniq_words, 0),
+                 CAST(d.lang = 'en' AS BIGINT)
+          FROM documents d LEFT JOIN wc w USING (doc_id)),
+        h AS (
+          SELECT signal, score, COUNT(*) AS n, SUM(pos) AS p
+          FROM sig GROUP BY 1, 2),
+        tot AS (SELECT signal, SUM(n) AS nn FROM h GROUP BY signal),
+        binned AS (
+          SELECT h.signal, h.n, h.p,
+                 ((SUM(h.n) OVER (PARTITION BY h.signal ORDER BY h.score
+                    ROWS UNBOUNDED PRECEDING) - h.n) * 10) // t.nn AS bin
+          FROM h JOIN tot t USING (signal))
+        SELECT signal, CAST(bin AS BIGINT) AS bin,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(p) AS BIGINT) AS pos_n
+        FROM binned GROUP BY 1, 2 ORDER BY 1, 2
+    """
     # kendall_signals: tau-b by definition over the bounded cell
     # histogram — each unordered cell pair counted once via the
     # asymmetric a-condition; sqrt/div on identical exact integers

@@ -6646,3 +6646,38 @@ def test_textrank_keywords(ray_session):
         assert got == exp, nparts
     assert exp[0][0] == "hub"                     # hub beats spam
     assert dict(exp)["hub"] > dict(exp)["spam"]
+
+
+def test_gains_table(ray_session):
+    """Tie-safe decile binning: a perfectly separating signal puts
+    all positives in the top bins; a score group straddling a
+    boundary stays whole in the lower-rank bin; bin masses sum to N;
+    partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.evals import gains_table
+
+    # 10 docs: lengths 1..10 words; en label on the 5 longest
+    texts = [" ".join(["w"] * (i + 1)) for i in range(10)]
+    langs = ["de"] * 5 + ["en"] * 5
+    df = pd.DataFrame({"doc_id": range(10), "text": texts,
+                       "lang": langs})
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = gains_table(ds, signals=("n_words",), bins=5)
+        out = out.sort_values("bin").reset_index(drop=True)
+        assert out["n"].sum() == 10, nparts
+        assert out["bin"].tolist() == [0, 1, 2, 3, 4]
+        assert out["n"].tolist() == [2] * 5
+        assert out["pos_n"].tolist() == [0, 0, 1, 2, 2]
+
+    # tie group straddling a boundary: 4 docs score 1, 2 docs score 2
+    # with bins=2 -> the score-1 group (ranks 0-3) is bin 0 whole
+    texts2 = ["a"] * 4 + ["a b", "a c"]
+    df2 = pd.DataFrame({"doc_id": range(6), "text": texts2,
+                        "lang": ["en", "de", "en", "de", "en", "de"]})
+    out = gains_table(ray.data.from_pandas(df2),
+                      signals=("n_words",), bins=2)
+    assert out["bin"].tolist() == [0, 1]
+    assert out["n"].tolist() == [4, 2]
+    assert out["pos_n"].tolist() == [2, 1]

@@ -213,3 +213,55 @@ def kendall_signals(ds, s1: str = "n_words", s2: str = "uniq_words"
         .astype({"n": "int64", "conc": "int64", "disc": "int64",
                  "ties_s1": "int64", "ties_s2": "int64",
                  "ties_both": "int64"})
+
+
+def gains_table(ds, signals=DEFAULT_SIGNALS, pos_label: str = "en",
+                label_col: str = "lang", bins: int = 10) -> pd.DataFrame:
+    """Decile gains table (the binned companion of ``signal_auc``):
+    documents are ranked by each integer signal and cut into
+    ``bins`` rank buckets; each bucket reports its size and positive
+    count — the lift chart a curation team reads before picking a
+    filter threshold (AUC says whether a signal ranks well overall;
+    the gains table says WHERE along the score axis the positives
+    concentrate).
+
+    Tie-safe exact binning: all documents sharing a score land in the
+    bucket of the FIRST rank of that score group,
+    bin = (count_of_strictly_smaller_scores * bins) // N — a pure
+    function of the bounded (signal, score) histogram, so the whole
+    computation is the one histogram shuffle ``signal_auc`` already
+    pays, and the driver finishes on the tiny table.
+
+    Returns (signal, bin, n, pos_n) rows, bins with zero mass absent.
+    """
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    sigs = tuple(signals)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return _auc_partials(batch, sigs, pos_label, label_col)
+
+    from ray.data.aggregate import Sum
+    hist = arrow_blocks(ds.map_batches(partial, batch_format="pandas")) \
+        .groupby(["signal", "score"]) \
+        .aggregate(Sum("pos_n", alias_name="pos_n"),
+                   Sum("neg_n", alias_name="neg_n")).to_pandas()
+    if len(hist) == 0:
+        return pd.DataFrame({"signal": pd.Series(dtype=object),
+                             "bin": pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64"),
+                             "pos_n": pd.Series(dtype="int64")})
+    rows = []
+    for sig_name, grp in hist.groupby("signal", sort=True):
+        grp = grp.sort_values("score", kind="mergesort")
+        n_s = (grp["pos_n"] + grp["neg_n"]).to_numpy(dtype="int64")
+        pos_s = grp["pos_n"].to_numpy(dtype="int64")
+        total = int(n_s.sum())
+        prev_cum = np.concatenate([[0], np.cumsum(n_s)[:-1]])
+        b = (prev_cum * bins) // total
+        for bb in np.unique(b):
+            m = b == bb
+            rows.append((sig_name, int(bb), int(n_s[m].sum()),
+                         int(pos_s[m].sum())))
+    return pd.DataFrame(rows, columns=["signal", "bin", "n", "pos_n"]) \
+        .astype({"bin": "int64", "n": "int64", "pos_n": "int64"})
