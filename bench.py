@@ -502,7 +502,16 @@ def run_bench() -> dict:
                            ("scc_labels", "op_scc_s"),
                            ("kcenter_8", "op_kcenter_s"),
                            ("mmr_top10", "op_mmr_s"),
-                           ("boilerplate_lines", "op_boiler_s")):
+                           ("boilerplate_lines", "op_boiler_s"),
+                           ("onion_coverage", "op_onion_s"),
+                           ("c4_filter", "op_c4_s"),
+                           ("ktruss_4", "op_ktruss_s"),
+                           ("style_delta", "op_stylo_s"),
+                           ("margin_pairs", "op_margin_s"),
+                           ("event_markov", "op_markov_s"),
+                           ("kendall_signals", "op_kendall_s"),
+                           ("textrank_terms", "op_textrank_s"),
+                           ("quality_gains", "op_gains_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \
