@@ -1490,6 +1490,46 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _assortativity(sf_dir: str):
+    """Degree assortativity of the page graph (link + nav edges,
+    ops/graph.degree_assortativity): the one-scalar topology
+    fingerprint — exact integer edge sums, final division the only
+    float. Join-path degree attachment, combiner-tree sums."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from warcio_ray.ops.graph import degree_assortativity
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    links = edge_urls.map_batches(to_ids, batch_format="pyarrow")
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = docs.count()
+
+    def nav(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        d = batch["doc_id"].to_numpy(dtype="int64")
+        d = d[d + 1 < n]
+        return pd.DataFrame({"src": d, "dst": d + 1})
+
+    edges = links.union(docs.map_batches(nav, batch_format="pandas"))
+    return degree_assortativity(edges)
+
+
 def _quality_gains(sf_dir: str):
     """Decile gains table of the integer quality signals vs the
     lang=='en' label (ops/evals.gains_table): tie-safe exact rank
@@ -4685,6 +4725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_signals": _kendall_signals,
         "textrank_terms": _textrank_terms,
         "quality_gains": _quality_gains,
+        "assortativity": _assortativity,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -9442,6 +9483,44 @@ def oracle_sql() -> dict[str, str]:
     # maxcover_hosts: the greedy unroll by definition (see
     # _maxcover_sql) — identical md5 term hashes, gains, tie-breaks
     out["maxcover_hosts"] = _maxcover_sql(k=8)
+    # assortativity: Newman r by definition over the link-rule + nav
+    # edge set — exact HUGEINT sums, the division the only float
+    out["assortativity"] = """
+        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        raw AS (
+          SELECT doc_id AS src,
+                 ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn)) AS dst
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE j < doc_id % 4
+          UNION ALL
+          SELECT doc_id, doc_id + 1 FROM documents
+          WHERE doc_id + 1 < (SELECT n FROM nn)),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS lo,
+                          GREATEST(src, dst) AS hi
+          FROM raw WHERE src <> dst),
+        deg AS (
+          SELECT node, COUNT(*)::HUGEINT AS d FROM (
+            SELECT lo AS node FROM e0 UNION ALL SELECT hi FROM e0)
+          GROUP BY node),
+        ed AS (
+          SELECT dl.d AS j, dh.d AS k
+          FROM e0 JOIN deg dl ON dl.node = e0.lo
+                  JOIN deg dh ON dh.node = e0.hi),
+        s AS (
+          SELECT COUNT(*)::HUGEINT AS m, SUM(j * k) AS s_jk,
+                 SUM(j + k) AS s_sum, SUM(j*j + k*k) AS s_sq
+          FROM ed)
+        SELECT CAST(m AS BIGINT) AS m, CAST(s_jk AS BIGINT) AS s_jk,
+               CAST(s_sum AS BIGINT) AS s_sum,
+               CAST(s_sq AS BIGINT) AS s_sq,
+               CASE WHEN 2*m*s_sq - s_sum*s_sum = 0 THEN 0.0
+                    ELSE round(CAST(4*m*s_jk - s_sum*s_sum AS DOUBLE)
+                         / CAST(2*m*s_sq - s_sum*s_sum AS DOUBLE), 6)
+               END AS assort
+        FROM s
+    """
     # quality_gains: the tie-safe rank binning replayed over the same
     # signal long-form the AUC oracle uses — bin = (strictly-smaller
     # cumulative count * 10) // N, all mass of a score in one bin

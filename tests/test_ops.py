@@ -6681,3 +6681,29 @@ def test_gains_table(ray_session):
     assert out["bin"].tolist() == [0, 1]
     assert out["n"].tolist() == [4, 2]
     assert out["pos_n"].tolist() == [2, 1]
+
+
+def test_degree_assortativity(ray_session):
+    """Exact Newman r: a star graph is perfectly disassortative
+    (r = -1); a disjoint pair of same-degree cliques is degenerate
+    (den = 0 -> 0.0); components match a python replay;
+    partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.graph import degree_assortativity
+
+    # star: center 0, leaves 1..5
+    star = pd.DataFrame({"src": [0] * 5, "dst": [1, 2, 3, 4, 5]})
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(star).repartition(nparts)
+        out = degree_assortativity(ds).iloc[0]
+        assert int(out.m) == 5 and float(out.assort) == -1.0, nparts
+        # replay: j=5 (center), k=1 per edge
+        assert int(out.s_jk) == 25 and int(out.s_sum) == 30
+        assert int(out.s_sq) == 5 * 26
+
+    # two disjoint triangles: every degree 2 -> denominator 0
+    tri2 = pd.DataFrame({"src": [0, 1, 2, 10, 11, 12],
+                         "dst": [1, 2, 0, 11, 12, 10]})
+    out = degree_assortativity(ray.data.from_pandas(tri2)).iloc[0]
+    assert int(out.m) == 6 and float(out.assort) == 0.0
