@@ -1490,6 +1490,21 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _cusum_days(sf_dir: str):
+    """Two-sided CUSUM change-point scan over the daily event-count
+    series (ops/stream.cusum_daily): exact scaled residuals
+    D*x_d - T, one-sided max(0, .) accumulators, alarms at one
+    average-day mass. Bounded daily histogram; driver runs the O(D)
+    recurrence."""
+    import ray.data
+
+    from warcio_ray.ops.stream import cusum_daily
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+    return cusum_daily(ds)
+
+
 def _assortativity(sf_dir: str):
     """Degree assortativity of the page graph (link + nav edges,
     ops/graph.degree_assortativity): the one-scalar topology
@@ -4726,6 +4741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_terms": _textrank_terms,
         "quality_gains": _quality_gains,
         "assortativity": _assortativity,
+        "cusum_days": _cusum_days,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -9483,6 +9499,44 @@ def oracle_sql() -> dict[str, str]:
     # maxcover_hosts: the greedy unroll by definition (see
     # _maxcover_sql) — identical md5 term hashes, gains, tie-breaks
     out["maxcover_hosts"] = _maxcover_sql(k=8)
+    # cusum_days: the integer recurrence replayed with a recursive
+    # CTE — missing days zero-filled, scaled residuals D*x - T,
+    # GREATEST(0, .) == the engine's max(0, .)
+    out["cusum_days"] = """
+        WITH RECURSIVE counts AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,
+                 COUNT(*)::HUGEINT AS x
+          FROM events GROUP BY 1),
+        bounds AS (
+          SELECT min(dt) AS lo,
+                 date_diff('day', min(dt), max(dt)) + 1 AS nd,
+                 (SELECT SUM(x) FROM counts) AS tt
+          FROM counts),
+        days AS (
+          SELECT unnest(range(0, (SELECT nd FROM bounds))) AS d),
+        daily AS MATERIALIZED (
+          SELECT days.d, COALESCE(c.x, 0) AS x,
+                 (SELECT nd FROM bounds)::HUGEINT * COALESCE(c.x, 0)
+                   - (SELECT tt FROM bounds) AS r
+          FROM days LEFT JOIN counts c
+            ON c.dt = (SELECT lo FROM bounds)
+                      + CAST(days.d AS INTEGER)),
+        rec AS (
+          SELECT d, x, GREATEST(0, r) AS s_pos, GREATEST(0, -r) AS s_neg
+          FROM daily WHERE d = 0
+          UNION ALL
+          SELECT dd.d, dd.x, GREATEST(0, rec.s_pos + dd.r),
+                 GREATEST(0, rec.s_neg - dd.r)
+          FROM rec JOIN daily dd ON dd.d = rec.d + 1)
+        SELECT CAST(d AS BIGINT) AS d, CAST(x AS BIGINT) AS x,
+               CAST(s_pos AS BIGINT) AS s_pos,
+               CAST(s_neg AS BIGINT) AS s_neg,
+               CAST(s_pos >= (SELECT tt FROM bounds) AS BIGINT)
+                 AS alarm_up,
+               CAST(s_neg >= (SELECT tt FROM bounds) AS BIGINT)
+                 AS alarm_down
+        FROM rec ORDER BY d
+    """
     # assortativity: Newman r by definition over the link-rule + nav
     # edge set — exact HUGEINT sums, the division the only float
     out["assortativity"] = """

@@ -6707,3 +6707,37 @@ def test_degree_assortativity(ray_session):
                          "dst": [1, 2, 0, 11, 12, 10]})
     out = degree_assortativity(ray.data.from_pandas(tri2)).iloc[0]
     assert int(out.m) == 6 and float(out.assort) == 0.0
+
+
+def test_cusum_daily(ray_session):
+    """CUSUM: a level shift mid-series drives the upward sum over the
+    alarm line and the pre-shift days keep the downward sum positive;
+    missing days zero-fill; exact python-replay; partitioning-
+    invariant."""
+    import ray.data
+
+    from warcio_ray.ops.stream import cusum_daily
+
+    # days 0-4: 1 event/day; day 5 missing; days 6-9: 10 events/day
+    days = [0, 1, 2, 3, 4] + [6] * 10 + [7] * 10 + [8] * 10 + [9] * 10
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({"ts": [base + pd.Timedelta(days=d, hours=3)
+                              for d in days]})
+    x = [1, 1, 1, 1, 1, 0, 10, 10, 10, 10]
+    D, T = 10, sum(x)
+    sp = sn = 0
+    exp = []
+    for d in range(D):
+        r = D * x[d] - T
+        sp, sn = max(0, sp + r), max(0, sn - r)
+        exp.append((d, x[d], sp, sn, int(sp >= T), int(sn >= T)))
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = cusum_daily(ds)
+        got = [tuple(int(v) for v in row)
+               for row in out.itertuples(index=False)]
+        assert got == exp, nparts
+    assert any(a for *_, a, _ in [(e[0], e[1], e[2], e[3], e[4], e[5])
+                                  for e in exp]) or True
+    assert exp[-1][4] == 1           # upward alarm fired by day 9
+    assert exp[5][3] > 0             # downward sum alive pre-shift

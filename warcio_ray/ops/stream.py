@@ -226,3 +226,58 @@ def markov_stationary(events_ds, iters: int = 8, qbits: int = 30,
     return pd.DataFrame({"event_type": types,
                          "out_n": np.array(rowsum, dtype="int64"),
                          "station_q": np.array(v, dtype="int64")})
+
+
+def cusum_daily(events_ds, ts_col: str = "ts") -> pd.DataFrame:
+    """Two-sided CUSUM change-point detection (Page 1954) over the
+    daily event-count series — the crawl-health monitor: a sustained
+    rate shift (collapsed source, runaway trap) accumulates in the
+    one-sided sums long before any single day looks anomalous.
+
+    Exact-integer contract: with D days (min..max, missing days count
+    0) and T total events, the scaled residual of day d is
+    r_d = D*x_d - T (so the rational mean T/D never materializes);
+
+        s_pos_d = max(0, s_pos_{d-1} + r_d)      (upward shifts)
+        s_neg_d = max(0, s_neg_{d-1} - r_d)      (downward shifts)
+
+    with alarms at h = T (one average-day mass, scaled). All integers;
+    the SQL oracle replays the recurrence with a recursive CTE.
+
+    Shape at scale: the daily histogram is a BOUNDED key space (one
+    row per day), so partial counts fold through the combiner tree
+    and the driver runs the O(D) recurrence on the tiny series.
+    Returns (d, x, s_pos, s_neg, alarm_up, alarm_down) — D rows,
+    d = days since the corpus minimum day."""
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        days = batch[ts_col].dt.normalize()
+        out = days.value_counts().reset_index()
+        out.columns = ["day", "x"]
+        return out.astype({"x": "int64"})
+
+    counts = tree_aggregate(
+        events_ds.map_batches(partial, batch_format="pandas"),
+        ["day"], sums=("x",))
+    if len(counts) == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ("d", "x", "s_pos", "s_neg",
+                              "alarm_up", "alarm_down")})
+    counts = counts.sort_values("day").reset_index(drop=True)
+    lo = counts["day"].iloc[0]
+    idx = ((counts["day"] - lo).dt.days).to_numpy(dtype="int64")
+    D = int(idx[-1]) + 1
+    x = np.zeros(D, dtype="int64")
+    x[idx] = counts["x"].to_numpy(dtype="int64")
+    T = int(x.sum())
+    rows, sp, sn = [], 0, 0
+    for d in range(D):
+        r = D * int(x[d]) - T
+        sp = max(0, sp + r)
+        sn = max(0, sn - r)
+        rows.append((d, int(x[d]), sp, sn,
+                     1 if sp >= T else 0, 1 if sn >= T else 0))
+    return pd.DataFrame(rows, columns=["d", "x", "s_pos", "s_neg",
+                                       "alarm_up", "alarm_down"]) \
+        .astype("int64")
