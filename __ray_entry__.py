@@ -1490,6 +1490,20 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _bm25_ndcg(sf_dir: str):
+    """nDCG@10 of the BM25 ranking vs the graded term-coverage
+    relevance (ops/evals.bm25_ndcg): quantized log2 position
+    discounts, integer-summed DCG/IDCG, ideal ranking from the
+    bounded relevance histogram (no global sort)."""
+    import ray.data
+
+    from warcio_ray.ops.evals import bm25_ndcg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return bm25_ndcg(ds, ["spark", "join", "query"], k=10)
+
+
 def _cusum_days(sf_dir: str):
     """Two-sided CUSUM change-point scan over the daily event-count
     series (ops/stream.cusum_daily): exact scaled residuals
@@ -4742,6 +4756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gains": _quality_gains,
         "assortativity": _assortativity,
         "cusum_days": _cusum_days,
+        "bm25_ndcg10": _bm25_ndcg,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -9499,6 +9514,59 @@ def oracle_sql() -> dict[str, str]:
     # maxcover_hosts: the greedy unroll by definition (see
     # _maxcover_sql) — identical md5 term hashes, gains, tie-breaks
     out["maxcover_hosts"] = _maxcover_sql(k=8)
+    # bm25_ndcg10: the literal bm25 scorer reused for the ranking;
+    # graded relevance = distinct-term coverage; quantized log2
+    # discounts (libm precedent), ideal ranking from the histogram
+    out["bm25_ndcg10"] = f"""
+        WITH ranked AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS pos
+          FROM (SELECT * FROM ({out["bm25_top20"]})
+                ORDER BY score DESC, doc_id LIMIT 10)),
+        rel AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(ts, x -> x = 'spark')) > 0
+                      AS BIGINT)
+               + CAST(len(list_filter(ts, x -> x = 'join')) > 0
+                      AS BIGINT)
+               + CAST(len(list_filter(ts, x -> x = 'query')) > 0
+                      AS BIGINT) AS rel
+          FROM (SELECT doc_id,
+                       regexp_extract_all(coalesce(text, ''),
+                                          '\\S+') AS ts
+                FROM documents)),
+        hist AS (SELECT rel, COUNT(*)::BIGINT AS n
+                 FROM rel WHERE rel > 0 GROUP BY rel),
+        dcg AS (
+          SELECT COALESCE(SUM(CAST(floor((POW(2, r.rel) - 1)
+                   * 4294967296.0 / log2(rk.pos + 1) + 0.5)
+                   AS HUGEINT)), 0) AS v
+          FROM ranked rk JOIN rel r USING (doc_id)),
+        cums AS (
+          SELECT COALESCE((SELECT n FROM hist WHERE rel = 3), 0) AS c3,
+                 COALESCE((SELECT n FROM hist WHERE rel = 2), 0) AS c2,
+                 COALESCE((SELECT n FROM hist WHERE rel = 1), 0) AS c1),
+        irel AS (
+          SELECT p, CASE WHEN p <= c3 THEN 3
+                         WHEN p <= c3 + c2 THEN 2
+                         WHEN p <= c3 + c2 + c1 THEN 1
+                         ELSE 0 END AS rel
+          FROM (SELECT unnest(range(1, 11)) AS p), cums),
+        idcg AS (
+          SELECT SUM(CAST(floor((POW(2, rel) - 1) * 4294967296.0
+                   / log2(p + 1) + 0.5) AS HUGEINT)) AS v
+          FROM irel)
+        SELECT CAST(dcg.v AS BIGINT) AS dcg_q,
+               CAST(idcg.v AS BIGINT) AS idcg_q,
+               CASE WHEN idcg.v > 0
+                    THEN round(CAST(dcg.v AS DOUBLE)
+                               / CAST(idcg.v AS DOUBLE), 6)
+                    ELSE 0.0 END AS ndcg,
+               (SELECT c1 FROM cums) AS n_rel1,
+               (SELECT c2 FROM cums) AS n_rel2,
+               (SELECT c3 FROM cums) AS n_rel3
+        FROM dcg, idcg
+    """
     # cusum_days: the integer recurrence replayed with a recursive
     # CTE — missing days zero-filled, scaled residuals D*x - T,
     # GREATEST(0, .) == the engine's max(0, .)

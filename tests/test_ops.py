@@ -6741,3 +6741,40 @@ def test_cusum_daily(ray_session):
                                   for e in exp]) or True
     assert exp[-1][4] == 1           # upward alarm fired by day 9
     assert exp[5][3] > 0             # downward sum alive pre-shift
+
+
+def test_bm25_ndcg(ray_session):
+    """nDCG grading: a corpus where BM25's ranking is exactly the
+    relevance order gives ndcg == 1.0; burying a 3-term doc under
+    spammy 1-term docs drops it below 1; histogram counts exact;
+    partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.evals import bm25_ndcg
+
+    # perfect case: coverage and BM25 agree (higher coverage = more
+    # distinct query terms, all docs same length)
+    texts = ["alpha beta gamma pad1 pad2",
+             "alpha beta pad1 pad2 pad3",
+             "alpha pad1 pad2 pad3 pad4",
+             "pad1 pad2 pad3 pad4 pad5"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    for nparts in (1, 2):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = bm25_ndcg(ds, ["alpha", "beta", "gamma"], k=3).iloc[0]
+        assert float(out.ndcg) == 1.0, nparts
+        assert (int(out.n_rel1), int(out.n_rel2), int(out.n_rel3)) \
+            == (1, 1, 1)
+        assert int(out.dcg_q) == int(out.idcg_q) > 0
+
+    # imperfect: term-stuffed short doc (rel 1) outranks the long
+    # full-coverage doc (rel 3) via BM25 length normalization
+    texts2 = [" ".join(["alpha"] * 8),
+              " ".join(["alpha", "beta", "gamma"]
+                       + [f"p{i}" for i in range(57)])] + \
+             [" ".join(f"q{j}" for j in range(8)) for _ in range(4)]
+    df2 = pd.DataFrame({"doc_id": range(len(texts2)), "text": texts2})
+    out = bm25_ndcg(ray.data.from_pandas(df2),
+                    ["alpha", "beta", "gamma"], k=2).iloc[0]
+    assert 0 < float(out.ndcg) < 1.0
+    assert (int(out.n_rel1), int(out.n_rel3)) == (1, 1)

@@ -265,3 +265,84 @@ def gains_table(ds, signals=DEFAULT_SIGNALS, pos_label: str = "en",
                          int(pos_s[m].sum())))
     return pd.DataFrame(rows, columns=["signal", "bin", "n", "pos_n"]) \
         .astype({"bin": "int64", "n": "int64", "pos_n": "int64"})
+
+
+def bm25_ndcg(ds, terms, k: int = 10, text_col: str = "text",
+              id_col: str = "doc_id") -> pd.DataFrame:
+    """nDCG@k of the BM25 ranking against the deterministic graded
+    relevance rel(doc) = number of distinct query terms present
+    (0..len(terms)) — the retrieval-quality eval next to ann_recall
+    (vector side) and signal_auc (filter side): does the lexical
+    ranker put the most-covered documents first?
+
+    Quantized-exact contract: per-position gain is
+    floor((2^rel - 1) * 2^32 / log2(pos + 1) + 0.5) — one fixed float
+    expression (the libm-log2 precedent), integer-summed, so DCG and
+    the ideal DCG are exact int64 and nDCG the single rounded float.
+    The ideal ranking needs only the corpus-level relevance HISTOGRAM
+    (positions fill rel-descending), never a global sort.
+
+    Shape at scale: the BM25 pass is bm25_topk (two shuffle-free
+    scans); relevance adds one combiner scan emitting the bounded
+    (rel, count) histogram plus the broadcast-top-k members' grades.
+    Returns ONE row (dcg_q, idcg_q, ndcg, n_rel1, n_rel2, n_rel3).
+    """
+    import math
+
+    import ray
+
+    from warcio_ray.ops.search import _term_patterns, bm25_topk
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    terms = list(terms)
+    ranked = bm25_topk(ds, terms, k=k, text_col=text_col,
+                       id_col=id_col).to_pandas()
+    ranked_ids = [int(i) for i in ranked[id_col]]
+    idref = ray.put(frozenset(ranked_ids))
+    pats = _term_patterns(terms)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[text_col].fillna("").astype("string")
+        rel = np.zeros(len(batch), dtype="int64")
+        for p in pats:
+            rel += (text.str.count(p) > 0).to_numpy()
+        ids = batch[id_col].to_numpy(dtype="int64")
+        member = np.isin(ids, np.fromiter(ray.get(idref), dtype="int64"))
+        hist = pd.DataFrame({"kind": 0, "key": rel[rel > 0],
+                             "n": np.int64(1)})
+        mem = pd.DataFrame({"kind": 1, "key": ids[member],
+                            "n": rel[member]})
+        out = pd.concat([hist, mem], ignore_index=True)
+        return out.groupby(["kind", "key"], sort=False, as_index=False) \
+            .agg({"n": "sum"}) \
+            .astype({"kind": "int64", "key": "int64", "n": "int64"})
+
+    # kind 0 rows: (rel level, count); kind 1 rows: (doc_id, rel) with
+    # n additive-safe because each doc appears in exactly one batch
+    folded = tree_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["kind", "key"], sums=("n",))
+    hist = {int(r.key): int(r.n) for r in folded.itertuples(index=False)
+            if r.kind == 0}
+    rel_of = {int(r.key): int(r.n) for r in folded.itertuples(index=False)
+              if r.kind == 1}
+
+    def gain(rel: int, pos: int) -> int:
+        return int(math.floor((2 ** rel - 1) * 4294967296.0
+                              / math.log2(pos + 1) + 0.5))
+
+    dcg = sum(gain(rel_of.get(doc, 0), i + 1)
+              for i, doc in enumerate(ranked_ids))
+    ideal = []
+    for lvl in sorted(hist, reverse=True):
+        ideal.extend([lvl] * hist[lvl])
+        if len(ideal) >= k:
+            break
+    idcg = sum(gain(lvl, i + 1) for i, lvl in enumerate(ideal[:k]))
+    ndcg = round(dcg / idcg, 6) if idcg > 0 else 0.0
+    return pd.DataFrame([{
+        "dcg_q": dcg, "idcg_q": idcg, "ndcg": ndcg,
+        "n_rel1": hist.get(1, 0), "n_rel2": hist.get(2, 0),
+        "n_rel3": hist.get(3, 0)}]) \
+        .astype({"dcg_q": "int64", "idcg_q": "int64", "n_rel1": "int64",
+                 "n_rel2": "int64", "n_rel3": "int64"})
