@@ -1490,6 +1490,48 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _luhn_scan(sf_dir: str):
+    """Checksum-validated PAN detection (ops/pii.luhn_scan): maximal
+    13-19 digit runs validated by the Luhn mod-10 checksum — the
+    precision rung above regex-only PII. Planted per doc_id: %3==0 a
+    VALID 16-digit number (computed check digit), %3==1 the same
+    number with the check digit shifted +5 (invalid), plus a short
+    digit run everywhere (length-filter control). The oracle replays
+    the planting and the checksum with list arithmetic."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.pii import luhn_scan, luhn_valid
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for d, t in zip(batch["doc_id"].astype("int64"),
+                        batch["text"].astype(str)):
+            p15 = "4" + str(d).zfill(14)
+            total = 0
+            for i, ch in enumerate(reversed(p15), start=1):
+                v = ord(ch) - 48
+                if (i + 1) % 2 == 0:
+                    v *= 2
+                    if v > 9:
+                        v -= 9
+                total += v
+            chk = (10 - total % 10) % 10
+            if d % 3 == 0:
+                t = t + " card " + p15 + str(chk)
+                assert luhn_valid(p15 + str(chk))
+            elif d % 3 == 1:
+                t = t + " ref " + p15 + str((chk + 5) % 10)
+            out.append(t + " id " + str(d))
+        batch["text"] = out
+        return batch
+
+    return luhn_scan(ds.map_batches(plant, batch_format="pandas"))
+
+
 def _bm25_ndcg(sf_dir: str):
     """nDCG@10 of the BM25 ranking vs the graded term-coverage
     relevance (ops/evals.bm25_ndcg): quantized log2 position
@@ -4757,6 +4799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": _assortativity,
         "cusum_days": _cusum_days,
         "bm25_ndcg10": _bm25_ndcg,
+        "luhn_scan": _luhn_scan,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -5263,6 +5306,58 @@ def _textrank_sql(k: int = 20, iters: int = 5, window: int = 2) -> str:
     return ("WITH " + ",".join(ctes) + f"""
         SELECT w AS term, CAST(r AS BIGINT) AS rank_q
         FROM r{iters} ORDER BY r DESC, w ASC LIMIT {k}""")
+
+
+def _luhn_sum_expr(col: str, off: int) -> str:
+    """SQL Luhn digit sum over a VARCHAR digit run ``col``: position i
+    counts from the RIGHT, doubled (minus 9 above 9) when
+    (i + off) % 2 == 0 — off=0 validates a full number (check digit
+    at i=1 undoubled), off=1 computes a check digit over a payload."""
+    d = f"CAST({col}[len({col})-i+1] AS INT)"
+    return (f"list_sum(list_transform(range(1, len({col})+1), i -> "
+            f"CASE WHEN (i + {off}) % 2 = 0 THEN "
+            f"CASE WHEN {d}*2 > 9 THEN {d}*2 - 9 ELSE {d}*2 END "
+            f"ELSE {d} END))")
+
+
+def _luhn_sql() -> str:
+    """Planting + scan replay for luhn_scan: same 4-prefixed zero-
+    padded payload, same computed/shifted check digit, same maximal
+    \\d+ run extraction with the 13-19 length filter."""
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 '4' || lpad(CAST(doc_id AS VARCHAR), 14, '0') AS p15
+          FROM documents),
+        withchk AS (
+          SELECT doc_id, text, p15,
+                 (10 - ({_luhn_sum_expr('p15', 1)} % 10)) % 10 AS chk
+          FROM base),
+        planted AS (
+          SELECT doc_id,
+                 text || CASE
+                   WHEN doc_id % 3 = 0 THEN
+                     ' card ' || p15 || CAST(chk AS VARCHAR)
+                   WHEN doc_id % 3 = 1 THEN
+                     ' ref ' || p15 || CAST((chk + 5) % 10 AS VARCHAR)
+                   ELSE '' END
+                 || ' id ' || CAST(doc_id AS VARCHAR) AS t
+          FROM withchk),
+        runs AS (
+          SELECT doc_id, unnest(regexp_extract_all(t, '\\d+')) AS r
+          FROM planted),
+        f AS (SELECT doc_id, r FROM runs
+              WHERE len(r) BETWEEN 13 AND 19),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_runs,
+                 SUM(CASE WHEN {_luhn_sum_expr('r', 0)} % 10 = 0
+                     THEN 1 ELSE 0 END) AS n_valid
+          FROM f GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_runs, 0) AS BIGINT) AS n_digit_runs,
+               CAST(COALESCE(a.n_valid, 0) AS BIGINT) AS n_valid_luhn
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id"""
 
 
 def _markov_sql(iters: int = 8, qbits: int = 30) -> str:
@@ -5992,6 +6087,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_4": _kcore_sql(k=4, rounds=8),
         "ktruss_4": _ktruss_sql(k=4, rounds=8),
         "event_markov": _markov_sql(iters=8),
+        "luhn_scan": _luhn_sql(),
         "textrank_terms": _textrank_sql(k=20, iters=5),
         # crawl_horizon_3: unrolled BFS rounds, frontier minus seen
         "crawl_horizon_3": _crawl_horizon_sql(seed_mod=97, depth=3),

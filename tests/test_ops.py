@@ -6778,3 +6778,32 @@ def test_bm25_ndcg(ray_session):
                     ["alpha", "beta", "gamma"], k=2).iloc[0]
     assert 0 < float(out.ndcg) < 1.0
     assert (int(out.n_rel1), int(out.n_rel3)) == (1, 1)
+
+
+def test_luhn_scan(ray_session):
+    """Luhn PAN detection: known-valid test numbers pass, off-by-one
+    check digits fail, short/long digit runs are not candidates;
+    partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.pii import luhn_scan, luhn_valid
+
+    assert luhn_valid("4532015112830366")          # classic Visa test
+    assert not luhn_valid("4532015112830367")
+    assert luhn_valid("79927398713")               # canonical example
+
+    texts = [
+        "pay with 4532015112830366 now",           # 1 run, valid
+        "ref 4532015112830367 thanks",             # 1 run, invalid
+        "ids 123 4567 890",                        # all too short
+        "big 12345678901234567890 blob",           # 20 digits: too long
+        "two 4532015112830366 and 4532015112830367 mixed",
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = luhn_scan(ds).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert out["n_digit_runs"].tolist() == [1, 1, 0, 0, 2, 0], nparts
+        assert out["n_valid_luhn"].tolist() == [1, 0, 0, 0, 1, 0]

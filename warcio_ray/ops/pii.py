@@ -27,6 +27,8 @@ ORIGINAL text (pre-redaction), one regex scan each.
 """
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -65,3 +67,49 @@ def redact_pii(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(
         lambda t: redact_pii_batch(t, text_col=text_col, id_col=id_col),
         batch_format="pyarrow")
+
+
+def luhn_valid(digits: str) -> bool:
+    """Luhn mod-10 checksum (ISO/IEC 7812) — exact integer arithmetic,
+    mirrored by the SQL oracle's list_transform expression."""
+    total = 0
+    for i, ch in enumerate(reversed(digits), start=1):
+        d = ord(ch) - 48
+        if i % 2 == 0:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def luhn_scan(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Checksum-validated PAN detection — the precision rung above the
+    regex-only PII scan (redact_pii): a 13-19 digit run is only a
+    credit-card-number candidate if its Luhn mod-10 checksum holds,
+    which kills the order-id / timestamp false positives that make
+    naive digit-run redaction unusable at corpus scale.
+
+    Definition (RE2-safe, so the SQL oracle replays it exactly):
+    candidates are MAXIMAL digit runs of length 13-19; n_valid counts
+    those passing Luhn. Stateless map_batches scan, zero shuffle.
+    Returns (id_col, n_digit_runs, n_valid_luhn) for every document.
+    """
+    import re
+
+    run_rx = re.compile(r"\d+")
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(dtype="int64")
+        n_runs = np.zeros(len(batch), dtype="int64")
+        n_valid = np.zeros(len(batch), dtype="int64")
+        for i, text in enumerate(batch[text_col].fillna("").astype(str)):
+            cands = [r for r in run_rx.findall(text)
+                     if 13 <= len(r) <= 19]
+            n_runs[i] = len(cands)
+            n_valid[i] = sum(1 for c in cands if luhn_valid(c))
+        return pd.DataFrame({id_col: ids, "n_digit_runs": n_runs,
+                             "n_valid_luhn": n_valid})
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(scan, batch_format="pandas")
