@@ -1490,6 +1490,46 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _transitivity(sf_dir: str):
+    """Global clustering coefficient of the page graph (link + nav
+    edges, ops/graph.transitivity): 3T from the shared triangle
+    kernel, wedges from the degree histogram, exact ints + one
+    rounded division."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from warcio_ray.ops.graph import transitivity
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    links = edge_urls.map_batches(to_ids, batch_format="pyarrow")
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = docs.count()
+
+    def nav(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        d = batch["doc_id"].to_numpy(dtype="int64")
+        d = d[d + 1 < n]
+        return pd.DataFrame({"src": d, "dst": d + 1})
+
+    edges = links.union(docs.map_batches(nav, batch_format="pandas"))
+    return transitivity(edges)
+
+
 def _luhn_scan(sf_dir: str):
     """Checksum-validated PAN detection (ops/pii.luhn_scan): maximal
     13-19 digit runs validated by the Luhn mod-10 checksum — the
@@ -4800,6 +4840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_days": _cusum_days,
         "bm25_ndcg10": _bm25_ndcg,
         "luhn_scan": _luhn_scan,
+        "transitivity": _transitivity,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -9610,6 +9651,39 @@ def oracle_sql() -> dict[str, str]:
     # maxcover_hosts: the greedy unroll by definition (see
     # _maxcover_sql) — identical md5 term hashes, gains, tie-breaks
     out["maxcover_hosts"] = _maxcover_sql(k=8)
+    # transitivity: 3T/W by definition over the link-rule + nav edges
+    out["transitivity"] = """
+        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        raw AS (
+          SELECT doc_id AS src,
+                 ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn)) AS dst
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE j < doc_id % 4
+          UNION ALL
+          SELECT doc_id, doc_id + 1 FROM documents
+          WHERE doc_id + 1 < (SELECT n FROM nn)),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS lo,
+                          GREATEST(src, dst) AS hi
+          FROM raw WHERE src <> dst),
+        deg AS (
+          SELECT node, COUNT(*)::HUGEINT AS d FROM (
+            SELECT lo AS node FROM e0 UNION ALL SELECT hi FROM e0)
+          GROUP BY node),
+        w AS (SELECT SUM(d * (d - 1) // 2) AS wedges FROM deg),
+        t AS (
+          SELECT COUNT(*)::HUGEINT AS tri
+          FROM e0 a JOIN e0 b ON a.lo = b.lo AND a.hi < b.hi
+          JOIN e0 c ON c.lo = a.hi AND c.hi = b.hi)
+        SELECT CAST(3 * tri AS BIGINT) AS corners,
+               CAST(wedges AS BIGINT) AS wedges,
+               CASE WHEN wedges = 0 THEN 0.0
+                    ELSE round(CAST(3 * tri AS DOUBLE)
+                               / CAST(wedges AS DOUBLE), 6)
+               END AS transitivity
+        FROM t, w
+    """
     # bm25_ndcg10: the literal bm25 scorer reused for the ranking;
     # graded relevance = distinct-term coverage; quantized log2
     # discounts (libm precedent), ideal ranking from the histogram

@@ -6807,3 +6807,26 @@ def test_luhn_scan(ray_session):
             .sort_values("doc_id").reset_index(drop=True)
         assert out["n_digit_runs"].tolist() == [1, 1, 0, 0, 2, 0], nparts
         assert out["n_valid_luhn"].tolist() == [1, 0, 0, 0, 1, 0]
+
+
+def test_transitivity(ray_session):
+    """3T/W exactness: a triangle with one pendant edge has T=1,
+    W = 3*1 + 3 (deg-2 corners) ... verified against hand counts; a
+    star has zero transitivity; partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.graph import transitivity
+
+    # triangle 0-1-2 plus pendant 2-3: degs = [2,2,3,1]
+    df = pd.DataFrame({"src": [0, 1, 2, 2], "dst": [1, 2, 0, 3]})
+    for nparts in (1, 2):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = transitivity(ds).iloc[0]
+        assert int(out.corners) == 3, nparts
+        assert int(out.wedges) == 1 + 1 + 3 + 0
+        assert float(out.transitivity) == round(3 / 5, 6)
+
+    star = pd.DataFrame({"src": [0] * 4, "dst": [1, 2, 3, 4]})
+    out = transitivity(ray.data.from_pandas(star)).iloc[0]
+    assert int(out.corners) == 0 and float(out.transitivity) == 0.0
+    assert int(out.wedges) == 6

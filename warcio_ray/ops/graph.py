@@ -1767,3 +1767,64 @@ def degree_assortativity(edges_ds, num_partitions=None) -> pd.DataFrame:
                           "s_sq": s_sq, "assort": r}]) \
         .astype({"m": "int64", "s_jk": "int64", "s_sum": "int64",
                  "s_sq": "int64"})
+
+
+def transitivity(edges_ds, broadcast_max_nodes: int = 2_000_000,
+                 num_partitions=None) -> pd.DataFrame:
+    """Global transitivity (clustering coefficient) of the undirected
+    simple graph: C = 3*T / W with T the triangle count and
+    W = sum_v C(deg_v, 2) the wedge count — the companion scalar to
+    ``degree_assortativity`` (assortativity says who links to whom by
+    degree; transitivity says whether links CLOSE).
+
+    Exact-integer contract: 3*T comes from the shared forward-
+    algorithm triangle kernel (each triangle counted once, corners
+    exploded = exactly 3T rows); W from the bounded degree histogram.
+    The single float is the final rounded division.
+
+    Returns ONE row (corners, wedges, transitivity): corners = 3T.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks, tree_aggregate
+
+    if num_partitions is None:
+        num_partitions = min(
+            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch[["src", "dst"]].dropna().astype("int64")
+        df = df[df["src"] != df["dst"]]
+        out = pd.DataFrame({"lo": np.minimum(df["src"], df["dst"]),
+                            "hi": np.maximum(df["src"], df["dst"])})
+        return out.drop_duplicates()
+
+    und = arrow_blocks(edges_ds.map_batches(fold, batch_format="pandas")) \
+        .groupby(["lo", "hi"]).aggregate(Count(alias_name="_c")) \
+        .drop_columns(["_c"]).materialize()
+
+    def endpoints(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [batch["lo"].to_numpy(), batch["hi"].to_numpy()])})
+
+    deg_ds = arrow_blocks(und.map_batches(endpoints,
+                                          batch_format="pandas")) \
+        .groupby("node").aggregate(Count(alias_name="deg"))
+
+    def wedge_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        dg = batch["deg"].to_numpy(dtype="int64")
+        return pd.DataFrame([{"w": np.int64((dg * (dg - 1) // 2).sum()),
+                              "_k": np.int64(0)}])
+
+    wsum = tree_aggregate(
+        deg_ds.map_batches(wedge_partial, batch_format="pandas"),
+        ["_k"], sums=("w",))
+    wedges = int(wsum["w"].iloc[0]) if len(wsum) else 0
+
+    tri = _oriented_triangles(und, broadcast_max_nodes, num_partitions)
+    corners = int(tri.count()) * 3
+    c = round(corners / wedges, 6) if wedges else 0.0
+    return pd.DataFrame([{"corners": corners, "wedges": wedges,
+                          "transitivity": c}]) \
+        .astype({"corners": "int64", "wedges": "int64"})
