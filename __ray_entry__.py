@@ -1490,6 +1490,20 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _hapax_ratio(sf_dir: str):
+    """Per-source hapax legomena share (ops/textstats.hapax_stats):
+    tokens / vocab / singleton counts per source, exact ints — the
+    template-generation detector (collapsed hapax share = boilerplate
+    source). One vocab-bounded (source, word) aggregate."""
+    import ray.data
+
+    from warcio_ray.ops.textstats import hapax_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+    return hapax_stats(ds)
+
+
 def _transitivity(sf_dir: str):
     """Global clustering coefficient of the page graph (link + nav
     edges, ops/graph.transitivity): 3T from the shared triangle
@@ -4841,6 +4855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_ndcg10": _bm25_ndcg,
         "luhn_scan": _luhn_scan,
         "transitivity": _transitivity,
+        "hapax_ratio": _hapax_ratio,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -9651,6 +9666,24 @@ def oracle_sql() -> dict[str, str]:
     # maxcover_hosts: the greedy unroll by definition (see
     # _maxcover_sql) — identical md5 term hashes, gains, tie-breaks
     out["maxcover_hosts"] = _maxcover_sql(k=8)
+    # hapax_ratio: singleton share by definition over the same
+    # whitespace tokenization
+    out["hapax_ratio"] = r"""
+        WITH cells AS (
+          SELECT source, w, COUNT(*) AS n
+          FROM (SELECT source,
+                       unnest(regexp_extract_all(text, '\S+')) AS w
+                FROM documents)
+          GROUP BY source, w)
+        SELECT source,
+               CAST(SUM(n) AS BIGINT) AS tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hapax,
+               round(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
+        FROM cells GROUP BY source ORDER BY source
+    """
     # transitivity: 3T/W by definition over the link-rule + nav edges
     out["transitivity"] = """
         WITH nn AS (SELECT COUNT(*) AS n FROM documents),

@@ -6830,3 +6830,32 @@ def test_transitivity(ray_session):
     out = transitivity(ray.data.from_pandas(star)).iloc[0]
     assert int(out.corners) == 0 and float(out.transitivity) == 0.0
     assert int(out.wedges) == 6
+
+
+def test_hapax_stats(ray_session):
+    """Hapax share: a natural-ish source with singletons vs a
+    template source repeating every word; cross-doc counts merge
+    within a source; partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.textstats import hapax_stats
+
+    df = pd.DataFrame({
+        "source": ["nat", "nat", "tpl", "tpl"],
+        "text": ["one two three two", "four five one",
+                 "buy now buy now", "buy now buy now"],
+    })
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = hapax_stats(ds).sort_values("source") \
+            .reset_index(drop=True)
+        nat = out[out.source == "nat"].iloc[0]
+        tpl = out[out.source == "tpl"].iloc[0]
+        # nat: counts one=2 two=2 three=1 four=1 five=1
+        assert (int(nat.tokens), int(nat.vocab), int(nat.hapax)) \
+            == (7, 5, 3), nparts
+        assert float(nat.hapax_ratio) == round(3 / 5, 6)
+        # tpl: buy=4 now=4 -> zero hapax
+        assert (int(tpl.tokens), int(tpl.vocab), int(tpl.hapax)) \
+            == (8, 2, 0)
+        assert float(tpl.hapax_ratio) == 0.0

@@ -1516,3 +1516,71 @@ def zipf_slope(ds, top_n: int = 100) -> pd.DataFrame:
         "slope_num": [n * sxy - sx * sy],
         "slope_den": [n * sxx - sx * sx],
     }).astype("int64")
+
+
+def hapax_stats(ds, group_col: str = "source", text_col: str = "text"):
+    """Per-group hapax legomena statistics — the vocabulary-health
+    fingerprint (Baayen, "Word Frequency Distributions"): a source
+    whose hapax share collapses is template/boilerplate-generated
+    (same strings over and over); a natural-language source keeps
+    a fat singleton tail. The corpus-linguistics complement of
+    vocab_growth (which tracks the corpus-level curve).
+
+    Shape at scale: one stateless scan emits per-batch (group, word)
+    count partials (combiner); ONE vocab-bounded groupby; the
+    per-group rollup is a second bounded aggregate over the unique
+    (group, word) rows. All exact integers; ratio = the one rounded
+    division.
+
+    Returns (source, tokens, vocab, hapax, hapax_ratio) per group,
+    hapax_ratio = hapax / vocab rounded to 6 decimals."""
+    from ray.data.aggregate import Sum
+
+    from warcio_ray.ops.blocks import arrow_blocks, tree_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        cells: "Counter" = Counter()
+        for g, text in zip(batch[group_col].astype(str),
+                           batch[text_col]):
+            for w in (text or "").split():
+                cells[(g, w)] += 1
+        if not cells:
+            return pd.DataFrame({group_col: pd.Series(dtype=object),
+                                 "w": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        ks = list(cells.keys())
+        return pd.DataFrame({group_col: [k[0] for k in ks],
+                             "w": [k[1] for k in ks],
+                             "n": np.fromiter(cells.values(),
+                                              dtype="int64")})
+
+    counts = arrow_blocks(ds.select_columns([group_col, text_col])
+                          .map_batches(partial, batch_format="pandas")) \
+        .groupby([group_col, "w"]).aggregate(Sum("n", alias_name="n"))
+
+    def rollup(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n"].to_numpy(dtype="int64")
+        out = pd.DataFrame({group_col: batch[group_col],
+                            "tokens": n,
+                            "vocab": np.int64(1),
+                            "hapax": (n == 1).astype("int64")})
+        return out.groupby(group_col, as_index=False).sum() \
+            .astype({"tokens": "int64", "vocab": "int64",
+                     "hapax": "int64"})
+
+    per_group = tree_aggregate(
+        counts.map_batches(rollup, batch_format="pandas"),
+        [group_col], sums=("tokens", "vocab", "hapax"))
+    if len(per_group) == 0:
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "tokens": pd.Series(dtype="int64"),
+                             "vocab": pd.Series(dtype="int64"),
+                             "hapax": pd.Series(dtype="int64"),
+                             "hapax_ratio": pd.Series(dtype="float64")})
+    per_group = per_group.sort_values(group_col).reset_index(drop=True)
+    per_group["hapax_ratio"] = [
+        round(h / v, 6) if v else 0.0
+        for h, v in zip(per_group["hapax"], per_group["vocab"])]
+    return per_group.astype({"tokens": "int64", "vocab": "int64",
+                             "hapax": "int64"})
