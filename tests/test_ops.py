@@ -6859,3 +6859,38 @@ def test_hapax_stats(ray_session):
         assert (int(tpl.tokens), int(tpl.vocab), int(tpl.hapax)) \
             == (8, 2, 0)
         assert float(tpl.hapax_ratio) == 0.0
+
+
+def test_salted_grouped_topk(ray_session):
+    """Salted two-phase top-k == naive single-phase top-k for any
+    salt count, including ties at the k boundary and groups smaller
+    than k; hot group dominated by one key."""
+    import ray.data
+
+    from warcio_ray.ops.relational import salted_grouped_topk
+
+    rng = np.random.RandomState(7)
+    n = 500
+    df = pd.DataFrame({
+        "g": np.where(rng.rand(n) < 0.9, "hot", "cold"),
+        "id": np.arange(n, dtype="int64"),
+        "v": rng.randint(0, 40, n).astype("int64"),  # many ties
+    })
+    exp = df.sort_values(["v", "id"], ascending=[False, True]) \
+        .groupby("g", sort=False).head(0)  # placeholder
+    exp = pd.concat([
+        grp.sort_values(["v", "id"], ascending=[False, True]).head(5)
+        for _, grp in df.groupby("g")]) \
+        .sort_values(["g", "v", "id"],
+                     ascending=[True, False, True]).reset_index(drop=True)
+    for salts in (1, 4, 16):
+        ds = ray.data.from_pandas(df).repartition(3)
+        out = salted_grouped_topk(
+            ds, group_col="g", sort_cols=["v", "id"],
+            ascending=[False, True], salt_col="id", k=5,
+            salts=salts).to_pandas() \
+            .sort_values(["g", "v", "id"],
+                         ascending=[True, False, True]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            out[["g", "id", "v"]], exp[["g", "id", "v"]]), salts
