@@ -1490,6 +1490,22 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _hll_cube(sf_dir: str):
+    """HLL distinct-token CUBE over (source, lang)
+    (ops/sketch.hll_cube): every rollup level computed by REGISTER
+    MERGE from the one finest-level scan — the mergeable-sketch
+    contract that makes report slicing free at 100 TB. Oracle replays
+    the cube with GROUPING SETS over the same exact-integer
+    registers."""
+    import ray.data
+
+    from warcio_ray.ops.sketch import hll_cube
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "lang", "text"])
+    return hll_cube(ds, "source", "lang", "text", tokenize=True)
+
+
 def _hapax_ratio(sf_dir: str):
     """Per-source hapax legomena share (ops/textstats.hapax_stats):
     tokens / vocab / singleton counts per source, exact ints — the
@@ -4856,6 +4872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "luhn_scan": _luhn_scan,
         "transitivity": _transitivity,
         "hapax_ratio": _hapax_ratio,
+        "hll_cube": _hll_cube,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -9666,6 +9683,51 @@ def oracle_sql() -> dict[str, str]:
     # maxcover_hosts: the greedy unroll by definition (see
     # _maxcover_sql) — identical md5 term hashes, gains, tie-breaks
     out["maxcover_hosts"] = _maxcover_sql(k=8)
+    # hll_cube: the GROUPING SETS register rollup — coarser levels
+    # are register MAX folds of the finest level, exactly the
+    # engine's merge; only the final double fold is float
+    out["hll_cube"] = """
+        WITH toks AS (
+          SELECT source, lang,
+                 unnest(regexp_extract_all(text, '\\S+')) AS tok
+          FROM documents),
+        h AS (
+          SELECT source, lang,
+                 CAST(('0x' || substr(md5(tok),1,16)) AS UBIGINT) AS hv
+          FROM toks),
+        regf AS (
+          SELECT source, lang, CAST(hv >> 54 AS BIGINT) AS bucket,
+                 MAX(CASE WHEN (hv & 18014398509481983::UBIGINT)
+                               = 0::UBIGINT THEN 55
+                     ELSE 54 - length(bin(
+                         hv & 18014398509481983::UBIGINT)) + 1 END)
+                   AS rho
+          FROM h GROUP BY source, lang, bucket),
+        cube_ AS (
+          SELECT COALESCE(source, '*') AS source,
+                 COALESCE(lang, '*') AS lang, bucket, MAX(rho) AS rho
+          FROM regf
+          GROUP BY GROUPING SETS ((source, lang, bucket),
+                                  (source, bucket), (lang, bucket),
+                                  (bucket))),
+        agg AS (
+          SELECT source, lang,
+                 SUM(1::HUGEINT << (64 - rho))
+                   + (1024 - COUNT(*)) * (1::HUGEINT << 64) AS denom,
+                 1024 - COUNT(*) AS zeros
+          FROM cube_ GROUP BY source, lang),
+        est AS (
+          SELECT source, lang, zeros,
+                 (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+                   * 18446744073709551616.0 / CAST(denom AS DOUBLE)
+                   AS raw
+          FROM agg)
+        SELECT source, lang,
+               CASE WHEN raw <= 2560.0 AND zeros > 0
+                    THEN 1024.0 * ln(1024.0 / zeros)
+                    ELSE raw END AS n_distinct_est
+        FROM est ORDER BY source, lang
+    """
     # hapax_ratio: singleton share by definition over the same
     # whitespace tokenization
     out["hapax_ratio"] = r"""

@@ -6894,3 +6894,44 @@ def test_salted_grouped_topk(ray_session):
             .reset_index(drop=True)
         pd.testing.assert_frame_equal(
             out[["g", "id", "v"]], exp[["g", "id", "v"]]), salts
+
+
+def test_hll_cube(ray_session):
+    """Register-merge rollup: the (*, *) estimate equals hll_distinct
+    over a constant key (same registers); level estimates are close
+    to exact distincts; merging is order/partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.sketch import hll_cube, hll_distinct
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(300):
+        s = f"s{i % 3}"
+        l = "en" if i % 2 == 0 else "de"
+        toks = " ".join(f"w{s}{l}{rng.randint(0, 200)}"
+                        for _ in range(20))
+        rows.append((s, l, toks))
+    df = pd.DataFrame(rows, columns=["source", "lang", "text"])
+
+    outs = []
+    for nparts in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = hll_cube(ds, "source", "lang", "text", tokenize=True)
+        outs.append(out)
+        assert len(out) == 3 * 2 + 3 + 2 + 1, nparts
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    # global slice == single-key hll_distinct over the same corpus
+    df2 = df.copy()
+    df2["k"] = "all"
+    single = hll_distinct(ray.data.from_pandas(df2), key_col="k",
+                          value_col="text", tokenize=True)
+    glob = outs[0][(outs[0].source == "*") & (outs[0].lang == "*")]
+    assert float(glob["n_distinct_est"].iloc[0]) == \
+        float(single["n_distinct_est"].iloc[0])
+
+    # sanity: estimates within 15% of exact distincts per level
+    exact = len({w for t in df["text"] for w in t.split()})
+    est = float(glob["n_distinct_est"].iloc[0])
+    assert abs(est - exact) / exact < 0.15

@@ -366,3 +366,91 @@ def misra_gries_heavy(ds, text_col: str = "text", k: int = 64):
     return out.sort_values(["n_occ", "term"],
                            ascending=[False, True],
                            kind="mergesort").reset_index(drop=True)
+
+
+def hll_cube(ds, dim1: str, dim2: str, value_col: str, b: int = 10,
+             tokenize: bool = True) -> pd.DataFrame:
+    """HyperLogLog CUBE: approximate distinct counts at every rollup
+    level of two dimensions — (d1, d2), (d1, *), (*, d2), (*, *) —
+    where every coarser level is computed by MERGING the finest
+    level's REGISTERS (per-bucket max), never by rescanning. This is
+    the property that justifies sketches at 100 TB: one scan builds
+    the finest cube; every report slice above it is a register fold
+    over O(cells x m) tiny rows.
+
+    Same register definition as ``hll_distinct`` (md5 -> b=10 bucket,
+    rho over the 54 low bits), so the SQL oracle replays the cube via
+    GROUPING SETS over the same exact-integer registers.
+
+    Returns (dim1, dim2, n_distinct_est) with '*' marking rolled-up
+    dimensions."""
+    m = 1 << b
+    shift = 64 - b
+    wmask = (1 << (64 - b)) - 1
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        hmemo = _hash_memo.setdefault(b, {})
+        best: dict = {}
+        for k1, k2, val in zip(batch[dim1].astype(str),
+                               batch[dim2].astype(str),
+                               batch[value_col]):
+            vals = (val or "").split() if tokenize else [val]
+            cell = best.setdefault((k1, k2), {})
+            for v in vals:
+                br = hmemo.get(v)
+                if br is None:
+                    h = int(hashlib.md5(
+                        str(v).encode("utf-8")).hexdigest()[:16], 16)
+                    w = h & wmask
+                    br = (h >> shift, (64 - b) - w.bit_length() + 1)
+                    if len(hmemo) < 4_000_000:
+                        hmemo[v] = br
+                bucket, rho = br
+                if rho > cell.get(bucket, 0):
+                    cell[bucket] = rho
+        k1s, k2s, bs, rs = [], [], [], []
+        for (k1, k2), cell in best.items():
+            for bucket, rho in cell.items():
+                k1s.append(k1)
+                k2s.append(k2)
+                bs.append(bucket)
+                rs.append(rho)
+        return pd.DataFrame({
+            dim1: k1s, dim2: k2s,
+            "bucket": np.array(bs, dtype="int64"),
+            "rho": np.array(rs, dtype="int64")})
+
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    finest = tree_aggregate(
+        ds.map_batches(partials, batch_format="pandas"),
+        [dim1, dim2, "bucket"], maxs=("rho",))
+
+    def level(df: pd.DataFrame, keys):
+        return df.groupby(keys + ["bucket"], as_index=False) \
+            .agg({"rho": "max"})
+
+    rows = []
+    for keys, stars in (([dim1, dim2], {}),
+                        ([dim1], {dim2: "*"}),
+                        ([dim2], {dim1: "*"}),
+                        ([], {dim1: "*", dim2: "*"})):
+        lv = finest.copy()
+        if keys:
+            lv = level(lv, keys)
+            grouped = lv.groupby(keys, sort=True)
+        else:
+            lv = lv.groupby("bucket", as_index=False) \
+                .agg({"rho": "max"})
+            grouped = [((), lv)]
+        for gk, grp in grouped:
+            regs = np.zeros(m, dtype=np.int64)
+            regs[grp["bucket"].to_numpy(dtype="int64")] = \
+                grp["rho"].to_numpy(dtype="int64")
+            est = hll_estimate_from_registers(regs, b)
+            gk = gk if isinstance(gk, tuple) else (gk,)
+            named = dict(zip(keys, gk))
+            named.update(stars)
+            rows.append((named[dim1], named[dim2], est))
+    out = pd.DataFrame(rows, columns=[dim1, dim2, "n_distinct_est"])
+    return out.sort_values([dim1, dim2]).reset_index(drop=True)
