@@ -1490,6 +1490,20 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _trimmed_value_mean(sf_dir: str):
+    """5%-trimmed and winsorized means of the event value column
+    (ops/quantile.trimmed_mean): rank-exact via the radix quantile
+    cuts + one bounded tie-correcting scan — the outlier-robust
+    metrics aggregate."""
+    import ray.data
+
+    from warcio_ray.ops.quantile import trimmed_mean
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    return trimmed_mean(ds, value_col="value", p=5)
+
+
 def _hll_cube(sf_dir: str):
     """HLL distinct-token CUBE over (source, lang)
     (ops/sketch.hll_cube): every rollup level computed by REGISTER
@@ -4873,6 +4887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitivity": _transitivity,
         "hapax_ratio": _hapax_ratio,
         "hll_cube": _hll_cube,
+        "trimmed_value_mean": _trimmed_value_mean,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -9683,6 +9698,34 @@ def oracle_sql() -> dict[str, str]:
     # maxcover_hosts: the greedy unroll by definition (see
     # _maxcover_sql) — identical md5 term hashes, gains, tie-breaks
     out["maxcover_hosts"] = _maxcover_sql(k=8)
+    # trimmed_value_mean: rank-range means by definition (row_number
+    # tie-breaks are value-identical inside a rank range)
+    out["trimmed_value_mean"] = """
+        WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+        nn AS (SELECT COUNT(*) AS n FROM v),
+        r AS (SELECT n, (5 * n + 99) // 100 AS rlo,
+                     (95 * n + 99) // 100 AS rhi
+              FROM nn),
+        rk AS (SELECT value,
+                      row_number() OVER (ORDER BY value) AS rn
+               FROM v),
+        cuts AS (
+          SELECT (SELECT value FROM rk WHERE rn = (SELECT rlo FROM r))
+                   AS lo,
+                 (SELECT value FROM rk WHERE rn = (SELECT rhi FROM r))
+                   AS hi)
+        SELECT (SELECT n FROM r) AS n,
+               (SELECT rlo FROM r) AS r_lo,
+               (SELECT rhi FROM r) AS r_hi,
+               round(AVG(value) FILTER (WHERE rn >= (SELECT rlo FROM r)
+                     AND rn <= (SELECT rhi FROM r)), 6) AS trimmed_mean,
+               round(AVG(CASE WHEN rn < (SELECT rlo FROM r)
+                              THEN (SELECT lo FROM cuts)
+                              WHEN rn > (SELECT rhi FROM r)
+                              THEN (SELECT hi FROM cuts)
+                              ELSE value END), 6) AS winsor_mean
+        FROM rk
+    """
     # hll_cube: the GROUPING SETS register rollup — coarser levels
     # are register MAX folds of the finest level, exactly the
     # engine's merge; only the final double fold is float

@@ -6935,3 +6935,40 @@ def test_hll_cube(ray_session):
     exact = len({w for t in df["text"] for w in t.split()})
     est = float(glob["n_distinct_est"].iloc[0])
     assert abs(est - exact) / exact < 0.15
+
+
+def test_trimmed_mean(ray_session):
+    """Trim robustness: one huge outlier moves the plain mean but not
+    the trimmed mean; exact numpy-replay of the rank rule incl. ties
+    at the cuts; partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.quantile import trimmed_mean
+
+    rng = np.random.RandomState(5)
+    vals = np.concatenate([
+        rng.uniform(10, 20, 96),
+        np.full(2, 10.0),            # ties at the low cut region
+        [1e9, -1e9],                 # outliers
+    ])
+    df = pd.DataFrame({"value": vals})
+
+    # numpy replay of the documented rank rule
+    n = len(vals)
+    r_lo = (5 * n + 99) // 100
+    r_hi = (95 * n + 99) // 100
+    sv = np.sort(vals)
+    kept = sv[r_lo - 1:r_hi]
+    exp_trim = round(float(kept.sum()) / len(kept), 6)
+    win = np.concatenate([np.full(r_lo - 1, sv[r_lo - 1]), kept,
+                          np.full(n - r_hi, sv[r_hi - 1])])
+    exp_win = round(float(win.sum()) / n, 6)
+
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = trimmed_mean(ds, value_col="value", p=5).iloc[0]
+        assert (int(out.n), int(out.r_lo), int(out.r_hi)) \
+            == (n, r_lo, r_hi), nparts
+        assert abs(float(out.trimmed_mean) - exp_trim) < 1e-6
+        assert abs(float(out.winsor_mean) - exp_win) < 1e-6
+        assert 10 <= float(out.trimmed_mean) <= 20   # outliers gone

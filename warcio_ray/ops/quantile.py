@@ -404,3 +404,68 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
                         int(vals[int(np.searchsorted(cum, rank))])))
     return pd.DataFrame(out, columns=[group_col, "pct", "value"]) \
         .astype({"pct": "int64", "value": "int64"})
+
+
+def trimmed_mean(ds, value_col: str = "value", p: int = 5) -> pd.DataFrame:
+    """Exact p%-trimmed and winsorized means of a float column — the
+    robust aggregates a metrics pipeline needs when a crawler bug or a
+    bot burst poisons the tail (a plain mean moves with one outlier;
+    the 5%-trimmed mean doesn't).
+
+    Rank-exact contract: with n non-null values and the
+    exact_float_quantiles rank rule r_q = (q*n + 99) // 100, the kept
+    range is ranks r_p .. r_{100-p} inclusive; dropped mass is
+    reconstructed from (count, sum) below/above the two cut VALUES
+    plus exact tie corrections, so no global sort happens — ties at
+    the cuts contribute cut-value multiples, which is rank-identical
+    to any row_number tie-break. Winsorized = dropped observations
+    clamped to the cuts.
+
+    Shape at scale: the two cut values come from the 4-scan radix
+    quantile machinery; ONE more bounded combiner scan collects
+    (below/above counts and sums, total); the driver finishes on six
+    numbers. Returns ONE row (n, r_lo, r_hi, trimmed_mean,
+    winsor_mean)."""
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    qs = exact_float_quantiles(ds, value_col, pcts=(p, 100 - p))
+    qs = qs.set_index("pct")["value"]
+    lo, hi = float(qs[p]), float(qs[100 - p])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = batch[value_col].to_numpy(dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        below = vals < lo
+        above = vals > hi
+        return pd.DataFrame([{
+            "_k": np.int64(0),
+            "n": np.int64(len(vals)),
+            "total": float(vals.sum()),
+            "nb": np.int64(below.sum()),
+            "sb": float(vals[below].sum()),
+            "na": np.int64(above.sum()),
+            "sa": float(vals[above].sum())}])
+
+    s = tree_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                       ["_k"], sums=("n", "total", "nb", "sb",
+                                     "na", "sa"))
+    if len(s) == 0 or int(s["n"].iloc[0]) == 0:
+        return pd.DataFrame([{"n": 0, "r_lo": 0, "r_hi": 0,
+                              "trimmed_mean": 0.0, "winsor_mean": 0.0}]) \
+            .astype({"n": "int64", "r_lo": "int64", "r_hi": "int64"})
+    n = int(s["n"].iloc[0])
+    total = float(s["total"].iloc[0])
+    nb, sb = int(s["nb"].iloc[0]), float(s["sb"].iloc[0])
+    na, sa = int(s["na"].iloc[0]), float(s["sa"].iloc[0])
+    r_lo = (p * n + 99) // 100
+    r_hi = ((100 - p) * n + 99) // 100
+    lo_ties_drop = (r_lo - 1) - nb
+    hi_ties_drop = (n - r_hi) - na
+    kept_sum = total - sb - sa - lo_ties_drop * lo - hi_ties_drop * hi
+    kept_n = r_hi - r_lo + 1
+    win_sum = kept_sum + (r_lo - 1) * lo + (n - r_hi) * hi
+    return pd.DataFrame([{
+        "n": n, "r_lo": r_lo, "r_hi": r_hi,
+        "trimmed_mean": round(kept_sum / kept_n, 6),
+        "winsor_mean": round(win_sum / n, 6)}]) \
+        .astype({"n": "int64", "r_lo": "int64", "r_hi": "int64"})
