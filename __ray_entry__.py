@@ -1490,6 +1490,33 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _host_gini(sf_dir: str):
+    """Exact Gini of the skewed per-host page distribution
+    (ops/profile.gini_counts over the standard skewed host mapping):
+    the crawl-fairness scalar — integer numerator/denominator, one
+    rounded division."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.profile import gini_counts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def hosts(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["doc_id"].astype("int64") % 100
+        hid = m.copy()
+        hid[m < 62] = 3
+        hid[m < 55] = 2
+        hid[m < 45] = 1
+        hid[m < 30] = 0
+        return pd.DataFrame({
+            "host": "site" + hid.astype(str) + ".example"})
+
+    return gini_counts(docs.map_batches(hosts, batch_format="pandas"),
+                       key_col="host")
+
+
 def _trimmed_value_mean(sf_dir: str):
     """5%-trimmed and winsorized means of the event value column
     (ops/quantile.trimmed_mean): rank-exact via the radix quantile
@@ -4888,6 +4915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_ratio": _hapax_ratio,
         "hll_cube": _hll_cube,
         "trimmed_value_mean": _trimmed_value_mean,
+        "host_gini": _host_gini,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -9698,6 +9726,24 @@ def oracle_sql() -> dict[str, str]:
     # maxcover_hosts: the greedy unroll by definition (see
     # _maxcover_sql) — identical md5 term hashes, gains, tie-breaks
     out["maxcover_hosts"] = _maxcover_sql(k=8)
+    # host_gini: the sorted-rank Gini identity over the shared skewed
+    # host mapping (ties rank-order-irrelevant)
+    out["host_gini"] = f"""
+        WITH counts AS (
+          SELECT {_HOST_CASE} AS host, COUNT(*)::HUGEINT AS c
+          FROM documents GROUP BY 1),
+        rk AS (SELECT c, row_number() OVER (ORDER BY c, host) AS i
+               FROM counts),
+        s AS (SELECT COUNT(*)::HUGEINT AS n, SUM(c) AS tot,
+                     SUM(i * c) AS wsum
+              FROM rk)
+        SELECT CAST(n AS BIGINT) AS n_keys, CAST(tot AS BIGINT) AS total,
+               CAST(2 * wsum - (n + 1) * tot AS BIGINT) AS g_num,
+               CAST(n * tot AS BIGINT) AS g_den,
+               round(CAST(2 * wsum - (n + 1) * tot AS DOUBLE)
+                     / CAST(n * tot AS DOUBLE), 6) AS gini
+        FROM s
+    """
     # trimmed_value_mean: rank-range means by definition (row_number
     # tie-breaks are value-identical inside a rank range)
     out["trimmed_value_mean"] = """

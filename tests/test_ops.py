@@ -6972,3 +6972,25 @@ def test_trimmed_mean(ray_session):
         assert abs(float(out.trimmed_mean) - exp_trim) < 1e-6
         assert abs(float(out.winsor_mean) - exp_win) < 1e-6
         assert 10 <= float(out.trimmed_mean) <= 20   # outliers gone
+
+
+def test_gini_counts(ray_session):
+    """Gini extremes: equal counts -> 0; one key owning everything
+    but singletons -> near (n-1)/n; exact numerator/denominator;
+    partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.profile import gini_counts
+
+    eq = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 5 + ["c"] * 5})
+    for nparts in (1, 3):
+        out = gini_counts(ray.data.from_pandas(eq).repartition(nparts),
+                          key_col="k").iloc[0]
+        assert int(out.g_num) == 0 and float(out.gini) == 0.0, nparts
+
+    # counts [1, 1, 1, 97]: G = (2*(1+2+3+4*97)-(5)*100)/(4*100)
+    sk = pd.DataFrame({"k": ["a", "b", "c"] + ["hot"] * 97})
+    out = gini_counts(ray.data.from_pandas(sk), key_col="k").iloc[0]
+    g_num = 2 * (1 + 2 + 3 + 4 * 97) - 5 * 100
+    assert (int(out.g_num), int(out.g_den)) == (g_num, 400)
+    assert float(out.gini) == round(g_num / 400, 6) > 0.7

@@ -84,3 +84,42 @@ def profile_table(ds, columns):
         .reset_index(drop=True)
     return out.astype({"n": "int64", "n_null": "int64",
                        "n_distinct": "int64"})
+
+
+def gini_counts(ds, key_col: str) -> pd.DataFrame:
+    """Exact Gini coefficient of the per-key row-count distribution —
+    the crawl-fairness scalar (a polite crawler should not spend 80%
+    of its fetch budget on 3 hosts; G near 1 says it did).
+
+    Exact-rational contract: with per-key counts x sorted ascending
+    (ties order-irrelevant: equal x contribute the same weighted sum),
+
+        G = (2 * sum(i * x_i) - (n+1) * sum(x)) / (n * sum(x))
+
+    — all integer until the one rounded division.
+
+    Shape at scale: per-key counts are one bounded aggregate (keys =
+    hosts); the driver sorts the tiny count vector. Returns ONE row
+    (n_keys, total, g_num, g_den, gini)."""
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    counts = arrow_blocks(ds.select_columns([key_col])) \
+        .groupby(key_col).aggregate(Count(alias_name="c")).to_pandas()
+    if len(counts) == 0:
+        return pd.DataFrame([{"n_keys": 0, "total": 0, "g_num": 0,
+                              "g_den": 0, "gini": 0.0}]) \
+            .astype({"n_keys": "int64", "total": "int64",
+                     "g_num": "int64", "g_den": "int64"})
+    x = np.sort(counts["c"].to_numpy(dtype="int64"))
+    n = len(x)
+    tot = int(x.sum())
+    wsum = int((np.arange(1, n + 1, dtype="int64") * x).sum())
+    g_num = 2 * wsum - (n + 1) * tot
+    g_den = n * tot
+    return pd.DataFrame([{
+        "n_keys": n, "total": tot, "g_num": g_num, "g_den": g_den,
+        "gini": round(g_num / g_den, 6) if g_den else 0.0}]) \
+        .astype({"n_keys": "int64", "total": "int64",
+                 "g_num": "int64", "g_den": "int64"})
