@@ -1490,6 +1490,33 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _change_rates(sf_dir: str):
+    """Per-URL Poisson change-rate MLE from 8 simulated revisit
+    observations (frontier/budget.change_rate_estimates, Cho &
+    Garcia-Molina bias-corrected estimator): change at visit k iff
+    (doc_id*31 + 17k) % 7 < doc_id % 4 — doc_id%4==0 never changes
+    (rate exactly 0), %4==3 changes ~43% of visits. Quantized ln at
+    2^32; stateless scan."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.frontier.budget import change_rate_estimates
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def observe(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        d = batch["doc_id"].to_numpy(dtype="int64")
+        x = np.zeros(len(d), dtype="int64")
+        for k in range(1, 9):
+            x += ((d * 31 + 17 * k) % 7 < d % 4).astype("int64")
+        return pd.DataFrame({"doc_id": d, "x": x})
+
+    return change_rate_estimates(
+        docs.map_batches(observe, batch_format="pandas"), n_visits=8)
+
+
 def _host_gini(sf_dir: str):
     """Exact Gini of the skewed per-host page distribution
     (ops/profile.gini_counts over the standard skewed host mapping):
@@ -4916,6 +4943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_cube": _hll_cube,
         "trimmed_value_mean": _trimmed_value_mean,
         "host_gini": _host_gini,
+        "change_rates": _change_rates,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -9726,6 +9754,20 @@ def oracle_sql() -> dict[str, str]:
     # maxcover_hosts: the greedy unroll by definition (see
     # _maxcover_sql) — identical md5 term hashes, gains, tie-breaks
     out["maxcover_hosts"] = _maxcover_sql(k=8)
+    # change_rates: the bias-corrected Poisson MLE by definition over
+    # the replayed visit rule; 2^32 ln quantization (libm precedent)
+    out["change_rates"] = """
+        WITH obs AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(range(1, 9), k ->
+                      (doc_id * 31 + 17 * k) % 7 < doc_id % 4))
+                      AS BIGINT) AS x
+          FROM documents)
+        SELECT doc_id, x,
+               CAST(floor(ln((8 + 0.5) / (8 - x + 0.5))
+                          * 4294967296.0 + 0.5) AS BIGINT) AS rate_q
+        FROM obs ORDER BY doc_id
+    """
     # host_gini: the sorted-rank Gini identity over the shared skewed
     # host mapping (ties rank-order-irrelevant)
     out["host_gini"] = f"""

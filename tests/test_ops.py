@@ -6994,3 +6994,25 @@ def test_gini_counts(ray_session):
     g_num = 2 * (1 + 2 + 3 + 4 * 97) - 5 * 100
     assert (int(out.g_num), int(out.g_den)) == (g_num, 400)
     assert float(out.gini) == round(g_num / 400, 6) > 0.7
+
+
+def test_change_rate_estimates(ray_session):
+    """Cho & Garcia-Molina bias-corrected MLE: X=0 gives exactly
+    rate 0, X=N stays finite, monotone in X; exact quantized values; partitioning-invariant."""
+    import math
+
+    import ray.data
+
+    from warcio_ray.frontier.budget import change_rate_estimates
+
+    df = pd.DataFrame({"doc_id": range(9), "x": list(range(9))})
+    exp = [int(math.floor(math.log(8.5 / (8 - x + 0.5))
+                          * 4294967296.0 + 0.5)) for x in range(9)]
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = change_rate_estimates(ds, n_visits=8).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert out["rate_q"].tolist() == exp, nparts
+    assert exp == sorted(exp)                      # monotone in X
+    assert exp[0] == 0                             # X=0: rate exactly 0
+    assert 0 < exp[8] < (1 << 40)                  # finite at X=N

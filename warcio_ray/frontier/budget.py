@@ -149,3 +149,33 @@ def recrawl_schedule(ds, status_col: str = "status",
                              "next_days": nxt})
 
     return ds.map_batches(sched, batch_format="pandas")
+
+
+def change_rate_estimates(visits_ds, id_col: str = "doc_id",
+                          x_col: str = "x", n_visits: int = 8,
+                          qbits: int = 32):
+    """Poisson change-rate MLE per URL from repeated-visit change
+    observations — the estimator UNDER the recrawl scheduler (Cho &
+    Garcia-Molina 2003, "Estimating Frequency of Change", the
+    bias-corrected form): with X changes observed in N equal-interval
+    visits,
+
+        lambda_hat = -ln((N - X + 0.5) / (N + 0.5))
+
+    finite even at X = N (the naive -ln(1 - X/N) estimator blows up
+    there). Quantized at 2^qbits under the libm-ln precedent so the
+    SQL replay is bit-stable. The schedule op (recrawl_schedule)
+    doubles/halves from ONE delta; this rung turns K deltas into a
+    rate a scheduler can sort by.
+
+    Input: (id, X) rows (one per URL). Stateless map_batches scan —
+    no shuffle, no state. Returns (id, x, rate_q)."""
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch[x_col].to_numpy(dtype="int64")
+        lam = np.log((n_visits + 0.5) / (n_visits - x + 0.5))
+        rate_q = np.floor(lam * float(1 << qbits) + 0.5).astype("int64")
+        return pd.DataFrame({id_col: batch[id_col].astype("int64"),
+                             "x": x, "rate_q": rate_q})
+
+    return visits_ds.map_batches(score, batch_format="pandas")
