@@ -1490,6 +1490,29 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _bloom_semijoin(sf_dir: str):
+    """Bloom semi-join pushdown with exact false-positive accounting
+    (ops/relational.bloom_semijoin_stats): high-value orders
+    (o_totalprice > 400000) build a 2^14-bit / 3-hash filter that
+    broadcasts once; lineitem filters BEFORE any exchange. The
+    undersized filter makes real false positives, so the m/k price
+    is measured, not guessed."""
+    import ray.data
+
+    from warcio_ray.ops.relational import bloom_semijoin_stats
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"]) \
+        .filter(expr="o_totalprice > 400000")
+    lineitem = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                     columns=["l_orderkey"])
+    return bloom_semijoin_stats(orders, lineitem,
+                                build_key="o_orderkey",
+                                probe_key="l_orderkey",
+                                m_bits=1 << 14, k_hashes=3)
+
+
 def _change_rates(sf_dir: str):
     """Per-URL Poisson change-rate MLE from 8 simulated revisit
     observations (frontier/budget.change_rate_estimates, Cho &
@@ -4944,6 +4967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_value_mean": _trimmed_value_mean,
         "host_gini": _host_gini,
         "change_rates": _change_rates,
+        "bloom_semijoin": _bloom_semijoin,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -9754,6 +9778,47 @@ def oracle_sql() -> dict[str, str]:
     # maxcover_hosts: the greedy unroll by definition (see
     # _maxcover_sql) — identical md5 term hashes, gains, tie-breaks
     out["maxcover_hosts"] = _maxcover_sql(k=8)
+    # bloom_semijoin: the md5 bit rule rebuilt literally; pass = all
+    # k positions set; exact true matches from the key join
+    out["bloom_semijoin"] = """
+        WITH build AS (
+          SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS v
+          FROM orders WHERE o_totalprice > 400000),
+        hs AS (SELECT unnest(range(3)) AS i),
+        bits AS MATERIALIZED (
+          SELECT DISTINCT
+                 CAST(('0x' || substr(md5(v || ':' ||
+                       CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 16384 AS b
+          FROM build, hs),
+        pk AS (SELECT CAST(l_orderkey AS VARCHAR) AS v,
+                      COUNT(*) AS c
+               FROM lineitem GROUP BY 1),
+        pos AS (
+          SELECT pk.v, pk.c,
+                 CAST(('0x' || substr(md5(pk.v || ':' ||
+                       CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 16384 AS b
+          FROM pk, hs),
+        hit AS (
+          SELECT pos.v, MIN(pos.c) AS c,
+                 COUNT(*) FILTER (WHERE bits.b IS NOT NULL) AS nhit
+          FROM pos LEFT JOIN bits ON bits.b = pos.b
+          GROUP BY pos.v),
+        agg AS (
+          SELECT SUM(c) AS n_probe,
+                 COALESCE(SUM(c) FILTER (WHERE nhit = 3), 0) AS n_pass
+          FROM hit),
+        tr AS (
+          SELECT COALESCE(SUM(pk.c), 0) AS n_true
+          FROM pk JOIN build USING (v))
+        SELECT (SELECT COUNT(*) FROM build)::BIGINT AS n_build,
+               CAST(n_probe AS BIGINT) AS n_probe,
+               CAST(n_pass AS BIGINT) AS n_pass,
+               CAST(n_true AS BIGINT) AS n_true,
+               CAST(n_pass - n_true AS BIGINT) AS n_false_pos
+        FROM agg, tr
+    """
     # change_rates: the bias-corrected Poisson MLE by definition over
     # the replayed visit rule; 2^32 ln quantization (libm precedent)
     out["change_rates"] = """

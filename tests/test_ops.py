@@ -7016,3 +7016,31 @@ def test_change_rate_estimates(ray_session):
     assert exp == sorted(exp)                      # monotone in X
     assert exp[0] == 0                             # X=0: rate exactly 0
     assert 0 < exp[8] < (1 << 40)                  # finite at X=N
+
+
+def test_bloom_semijoin_stats(ray_session):
+    """No false negatives ever (n_pass >= n_true, every true match
+    passes); a tiny 64-bit filter saturates and passes everything
+    (false positives measured, not hidden); counts weighted by probe
+    multiplicity; partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.relational import bloom_semijoin_stats
+
+    build = pd.DataFrame({"k": [1, 2, 3]})
+    probe = pd.DataFrame({"k": [1, 1, 2, 4, 5, 6, 7, 8] * 3})
+    for nparts in (1, 3):
+        b = ray.data.from_pandas(build).repartition(nparts)
+        p = ray.data.from_pandas(probe).repartition(nparts)
+        out = bloom_semijoin_stats(b, p, "k", "k",
+                                   m_bits=1 << 12, k_hashes=3).iloc[0]
+        assert int(out.n_build) == 3 and int(out.n_probe) == 24, nparts
+        assert int(out.n_true) == 9                 # 1,1,2 x3
+        assert int(out.n_pass) >= int(out.n_true)   # no false negatives
+        assert int(out.n_false_pos) == int(out.n_pass) - 9
+
+    # saturated filter: every probe passes
+    out = bloom_semijoin_stats(ray.data.from_pandas(build),
+                               ray.data.from_pandas(probe),
+                               "k", "k", m_bits=4, k_hashes=3).iloc[0]
+    assert int(out.n_pass) == 24 and int(out.n_false_pos) == 15

@@ -606,3 +606,75 @@ def ab_chisquare(events_ds, success_type: str = "purchase",
     return pd.DataFrame({"a": [a], "b": [b], "c": [c], "d": [d],
                          "chi2": [chi2]}).astype(
         {"a": "int64", "b": "int64", "c": "int64", "d": "int64"})
+
+
+def bloom_semijoin_stats(build_ds, probe_ds, build_key: str,
+                         probe_key: str, m_bits: int = 1 << 14,
+                         k_hashes: int = 3,
+                         num_partitions=None) -> pd.DataFrame:
+    """Bloom-filter SEMI-JOIN PUSHDOWN with exact false-positive
+    accounting — the shuffle-avoidance pattern for selective joins: a
+    bounded bit set built from the small side broadcasts once
+    (``ray.put``); the big probe side filters BEFORE any exchange, so
+    only pass rows would ever shuffle. No false negatives (every true
+    match passes); the op quantifies the price (false passes) at the
+    chosen m/k so the sizing trade-off is measured, not guessed.
+
+    The bit rule is ``bloom_bits``'s md5 contract, so the SQL oracle
+    rebuilds the identical filter. The exact true-match count is an
+    accounting extra (one key-level join over batch-distinct keys);
+    production pushdown skips it.
+
+    Returns ONE row (n_build, n_probe, n_pass, n_true, n_false_pos).
+    """
+    import hashlib
+
+    import ray
+
+    from warcio_ray.ops.blocks import tree_aggregate
+    from warcio_ray.ops.sketch import bloom_bits
+
+    def to_str(col, ds):
+        def conv(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"v": batch[col].astype(str)})
+        return ds.map_batches(conv, batch_format="pandas")
+
+    build_keys = to_str(build_key, build_ds)
+    bits = bloom_bits(build_keys, "v", m_bits=m_bits,
+                      k_hashes=k_hashes)
+    bits_ref = ray.put(bits)
+    true_set_ref = ray.put(frozenset(
+        build_keys.to_pandas()["v"].tolist()))
+    n_build = len(ray.get(true_set_ref))
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        bts = ray.get(bits_ref)
+        tset = ray.get(true_set_ref)
+        vals = batch[probe_key].astype(str)
+        uniq, inv = np.unique(vals.to_numpy(dtype=object),
+                              return_inverse=True)
+        ok = np.zeros(len(uniq), dtype=bool)
+        for j, v in enumerate(uniq):
+            pos = [int(hashlib.md5(f"{v}:{i}".encode())
+                       .hexdigest()[:8], 16) % m_bits
+                   for i in range(k_hashes)]
+            p = np.searchsorted(bts, pos)
+            ok[j] = bool(np.all((p < len(bts)) & (
+                bts[np.minimum(p, len(bts) - 1)] == pos))) \
+                if len(bts) else False
+        true_u = np.array([v in tset for v in uniq])
+        return pd.DataFrame([{
+            "_k": np.int64(0),
+            "n_probe": np.int64(len(vals)),
+            "n_pass": np.int64(ok[inv].sum()),
+            "n_true": np.int64(true_u[inv].sum())}])
+
+    s = tree_aggregate(probe_ds.map_batches(probe, batch_format="pandas"),
+                       ["_k"], sums=("n_probe", "n_pass", "n_true"))
+    n_probe = int(s["n_probe"].iloc[0]) if len(s) else 0
+    n_pass = int(s["n_pass"].iloc[0]) if len(s) else 0
+    n_true = int(s["n_true"].iloc[0]) if len(s) else 0
+    return pd.DataFrame([{
+        "n_build": n_build, "n_probe": n_probe, "n_pass": n_pass,
+        "n_true": n_true, "n_false_pos": n_pass - n_true}]) \
+        .astype("int64")
