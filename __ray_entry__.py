@@ -1490,6 +1490,20 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _html_meta(sf_dir: str):
+    """Structured metadata harvest from the REAL rendered markup
+    (ops/htmlstats.extract_meta_fields): lang attribute, title text,
+    embedded page_id, nav link count — one RE2 extract kernel per
+    field over zero-copy Arrow. Oracle = renderer arithmetic (the
+    html_features precedent): every field is a pure function of
+    (doc_id, lang)."""
+    from warcio_ray.ops.htmlstats import extract_meta_fields
+    from warcio_ray.pages import read_pages
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    return extract_meta_fields(pages)
+
+
 def _bloom_semijoin(sf_dir: str):
     """Bloom semi-join pushdown with exact false-positive accounting
     (ops/relational.bloom_semijoin_stats): high-value orders
@@ -4968,6 +4982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_gini": _host_gini,
         "change_rates": _change_rates,
         "bloom_semijoin": _bloom_semijoin,
+        "html_meta": _html_meta,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -9778,6 +9793,15 @@ def oracle_sql() -> dict[str, str]:
     # maxcover_hosts: the greedy unroll by definition (see
     # _maxcover_sql) — identical md5 term hashes, gains, tie-breaks
     out["maxcover_hosts"] = _maxcover_sql(k=8)
+    # html_meta: renderer arithmetic — the extracted fields are pure
+    # functions of (doc_id, lang) under the page template contract
+    out["html_meta"] = """
+        SELECT doc_id, lang AS lang_attr,
+               'doc ' || CAST(doc_id AS VARCHAR) AS title,
+               doc_id AS page_id,
+               CAST(doc_id % 4 AS BIGINT) AS n_nav_links
+        FROM documents ORDER BY doc_id
+    """
     # bloom_semijoin: the md5 bit rule rebuilt literally; pass = all
     # k positions set; exact true matches from the key join
     out["bloom_semijoin"] = """

@@ -7044,3 +7044,34 @@ def test_bloom_semijoin_stats(ray_session):
                                ray.data.from_pandas(probe),
                                "k", "k", m_bits=4, k_hashes=3).iloc[0]
     assert int(out.n_pass) == 24 and int(out.n_false_pos) == 15
+
+
+def test_extract_meta_fields(ray_session):
+    """Field extraction against hand-rendered pages: lang/title/
+    page_id/nav-count recovered; a page with NO nav block scores 0
+    links and a missing title yields null."""
+    import ray.data
+
+    from warcio_ray.html import render_page
+    from warcio_ray.ops.htmlstats import extract_meta_fields
+    from warcio_ray.pages import url_for
+
+    rows = []
+    for d, lang, nlinks in ((3, "en", 2), (7, "de", 0)):
+        links = [url_for(d + 1 + i) for i in range(nlinks)]
+        rows.append({"url": url_for(d),
+                     "html": render_page("body text", url_for(d),
+                                         lang, d, links)})
+    # a degenerate page outside the contract
+    rows.append({"url": url_for(99),
+                 "html": b"<html><body>no head no nav</body></html>"})
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df)
+    out = extract_meta_fields(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [3, 7, 99]
+    assert out["lang_attr"].tolist()[:2] == ["en", "de"]
+    assert out["title"].tolist()[:2] == ["doc 3", "doc 7"]
+    assert out["page_id"].tolist()[:2] == [3, 7]
+    assert out["n_nav_links"].tolist() == [2, 0, 0]
+    assert pd.isna(out["title"].iloc[2]) and pd.isna(out["page_id"].iloc[2])

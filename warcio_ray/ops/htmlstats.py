@@ -63,3 +63,39 @@ def html_features(pages_ds, id_regex: str = r"/doc/(?P<id>\d+)$"):
         })
 
     return pages_ds.map_batches(feats, batch_format="pyarrow")
+
+
+def extract_meta_fields(pages_ds, id_regex: str = r"/doc/(?P<id>\d+)$"):
+    """Structured FIELD extraction from markup (the microdata/metadata
+    harvest step of a web pipeline) — where ``html_features`` counts,
+    this EXTRACTS: the declared language (<html lang=...>), the
+    <title> text, the embedded page_id script variable, and the nav
+    link count, each via one RE2 ``extract_regex`` kernel over the
+    whole column (zero Python per row, zero-copy Arrow in/out).
+
+    Returns (doc_id, lang_attr, title, page_id, n_nav_links); pages
+    missing a field yield null (extract_regex semantics), which the
+    renderer contract never produces — so nulls are a data-quality
+    signal, not a code path."""
+    def fields(batch: pa.Table) -> pa.Table:
+        url = pc.cast(batch["url"], pa.large_string())
+        doc_id = pc.cast(pc.struct_field(
+            pc.extract_regex(url, id_regex), "id"), pa.int64())
+        html = pc.cast(batch["html"], pa.large_string())
+        lang = pc.struct_field(pc.extract_regex(
+            html, r'<html lang="(?P<lang>[^"]*)">'), "lang")
+        title = pc.struct_field(pc.extract_regex(
+            html, r"<title>(?P<t>[^<]*)</title>"), "t")
+        pid = pc.cast(pc.struct_field(pc.extract_regex(
+            html, r"var page_id = (?P<pid>\d+);"), "pid"), pa.int64())
+        nav = pc.struct_field(pc.extract_regex(
+            html, r"(?s)<nav>(?P<nav>.*?)</nav>"), "nav")
+        n_nav = pc.coalesce(
+            pc.cast(pc.count_substring_regex(nav, r"(?i)<a[ >]"),
+                    pa.int64()),
+            pa.scalar(0, pa.int64()))
+        return pa.table({"doc_id": doc_id, "lang_attr": lang,
+                         "title": title, "page_id": pid,
+                         "n_nav_links": n_nav})
+
+    return pages_ds.map_batches(fields, batch_format="pyarrow")
