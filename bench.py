@@ -511,7 +511,19 @@ def run_bench() -> dict:
                            ("event_markov", "op_markov_s"),
                            ("kendall_signals", "op_kendall_s"),
                            ("textrank_terms", "op_textrank_s"),
-                           ("quality_gains", "op_gains_s")):
+                           ("quality_gains", "op_gains_s"),
+                           ("assortativity", "op_assort_s"),
+                           ("cusum_days", "op_cusum_s"),
+                           ("bm25_ndcg10", "op_ndcg_s"),
+                           ("luhn_scan", "op_luhn_s"),
+                           ("transitivity", "op_transit_s"),
+                           ("hapax_ratio", "op_hapax_s"),
+                           ("hll_cube", "op_hllcube_s"),
+                           ("trimmed_value_mean", "op_trimmed_s"),
+                           ("host_gini", "op_gini_s"),
+                           ("change_rates", "op_chrate_s"),
+                           ("bloom_semijoin", "op_bloomsj_s"),
+                           ("html_meta", "op_htmlmeta_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \
