@@ -1490,6 +1490,20 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _value_mad(sf_dir: str):
+    """Exact median absolute deviation of event values
+    (ops/quantile.median_abs_deviation): the radix quantile machinery
+    twice — median, then median of |v - med| over a stateless derived
+    column. The robust scale estimate next to the trimmed mean."""
+    import ray.data
+
+    from warcio_ray.ops.quantile import median_abs_deviation
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    return median_abs_deviation(ds, value_col="value")
+
+
 def _html_meta(sf_dir: str):
     """Structured metadata harvest from the REAL rendered markup
     (ops/htmlstats.extract_meta_fields): lang attribute, title text,
@@ -4983,6 +4997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "change_rates": _change_rates,
         "bloom_semijoin": _bloom_semijoin,
         "html_meta": _html_meta,
+        "value_mad": _value_mad,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -9793,6 +9808,26 @@ def oracle_sql() -> dict[str, str]:
     # maxcover_hosts: the greedy unroll by definition (see
     # _maxcover_sql) — identical md5 term hashes, gains, tie-breaks
     out["maxcover_hosts"] = _maxcover_sql(k=8)
+    # value_mad: both medians replayed at the (50n+99)//100 rank rule;
+    # |v - med| is the identical IEEE double op on both engines
+    out["value_mad"] = """
+        WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+        nn AS (SELECT COUNT(*) AS n FROM v),
+        r AS (SELECT (50 * n + 99) // 100 AS rm, n FROM nn),
+        med AS (
+          SELECT value AS m FROM (
+            SELECT value, row_number() OVER (ORDER BY value) AS rn
+            FROM v)
+          WHERE rn = (SELECT rm FROM r)),
+        dev AS (SELECT abs(value - (SELECT m FROM med)) AS ad FROM v),
+        mad AS (
+          SELECT ad FROM (
+            SELECT ad, row_number() OVER (ORDER BY ad) AS rn FROM dev)
+          WHERE rn = (SELECT rm FROM r))
+        SELECT (SELECT n FROM r) AS n,
+               round((SELECT m FROM med), 6) AS median,
+               round((SELECT ad FROM mad), 6) AS mad
+    """
     # html_meta: renderer arithmetic — the extracted fields are pure
     # functions of (doc_id, lang) under the page template contract
     out["html_meta"] = """

@@ -7075,3 +7075,29 @@ def test_extract_meta_fields(ray_session):
     assert out["page_id"].tolist()[:2] == [3, 7]
     assert out["n_nav_links"].tolist() == [2, 0, 0]
     assert pd.isna(out["title"].iloc[2]) and pd.isna(out["page_id"].iloc[2])
+
+
+def test_median_abs_deviation(ray_session):
+    """MAD robustness: numpy replay of the rank rule; the outlier
+    that triples the stddev leaves MAD unchanged; partitioning-
+    invariant."""
+    import ray.data
+
+    from warcio_ray.ops.quantile import median_abs_deviation
+
+    rng = np.random.RandomState(9)
+    base = rng.uniform(0, 10, 99)
+    vals = np.concatenate([base, [1e7]])
+    df = pd.DataFrame({"value": vals})
+    n = len(vals)
+    rm = (50 * n + 99) // 100
+    med = np.sort(vals)[rm - 1]
+    mad = np.sort(np.abs(vals - med))[rm - 1]
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = median_abs_deviation(ds, value_col="value").iloc[0]
+        assert int(out.n) == n, nparts
+        assert abs(float(out["median"]) - round(med, 6)) < 1e-9
+        assert abs(float(out["mad"]) - round(mad, 6)) < 1e-9
+    # robustness: MAD stayed in the base range despite the 1e7 outlier
+    assert float(out["mad"]) < 10

@@ -469,3 +469,39 @@ def trimmed_mean(ds, value_col: str = "value", p: int = 5) -> pd.DataFrame:
         "trimmed_mean": round(kept_sum / kept_n, 6),
         "winsor_mean": round(win_sum / n, 6)}]) \
         .astype({"n": "int64", "r_lo": "int64", "r_hi": "int64"})
+
+
+def median_abs_deviation(ds, value_col: str = "value") -> pd.DataFrame:
+    """Exact median absolute deviation — the robust scale estimate
+    next to the trimmed mean (stddev moves with one outlier; MAD
+    doesn't): MAD = median(|v - median(v)|), both medians under the
+    exact_float_quantiles rank rule (rank (50n+99)//100 ascending).
+
+    Shape at scale: the radix quantile machinery twice — 4 bounded
+    scans for the median, then 4 more over the derived |v - med|
+    column (a stateless map, no shuffle, no materialization of the
+    derived column). Returns ONE row (n, median, mad)."""
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    med_df = exact_float_quantiles(ds, value_col, pcts=(50,))
+    med = float(med_df["value"].iloc[0])
+
+    def absdev(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        return pd.DataFrame({"_ad": np.abs(v - med)})
+
+    dev_ds = ds.map_batches(absdev, batch_format="pandas")
+    mad_df = exact_float_quantiles(dev_ds, "_ad", pcts=(50,))
+    mad = float(mad_df["value"].iloc[0])
+
+    def count(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        return pd.DataFrame([{"_k": np.int64(0),
+                              "n": np.int64((~np.isnan(v)).sum())}])
+
+    s = tree_aggregate(ds.map_batches(count, batch_format="pandas"),
+                       ["_k"], sums=("n",))
+    n = int(s["n"].iloc[0]) if len(s) else 0
+    return pd.DataFrame([{"n": n, "median": round(med, 6),
+                          "mad": round(mad, 6)}]) \
+        .astype({"n": "int64"})
