@@ -1490,6 +1490,20 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _benford_values(sf_dir: str):
+    """Benford first-digit audit of event values
+    (ops/anomaly.benford_digits): 9-cell combiner histogram, inlined
+    quantized expectations, exact per-digit chi-square parts — the
+    fabricated-numbers detector."""
+    import ray.data
+
+    from warcio_ray.ops.anomaly import benford_digits
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    return benford_digits(ds, value_col="value")
+
+
 def _value_mad(sf_dir: str):
     """Exact median absolute deviation of event values
     (ops/quantile.median_abs_deviation): the radix quantile machinery
@@ -4998,6 +5012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin": _bloom_semijoin,
         "html_meta": _html_meta,
         "value_mad": _value_mad,
+        "benford_values": _benford_values,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -5504,6 +5519,40 @@ def _textrank_sql(k: int = 20, iters: int = 5, window: int = 2) -> str:
     return ("WITH " + ",".join(ctes) + f"""
         SELECT w AS term, CAST(r AS BIGINT) AS rank_q
         FROM r{iters} ORDER BY r DESC, w ASC LIMIT {k}""")
+
+
+def _benford_sql(qbits: int = 32) -> str:
+    """Benford audit replay: the nine quantized expectations are
+    Python-evaluated literals (no runtime libm agreement needed);
+    first-digit extraction shares the identical floor(log10)+pow
+    double expression with the engine."""
+    import math as _m
+    one = 1 << qbits
+    cases = " ".join(
+        f"WHEN {d} THEN {int(_m.floor(_m.log10(1 + 1 / d) * one + 0.5))}"
+        for d in range(1, 10))
+    return f"""
+        WITH v AS (SELECT value FROM events
+                   WHERE value IS NOT NULL AND value > 0
+                     AND isfinite(value)),
+        d AS (SELECT LEAST(GREATEST(CAST(floor(value
+                   * pow(10, -floor(log10(value)))) AS BIGINT), 1), 9)
+                 AS digit FROM v),
+        h AS (SELECT digit, COUNT(*)::HUGEINT AS n FROM d
+              GROUP BY digit),
+        nn AS (SELECT SUM(n) AS t FROM h),
+        full_ AS (
+          SELECT dd.digit, COALESCE(h.n, 0) AS n,
+                 (SELECT t FROM nn)
+                   * (CASE dd.digit {cases} END)::HUGEINT AS e_q
+          FROM (SELECT unnest(range(1, 10)) AS digit) dd
+          LEFT JOIN h ON h.digit = dd.digit)
+        SELECT CAST(digit AS BIGINT) AS digit, CAST(n AS BIGINT) AS n,
+               CAST(e_q AS BIGINT) AS e_q,
+               CAST(CASE WHEN e_q = 0 THEN 0
+                    ELSE ((n * {one} - e_q) * (n * {one} - e_q)) // e_q
+                    END AS BIGINT) AS chi2_part
+        FROM full_ ORDER BY digit"""
 
 
 def _luhn_sum_expr(col: str, off: int) -> str:
@@ -6286,6 +6335,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_4": _ktruss_sql(k=4, rounds=8),
         "event_markov": _markov_sql(iters=8),
         "luhn_scan": _luhn_sql(),
+        "benford_values": _benford_sql(),
         "textrank_terms": _textrank_sql(k=20, iters=5),
         # crawl_horizon_3: unrolled BFS rounds, frontier minus seen
         "crawl_horizon_3": _crawl_horizon_sql(seed_mod=97, depth=3),

@@ -7101,3 +7101,37 @@ def test_median_abs_deviation(ray_session):
         assert abs(float(out["mad"]) - round(mad, 6)) < 1e-9
     # robustness: MAD stayed in the base range despite the 1e7 outlier
     assert float(out["mad"]) < 10
+
+
+def test_benford_digits(ray_session):
+    """First-digit extraction at the vectorized-pow trap values (60,
+    70 must be digits 6, 7); a log-uniform sample passes Benford
+    (small chi2) while a uniform sample fails (large chi2);
+    partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.anomaly import benford_digits
+
+    trap = pd.DataFrame({"value": [60.0, 70.0, 0.07, 6e-3, 1.0, 9.99]})
+    out = benford_digits(ray.data.from_pandas(trap))
+    got = dict(zip(out["digit"], out["n"]))
+    assert got[6] == 2 and got[7] == 2 and got[1] == 1 and got[9] == 1
+
+    rng = np.random.RandomState(2)
+    logu = np.exp(rng.uniform(0, np.log(10) * 6, 20000))
+    uni = rng.uniform(1, 10, 20000)
+    chis = []
+    for vals in (logu, uni):
+        df = pd.DataFrame({"value": vals})
+        outs = []
+        for nparts in (1, 3):
+            ds = ray.data.from_pandas(df).repartition(nparts)
+            o = benford_digits(ds)
+            outs.append(o)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        n = int(outs[0]["n"].sum())
+        # chi2 parts are scaled by 2^32: normalize to the classic stat
+        chis.append(float(outs[0]["chi2_part"].sum())
+                    / float(1 << 32))
+    assert chis[0] < 30                     # log-uniform ~ Benford
+    assert chis[1] > 1000                   # uniform: wildly off
