@@ -1490,6 +1490,21 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _kmeans_purity(sf_dir: str):
+    """Purity of the exact-integer k-means (k=4, 3 Lloyd iterations)
+    against embedding labels (ops/evals.kmeans_purity): per-cluster
+    dominant label and its count from ONE bounded contingency
+    aggregate — the unsupervised-vs-labels eval."""
+    import ray.data
+
+    from warcio_ray.ops.evals import kmeans_purity
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"])
+    return kmeans_purity(ds, k=4, iters=3)
+
+
 def _benford_values(sf_dir: str):
     """Benford first-digit audit of event values
     (ops/anomaly.benford_digits): 9-cell combiner histogram, inlined
@@ -5013,6 +5028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_meta": _html_meta,
         "value_mad": _value_mad,
         "benford_values": _benford_values,
+        "kmeans_purity": _kmeans_purity,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -6336,6 +6352,25 @@ def oracle_sql() -> dict[str, str]:
         "event_markov": _markov_sql(iters=8),
         "luhn_scan": _luhn_sql(),
         "benford_values": _benford_sql(),
+        # kmeans_purity: the SAME kmeans CTE chain + the contingency
+        # argmax (n desc, label asc)
+        "kmeans_purity": ("WITH " + _kmeans_sql(ctes_only=True) + """,
+            ct AS (
+              SELECT a.cl AS cluster, e.label, COUNT(*) AS n
+              FROM afin a JOIN embeddings e USING (vec_id)
+              GROUP BY 1, 2),
+            best AS (
+              SELECT cluster, label, n, row_number() OVER (
+                PARTITION BY cluster ORDER BY n DESC, label) AS rn
+              FROM ct),
+            sz AS (SELECT cluster, SUM(n) AS size FROM ct
+                   GROUP BY cluster)
+            SELECT CAST(b.cluster AS BIGINT) AS cluster,
+                   CAST(s.size AS BIGINT) AS size,
+                   CAST(b.label AS BIGINT) AS top_label,
+                   CAST(b.n AS BIGINT) AS top_n
+            FROM best b JOIN sz s USING (cluster)
+            WHERE rn = 1 ORDER BY cluster"""),
         "textrank_terms": _textrank_sql(k=20, iters=5),
         # crawl_horizon_3: unrolled BFS rounds, frontier minus seen
         "crawl_horizon_3": _crawl_horizon_sql(seed_mod=97, depth=3),

@@ -7135,3 +7135,40 @@ def test_benford_digits(ray_session):
                     / float(1 << 32))
     assert chis[0] < 30                     # log-uniform ~ Benford
     assert chis[1] > 1000                   # uniform: wildly off
+
+
+def test_kmeans_purity(ray_session):
+    """Well-separated labeled blobs: k-means recovers them and purity
+    is perfect; mixing two labels into one blob halves that cluster's
+    top share; partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.evals import kmeans_purity
+
+    rng = np.random.RandomState(4)
+    rows = []
+    centers = {0: (0.0, 0.0), 1: (50.0, 0.0), 2: (0.0, 50.0)}
+    vid = 0
+    # interleave blobs across ids so the deterministic min-id seeds
+    # start one-per-blob
+    for _ in range(20):
+        for lbl, (cx, cy) in centers.items():
+            rows.append((vid, [cx + rng.uniform(-1, 1),
+                               cy + rng.uniform(-1, 1)], lbl))
+            vid += 1
+    # blob 2 also hosts 10 points of label 9 (impure cluster)
+    for _ in range(10):
+        rows.append((vid, [0.0 + rng.uniform(-1, 1),
+                           50.0 + rng.uniform(-1, 1)], 9))
+        vid += 1
+    df = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = kmeans_purity(ds, k=3, iters=4)
+        assert out["size"].sum() == 70, nparts
+        shares = sorted((int(r.top_n), int(r.size))
+                        for r in out.itertuples(index=False))
+        # two pure 20-clusters and one 30-cluster dominated 20/30
+        assert (20, 30) in shares and shares.count((20, 20)) == 2
+        impure = out[out["size"] == 30].iloc[0]
+        assert int(impure.top_label) == 2 and int(impure.top_n) == 20

@@ -346,3 +346,52 @@ def bm25_ndcg(ds, terms, k: int = 10, text_col: str = "text",
         "n_rel3": hist.get(3, 0)}]) \
         .astype({"dcg_q": "int64", "idcg_q": "int64", "n_rel1": "int64",
                  "n_rel2": "int64", "n_rel3": "int64"})
+
+
+def kmeans_purity(ds, k: int = 4, iters: int = 3,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  label_col: str = "label",
+                  num_partitions=None) -> pd.DataFrame:
+    """Cluster purity of the exact-integer k-means against ground
+    labels — the unsupervised-vs-labels eval (is the embedding space
+    organized the way the labels say?): per cluster, the dominant
+    label and its share. Purity = sum(top_n) / sum(size), derivable
+    from the returned rows.
+
+    Shape at scale: kmeans_exact's bounded Lloyd machinery, one
+    (id, cluster)⋈(id, label) hash join, ONE bounded (cluster, label)
+    contingency aggregate; the driver picks per-cluster argmax
+    (n desc, label asc) on the tiny table. Returns (cluster, size,
+    top_label, top_n)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join
+    from warcio_ray.ops.kmeans import kmeans_exact
+
+    if num_partitions is None:
+        num_partitions = min(
+            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+
+    assign = kmeans_exact(ds.select_columns([id_col, vec_col]),
+                          vec_col=vec_col, id_col=id_col,
+                          k=k, iters=iters)
+
+    def lab(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: batch[id_col].astype("int64"),
+                             "label": batch[label_col].astype("int64")})
+
+    labels = ds.map_batches(lab, batch_format="pandas")
+    joined = safe_join(assign, labels, "inner", num_partitions,
+                       (id_col,))
+    ct = arrow_blocks(joined).groupby(["cluster", "label"]) \
+        .aggregate(Count(alias_name="n")).to_pandas()
+    rows = []
+    for cl, grp in ct.groupby("cluster", sort=True):
+        grp = grp.sort_values(["n", "label"],
+                              ascending=[False, True])
+        rows.append((int(cl), int(grp["n"].sum()),
+                     int(grp["label"].iloc[0]), int(grp["n"].iloc[0])))
+    return pd.DataFrame(rows, columns=["cluster", "size",
+                                       "top_label", "top_n"]) \
+        .astype("int64")
