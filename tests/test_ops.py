@@ -7172,3 +7172,101 @@ def test_kmeans_purity(ray_session):
         assert (20, 30) in shares and shares.count((20, 20)) == 2
         impure = out[out["size"] == 30].iloc[0]
         assert int(impure.top_label) == 2 and int(impure.top_n) == 20
+
+
+def test_ktruss_property(ray_session):
+    """k-truss vs a brute-force sequential peel on random graphs: the
+    parallel (simultaneous-drop) peel and the one-edge-at-a-time peel
+    reach the SAME fixpoint (k-truss is confluent), for k in {3, 4}."""
+    import itertools
+
+    import ray.data
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from warcio_ray.ops.graph import ktruss_edges
+
+    def brute_truss(edges, k):
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        need = k - 2
+        while True:
+            support = {e: 0 for e in es}
+            for a, b, c in itertools.combinations(
+                    sorted({v for e in es for v in e}), 3):
+                if ((a, b) in es and (a, c) in es and (b, c) in es):
+                    support[(a, b)] += 1
+                    support[(a, c)] += 1
+                    support[(b, c)] += 1
+            drop = {e for e, s in support.items() if s < need}
+            if not drop:
+                return {e: support[e] for e in es}
+            # sequential: remove ONE edge, recompute (confluence check)
+            es.discard(min(drop))
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 11), st.integers(0, 11)),
+                    min_size=0, max_size=40))
+    def check(edges):
+        df = pd.DataFrame(edges or [(0, 0)], columns=["src", "dst"])
+        ds = ray.data.from_pandas(df)
+        for k in (3, 4):
+            exp = brute_truss(edges, k)
+            out = ktruss_edges(ds, k=k).to_pandas()
+            got = {(int(r.lo), int(r.hi)): int(r.support)
+                   for r in out.itertuples(index=False)}
+            assert got == exp, (k, edges)
+
+    check()
+
+
+def test_ngram_coverage_property(ray_session):
+    """Onion coverage vs a brute-force python replay on random
+    corpora: per-doc totals/covered/kept match exactly at any
+    partitioning."""
+    import hashlib
+
+    import ray.data
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from warcio_ray.ops.dedup import ngram_coverage
+
+    word = st.sampled_from(["a", "b", "c", "dd", "ee"])
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    def brute(texts, n=3):
+        grams_of = []
+        for t in texts:
+            toks = t.split()
+            if not toks:
+                gset = {""}
+            elif len(toks) < n:
+                gset = {" ".join(toks)}
+            else:
+                gset = {" ".join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1)}
+            grams_of.append({int(hashlib.md5(g.encode())
+                                 .hexdigest()[:8], 16) for g in gset})
+        owner = {}
+        for d, hs in enumerate(grams_of):
+            for h in hs:
+                owner.setdefault(h, d)
+        out = {}
+        for d, hs in enumerate(grams_of):
+            cov = sum(1 for h in hs if owner[h] < d)
+            out[d] = (len(hs), cov, int(2 * cov < len(hs)))
+        return out
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=10))
+    def check(texts):
+        df = pd.DataFrame({"doc_id": range(len(texts)),
+                           "text": texts})
+        ds = ray.data.from_pandas(df).repartition(2)
+        out = ngram_coverage(ds, n=3, num=1, den=2).to_pandas()
+        got = {int(r.doc_id): (int(r.total_grams),
+                               int(r.covered_grams), int(r.kept))
+               for r in out.itertuples(index=False)}
+        assert got == brute(texts), texts
+
+    check()
