@@ -1490,6 +1490,42 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _host_heavy_terms(sf_dir: str):
+    """Per-host Misra-Gries heavy hitters
+    (ops/sketch.misra_gries_grouped, k=8): every (host, term) above
+    that host's N_g/9 token share, exact counts — bounded at 8
+    counters per host at any corpus size. A per-host promo token is
+    planted at ~1/5 token mass (1 + n_words//4 repeats) so the gate
+    has real positives over the otherwise-flat synthetic vocabulary;
+    the natural words stay below threshold, which the oracle
+    confirms."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.sketch import misra_gries_grouped
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        import re
+        hosts, texts = [], []
+        for d, t in zip(batch["doc_id"].astype("int64"),
+                        batch["text"].astype(str)):
+            m = d % 100
+            hid = 0 if m < 30 else 1 if m < 45 else 2 if m < 55 \
+                else 3 if m < 62 else m
+            host = f"site{hid}.example"
+            reps = 1 + len(re.findall(r"\S+", t)) // 4
+            hosts.append(host)
+            texts.append(t + (" adv" + str(hid)) * reps)
+        return pd.DataFrame({"host": hosts, "text": texts})
+
+    return misra_gries_grouped(
+        docs.map_batches(plant, batch_format="pandas"),
+        group_col="host", k=8)
+
+
 def _kmeans_purity(sf_dir: str):
     """Purity of the exact-integer k-means (k=4, 3 Lloyd iterations)
     against embedding labels (ops/evals.kmeans_purity): per-cluster
@@ -5029,6 +5065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad": _value_mad,
         "benford_values": _benford_values,
         "kmeans_purity": _kmeans_purity,
+        "host_heavy_terms": _host_heavy_terms,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -9893,6 +9930,31 @@ def oracle_sql() -> dict[str, str]:
     # maxcover_hosts: the greedy unroll by definition (see
     # _maxcover_sql) — identical md5 term hashes, gains, tie-breaks
     out["maxcover_hosts"] = _maxcover_sql(k=8)
+    # host_heavy_terms: the exact definition (MG only bounds state;
+    # the recount gate makes the OUTPUT the plain n*(k+1) > N_g rule)
+    # over the replayed planting
+    out["host_heavy_terms"] = r"""
+        WITH planted AS (
+          SELECT 'site' || CAST(CASE WHEN doc_id%100<30 THEN 0
+                 WHEN doc_id%100<45 THEN 1 WHEN doc_id%100<55 THEN 2
+                 WHEN doc_id%100<62 THEN 3 ELSE doc_id%100 END
+                 AS VARCHAR) || '.example' AS host,
+                 text || repeat(' adv' || CAST(CASE WHEN doc_id%100<30
+                   THEN 0 WHEN doc_id%100<45 THEN 1
+                   WHEN doc_id%100<55 THEN 2 WHEN doc_id%100<62 THEN 3
+                   ELSE doc_id%100 END AS VARCHAR),
+                   1 + len(regexp_extract_all(text, '\S+')) // 4)
+                   AS t
+          FROM documents),
+        toks AS (SELECT host, unnest(regexp_extract_all(t, '\S+')) AS w
+                 FROM planted),
+        c AS (SELECT host, w, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+        tot AS (SELECT host, SUM(n) AS nt FROM c GROUP BY host)
+        SELECT c.host, c.w AS term, CAST(c.n AS BIGINT) AS n_occ
+        FROM c JOIN tot USING (host)
+        WHERE c.n * 9 > tot.nt
+        ORDER BY host, term
+    """
     # value_mad: both medians replayed at the (50n+99)//100 rank rule;
     # |v - med| is the identical IEEE double op on both engines
     out["value_mad"] = """

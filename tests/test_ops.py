@@ -7270,3 +7270,44 @@ def test_ngram_coverage_property(ray_session):
         assert got == brute(texts), texts
 
     check()
+
+
+def test_misra_gries_grouped(ray_session):
+    """Per-group exactness vs brute force on a skewed corpus: each
+    group's hitters gated at its OWN N_g/(k+1); a term heavy in one
+    group and light in another appears only where it qualifies;
+    partitioning-invariant."""
+    import ray.data
+    from collections import Counter
+
+    from warcio_ray.ops.sketch import misra_gries_grouped
+
+    rng = np.random.RandomState(6)
+    rows = []
+    vocab = [f"w{i}" for i in range(30)]
+    for g, heavy in (("a", "spam"), ("b", "ham")):
+        for _ in range(40):
+            words = list(rng.choice(vocab, 12)) + [heavy] * 6
+            if g == "a":
+                words += ["ham"]          # light where b is heavy
+            rows.append((g, " ".join(words)))
+    df = pd.DataFrame(rows, columns=["g", "text"])
+
+    def brute(k=4):
+        out = []
+        for g, grp in df.groupby("g"):
+            cts = Counter(w for t in grp["text"] for w in t.split())
+            n = sum(cts.values())
+            out.extend((g, w, c) for w, c in cts.items()
+                       if c * (k + 1) > n)
+        return sorted(out)
+
+    exp = brute()
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = misra_gries_grouped(ds, group_col="g", k=4)
+        got = sorted((r.g, r.term, int(r.n_occ))
+                     for r in out.itertuples(index=False))
+        assert got == exp, nparts
+    assert ("a", "spam", 240) in exp and ("b", "ham", 240) in exp
+    assert not any(g == "a" and t == "ham" for g, t, _ in exp)

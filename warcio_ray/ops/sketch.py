@@ -454,3 +454,96 @@ def hll_cube(ds, dim1: str, dim2: str, value_col: str, b: int = 10,
             rows.append((named[dim1], named[dim2], est))
     out = pd.DataFrame(rows, columns=[dim1, dim2, "n_distinct_est"])
     return out.sort_values([dim1, dim2]).reset_index(drop=True)
+
+
+def misra_gries_grouped(ds, group_col: str, text_col: str = "text",
+                        k: int = 8):
+    """Per-GROUP Misra-Gries heavy hitters: every (group, term) whose
+    frequency exceeds that group's N_g/(k+1), with exact counts — the
+    per-host frequent-token miner (host-level boilerplate vocabulary,
+    per-site template words) under the same mergeable-summary
+    guarantee as the corpus-level ``misra_gries_heavy``, with state
+    bounded at k counters PER GROUP rather than k overall.
+
+    Same two-pass shape: per-batch per-group MG compress (exchange
+    O(G x (k+1)) rows per batch), pointwise merge + final compress
+    per group, then a broadcast exact recount of the <= G x k
+    candidates and the exact integer gate cnt * (k+1) > N_g. The
+    sketch is approximate; the OUTPUT is exact and partitioning-
+    invariant. Returns (group, term, n_occ) sorted."""
+    import ray
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    def compress(cts: pd.Series, cap: int) -> pd.Series:
+        if len(cts) <= cap:
+            return cts
+        vals = np.sort(cts.to_numpy(dtype="int64"))[::-1]
+        thr = int(vals[cap])
+        out = cts - thr
+        return out[out > 0]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        gs, ts, cs = [], [], []
+        for g, grp in batch.groupby(group_col, sort=False):
+            toks = grp[text_col].astype("string").fillna("") \
+                .str.findall(r"\S+")
+            n_tok = int(toks.str.len().sum())
+            if n_tok:
+                flat = pd.Series(np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks]))
+                cts = compress(flat.value_counts(), k)
+                gs.extend([g] * len(cts))
+                ts.extend(cts.index.tolist())
+                cs.extend(cts.to_numpy(dtype="int64").tolist())
+            gs.append(g)
+            ts.append("")
+            cs.append(n_tok)
+        return pd.DataFrame({group_col: gs, "term": ts,
+                             "cnt": np.array(cs, dtype="int64")})
+
+    merged = arrow_blocks(ds.map_batches(partial, batch_format="pandas")) \
+        .groupby([group_col, "term"]).sum("cnt").to_pandas() \
+        .rename(columns={"sum(cnt)": "cnt"})
+    totals = merged[merged["term"] == ""] \
+        .set_index(group_col)["cnt"].astype("int64").to_dict()
+    cands: dict = {}
+    for g, grp in merged[merged["term"] != ""].groupby(group_col):
+        s = compress(grp.set_index("term")["cnt"].astype("int64"), k)
+        if len(s):
+            cands[g] = frozenset(s.index)
+    if not cands:
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "term": pd.Series(dtype=object),
+                             "n_occ": pd.Series(dtype="int64")})
+    cref = ray.put(cands)
+
+    def recount(batch: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(cref)
+        gs, ts, cs = [], [], []
+        for g, grp in batch.groupby(group_col, sort=False):
+            want = cmap.get(g)
+            if not want:
+                continue
+            toks = grp[text_col].astype("string").fillna("") \
+                .str.findall(r"\S+")
+            lens = toks.str.len().to_numpy(dtype="int64")
+            if lens.sum() == 0:
+                continue
+            flat = pd.Series(np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks]))
+            cts = flat[flat.isin(list(want))].value_counts()
+            gs.extend([g] * len(cts))
+            ts.extend(cts.index.tolist())
+            cs.extend(cts.to_numpy(dtype="int64").tolist())
+        return pd.DataFrame({group_col: gs, "term": ts,
+                             "cnt": np.array(cs, dtype="int64")})
+
+    exact = arrow_blocks(ds.map_batches(recount, batch_format="pandas")) \
+        .groupby([group_col, "term"]).sum("cnt").to_pandas() \
+        .rename(columns={"sum(cnt)": "cnt"})
+    keep = [(g, t, int(c)) for g, t, c in exact.itertuples(index=False)
+            if int(c) * (k + 1) > totals.get(g, 0)]
+    return pd.DataFrame(keep, columns=[group_col, "term", "n_occ"]) \
+        .sort_values([group_col, "term"]).reset_index(drop=True) \
+        .astype({"n_occ": "int64"})
