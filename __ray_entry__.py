@@ -1490,6 +1490,52 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _local_clustering(sf_dir: str):
+    """Per-node local clustering coefficient over the community-
+    enriched page graph (same edge set as ktruss_4:
+    links + nav + stride-25 K4 chains) — nav-ring/link-farm pages
+    score high, genuine hubs low (ops/graph.local_clustering)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from warcio_ray.ops.graph import local_clustering
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    links = edge_urls.map_batches(to_ids, batch_format="pyarrow")
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = docs.count()
+
+    def extra(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        d = batch["doc_id"].to_numpy(dtype="int64")
+        srcs = [d[d + 1 < n]]
+        dsts = [d[d + 1 < n] + 1]
+        for k in (1, 2, 3):
+            keep = d + 25 * k < n
+            srcs.append(d[keep])
+            dsts.append(d[keep] + 25 * k)
+        return pd.DataFrame({"src": np.concatenate(srcs),
+                             "dst": np.concatenate(dsts)})
+
+    edges = links.union(docs.map_batches(extra, batch_format="pandas"))
+    return local_clustering(edges)
+
+
 def _host_heavy_terms(sf_dir: str):
     """Per-host Misra-Gries heavy hitters
     (ops/sketch.misra_gries_grouped, k=8): every (host, term) above
@@ -5066,6 +5112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_values": _benford_values,
         "kmeans_purity": _kmeans_purity,
         "host_heavy_terms": _host_heavy_terms,
+        "local_clustering": _local_clustering,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -9930,6 +9977,48 @@ def oracle_sql() -> dict[str, str]:
     # maxcover_hosts: the greedy unroll by definition (see
     # _maxcover_sql) — identical md5 term hashes, gains, tie-breaks
     out["maxcover_hosts"] = _maxcover_sql(k=8)
+    # local_clustering: id-ordered triangle corners + degree over the
+    # ktruss edge set; coefficient = t / C(d,2), deg >= 2 only
+    out["local_clustering"] = """
+        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        raw AS (
+          SELECT doc_id AS src,
+                 ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn)) AS dst
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE j < doc_id % 4
+          UNION ALL
+          SELECT doc_id, doc_id + 1 FROM documents
+          WHERE doc_id + 1 < (SELECT n FROM nn)
+          UNION ALL
+          SELECT doc_id, doc_id + 25 * (j + 1) FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE doc_id + 25 * (j + 1) < (SELECT n FROM nn)),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS lo,
+                          GREATEST(src, dst) AS hi
+          FROM raw WHERE src <> dst),
+        deg AS (
+          SELECT node, COUNT(*)::BIGINT AS deg FROM (
+            SELECT lo AS node FROM e0 UNION ALL SELECT hi FROM e0)
+          GROUP BY node),
+        t AS MATERIALIZED (
+          SELECT a.lo AS u, a.hi AS v, b.hi AS w
+          FROM e0 a JOIN e0 b ON a.lo = b.lo AND a.hi < b.hi
+          JOIN e0 c ON c.lo = a.hi AND c.hi = b.hi),
+        tc AS (
+          SELECT node, COUNT(*)::BIGINT AS n_tri FROM (
+            SELECT u AS node FROM t
+            UNION ALL SELECT v FROM t
+            UNION ALL SELECT w FROM t)
+          GROUP BY node)
+        SELECT d.node, COALESCE(tc.n_tri, 0) AS n_tri, d.deg,
+               round(COALESCE(tc.n_tri, 0)
+                     / CAST(d.deg * (d.deg - 1) // 2 AS DOUBLE), 6)
+                 AS coef
+        FROM deg d LEFT JOIN tc USING (node)
+        WHERE d.deg >= 2 ORDER BY d.node
+    """
     # host_heavy_terms: the exact definition (MG only bounds state;
     # the recount gate makes the OUTPUT the plain n*(k+1) > N_g rule)
     # over the replayed planting

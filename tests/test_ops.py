@@ -7311,3 +7311,31 @@ def test_misra_gries_grouped(ray_session):
         assert got == exp, nparts
     assert ("a", "spam", 240) in exp and ("b", "ham", 240) in exp
     assert not any(g == "a" and t == "ham" for g, t, _ in exp)
+
+
+def test_local_clustering(ray_session):
+    """K4 members have coefficient 1; a hub over independent leaves
+    has 0; a triangle-with-pendant corner scores 1/3 at degree 3;
+    degree-1 nodes excluded; partitioning-invariant."""
+    import itertools
+
+    import ray.data
+
+    from warcio_ray.ops.graph import local_clustering
+
+    k4 = list(itertools.combinations(range(4), 2))
+    star = [(10, 11), (10, 12), (10, 13)]
+    tri_p = [(20, 21), (21, 22), (20, 22), (22, 23)]
+    df = pd.DataFrame(k4 + star + tri_p, columns=["src", "dst"])
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = local_clustering(ds).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        got = {int(r.node): (int(r.n_tri), int(r.deg), float(r.coef))
+               for r in out.itertuples(index=False)}
+        for v in range(4):
+            assert got[v] == (3, 3, 1.0), nparts
+        assert got[10] == (0, 3, 0.0)
+        assert got[22] == (1, 3, round(1 / 3, 6))
+        assert got[20] == (1, 2, 1.0) and got[21] == (1, 2, 1.0)
+        assert 23 not in got and 11 not in got     # degree-1 excluded

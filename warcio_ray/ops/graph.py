@@ -1828,3 +1828,74 @@ def transitivity(edges_ds, broadcast_max_nodes: int = 2_000_000,
     return pd.DataFrame([{"corners": corners, "wedges": wedges,
                           "transitivity": c}]) \
         .astype({"corners": "int64", "wedges": "int64"})
+
+
+def local_clustering(edges_ds, broadcast_max_nodes: int = 2_000_000,
+                     num_partitions=None):
+    """Per-node local clustering coefficient c_v = 2*t_v / (d_v*(d_v-1))
+    — the node-level companion of ``transitivity``: which PAGES sit in
+    closed communities vs open hub fans (nav rings and link farms
+    score ~1; genuine hubs score ~0 at high degree).
+
+    Exact-integer contract: t_v from the shared triangle kernel
+    (corner explode), d_v from the endpoint aggregate; the output
+    carries (n_tri, deg) exactly and the rounded ratio. Nodes with
+    degree < 2 are excluded (coefficient undefined).
+
+    Shape: one distinct-edge aggregate, the triangle kernel, one
+    corner count, one degree⋈triangle hash join. Returns
+    (node, n_tri, deg, coef)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join
+
+    if num_partitions is None:
+        num_partitions = min(
+            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch[["src", "dst"]].dropna().astype("int64")
+        df = df[df["src"] != df["dst"]]
+        out = pd.DataFrame({"lo": np.minimum(df["src"], df["dst"]),
+                            "hi": np.maximum(df["src"], df["dst"])})
+        return out.drop_duplicates()
+
+    und = arrow_blocks(edges_ds.map_batches(fold, batch_format="pandas")) \
+        .groupby(["lo", "hi"]).aggregate(Count(alias_name="_c")) \
+        .drop_columns(["_c"]).materialize()
+
+    def endpoints(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [batch["lo"].to_numpy(), batch["hi"].to_numpy()])})
+
+    deg_ds = arrow_blocks(und.map_batches(endpoints,
+                                          batch_format="pandas")) \
+        .groupby("node").aggregate(Count(alias_name="deg"))
+
+    tri = _oriented_triangles(und, broadcast_max_nodes, num_partitions)
+
+    def corners(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [batch["u"].to_numpy(), batch["s"].to_numpy(),
+             batch["t"].to_numpy()])})
+
+    tri_ds = arrow_blocks(tri.map_batches(corners, batch_format="pandas")) \
+        .groupby("node").aggregate(Count(alias_name="n_tri"))
+
+    joined = safe_join(deg_ds, tri_ds, "left_outer", num_partitions,
+                       ("node",))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        deg = batch["deg"].to_numpy(dtype="int64")
+        nt = batch["n_tri"].fillna(0).to_numpy(dtype="int64") \
+            if "n_tri" in batch else np.zeros(len(batch), dtype="int64")
+        keep = deg >= 2
+        deg, nt = deg[keep], nt[keep]
+        node = batch["node"].to_numpy(dtype="int64")[keep]
+        wedges = deg * (deg - 1) // 2
+        coef = np.round(nt / wedges, 6)
+        return pd.DataFrame({"node": node, "n_tri": nt, "deg": deg,
+                             "coef": coef})
+
+    return joined.map_batches(finish, batch_format="pandas")
