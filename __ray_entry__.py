@@ -1490,6 +1490,33 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _robustness_curve(sf_dir: str):
+    """Percolation robustness of the real link graph
+    (ops/graph.robustness_curve): giant-component structure at 30/60/
+    90% deterministic md5 edge retention — reproducible fragility
+    audit, one WCC per rate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from warcio_ray.ops.graph import robustness_curve
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    links = edge_urls.map_batches(to_ids, batch_format="pyarrow")
+    return robustness_curve(links, rates=(30, 60, 90))
+
+
 def _local_clustering(sf_dir: str):
     """Per-node local clustering coefficient over the community-
     enriched page graph (same edge set as ktruss_4:
@@ -5113,6 +5140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_purity": _kmeans_purity,
         "host_heavy_terms": _host_heavy_terms,
         "local_clustering": _local_clustering,
+        "robustness_curve": _robustness_curve,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -5619,6 +5647,48 @@ def _textrank_sql(k: int = 20, iters: int = 5, window: int = 2) -> str:
     return ("WITH " + ",".join(ctes) + f"""
         SELECT w AS term, CAST(r AS BIGINT) AS rank_q
         FROM r{iters} ORDER BY r DESC, w ASC LIMIT {k}""")
+
+
+def _robustness_sql(rates=(30, 60, 90)) -> str:
+    """Three recursive reach closures over md5-thinned canonical link
+    edges, mirroring ops/graph.robustness_curve."""
+    blocks, selects = [], []
+    for r in rates:
+        blocks.append(f"""
+        ed{r} AS (
+          SELECT lo AS u, hi AS v FROM eb WHERE b < {r}
+          UNION ALL SELECT hi, lo FROM eb WHERE b < {r}),
+        reach{r}(node, rr) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM ed{r})
+          UNION
+          SELECT e2.u, t.rr FROM ed{r} e2
+          JOIN reach{r} t ON t.node = e2.v),
+        lab{r} AS (SELECT node, MIN(rr) AS c FROM reach{r}
+                   GROUP BY node)""")
+        selects.append(f"""
+        SELECT {r} AS rate, CAST(SUM(cnt) AS BIGINT) AS n_nodes,
+               CAST(COUNT(*) AS BIGINT) AS n_comp,
+               CAST(MAX(cnt) AS BIGINT) AS giant
+        FROM (SELECT c, COUNT(*) AS cnt FROM lab{r} GROUP BY c)""")
+    return ("""
+        WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+        edges0 AS (
+          SELECT doc_id AS src,
+                 ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn)) AS dst
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE j < doc_id % 4),
+        e AS (SELECT DISTINCT LEAST(src, dst) AS lo,
+                     GREATEST(src, dst) AS hi
+              FROM edges0 WHERE src <> dst),
+        eb AS (
+          SELECT lo, hi,
+                 CAST(('0x' || substr(md5(CAST(lo AS VARCHAR) || ':'
+                       || CAST(hi AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 100 AS b
+          FROM e),""" + ",".join(blocks)
+            + " SELECT * FROM (" + " UNION ALL ".join(selects)
+            + ") ORDER BY rate")
 
 
 def _benford_sql(qbits: int = 32) -> str:
@@ -6436,6 +6506,7 @@ def oracle_sql() -> dict[str, str]:
         "event_markov": _markov_sql(iters=8),
         "luhn_scan": _luhn_sql(),
         "benford_values": _benford_sql(),
+        "robustness_curve": _robustness_sql(),
         # kmeans_purity: the SAME kmeans CTE chain + the contingency
         # argmax (n desc, label asc)
         "kmeans_purity": ("WITH " + _kmeans_sql(ctes_only=True) + """,

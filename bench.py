@@ -523,7 +523,12 @@ def run_bench() -> dict:
                            ("host_gini", "op_gini_s"),
                            ("change_rates", "op_chrate_s"),
                            ("bloom_semijoin", "op_bloomsj_s"),
-                           ("html_meta", "op_htmlmeta_s")):
+                           ("html_meta", "op_htmlmeta_s"),
+                           ("value_mad", "op_mad_s"),
+                           ("benford_values", "op_benford_s"),
+                           ("kmeans_purity", "op_purity_s"),
+                           ("host_heavy_terms", "op_hostmg_s"),
+                           ("local_clustering", "op_localcc_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \

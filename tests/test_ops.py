@@ -7339,3 +7339,34 @@ def test_local_clustering(ray_session):
         assert got[22] == (1, 3, round(1 / 3, 6))
         assert got[20] == (1, 2, 1.0) and got[21] == (1, 2, 1.0)
         assert 23 not in got and 11 not in got     # degree-1 excluded
+
+
+def test_robustness_curve(ray_session):
+    """Monotone percolation: higher retention never shrinks the giant
+    component or the labeled-node count; at 100% the curve equals the
+    full graph's WCC stats; determinism across partitionings."""
+    import ray.data
+
+    from warcio_ray.ops.graph import robustness_curve
+
+    rng = np.random.RandomState(8)
+    src = rng.randint(0, 60, 150)
+    dst = rng.randint(0, 60, 150)
+    df = pd.DataFrame({"src": src, "dst": dst})
+    outs = []
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = robustness_curve(ds, rates=(25, 50, 100))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0].sort_values("rate").reset_index(drop=True)
+    assert out["giant"].is_monotonic_increasing
+    assert out["n_nodes"].is_monotonic_increasing
+    # rate=100 keeps every edge: stats equal the full WCC
+    from warcio_ray.ops.graph import weakly_connected_components
+    full = weakly_connected_components(
+        ray.data.from_pandas(df[df.src != df.dst])).to_pandas()
+    sizes = full.groupby("component").size()
+    last = out.iloc[-1]
+    assert (int(last.n_nodes), int(last.n_comp), int(last.giant)) \
+        == (len(full), len(sizes), int(sizes.max()))

@@ -1899,3 +1899,66 @@ def local_clustering(edges_ds, broadcast_max_nodes: int = 2_000_000,
                              "coef": coef})
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def robustness_curve(edges_ds, rates=(30, 60, 90),
+                     num_partitions=None) -> pd.DataFrame:
+    """Percolation robustness curve: connected-component structure as
+    edges thin — the webgraph fragility audit (a graph whose giant
+    component survives random edge loss is navigationally robust; one
+    that shatters depends on a few links). Edges are retained
+    DETERMINISTICALLY per rate r: keep (lo, hi) iff
+    md5(f"{lo}:{hi}") % 100 < r, so the curve is reproducible and
+    SQL-replayable — no RNG.
+
+    Per rate: one stateless hash filter over the canonical distinct
+    edge set, the star-contraction WCC, and one bounded
+    component-size aggregate. Returns one row per rate
+    (rate, n_nodes, n_comp, giant) — nodes = labeled (non-isolated)
+    nodes at that rate."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    if num_partitions is None:
+        num_partitions = min(
+            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch[["src", "dst"]].dropna().astype("int64")
+        df = df[df["src"] != df["dst"]]
+        out = pd.DataFrame({"lo": np.minimum(df["src"], df["dst"]),
+                            "hi": np.maximum(df["src"], df["dst"])})
+        out = out.drop_duplicates()
+        out["bucket"] = [
+            int(hashlib.md5(f"{a}:{b}".encode()).hexdigest()[:8], 16)
+            % 100
+            for a, b in zip(out["lo"], out["hi"])]
+        return out
+
+    und = arrow_blocks(edges_ds.map_batches(fold, batch_format="pandas")) \
+        .groupby(["lo", "hi"]).max("bucket").materialize()
+
+    rows = []
+    for r in sorted(int(x) for x in rates):
+        def keep(batch: pd.DataFrame, r=r) -> pd.DataFrame:
+            m = batch["max(bucket)"].to_numpy() < r
+            return pd.DataFrame({
+                "src": batch["lo"].to_numpy(dtype="int64")[m],
+                "dst": batch["hi"].to_numpy(dtype="int64")[m]})
+
+        sub = und.map_batches(keep, batch_format="pandas")
+        labels = weakly_connected_components(
+            sub, num_partitions=num_partitions)
+        sizes = arrow_blocks(labels).groupby("component") \
+            .aggregate(Count(alias_name="s")).to_pandas()
+        if len(sizes):
+            rows.append((r, int(sizes["s"].sum()), len(sizes),
+                         int(sizes["s"].max())))
+        else:
+            rows.append((r, 0, 0, 0))
+    return pd.DataFrame(rows, columns=["rate", "n_nodes", "n_comp",
+                                       "giant"]).astype("int64")
