@@ -1490,6 +1490,22 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _session_survival(sf_dir: str):
+    """Kaplan-Meier survival of session durations with right-
+    censoring at the observation edge (ops/stream.km_session_survival,
+    30-min gap rule): exact quantized product-limit over the bounded
+    duration histogram — the engagement estimator a plain histogram
+    biases short."""
+    import ray.data
+
+    from warcio_ray.ops.stream import km_session_survival
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"])
+    return km_session_survival(ds, gap_minutes=30)
+
+
 def _robustness_curve(sf_dir: str):
     """Percolation robustness of the real link graph
     (ops/graph.robustness_curve): giant-component structure at 30/60/
@@ -5141,6 +5157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_heavy_terms": _host_heavy_terms,
         "local_clustering": _local_clustering,
         "robustness_curve": _robustness_curve,
+        "session_survival": _session_survival,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -6507,6 +6524,56 @@ def oracle_sql() -> dict[str, str]:
         "luhn_scan": _luhn_sql(),
         "benford_values": _benford_sql(),
         "robustness_curve": _robustness_sql(),
+        # session_survival: the sessionize CTE + the exact quantized
+        # product-limit recurrence (integer floor every step)
+        "session_survival": """
+            WITH RECURSIVE e AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN ts - lag(ts) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(brk) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess
+              FROM e),
+            sess AS (
+              SELECT (epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+                       // 60000000 AS dur,
+                     CASE WHEN (SELECT epoch_us(MAX(ts)) FROM events)
+                          - epoch_us(MAX(ts)) < 1800000000
+                          THEN 1 ELSE 0 END AS cens
+              FROM s GROUP BY user_id, sess),
+            hist AS (SELECT dur, cens, COUNT(*) AS n FROM sess
+                     GROUP BY dur, cens),
+            deaths AS (
+              SELECT dur, SUM(n) FILTER (WHERE cens = 0) AS d
+              FROM hist GROUP BY dur
+              HAVING SUM(n) FILTER (WHERE cens = 0) > 0),
+            tot AS (SELECT SUM(n) AS t FROM hist),
+            ord AS (
+              SELECT d.dur, d.d,
+                     (SELECT t FROM tot)
+                       - COALESCE((SELECT SUM(n) FROM hist h
+                                   WHERE h.dur < d.dur), 0) AS n_risk,
+                     row_number() OVER (ORDER BY d.dur) AS rn
+              FROM deaths d),
+            km(rn, dur, d, n_risk, sq) AS (
+              SELECT rn, dur, d, n_risk,
+                     (4294967296::HUGEINT * (n_risk - d)) // n_risk
+              FROM ord WHERE rn = 1
+              UNION ALL
+              SELECT o.rn, o.dur, o.d, o.n_risk,
+                     (km.sq * (o.n_risk - o.d)) // o.n_risk
+              FROM km JOIN ord o ON o.rn = km.rn + 1)
+            SELECT CAST(dur AS BIGINT) AS t_min,
+                   CAST(n_risk AS BIGINT) AS n_risk,
+                   CAST(d AS BIGINT) AS n_events,
+                   CAST(sq AS BIGINT) AS surv_q
+            FROM km ORDER BY t_min
+        """,
         # kmeans_purity: the SAME kmeans CTE chain + the contingency
         # argmax (n desc, label asc)
         "kmeans_purity": ("WITH " + _kmeans_sql(ctes_only=True) + """,

@@ -7370,3 +7370,44 @@ def test_robustness_curve(ray_session):
     last = out.iloc[-1]
     assert (int(last.n_nodes), int(last.n_comp), int(last.giant)) \
         == (len(full), len(sizes), int(sizes.max()))
+
+
+def test_km_session_survival(ray_session):
+    """Product-limit exactness on a hand corpus: censored sessions
+    count in the risk set but never as deaths; survival steps match
+    the textbook recurrence; partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.stream import km_session_survival
+
+    base = pd.Timestamp("2024-03-01")
+    rows, eid = [], 0
+
+    def session(user, start_min, dur_min):
+        nonlocal eid
+        rows.append((eid, user, base + pd.Timedelta(minutes=start_min)))
+        eid += 1
+        rows.append((eid, user,
+                     base + pd.Timedelta(minutes=start_min + dur_min)))
+        eid += 1
+
+    # users with sessions of durations 10, 10, 20 (uncensored: ending
+    # long before the corpus max), one censored session of 5 at the end
+    session(1, 0, 10)
+    session(2, 0, 10)
+    session(3, 0, 20)
+    session(4, 1000, 5)           # ends at corpus max -> censored
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+
+    # replay: sessions (10,u),(10,u),(20,u),(5,c); deaths at 10 and 20
+    # t=10: left = 1 (the censored 5) -> n_risk=3, d=2
+    # t=20: left = 3 -> n_risk=1, d=1
+    one = 1 << 32
+    s10 = (one * (3 - 2)) // 3
+    s20 = (s10 * (1 - 1)) // 1
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = km_session_survival(ds, gap_minutes=30)
+        got = [tuple(int(v) for v in r)
+               for r in out.itertuples(index=False)]
+        assert got == [(10, 3, 2, s10), (20, 1, 1, s20)], nparts

@@ -281,3 +281,91 @@ def cusum_daily(events_ds, ts_col: str = "ts") -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["d", "x", "s_pos", "s_neg",
                                        "alarm_up", "alarm_down"]) \
         .astype("int64")
+
+
+def km_session_survival(events_ds, gap_minutes: int = 30,
+                        qbits: int = 32,
+                        user_col: str = "user_id", ts_col: str = "ts",
+                        id_col: str = "event_id") -> pd.DataFrame:
+    """Kaplan-Meier survival curve of SESSION DURATIONS with
+    right-censoring — the engagement-analytics estimator (how long do
+    sessions last, honestly accounting for sessions cut off by the end
+    of the observation window, which a plain duration histogram
+    biases short).
+
+    Sessions are the standard gap rule (same as sessionize_events);
+    duration = whole minutes (exact integer microsecond floor); a
+    session is CENSORED iff it ends within one gap of the corpus max
+    timestamp (it might have continued). The estimator is the exact
+    quantized product-limit: over distinct uncensored durations t_i
+    ascending, with n_i = sessions still at risk (duration >= t_i)
+    and d_i = uncensored sessions at exactly t_i,
+
+        S_q(t_i) = (S_q(t_{i-1}) * (n_i - d_i)) // n_i,  S_q = 2^qbits
+
+    — integer floor at every step, so both engines agree bit-for-bit.
+
+    Shape at scale: one user-keyed shuffle builds sessions; durations
+    fold to a BOUNDED (duration-minute, censored) histogram; the
+    driver runs the O(#distinct durations) recurrence. Returns one
+    row per death time (t_min, n_risk, n_events, surv_q)."""
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    max_ts = pd.Timestamp(events_ds.max(ts_col))
+    max_ns = max_ts.value
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[user_col, ts_col, id_col]].copy()
+        batch["_part"] = (batch[user_col].astype("int64") % 32) \
+            .astype("int32")
+        return batch
+
+    def sessions(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.sort_values([user_col, ts_col, id_col],
+                              kind="mergesort")
+        u = grp[user_col].to_numpy(dtype="int64")
+        t = grp[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64")
+        new_u = np.concatenate([[True], u[1:] != u[:-1]])
+        gap = np.concatenate([[True],
+                              (t[1:] - t[:-1]) > gap_ns])
+        brk = new_u | gap
+        # session bounds = first/last row index per session (rows are
+        # sorted by (user, ts, id), so min/max ts are positional)
+        first_idx = np.flatnonzero(brk)
+        last_idx = np.concatenate([first_idx[1:] - 1, [len(t) - 1]]) \
+            if len(t) else np.array([], dtype="int64")
+        if not len(t):
+            return pd.DataFrame({"dur": pd.Series(dtype="int64"),
+                                 "cens": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        dur = (t[last_idx] - t[first_idx]) // 60_000_000_000
+        cens = ((max_ns - t[last_idx]) < gap_ns).astype("int64")
+        out = pd.DataFrame({"dur": dur, "cens": cens})
+        out["n"] = np.int64(1)
+        return out.groupby(["dur", "cens"], as_index=False).sum() \
+            .astype({"dur": "int64", "cens": "int64", "n": "int64"})
+
+    hist = tree_aggregate(
+        events_ds.map_batches(add_part, batch_format="pandas")
+        .groupby("_part").map_groups(sessions, batch_format="pandas"),
+        ["dur", "cens"], sums=("n",))
+    if len(hist) == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ("t_min", "n_risk", "n_events", "surv_q")})
+
+    hist = hist.sort_values(["dur", "cens"]).reset_index(drop=True)
+    total = int(hist["n"].sum())
+    # left(t) = sessions with duration < t (either status)
+    rows = []
+    s_q = 1 << qbits
+    left = 0
+    for dur, grp in hist.groupby("dur", sort=True):
+        n_risk = total - left
+        d = int(grp.loc[grp["cens"] == 0, "n"].sum())
+        if d > 0:
+            s_q = (s_q * (n_risk - d)) // n_risk
+            rows.append((int(dur), n_risk, d, s_q))
+        left += int(grp["n"].sum())
+    return pd.DataFrame(rows, columns=["t_min", "n_risk", "n_events",
+                                       "surv_q"]).astype("int64")
