@@ -1490,6 +1490,38 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _script_profile(sf_dir: str):
+    """Per-doc writing-script profile (ops/classify.script_profile):
+    codepoint-range counts + dominant script. Greek/Cyrillic/CJK
+    tokens planted deterministically (d%4 picks the script, 1+d%3
+    repeats; every 10th-with-remainder-7 doc gets 200 repeats so the
+    dominant script actually flips). One utf-32 decode per batch."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.classify import script_profile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = {1: "αβγ",          # greek
+                2: "вгд",          # cyrillic
+                3: "数据处理"}    # cjk
+        out = []
+        for d, t in zip(batch["doc_id"].astype("int64"),
+                        batch["text"].astype(str)):
+            tok = toks.get(int(d % 4))
+            if tok:
+                reps = 200 if d % 10 == 7 else 1 + int(d % 3)
+                t = t + (" " + tok) * reps
+            out.append(t)
+        batch["text"] = out
+        return batch
+
+    return script_profile(ds.map_batches(plant, batch_format="pandas"))
+
+
 def _session_survival(sf_dir: str):
     """Kaplan-Meier survival of session durations with right-
     censoring at the observation edge (ops/stream.km_session_survival,
@@ -5158,6 +5190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_clustering": _local_clustering,
         "robustness_curve": _robustness_curve,
         "session_survival": _session_survival,
+        "script_profile": _script_profile,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -5664,6 +5697,57 @@ def _textrank_sql(k: int = 20, iters: int = 5, window: int = 2) -> str:
     return ("WITH " + ",".join(ctes) + f"""
         SELECT w AS term, CAST(r AS BIGINT) AS rank_q
         FROM r{iters} ORDER BY r DESC, w ASC LIMIT {k}""")
+
+
+def _script_sql() -> str:
+    """Script-profile replay: the same codepoint RANGES as regexp
+    classes with literal chr() endpoints, counts via length-delta of
+    a global regexp_replace, first-match dominance tie rule."""
+    rng = {"latin": "[A-z]",
+           "greek": f"[{chr(0x370)}-{chr(0x3FF)}]",
+           "cyrillic": f"[{chr(0x400)}-{chr(0x4FF)}]",
+           "cjk": f"[{chr(0x4E00)}-{chr(0x9FFF)}]"}
+    cnt = {k: (f"len(t) - len(regexp_replace(t, '{v}', '', 'g'))")
+           for k, v in rng.items()}
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 text || CASE CAST(doc_id % 4 AS INTEGER)
+                   WHEN 1 THEN repeat(' ' || '{chr(0x3B1)}{chr(0x3B2)}{chr(0x3B3)}',
+                     CASE WHEN doc_id % 10 = 7 THEN 200
+                          ELSE 1 + CAST(doc_id % 3 AS INTEGER) END)
+                   WHEN 2 THEN repeat(' ' || '{chr(0x432)}{chr(0x433)}{chr(0x434)}',
+                     CASE WHEN doc_id % 10 = 7 THEN 200
+                          ELSE 1 + CAST(doc_id % 3 AS INTEGER) END)
+                   WHEN 3 THEN repeat(' ' || '{chr(0x6570)}{chr(0x636E)}{chr(0x5904)}{chr(0x7406)}',
+                     CASE WHEN doc_id % 10 = 7 THEN 200
+                          ELSE 1 + CAST(doc_id % 3 AS INTEGER) END)
+                   ELSE '' END AS t
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 CAST({cnt['latin']} AS BIGINT) AS n_latin,
+                 CAST({cnt['greek']} AS BIGINT) AS n_greek,
+                 CAST({cnt['cyrillic']} AS BIGINT) AS n_cyrillic,
+                 CAST({cnt['cjk']} AS BIGINT) AS n_cjk,
+                 CAST(len(t) AS BIGINT) AS n_all
+          FROM planted)
+        SELECT doc_id, n_latin, n_greek, n_cyrillic, n_cjk,
+               n_all - n_latin - n_greek - n_cyrillic - n_cjk
+                 AS n_other,
+               CASE WHEN GREATEST(n_latin, n_greek, n_cyrillic,
+                                  n_cjk) = 0 THEN 'other'
+                    WHEN n_latin = GREATEST(n_latin, n_greek,
+                                            n_cyrillic, n_cjk)
+                         THEN 'latin'
+                    WHEN n_greek = GREATEST(n_latin, n_greek,
+                                            n_cyrillic, n_cjk)
+                         THEN 'greek'
+                    WHEN n_cyrillic = GREATEST(n_latin, n_greek,
+                                               n_cyrillic, n_cjk)
+                         THEN 'cyrillic'
+                    ELSE 'cjk' END AS main_script
+        FROM c ORDER BY doc_id"""
 
 
 def _robustness_sql(rates=(30, 60, 90)) -> str:
@@ -6524,6 +6608,7 @@ def oracle_sql() -> dict[str, str]:
         "luhn_scan": _luhn_sql(),
         "benford_values": _benford_sql(),
         "robustness_curve": _robustness_sql(),
+        "script_profile": _script_sql(),
         # session_survival: the sessionize CTE + the exact quantized
         # product-limit recurrence (integer floor every step)
         "session_survival": """

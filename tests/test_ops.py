@@ -7411,3 +7411,34 @@ def test_km_session_survival(ray_session):
         got = [tuple(int(v) for v in r)
                for r in out.itertuples(index=False)]
         assert got == [(10, 3, 2, s10), (20, 1, 1, s20)], nparts
+
+
+def test_script_profile(ray_session):
+    """Codepoint-range counts on mixed-script docs: exact per-range
+    tallies, dominance flip when a script outweighs latin, 'other'
+    for whitespace/digits-only docs; partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.classify import script_profile
+
+    texts = [
+        "hello world",                       # latin (space = other)
+        "αβγ δε",                            # greek
+        "hi вгдежз",                         # cyrillic dominates
+        "数据",                              # cjk
+        "123 456",                           # digits+space -> other
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = script_profile(ds).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert out["main_script"].tolist() == \
+            ["latin", "greek", "cyrillic", "cjk", "other", "other"], \
+            nparts
+        assert out["n_latin"].tolist() == [10, 0, 2, 0, 0, 0]
+        assert out["n_greek"].tolist() == [0, 5, 0, 0, 0, 0]
+        assert out["n_cyrillic"].tolist() == [0, 0, 6, 0, 0, 0]
+        assert out["n_cjk"].tolist() == [0, 0, 0, 2, 0, 0]
+        assert out["n_other"].tolist() == [1, 1, 1, 0, 7, 0]

@@ -237,3 +237,58 @@ def naive_bayes_train_predict(ds, text_col: str = "text",
                          - scores[rows, second]).astype("int64")})
 
     return ds.map_batches(predict, batch_format="pandas")
+
+
+SCRIPT_RANGES = (
+    ("latin", 0x0041, 0x007A),      # A-Z a-z (basic)
+    ("greek", 0x0370, 0x03FF),
+    ("cyrillic", 0x0400, 0x04FF),
+    ("cjk", 0x4E00, 0x9FFF),
+)
+
+
+def script_profile(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document writing-script profile — the i18n triage stage a
+    multilingual pipeline runs BEFORE language ID (an n-gram langid
+    model is useless on a script it never saw; routing by codepoint
+    range is free and exact). Counts characters in fixed codepoint
+    RANGES (not Unicode script properties, so the SQL regexp ranges
+    replay it exactly) and names the dominant script (ties by the
+    SCRIPT_RANGES order, 'other' only when no range matches).
+
+    Vectorized: one utf-32 decode per batch + range masks — no
+    per-character Python. Stateless scan, zero shuffle. Returns
+    (id, n_latin, n_greek, n_cyrillic, n_cjk, n_other, main_script).
+    """
+
+    def profile(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = ["" if t is None else str(t) for t in batch[text_col]]
+        n = len(texts)
+        lens = np.array([len(t) for t in texts], dtype="int64")
+        joined = "".join(texts)
+        codes = np.frombuffer(joined.encode("utf-32-le"),
+                              dtype=np.uint32).astype(np.int64)
+        doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+        counts = {}
+        claimed = np.zeros(len(codes), dtype=bool)
+        for name, lo, hi in SCRIPT_RANGES:
+            m = (codes >= lo) & (codes <= hi)
+            claimed |= m
+            c = np.zeros(n, dtype="int64")
+            np.add.at(c, doc[m], 1)
+            counts[name] = c
+        other = np.zeros(n, dtype="int64")
+        np.add.at(other, doc[~claimed], 1)
+        names = [r[0] for r in SCRIPT_RANGES]
+        stacked = np.stack([counts[nm] for nm in names])
+        best = np.argmax(stacked, axis=0)       # first max wins (tie rule)
+        main = np.where(stacked.max(axis=0) > 0,
+                        np.array(names, dtype=object)[best], "other")
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(dtype="int64"),
+            "n_latin": counts["latin"], "n_greek": counts["greek"],
+            "n_cyrillic": counts["cyrillic"], "n_cjk": counts["cjk"],
+            "n_other": other, "main_script": main})
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(profile, batch_format="pandas")
