@@ -1490,6 +1490,20 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _snm_pairs(sf_dir: str):
+    """Sorted-neighborhood dedup pairs over the simhash key
+    (ops/dedup.sorted_neighbor_pairs, window=4, Hamming<=8): the
+    linear-scan SNM rung next to banding — exact distributed ranks
+    via bucket prefix sums, one rank-block self-join."""
+    import ray.data
+
+    from warcio_ray.ops.dedup import sorted_neighbor_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return sorted_neighbor_pairs(ds, window=4, max_hamming=8)
+
+
 def _script_profile(sf_dir: str):
     """Per-doc writing-script profile (ops/classify.script_profile):
     codepoint-range counts + dominant script. Greek/Cyrillic/CJK
@@ -5191,6 +5205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robustness_curve": _robustness_curve,
         "session_survival": _session_survival,
         "script_profile": _script_profile,
+        "snm_pairs": _snm_pairs,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -6609,6 +6624,42 @@ def oracle_sql() -> dict[str, str]:
         "benford_values": _benford_sql(),
         "robustness_curve": _robustness_sql(),
         "script_profile": _script_sql(),
+        # snm_pairs: the same simhash chain as simhash_pairs, then
+        # ranks by (sim, doc_id) and the rank-window self-join
+        "snm_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_transform(regexp_extract_all(text, '\\S+'),
+                       x -> CAST(('0x' || substr(md5(x),1,16)) AS UBIGINT)))
+                       AS th
+              FROM documents),
+            votes AS (
+              SELECT doc_id, bit,
+                     SUM(CASE WHEN (th >> bit) & 1::UBIGINT = 1::UBIGINT
+                              THEN 1 ELSE -1 END) AS v
+              FROM toks
+              CROSS JOIN (SELECT unnest(range(64)) AS bit) bits
+              GROUP BY doc_id, bit),
+            sims0 AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN v > 0 THEN (1::HUGEINT << bit)
+                              ELSE 0::HUGEINT END) AS UBIGINT) AS sim
+              FROM votes GROUP BY doc_id),
+            sims AS (
+              SELECT d.doc_id, COALESCE(s.sim, 0::UBIGINT) AS sim
+              FROM documents d LEFT JOIN sims0 s USING (doc_id)),
+            ranked AS (
+              SELECT doc_id, sim,
+                     row_number() OVER (ORDER BY sim, doc_id) - 1 AS r
+              FROM sims)
+            SELECT LEAST(x.doc_id, y.doc_id) AS a,
+                   GREATEST(x.doc_id, y.doc_id) AS b,
+                   CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS hd
+            FROM ranked x JOIN ranked y
+              ON y.r > x.r AND y.r <= x.r + 4
+            WHERE bit_count(xor(x.sim, y.sim)) <= 8
+            ORDER BY a, b
+        """,
         # session_survival: the sessionize CTE + the exact quantized
         # product-limit recurrence (integer floor every step)
         "session_survival": """

@@ -7442,3 +7442,44 @@ def test_script_profile(ray_session):
         assert out["n_cyrillic"].tolist() == [0, 0, 6, 0, 0, 0]
         assert out["n_cjk"].tolist() == [0, 0, 0, 2, 0, 0]
         assert out["n_other"].tolist() == [1, 1, 1, 0, 7, 0]
+
+
+def test_sorted_neighbor_pairs(ray_session):
+    """SNM vs a brute-force rank-window replay: exact duplicates are
+    always rank-adjacent and found; the window bounds candidates (a
+    far-rank near-dup is NOT reported — the documented single-key
+    limitation); partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.dedup import simhash_batch, hamming64, \
+        sorted_neighbor_pairs
+
+    texts = ["alpha beta gamma delta", "alpha beta gamma delta",
+             "epsilon zeta eta theta", "epsilon zeta eta theta iota",
+             "one two three four five", "completely different words x",
+             "one two three four five"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    sims = simhash_batch(df)
+    order = np.lexsort((sims["doc_id"].to_numpy(),
+                        sims["simhash"].to_numpy()))
+    r = np.empty(len(order), dtype="int64")
+    r[order] = np.arange(len(order))
+    exp = set()
+    for i in range(len(df)):
+        for j in range(len(df)):
+            if 0 < r[j] - r[i] <= 4:
+                hd = int(hamming64(
+                    np.array([sims["simhash"][i]], dtype=np.uint64),
+                    np.array([sims["simhash"][j]], dtype=np.uint64))[0])
+                if hd <= 8:
+                    a, b = sorted((i, j))
+                    exp.add((a, b, hd))
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = sorted_neighbor_pairs(ds, window=4, max_hamming=8) \
+            .to_pandas()
+        got = {(int(x.a), int(x.b), int(x.hd))
+               for x in out.itertuples(index=False)}
+        assert got == exp, nparts
+    assert (0, 1, 0) in exp and (4, 6, 0) in exp   # exact dups found

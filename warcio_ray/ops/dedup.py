@@ -1932,3 +1932,122 @@ def ngram_coverage(ds, id_col: str = "doc_id", text_col: str = "text",
             "kept": (den * cov < num * tot).astype("int64")})
 
     return per_doc.map_batches(verdict, batch_format="pandas")
+
+
+def sorted_neighbor_pairs(ds, id_col: str = "doc_id",
+                          text_col: str = "text", window: int = 4,
+                          max_hamming: int = 8, bucket_bits: int = 10,
+                          num_partitions=None):
+    """Sorted-neighborhood dedup (Hernandez & Stolfo 1995, SNM): sort
+    the corpus by a fingerprint KEY (here the 64-bit SimHash) and
+    compare only rows within ``window`` ranks — the linear-scan
+    alternative to banding when the key clusters duplicates (exact
+    copies share a simhash and become rank-adjacent; near-copies with
+    equal high bits likewise). Single-key SNM misses high-bit-flipped
+    near-dups by design — production runs multiple passes with rotated
+    keys; the banding op (simhash_dedup) is the recall-complete
+    sibling.
+
+    Distributed without a global sort materialization: the
+    shuffle_order bucket trick — rows bucket by the simhash's top
+    ``bucket_bits`` bits, bucket counts cumsum to broadcast base
+    ranks, ONE hash shuffle ranks each bucket locally; then neighbor
+    candidates come from ONE self-join on the rank block g = r //
+    window (each left row also probes g+1), filtered to
+    0 < r_b - r_a <= window and Hamming <= ``max_hamming``.
+
+    Returns (a, b, hd): id pairs (a < b) with their Hamming distance.
+    """
+    import ray
+
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join, \
+        tree_aggregate
+
+    if num_partitions is None:
+        num_partitions = min(32, max(2, int(
+            ray.cluster_resources().get("CPU", 8))))
+    shift = np.uint64(64 - bucket_bits)
+
+    sims = ds.select_columns([id_col, text_col]) \
+        .map_batches(simhash_batch, batch_format="pandas")
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["simhash"].to_numpy(dtype=np.uint64)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(dtype="int64"),
+            "_s": s.view(np.int64),
+            "bucket": (s >> shift).astype("int64")})
+
+    keyed = sims.map_batches(project, batch_format="pandas") \
+        .materialize()
+
+    def bucket_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["bucket"].value_counts()
+        return pd.DataFrame({"bucket": vc.index.to_numpy(dtype="int64"),
+                             "c": vc.to_numpy(dtype="int64")})
+
+    totals = tree_aggregate(
+        keyed.map_batches(bucket_counts, batch_format="pandas"),
+        ["bucket"], sums=("c",))
+    if len(totals) == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "a": pd.Series(dtype="int64"),
+            "b": pd.Series(dtype="int64"),
+            "hd": pd.Series(dtype="int64")}))
+    totals = totals.sort_values("bucket").reset_index(drop=True)
+    c = totals["c"].to_numpy(dtype="int64")
+    base = np.concatenate([[0], np.cumsum(c)[:-1]])
+    base_ref = ray.put(dict(zip(totals["bucket"].astype("int64"),
+                                base)))
+
+    def rank_group(grp: pd.DataFrame) -> pd.DataFrame:
+        bases = ray.get(base_ref)
+        out = []
+        for bk, g in grp.groupby("bucket", sort=False):
+            g = g.copy()
+            key = g["_s"].to_numpy().view(np.uint64)
+            order = np.lexsort((g[id_col].to_numpy(), key))
+            g = g.iloc[order]
+            g["r"] = bases[int(bk)] + np.arange(len(g), dtype="int64")
+            out.append(g)
+        return pd.concat(out, ignore_index=True) \
+            .drop(columns=["bucket"])
+
+    ranked = keyed.groupby("bucket") \
+        .map_groups(rank_group, batch_format="pandas").materialize()
+
+    def left_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch["r"].to_numpy(dtype="int64") // window
+        return pd.DataFrame({
+            "k": np.concatenate([g, g + 1]),
+            "ra": np.tile(batch["r"].to_numpy(dtype="int64"), 2),
+            "ia": np.tile(batch[id_col].to_numpy(dtype="int64"), 2),
+            "sa": np.tile(batch["_s"].to_numpy(dtype="int64"), 2)})
+
+    def right_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": batch["r"].to_numpy(dtype="int64") // window,
+            "rb": batch["r"].to_numpy(dtype="int64"),
+            "ib": batch[id_col].to_numpy(dtype="int64"),
+            "sb": batch["_s"].to_numpy(dtype="int64")})
+
+    cand = safe_join(
+        ranked.map_batches(left_keys, batch_format="pandas"),
+        ranked.map_batches(right_keys, batch_format="pandas"),
+        "inner", num_partitions, ("k",))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        ra = batch["ra"].to_numpy(dtype="int64")
+        rb = batch["rb"].to_numpy(dtype="int64")
+        keep = (rb > ra) & (rb - ra <= window)
+        sa = batch["sa"].to_numpy()[keep].view(np.uint64)
+        sb = batch["sb"].to_numpy()[keep].view(np.uint64)
+        hd = hamming64(sa, sb)
+        ok = hd <= max_hamming
+        ia = batch["ia"].to_numpy(dtype="int64")[keep][ok]
+        ib = batch["ib"].to_numpy(dtype="int64")[keep][ok]
+        return pd.DataFrame({"a": np.minimum(ia, ib),
+                             "b": np.maximum(ia, ib),
+                             "hd": hd[ok].astype("int64")})
+
+    return cand.map_batches(verify, batch_format="pandas")
