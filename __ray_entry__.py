@@ -4975,15 +4975,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # warc / pages / crawl family (unstamped in r3)
         "warc_rec_types": _warc_rec_types,
         "host_counts": _host_counts,
-        "blocklist_filter": _blocklist_filter,
-        "sitemap_urls": _sitemap_urls,
         "redirect_resolve": _redirect_resolve,
+        # session-6 new families (stamped here; blocklist/sitemap ->
+        # tail: redirect_resolve keeps the url-curation slot)
+        "style_delta": _style_delta,
+        "session_survival": _session_survival,
         "anchor_stats": _anchor_stats,
         "crawl_order": _crawl_order,
         "cdxj_append_lookup": _cdxj_append_lookup,
         "wet_export": _wet_export,
-        "wat_export": _wat_export,
         "revisit_dedup": _revisit_dedup,
+        # eval family rep (r4 s6; signal_auc siblings in the tail)
+        "kendall_signals": _kendall_signals,
         # similarity search (unstamped in r3)
         "knn_top10": _knn_top10,
         "tfidf_keywords": _tfidf_keywords,
@@ -5000,7 +5003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _containment_pairs,
         "wcc_labels": _wcc_labels,
         "url_canon_dedup": _url_canon_dedup,
-        "readability": _readability,
+        "c4_filter": _c4_filter,
         "bm25_top20": _bm25_top20,
         "decontam_overlap": _decontam_overlap,
         "dsir_weights": _dsir_weights,
@@ -5033,7 +5036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family representatives already stamped green in r3
         "q1_pricing_summary": _q1,
         "asof_click_purchase": _asof_click_purchase,
-        "token_stats": _token_stats,
+        "event_markov": _event_markov,
         "gopher_quality": _gopher_quality,
         "pack_1024": _pack_1024,
         "nb_langid": _nb_langid,
@@ -5177,12 +5180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maxcover_hosts": _maxcover_hosts,
         "edit1_pairs": _edit1_pairs,
         "onion_coverage": _onion_coverage,
-        "c4_filter": _c4_filter,
         "ktruss_4": _ktruss_4,
-        "style_delta": _style_delta,
         "margin_pairs": _margin_pairs,
-        "event_markov": _event_markov,
-        "kendall_signals": _kendall_signals,
         "textrank_terms": _textrank_terms,
         "quality_gains": _quality_gains,
         "assortativity": _assortativity,
@@ -5203,7 +5202,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_heavy_terms": _host_heavy_terms,
         "local_clustering": _local_clustering,
         "robustness_curve": _robustness_curve,
-        "session_survival": _session_survival,
         "script_profile": _script_profile,
         "snm_pairs": _snm_pairs,
         "orders_multiagg": _orders_multiagg,
@@ -5212,6 +5210,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _simhash_pairs,
         "embedding_neardup": _embedding_neardup,
         "media_features": _media_features,
+        "blocklist_filter": _blocklist_filter,
+        "sitemap_urls": _sitemap_urls,
+        "wat_export": _wat_export,
+        "readability": _readability,
+        "token_stats": _token_stats,
     }
 
 

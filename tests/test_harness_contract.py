@@ -45,9 +45,9 @@ def test_first_fifty_covers_every_family():
         # warc / pages / crawl artifacts (cdxj_append_lookup composes
         # build+append+lookup; the plain cdxj_lookup moved to the tail)
         "warc_rec_types", "host_counts", "crawl_order",
-        "wet_export", "wat_export", "revisit_dedup", "anchor_stats",
+        "wet_export", "revisit_dedup", "anchor_stats",
         # crawl-source / url-curation / index-maintenance (new r4)
-        "blocklist_filter", "sitemap_urls", "redirect_resolve",
+        "redirect_resolve",
         "cdxj_append_lookup", "tfidf_keywords", "url_canon_dedup",
         # similarity search (ivfpq composes pq+ivf; the standalone
         # layout/pq entries moved to the tail in r4 s3)
@@ -66,7 +66,7 @@ def test_first_fifty_covers_every_family():
         "trigram_nll", "bm25_top20",
         "decontam_overlap", "dsir_weights", "span_scrub", "pii_redact",
         "gopher_quality", "nb_langid", "weighted_sample",
-        "pmi_collocations", "readability",
+        "pmi_collocations",
         # graph / dedup new families (r4 s3)
         "wcc_labels", "containment_pairs",
         # dedup / export / selection
@@ -81,8 +81,12 @@ def test_first_fifty_covers_every_family():
         "media_phash_dups",
         # record-linkage family (r4 s4)
         "er_matches",
+        # session-6 new families (r4 s6 refit: blocklist/sitemap/wat/
+        # readability/token_stats -> tail; their families keep reps)
+        "style_delta", "session_survival", "kendall_signals",
+        "c4_filter", "event_markov",
         # relational / pack / sketch / quantile / graph / clustering
-        "q1_pricing_summary", "asof_click_purchase", "token_stats",
+        "q1_pricing_summary", "asof_click_purchase",
         "pack_1024", "pagerank_5", "hll_lang_tokens",
         "split_strat", "kmeans_clusters", "semdedup_dups",
     }
