@@ -528,7 +528,11 @@ def run_bench() -> dict:
                            ("benford_values", "op_benford_s"),
                            ("kmeans_purity", "op_purity_s"),
                            ("host_heavy_terms", "op_hostmg_s"),
-                           ("local_clustering", "op_localcc_s")):
+                           ("local_clustering", "op_localcc_s"),
+                           ("robustness_curve", "op_robust_s"),
+                           ("session_survival", "op_survival_s"),
+                           ("script_profile", "op_script_s"),
+                           ("snm_pairs", "op_snm_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \
