@@ -1490,6 +1490,33 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _split_leakage(sf_dir: str):
+    """Exact-duplicate leakage across an 80/20 stratified split
+    (ops/split.split_leakage): dup-pair crossing counts from
+    (hash, split) cells only — the held-out-integrity audit. Every
+    5th doc's text is REPLACED by one of 40 shared template bodies
+    (the corpus has no natural exact dups), so dup groups of ~N/200
+    members exist and the hash-random split provably leaks."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.split import split_leakage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].astype("int64")
+        m = d % 5 == 0
+        batch = batch.copy()
+        batch.loc[m, "text"] = ("shared template body " +
+                                (d[m] % 40).astype(str))
+        return batch
+
+    return split_leakage(ds.map_batches(plant, batch_format="pandas"),
+                         fractions=(("train", 80), ("test", 20)))
+
+
 def _snm_pairs(sf_dir: str):
     """Sorted-neighborhood dedup pairs over the simhash key
     (ops/dedup.sorted_neighbor_pairs, window=4, Hamming<=8): the
@@ -5204,6 +5231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robustness_curve": _robustness_curve,
         "script_profile": _script_profile,
         "snm_pairs": _snm_pairs,
+        "split_leakage": _split_leakage,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -6627,6 +6655,64 @@ def oracle_sql() -> dict[str, str]:
         "benford_values": _benford_sql(),
         "robustness_curve": _robustness_sql(),
         "script_profile": _script_sql(),
+        # split_leakage: the split_strat Hamilton chain at 80/20 +
+        # md5(text) dup groups, pairs = C(n,2) arithmetic
+        "split_leakage": """
+            WITH d AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                          1, 8)) AS BIGINT) AS h,
+                     md5(CASE WHEN doc_id % 5 = 0
+                         THEN 'shared template body '
+                              || CAST(doc_id % 40 AS VARCHAR)
+                         ELSE coalesce(text, '') END) AS th
+              FROM documents),
+            r AS (SELECT doc_id, lang, th, row_number() OVER (
+                      PARTITION BY lang ORDER BY h, doc_id) - 1 AS rk
+                  FROM d),
+            n AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY lang),
+            s(name, ord, w) AS (VALUES ('train', 0, 80),
+                                       ('test', 1, 20)),
+            q0 AS (SELECT n.lang, s.name, s.ord,
+                          (n.n * s.w) // 100 AS base,
+                          (n.n * s.w) % 100 AS rem, n.n
+                   FROM n CROSS JOIN s),
+            lv AS (SELECT lang, MAX(n) - SUM(base) AS lo
+                   FROM q0 GROUP BY lang),
+            qt AS (SELECT q0.lang, q0.name, q0.ord,
+                          q0.base + CASE WHEN row_number() OVER (
+                              PARTITION BY q0.lang
+                              ORDER BY q0.rem DESC, q0.name) <= lv.lo
+                            THEN 1 ELSE 0 END AS quota
+                   FROM q0 JOIN lv USING (lang)),
+            b AS (SELECT lang, name,
+                         SUM(quota) OVER (PARTITION BY lang
+                           ORDER BY ord) AS hi,
+                         COALESCE(SUM(quota) OVER (PARTITION BY lang
+                           ORDER BY ord ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND 1 PRECEDING), 0) AS lo2
+                  FROM qt),
+            lab AS (
+              SELECT r.th, b.name AS split
+              FROM r JOIN b ON b.lang = r.lang
+               AND r.rk >= b.lo2 AND r.rk < b.hi),
+            gsz AS (SELECT th, COUNT(*) AS n FROM lab GROUP BY th
+                    HAVING COUNT(*) >= 2),
+            cells AS (
+              SELECT l.th, l.split, COUNT(*) AS ns
+              FROM lab l JOIN gsz USING (th)
+              GROUP BY l.th, l.split),
+            per AS (
+              SELECT th, SUM(ns) AS n,
+                     SUM(ns * (ns - 1) // 2) AS within
+              FROM cells GROUP BY th)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT)
+                     AS n_pairs,
+                   CAST(COALESCE(SUM(n * (n - 1) // 2)
+                        - SUM(within), 0) AS BIGINT) AS n_cross
+            FROM per
+        """,
         # snm_pairs: the same simhash chain as simhash_pairs, then
         # ranks by (sim, doc_id) and the rank-window self-join
         "snm_pairs": """

@@ -7483,3 +7483,47 @@ def test_sorted_neighbor_pairs(ray_session):
                for x in out.itertuples(index=False)}
         assert got == exp, nparts
     assert (0, 1, 0) in exp and (4, 6, 0) in exp   # exact dups found
+
+
+def test_split_leakage(ray_session):
+    """Leakage arithmetic vs brute force on planted dup groups: a
+    group fully inside one split contributes pairs but zero crossing;
+    a straddling group crosses n_train*n_test pairs; no-dup corpus
+    reports zeros; partitioning-invariant."""
+    import itertools
+
+    import ray.data
+
+    from warcio_ray.ops.split import split_assign, split_leakage
+
+    texts = [f"unique {i}" for i in range(40)]
+    for i in (3, 13, 23, 33):
+        texts[i] = "dup body A"
+    for i in (5, 15):
+        texts[i] = "dup body B"
+    df = pd.DataFrame({"doc_id": range(40),
+                       "lang": ["en"] * 20 + ["de"] * 20,
+                       "text": texts})
+    sp = split_assign(ray.data.from_pandas(df),
+                      fractions=(("train", 50), ("test", 50))) \
+        .to_pandas().set_index("doc_id")["split"]
+    exp_pairs = exp_cross = 0
+    for grp in (["dup body A", (3, 13, 23, 33)],
+                ["dup body B", (5, 15)]):
+        ids = grp[1]
+        for a, b in itertools.combinations(ids, 2):
+            exp_pairs += 1
+            if sp[a] != sp[b]:
+                exp_cross += 1
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = split_leakage(ds, fractions=(("train", 50),
+                                           ("test", 50))).iloc[0]
+        assert (int(out.n_groups), int(out.n_pairs),
+                int(out.n_cross)) == (2, exp_pairs, exp_cross), nparts
+
+    clean = pd.DataFrame({"doc_id": range(6), "lang": ["en"] * 6,
+                          "text": [f"u{i}" for i in range(6)]})
+    out = split_leakage(ray.data.from_pandas(clean)).iloc[0]
+    assert (int(out.n_groups), int(out.n_pairs), int(out.n_cross)) \
+        == (0, 0, 0)

@@ -169,3 +169,70 @@ def cap_per_group(ds, group_col: str, k: int, id_col: str = "doc_id"):
 
     return ds.map_batches(project, batch_format="pandas") \
         .groupby(group_col).map_groups(head_k, batch_format="pandas")
+
+
+def split_leakage(ds, fractions: Sequence[Tuple[str, int]] = (
+        ("train", 80), ("test", 20)),
+        group_col: str = "lang", id_col: str = "doc_id",
+        text_col: str = "text"):
+    """Train/test LEAKAGE audit: exact-duplicate pairs straddling the
+    split boundary — the safeguard every eval pipeline needs before
+    trusting held-out numbers (a test doc whose exact twin is in
+    train is a leaked answer; hash-random splits ALWAYS leak when
+    duplicates survive, at expected crossing fraction 2p(1-p) per
+    pair).
+
+    Exact accounting without materializing pairs: per text-md5 dup
+    group of size n with per-split sizes n_s,
+
+        pairs = C(n, 2),   crossing = C(n, 2) - sum_s C(n_s, 2)
+
+    so only (hash, split, count) rows aggregate. One dup-key filter
+    (the exact_dedup shape), one id join against split_assign labels,
+    one bounded rollup. Returns ONE pandas row
+    (n_groups, n_pairs, n_cross)."""
+    import pandas as pd
+
+    import ray
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join
+    from warcio_ray.ops.dedup import add_md5_batch
+
+    num_partitions = min(32, max(2, int(
+        ray.cluster_resources().get("CPU", 8))))
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        out = add_md5_batch(batch, col=text_col)
+        return out[[id_col, "text_hash"]]
+
+    keys = ds.map_batches(keyed, batch_format="pandas").materialize()
+    hcounts = arrow_blocks(keys).groupby("text_hash") \
+        .aggregate(Count(alias_name="n"))
+
+    def dup_only(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["n"].to_numpy() >= 2][["text_hash"]]
+
+    dups = hcounts.map_batches(dup_only, batch_format="pandas")
+    members = safe_join(keys, dups, "inner", num_partitions,
+                        ("text_hash",))
+    splits = split_assign(ds, fractions=fractions,
+                          group_col=group_col, id_col=id_col) \
+        .drop_columns([group_col])
+    labeled = safe_join(members, splits, "inner", num_partitions,
+                        (id_col,))
+    cells = arrow_blocks(labeled).groupby(["text_hash", "split"]) \
+        .aggregate(Count(alias_name="ns")).to_pandas()
+    if len(cells) == 0:
+        return pd.DataFrame([{"n_groups": 0, "n_pairs": 0,
+                              "n_cross": 0}]).astype("int64")
+    n_groups = n_pairs = n_within = 0
+    for h, grp in cells.groupby("text_hash"):
+        ns = grp["ns"].to_numpy(dtype="int64")
+        n = int(ns.sum())
+        n_groups += 1
+        n_pairs += n * (n - 1) // 2
+        n_within += int((ns * (ns - 1) // 2).sum())
+    return pd.DataFrame([{"n_groups": n_groups, "n_pairs": n_pairs,
+                          "n_cross": n_pairs - n_within}]) \
+        .astype("int64")
