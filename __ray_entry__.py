@@ -1490,6 +1490,21 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _assoc_rules(sf_dir: str):
+    """Pairwise association rules over per-user event baskets
+    (ops/seqmine.association_rules, min_support=2): support /
+    confidence / lift for every ordered type pair — order-free
+    co-presence next to the ordered trigram miner. One user-keyed
+    shuffle + bounded (a, b) aggregate."""
+    import ray.data
+
+    from warcio_ray.ops.seqmine import association_rules
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return association_rules(ds, min_support=2)
+
+
 def _split_leakage(sf_dir: str):
     """Exact-duplicate leakage across an 80/20 stratified split
     (ops/split.split_leakage): dup-pair crossing counts from
@@ -5232,6 +5247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_profile": _script_profile,
         "snm_pairs": _snm_pairs,
         "split_leakage": _split_leakage,
+        "assoc_rules": _assoc_rules,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -6655,6 +6671,29 @@ def oracle_sql() -> dict[str, str]:
         "benford_values": _benford_sql(),
         "robustness_curve": _robustness_sql(),
         "script_profile": _script_sql(),
+        # assoc_rules: support/confidence/lift by definition over
+        # distinct (user, type) baskets
+        "assoc_rules": """
+            WITH m AS (SELECT DISTINCT user_id, event_type FROM events),
+            nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM m),
+            singles AS (SELECT event_type AS t, COUNT(*) AS n
+                        FROM m GROUP BY 1),
+            p AS (
+              SELECT x.event_type AS a, y.event_type AS b,
+                     COUNT(*) AS n
+              FROM m x JOIN m y ON x.user_id = y.user_id
+               AND x.event_type <> y.event_type
+              GROUP BY 1, 2)
+            SELECT p.a, p.b, CAST(p.n AS BIGINT) AS support,
+                   CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b,
+                   round(p.n / CAST(sa.n AS DOUBLE), 6) AS confidence,
+                   round((p.n * (SELECT n FROM nu))
+                         / CAST(sa.n * sb.n AS DOUBLE), 6) AS lift
+            FROM p JOIN singles sa ON sa.t = p.a
+                   JOIN singles sb ON sb.t = p.b
+            WHERE p.n >= 2 ORDER BY p.a, p.b
+        """,
         # split_leakage: the split_strat Hamilton chain at 80/20 +
         # md5(text) dup groups, pairs = C(n,2) arithmetic
         "split_leakage": """

@@ -7527,3 +7527,31 @@ def test_split_leakage(ray_session):
     out = split_leakage(ray.data.from_pandas(clean)).iloc[0]
     assert (int(out.n_groups), int(out.n_pairs), int(out.n_cross)) \
         == (0, 0, 0)
+
+
+def test_association_rules(ray_session):
+    """Support/confidence/lift on a hand basket set: asymmetric
+    confidence (a->b != b->a), lift > 1 for correlated pairs and < 1
+    for anti-correlated; min_support gate; partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.seqmine import association_rules
+
+    # users: 1-4 {x,y}, 5 {x}, 6 {z}, 7 {x,z}
+    rows = []
+    for u in (1, 2, 3, 4):
+        rows += [(u, "x"), (u, "y"), (u, "x")]   # dup event: basket set
+    rows += [(5, "x"), (6, "z"), (7, "x"), (7, "z")]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = association_rules(ds, min_support=2)
+        got = {(r.a, r.b): (int(r.support), float(r.confidence),
+                            float(r.lift))
+               for r in out.itertuples(index=False)}
+        # n_users=7, x:6 users, y:4, z:2; (x,y)=4, (x,z)=1 (below gate)
+        assert got[("x", "y")] == (4, round(4 / 6, 6),
+                                   round(4 * 7 / (6 * 4), 6)), nparts
+        assert got[("y", "x")] == (4, 1.0, round(28 / 24, 6))
+        assert ("x", "z") not in got            # support 1 < 2
+        assert got[("y", "x")][2] > 1.0
