@@ -532,7 +532,9 @@ def run_bench() -> dict:
                            ("robustness_curve", "op_robust_s"),
                            ("session_survival", "op_survival_s"),
                            ("script_profile", "op_script_s"),
-                           ("snm_pairs", "op_snm_s")):
+                           ("snm_pairs", "op_snm_s"),
+                           ("split_leakage", "op_leakage_s"),
+                           ("assoc_rules", "op_assoc_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \
