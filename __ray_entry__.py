@@ -1490,6 +1490,19 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _media_vad(sf_dir: str):
+    """Audio VAD segmentation over the media layout
+    (ops/multimodal.vad_segments): closed-form deterministic fake PCM
+    (Knuth multiplicative hash — sandbox-contract stub with REAL
+    actor-pool plumbing), exact int64 frame energies, per-track
+    adaptive threshold, run-length segments."""
+    from warcio_ray.ops.multimodal import media_from_documents, \
+        vad_segments
+
+    media = media_from_documents(sf_dir)
+    return vad_segments(media, fake=True)
+
+
 def _assoc_rules(sf_dir: str):
     """Pairwise association rules over per-user event baskets
     (ops/seqmine.association_rules, min_support=2): support /
@@ -5248,6 +5261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_pairs": _snm_pairs,
         "split_leakage": _split_leakage,
         "assoc_rules": _assoc_rules,
+        "media_vad": _media_vad,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -6671,6 +6685,32 @@ def oracle_sql() -> dict[str, str]:
         "benford_values": _benford_sql(),
         "robustness_curve": _robustness_sql(),
         "script_profile": _script_sql(),
+        # media_vad: the closed-form fake PCM replayed per sample —
+        # framing, exact energies, adaptive threshold, run starts
+        "media_vad": """
+            WITH sm AS (
+              SELECT doc_id AS media_id, i // 16 AS fr,
+                     ((((doc_id + i) * 2654435761)::HUGEINT
+                       % 4294967296) // 65536 - 32768) AS pcm
+              FROM documents,
+                   (SELECT unnest(range(256)) AS i)),
+            fe AS (SELECT media_id, fr, SUM(pcm * pcm) AS e
+                   FROM sm GROUP BY 1, 2),
+            tt AS (SELECT media_id, SUM(e) AS total FROM fe
+                   GROUP BY 1),
+            act AS (
+              SELECT fe.media_id, fr, (e * 16 > total) AS a,
+                     lag(e * 16 > total) OVER (
+                       PARTITION BY fe.media_id ORDER BY fr) AS pa
+              FROM fe JOIN tt USING (media_id))
+            SELECT media_id, CAST(16 AS BIGINT) AS n_frames,
+                   CAST(COUNT(*) FILTER (WHERE a) AS BIGINT)
+                     AS n_active,
+                   CAST(COUNT(*) FILTER (WHERE a AND
+                        (pa IS NULL OR NOT pa)) AS BIGINT)
+                     AS n_segments
+            FROM act GROUP BY media_id ORDER BY media_id
+        """,
         # assoc_rules: support/confidence/lift by definition over
         # distinct (user, type) baskets
         "assoc_rules": """

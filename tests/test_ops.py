@@ -7555,3 +7555,41 @@ def test_association_rules(ray_session):
         assert got[("y", "x")] == (4, 1.0, round(28 / 24, 6))
         assert ("x", "z") not in got            # support 1 < 2
         assert got[("y", "x")][2] > 1.0
+
+
+def test_vad_segments(ray_session):
+    """VAD vs a python replay of the closed-form PCM: exact active
+    counts and run-length segments; segments <= active; fake=False
+    raises the sandbox stub; partitioning-invariant."""
+    import pytest
+    import ray.data
+
+    from warcio_ray.ops.multimodal import AudioVadStage, vad_segments
+
+    with pytest.raises(NotImplementedError):
+        AudioVadStage(fake=False)
+
+    ids = [0, 7, 123, 4999]
+    df = pd.DataFrame({"media_id": ids})
+
+    def replay(mid):
+        i = np.arange(256, dtype=np.uint64)
+        s = (((np.uint64(mid) + i) * np.uint64(2654435761))
+             & np.uint64(0xFFFFFFFF)) >> np.uint64(16)
+        pcm = s.astype(np.int64) - 32768
+        e = (pcm * pcm).reshape(16, 16).sum(axis=1)
+        act = (e * 16) > int(e.sum())
+        segs = int(np.count_nonzero(
+            act & ~np.concatenate([[False], act[:-1]])))
+        return int(act.sum()), segs
+
+    exp = {m: replay(m) for m in ids}
+    for nparts in (1, 2):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = vad_segments(ds, concurrency=1).to_pandas() \
+            .sort_values("media_id").reset_index(drop=True)
+        for r in out.itertuples(index=False):
+            assert (int(r.n_active), int(r.n_segments)) \
+                == exp[int(r.media_id)], nparts
+            assert int(r.n_segments) <= int(r.n_active)
+            assert int(r.n_frames) == 16

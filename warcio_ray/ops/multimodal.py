@@ -302,3 +302,65 @@ def phash_neardups(sig_ds, max_hamming: int = 3,
                            "b": pd.Series(dtype="int64")})
     out.attrs["lsh_dropped_ids"] = n_dropped
     return out
+
+
+class AudioVadStage:
+    """Actor-pool stage: voice-activity segmentation over an audio
+    payload — frame RMS energy thresholding + run-length segments, the
+    speech-data curation primitive (silence trimming, per-segment
+    transcription batching). Real decoding is stubbed per the sandbox
+    contract (``fake=False`` raises); the fake decoder derives a
+    CLOSED-FORM deterministic PCM track from the media id so the whole
+    chain — framing, integer energies, the corpus-free activity
+    threshold, run-length segmentation — is SQL-replayable:
+
+        sample_i = ((seed + i) * 2654435761 mod 2^32) >> 16 - 32768
+        (Knuth multiplicative hash; closed form, so the oracle
+        list_transform's range(n) reproduces it without iteration)
+
+    A frame (16 samples) is ACTIVE iff its energy (sum of squares,
+    exact int64) times n_frames exceeds the track's total energy
+    (i.e. above the track mean — per-track adaptive, no global pass).
+    Segments = maximal runs of active frames."""
+
+    N_SAMPLES = 256
+    FRAME = 16
+
+    def __init__(self, fake: bool = True):
+        if not fake:
+            raise NotImplementedError(
+                "real audio decoding requires an audio codec library "
+                "not present in this environment — run with fake=True")
+        self.fake = fake
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["media_id"].to_numpy(dtype="int64")
+        n_frames = self.N_SAMPLES // self.FRAME
+        i = np.arange(self.N_SAMPLES, dtype=np.uint64)
+        out_active = np.zeros(len(ids), dtype="int64")
+        out_segs = np.zeros(len(ids), dtype="int64")
+        for r, mid in enumerate(ids):
+            s = (((np.uint64(mid) + i) * np.uint64(2654435761))
+                 & np.uint64(0xFFFFFFFF)) >> np.uint64(16)
+            pcm = s.astype(np.int64) - 32768
+            e = (pcm * pcm).reshape(n_frames, self.FRAME).sum(axis=1)
+            total = int(e.sum())
+            active = (e * n_frames) > total
+            out_active[r] = int(active.sum())
+            out_segs[r] = int(np.count_nonzero(
+                active & ~np.concatenate([[False], active[:-1]])))
+        return pd.DataFrame({"media_id": ids,
+                             "n_frames": np.int64(n_frames),
+                             "n_active": out_active,
+                             "n_segments": out_segs})
+
+
+def vad_segments(media_ds, fake: bool = True, concurrency: int = 4,
+                 batch_size: int = 256):
+    """Media Dataset -> (media_id, n_frames, n_active, n_segments)
+    via the actor-pool VAD stage (decoder state builds once per
+    actor)."""
+    return media_ds.map_batches(
+        AudioVadStage, batch_format="pandas",
+        fn_constructor_kwargs={"fake": fake},
+        concurrency=(1, concurrency), batch_size=batch_size)
