@@ -1490,6 +1490,64 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _curation_funnel(sf_dir: str):
+    """Composed curation funnel with per-stage survivor accounting:
+    planted-line corpus -> C4 rule filter -> onion n-gram-coverage
+    dedup OVER THE SURVIVORS (ownership recomputed on the filtered
+    corpus, not the raw one — the composition the oracle must prove).
+    Returns (stage, n_docs) rows: raw / c4_kept / onion_kept."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.blocks import safe_join
+    from warcio_ray.ops.c4 import c4_quality_filter
+    from warcio_ray.ops.dedup import ngram_coverage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        import re
+        out = []
+        for d, t in zip(batch["doc_id"].astype("int64"),
+                        batch["text"].astype(str)):
+            w = re.findall(r"\S+", t)
+            lines = [" ".join(w[8 * j:8 * j + 8])
+                     + ("." if (d + j) % 4 != 3 else "")
+                     for j in range((len(w) + 7) // 8)]
+            if d % 5 == 0:
+                lines.append("please enable javascript to view this page.")
+            if d % 97 == 0:
+                lines.append("lorem ipsum dolor sit amet consectetur.")
+            if d % 89 == 0:
+                lines.append("config { display: none }")
+            out.append("\n".join(lines))
+        batch["text"] = out
+        return batch
+
+    planted = ds.map_batches(plant, batch_format="pandas") \
+        .materialize()
+    n_raw = planted.count()
+    verdicts = c4_quality_filter(planted, min_words=5, min_lines=3)
+
+    def kept_ids(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.loc[batch["kept"] == 1, ["doc_id"]]
+
+    keep = verdicts.map_batches(kept_ids, batch_format="pandas")
+    survivors = safe_join(planted, keep, "inner", 16, ("doc_id",))
+    n_c4 = survivors.count()
+    onion = ngram_coverage(survivors, n=5, num=1, den=2)
+
+    def onion_kept(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.loc[batch["kept"] == 1, ["doc_id"]]
+
+    n_onion = onion.map_batches(onion_kept,
+                                batch_format="pandas").count()
+    return pd.DataFrame(
+        [("raw", n_raw), ("c4_kept", n_c4), ("onion_kept", n_onion)],
+        columns=["stage", "n_docs"]).astype({"n_docs": "int64"})
+
+
 def _media_vad(sf_dir: str):
     """Audio VAD segmentation over the media layout
     (ops/multimodal.vad_segments): closed-form deterministic fake PCM
@@ -5262,6 +5320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage": _split_leakage,
         "assoc_rules": _assoc_rules,
         "media_vad": _media_vad,
+        "curation_funnel": _curation_funnel,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -6685,6 +6744,78 @@ def oracle_sql() -> dict[str, str]:
         "benford_values": _benford_sql(),
         "robustness_curve": _robustness_sql(),
         "script_profile": _script_sql(),
+        # curation_funnel: the c4 chain -> kept set -> the onion chain
+        # RECOMPUTED over survivors only (ownership among survivors)
+        "curation_funnel": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+          FROM documents),
+        chunked AS (
+          SELECT doc_id,
+                 list_transform(range(0, (len(t)+7)//8),
+                   j -> array_to_string(t[8*j+1:8*j+8], ' ')
+                        || CASE WHEN (doc_id+j)%4<>3
+                                THEN '.' ELSE '' END) AS ls
+          FROM toks),
+        planted AS (
+          SELECT doc_id, list_concat(list_concat(list_concat(ls,
+                 CASE WHEN doc_id%5=0 THEN
+                   ['please enable javascript to view this page.']
+                   ELSE [] END),
+                 CASE WHEN doc_id%97=0 THEN
+                   ['lorem ipsum dolor sit amet consectetur.']
+                   ELSE [] END),
+                 CASE WHEN doc_id%89=0 THEN
+                   ['config { display: none }'] ELSE [] END) AS ls
+          FROM chunked),
+        scored AS (
+          SELECT doc_id,
+                 list_filter(ls, l ->
+                     len(regexp_extract_all(l, '\S+')) >= 5
+                     AND regexp_matches(l, '[.!?"]$')
+                     AND NOT contains(lower(l), 'javascript')) AS kl,
+                 array_to_string(ls, chr(10)) AS full_text
+          FROM planted),
+        kept AS (
+          SELECT doc_id, full_text AS t FROM scored
+          WHERE len(kl) >= 3
+            AND NOT contains(lower(full_text), 'lorem ipsum')
+            AND NOT contains(full_text, '{')),
+        toks2 AS (
+          SELECT doc_id, regexp_extract_all(t, '\S+') AS t2
+          FROM kept),
+        grams AS (
+          SELECT doc_id, CASE WHEN len(t2) = 0 THEN ['']
+               WHEN len(t2) < 5 THEN [array_to_string(t2, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t2)-3),
+                    i -> t2[i]||' '||t2[i+1]||' '||t2[i+2]||' '
+                         ||t2[i+3]||' '||t2[i+4]))
+               END AS g
+          FROM toks2),
+        dpairs AS (
+          SELECT DISTINCT doc_id,
+                 CAST(('0x' || substr(md5(gram),1,8)) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(g) AS gram FROM grams)),
+        owners AS (SELECT h, min(doc_id) AS owner FROM dpairs
+                   GROUP BY h),
+        cov AS (
+          SELECT d.doc_id, count(*) AS total,
+                 sum(CASE WHEN o.owner < d.doc_id THEN 1 ELSE 0 END)
+                   AS covered
+          FROM dpairs d JOIN owners o USING (h) GROUP BY d.doc_id)
+        SELECT * FROM (
+          SELECT 'raw' AS stage,
+                 CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+                   AS n_docs
+          UNION ALL
+          SELECT 'c4_kept',
+                 CAST((SELECT COUNT(*) FROM kept) AS BIGINT)
+          UNION ALL
+          SELECT 'onion_kept',
+                 CAST((SELECT COUNT(*) FROM cov
+                       WHERE 2*covered < total) AS BIGINT))
+        ORDER BY stage
+        """,
         # media_vad: the closed-form fake PCM replayed per sample —
         # framing, exact energies, adaptive threshold, run starts
         "media_vad": """

@@ -534,7 +534,9 @@ def run_bench() -> dict:
                            ("script_profile", "op_script_s"),
                            ("snm_pairs", "op_snm_s"),
                            ("split_leakage", "op_leakage_s"),
-                           ("assoc_rules", "op_assoc_s")):
+                           ("assoc_rules", "op_assoc_s"),
+                           ("media_vad", "op_vad_s"),
+                           ("curation_funnel", "op_funnel_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \
