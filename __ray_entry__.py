@@ -1490,6 +1490,28 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _jenks_lengths(sf_dir: str):
+    """Jenks natural breaks (k=3) over document word counts
+    (ops/quantile.jenks_breaks): the EXACT optimal 1-D classing DP
+    over the bounded value histogram — principled short/medium/long
+    thresholds instead of eyeballed ones."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.quantile import jenks_breaks
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def wc(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n_words": batch["text"].fillna("")
+                             .astype("string").str.count(r"\S+")
+                             .astype("int64")})
+
+    return jenks_breaks(ds.map_batches(wc, batch_format="pandas"),
+                        value_col="n_words", k=3)
+
+
 def _curation_funnel(sf_dir: str):
     """Composed curation funnel with per-stage survivor accounting:
     planted-line corpus -> C4 rule filter -> onion n-gram-coverage
@@ -5321,6 +5343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assoc_rules": _assoc_rules,
         "media_vad": _media_vad,
         "curation_funnel": _curation_funnel,
+        "jenks_lengths": _jenks_lengths,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -6744,6 +6767,65 @@ def oracle_sql() -> dict[str, str]:
         "benford_values": _benford_sql(),
         "robustness_curve": _robustness_sql(),
         "script_profile": _script_sql(),
+        # jenks_lengths: the Fisher DP replayed as unrolled argmin
+        # layers over the bounded V^2 segment-cost table; identical
+        # integer cost surrogate and smallest-split tie rule
+        "jenks_lengths": r"""
+        WITH vals AS (
+          SELECT CAST(len(regexp_extract_all(coalesce(text, ''),
+                 '\S+')) AS BIGINT) AS v
+          FROM documents),
+        h AS (SELECT v, COUNT(*)::HUGEINT AS n FROM vals GROUP BY v),
+        pos AS (SELECT v, n, row_number() OVER (ORDER BY v) AS p
+                FROM h),
+        pre AS (SELECT p, v, n,
+                       SUM(n) OVER (ORDER BY p) AS cn,
+                       SUM(v * n) OVER (ORDER BY p) AS cs,
+                       SUM(v * v * n) OVER (ORDER BY p) AS css
+                FROM pos),
+        vn AS (SELECT MAX(p) AS V FROM pre),
+        seg AS MATERIALIZED (
+          SELECT a.p AS i, b.p AS j,
+                 (b.css - COALESCE(a2.css, 0))
+                 - ((b.cs - COALESCE(a2.cs, 0))
+                    * (b.cs - COALESCE(a2.cs, 0)))
+                   // (b.cn - COALESCE(a2.cn, 0)) AS c
+          FROM pre b JOIN pre a ON a.p <= b.p
+          LEFT JOIN pre a2 ON a2.p = a.p - 1),
+        best1 AS (SELECT j, c AS bc FROM seg WHERE i = 1),
+        best2 AS MATERIALIZED (
+          SELECT j, bc, i FROM (
+            SELECT s.j, b1.bc + s.c AS bc, s.i,
+                   row_number() OVER (PARTITION BY s.j
+                     ORDER BY b1.bc + s.c, s.i) AS rn
+            FROM seg s JOIN best1 b1 ON b1.j = s.i - 1
+            WHERE s.i >= 2)
+          WHERE rn = 1),
+        best3 AS (
+          SELECT j, bc, i FROM (
+            SELECT s.j, b2.bc + s.c AS bc, s.i,
+                   row_number() OVER (PARTITION BY s.j
+                     ORDER BY b2.bc + s.c, s.i) AS rn
+            FROM seg s JOIN best2 b2 ON b2.j = s.i - 1
+            WHERE s.i >= 3)
+          WHERE rn = 1),
+        b3 AS (SELECT i AS i3 FROM best3, vn WHERE j = V),
+        b2 AS (SELECT i AS i2 FROM best2, b3 WHERE j = i3 - 1),
+        cls AS (
+          SELECT 1 AS class, 1 AS si,
+                 (SELECT i2 FROM b2) - 1 AS sj
+          UNION ALL
+          SELECT 2, (SELECT i2 FROM b2), (SELECT i3 FROM b3) - 1
+          UNION ALL
+          SELECT 3, (SELECT i3 FROM b3), (SELECT V FROM vn))
+        SELECT CAST(class AS BIGINT) AS class,
+               (SELECT v FROM pre WHERE p = si) AS lo,
+               (SELECT v FROM pre WHERE p = sj) AS hi,
+               CAST((SELECT cn FROM pre WHERE p = sj)
+                    - COALESCE((SELECT cn FROM pre
+                                WHERE p = si - 1), 0) AS BIGINT) AS n
+        FROM cls ORDER BY class
+        """,
         # curation_funnel: the c4 chain -> kept set -> the onion chain
         # RECOMPUTED over survivors only (ownership among survivors)
         "curation_funnel": r"""

@@ -7593,3 +7593,47 @@ def test_vad_segments(ray_session):
                 == exp[int(r.media_id)], nparts
             assert int(r.n_segments) <= int(r.n_active)
             assert int(r.n_frames) == 16
+
+
+def test_jenks_breaks(ray_session):
+    """Optimality vs brute-force enumeration of all 2-split classings
+    on a clearly trimodal value set; classes are contiguous, cover
+    everything, and match the brute optimum; partitioning-invariant."""
+    import itertools
+
+    import ray.data
+
+    from warcio_ray.ops.quantile import jenks_breaks
+
+    vals = ([1, 2, 2, 3] * 5) + ([50, 51, 52] * 6) + ([200, 201] * 4)
+    df = pd.DataFrame({"x": vals})
+
+    # brute force over distinct-value split points
+    uv = sorted(set(vals))
+    cnt = {u: vals.count(u) for u in uv}
+
+    def cost(seg):
+        n = sum(cnt[u] for u in seg)
+        s = sum(u * cnt[u] for u in seg)
+        ss = sum(u * u * cnt[u] for u in seg)
+        return ss - (s * s) // n
+
+    best, arg = None, None
+    V = len(uv)
+    for i2, i3 in itertools.combinations(range(1, V), 2):
+        segs = (uv[:i2], uv[i2:i3], uv[i3:])
+        c = sum(cost(s) for s in segs)
+        if best is None or c < best:
+            best, arg = c, segs
+    exp = [(m + 1, s[0], s[-1], sum(cnt[u] for u in s))
+           for m, s in enumerate(arg)]
+
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = jenks_breaks(ds, value_col="x", k=3)
+        got = [tuple(int(x) for x in r)
+               for r in out.itertuples(index=False)]
+        assert got == exp, nparts
+    # the trimodal structure is recovered exactly
+    assert exp[0][1:3] == (1, 3) and exp[1][1:3] == (50, 52) \
+        and exp[2][1:3] == (200, 201)

@@ -505,3 +505,83 @@ def median_abs_deviation(ds, value_col: str = "value") -> pd.DataFrame:
     return pd.DataFrame([{"n": n, "median": round(med, 6),
                           "mad": round(mad, 6)}]) \
         .astype({"n": "int64"})
+
+
+def jenks_breaks(ds, value_col: str, k: int = 3,
+                 id_col=None) -> pd.DataFrame:
+    """Jenks natural breaks — the EXACT optimal 1-D k-classing
+    (Fisher 1958 dynamic program), the principled alternative to
+    eyeballed thresholds when bucketing a quality signal: class
+    boundaries minimize total within-class squared deviation.
+
+    Exact-integer contract: over the ordered distinct-value histogram
+    (positions 1..V with counts), a segment's cost is
+
+        cost(i, j) = sumsq(i, j) - (sum(i, j)^2) // n(i, j)
+
+    (integer floor — a monotone-equivalent surrogate of n*SSE whose
+    floor both engines reproduce); DP ties break to the SMALLEST
+    split index. The class count k is unrolled, so the SQL oracle
+    replays the DP as k bounded V^2 join layers.
+
+    Shape at scale: ONE bounded (value, count) histogram aggregate
+    (the histogram_quantiles shape — distinct VALUES, never rows);
+    the driver runs the O(V^2 k) DP on the tiny table. Returns k rows
+    (class, lo, hi, n)."""
+    from warcio_ray.ops.blocks import tree_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].to_numpy(dtype="int64")
+        uv, cnt = np.unique(v, return_counts=True)
+        return pd.DataFrame({"v": uv, "n": cnt.astype("int64")})
+
+    hist = tree_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                          ["v"], sums=("n",))
+    if len(hist) == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ("class", "lo", "hi", "n")})
+    hist = hist.sort_values("v").reset_index(drop=True)
+    v = hist["v"].to_numpy(dtype="int64")
+    n = hist["n"].to_numpy(dtype="int64")
+    V = len(v)
+    kk = min(k, V)
+    cn = np.concatenate([[0], np.cumsum(n)])
+    cs = np.concatenate([[0], np.cumsum(v * n)])
+    css = np.concatenate([[0], np.cumsum(v * v * n)])
+
+    def cost(i, j):  # 1-based inclusive positions
+        nn = int(cn[j] - cn[i - 1])
+        s = int(cs[j] - cs[i - 1])
+        ss = int(css[j] - css[i - 1])
+        return ss - (s * s) // nn
+
+    INF = float("inf")
+    # best[m][j]: min cost of classing positions 1..j into m classes;
+    # split[m][j]: the chosen start of the last class (smallest on tie)
+    best = [[INF] * (V + 1) for _ in range(kk + 1)]
+    split = [[0] * (V + 1) for _ in range(kk + 1)]
+    best[0][0] = 0
+    for m in range(1, kk + 1):
+        for j in range(m, V + 1):
+            b, arg = INF, 0
+            for i in range(m, j + 1):
+                prev = best[m - 1][i - 1]
+                if prev is INF or prev == INF:
+                    continue
+                c = prev + cost(i, j)
+                if c < b:
+                    b, arg = c, i
+            best[m][j] = b
+            split[m][j] = arg
+    bounds = []
+    j = V
+    for m in range(kk, 0, -1):
+        i = split[m][j]
+        bounds.append((i, j))
+        j = i - 1
+    bounds.reverse()
+    rows = [(m + 1, int(v[i - 1]), int(v[j - 1]),
+             int(cn[j] - cn[i - 1]))
+            for m, (i, j) in enumerate(bounds)]
+    return pd.DataFrame(rows, columns=["class", "lo", "hi", "n"]) \
+        .astype("int64")
