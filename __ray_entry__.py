@@ -1490,6 +1490,29 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _frontcode_gain(sf_dir: str):
+    """Front-coding gain over the sorted SURT keys of the real page
+    urls (ops/profile.frontcode_gain + frontier.surt): the CDX-block
+    sizing metric — per-block prefix sums + driver boundary stitch
+    over O(#blocks) partials. Oracle replays SURT from the url scheme
+    and the prefix sum with a lag window."""
+    import pandas as pd
+
+    from warcio_ray.frontier.surt import surt
+    from warcio_ray.ops.profile import frontcode_gain
+    from warcio_ray.pages import read_pages
+
+    pages = read_pages(sf_dir, columns=["url"])
+
+    def to_key(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": [surt(u) or ""
+                                     for u in batch["url"]]})
+
+    return frontcode_gain(pages.map_batches(to_key,
+                                            batch_format="pandas"),
+                          key_col="key")
+
+
 def _jenks_lengths(sf_dir: str):
     """Jenks natural breaks (k=3) over document word counts
     (ops/quantile.jenks_breaks): the EXACT optimal 1-D classing DP
@@ -5344,6 +5367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_vad": _media_vad,
         "curation_funnel": _curation_funnel,
         "jenks_lengths": _jenks_lengths,
+        "frontcode_gain": _frontcode_gain,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -6767,6 +6791,31 @@ def oracle_sql() -> dict[str, str]:
         "benford_values": _benford_sql(),
         "robustness_curve": _robustness_sql(),
         "script_profile": _script_sql(),
+        # frontcode_gain: SURT keys rebuilt from the url scheme; the
+        # prefix sum via lag + the monotone prefix-equality count
+        "frontcode_gain": f"""
+            WITH k AS (
+              SELECT 'example,site' || CAST(CASE WHEN doc_id%100<30
+                     THEN 0 WHEN doc_id%100<45 THEN 1
+                     WHEN doc_id%100<55 THEN 2 WHEN doc_id%100<62
+                     THEN 3 ELSE doc_id%100 END AS VARCHAR)
+                     || ')/doc/' || CAST(doc_id AS VARCHAR) AS key
+              FROM documents),
+            o AS (SELECT key, lag(key) OVER (ORDER BY key) AS pk
+                  FROM k),
+            cp AS (
+              SELECT key, CASE WHEN pk IS NULL THEN 0 ELSE
+                     len(list_filter(range(1,
+                         least(len(key), len(pk)) + 1),
+                       i -> substr(key, 1, CAST(i AS INTEGER))
+                            = substr(pk, 1, CAST(i AS INTEGER))))
+                     END AS c
+              FROM o)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(len(key)) AS BIGINT) AS total_bytes,
+                   CAST(SUM(c) AS BIGINT) AS saved_bytes
+            FROM cp
+        """,
         # jenks_lengths: the Fisher DP replayed as unrolled argmin
         # layers over the bounded V^2 segment-cost table; identical
         # integer cost surrogate and smallest-split tie rule

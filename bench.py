@@ -536,7 +536,9 @@ def run_bench() -> dict:
                            ("split_leakage", "op_leakage_s"),
                            ("assoc_rules", "op_assoc_s"),
                            ("media_vad", "op_vad_s"),
-                           ("curation_funnel", "op_funnel_s")):
+                           ("curation_funnel", "op_funnel_s"),
+                           ("jenks_lengths", "op_jenks_s"),
+                           ("frontcode_gain", "op_frontcode_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \

@@ -7637,3 +7637,34 @@ def test_jenks_breaks(ray_session):
     # the trimodal structure is recovered exactly
     assert exp[0][1:3] == (1, 3) and exp[1][1:3] == (50, 52) \
         and exp[2][1:3] == (200, 201)
+
+
+def test_frontcode_gain(ray_session):
+    """Prefix accounting vs a single-process replay: block-boundary
+    pairs are stitched exactly (multi-partition == single-partition);
+    identical keys save their full length; disjoint keys save 0."""
+    import ray.data
+
+    from warcio_ray.ops.profile import frontcode_gain
+
+    keys = (["com,example)/a/" + str(i) for i in range(50)]
+            + ["org,zzz)/x"] * 3 + ["aaa"])
+    df = pd.DataFrame({"key": keys})
+
+    def replay(ks):
+        ks = sorted(ks)
+        saved = 0
+        for i in range(1, len(ks)):
+            a, b = ks[i - 1], ks[i]
+            j = 0
+            while j < min(len(a), len(b)) and a[j] == b[j]:
+                j += 1
+            saved += j
+        return len(ks), sum(len(k) for k in ks), saved
+
+    exp = replay(keys)
+    for nparts in (1, 5):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = frontcode_gain(ds, key_col="key").iloc[0]
+        assert (int(out.n_keys), int(out.total_bytes),
+                int(out.saved_bytes)) == exp, nparts

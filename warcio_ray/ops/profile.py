@@ -123,3 +123,58 @@ def gini_counts(ds, key_col: str) -> pd.DataFrame:
         "gini": round(g_num / g_den, 6) if g_den else 0.0}]) \
         .astype({"n_keys": "int64", "total": "int64",
                  "g_num": "int64", "g_den": "int64"})
+
+
+def frontcode_gain(ds, key_col: str) -> pd.DataFrame:
+    """Front-coding (prefix-compression) gain over the globally
+    SORTED key column — the index-layout sizing metric behind every
+    CDX/SSTable-style store: sorted SURT keys share long prefixes, and
+    saved = sum of common-prefix lengths with the predecessor is
+    exactly the bytes a front-coded block layout eliminates.
+
+    Distributed shape: ONE Ray range-partitioned sort (blocks are
+    globally ordered and internally sorted); each block folds its
+    intra-block adjacent-pair prefix sums and emits one partial row
+    carrying its (first, last) keys; the driver orders the O(#blocks)
+    partials and adds the block-BOUNDARY pairs — so the result is the
+    exact global-scan number without any single task seeing the whole
+    key set. Returns ONE row (n_keys, total_bytes, saved_bytes)."""
+
+    def common_prefix(a: str, b: str) -> int:
+        m = min(len(a), len(b))
+        i = 0
+        while i < m and a[i] == b[i]:
+            i += 1
+        return i
+
+    def block_stats(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch[key_col].astype(str).tolist()
+        if not keys:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in
+                                 ("first", "last")}).assign(
+                n=pd.Series(dtype="int64"),
+                b=pd.Series(dtype="int64"),
+                s=pd.Series(dtype="int64"))
+        saved = sum(common_prefix(keys[i - 1], keys[i])
+                    for i in range(1, len(keys)))
+        return pd.DataFrame([{
+            "first": keys[0], "last": keys[-1],
+            "n": np.int64(len(keys)),
+            "b": np.int64(sum(len(k) for k in keys)),
+            "s": np.int64(saved)}])
+
+    parts = ds.select_columns([key_col]).sort(key_col) \
+        .map_batches(block_stats, batch_format="pandas",
+                     batch_size=None).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame([{"n_keys": 0, "total_bytes": 0,
+                              "saved_bytes": 0}]).astype("int64")
+    parts = parts.sort_values("first").reset_index(drop=True)
+    saved = int(parts["s"].sum())
+    for i in range(1, len(parts)):
+        saved += common_prefix(str(parts["last"].iloc[i - 1]),
+                               str(parts["first"].iloc[i]))
+    return pd.DataFrame([{
+        "n_keys": int(parts["n"].sum()),
+        "total_bytes": int(parts["b"].sum()),
+        "saved_bytes": saved}]).astype("int64")
