@@ -1490,6 +1490,18 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _media_patches(sf_dir: str):
+    """ViT-style patch statistics over the media layout
+    (ops/multimodal.image_patch_stats): closed-form fake 64x64
+    grayscale, exact 8x8-grid patch sums, salient counting, argmax
+    crop candidate — the image-side companion of media_vad."""
+    from warcio_ray.ops.multimodal import image_patch_stats, \
+        media_from_documents
+
+    media = media_from_documents(sf_dir)
+    return image_patch_stats(media, fake=True)
+
+
 def _frontcode_gain(sf_dir: str):
     """Front-coding gain over the sorted SURT keys of the real page
     urls (ops/profile.frontcode_gain + frontier.surt): the CDX-block
@@ -5368,6 +5380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": _curation_funnel,
         "jenks_lengths": _jenks_lengths,
         "frontcode_gain": _frontcode_gain,
+        "media_patches": _media_patches,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -6791,6 +6804,33 @@ def oracle_sql() -> dict[str, str]:
         "benford_values": _benford_sql(),
         "robustness_curve": _robustness_sql(),
         "script_profile": _script_sql(),
+        # media_patches: the closed-form fake image replayed per
+        # pixel; patch sums, saliency and the first-max argmax
+        "media_patches": """
+            WITH px AS (
+              SELECT doc_id AS media_id,
+                     ((i // 64) // 8) * 8 + ((i % 64) // 8) AS patch,
+                     ((((doc_id + i) * 2654435761)::HUGEINT
+                       % 4294967296) // 16777216) AS v
+              FROM documents,
+                   (SELECT unnest(range(4096)) AS i)),
+            ps AS (SELECT media_id, patch, SUM(v) AS s
+                   FROM px GROUP BY 1, 2),
+            tt AS (SELECT media_id, SUM(s) AS total FROM ps
+                   GROUP BY 1),
+            best AS (
+              SELECT media_id, patch, s, row_number() OVER (
+                PARTITION BY media_id ORDER BY s DESC, patch) AS rn
+              FROM ps)
+            SELECT ps.media_id,
+                   CAST(COUNT(*) FILTER (WHERE ps.s * 64 > tt.total)
+                        AS BIGINT) AS n_salient,
+                   CAST(MIN(b.patch) AS BIGINT) AS best_patch,
+                   CAST(MIN(b.s) AS BIGINT) AS best_sum
+            FROM ps JOIN tt USING (media_id)
+            JOIN best b ON b.media_id = ps.media_id AND b.rn = 1
+            GROUP BY ps.media_id ORDER BY ps.media_id
+        """,
         # frontcode_gain: SURT keys rebuilt from the url scheme; the
         # prefix sum via lag + the monotone prefix-equality count
         "frontcode_gain": f"""

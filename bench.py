@@ -538,7 +538,8 @@ def run_bench() -> dict:
                            ("media_vad", "op_vad_s"),
                            ("curation_funnel", "op_funnel_s"),
                            ("jenks_lengths", "op_jenks_s"),
-                           ("frontcode_gain", "op_frontcode_s")):
+                           ("frontcode_gain", "op_frontcode_s"),
+                           ("media_patches", "op_patches_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \

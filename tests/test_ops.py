@@ -7668,3 +7668,42 @@ def test_frontcode_gain(ray_session):
         out = frontcode_gain(ds, key_col="key").iloc[0]
         assert (int(out.n_keys), int(out.total_bytes),
                 int(out.saved_bytes)) == exp, nparts
+
+
+def test_image_patch_stats(ray_session):
+    """Patch stats vs a numpy replay of the closed-form image: exact
+    salient counts, argmax patch with first-max tie rule; fake=False
+    raises; partitioning-invariant."""
+    import pytest
+    import ray.data
+
+    from warcio_ray.ops.multimodal import ImagePatchStage, \
+        image_patch_stats
+
+    with pytest.raises(NotImplementedError):
+        ImagePatchStage(fake=False)
+
+    ids = [0, 11, 4242]
+    df = pd.DataFrame({"media_id": ids})
+
+    def replay(mid):
+        idx = np.arange(4096, dtype=np.uint64)
+        pix = ((((np.uint64(mid) + idx) * np.uint64(2654435761))
+                & np.uint64(0xFFFFFFFF)) >> np.uint64(24)) \
+            .astype(np.int64)
+        px, py = idx % 64, idx // 64
+        patch = (py // 8) * 8 + (px // 8)
+        sums = np.zeros(64, dtype="int64")
+        np.add.at(sums, patch.astype(np.int64), pix)
+        total = int(sums.sum())
+        return (int(((sums * 64) > total).sum()),
+                int(np.argmax(sums)), int(sums.max()))
+
+    exp = {m: replay(m) for m in ids}
+    for nparts in (1, 2):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = image_patch_stats(ds, concurrency=1).to_pandas() \
+            .sort_values("media_id").reset_index(drop=True)
+        for r in out.itertuples(index=False):
+            assert (int(r.n_salient), int(r.best_patch),
+                    int(r.best_sum)) == exp[int(r.media_id)], nparts

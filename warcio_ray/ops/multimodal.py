@@ -364,3 +364,64 @@ def vad_segments(media_ds, fake: bool = True, concurrency: int = 4,
         AudioVadStage, batch_format="pandas",
         fn_constructor_kwargs={"fake": fake},
         concurrency=(1, concurrency), batch_size=batch_size)
+
+
+class ImagePatchStage:
+    """Actor-pool stage: ViT-style patch grid statistics over an image
+    payload — per-patch means, salient-patch counting and the argmax
+    crop candidate, the vision-side preprocessing audit (which images
+    are flat/boilerplate vs structured). Real decoding stubbed per the
+    sandbox contract; the fake decoder derives a CLOSED-FORM
+    deterministic 64x64 grayscale image from the media id:
+
+        pixel(x, y) = ((mid + 64*y + x) * 2654435761 mod 2^32) >> 24
+
+    (0..255; same Knuth-hash closed form as the VAD PCM, so the SQL
+    oracle replays it with one range(4096) expansion). The image
+    splits into an 8x8 grid of 8x8 patches; patch SUM is exact int64;
+    a patch is SALIENT iff its sum * 64 exceeds the image total (above
+    the image mean); the crop candidate is the (sum desc, patch asc)
+    argmax."""
+
+    SIZE = 64
+    PATCH = 8
+
+    def __init__(self, fake: bool = True):
+        if not fake:
+            raise NotImplementedError(
+                "real image decoding requires an imaging library not "
+                "present in this environment — run with fake=True")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["media_id"].to_numpy(dtype="int64")
+        g = self.SIZE // self.PATCH
+        idx = np.arange(self.SIZE * self.SIZE, dtype=np.uint64)
+        px = (idx % self.SIZE).astype(np.int64)
+        py = (idx // self.SIZE).astype(np.int64)
+        patch_of = (py // self.PATCH) * g + (px // self.PATCH)
+        out = {"media_id": ids,
+               "n_salient": np.zeros(len(ids), dtype="int64"),
+               "best_patch": np.zeros(len(ids), dtype="int64"),
+               "best_sum": np.zeros(len(ids), dtype="int64")}
+        for r, mid in enumerate(ids):
+            pix = ((((np.uint64(mid) + idx) * np.uint64(2654435761))
+                    & np.uint64(0xFFFFFFFF)) >> np.uint64(24)) \
+                .astype(np.int64)
+            sums = np.zeros(g * g, dtype="int64")
+            np.add.at(sums, patch_of, pix)
+            total = int(sums.sum())
+            out["n_salient"][r] = int(((sums * (g * g)) > total).sum())
+            best = int(np.argmax(sums))         # first max = lowest id
+            out["best_patch"][r] = best
+            out["best_sum"][r] = int(sums[best])
+        return pd.DataFrame(out)
+
+
+def image_patch_stats(media_ds, fake: bool = True, concurrency: int = 4,
+                      batch_size: int = 256):
+    """Media Dataset -> (media_id, n_salient, best_patch, best_sum)
+    via the actor-pool patch stage."""
+    return media_ds.map_batches(
+        ImagePatchStage, batch_format="pandas",
+        fn_constructor_kwargs={"fake": fake},
+        concurrency=(1, concurrency), batch_size=batch_size)
