@@ -1490,6 +1490,35 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _host_folds(sf_dir: str):
+    """GroupKFold by host over the skewed host mapping
+    (ops/split.group_kfold, k=4): whole hosts per fold (leakage-safe
+    by construction), greedy largest-first balancing with the
+    (smallest total, lowest fold) tie rule — replayed by a recursive
+    CTE carrying the fold totals."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.split import group_kfold
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def hosts(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["doc_id"].astype("int64") % 100
+        hid = m.copy()
+        hid[m < 62] = 3
+        hid[m < 55] = 2
+        hid[m < 45] = 1
+        hid[m < 30] = 0
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "host": "site" + hid.astype(str) + ".example"})
+
+    return group_kfold(docs.map_batches(hosts, batch_format="pandas"),
+                       group_col="host", k=4)
+
+
 def _media_patches(sf_dir: str):
     """ViT-style patch statistics over the media layout
     (ops/multimodal.image_patch_stats): closed-form fake 64x64
@@ -5381,6 +5410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jenks_lengths": _jenks_lengths,
         "frontcode_gain": _frontcode_gain,
         "media_patches": _media_patches,
+        "host_folds": _host_folds,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -6804,6 +6834,37 @@ def oracle_sql() -> dict[str, str]:
         "benford_values": _benford_sql(),
         "robustness_curve": _robustness_sql(),
         "script_profile": _script_sql(),
+        # host_folds: the greedy largest-first packing replayed by a
+        # recursive CTE carrying the four fold totals; same
+        # (smallest total, lowest fold) tie rule
+        "host_folds": f"""
+            WITH RECURSIVE hm AS (
+              SELECT doc_id, {_HOST_CASE} AS host FROM documents),
+            sz AS (SELECT host, COUNT(*)::BIGINT AS n FROM hm
+                   GROUP BY host),
+            ord AS (SELECT host, n, row_number() OVER (
+                      ORDER BY n DESC, host) AS r FROM sz),
+            g(r, host, fold, t0, t1, t2, t3) AS (
+              SELECT r, host, 0, n, 0::BIGINT, 0::BIGINT, 0::BIGINT
+              FROM ord WHERE r = 1
+              UNION ALL
+              SELECT r, host, fold,
+                     t0 + CASE WHEN fold = 0 THEN n ELSE 0 END,
+                     t1 + CASE WHEN fold = 1 THEN n ELSE 0 END,
+                     t2 + CASE WHEN fold = 2 THEN n ELSE 0 END,
+                     t3 + CASE WHEN fold = 3 THEN n ELSE 0 END
+              FROM (
+                SELECT o.r, o.host, o.n, g.t0, g.t1, g.t2, g.t3,
+                       CASE WHEN g.t0 <= g.t1 AND g.t0 <= g.t2
+                                 AND g.t0 <= g.t3 THEN 0
+                            WHEN g.t1 <= g.t2 AND g.t1 <= g.t3 THEN 1
+                            WHEN g.t2 <= g.t3 THEN 2
+                            ELSE 3 END AS fold
+                FROM g JOIN ord o ON o.r = g.r + 1))
+            SELECT hm.doc_id, hm.host, CAST(g.fold AS BIGINT) AS fold
+            FROM hm JOIN g ON g.host = hm.host
+            ORDER BY hm.doc_id
+        """,
         # media_patches: the closed-form fake image replayed per
         # pixel; patch sums, saliency and the first-max argmax
         "media_patches": """

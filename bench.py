@@ -539,7 +539,8 @@ def run_bench() -> dict:
                            ("curation_funnel", "op_funnel_s"),
                            ("jenks_lengths", "op_jenks_s"),
                            ("frontcode_gain", "op_frontcode_s"),
-                           ("media_patches", "op_patches_s")):
+                           ("media_patches", "op_patches_s"),
+                           ("host_folds", "op_kfold_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \

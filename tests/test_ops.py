@@ -7707,3 +7707,37 @@ def test_image_patch_stats(ray_session):
         for r in out.itertuples(index=False):
             assert (int(r.n_salient), int(r.best_patch),
                     int(r.best_sum)) == exp[int(r.media_id)], nparts
+
+
+def test_group_kfold(ray_session):
+    """Greedy largest-first packing: groups never split across folds;
+    the deterministic tie rule matches a heap replay; fold totals are
+    balanced within the largest group size; partitioning-invariant."""
+    import heapq
+
+    import ray.data
+
+    from warcio_ray.ops.split import group_kfold
+
+    sizes = {"a": 50, "b": 30, "c": 20, "d": 20, "e": 10, "f": 5}
+    rows = [(i, g) for i, g in enumerate(
+        g for g, n in sizes.items() for _ in range(n))]
+    df = pd.DataFrame(rows, columns=["doc_id", "host"])
+
+    heap = [(0, f) for f in range(3)]
+    heapq.heapify(heap)
+    exp = {}
+    for g, n in sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0])):
+        tot, f = heapq.heappop(heap)
+        exp[g] = f
+        heapq.heappush(heap, (tot + n, f))
+
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = group_kfold(ds, group_col="host", k=3).to_pandas()
+        per_group = out.groupby("host")["fold"].nunique()
+        assert (per_group == 1).all(), nparts          # never split
+        got = out.drop_duplicates("host").set_index("host")["fold"]
+        assert {g: int(got[g]) for g in sizes} == exp
+        totals = out.groupby("fold").size()
+        assert totals.max() - totals.min() <= max(sizes.values())

@@ -236,3 +236,48 @@ def split_leakage(ds, fractions: Sequence[Tuple[str, int]] = (
     return pd.DataFrame([{"n_groups": n_groups, "n_pairs": n_pairs,
                           "n_cross": n_pairs - n_within}]) \
         .astype("int64")
+
+
+def group_kfold(ds, group_col: str, k: int = 4,
+                id_col: str = "doc_id"):
+    """Leakage-aware GROUP k-fold assignment (GroupKFold): every
+    GROUP (host/domain) lands wholly in one fold, so host-level
+    near-duplicates can never straddle train/eval — the constructive
+    counterpart of the split_leakage audit. Folds balance by the
+    classic greedy largest-first bin packing: groups sorted by
+    (size desc, group asc) each go to the currently-smallest fold
+    (ties to the lowest fold id) — deterministic, 4/3-optimal.
+
+    Shape at scale: ONE bounded (group, size) aggregate; the driver
+    runs the O(G log G) greedy; assignments broadcast back through a
+    stateless map. Returns a Dataset of (id_col, group_col, fold)."""
+    import heapq
+
+    import ray
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    sizes = arrow_blocks(ds.select_columns([group_col])) \
+        .groupby(group_col).aggregate(Count(alias_name="n")) \
+        .to_pandas()
+    order = sizes.sort_values(["n", group_col],
+                              ascending=[False, True])
+    heap = [(0, f) for f in range(k)]
+    heapq.heapify(heap)
+    assign = {}
+    for g, n in zip(order[group_col], order["n"]):
+        tot, f = heapq.heappop(heap)
+        assign[g] = f
+        heapq.heappush(heap, (tot + int(n), f))
+    aref = ray.put(assign)
+
+    def label(batch: pd.DataFrame) -> pd.DataFrame:
+        amap = ray.get(aref)
+        return pd.DataFrame({
+            id_col: batch[id_col].astype("int64"),
+            group_col: batch[group_col],
+            "fold": batch[group_col].map(amap).astype("int64")})
+
+    return ds.select_columns([id_col, group_col]) \
+        .map_batches(label, batch_format="pandas")
