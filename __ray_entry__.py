@@ -1490,6 +1490,60 @@ def _kcore_4(sf_dir: str):
     return kcore_nodes(edges, k=4)
 
 
+def _bowtie(sf_dir: str):
+    """Broder bowtie decomposition (ops/graph.bowtie_decomposition)
+    over the sampled link graph ENRICHED with a planted directed ring
+    (multiples of 10 — the guaranteed giant SCC) and IN-spokes
+    (doc%10==7 -> its ring anchor): all four regions populated
+    (75/25/200/25 at sf0.001). Core by the verified SCC kernel,
+    IN/OUT by forward/backward BFS, region counts from id-only
+    joins."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from warcio_ray.ops.graph import bowtie_decomposition
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    def sample(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (batch["src"] % 10 < 3) & (batch["src"] != batch["dst"])
+        return batch.loc[keep, ["src", "dst"]]
+
+    links = edge_urls.map_batches(to_ids, batch_format="pyarrow") \
+        .map_batches(sample, batch_format="pandas")
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = docs.count()
+
+    def planted(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        d = batch["doc_id"].to_numpy(dtype="int64")
+        ring = d[d % 10 == 0]
+        ring_dst = np.where(ring + 10 < n, ring + 10, 0)
+        spoke = d[d % 10 == 7]
+        return pd.DataFrame({
+            "src": np.concatenate([ring, spoke]),
+            "dst": np.concatenate([ring_dst, spoke - 7])})
+
+    edges = links.union(docs.map_batches(planted,
+                                         batch_format="pandas"))
+    return bowtie_decomposition(edges)
+
+
 def _host_folds(sf_dir: str):
     """GroupKFold by host over the skewed host mapping
     (ops/split.group_kfold, k=4): whole hosts per fold (leakage-safe
@@ -5411,6 +5465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontcode_gain": _frontcode_gain,
         "media_patches": _media_patches,
         "host_folds": _host_folds,
+        "bowtie_regions": _bowtie,
         "orders_multiagg": _orders_multiagg,
         "chunk_windows": _chunk_windows,
         "line_dedup": _line_dedup,
@@ -6834,6 +6889,68 @@ def oracle_sql() -> dict[str, str]:
         "benford_values": _benford_sql(),
         "robustness_curve": _robustness_sql(),
         "script_profile": _script_sql(),
+        # bowtie_regions: the scc oracle's closure reused — core =
+        # largest mutual class (size desc, label asc), IN/OUT via the
+        # same reach closure, region CASE in the engine's order
+        "bowtie_regions": """
+        WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+        edges0 AS (
+          SELECT doc_id AS src,
+                 ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn))
+                   AS dst
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE j < doc_id % 4),
+        e AS (SELECT src, dst FROM edges0
+              WHERE src % 10 < 3 AND src <> dst
+              UNION ALL
+              SELECT doc_id,
+                     CASE WHEN doc_id + 10 < (SELECT n FROM nn)
+                          THEN doc_id + 10 ELSE 0 END
+              FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id, doc_id - 7 FROM documents
+              WHERE doc_id % 10 = 7),
+        edges AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+        reach(s, d) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.s, e2.dst FROM reach r
+          JOIN edges e2 ON e2.src = r.d),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        mutual AS (SELECT a.s AS u, a.d AS v FROM reach a
+                   JOIN reach b ON b.s = a.d AND b.d = a.s),
+        lab AS (
+          SELECT n.node,
+                 LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS scc_id
+          FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+          GROUP BY n.node),
+        core AS (
+          SELECT scc_id FROM (
+            SELECT scc_id, COUNT(*) AS s FROM lab GROUP BY scc_id
+            ORDER BY s DESC, scc_id LIMIT 1)),
+        corem AS (SELECT node FROM lab
+                  WHERE scc_id = (SELECT scc_id FROM core)),
+        fwd AS (SELECT node FROM corem
+                UNION SELECT r.d FROM reach r
+                JOIN corem c ON c.node = r.s),
+        bwd AS (SELECT node FROM corem
+                UNION SELECT r.s FROM reach r
+                JOIN corem c ON c.node = r.d),
+        reg AS (
+          SELECT lab.node,
+                 CASE WHEN lab.scc_id = (SELECT scc_id FROM core)
+                      THEN 'core'
+                      WHEN lab.node IN (SELECT node FROM fwd)
+                      THEN 'out'
+                      WHEN lab.node IN (SELECT node FROM bwd)
+                      THEN 'in'
+                      ELSE 'other' END AS region
+          FROM lab)
+        SELECT region, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM reg GROUP BY region ORDER BY region
+        """,
         # host_folds: the greedy largest-first packing replayed by a
         # recursive CTE carrying the four fold totals; same
         # (smallest total, lowest fold) tie rule

@@ -7741,3 +7741,24 @@ def test_group_kfold(ray_session):
         assert {g: int(got[g]) for g in sizes} == exp
         totals = out.groupby("fold").size()
         assert totals.max() - totals.min() <= max(sizes.values())
+
+
+def test_bowtie_decomposition(ray_session):
+    """Textbook bowtie: a 3-cycle core, an IN tail, an OUT tail and a
+    disconnected pair classify exactly; OUT takes precedence over IN
+    only when genuinely not mutual; partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.graph import bowtie_decomposition
+
+    edges = [(0, 1), (1, 2), (2, 0),        # core cycle {0,1,2}
+             (10, 0), (11, 10),             # IN tail 11 -> 10 -> core
+             (2, 20), (20, 21),             # OUT tail
+             (30, 31)]                      # disconnected pair
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = bowtie_decomposition(ds).to_pandas()
+        got = dict(zip(out["region"], out["n_nodes"]))
+        assert got == {"core": 3, "in": 2, "out": 2, "other": 2}, \
+            nparts

@@ -1962,3 +1962,87 @@ def robustness_curve(edges_ds, rates=(30, 60, 90),
             rows.append((r, 0, 0, 0))
     return pd.DataFrame(rows, columns=["rate", "n_nodes", "n_comp",
                                        "giant"]).astype("int64")
+
+
+def bowtie_decomposition(edges_ds, max_depth: int = 64,
+                         num_partitions=None) -> pd.DataFrame:
+    """Broder bowtie decomposition (Broder et al., WWW 2000): the
+    canonical macroscopic web map — the largest SCC is the CORE, IN =
+    nodes that can reach the core, OUT = nodes the core can reach,
+    OTHER = tendrils/disconnected. Crawl planning reads this directly:
+    seeds in IN discover the core; seeds in OUT never escape it.
+
+    Composition of verified kernels: the forward-backward SCC labels
+    pick the core (size desc, label asc); two parallel BFS sweeps
+    (``crawl_horizon`` forward and on the reversed edges) mark
+    OUT/IN; region assignment is two id-only hash joins. ``max_depth``
+    must exceed the graph diameter (BFS exhausts earlier and stops —
+    64 covers any web-shaped test graph; raise for pathological
+    chains). The core seed list broadcasts (the crawl_horizon seed
+    contract — the giant SCC of a web graph is the one component
+    worth broadcasting; a join-path seeding is the swap above it).
+
+    Returns (region, n_nodes), regions core/in/out/other over every
+    node incident to an edge."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join
+
+    if num_partitions is None:
+        num_partitions = min(
+            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+
+    labels = strongly_connected_components(edges_ds).materialize()
+    sizes = arrow_blocks(labels).groupby("scc_id") \
+        .aggregate(Count(alias_name="s"))
+    top = sizes.sort(["s", "scc_id"], descending=[True, False]) \
+        .limit(1).to_pandas()
+    core_id = int(top["scc_id"].iloc[0])
+
+    def core_only(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.loc[batch["scc_id"] == core_id, ["node"]]
+
+    core_ids = labels.map_batches(core_only, batch_format="pandas") \
+        .to_pandas()["node"].astype("int64").tolist()
+
+    fwd = crawl_horizon(edges_ds, core_ids, max_depth=max_depth,
+                        num_partitions=num_partitions)
+
+    def rev(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": batch["dst"].to_numpy(dtype="int64"),
+                             "dst": batch["src"].to_numpy(dtype="int64")})
+
+    bwd = crawl_horizon(edges_ds.map_batches(rev, batch_format="pandas"),
+                        core_ids, max_depth=max_depth,
+                        num_partitions=num_partitions)
+
+    def flag(name):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": batch["node"].astype("int64"),
+                name: np.int64(1)})
+        return f
+
+    j = safe_join(labels, fwd.map_batches(flag("_f"),
+                                          batch_format="pandas"),
+                  "left_outer", num_partitions, ("node",))
+    j = safe_join(j, bwd.map_batches(flag("_b"),
+                                     batch_format="pandas"),
+                  "left_outer", num_partitions, ("node",))
+
+    def region(batch: pd.DataFrame) -> pd.DataFrame:
+        scc = batch["scc_id"].to_numpy(dtype="int64")
+        f = batch["_f"].notna().to_numpy() if "_f" in batch \
+            else np.zeros(len(batch), dtype=bool)
+        b = batch["_b"].notna().to_numpy() if "_b" in batch \
+            else np.zeros(len(batch), dtype=bool)
+        r = np.where(scc == core_id, "core",
+                     np.where(f, "out", np.where(b, "in", "other")))
+        return pd.DataFrame({"region": r})
+
+    counts = arrow_blocks(j.map_batches(region, batch_format="pandas")) \
+        .groupby("region").aggregate(Count(alias_name="n_nodes")) \
+        .to_pandas()
+    return counts.sort_values("region").reset_index(drop=True) \
+        .astype({"n_nodes": "int64"})
