@@ -5983,7 +5983,7 @@ def _script_sql() -> str:
     """Script-profile replay: the same codepoint RANGES as regexp
     classes with literal chr() endpoints, counts via length-delta of
     a global regexp_replace, first-match dominance tie rule."""
-    rng = {"latin": "[A-z]",
+    rng = {"latin": "[A-Za-z]",
            "greek": f"[{chr(0x370)}-{chr(0x3FF)}]",
            "cyrillic": f"[{chr(0x400)}-{chr(0x4FF)}]",
            "cjk": f"[{chr(0x4E00)}-{chr(0x9FFF)}]"}

@@ -7758,7 +7758,7 @@ def test_bowtie_decomposition(ray_session):
     df = pd.DataFrame(edges, columns=["src", "dst"])
     for nparts in (1, 3):
         ds = ray.data.from_pandas(df).repartition(nparts)
-        out = bowtie_decomposition(ds).to_pandas()
+        out = bowtie_decomposition(ds)
         got = dict(zip(out["region"], out["n_nodes"]))
         assert got == {"core": 3, "in": 2, "out": 2, "other": 2}, \
             nparts

@@ -173,6 +173,11 @@ def change_rate_estimates(visits_ds, id_col: str = "doc_id",
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         x = batch[x_col].to_numpy(dtype="int64")
+        if len(x) and (x.min() < 0 or x.max() > n_visits):
+            bad = x[(x < 0) | (x > n_visits)][0]
+            raise ValueError(
+                f"change count x={bad} outside [0, n_visits={n_visits}]: "
+                "the MLE's log argument would go nonpositive")
         lam = np.log((n_visits + 0.5) / (n_visits - x + 0.5))
         rate_q = np.floor(lam * float(1 << qbits) + 0.5).astype("int64")
         return pd.DataFrame({id_col: batch[id_col].astype("int64"),

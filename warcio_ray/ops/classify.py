@@ -240,10 +240,13 @@ def naive_bayes_train_predict(ds, text_col: str = "text",
 
 
 SCRIPT_RANGES = (
-    ("latin", 0x0041, 0x007A),      # A-Z a-z (basic)
-    ("greek", 0x0370, 0x03FF),
-    ("cyrillic", 0x0400, 0x04FF),
-    ("cjk", 0x4E00, 0x9FFF),
+    # each script maps to one or more inclusive codepoint ranges;
+    # latin is split so the ASCII punctuation [ \ ] ^ _ ` between
+    # Z and a counts as 'other', not latin
+    ("latin", ((0x0041, 0x005A), (0x0061, 0x007A))),  # A-Z, a-z
+    ("greek", ((0x0370, 0x03FF),)),
+    ("cyrillic", ((0x0400, 0x04FF),)),
+    ("cjk", ((0x4E00, 0x9FFF),)),
 )
 
 
@@ -271,8 +274,10 @@ def script_profile(ds, id_col: str = "doc_id", text_col: str = "text"):
         doc = np.repeat(np.arange(n, dtype=np.int64), lens)
         counts = {}
         claimed = np.zeros(len(codes), dtype=bool)
-        for name, lo, hi in SCRIPT_RANGES:
-            m = (codes >= lo) & (codes <= hi)
+        for name, ranges in SCRIPT_RANGES:
+            m = np.zeros(len(codes), dtype=bool)
+            for lo, hi in ranges:
+                m |= (codes >= lo) & (codes <= hi)
             claimed |= m
             c = np.zeros(n, dtype="int64")
             np.add.at(c, doc[m], 1)

@@ -62,7 +62,8 @@ def margin_mine(ds, label_a: int = 0, label_b: int = 1, k: int = 4,
 
     a_ds = side(label_a).materialize()
     b_df = side(label_b).to_pandas()
-    if len(b_df) == 0 or a_ds.count() == 0:
+    n_a = a_ds.count()
+    if len(b_df) == 0 or n_a == 0:
         return pd.DataFrame({"a_id": pd.Series(dtype="int64"),
                              "b_id": pd.Series(dtype="int64"),
                              "dist": pd.Series(dtype="int64"),
@@ -70,7 +71,13 @@ def margin_mine(ds, label_a: int = 0, label_b: int = 1, k: int = 4,
     b_ids = b_df[id_col].to_numpy(dtype="int64")
     b_q = _quantize(b_df[vec_col], scale)
     b_ref = ray.put((b_ids, b_q))
-    kk = min(k, len(b_ids))
+    # Two distinct clamps: the A-side neighborhood N_k(a) sums over
+    # B-side distances (bounded by |B|), the B-side neighborhood N_k(b)
+    # sums over A-side distances (bounded by |A|).  The margin
+    # multiplier stays the caller's fixed 2*k so the score formula is
+    # replayable by an oracle that hardcodes k.
+    kk = min(k, len(b_ids))        # A-side neighborhood width
+    kk_b = min(k, n_a)             # B-side neighborhood width
 
     def nk_partials(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
@@ -79,7 +86,7 @@ def margin_mine(ds, label_a: int = 0, label_b: int = 1, k: int = 4,
         bids, bq = ray.get(b_ref)
         aq = _quantize(batch[vec_col], scale)
         d = _pairwise_sqdist(aq, bq)          # (batch, |B|) int64
-        ka = min(kk, d.shape[0])
+        ka = min(kk_b, d.shape[0])
         # per B column: the ka smallest dists in this batch
         part = np.partition(d, ka - 1, axis=0)[:ka, :]
         return pd.DataFrame({
@@ -89,7 +96,7 @@ def margin_mine(ds, label_a: int = 0, label_b: int = 1, k: int = 4,
     # rank the per-batch partials per b_id and keep the global k
     # smallest: one bounded groupby (|B| x k rows in, |B| out)
     def finish_nk(grp: pd.DataFrame) -> pd.DataFrame:
-        ds_sorted = np.sort(grp["d"].to_numpy(dtype="int64"))[:kk]
+        ds_sorted = np.sort(grp["d"].to_numpy(dtype="int64"))[:kk_b]
         return pd.DataFrame({"b_id": grp["b_id"].iloc[:1].astype("int64"),
                              "nk": [int(ds_sorted.sum())]})
 
@@ -112,7 +119,7 @@ def margin_mine(ds, label_a: int = 0, label_b: int = 1, k: int = 4,
         aids = batch[id_col].to_numpy(dtype="int64")
         d = _pairwise_sqdist(aq, bq)
         nka = np.sort(d, axis=1)[:, :kk].sum(axis=1)
-        score = nka[:, None] + nkb[None, :] - 2 * kk * d
+        score = nka[:, None] + nkb[None, :] - 2 * k * d
         # argmax by (score desc, dist asc, b_id asc): np.lexsort is
         # last-key-primary, so feed (bids, d, -score)
         out_rows = []

@@ -426,11 +426,19 @@ def trimmed_mean(ds, value_col: str = "value", p: int = 5) -> pd.DataFrame:
     (below/above counts and sums, total); the driver finishes on six
     numbers. Returns ONE row (n, r_lo, r_hi, trimmed_mean,
     winsor_mean)."""
-    from warcio_ray.ops.blocks import tree_aggregate
-
     qs = exact_float_quantiles(ds, value_col, pcts=(p, 100 - p))
     qs = qs.set_index("pct")["value"]
     lo, hi = float(qs[p]), float(qs[100 - p])
+
+    # Float sums fold with math.fsum at BOTH levels (exact per batch,
+    # then exact over the per-batch partials on the driver) instead of
+    # tree_aggregate's pairwise float adds: fsum is correctly rounded,
+    # so the result is independent of batch count and fold order up to
+    # one final rounding — the kept-range reconstruction below is a
+    # difference of large sums and would otherwise inherit the full
+    # non-associativity of the tree fold. One partial row per batch,
+    # so the driver collect is O(#blocks), not O(rows).
+    import math
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         vals = batch[value_col].to_numpy(dtype=np.float64)
@@ -438,25 +446,22 @@ def trimmed_mean(ds, value_col: str = "value", p: int = 5) -> pd.DataFrame:
         below = vals < lo
         above = vals > hi
         return pd.DataFrame([{
-            "_k": np.int64(0),
             "n": np.int64(len(vals)),
-            "total": float(vals.sum()),
+            "total": math.fsum(vals),
             "nb": np.int64(below.sum()),
-            "sb": float(vals[below].sum()),
+            "sb": math.fsum(vals[below]),
             "na": np.int64(above.sum()),
-            "sa": float(vals[above].sum())}])
+            "sa": math.fsum(vals[above])}])
 
-    s = tree_aggregate(ds.map_batches(partial, batch_format="pandas"),
-                       ["_k"], sums=("n", "total", "nb", "sb",
-                                     "na", "sa"))
-    if len(s) == 0 or int(s["n"].iloc[0]) == 0:
+    s = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(s) == 0 or int(s["n"].sum()) == 0:
         return pd.DataFrame([{"n": 0, "r_lo": 0, "r_hi": 0,
                               "trimmed_mean": 0.0, "winsor_mean": 0.0}]) \
             .astype({"n": "int64", "r_lo": "int64", "r_hi": "int64"})
-    n = int(s["n"].iloc[0])
-    total = float(s["total"].iloc[0])
-    nb, sb = int(s["nb"].iloc[0]), float(s["sb"].iloc[0])
-    na, sa = int(s["na"].iloc[0]), float(s["sa"].iloc[0])
+    n = int(s["n"].sum())
+    total = math.fsum(s["total"])
+    nb, sb = int(s["nb"].sum()), math.fsum(s["sb"])
+    na, sa = int(s["na"].sum()), math.fsum(s["sa"])
     r_lo = (p * n + 99) // 100
     r_hi = ((100 - p) * n + 99) // 100
     lo_ties_drop = (r_lo - 1) - nb

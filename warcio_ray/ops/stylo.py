@@ -87,8 +87,11 @@ def burrows_delta(ds, f: int = 20, text_col: str = "text",
                              "source_b": pd.Series(dtype="object"),
                              "delta": pd.Series(dtype="int64")})
 
+    # Drop sources with zero tokens: they have no frequency profile,
+    # and the SQL replay (which derives sources by unnesting tokens)
+    # never sees them — both sides must agree on the source set.
     totals = {s: int(n) for s, t, n in
-              grid.itertuples(index=False) if t == _TOTAL}
+              grid.itertuples(index=False) if t == _TOTAL and int(n) > 0}
     counts = {(s, t): int(n) for s, t, n in
               grid.itertuples(index=False) if t != _TOTAL}
     sources = sorted(totals)
