@@ -359,9 +359,18 @@ def run_bench() -> dict:
         derived["crawl_big_pages_mb"] = round(big_pages_bytes / 1e6, 1)
 
         t0 = time.time()
+        big_timings = {}
         order_big = crawl_pages(bigsf, CrawlConfig(**crawl_cfg),
-                                n_seeds=256)  # auto -> scan here
+                                n_seeds=256,  # auto -> scan here
+                                timings_out=big_timings)
         derived["crawl_scan_big_s"] = round(time.time() - t0, 3)
+        # per-phase decomposition of the distributed rounds (VERDICT r4
+        # item 8): where scan-mode round time goes — the bucket
+        # semi-join read ('fetch'), driver scheduling, actor RPC phases
+        # and the contribution fold
+        for phase, secs in sorted(big_timings.items()):
+            derived[f"crawl_scan_big_breakdown_{phase}_s"] = \
+                round(secs, 3)
         derived["crawl_scan_big_urls"] = len(order_big)
         derived["crawl_scan_big_urls_s"] = round(
             len(order_big) / max(derived["crawl_scan_big_s"], 1e-3), 1)

@@ -225,3 +225,47 @@ def test_untracked_order_stays_empty_but_parquet_complete(
     got = list(rows.itertuples(index=False, name=None))
     want = [tuple(r) for r in tracked.order]
     assert got == want
+
+
+def test_aggregate_partition_sweep_matches_inprocess(ray_session):
+    """The big-round Dataset partition-sweep fold is bitwise-identical
+    to the in-process aggregate_canonical path, for both list and
+    Dataset inputs, across partitioning."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.frontier import distributed as D
+    from warcio_ray.frontier.rounds import CrawlConfig
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    hashes = rng.randint(0, 400, size=n).astype(np.uint64)
+    rows = [(int(h), f"http://h{h}.example/p", f"surt-{h}", f"h{h}",
+             int(rng.randint(0, 4)), int(rng.randint(0, 50)),
+             float(rng.rand()) / 7.0) for h in hashes]
+    cfg = CrawlConfig(num_shards=4)
+    want = D._aggregate(list(rows), cfg)
+
+    old = D.AGG_DATASET_THRESHOLD
+    D.AGG_DATASET_THRESHOLD = 100  # force the sweep path
+    try:
+        got_list = D._aggregate(list(rows), cfg)
+        df = pd.DataFrame(rows, columns=["url_hash", "url", "surt",
+                                         "host", "src_shard", "src_seq",
+                                         "cash"])
+        df["url_hash"] = df["url_hash"].astype("uint64")
+        for nparts in (1, 5):
+            ds = ray.data.from_pandas(df).repartition(nparts)
+            got_ds = D._aggregate(ds.materialize(), cfg)
+            pd.testing.assert_frame_equal(
+                got_ds.reset_index(drop=True), want.reset_index(drop=True),
+                check_dtype=False)
+    finally:
+        D.AGG_DATASET_THRESHOLD = old
+    pd.testing.assert_frame_equal(got_list.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+    # priorities must be BITWISE identical (fsum contract), not approx
+    assert list(map(float, got_list["priority"])) == \
+        list(map(float, want["priority"]))

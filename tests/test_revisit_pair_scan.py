@@ -195,7 +195,10 @@ def test_scan_fetch_matches_broadcast_fetch(ray_session):
     from warcio_ray.pages import build_pages_bucketed
 
     bucketed = build_pages_bucketed(sf)
-    hits_s, disc_s, canon_s = fetch_round_via_scan(bucketed, sched, config)
+    hits_s, disc_s, canon_ds = fetch_round_via_scan(bucketed, sched, config)
+    canon_s = [tuple(r) for r in canon_ds.to_pandas()[
+        ["url_hash", "url", "surt", "host", "src_shard", "src_seq",
+         "cash"]].itertuples(index=False, name=None)]
     assert hits_s == hits_b
     assert disc_s == disc_b
     assert sorted(canon_s) == sorted(canon_b)

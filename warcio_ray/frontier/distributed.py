@@ -190,6 +190,10 @@ class DistributedCrawlResult:
     admitted: List[int] = field(default_factory=list)
     counters: Dict[str, int] = field(default_factory=dict)
     rounds: int = 0
+    # cumulative wall seconds per round phase (seen_filter, politeness,
+    # schedule, fetch, aggregate) — a handful of floats, populated by
+    # _run_round so a bench can report where round time actually goes
+    timings: Dict[str, float] = field(default_factory=dict)
 
 
 def _candidates_df(cands: Sequence[Candidate]) -> pd.DataFrame:
@@ -312,9 +316,18 @@ def _run_round(rnd: int, cand_df: pd.DataFrame, seen_actors, pol_actors,
                fetcher=None,
                track_order: bool = False
                ) -> Tuple[pd.DataFrame, List[tuple]]:
+    import time
+
     import ray
     import ray.data
 
+    def _mark(phase: str, since: float) -> float:
+        now = time.monotonic()
+        result.timings[phase] = result.timings.get(phase, 0.0) \
+            + (now - since)
+        return now
+
+    t = time.monotonic()
     # 1. seen filter: shard-partitioned, canonical order inside each shard
     admitted_rows: List[tuple] = []
     n_in = len(cand_df)
@@ -335,6 +348,7 @@ def _run_round(rnd: int, cand_df: pd.DataFrame, seen_actors, pol_actors,
                                       -r[4], r[2]))
     if track_order:  # unbounded driver memory: debug/test only
         result.admitted.extend(int(r[0]) for r in admitted_rows)
+    t = _mark("seen_filter", t)
 
     # 2+3. politeness: host-shard partitioned enqueue + select
     select_refs = []
@@ -347,6 +361,7 @@ def _run_round(rnd: int, cand_df: pd.DataFrame, seen_actors, pol_actors,
     for rows, denied in ray.get(select_refs):
         selected.extend(rows)
         result.counters["robots_denied"] += denied
+    t = _mark("politeness", t)
 
     if not selected:
         return pd.DataFrame(columns=CAND_COLUMNS), []
@@ -370,6 +385,7 @@ def _run_round(rnd: int, cand_df: pd.DataFrame, seen_actors, pol_actors,
                   for s, q, h, url, host, p in fetch_rows]
     if track_order:
         result.order.extend(round_rows)
+    t = _mark("schedule", t)
 
     if fetcher is not None:
         round_hits, discovered, all_contribs = fetcher.fetch_round(sched)
@@ -388,54 +404,99 @@ def _run_round(rnd: int, cand_df: pd.DataFrame, seen_actors, pol_actors,
             all_contribs.extend(contribs)
     result.counters["fetched"] += round_hits
     result.counters["misses"] += len(fetch_rows) - round_hits
+    t = _mark("fetch", t)
 
-    # 6. OPIC aggregation: in-process for small rounds, Dataset groupby at
-    # scale — both produce identical output (shared sort-sum semantics)
+    # 6. OPIC aggregation: in-process for small rounds, partition-sweep
+    # Dataset fold at scale — both produce identical output (shared
+    # sort-fsum semantics)
     next_cands = _aggregate(all_contribs, config)
+    _mark("aggregate", t)
     return next_cands, round_rows
 
 
 # above this many contribution rows, aggregation goes through a Dataset
-# groupby instead of the driver (same output either way)
+# partition sweep instead of the driver (same output either way)
 AGG_DATASET_THRESHOLD = 200_000
 
 
-def _aggregate(canon_rows: List[tuple], config: CrawlConfig) -> pd.DataFrame:
-    """Canonical contribution rows -> next-round candidates DataFrame.
-
-    Small rounds aggregate in-process via the shared
-    ``aggregate_canonical`` (no Dataset overhead); big rounds run the
-    identical per-group math.fsum as a distributed groupby. fsum is
-    EXACT, hence order-independent -> identical floats on every path at
-    every parallelism, with no per-element Python accumulation loop.
-    """
-    if not canon_rows:
-        return pd.DataFrame(columns=CAND_COLUMNS)
-
-    if len(canon_rows) <= AGG_DATASET_THRESHOLD:
-        cands = aggregate_canonical(canon_rows)
-        return _candidates_df(cands)
-
+def _sweep_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """One key-hash partition of contribution rows -> one candidate row
+    per url_hash: cash folded with math.fsum (exact, hence independent
+    of arrival order), representative (url, surt, host) from the
+    (src_shard, src_seq)-first row — bitwise-identical to
+    ``aggregate_canonical`` on the same rows."""
     import math
 
+    part = part.sort_values(["url_hash", "src_shard", "src_seq"],
+                            kind="mergesort")
+    g = part.groupby("url_hash", sort=True)
+    first = g.head(1).set_index("url_hash")
+    total = g["cash"].apply(lambda s: math.fsum(s.to_numpy()))
+    return pd.DataFrame({
+        "url_hash": first.index.to_numpy(),
+        "url": first["url"].to_numpy(),
+        "surt": first["surt"].to_numpy(),
+        "host": first["host"].to_numpy(),
+        "priority": total.reindex(first.index).to_numpy()})
+
+
+def _aggregate(contribs, config: CrawlConfig) -> pd.DataFrame:
+    """Canonical contribution rows -> next-round candidates DataFrame.
+
+    ``contribs`` is either a driver list of tuples (broadcast /
+    resident fetch modes) or a Dataset (the scan fetch mode, which
+    keeps a round's per-link rows in the object store). Small rounds
+    aggregate in-process via the shared ``aggregate_canonical`` (no
+    Dataset overhead); big rounds fold with ONE key-hash partition
+    sweep (the collapse_captures idiom — ~#CPU ``map_groups`` calls,
+    NOT one per url_hash) whose kernel runs the identical per-key
+    math.fsum. fsum is EXACT, hence order-independent -> identical
+    floats on every path at every parallelism; only the aggregated
+    frontier-sized candidate table ever reaches the driver.
+    """
+    import numpy as np
+    import ray
     import ray.data
 
-    def sum_group(grp: pd.DataFrame) -> pd.DataFrame:
-        grp = grp.sort_values(["src_shard", "src_seq"], kind="mergesort")
-        total = math.fsum(grp["cash"].to_numpy())
-        first = grp.iloc[0]
-        return pd.DataFrame([[first["url_hash"], first["url"], first["surt"],
-                              first["host"], total]], columns=CAND_COLUMNS)
+    is_ds = not isinstance(contribs, list)
+    n = contribs.count() if is_ds else len(contribs)
+    if n == 0:
+        return pd.DataFrame(columns=CAND_COLUMNS)
 
-    df = pd.DataFrame(canon_rows, columns=[
-        "url_hash", "url", "surt", "host", "src_shard", "src_seq", "cash"])
-    df["url_hash"] = df["url_hash"].astype("uint64")
-    out = ray.data.from_pandas(df) \
-        .groupby("url_hash") \
-        .map_groups(sum_group, batch_format="pandas") \
+    if n <= AGG_DATASET_THRESHOLD:
+        if is_ds:
+            rows = [tuple(r) for r in contribs.to_pandas()[
+                ["url_hash", "url", "surt", "host", "src_shard",
+                 "src_seq", "cash"]].itertuples(index=False, name=None)]
+        else:
+            rows = contribs
+        return _candidates_df(aggregate_canonical(rows))
+
+    if not is_ds:
+        df = pd.DataFrame(contribs, columns=[
+            "url_hash", "url", "surt", "host", "src_shard", "src_seq",
+            "cash"])
+        df["url_hash"] = df["url_hash"].astype("uint64")
+        contribs = ray.data.from_pandas(df)
+
+    num_partitions = min(
+        64, max(2, int(ray.cluster_resources().get("CPU", 8))))
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        h = batch["url_hash"].to_numpy().astype(np.uint64, copy=False)
+        batch["_part"] = (h % np.uint64(num_partitions)).astype("int32")
+        return batch
+
+    def sweep(part: pd.DataFrame) -> pd.DataFrame:
+        return _sweep_partition(part.drop(columns=["_part"]))
+
+    out = contribs.map_batches(add_part, batch_format="pandas") \
+        .groupby("_part").map_groups(sweep, batch_format="pandas") \
         .to_pandas()
     if out.empty:
         return pd.DataFrame(columns=CAND_COLUMNS)
+    out["url_hash"] = out["url_hash"].astype("uint64")
     return out.sort_values("url_hash").reset_index(drop=True)
 
 

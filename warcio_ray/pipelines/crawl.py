@@ -96,7 +96,8 @@ def crawl_pages(sf_dir: str, config: Optional[CrawlConfig] = None,
                 checkpoint_dir: Optional[str] = None,
                 resume: bool = False,
                 fetch_mode: str = "auto",
-                order_dir: Optional[str] = None) -> pd.DataFrame:
+                order_dir: Optional[str] = None,
+                timings_out: Optional[dict] = None) -> pd.DataFrame:
     """Run the crawl over the sf pages; returns the crawl order as a
     DataFrame (round, shard, seq, url_hash, url, host, priority) —
     deterministic for a given sf + config and IDENTICAL across every
@@ -166,6 +167,10 @@ def crawl_pages(sf_dir: str, config: Optional[CrawlConfig] = None,
                                    resume=resume,
                                    order_dir=order_dir)
         rounds = result.rounds
+        if timings_out is not None:
+            # cumulative per-phase wall seconds (a handful of floats):
+            # where distributed round time actually goes
+            timings_out.update(result.timings)
     files = sorted(glob.glob(os.path.join(order_dir, "round=*.parquet")))
     # read back only rounds this crawl wrote: a caller-supplied order_dir
     # may still hold HIGHER rounds from a previous longer run
@@ -376,17 +381,42 @@ def make_fetcher(root: str, config: CrawlConfig,
     return BucketedFetcher(root, config)
 
 
+CONTRIB_COLUMNS = ["url_hash", "url", "surt", "host", "src_shard",
+                   "src_seq", "cash"]
+
+
+def _empty_contrib_ds():
+    """Schema-stable empty contributions Dataset."""
+    import pyarrow as pa
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "url_hash": pa.array([], pa.uint64()),
+        "url": pa.array([], pa.string()),
+        "surt": pa.array([], pa.string()),
+        "host": pa.array([], pa.string()),
+        "src_shard": pa.array([], pa.int64()),
+        "src_seq": pa.array([], pa.int64()),
+        "cash": pa.array([], pa.float64()),
+    }))
+
+
 def fetch_round_via_scan(pages_root: str, scheduled: pd.DataFrame,
                          config: Optional[CrawlConfig] = None,
-                         num_buckets: Optional[int] = None
-                         ) -> Tuple[int, int, List[tuple]]:
-    """The bench-scale fetch: semi-join the (small) scheduled-url set
+                         num_buckets: Optional[int] = None):
+    """The scale fetch: semi-join the (small) scheduled-url set
     against the BUCKETED pages layout. Only the buckets containing
     scheduled urls are read (filter pushdown at the file level); the
     scheduled lookup is broadcast (it is one round's worth of urls).
-    Returns (hits, discovered, canonical contribution rows) — the same
-    triple FetchActor.fetch produces for the same scheduled rows, so the
-    two fetch modes are interchangeable per round.
+    Returns ``(hits, discovered, contributions)`` where contributions
+    is a materialized **Dataset** of canonical contribution rows
+    (url_hash, url, surt, host, src_shard, src_seq, cash) — the same
+    rows FetchActor.fetch produces for the same scheduled rows, but
+    kept in the object store: a round's link contributions are
+    O(pages x outdegree) and must never funnel through the driver
+    (frontier/distributed._aggregate consumes the Dataset with a
+    partition-sweep fold). Only the O(round)-sized per-hit stats rows
+    are collected, to produce the two scalar counters.
 
     scheduled columns: shard, seq, url_hash, url, host, priority.
     """
@@ -411,7 +441,7 @@ def fetch_round_via_scan(pages_root: str, scheduled: pd.DataFrame,
     paths = [os.path.join(pages_root, f"bucket={b}") for b in buckets]
     paths = [p for p in paths if os.path.isdir(p)]
     if not paths:
-        return 0, 0, []
+        return 0, 0, _empty_contrib_ds()
 
     def scan_batch(batch: pa.Table) -> pa.Table:
         lookup = ray.get(wanted_ref)
@@ -452,16 +482,28 @@ def fetch_round_via_scan(pages_root: str, scheduled: pd.DataFrame,
                              pa.float64()),
         })
 
+    import pyarrow.compute as pc
+
     ds = ray.data.read_parquet(paths, columns=["url", "html"],
                                file_extensions=["parquet"])
-    out = ds.map_batches(scan_batch, batch_format="pyarrow").to_pandas()
-    if not len(out):
-        return 0, 0, []
-    stats = out[out["kind"] == 0]
+    # materialize the mixed stats+contrib rows ONCE (payload html never
+    # leaves scan_batch), then split with cheap block-local filters:
+    # the per-hit stats rows (O(round)) come to the driver for the two
+    # counters; the per-link contribution rows stay a Dataset
+    full = ds.map_batches(scan_batch, batch_format="pyarrow").materialize()
+
+    def stats_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["kind"], 0)) \
+            .select(["src_url", "n_links"])
+
+    def contrib_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["kind"], 1)) \
+            .select(CONTRIB_COLUMNS)
+
+    stats = full.map_batches(stats_only,
+                             batch_format="pyarrow").to_pandas()
     hits = int(stats["src_url"].nunique())
     discovered = int(stats["n_links"].sum())
-    canon = out[out["kind"] == 1]
-    canon_rows = [tuple(r) for r in canon[
-        ["url_hash", "url", "surt", "host", "src_shard", "src_seq",
-         "cash"]].itertuples(index=False, name=None)]
-    return hits, discovered, canon_rows
+    contrib_ds = full.map_batches(contrib_only,
+                                  batch_format="pyarrow").materialize()
+    return hits, discovered, contrib_ds
