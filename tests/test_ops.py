@@ -6013,6 +6013,66 @@ def test_modularity_score(ray_session):
     assert out["q_num"] == 0
 
 
+def test_scc_and_modularity_join_paths_match_broadcast(ray_session):
+    """Forcing the > broadcast_max_nodes join paths (gate 0) on the
+    bowtie-ish graph gives bit-identical SCC labels and the identical
+    exact-rational Q, across partitionings."""
+    import ray.data
+
+    from warcio_ray.ops.graph import (
+        modularity_score,
+        strongly_connected_components,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 0), (10, 0), (11, 10), (2, 20),
+             (20, 21), (30, 31), (31, 30)]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    lab = pd.DataFrame({"node": [0, 1, 2, 10, 11, 20, 21, 30, 31],
+                        "component": [0, 0, 0, 10, 10, 20, 20, 30, 30]})
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        want = strongly_connected_components(ds).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        got = strongly_connected_components(ds, broadcast_max_nodes=0) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got.astype("int64"),
+                                      want.astype("int64"))
+    lds = ray.data.from_pandas(lab)
+    eds = ray.data.from_pandas(df)
+    want_q = modularity_score(eds, lds).reset_index(drop=True)
+    got_q = modularity_score(eds, lds, broadcast_max_nodes=0) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_q, want_q)
+
+
+def test_scc_join_path_crosses_default_gate(ray_session):
+    """Gate-crossing scale test (VERDICT r4 item 3): 2,000,002 nodes
+    (> the 2M default broadcast gate) as disjoint 2-cycles route
+    through _scc_join_path and label every pair with its even member.
+    Verification is distributed (no driver-side 2M-row comparison)."""
+    import numpy as np
+    import ray.data
+
+    from warcio_ray.ops.graph import strongly_connected_components
+
+    K = 1_000_001  # 2*K nodes
+    k = np.arange(K, dtype=np.int64)
+    df = pd.DataFrame({"src": np.concatenate([2 * k, 2 * k + 1]),
+                       "dst": np.concatenate([2 * k + 1, 2 * k])})
+    out = strongly_connected_components(
+        ray.data.from_pandas(df).repartition(8))
+
+    def check(b: pd.DataFrame) -> pd.DataFrame:
+        node = b["node"].to_numpy(dtype="int64")
+        want = node - (node % 2)
+        bad = int((b["scc_id"].to_numpy(dtype="int64") != want).sum())
+        return pd.DataFrame({"bad": [bad], "n": [len(b)]})
+
+    s = out.map_batches(check, batch_format="pandas").to_pandas()
+    assert int(s["n"].sum()) == 2 * K
+    assert int(s["bad"].sum()) == 0
+
+
 def test_scc_property_random_digraphs(ray_session):
     """Property (hypothesis): on random small digraphs, SCC labels
     equal the mutual-reachability closure reference (min id per SCC),

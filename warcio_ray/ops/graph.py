@@ -1483,9 +1483,11 @@ def strongly_connected_components(edges_ds,
     the edge set, edges materialize once as narrow int64 pairs.
     Settled nodes drop out via a broadcast sorted-array filter inside
     the scan, never a re-materialization. Above the gate the same
-    rounds run as edges-with-labels hash joins (the documented
-    pagerank join-path analogue: ids + int64 labels only, O(1) driver
-    state); that path raises here until a corpus needs it.
+    rounds run as edges-with-labels hash joins + groupby-min (the
+    pagerank join-path analogue, ``_scc_join_path``: ids + int64
+    labels only, O(1) driver state) — bit-identical output (min-label
+    propagation has a unique least fixpoint, so every execution shape
+    converges to the same labels).
 
     Returns a (node int64, scc_id int64) Dataset over every node that
     appears in any edge."""
@@ -1507,24 +1509,28 @@ def strongly_connected_components(edges_ds,
         u = np.unique(np.concatenate(
             [batch["src"].to_numpy(dtype="int64"),
              batch["dst"].to_numpy(dtype="int64")]))
-        # the constant col exists because tree_aggregate wants >= 1
-        # agg; the fold is a pure distinct-collapse
-        return pd.DataFrame({"node": u,
-                             "one": np.ones(len(u), dtype="int64")})
+        return pd.DataFrame({"node": u})
 
-    uni = tree_aggregate(
-        edges.map_batches(endpoints, batch_format="pandas"),
-        ["node"], maxs=("one",))
-    nodes = np.sort(uni["node"].to_numpy(dtype="int64"))
-    n = len(nodes)
-    if n > broadcast_max_nodes:
-        raise NotImplementedError(
-            "SCC join path (> broadcast_max_nodes) not wired yet; "
-            "see docstring for the shape")
+    from ray.data.aggregate import Count
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    # distinct node universe as a DATASET (unbounded key space — a
+    # driver fold would be O(n) driver state, exactly what the join
+    # path exists to avoid); the broadcast branch collects it below,
+    # bounded by the gate
+    uni = arrow_blocks(
+        edges.map_batches(endpoints, batch_format="pandas")) \
+        .groupby("node").aggregate(Count(alias_name="_c")) \
+        .drop_columns(["_c"]).materialize()
+    n = uni.count()
     if n == 0:
         return ray.data.from_pandas(pd.DataFrame(
             {"node": pd.Series(dtype="int64"),
              "scc_id": pd.Series(dtype="int64")}))
+    if n > broadcast_max_nodes:
+        return _scc_join_path(edges, uni, max_inner, max_outer)
+    nodes = np.sort(uni.to_pandas()["node"].to_numpy(dtype="int64"))
 
     scc = np.full(n, -1, dtype=np.int64)
 
@@ -1595,6 +1601,149 @@ def strongly_connected_components(edges_ds,
                                               "scc_id": scc}))
 
 
+def _scc_join_path(edges, nodes_ds, max_inner: int, max_outer: int):
+    """Forward-backward min-label SCC peeling with CLUSTER-resident
+    label state — the > ``broadcast_max_nodes`` branch of
+    ``strongly_connected_components`` (same algorithm, same unique
+    least fixpoint, hence bit-identical labels; tested bit-equal).
+
+    Per outer round: one double hash-join restricts ``edges`` to the
+    still-unsettled subgraph; each F/B propagation step is ONE
+    edges⋈labels hash join + groupby-min + a bounded delta join for
+    the convergence count (the pagerank join-path idiom — narrow int64
+    rows only, O(1) driver state, every table materialized per step so
+    lineage never stacks). Label folds use union + groupby-min/max
+    instead of left-outer joins: an outer join's NaN fill would
+    promote int64 labels through float64 (exact only to 2^53).
+
+    Assumes nonnegative node ids (the -1 unsettled sentinel — the
+    broadcast branch shares this contract)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max
+
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join
+
+    num_partitions = _adaptive_partitions()
+
+    def init_lab(batch: pd.DataFrame) -> pd.DataFrame:
+        nd = batch["node"].to_numpy(dtype="int64")
+        return pd.DataFrame({"node": nd,
+                             "scc": np.full(len(nd), -1, dtype="int64")})
+
+    labels = nodes_ds.map_batches(init_lab,
+                                  batch_format="pandas").materialize()
+    n_total = labels.count()
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        h = batch["node"].to_numpy().astype(np.uint64, copy=False)
+        batch["_part"] = (h % np.uint64(num_partitions)).astype("int32")
+        return batch
+
+    def fixpoint(sub_edges, unsettled, follow_src: bool):
+        """Min-label propagation to fixpoint: returns a (node, lab)
+        Dataset over the unsettled nodes. Two shuffles per step — the
+        edges⋈labels join (with a map-side per-batch min combiner on
+        the proposal stream) and ONE key-hash partition sweep that
+        folds old labels and proposals together, emitting the new
+        label plus a changed indicator in the same pass."""
+        lab = unsettled.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["node"].to_numpy(dtype="int64"),
+                 "val": b["node"].to_numpy(dtype="int64")}),
+            batch_format="pandas").materialize()
+        to_col, from_col = (("src", "dst") if follow_src
+                            else ("dst", "src"))
+        for _ in range(max_inner):
+            j = safe_join(sub_edges, lab, "inner", num_partitions,
+                          (from_col,), right_on=("node",))
+
+            def prop(batch: pd.DataFrame) -> pd.DataFrame:
+                # per-batch min combiner: min-propagation is
+                # confluent, so pre-folding only cuts shuffle volume
+                d = pd.DataFrame({
+                    "node": batch[to_col].to_numpy(dtype="int64"),
+                    "val": batch["val"].to_numpy(dtype="int64")})
+                d = d.groupby("node", sort=False,
+                              as_index=False)["val"].min()
+                d["old"] = np.int64(0)
+                return d
+
+            def tag_old(batch: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "node": batch["node"].to_numpy(dtype="int64"),
+                    "val": batch["val"].to_numpy(dtype="int64"),
+                    "old": np.ones(len(batch), dtype="int64")})
+
+            merged = lab.map_batches(tag_old, batch_format="pandas") \
+                .union(j.map_batches(prop, batch_format="pandas"))
+
+            def sweep(part: pd.DataFrame) -> pd.DataFrame:
+                part = part.drop(columns=["_part"])
+                old = part[part["old"] == 1].set_index("node")["val"]
+                new = part.groupby("node", sort=False)["val"].min() \
+                    .reindex(old.index)
+                return pd.DataFrame({
+                    "node": old.index.to_numpy(dtype="int64"),
+                    "val": new.to_numpy(dtype="int64"),
+                    "_chg": (new < old).to_numpy().astype("int64")})
+
+            upd = merged.map_batches(add_part, batch_format="pandas") \
+                .groupby("_part") \
+                .map_groups(sweep, batch_format="pandas").materialize()
+            changed = int(upd.sum("_chg") or 0)
+            lab = upd.drop_columns(["_chg"]).materialize()
+            if changed == 0:
+                return lab
+        raise RuntimeError(f"SCC propagation exceeded {max_inner} "
+                           "rounds (graph diameter too large)")
+
+    for _ in range(max_outer):
+        unsettled = labels.map_batches(
+            lambda b: b[b["scc"] < 0][["node"]].astype("int64"),
+            batch_format="pandas").materialize()
+        if unsettled.count() == 0:
+            break
+        half = safe_join(edges, unsettled, "inner", num_partitions,
+                         ("src",), right_on=("node",)) \
+            .map_batches(lambda b: b[["src", "dst"]].astype("int64"),
+                         batch_format="pandas")
+        sub = safe_join(half, unsettled, "inner", num_partitions,
+                        ("dst",), right_on=("node",)) \
+            .map_batches(lambda b: b[["src", "dst"]].astype("int64"),
+                         batch_format="pandas").materialize()
+        f = fixpoint(sub, unsettled, follow_src=True)
+        b = fixpoint(sub, unsettled, follow_src=False)
+        fb = safe_join(f, b.map_batches(
+            lambda t: t.rename(columns={"val": "bval"}),
+            batch_format="pandas"), "inner", num_partitions, ("node",))
+
+        def settle(batch: pd.DataFrame) -> pd.DataFrame:
+            keep = (batch["val"].to_numpy(dtype="int64")
+                    == batch["bval"].to_numpy(dtype="int64"))
+            return pd.DataFrame(
+                {"node": batch["node"].to_numpy(dtype="int64")[keep],
+                 "scc": batch["val"].to_numpy(dtype="int64")[keep]})
+
+        settled_new = fb.map_batches(settle,
+                                     batch_format="pandas").materialize()
+        if settled_new.count() == 0:
+            raise RuntimeError("SCC peel made no progress")
+        # scc ids are nonneg, sentinel is -1: a groupby-max merge
+        # overwrites exactly the newly settled rows
+        labels = arrow_blocks(labels.union(settled_new)) \
+            .groupby("node").aggregate(Max("scc", alias_name="scc")) \
+            .materialize()
+    else:
+        raise RuntimeError(f"SCC exceeded {max_outer} peel rounds")
+
+    assert labels.count() == n_total
+    return labels.map_batches(
+        lambda t: t.rename(columns={"scc": "scc_id"}),
+        batch_format="pandas")
+
+
 def modularity_score(edges_ds, labels_ds,
                      broadcast_max_nodes: int = 2_000_000):
     """Newman modularity Q of a node partition over an UNDIRECTED
@@ -1612,24 +1761,25 @@ def modularity_score(edges_ds, labels_ds,
 
     Scale shape: edges fold to distinct (lo, hi) pairs map-side + one
     hash aggregate (the reciprocity precedent); labels broadcast under
-    the pagerank <= 2M-node gate (above it the two label lookups
-    become the documented edges-with-labels hash joins); intra counts
-    and degree sums fold through bounded combiner trees keyed by
-    community. Driver state: O(nodes) under the gate, O(communities)
-    after."""
+    the pagerank <= 2M-node gate (above it the two label lookups run
+    as pairs⋈labels hash joins — same per-pair fold, tested bit-equal);
+    intra counts and degree sums fold through bounded combiner trees
+    keyed by community. Driver state: O(nodes) under the gate,
+    O(communities) after."""
     import ray
     from ray.data.aggregate import Max
 
-    from warcio_ray.ops.blocks import arrow_blocks, tree_aggregate
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join, \
+        tree_aggregate
 
-    lab = labels_ds.to_pandas()
-    if len(lab) > broadcast_max_nodes:
-        raise NotImplementedError(
-            "modularity join path (> broadcast_max_nodes) not wired "
-            "yet; see docstring for the shape")
-    lab = lab.sort_values("node").reset_index(drop=True)
-    lref = ray.put((lab["node"].to_numpy(dtype="int64"),
-                    lab["component"].to_numpy(dtype="int64")))
+    labels_ds = labels_ds.materialize()
+    n_lab = labels_ds.count()
+    broadcast = n_lab <= broadcast_max_nodes
+    if broadcast:
+        lab = labels_ds.to_pandas().sort_values("node") \
+            .reset_index(drop=True)
+        lref = ray.put((lab["node"].to_numpy(dtype="int64"),
+                        lab["component"].to_numpy(dtype="int64")))
 
     def fold(batch: pd.DataFrame) -> pd.DataFrame:
         df = batch[["src", "dst"]].dropna().astype("int64")
@@ -1644,12 +1794,43 @@ def modularity_score(edges_ds, labels_ds,
         edges_ds.map_batches(fold, batch_format="pandas")) \
         .groupby(["lo", "hi"]).aggregate(Max("one", alias_name="one"))
 
+    if not broadcast:
+        # join path: stamp (cl, ch) onto each distinct pair with two
+        # narrow hash joins against the cluster-resident label table
+        num_partitions = _adaptive_partitions()
+
+        def cl_col(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"node": b["node"].to_numpy(dtype="int64"),
+                 "cl": b["component"].to_numpy(dtype="int64")})
+
+        def ch_col(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"node": b["node"].to_numpy(dtype="int64"),
+                 "ch": b["component"].to_numpy(dtype="int64")})
+
+        labs = labels_ds
+        j = safe_join(pairs, labs.map_batches(cl_col,
+                                              batch_format="pandas"),
+                      "inner", num_partitions, ("lo",),
+                      right_on=("node",))
+        j = j.map_batches(lambda b: b[["lo", "hi", "cl"]],
+                          batch_format="pandas")
+        pairs = safe_join(j, labs.map_batches(ch_col,
+                                              batch_format="pandas"),
+                          "inner", num_partitions, ("hi",),
+                          right_on=("node",))
+
     def per_pair(batch: pd.DataFrame) -> pd.DataFrame:
-        nodes, comp = ray.get(lref)
         lo = batch["lo"].to_numpy(dtype="int64")
         hi = batch["hi"].to_numpy(dtype="int64")
-        cl = comp[np.searchsorted(nodes, lo)]
-        ch = comp[np.searchsorted(nodes, hi)]
+        if broadcast:
+            nodes, comp = ray.get(lref)
+            cl = comp[np.searchsorted(nodes, lo)]
+            ch = comp[np.searchsorted(nodes, hi)]
+        else:
+            cl = batch["cl"].to_numpy(dtype="int64")
+            ch = batch["ch"].to_numpy(dtype="int64")
         # each distinct undirected edge contributes: m += 1, one
         # degree to each endpoint's community, and an intra edge when
         # the labels agree
