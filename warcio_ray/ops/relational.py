@@ -622,37 +622,49 @@ def bloom_semijoin_stats(build_ds, probe_ds, build_key: str,
 
     The bit rule is ``bloom_bits``'s md5 contract, so the SQL oracle
     rebuilds the identical filter. The exact true-match count is an
-    accounting extra (one key-level join over batch-distinct keys);
-    production pushdown skips it.
+    accounting extra: probe batches emit their batch-DISTINCT keys
+    with counts, and one hash semi-join against the distinct build-key
+    Dataset sums the matched counts — no O(build-side) driver
+    structure anywhere (only the bounded ``m_bits`` filter
+    broadcasts).
 
     Returns ONE row (n_build, n_probe, n_pass, n_true, n_false_pos).
     """
     import hashlib
 
     import ray
+    from ray.data.aggregate import Count
 
-    from warcio_ray.ops.blocks import tree_aggregate
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join, \
+        tree_aggregate
     from warcio_ray.ops.sketch import bloom_bits
+
+    if num_partitions is None:
+        num_partitions = min(
+            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
 
     def to_str(col, ds):
         def conv(batch: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({"v": batch[col].astype(str)})
         return ds.map_batches(conv, batch_format="pandas")
 
-    build_keys = to_str(build_key, build_ds)
+    build_keys = to_str(build_key, build_ds).materialize()
     bits = bloom_bits(build_keys, "v", m_bits=m_bits,
                       k_hashes=k_hashes)
     bits_ref = ray.put(bits)
-    true_set_ref = ray.put(frozenset(
-        build_keys.to_pandas()["v"].tolist()))
-    n_build = len(ray.get(true_set_ref))
+    distinct_build = arrow_blocks(build_keys).groupby("v") \
+        .aggregate(Count(alias_name="_c")).drop_columns(["_c"]) \
+        .materialize()
+    n_build = distinct_build.count()
 
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        """Mixed rows: one kind=0 stats row (n_probe, n_pass) plus
+        kind=1 (v, cnt) batch-distinct probe keys for the true-match
+        semi-join."""
         bts = ray.get(bits_ref)
-        tset = ray.get(true_set_ref)
         vals = batch[probe_key].astype(str)
-        uniq, inv = np.unique(vals.to_numpy(dtype=object),
-                              return_inverse=True)
+        uniq, counts = np.unique(vals.to_numpy(dtype=object),
+                                 return_counts=True)
         ok = np.zeros(len(uniq), dtype=bool)
         for j, v in enumerate(uniq):
             pos = [int(hashlib.md5(f"{v}:{i}".encode())
@@ -662,18 +674,40 @@ def bloom_semijoin_stats(build_ds, probe_ds, build_key: str,
             ok[j] = bool(np.all((p < len(bts)) & (
                 bts[np.minimum(p, len(bts) - 1)] == pos))) \
                 if len(bts) else False
-        true_u = np.array([v in tset for v in uniq])
-        return pd.DataFrame([{
-            "_k": np.int64(0),
-            "n_probe": np.int64(len(vals)),
-            "n_pass": np.int64(ok[inv].sum()),
-            "n_true": np.int64(true_u[inv].sum())}])
+        return pd.DataFrame({
+            "kind": np.concatenate([[np.int64(0)],
+                                    np.ones(len(uniq), dtype="int64")]),
+            "n_probe": np.concatenate([[np.int64(len(vals))],
+                                       np.zeros(len(uniq),
+                                                dtype="int64")]),
+            "n_pass": np.concatenate([[np.int64((ok * counts).sum())],
+                                      np.zeros(len(uniq),
+                                               dtype="int64")]),
+            "v": np.concatenate([[""], uniq]),
+            "cnt": np.concatenate([[np.int64(0)],
+                                   counts.astype("int64")])})
 
-    s = tree_aggregate(probe_ds.map_batches(probe, batch_format="pandas"),
-                       ["_k"], sums=("n_probe", "n_pass", "n_true"))
+    mixed = probe_ds.map_batches(probe,
+                                 batch_format="pandas").materialize()
+
+    def stats_only(batch: pd.DataFrame) -> pd.DataFrame:
+        st = batch[batch["kind"] == 0]
+        return pd.DataFrame({"_k": np.zeros(len(st), dtype="int64"),
+                             "n_probe": st["n_probe"].to_numpy("int64"),
+                             "n_pass": st["n_pass"].to_numpy("int64")})
+
+    s = tree_aggregate(mixed.map_batches(stats_only,
+                                         batch_format="pandas"),
+                       ["_k"], sums=("n_probe", "n_pass"))
     n_probe = int(s["n_probe"].iloc[0]) if len(s) else 0
     n_pass = int(s["n_pass"].iloc[0]) if len(s) else 0
-    n_true = int(s["n_true"].iloc[0]) if len(s) else 0
+
+    keys = mixed.map_batches(
+        lambda b: b[b["kind"] == 1][["v", "cnt"]],
+        batch_format="pandas")
+    matched = safe_join(keys, distinct_build, "inner",
+                        num_partitions, ("v",))
+    n_true = int(matched.sum("cnt") or 0)
     return pd.DataFrame([{
         "n_build": n_build, "n_probe": n_probe, "n_pass": n_pass,
         "n_true": n_true, "n_false_pos": n_pass - n_true}]) \
