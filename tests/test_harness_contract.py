@@ -35,12 +35,35 @@ def test_registry_consistency():
     assert len(q) == len(set(q))
 
 
-def test_first_fifty_covers_every_family():
+def test_first_fifty_is_the_round5_stamp_window():
     """The driver stamps only the first 50 registry entries per round
-    (observed cap): pin the covering set so a future insertion can't
-    silently push an operator family out of the correctness gate."""
+    (observed cap). Round-5 rotation (VERDICT r4 item 4): the window
+    holds exactly ROUND5_FIRST50 — 50 entries never stamped by any
+    prior round's driver run — and none of them appears in
+    CORRECTNESS_r01..r04, so the round-5 run extends cumulative
+    driver-stamped coverage instead of re-stamping green entries."""
+    import json
+
     mod = _entry()
     first50 = list(mod.queries())[:50]
+    assert first50 == mod.ROUND5_FIRST50
+    assert len(set(first50)) == 50
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stamped = set()
+    for r in (1, 2, 3, 4):
+        p = os.path.join(root, f"CORRECTNESS_r0{r}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                stamped |= set(json.load(f))
+    overlap = set(first50) & stamped
+    assert not overlap, f"already-stamped entries in the window: {overlap}"
+
+
+def test_prior_covering_set_still_registered():
+    """The round-4 family covering set rotated to the tail, not out of
+    the registry: every representative still has a queries() entry."""
+    mod = _entry()
+    registered = set(mod.queries())
     required = {
         # warc / pages / crawl artifacts (cdxj_append_lookup composes
         # build+append+lookup; the plain cdxj_lookup moved to the tail)
@@ -90,8 +113,8 @@ def test_first_fifty_covers_every_family():
         "pack_1024", "pagerank_5", "hll_lang_tokens",
         "split_strat", "kmeans_clusters", "semdedup_dups",
     }
-    missing = required - set(first50)
-    assert not missing, f"families pushed out of the first 50: {missing}"
+    missing = required - registered
+    assert not missing, f"families dropped from the registry: {missing}"
 
 
 def test_oracle_sql_parses():

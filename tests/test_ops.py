@@ -149,9 +149,10 @@ def test_media_decode_plumbing(ray_session):
     a = stage._decode_fake(b"abc")
     b = stage._decode_fake(b"abc")
     assert a[0] == b[0] and a[1] == b[1] and np.array_equal(a[2], b[2])
-    # real path is an explicit stub
+    # real decoding exists for BMP/WAV (tests/test_mediacodec.py);
+    # compressed kinds stay an explicit stub
     with pytest.raises(NotImplementedError):
-        MediaDecodeStage(fake=False)
+        MediaDecodeStage(kind="video", fake=False)
 
 
 def test_jaccard_similarity_join_exact(ray_session):
@@ -299,8 +300,8 @@ def test_media_resize_and_frame_sample(ray_session):
     per = frames[frames["media_id"] == 1]["frame_idx"].tolist()
     assert per == sorted(per) and len(set(per)) == 3
 
-    with pytest.raises(NotImplementedError):
-        MediaResizeStage(fake=False)
+    # video frame decode stays an explicit stub (no uncompressed
+    # container); resize has a real BMP path (test_mediacodec.py)
     with pytest.raises(NotImplementedError):
         FrameSampleStage(fake=False)
 
@@ -7624,11 +7625,9 @@ def test_vad_segments(ray_session):
     import pytest
     import ray.data
 
-    from warcio_ray.ops.multimodal import AudioVadStage, vad_segments
+    from warcio_ray.ops.multimodal import vad_segments
 
-    with pytest.raises(NotImplementedError):
-        AudioVadStage(fake=False)
-
+    # fake=False now really decodes PCM WAV (test_mediacodec.py)
     ids = [0, 7, 123, 4999]
     df = pd.DataFrame({"media_id": ids})
 
@@ -7737,12 +7736,9 @@ def test_image_patch_stats(ray_session):
     import pytest
     import ray.data
 
-    from warcio_ray.ops.multimodal import ImagePatchStage, \
-        image_patch_stats
+    from warcio_ray.ops.multimodal import image_patch_stats
 
-    with pytest.raises(NotImplementedError):
-        ImagePatchStage(fake=False)
-
+    # fake=False now really decodes BMP (test_mediacodec.py)
     ids = [0, 11, 4242]
     df = pd.DataFrame({"media_id": ids})
 

@@ -1,11 +1,17 @@
 """Multimodal column stages: opaque binary payloads + typed metadata.
 
-The sandbox has no image/audio libraries, so the decode kernels are
-STUBBED exactly as the build contract requires: a clearly-marked
-``NotImplementedError`` for real decoding, plus a deterministic fake
-decoder that exercises the REAL Ray-side plumbing — schema, actor-pool
-signature, batch sizing for wide binary rows, output layout. Swapping in
-PIL/librosa later only replaces ``_decode_real``.
+Two decode tiers behind every stage:
+
+* ``fake=True`` (the oracle surface): deterministic pseudo-decodings
+  derived from payload bytes / media ids in SQL-replayable closed
+  forms, exercising the REAL Ray-side plumbing — schema, actor-pool
+  signature, batch sizing for wide binary rows, output layout.
+* ``fake=False`` (real bytes): stdlib decoders for UNCOMPRESSED
+  containers — BI_RGB BMP and PCM WAV (``ops/mediacodec``, struct +
+  numpy only) — feed the same vectorized kernels (dHash, VAD, patch
+  stats, area resize). Compressed formats (JPEG/MP3/MP4) still need
+  codec libraries absent in this sandbox: those raise
+  ``NotImplementedError``/``ValueError``, never silently fake.
 """
 
 from __future__ import annotations
@@ -30,9 +36,10 @@ FEATURE_DIM = 14  # 8 header bytes + 14*4 feature bytes = one blake2b-64
 class MediaDecodeStage:
     """Actor-pool stage: decode + feature-extract binary media.
 
-    ``fake=True`` (default in this sandbox) derives deterministic
-    pseudo-decodings from the payload bytes; ``fake=False`` raises until
-    a real codec library is installed.
+    ``fake=True`` (default) derives deterministic pseudo-decodings
+    from the payload bytes; ``fake=False`` really decodes BI_RGB BMP
+    (kind='image') / PCM WAV (kind='audio') payloads via
+    ``ops/mediacodec`` and raises on anything compressed.
     """
 
     def __init__(self, kind: str = "image", fake: bool = True,
@@ -41,10 +48,11 @@ class MediaDecodeStage:
         self.fake = fake
         self.target_size = target_size
         self.hash_algo = hash_algo
-        if not fake:
+        if not fake and kind not in ("image", "audio"):
             raise NotImplementedError(
-                "real media decoding requires PIL/soundfile, not present "
-                "in this environment — run with fake=True")
+                "real decoding exists for uncompressed containers only "
+                "(kind='image' BMP, kind='audio' PCM WAV); other kinds "
+                "need codec libraries absent here — run with fake=True")
 
     # -- kernels ----------------------------------------------------------
     def _decode_fake(self, payload: bytes):
@@ -68,8 +76,35 @@ class MediaDecodeStage:
         feats = feats / np.float32(2 ** 32)
         return width, height, feats
 
-    def _decode_real(self, payload: bytes):  # pragma: no cover
-        raise NotImplementedError("no media codec libraries in sandbox")
+    def _decode_real(self, payload: bytes):
+        """Real decode for uncompressed containers (stdlib struct —
+        ops/mediacodec): BMP for images, PCM WAV for audio. Features:
+        image -> FEATURE_DIM integer block-mean lumas of the gray
+        image, /255; audio -> FEATURE_DIM block-mean |sample|
+        energies, /32768; width/height -> (W, H) for images,
+        (n_samples, sample_rate) for audio."""
+        from warcio_ray.ops.mediacodec import (
+            block_mean_resize,
+            decode_wav,
+            gray_from_bmp,
+        )
+
+        if self.kind == "image":
+            gray = gray_from_bmp(payload or b"")
+            h, w = gray.shape
+            feats = block_mean_resize(gray, 1, FEATURE_DIM)[0] \
+                .astype(np.float32) / np.float32(255)
+            return w, h, feats
+        if self.kind == "audio":
+            rate, mono = decode_wav(payload or b"")
+            if len(mono) == 0:
+                return 0, rate, np.zeros(FEATURE_DIM, dtype=np.float32)
+            feats = block_mean_resize(np.abs(mono)[None, :], 1,
+                                      FEATURE_DIM)[0] \
+                .astype(np.float32) / np.float32(32768)
+            return len(mono), rate, feats
+        raise NotImplementedError(
+            f"no real decoder for kind={self.kind!r}")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         widths, heights, feats = [], [], []
@@ -156,19 +191,16 @@ def media_from_pages(sf_dir: str):
 class MediaResizeStage:
     """Actor-pool resize stage (image -> target_size x target_size).
 
-    Real kernel requires PIL (absent here) and is stubbed exactly like
-    decode; the fake kernel derives a deterministic resized payload
-    (blake2b stream of the source bytes + target dims) so the Ray
-    plumbing — wide binary in, wide binary out, bounded batches — is
-    exercised for real."""
+    ``fake=False`` really resizes BMP payloads: grayscale integer
+    area-resize re-encoded as an 8-bit gray BMP (ops/mediacodec,
+    stdlib only). The fake kernel derives a deterministic resized
+    payload (blake2b stream of the source bytes + target dims) so the
+    Ray plumbing — wide binary in, wide binary out, bounded batches —
+    is exercised either way."""
 
     def __init__(self, target_size: int = 64, fake: bool = True):
         self.target_size = target_size
         self.fake = fake
-        if not fake:
-            raise NotImplementedError(
-                "real resize requires PIL, not present in this "
-                "environment — run with fake=True")
 
     def _resize_fake(self, payload: bytes) -> bytes:
         n = self.target_size * self.target_size
@@ -177,8 +209,22 @@ class MediaResizeStage:
         reps = (n + len(h) - 1) // len(h)
         return (h * reps)[:n]
 
+    def _resize_real(self, payload: bytes) -> bytes:
+        """BMP -> grayscale integer area-resize -> 8-bit gray BMP
+        (stdlib only; ops/mediacodec)."""
+        from warcio_ray.ops.mediacodec import (
+            block_mean_resize,
+            encode_bmp_gray8,
+            gray_from_bmp,
+        )
+
+        small = block_mean_resize(gray_from_bmp(payload or b""),
+                                  self.target_size, self.target_size)
+        return encode_bmp_gray8(small.astype(np.uint8))
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = [self._resize_fake(p) for p in batch["payload"]]
+        kernel = self._resize_fake if self.fake else self._resize_real
+        out = [kernel(p) for p in batch["payload"]]
         return pd.DataFrame({
             "media_id": batch["media_id"].astype("int64"),
             "kind": batch["kind"],
@@ -248,16 +294,34 @@ class MediaPhashStage:
 
     def __init__(self, fake: bool = True):
         self.fake = fake
-        if not fake:
-            raise NotImplementedError(
-                "real dHash requires an image decoder, not present in "
-                "this environment — run with fake=True")
+
+    @staticmethod
+    def _dhash_real(payload: bytes) -> int:
+        """The textbook dHash on real pixels: BMP -> grayscale ->
+        integer area-resize to 9 wide x 8 tall -> 64 left<right bits,
+        row-major MSB-first."""
+        from warcio_ray.ops.mediacodec import (
+            block_mean_resize,
+            gray_from_bmp,
+        )
+
+        g = block_mean_resize(gray_from_bmp(payload or b""), 8, 9)
+        bits = (g[:, 1:] > g[:, :-1]).reshape(-1)
+        out = 0
+        for b in bits:
+            out = (out << 1) | int(b)
+        return out
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        hashes = np.fromiter(
-            (int(hashlib.md5(p or b"").hexdigest()[:16], 16)
-             for p in batch["payload"]),
-            dtype=np.uint64, count=len(batch))
+        if self.fake:
+            hashes = np.fromiter(
+                (int(hashlib.md5(p or b"").hexdigest()[:16], 16)
+                 for p in batch["payload"]),
+                dtype=np.uint64, count=len(batch))
+        else:
+            hashes = np.fromiter(
+                (self._dhash_real(p) for p in batch["payload"]),
+                dtype=np.uint64, count=len(batch))
         return pd.DataFrame({
             "media_id": batch["media_id"].astype("int64"),
             "phash": hashes})
@@ -327,30 +391,47 @@ class AudioVadStage:
     FRAME = 16
 
     def __init__(self, fake: bool = True):
-        if not fake:
-            raise NotImplementedError(
-                "real audio decoding requires an audio codec library "
-                "not present in this environment — run with fake=True")
         self.fake = fake
+
+    @classmethod
+    def _vad(cls, pcm: "np.ndarray"):
+        """Shared VAD rule on an int64 PCM track: 16-sample frame
+        energies (exact int64), a frame is ACTIVE iff energy *
+        n_frames > total (above the track mean), segments = maximal
+        active runs."""
+        n_frames = len(pcm) // cls.FRAME
+        if n_frames == 0:
+            return 0, 0, 0
+        e = (pcm[:n_frames * cls.FRAME] ** 2) \
+            .reshape(n_frames, cls.FRAME).sum(axis=1)
+        total = int(e.sum())
+        active = (e * n_frames) > total
+        segs = int(np.count_nonzero(
+            active & ~np.concatenate([[False], active[:-1]])))
+        return n_frames, int(active.sum()), segs
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch["media_id"].to_numpy(dtype="int64")
-        n_frames = self.N_SAMPLES // self.FRAME
-        i = np.arange(self.N_SAMPLES, dtype=np.uint64)
+        out_frames = np.zeros(len(ids), dtype="int64")
         out_active = np.zeros(len(ids), dtype="int64")
         out_segs = np.zeros(len(ids), dtype="int64")
-        for r, mid in enumerate(ids):
-            s = (((np.uint64(mid) + i) * np.uint64(2654435761))
-                 & np.uint64(0xFFFFFFFF)) >> np.uint64(16)
-            pcm = s.astype(np.int64) - 32768
-            e = (pcm * pcm).reshape(n_frames, self.FRAME).sum(axis=1)
-            total = int(e.sum())
-            active = (e * n_frames) > total
-            out_active[r] = int(active.sum())
-            out_segs[r] = int(np.count_nonzero(
-                active & ~np.concatenate([[False], active[:-1]])))
+        if self.fake:
+            i = np.arange(self.N_SAMPLES, dtype=np.uint64)
+            for r, mid in enumerate(ids):
+                s = (((np.uint64(mid) + i) * np.uint64(2654435761))
+                     & np.uint64(0xFFFFFFFF)) >> np.uint64(16)
+                pcm = s.astype(np.int64) - 32768
+                out_frames[r], out_active[r], out_segs[r] = \
+                    self._vad(pcm)
+        else:
+            from warcio_ray.ops.mediacodec import decode_wav
+
+            for r, payload in enumerate(batch["payload"]):
+                _rate, pcm = decode_wav(payload or b"")
+                out_frames[r], out_active[r], out_segs[r] = \
+                    self._vad(pcm)
         return pd.DataFrame({"media_id": ids,
-                             "n_frames": np.int64(n_frames),
+                             "n_frames": out_frames,
                              "n_active": out_active,
                              "n_segments": out_segs})
 
@@ -387,10 +468,20 @@ class ImagePatchStage:
     PATCH = 8
 
     def __init__(self, fake: bool = True):
-        if not fake:
-            raise NotImplementedError(
-                "real image decoding requires an imaging library not "
-                "present in this environment — run with fake=True")
+        self.fake = fake
+
+    @classmethod
+    def _patch_stats(cls, pix: "np.ndarray", patch_of: "np.ndarray"):
+        """Shared patch rule on a flat SIZE*SIZE int64 pixel vector:
+        exact patch sums, salient iff sum * n_patches > total, crop =
+        first argmax."""
+        g = cls.SIZE // cls.PATCH
+        sums = np.zeros(g * g, dtype="int64")
+        np.add.at(sums, patch_of, pix)
+        total = int(sums.sum())
+        n_sal = int(((sums * (g * g)) > total).sum())
+        best = int(np.argmax(sums))             # first max = lowest id
+        return n_sal, best, int(sums[best])
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch["media_id"].to_numpy(dtype="int64")
@@ -403,17 +494,24 @@ class ImagePatchStage:
                "n_salient": np.zeros(len(ids), dtype="int64"),
                "best_patch": np.zeros(len(ids), dtype="int64"),
                "best_sum": np.zeros(len(ids), dtype="int64")}
-        for r, mid in enumerate(ids):
-            pix = ((((np.uint64(mid) + idx) * np.uint64(2654435761))
-                    & np.uint64(0xFFFFFFFF)) >> np.uint64(24)) \
-                .astype(np.int64)
-            sums = np.zeros(g * g, dtype="int64")
-            np.add.at(sums, patch_of, pix)
-            total = int(sums.sum())
-            out["n_salient"][r] = int(((sums * (g * g)) > total).sum())
-            best = int(np.argmax(sums))         # first max = lowest id
-            out["best_patch"][r] = best
-            out["best_sum"][r] = int(sums[best])
+        if self.fake:
+            for r, mid in enumerate(ids):
+                pix = ((((np.uint64(mid) + idx) * np.uint64(2654435761))
+                        & np.uint64(0xFFFFFFFF)) >> np.uint64(24)) \
+                    .astype(np.int64)
+                (out["n_salient"][r], out["best_patch"][r],
+                 out["best_sum"][r]) = self._patch_stats(pix, patch_of)
+        else:
+            from warcio_ray.ops.mediacodec import (
+                block_mean_resize,
+                gray_from_bmp,
+            )
+
+            for r, payload in enumerate(batch["payload"]):
+                pix = block_mean_resize(gray_from_bmp(payload or b""),
+                                        self.SIZE, self.SIZE).reshape(-1)
+                (out["n_salient"][r], out["best_patch"][r],
+                 out["best_sum"][r]) = self._patch_stats(pix, patch_of)
         return pd.DataFrame(out)
 
 
