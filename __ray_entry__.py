@@ -3118,12 +3118,32 @@ def _anchor_stats(sf_dir: str):
 
 
 def _crawl_order(sf_dir: str):
+    """3-round crawl order, projected to the shard-free deterministic
+    view (round, pos, url, host): pos ranks a round's fetches by
+    (-priority, surt) — a total order (surts are unique) computable on
+    BOTH engines, unlike the blake2b shard/seq pair (DuckDB has no
+    blake2b). Everything else the oracle needs is closed-form: the
+    page link graph, host routing, the per-host top-4 politeness
+    budget, exact-set admission, and OPIC cash whose fsum the SQL
+    replays bit-identically via 2^60-scaled HUGEINT sums
+    (``_crawl_order_sql``)."""
+    import re
+
     from warcio_ray.frontier.rounds import CrawlConfig
     from warcio_ray.pipelines.crawl import crawl_pages
 
     df = crawl_pages(sf_dir, CrawlConfig(max_rounds=3))
-    # uint64 url_hash confuses some consumers; project the stable columns
-    return df[["round", "shard", "seq", "url", "host"]]
+
+    def surt_of(u: str) -> str:
+        m = re.match(r"http://(site\d+)\.example(/doc/\d+)$", u)
+        return f"example,{m.group(1)}){m.group(2)}"
+
+    df = df.assign(_surt=df["url"].map(surt_of)) \
+        .sort_values(["round", "priority", "_surt"],
+                     ascending=[True, False, True], kind="mergesort")
+    df["pos"] = df.groupby("round").cumcount() + 1
+    return df[["round", "pos", "url", "host"]].reset_index(drop=True) \
+        .astype({"round": "int64", "pos": "int64"})
 
 
 def _warc_fixture_paths(sf_dir: str):
@@ -6017,6 +6037,99 @@ def _textrank_sql(k: int = 20, iters: int = 5, window: int = 2) -> str:
     return ("WITH " + ",".join(ctes) + f"""
         SELECT w AS term, CAST(r AS BIGINT) AS rank_q
         FROM r{iters} ORDER BY r DESC, w ASC LIMIT {k}""")
+
+
+def _crawl_order_sql(rounds: int = 3, n_seeds: int = 16,
+                     host_budget: int = 4) -> str:
+    """Unrolled per-round CTE replay of the 3-round crawl (the last
+    rows-only registry entry, flipped hard per the BPE precedent) —
+    frontier/reference.crawl_step semantics at the crawl_order config
+    (no robots, refill==capacity==4 so the per-host grant is a flat
+    min(pool, 4) every round, every generated link resolves):
+
+      * pages link graph is closed-form over documents:
+        dst_j = (d*31 + 7*j) % n for j in 1..(d % 4)
+      * admission is EXACT-set (the engine's bloom+cuckoo SeenSet has
+        no false positive at any test sf — a collision would show as a
+        driver hash mismatch, which is the point of the check)
+      * per-host politeness: pool = carried-over pending + newly
+        admitted; top-4 by (priority DESC, surt) fetched, rest pends
+        with its ORIGINAL admission priority
+      * OPIC cash = pri * 0.85 / n_links in float64 exactly as the
+        engine computes it; per-destination aggregation replays
+        math.fsum BIT-identically by summing 2^60-scaled HUGEINTs
+        (every cash here is >= 2^-8, so cash * 2^60 is an exact
+        integer) and casting the exact sum back to DOUBLE — the
+        correctly-rounded result fsum defines
+      * output is the shard-free view (round, pos, url, host), pos =
+        rank by (priority DESC, surt) within the round; blake2b
+        shard/seq cannot be expressed in SQL and carries no extra
+        information (surts are unique, so the order is total)
+    """
+    Q = 1152921504606846976  # 2^60
+    ctes = [f"""
+        n AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS c FROM documents),
+        docs AS MATERIALIZED (
+          SELECT doc_id AS d,
+                 CASE WHEN doc_id % 100 < 30 THEN 0
+                      WHEN doc_id % 100 < 45 THEN 1
+                      WHEN doc_id % 100 < 55 THEN 2
+                      WHEN doc_id % 100 < 62 THEN 3
+                      ELSE doc_id % 100 END AS hid
+          FROM documents),
+        u AS MATERIALIZED (
+          SELECT d, 'http://site' || hid || '.example/doc/' || d AS url,
+                 'example,site' || hid || ')/doc/' || d AS surt,
+                 'site' || hid || '.example' AS host
+          FROM docs),
+        lk AS MATERIALIZED (
+          SELECT docs.d AS src,
+                 ((docs.d * 31 + 7 * js.j) % n.c) AS d,
+                 CAST(docs.d % 4 AS BIGINT) AS n_links
+          FROM docs, n, (SELECT UNNEST([1, 2, 3]) AS j) js
+          WHERE js.j <= docs.d % 4),
+        cand0 AS (SELECT d, CAST(1.0 AS DOUBLE) AS pri FROM docs
+                  WHERE d < {n_seeds}),
+        seen0 AS (SELECT d FROM docs WHERE 1 = 0),
+        pend0 AS (SELECT d, CAST(0 AS DOUBLE) AS pri FROM docs
+                  WHERE 1 = 0)"""]
+    for r in range(rounds):
+        ctes.append(f"""
+        adm{r} AS MATERIALIZED (
+          SELECT c.d, c.pri FROM cand{r} c
+          WHERE c.d NOT IN (SELECT d FROM seen{r})),
+        pool{r} AS MATERIALIZED (
+          SELECT d, pri FROM pend{r}
+          UNION ALL SELECT d, pri FROM adm{r}),
+        sel{r} AS MATERIALIZED (
+          SELECT p.d, p.pri, u.surt, u.url, u.host,
+                 row_number() OVER (PARTITION BY u.host
+                                    ORDER BY p.pri DESC, u.surt) AS hrn
+          FROM pool{r} p JOIN u USING (d)),
+        ord{r} AS MATERIALIZED (
+          SELECT {r} AS round,
+                 row_number() OVER (ORDER BY pri DESC, surt) AS pos,
+                 url, host
+          FROM sel{r} WHERE hrn <= {host_budget}),
+        pend{r + 1} AS MATERIALIZED (
+          SELECT d, pri FROM sel{r} WHERE hrn > {host_budget}),
+        seen{r + 1} AS MATERIALIZED (
+          SELECT d FROM seen{r} UNION ALL SELECT d FROM adm{r}),
+        contrib{r} AS MATERIALIZED (
+          SELECT lk.d,
+                 CAST((s.pri * 0.85 / lk.n_links) * {Q} AS HUGEINT)
+                   AS q
+          FROM (SELECT d, pri FROM sel{r}
+                WHERE hrn <= {host_budget}) s
+          JOIN lk ON lk.src = s.d),
+        cand{r + 1} AS MATERIALIZED (
+          SELECT d, CAST(SUM(q) AS DOUBLE) / {Q} AS pri
+          FROM contrib{r} GROUP BY d)""")
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM ord{r}" for r in range(rounds))
+    return ("WITH " + ",".join(ctes)
+            + f" SELECT round, pos, url, host FROM ({unions}) "
+            "ORDER BY round, pos")
 
 
 def _script_sql() -> str:
@@ -9955,10 +10068,14 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS blocked
             FROM u ORDER BY doc_id
         """,
-        # extract_text_verify / crawl_order are not SQL-expressible
-        # (stateful crawl, codec) -> rows-only checks. jaccard_pairs is
-        # the hard-oracled EXACT companion to minhash_pairs.
+        # jaccard_pairs is the hard-oracled EXACT companion to
+        # minhash_pairs.
     }
+    # crawl_order: previously the last rows-only entry — flipped hard
+    # via the generated per-round CTE chain (the BPE precedent):
+    # exact-set admission + per-host top-4 politeness + bit-exact OPIC
+    # fsum replay through 2^60-scaled HUGEINT sums
+    out["crawl_order"] = _crawl_order_sql()
     # lsh_eval composes the two standing pair oracles verbatim (CTE
     # wrapping keeps them in lockstep with any future change), so the
     # recall/precision counts are derived, not re-specified

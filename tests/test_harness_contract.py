@@ -22,10 +22,11 @@ def test_registry_consistency():
     o = mod.oracle_sql()
     # every oracle belongs to a registered query
     assert set(o) <= set(q), sorted(set(o) - set(q))
-    # the rows-only set is exactly the documented one: crawl_order
-    # (stateful frontier ordering); the BPE pair flipped to hard
-    # oracles via the generated merge-round CTE chain (round 4)
-    assert sorted(set(q) - set(o)) == ["crawl_order"]
+    # every registry entry is hard-oracled: the BPE pair flipped in
+    # round 4 (generated merge-round CTE chain) and crawl_order in
+    # round 5 (unrolled per-round crawl CTE chain) — no rows-only
+    # entries remain
+    assert sorted(set(q) - set(o)) == []
     # every query is callable, every oracle a non-empty SQL string
     assert all(callable(f) for f in q.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper()
