@@ -3146,6 +3146,77 @@ def _crawl_order(sf_dir: str):
         .astype({"round": "int64", "pos": "int64"})
 
 
+def _lpa_communities(sf_dir: str):
+    """Synchronous label-propagation communities over the undirected
+    wcc edge sample (ops/graph.label_propagation, 4 fixed rounds,
+    neighbor-majority + self-vote, ties by smallest label): the
+    community detector NEXT TO the modularity judge — deterministic by
+    construction, replayed round-for-round by the generated unrolled
+    CTE chain."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from warcio_ray.ops.graph import label_propagation
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    def sample(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (batch["src"] % 10 < 3) & (batch["src"] != batch["dst"])
+        return batch.loc[keep, ["src", "dst"]]
+
+    edges = edge_urls.map_batches(to_ids, batch_format="pyarrow") \
+        .map_batches(sample, batch_format="pandas")
+    out = label_propagation(edges, rounds=4).to_pandas()
+    return out.sort_values("node").reset_index(drop=True) \
+        .astype({"node": "int64", "community": "int64"})
+
+
+def _hyperball_counts(sf_dir: str):
+    """HyperBall neighborhood function N(t) for t = 0..3 over the
+    undirected wcc edge sample (ops/sketch.hyperball, b=4): per-node
+    HLL ball counters grown by register-max merges, per-node estimates
+    quantized at 2^20 then summed exactly — the how-far-is-everything
+    curve of the webgraph without an all-pairs BFS."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from warcio_ray.ops.sketch import hyperball
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    def sample(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (batch["src"] % 10 < 3) & (batch["src"] != batch["dst"])
+        return batch.loc[keep, ["src", "dst"]]
+
+    edges = edge_urls.map_batches(to_ids, batch_format="pyarrow") \
+        .map_batches(sample, batch_format="pandas")
+    return hyperball(edges, rounds=3, b=4)
+
+
 def _warc_fixture_paths(sf_dir: str):
     """pages -> cached per-sf WARC shards (one response record per
     document); shared by the warc_rec_types and cdxj_index queries."""
@@ -5534,6 +5605,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wat_export": _wat_export,
         "readability": _readability,
         "token_stats": _token_stats,
+        # round-5 additions (tail: next round's stamp window picks
+        # them up)
+        "lpa_communities": _lpa_communities,
+        "hyperball_counts": _hyperball_counts,
     }
     out = {k: base[k] for k in ROUND5_FIRST50}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -6037,6 +6112,119 @@ def _textrank_sql(k: int = 20, iters: int = 5, window: int = 2) -> str:
     return ("WITH " + ",".join(ctes) + f"""
         SELECT w AS term, CAST(r AS BIGINT) AS rank_q
         FROM r{iters} ORDER BY r DESC, w ASC LIMIT {k}""")
+
+
+def _lpa_sql(rounds: int = 4) -> str:
+    """Unrolled sync label-propagation replay: the wcc edge-sample CTE,
+    undirected distinct pairs, then per round neighbor votes + one
+    self-vote, argmax by (count DESC, label ASC) — all integer."""
+    ctes = ["""
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        edges0 AS (
+          SELECT doc_id AS src,
+                 ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn))
+                   AS dst
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE j < doc_id % 4),
+        e AS (SELECT src, dst FROM edges0
+              WHERE src % 10 < 3 AND src <> dst),
+        p AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS lo,
+                          GREATEST(src, dst) AS hi FROM e),
+        und AS MATERIALIZED (
+          SELECT lo AS a, hi AS b FROM p
+          UNION ALL SELECT hi, lo FROM p),
+        lab0 AS (
+          SELECT node, node AS lab FROM (
+            SELECT DISTINCT a AS node FROM und))"""]
+    for r in range(rounds):
+        ctes.append(f"""
+        votes{r} AS (
+          SELECT u.a AS node, l.lab FROM und u
+          JOIN lab{r} l ON l.node = u.b
+          UNION ALL SELECT node, lab FROM lab{r}),
+        cnt{r} AS (
+          SELECT node, lab, COUNT(*) AS c FROM votes{r}
+          GROUP BY node, lab),
+        lab{r + 1} AS MATERIALIZED (
+          SELECT node, lab FROM (
+            SELECT node, lab, row_number() OVER (
+              PARTITION BY node ORDER BY c DESC, lab) AS rn
+            FROM cnt{r}) WHERE rn = 1)""")
+    return ("WITH " + ",".join(ctes)
+            + f""" SELECT node, CAST(lab AS BIGINT) AS community
+            FROM lab{rounds} ORDER BY node""")
+
+
+def _hyperball_sql(rounds: int = 3) -> str:
+    """Unrolled HyperBall replay (b=4, m=16): md5 node registers in
+    the repo's HLL convention, per-round register-max growth over the
+    undirected wcc sample, per-node estimate via the exact-HUGEINT
+    harmonic denominator + libm-ln linear counting, quantized at 2^20
+    before the exact corpus sum."""
+    ctes = ["""
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        edges0 AS (
+          SELECT doc_id AS src,
+                 ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn))
+                   AS dst
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE j < doc_id % 4),
+        e AS (SELECT src, dst FROM edges0
+              WHERE src % 10 < 3 AND src <> dst),
+        p AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS lo,
+                          GREATEST(src, dst) AS hi FROM e),
+        und AS MATERIALIZED (
+          SELECT lo AS a, hi AS b FROM p
+          UNION ALL SELECT hi, lo FROM p),
+        hv AS (
+          SELECT node, CAST(('0x' || substr(
+                   md5(CAST(node AS VARCHAR)), 1, 16)) AS UBIGINT) AS h
+          FROM (SELECT DISTINCT a AS node FROM und)),
+        reg0 AS MATERIALIZED (
+          SELECT node, CAST(h >> 60 AS BIGINT) AS bucket,
+                 CASE WHEN (h & 1152921504606846975::UBIGINT)
+                           = 0::UBIGINT THEN 61
+                      ELSE 60 - length(bin(
+                          h & 1152921504606846975::UBIGINT)) + 1
+                 END AS rho
+          FROM hv)"""]
+    ests = []
+    for r in range(rounds + 1):
+        if r > 0:
+            ctes.append(f"""
+        reg{r} AS MATERIALIZED (
+          SELECT node, bucket, MAX(rho) AS rho FROM (
+            SELECT node, bucket, rho FROM reg{r - 1}
+            UNION ALL
+            SELECT u.a AS node, g.bucket, g.rho
+            FROM und u JOIN reg{r - 1} g ON g.node = u.b)
+          GROUP BY node, bucket)""")
+        ctes.append(f"""
+        agg{r} AS (
+          SELECT node,
+                 SUM(1::HUGEINT << (64 - rho))
+                   + (16 - COUNT(*)) * (1::HUGEINT << 64) AS denom,
+                 16 - COUNT(*) AS zeros
+          FROM reg{r} GROUP BY node),
+        est{r} AS (
+          SELECT node, zeros,
+                 0.673 * 16.0 * 16.0 * 18446744073709551616.0
+                   / CAST(denom AS DOUBLE) AS raw
+          FROM agg{r}),
+        n{r} AS (
+          SELECT {r} AS t, SUM(CAST(floor(
+            (CASE WHEN raw <= 40.0 AND zeros > 0
+                  THEN 16.0 * ln(16.0 / zeros) ELSE raw END)
+            * 1048576.0 + 0.5) AS BIGINT)) AS sum_ball_q
+          FROM est{r})""")
+        ests.append(f"SELECT * FROM n{r}")
+    return ("WITH " + ",".join(ctes)
+            + " SELECT t, CAST(sum_ball_q AS BIGINT) AS sum_ball_q "
+            "FROM (" + " UNION ALL ".join(ests) + ") ORDER BY t")
 
 
 def _crawl_order_sql(rounds: int = 3, n_seeds: int = 16,
@@ -10076,6 +10264,12 @@ def oracle_sql() -> dict[str, str]:
     # exact-set admission + per-host top-4 politeness + bit-exact OPIC
     # fsum replay through 2^60-scaled HUGEINT sums
     out["crawl_order"] = _crawl_order_sql()
+    # lpa_communities: generated unrolled sync-LPA rounds (neighbor
+    # votes + self-vote, integer argmax) over the wcc edge sample
+    out["lpa_communities"] = _lpa_sql()
+    # hyperball_counts: generated unrolled HyperBall rounds (register
+    # maxes + exact-HUGEINT harmonic estimate, quantized corpus sum)
+    out["hyperball_counts"] = _hyperball_sql()
     # lsh_eval composes the two standing pair oracles verbatim (CTE
     # wrapping keeps them in lockstep with any future change), so the
     # recall/precision counts are derived, not re-specified

@@ -7818,3 +7818,84 @@ def test_bowtie_decomposition(ray_session):
         got = dict(zip(out["region"], out["n_nodes"]))
         assert got == {"core": 3, "in": 2, "out": 2, "other": 2}, \
             nparts
+
+
+def test_label_propagation_two_triangles(ray_session):
+    """Sync LPA with self-vote: two triangles joined by one bridge
+    resolve to their own min-id communities by round 3 and stay there;
+    partitioning-invariant; direction/duplicate edges fold away."""
+    import ray.data
+
+    from warcio_ray.ops.graph import label_propagation
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4),
+             (2, 1), (4, 3)]  # reversed duplicates must not double-vote
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    want = {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = label_propagation(ds, rounds=4).to_pandas()
+        got = dict(zip(out["node"].astype(int),
+                       out["community"].astype(int)))
+        assert got == want, nparts
+
+
+def test_hyperball_matches_inprocess_reference(ray_session):
+    """Distributed HyperBall == a plain in-process BFS + HLL replay on
+    a small graph (per-node balls computed exactly, registers by the
+    same md5 convention), across partitionings; N(t) is nondecreasing
+    and saturates at the component closure."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import ray.data
+
+    from warcio_ray.ops.sketch import (
+        hll_estimate_from_registers,
+        hyperball,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5),      # path
+             (10, 11), (11, 12), (12, 10),        # triangle
+             (2, 1)]                              # reversed dup
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    und = {tuple(sorted(e)) for e in edges}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+
+    b = 4
+    m, shift = 1 << b, 64 - b
+
+    def reg_of(node):
+        h = int(hashlib.md5(str(node).encode()).hexdigest()[:16], 16)
+        w = h & ((1 << shift) - 1)
+        return h >> shift, shift - w.bit_length() + 1
+
+    def expect(rounds):
+        balls = {u: {u} for u in nodes}
+        out = []
+        for t in range(rounds + 1):
+            total = 0
+            for u in nodes:
+                regs = np.zeros(m, dtype=np.int64)
+                for v in balls[u]:
+                    bk, rho = reg_of(v)
+                    regs[bk] = max(regs[bk], rho)
+                est = hll_estimate_from_registers(regs, b)
+                total += int(math.floor(est * (1 << 20) + 0.5))
+            out.append((t, total))
+            balls = {u: balls[u] | set().union(
+                *(balls[v] for v in adj[u])) for u in nodes}
+        return out
+
+    want = expect(3)
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        got = hyperball(ds, rounds=3, b=4)
+        assert list(map(tuple, got.to_numpy())) == want, nparts
+    sums = [q for _t, q in want]
+    assert sums == sorted(sums)              # balls only grow

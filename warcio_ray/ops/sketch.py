@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["hll_distinct", "hll_estimate_from_registers",
-           "count_min_probe", "misra_gries_heavy"]
+           "count_min_probe", "misra_gries_heavy", "hyperball"]
 
 # per-worker-process token hash memo, keyed by precision b
 _hash_memo: dict = {}
@@ -547,3 +547,129 @@ def misra_gries_grouped(ds, group_col: str, text_col: str = "text",
     return pd.DataFrame(keep, columns=[group_col, "term", "n_occ"]) \
         .sort_values([group_col, "term"]).reset_index(drop=True) \
         .astype({"n_occ": "int64"})
+
+
+def hyperball(edges_ds, rounds: int = 3, b: int = 4,
+              scale: int = 1 << 20, num_partitions=None) -> pd.DataFrame:
+    """HyperBall neighborhood function (Boldi & Vigna 2013, "In-Core
+    Computation of Geometric Centralities with HyperBall"): one HLL
+    counter per node, grown one hop per round by register-max merges
+    over the undirected neighborhood — THE web-graph way to estimate
+    how many pages sit within t clicks without any all-pairs BFS.
+    N(t) = sum over nodes of the estimated ball size |B_t(u)|.
+
+    Determinism contract: registers use the repo's md5 HLL convention
+    (``hll_distinct``: bucket = top b bits, rho over the low 64-b
+    bits), the per-node estimate is ``hll_estimate_from_registers``
+    (exact-integer harmonic denominator; libm-ln linear-counting
+    branch per the repo's ln precedent), and each per-node estimate
+    quantizes to ``floor(est * scale + 0.5)`` BEFORE the corpus sum —
+    so N(t) is an exact int64, partitioning-invariant, and the SQL
+    oracle replays it round for round.
+
+    Scale shape: register state is a (node, bucket, rho) Dataset
+    (<= m rows per node, m = 2^b = 16 by default); each round is ONE
+    edges⋈registers hash join + ONE (node, bucket) groupby-max (the
+    pagerank join-path idiom — no node-sized driver state); each
+    measurement is ONE key-hash partition sweep emitting a single
+    exact partial sum per partition. Register rows, not payloads,
+    are all that ever shuffles.
+
+    Returns a DataFrame (t, sum_ball_q) for t = 0..rounds."""
+    import hashlib
+    import math
+
+    import ray
+    from ray.data.aggregate import Count, Max
+
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join
+
+    if num_partitions is None:
+        num_partitions = min(
+            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    m = 1 << b
+    shift = 64 - b
+    wmask = (1 << shift) - 1
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch[["src", "dst"]].dropna().astype("int64")
+        df = df[df["src"] != df["dst"]]
+        out = pd.DataFrame({"lo": np.minimum(df["src"], df["dst"]),
+                            "hi": np.maximum(df["src"], df["dst"])})
+        return out.drop_duplicates()
+
+    und = arrow_blocks(edges_ds.map_batches(fold, batch_format="pandas")) \
+        .groupby(["lo", "hi"]).aggregate(Count(alias_name="_c")) \
+        .drop_columns(["_c"]).materialize()
+
+    def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
+        lo = batch["lo"].to_numpy(dtype="int64")
+        hi = batch["hi"].to_numpy(dtype="int64")
+        return pd.DataFrame({"a": np.concatenate([lo, hi]),
+                             "b": np.concatenate([hi, lo])})
+
+    dir_edges = und.map_batches(both_dirs,
+                                batch_format="pandas").materialize()
+
+    def init_regs(batch: pd.DataFrame) -> pd.DataFrame:
+        lo = batch["lo"].to_numpy(dtype="int64")
+        hi = batch["hi"].to_numpy(dtype="int64")
+        nodes = np.unique(np.concatenate([lo, hi]))
+        bks = np.empty(len(nodes), dtype="int64")
+        rhs = np.empty(len(nodes), dtype="int64")
+        for i, node in enumerate(nodes):
+            h = int(hashlib.md5(str(int(node)).encode()).hexdigest()[:16],
+                    16)
+            w = h & wmask
+            bks[i] = h >> shift
+            rhs[i] = shift - w.bit_length() + 1
+        return pd.DataFrame({"node": nodes, "bucket": bks, "rho": rhs})
+
+    regs = arrow_blocks(und.map_batches(init_regs,
+                                        batch_format="pandas")) \
+        .groupby(["node", "bucket"]).aggregate(Max("rho",
+                                                   alias_name="rho")) \
+        .materialize()
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        h = batch["node"].to_numpy().astype(np.uint64, copy=False)
+        batch["_part"] = (h % np.uint64(num_partitions)).astype("int32")
+        return batch
+
+    def est_sweep(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop(columns=["_part"])
+        total = 0
+        for _node, grp in part.groupby("node", sort=False):
+            dense = np.zeros(m, dtype=np.int64)
+            dense[grp["bucket"].to_numpy(dtype="int64")] = \
+                grp["rho"].to_numpy(dtype="int64")
+            est = hll_estimate_from_registers(dense, b)
+            total += int(math.floor(est * scale + 0.5))
+        return pd.DataFrame({"q": np.array([total], dtype="int64")})
+
+    def measure(cur) -> int:
+        parts = cur.map_batches(add_part, batch_format="pandas") \
+            .groupby("_part") \
+            .map_groups(est_sweep, batch_format="pandas").to_pandas()
+        return int(parts["q"].sum())
+
+    out_rows = [(0, measure(regs))]
+    for t in range(1, rounds + 1):
+        j = safe_join(dir_edges, regs, "inner", num_partitions,
+                      ("b",), right_on=("node",))
+
+        def nbr_regs(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": batch["a"].to_numpy(dtype="int64"),
+                "bucket": batch["bucket"].to_numpy(dtype="int64"),
+                "rho": batch["rho"].to_numpy(dtype="int64")})
+
+        regs = arrow_blocks(
+            regs.union(j.map_batches(nbr_regs, batch_format="pandas"))) \
+            .groupby(["node", "bucket"]) \
+            .aggregate(Max("rho", alias_name="rho")).materialize()
+        out_rows.append((t, measure(regs)))
+
+    return pd.DataFrame(out_rows, columns=["t", "sum_ball_q"]) \
+        .astype("int64")
