@@ -549,7 +549,9 @@ def run_bench() -> dict:
                            ("jenks_lengths", "op_jenks_s"),
                            ("frontcode_gain", "op_frontcode_s"),
                            ("media_patches", "op_patches_s"),
-                           ("host_folds", "op_kfold_s")):
+                           ("host_folds", "op_kfold_s"),
+                           ("lpa_communities", "op_lpa_s"),
+                           ("hyperball_counts", "op_hyperball_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \
