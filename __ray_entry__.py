@@ -3217,6 +3217,40 @@ def _hyperball_counts(sf_dir: str):
     return hyperball(edges, rounds=3, b=4)
 
 
+def _harmonic_top20(sf_dir: str):
+    """Top-20 harmonic-centrality pages of the undirected wcc edge
+    sample via HyperBall (ops/sketch.hyperball_harmonic, 3 rounds,
+    b=4): reachable pages weighted 1/distance, exact-integer H_num =
+    lcm(1..3) * scale * H so the ranking is bit-stable and
+    SQL-replayable."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from warcio_ray.ops.sketch import hyperball_harmonic
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    def sample(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (batch["src"] % 10 < 3) & (batch["src"] != batch["dst"])
+        return batch.loc[keep, ["src", "dst"]]
+
+    edges = edge_urls.map_batches(to_ids, batch_format="pyarrow") \
+        .map_batches(sample, batch_format="pandas")
+    return hyperball_harmonic(edges, rounds=3, b=4, k=20)
+
+
 def _warc_fixture_paths(sf_dir: str):
     """pages -> cached per-sf WARC shards (one response record per
     document); shared by the warc_rec_types and cdxj_index queries."""
@@ -5609,6 +5643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # them up)
         "lpa_communities": _lpa_communities,
         "hyperball_counts": _hyperball_counts,
+        "harmonic_top20": _harmonic_top20,
     }
     out = {k: base[k] for k in ROUND5_FIRST50}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -6225,6 +6260,81 @@ def _hyperball_sql(rounds: int = 3) -> str:
     return ("WITH " + ",".join(ctes)
             + " SELECT t, CAST(sum_ball_q AS BIGINT) AS sum_ball_q "
             "FROM (" + " UNION ALL ".join(ests) + ") ORDER BY t")
+
+
+def _hyperball_harmonic_sql(rounds: int = 3, k: int = 20) -> str:
+    """Unrolled HyperBall harmonic-centrality replay: the same
+    register chain as _hyperball_sql, but per-node quantized ball
+    estimates q_r combined with the exact telescoped integer
+    coefficients (L = lcm(1..rounds)) into H_num, top-k by
+    (H_num DESC, node)."""
+    import math
+
+    L = math.lcm(*range(1, rounds + 1))
+    coefs = {0: -(L // 1)}
+    for t in range(1, rounds + 1):
+        coefs[t] = (L // t) - (L // (t + 1) if t < rounds else 0)
+    ctes = ["""
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        edges0 AS (
+          SELECT doc_id AS src,
+                 ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn))
+                   AS dst
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE j < doc_id % 4),
+        e AS (SELECT src, dst FROM edges0
+              WHERE src % 10 < 3 AND src <> dst),
+        p AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS lo,
+                          GREATEST(src, dst) AS hi FROM e),
+        und AS MATERIALIZED (
+          SELECT lo AS a, hi AS b FROM p
+          UNION ALL SELECT hi, lo FROM p),
+        hv AS (
+          SELECT node, CAST(('0x' || substr(
+                   md5(CAST(node AS VARCHAR)), 1, 16)) AS UBIGINT) AS h
+          FROM (SELECT DISTINCT a AS node FROM und)),
+        reg0 AS MATERIALIZED (
+          SELECT node, CAST(h >> 60 AS BIGINT) AS bucket,
+                 CASE WHEN (h & 1152921504606846975::UBIGINT)
+                           = 0::UBIGINT THEN 61
+                      ELSE 60 - length(bin(
+                          h & 1152921504606846975::UBIGINT)) + 1
+                 END AS rho
+          FROM hv)"""]
+    qs = []
+    for r in range(rounds + 1):
+        if r > 0:
+            ctes.append(f"""
+        reg{r} AS MATERIALIZED (
+          SELECT node, bucket, MAX(rho) AS rho FROM (
+            SELECT node, bucket, rho FROM reg{r - 1}
+            UNION ALL
+            SELECT u.a AS node, g.bucket, g.rho
+            FROM und u JOIN reg{r - 1} g ON g.node = u.b)
+          GROUP BY node, bucket)""")
+        ctes.append(f"""
+        agg{r} AS (
+          SELECT node,
+                 SUM(1::HUGEINT << (64 - rho))
+                   + (16 - COUNT(*)) * (1::HUGEINT << 64) AS denom,
+                 16 - COUNT(*) AS zeros
+          FROM reg{r} GROUP BY node),
+        q{r} AS (
+          SELECT node, CAST(floor(
+            (CASE WHEN raw <= 40.0 AND zeros > 0
+                  THEN 16.0 * ln(16.0 / zeros) ELSE raw END)
+            * 1048576.0 + 0.5) AS BIGINT) AS q
+          FROM (SELECT node, zeros,
+                       0.673 * 16.0 * 16.0 * 18446744073709551616.0
+                         / CAST(denom AS DOUBLE) AS raw
+                FROM agg{r}))""")
+        qs.append(f"SELECT node, {coefs[r]} * q AS hq FROM q{r}")
+    return ("WITH " + ",".join(ctes)
+            + " SELECT node, CAST(SUM(hq) AS BIGINT) AS h_num FROM ("
+            + " UNION ALL ".join(qs)
+            + f") GROUP BY node ORDER BY h_num DESC, node LIMIT {k}")
 
 
 def _crawl_order_sql(rounds: int = 3, n_seeds: int = 16,
@@ -10270,6 +10380,9 @@ def oracle_sql() -> dict[str, str]:
     # hyperball_counts: generated unrolled HyperBall rounds (register
     # maxes + exact-HUGEINT harmonic estimate, quantized corpus sum)
     out["hyperball_counts"] = _hyperball_sql()
+    # harmonic_top20: same register chain, per-node quantized ball
+    # estimates folded with exact lcm-scaled 1/t coefficients
+    out["harmonic_top20"] = _hyperball_harmonic_sql()
     # lsh_eval composes the two standing pair oracles verbatim (CTE
     # wrapping keeps them in lockstep with any future change), so the
     # recall/precision counts are derived, not re-specified

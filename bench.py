@@ -551,7 +551,8 @@ def run_bench() -> dict:
                            ("media_patches", "op_patches_s"),
                            ("host_folds", "op_kfold_s"),
                            ("lpa_communities", "op_lpa_s"),
-                           ("hyperball_counts", "op_hyperball_s")):
+                           ("hyperball_counts", "op_hyperball_s"),
+                           ("harmonic_top20", "op_harmonic_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \

@@ -7899,3 +7899,54 @@ def test_hyperball_matches_inprocess_reference(ray_session):
         assert list(map(tuple, got.to_numpy())) == want, nparts
     sums = [q for _t, q in want]
     assert sums == sorted(sums)              # balls only grow
+
+
+def test_hyperball_harmonic_matches_inprocess(ray_session):
+    """Harmonic centrality via HyperBall == the in-process BFS + HLL +
+    lcm-coefficient replay; triangle nodes outrank path endpoints."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import ray.data
+
+    from warcio_ray.ops.sketch import (
+        hll_estimate_from_registers,
+        hyperball_harmonic,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5),
+             (10, 11), (11, 12), (12, 10)]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    bbits, m, shift = 4, 16, 60
+    L = math.lcm(1, 2, 3)
+    coefs = {0: -L, 1: L - L // 2, 2: L // 2 - L // 3, 3: L // 3}
+
+    def q_of(ball):
+        regs = np.zeros(m, dtype=np.int64)
+        for v in ball:
+            h = int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16)
+            w = h & ((1 << shift) - 1)
+            bk, rho = h >> shift, shift - w.bit_length() + 1
+            regs[bk] = max(regs[bk], rho)
+        est = hll_estimate_from_registers(regs, bbits)
+        return int(math.floor(est * (1 << 20) + 0.5))
+
+    balls = {u: {u} for u in nodes}
+    hnum = {u: 0 for u in nodes}
+    for t in range(4):
+        for u in nodes:
+            hnum[u] += coefs[t] * q_of(balls[u])
+        balls = {u: balls[u] | set().union(
+            *(balls[v] for v in adj[u])) for u in nodes}
+    want = sorted(hnum.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        got = hyperball_harmonic(ds, rounds=3, b=4, k=20)
+        assert list(map(tuple, got.to_numpy())) == want, nparts

@@ -27,7 +27,8 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["hll_distinct", "hll_estimate_from_registers",
-           "count_min_probe", "misra_gries_heavy", "hyperball"]
+           "count_min_probe", "misra_gries_heavy", "hyperball",
+           "hyperball_harmonic"]
 
 # per-worker-process token hash memo, keyed by precision b
 _hash_memo: dict = {}
@@ -549,45 +550,20 @@ def misra_gries_grouped(ds, group_col: str, text_col: str = "text",
         .astype({"n_occ": "int64"})
 
 
-def hyperball(edges_ds, rounds: int = 3, b: int = 4,
-              scale: int = 1 << 20, num_partitions=None) -> pd.DataFrame:
-    """HyperBall neighborhood function (Boldi & Vigna 2013, "In-Core
-    Computation of Geometric Centralities with HyperBall"): one HLL
-    counter per node, grown one hop per round by register-max merges
-    over the undirected neighborhood — THE web-graph way to estimate
-    how many pages sit within t clicks without any all-pairs BFS.
-    N(t) = sum over nodes of the estimated ball size |B_t(u)|.
-
-    Determinism contract: registers use the repo's md5 HLL convention
-    (``hll_distinct``: bucket = top b bits, rho over the low 64-b
-    bits), the per-node estimate is ``hll_estimate_from_registers``
-    (exact-integer harmonic denominator; libm-ln linear-counting
-    branch per the repo's ln precedent), and each per-node estimate
-    quantizes to ``floor(est * scale + 0.5)`` BEFORE the corpus sum —
-    so N(t) is an exact int64, partitioning-invariant, and the SQL
-    oracle replays it round for round.
-
-    Scale shape: register state is a (node, bucket, rho) Dataset
-    (<= m rows per node, m = 2^b = 16 by default); each round is ONE
-    edges⋈registers hash join + ONE (node, bucket) groupby-max (the
-    pagerank join-path idiom — no node-sized driver state); each
-    measurement is ONE key-hash partition sweep emitting a single
-    exact partial sum per partition. Register rows, not payloads,
-    are all that ever shuffles.
-
-    Returns a DataFrame (t, sum_ball_q) for t = 0..rounds."""
+def _hyperball_machine(edges_ds, b: int, num_partitions: int):
+    """Shared HyperBall state builder: fold the input to distinct
+    undirected pairs, emit both directions, seed one md5 HLL register
+    row per node, and return (dir_edges, regs0, grow, add_part) where
+    ``grow`` advances the counters one hop (edges⋈registers hash join
+    + (node, bucket) groupby-max) and ``add_part`` stamps the key-hash
+    partition column for per-node sweeps."""
     import hashlib
-    import math
 
     import ray
     from ray.data.aggregate import Count, Max
 
     from warcio_ray.ops.blocks import arrow_blocks, safe_join
 
-    if num_partitions is None:
-        num_partitions = min(
-            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
-    m = 1 << b
     shift = 64 - b
     wmask = (1 << shift) - 1
 
@@ -625,8 +601,8 @@ def hyperball(edges_ds, rounds: int = 3, b: int = 4,
             rhs[i] = shift - w.bit_length() + 1
         return pd.DataFrame({"node": nodes, "bucket": bks, "rho": rhs})
 
-    regs = arrow_blocks(und.map_batches(init_regs,
-                                        batch_format="pandas")) \
+    regs0 = arrow_blocks(und.map_batches(init_regs,
+                                         batch_format="pandas")) \
         .groupby(["node", "bucket"]).aggregate(Max("rho",
                                                    alias_name="rho")) \
         .materialize()
@@ -636,6 +612,62 @@ def hyperball(edges_ds, rounds: int = 3, b: int = 4,
         h = batch["node"].to_numpy().astype(np.uint64, copy=False)
         batch["_part"] = (h % np.uint64(num_partitions)).astype("int32")
         return batch
+
+    def grow(regs):
+        j = safe_join(dir_edges, regs, "inner", num_partitions,
+                      ("b",), right_on=("node",))
+
+        def nbr_regs(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": batch["a"].to_numpy(dtype="int64"),
+                "bucket": batch["bucket"].to_numpy(dtype="int64"),
+                "rho": batch["rho"].to_numpy(dtype="int64")})
+
+        return arrow_blocks(
+            regs.union(j.map_batches(nbr_regs, batch_format="pandas"))) \
+            .groupby(["node", "bucket"]) \
+            .aggregate(Max("rho", alias_name="rho")).materialize()
+
+    return dir_edges, regs0, grow, add_part
+
+
+def hyperball(edges_ds, rounds: int = 3, b: int = 4,
+              scale: int = 1 << 20, num_partitions=None) -> pd.DataFrame:
+    """HyperBall neighborhood function (Boldi & Vigna 2013, "In-Core
+    Computation of Geometric Centralities with HyperBall"): one HLL
+    counter per node, grown one hop per round by register-max merges
+    over the undirected neighborhood — THE web-graph way to estimate
+    how many pages sit within t clicks without any all-pairs BFS.
+    N(t) = sum over nodes of the estimated ball size |B_t(u)|.
+
+    Determinism contract: registers use the repo's md5 HLL convention
+    (``hll_distinct``: bucket = top b bits, rho over the low 64-b
+    bits), the per-node estimate is ``hll_estimate_from_registers``
+    (exact-integer harmonic denominator; libm-ln linear-counting
+    branch per the repo's ln precedent), and each per-node estimate
+    quantizes to ``floor(est * scale + 0.5)`` BEFORE the corpus sum —
+    so N(t) is an exact int64, partitioning-invariant, and the SQL
+    oracle replays it round for round.
+
+    Scale shape: register state is a (node, bucket, rho) Dataset
+    (<= m rows per node, m = 2^b = 16 by default); each round is ONE
+    edges⋈registers hash join + ONE (node, bucket) groupby-max (the
+    pagerank join-path idiom — no node-sized driver state); each
+    measurement is ONE key-hash partition sweep emitting a single
+    exact partial sum per partition. Register rows, not payloads,
+    are all that ever shuffles.
+
+    Returns a DataFrame (t, sum_ball_q) for t = 0..rounds."""
+    import math
+
+    import ray
+
+    if num_partitions is None:
+        num_partitions = min(
+            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    m = 1 << b
+    _dir, regs, grow, add_part = _hyperball_machine(edges_ds, b,
+                                                    num_partitions)
 
     def est_sweep(part: pd.DataFrame) -> pd.DataFrame:
         part = part.drop(columns=["_part"])
@@ -656,20 +688,101 @@ def hyperball(edges_ds, rounds: int = 3, b: int = 4,
 
     out_rows = [(0, measure(regs))]
     for t in range(1, rounds + 1):
-        j = safe_join(dir_edges, regs, "inner", num_partitions,
-                      ("b",), right_on=("node",))
-
-        def nbr_regs(batch: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "node": batch["a"].to_numpy(dtype="int64"),
-                "bucket": batch["bucket"].to_numpy(dtype="int64"),
-                "rho": batch["rho"].to_numpy(dtype="int64")})
-
-        regs = arrow_blocks(
-            regs.union(j.map_batches(nbr_regs, batch_format="pandas"))) \
-            .groupby(["node", "bucket"]) \
-            .aggregate(Max("rho", alias_name="rho")).materialize()
+        regs = grow(regs)
         out_rows.append((t, measure(regs)))
 
     return pd.DataFrame(out_rows, columns=["t", "sum_ball_q"]) \
         .astype("int64")
+
+
+def hyperball_harmonic(edges_ds, rounds: int = 3, b: int = 4,
+                       scale: int = 1 << 20, k: int = 20,
+                       num_partitions=None) -> pd.DataFrame:
+    """Harmonic centrality via HyperBall — the paper's actual payload
+    (Boldi & Vigna 2013): H(u) = sum over distances t of
+    (|B_t(u)| - |B_{t-1}(u)|) / t, i.e. every reachable page weighted
+    by 1/distance, estimated from the same per-node HLL counters with
+    NO all-pairs BFS. The top-k central pages are the crawl's natural
+    hub shortlist.
+
+    Exact-integer contract: per-node ball estimates quantize at
+    ``scale`` per round (the hyperball convention); the 1/t weights
+    become EXACT integers by multiplying through with
+    L = lcm(1..rounds), and the telescoped per-round coefficients
+    (coef_t = L/t - L/(t+1), coef_rounds = L/rounds, coef_0 = -L) make
+    H_num(u) = L * H(u) * scale one integer sum per node — bit-stable
+    at any partitioning and replayable by the generated SQL chain.
+
+    Scale shape: identical to ``hyperball`` (register Dataset, one
+    join + one groupby-max per round) plus one per-node quantize sweep
+    per round; the final top-k is a per-partition top-k merge, never a
+    global sort. Returns (node, h_num) — the k highest, ties by node
+    asc."""
+    import math
+
+    import ray
+
+    if num_partitions is None:
+        num_partitions = min(
+            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    m = 1 << b
+    _dir, regs, grow, add_part = _hyperball_machine(edges_ds, b,
+                                                    num_partitions)
+
+    L = math.lcm(*range(1, rounds + 1))
+    # H_num = sum_t coef_t * q_t with w_t = L//t (w_{rounds+1} = 0):
+    # telescoping sum_t>=1 w_t (q_t - q_{t-1})
+    coefs = {0: -(L // 1)}
+    for t in range(1, rounds + 1):
+        coefs[t] = (L // t) - (L // (t + 1) if t < rounds else 0)
+
+    def q_sweep(coef):
+        def sweep(part: pd.DataFrame) -> pd.DataFrame:
+            part = part.drop(columns=["_part"])
+            nodes_out, hq = [], []
+            for node, grp in part.groupby("node", sort=False):
+                dense = np.zeros(m, dtype=np.int64)
+                dense[grp["bucket"].to_numpy(dtype="int64")] = \
+                    grp["rho"].to_numpy(dtype="int64")
+                est = hll_estimate_from_registers(dense, b)
+                nodes_out.append(node)
+                hq.append(coef * int(math.floor(est * scale + 0.5)))
+            return pd.DataFrame({
+                "node": np.array(nodes_out, dtype="int64"),
+                "hq": np.array(hq, dtype="int64")})
+        return sweep
+
+    contribs = []
+    for t in range(rounds + 1):
+        if t > 0:
+            regs = grow(regs)
+        contribs.append(
+            regs.map_batches(add_part, batch_format="pandas")
+            .groupby("_part")
+            .map_groups(q_sweep(coefs[t]), batch_format="pandas")
+            .materialize())
+
+    acc = contribs[0]
+    for c in contribs[1:]:
+        acc = acc.union(c)
+
+    from ray.data.aggregate import Sum
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    h = arrow_blocks(acc).groupby("node") \
+        .aggregate(Sum("hq", alias_name="h_num"))
+
+    def topk_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["h_num", "node"],
+                                ascending=[False, True],
+                                kind="mergesort")
+        return part.head(k)[["node", "h_num"]]
+
+    parts = h.map_batches(add_part, batch_format="pandas") \
+        .groupby("_part") \
+        .map_groups(topk_part, batch_format="pandas").to_pandas()
+    out = parts.sort_values(["h_num", "node"],
+                            ascending=[False, True],
+                            kind="mergesort").head(k)
+    return out.reset_index(drop=True).astype("int64")
