@@ -3251,6 +3251,42 @@ def _harmonic_top20(sf_dir: str):
     return hyperball_harmonic(edges, rounds=3, b=4, k=20)
 
 
+def _landmark_hist(sf_dir: str):
+    """Exact BFS distance histograms from the 4 smallest nodes of the
+    undirected wcc edge sample (ops/graph.landmark_distances, depth
+    <= 6): the pivot-BFS distance distribution next to the HyperBall
+    estimate — all-integer, recursive-CTE replayable."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from warcio_ray.ops.graph import landmark_distances
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    def sample(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (batch["src"] % 10 < 3) & (batch["src"] != batch["dst"])
+        return batch.loc[keep, ["src", "dst"]]
+
+    edges = edge_urls.map_batches(to_ids, batch_format="pyarrow") \
+        .map_batches(sample, batch_format="pandas")
+    out = landmark_distances(edges, n_landmarks=4, max_depth=6) \
+        .to_pandas()
+    return out.sort_values(["landmark", "dist"]) \
+        .reset_index(drop=True).astype("int64")
+
+
 def _warc_fixture_paths(sf_dir: str):
     """pages -> cached per-sf WARC shards (one response record per
     document); shared by the warc_rec_types and cdxj_index queries."""
@@ -5644,6 +5680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_communities": _lpa_communities,
         "hyperball_counts": _hyperball_counts,
         "harmonic_top20": _harmonic_top20,
+        "landmark_hist": _landmark_hist,
     }
     out = {k: base[k] for k in ROUND5_FIRST50}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -10383,6 +10420,37 @@ def oracle_sql() -> dict[str, str]:
     # harmonic_top20: same register chain, per-node quantized ball
     # estimates folded with exact lcm-scaled 1/t coefficients
     out["harmonic_top20"] = _hyperball_harmonic_sql()
+    # landmark_hist: depth-capped recursive distance closure from the
+    # 4 smallest sample nodes (set-dedupe on (landmark, node, dist)
+    # keeps the recursion finite on cycles), MIN(dist) per node = BFS
+    out["landmark_hist"] = """
+        WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+        edges0 AS (
+          SELECT doc_id AS src,
+                 ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn))
+                   AS dst
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE j < doc_id % 4),
+        e AS (SELECT src, dst FROM edges0
+              WHERE src % 10 < 3 AND src <> dst),
+        p AS (SELECT DISTINCT LEAST(src, dst) AS lo,
+                              GREATEST(src, dst) AS hi FROM e),
+        und AS (SELECT lo AS a, hi AS b FROM p
+                UNION ALL SELECT hi, lo FROM p),
+        lm AS (SELECT node FROM (SELECT DISTINCT a AS node FROM und)
+               ORDER BY node LIMIT 4),
+        walk(landmark, node, dist) AS (
+          SELECT node, node, 0 FROM lm
+          UNION
+          SELECT w.landmark, u.a, w.dist + 1
+          FROM walk w JOIN und u ON u.b = w.node
+          WHERE w.dist < 6),
+        best AS (SELECT landmark, node, MIN(dist) AS dist
+                 FROM walk GROUP BY landmark, node)
+        SELECT landmark, dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM best GROUP BY landmark, dist ORDER BY landmark, dist
+    """
     # lsh_eval composes the two standing pair oracles verbatim (CTE
     # wrapping keeps them in lockstep with any future change), so the
     # recall/precision counts are derived, not re-specified

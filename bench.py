@@ -552,7 +552,8 @@ def run_bench() -> dict:
                            ("host_folds", "op_kfold_s"),
                            ("lpa_communities", "op_lpa_s"),
                            ("hyperball_counts", "op_hyperball_s"),
-                           ("harmonic_top20", "op_harmonic_s")):
+                           ("harmonic_top20", "op_harmonic_s"),
+                           ("landmark_hist", "op_landmark_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \

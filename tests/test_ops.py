@@ -7950,3 +7950,25 @@ def test_hyperball_harmonic_matches_inprocess(ray_session):
         ds = ray.data.from_pandas(df).repartition(nparts)
         got = hyperball_harmonic(ds, rounds=3, b=4, k=20)
         assert list(map(tuple, got.to_numpy())) == want, nparts
+
+
+def test_landmark_distances_path_graph(ray_session):
+    """Exact BFS histograms: on a path 0-1-2-3-4 with landmarks {0,1},
+    distances are the textbook offsets, capped at max_depth;
+    partitioning-invariant; early-exhausted frontier terminates."""
+    import ray.data
+
+    from warcio_ray.ops.graph import landmark_distances
+
+    df = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 4]})
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = landmark_distances(ds, n_landmarks=2, max_depth=3) \
+            .to_pandas().sort_values(["landmark", "dist"])
+        got = {(int(r.landmark), int(r.dist)): int(r.n_nodes)
+               for r in out.itertuples()}
+        # landmark 0: dists 0,1,2,3 -> one node each (4 capped at 3)
+        # landmark 1: dists 0..3 -> {1},{0,2},{3},{4}: counts 1,2,1,1
+        assert got == {(0, 0): 1, (0, 1): 1, (0, 2): 1, (0, 3): 1,
+                       (1, 0): 1, (1, 1): 2, (1, 2): 1, (1, 3): 1}, \
+            nparts

@@ -2331,3 +2331,105 @@ def label_propagation(edges_ds, rounds: int = 4,
     return labels.map_batches(
         lambda t: t.rename(columns={"lab": "community"}),
         batch_format="pandas")
+
+
+def landmark_distances(edges_ds, n_landmarks: int = 4,
+                       max_depth: int = 6,
+                       num_partitions: Optional[int] = None):
+    """EXACT BFS distance histograms from a deterministic landmark set
+    — the pivot-based complement to the HyperBall estimate (landmark /
+    pivot BFS is how web-graph studies compute distance distributions
+    when all-pairs is off the table): from each of the ``n_landmarks``
+    smallest node ids, the number of nodes at every hop distance
+    0..``max_depth`` over the undirected simple graph.
+
+    All-integer, hence partitioning-invariant and replayable by a
+    depth-capped recursive-CTE oracle (the robustness_curve closure
+    precedent).
+
+    Scale shape: the frontier table (landmark, node, dist) holds at
+    most n_landmarks x |V| rows; each hop is ONE frontier⋈edges hash
+    join + ONE (landmark, node) groupby-min (first reach wins — BFS
+    order IS the round order), with a map-side min combiner in the
+    join projection. The output fold is a bounded (landmark, dist)
+    count aggregate. No node-sized driver state; the landmark pick is
+    a distributed min-k over the node universe.
+
+    Returns a Dataset (landmark, dist, n_nodes)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join
+
+    if num_partitions is None:
+        num_partitions = _adaptive_partitions()
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch[["src", "dst"]].dropna().astype("int64")
+        df = df[df["src"] != df["dst"]]
+        out = pd.DataFrame({"lo": np.minimum(df["src"], df["dst"]),
+                            "hi": np.maximum(df["src"], df["dst"])})
+        return out.drop_duplicates()
+
+    und = arrow_blocks(edges_ds.map_batches(fold, batch_format="pandas")) \
+        .groupby(["lo", "hi"]).aggregate(Count(alias_name="_c")) \
+        .drop_columns(["_c"]).materialize()
+
+    def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
+        lo = batch["lo"].to_numpy(dtype="int64")
+        hi = batch["hi"].to_numpy(dtype="int64")
+        return pd.DataFrame({"a": np.concatenate([lo, hi]),
+                             "b": np.concatenate([hi, lo])})
+
+    dir_edges = und.map_batches(both_dirs,
+                                batch_format="pandas").materialize()
+
+    # landmark pick: per-batch min-k partials -> driver min-k (k tiny)
+    def node_mins(batch: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(np.concatenate(
+            [batch["lo"].to_numpy(dtype="int64"),
+             batch["hi"].to_numpy(dtype="int64")]))
+        return pd.DataFrame({"node": u[:n_landmarks]})
+
+    cand = und.map_batches(node_mins, batch_format="pandas").to_pandas()
+    landmarks = np.sort(np.unique(
+        cand["node"].to_numpy(dtype="int64")))[:n_landmarks]
+    if len(landmarks) == 0:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"landmark": pd.Series(dtype="int64"),
+             "dist": pd.Series(dtype="int64"),
+             "n_nodes": pd.Series(dtype="int64")}))
+
+    dist = ray.data.from_pandas(pd.DataFrame({
+        "landmark": landmarks,
+        "node": landmarks,
+        "dist": np.zeros(len(landmarks), dtype="int64")})).materialize()
+    frontier = dist  # hop d joins ONLY the nodes first reached at d-1
+
+    for d in range(1, max_depth + 1):
+        j = safe_join(dir_edges, frontier, "inner", num_partitions,
+                      ("b",), right_on=("node",))
+
+        def expand(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "landmark": batch["landmark"].to_numpy(dtype="int64"),
+                "node": batch["a"].to_numpy(dtype="int64"),
+                "dist": batch["dist"].to_numpy(dtype="int64") + 1})
+            # map-side combiner: one proposal per key per batch
+            return out.drop_duplicates(["landmark", "node"])
+
+        cand_ds = j.map_batches(expand, batch_format="pandas")
+        dist = arrow_blocks(dist.union(cand_ds)) \
+            .groupby(["landmark", "node"]) \
+            .aggregate(Min("dist", alias_name="dist")).materialize()
+        # newly settled rows are exactly those whose min dist == d
+        frontier = dist.map_batches(
+            lambda b, _d=d: b[b["dist"] == _d],
+            batch_format="pandas").materialize()
+        if frontier.count() == 0:
+            break
+
+    hist = arrow_blocks(dist).groupby(["landmark", "dist"]) \
+        .aggregate(Count(alias_name="n_nodes"))
+    return hist
