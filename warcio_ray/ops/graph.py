@@ -141,6 +141,18 @@ def _adaptive_partitions() -> int:
     return min(32, max(2, int(ray.cluster_resources().get("CPU", 8))))
 
 
+def _data_partitions(n_rows: int, rows_per_part: int = 25_000) -> int:
+    """Partition count sized to the DATA as well as the CPUs: per-op
+    scheduling latency is paid once per partition per shuffle, so a
+    toy-scale input on a wide session must not fan into 32 near-empty
+    partitions (measured on the sf0.1 LPA sampler: 32 parts 18 s vs
+    8 parts 9.5 s, identical output — these kernels are
+    partitioning-invariant by contract). Scale inputs still get the
+    full CPU width."""
+    return min(_adaptive_partitions(),
+               max(2, n_rows // rows_per_part + 1))
+
+
 def pagerank_ds(edges_ds, nodes_ds, iters: int = 5,
                 damping_pct: int = 85, scale: int = DEFAULT_SCALE,
                 num_partitions: Optional[int] = None,
@@ -2257,8 +2269,7 @@ def label_propagation(edges_ds, rounds: int = 4,
 
     from warcio_ray.ops.blocks import arrow_blocks, safe_join
 
-    if num_partitions is None:
-        num_partitions = _adaptive_partitions()
+    auto_np = num_partitions is None
 
     def fold(batch: pd.DataFrame) -> pd.DataFrame:
         df = batch[["src", "dst"]].dropna().astype("int64")
@@ -2270,6 +2281,8 @@ def label_propagation(edges_ds, rounds: int = 4,
     und = arrow_blocks(edges_ds.map_batches(fold, batch_format="pandas")) \
         .groupby(["lo", "hi"]).aggregate(Count(alias_name="_c")) \
         .drop_columns(["_c"]).materialize()
+    if auto_np:
+        num_partitions = _data_partitions(und.count())
 
     def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
         lo = batch["lo"].to_numpy(dtype="int64")
@@ -2362,8 +2375,7 @@ def landmark_distances(edges_ds, n_landmarks: int = 4,
 
     from warcio_ray.ops.blocks import arrow_blocks, safe_join
 
-    if num_partitions is None:
-        num_partitions = _adaptive_partitions()
+    auto_np = num_partitions is None
 
     def fold(batch: pd.DataFrame) -> pd.DataFrame:
         df = batch[["src", "dst"]].dropna().astype("int64")
@@ -2375,6 +2387,8 @@ def landmark_distances(edges_ds, n_landmarks: int = 4,
     und = arrow_blocks(edges_ds.map_batches(fold, batch_format="pandas")) \
         .groupby(["lo", "hi"]).aggregate(Count(alias_name="_c")) \
         .drop_columns(["_c"]).materialize()
+    if auto_np:
+        num_partitions = _data_partitions(und.count())
 
     def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
         lo = batch["lo"].to_numpy(dtype="int64")

@@ -550,7 +550,7 @@ def misra_gries_grouped(ds, group_col: str, text_col: str = "text",
         .astype({"n_occ": "int64"})
 
 
-def _hyperball_machine(edges_ds, b: int, num_partitions: int):
+def _hyperball_machine(edges_ds, b: int, num_partitions):
     """Shared HyperBall state builder: fold the input to distinct
     undirected pairs, emit both directions, seed one md5 HLL register
     row per node, and return (dir_edges, regs0, grow, add_part) where
@@ -577,6 +577,11 @@ def _hyperball_machine(edges_ds, b: int, num_partitions: int):
     und = arrow_blocks(edges_ds.map_batches(fold, batch_format="pandas")) \
         .groupby(["lo", "hi"]).aggregate(Count(alias_name="_c")) \
         .drop_columns(["_c"]).materialize()
+    if num_partitions is None:
+        # size to data as well as CPUs (ops/graph._data_partitions):
+        # toy inputs must not fan into 32 near-empty partitions
+        from warcio_ray.ops.graph import _data_partitions
+        num_partitions = _data_partitions(und.count())
 
     def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
         lo = batch["lo"].to_numpy(dtype="int64")
@@ -662,9 +667,6 @@ def hyperball(edges_ds, rounds: int = 3, b: int = 4,
 
     import ray
 
-    if num_partitions is None:
-        num_partitions = min(
-            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
     m = 1 << b
     _dir, regs, grow, add_part = _hyperball_machine(edges_ds, b,
                                                     num_partitions)
@@ -722,9 +724,6 @@ def hyperball_harmonic(edges_ds, rounds: int = 3, b: int = 4,
 
     import ray
 
-    if num_partitions is None:
-        num_partitions = min(
-            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
     m = 1 << b
     _dir, regs, grow, add_part = _hyperball_machine(edges_ds, b,
                                                     num_partitions)
