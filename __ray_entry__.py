@@ -3287,6 +3287,40 @@ def _landmark_hist(sf_dir: str):
         .reset_index(drop=True).astype("int64")
 
 
+def _effective_diameter(sf_dir: str):
+    """90% effective diameter of the undirected wcc edge sample from
+    the HyperBall curve (ops/sketch.effective_diameter): the
+    interpolated click-distance at which 90% of the final-round
+    reachable mass is covered, kept as the exact integer pair
+    (d_num, d_den) plus the rounded float."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from warcio_ray.ops.sketch import effective_diameter
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    def sample(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (batch["src"] % 10 < 3) & (batch["src"] != batch["dst"])
+        return batch.loc[keep, ["src", "dst"]]
+
+    edges = edge_urls.map_batches(to_ids, batch_format="pyarrow") \
+        .map_batches(sample, batch_format="pandas")
+    return effective_diameter(edges, rounds=3, b=4, pct=90)
+
+
 def _warc_fixture_paths(sf_dir: str):
     """pages -> cached per-sf WARC shards (one response record per
     document); shared by the warc_rec_types and cdxj_index queries."""
@@ -5681,6 +5715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperball_counts": _hyperball_counts,
         "harmonic_top20": _harmonic_top20,
         "landmark_hist": _landmark_hist,
+        "effective_diameter": _effective_diameter,
     }
     out = {k: base[k] for k in ROUND5_FIRST50}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -6372,6 +6407,40 @@ def _hyperball_harmonic_sql(rounds: int = 3, k: int = 20) -> str:
             + " SELECT node, CAST(SUM(hq) AS BIGINT) AS h_num FROM ("
             + " UNION ALL ".join(qs)
             + f") GROUP BY node ORDER BY h_num DESC, node LIMIT {k}")
+
+
+def _effective_diameter_sql(rounds: int = 3, pct: int = 90) -> str:
+    """Wrap the generated HyperBall chain and interpolate the pct%
+    crossing as the exact integer pair (d_num, d_den) — the engine's
+    rational arithmetic verbatim."""
+    inner = _hyperball_sql(rounds)
+    return f"""
+        WITH nf AS ({inner}),
+        mx AS (SELECT sum_ball_q AS nmax FROM nf WHERE t = {rounds}),
+        th AS (SELECT MIN(t) AS t_hi FROM nf, mx
+               WHERE 100 * sum_ball_q >= {pct} * nmax),
+        pc AS (SELECT
+                 (SELECT t_hi FROM th) AS t_hi,
+                 (SELECT nmax FROM mx) AS nmax,
+                 (SELECT sum_ball_q FROM nf
+                  WHERE t = (SELECT t_hi FROM th) - 1) AS prev,
+                 (SELECT sum_ball_q FROM nf
+                  WHERE t = (SELECT t_hi FROM th)) AS cur)
+        SELECT CAST(t_hi AS BIGINT) AS t_hi,
+               CAST(CASE WHEN t_hi = 0 THEN 0
+                    ELSE (t_hi - 1) * (100 * (cur - prev))
+                         + ({pct} * nmax - 100 * prev) END AS BIGINT)
+                 AS d_num,
+               CAST(CASE WHEN t_hi = 0 THEN 1
+                    ELSE 100 * (cur - prev) END AS BIGINT) AS d_den,
+               round(CAST(CASE WHEN t_hi = 0 THEN 0
+                    ELSE (t_hi - 1) * (100 * (cur - prev))
+                         + ({pct} * nmax - 100 * prev) END AS DOUBLE)
+                 / CAST(CASE WHEN t_hi = 0 THEN 1
+                        ELSE 100 * (cur - prev) END AS DOUBLE), 6)
+                 AS d_eff
+        FROM pc
+    """
 
 
 def _crawl_order_sql(rounds: int = 3, n_seeds: int = 16,
@@ -10420,6 +10489,9 @@ def oracle_sql() -> dict[str, str]:
     # harmonic_top20: same register chain, per-node quantized ball
     # estimates folded with exact lcm-scaled 1/t coefficients
     out["harmonic_top20"] = _hyperball_harmonic_sql()
+    # effective_diameter: the pct-crossing interpolation over the same
+    # generated HyperBall chain, exact-rational
+    out["effective_diameter"] = _effective_diameter_sql()
     # landmark_hist: depth-capped recursive distance closure from the
     # 4 smallest sample nodes (set-dedupe on (landmark, node, dist)
     # keeps the recursion finite on cycles), MIN(dist) per node = BFS

@@ -7972,3 +7972,26 @@ def test_landmark_distances_path_graph(ray_session):
         assert got == {(0, 0): 1, (0, 1): 1, (0, 2): 1, (0, 3): 1,
                        (1, 0): 1, (1, 1): 2, (1, 2): 1, (1, 3): 1}, \
             nparts
+
+
+def test_effective_diameter_triangle(ray_session):
+    """On a single triangle every ball saturates at t=1, so the 90%
+    crossing interpolates inside (0, 1]: t_hi == 1, d_eff in (0, 1],
+    and the exact rational reproduces the float; partitioning-
+    invariant."""
+    import ray.data
+
+    from warcio_ray.ops.sketch import effective_diameter
+
+    df = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 1]})
+    outs = []
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = effective_diameter(ds, rounds=2, b=4, pct=90)
+        r = out.iloc[0]
+        assert int(r["t_hi"]) == 1
+        assert 0 < float(r["d_eff"]) <= 1
+        assert round(int(r["d_num"]) / int(r["d_den"]), 6) \
+            == float(r["d_eff"])
+        outs.append(tuple(r))
+    assert outs[0] == outs[1]

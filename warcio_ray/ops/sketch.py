@@ -28,7 +28,7 @@ import pandas as pd
 
 __all__ = ["hll_distinct", "hll_estimate_from_registers",
            "count_min_probe", "misra_gries_heavy", "hyperball",
-           "hyperball_harmonic"]
+           "hyperball_harmonic", "effective_diameter"]
 
 # per-worker-process token hash memo, keyed by precision b
 _hash_memo: dict = {}
@@ -785,3 +785,40 @@ def hyperball_harmonic(edges_ds, rounds: int = 3, b: int = 4,
                             ascending=[False, True],
                             kind="mergesort").head(k)
     return out.reset_index(drop=True).astype("int64")
+
+
+def effective_diameter(edges_ds, rounds: int = 3, b: int = 4,
+                       scale: int = 1 << 20, pct: int = 90,
+                       num_partitions=None) -> pd.DataFrame:
+    """Effective diameter from the HyperBall neighborhood function —
+    the famous "how many clicks across the web" scalar (Broder 2000 /
+    Boldi-Vigna): the interpolated distance d at which N(d) reaches
+    ``pct``% of N(rounds), with N(t) the exact quantized HyperBall
+    curve from ``hyperball``.
+
+    Exact-rational interpolation: with t the first round where
+    100*N(t) >= pct*N_max, the fractional part is
+    (pct*N_max - 100*N(t-1)) / (100*(N(t) - N(t-1))) — kept as the
+    integer pair (d_num, d_den) with d_eff = d_num/d_den, so the
+    result is bit-stable and SQL-replayable; the convenience float is
+    round(d_num/d_den, 6). Flat curves (N(t) == N(t-1) at the
+    crossing, only possible when the threshold was already met at
+    t-1) cannot occur by minimality of t.
+
+    Returns ONE row (t_hi, d_num, d_den, d_eff)."""
+    nf = hyperball(edges_ds, rounds=rounds, b=b, scale=scale,
+                   num_partitions=num_partitions)
+    ns = nf["sum_ball_q"].tolist()
+    n_max = int(ns[-1])
+    t_hi = next(t for t, n in enumerate(ns) if 100 * int(n)
+                >= pct * n_max)
+    if t_hi == 0:
+        d_num, d_den = 0, 1
+    else:
+        prev, cur = int(ns[t_hi - 1]), int(ns[t_hi])
+        d_den = 100 * (cur - prev)
+        d_num = (t_hi - 1) * d_den + (pct * n_max - 100 * prev)
+    return pd.DataFrame([{
+        "t_hi": t_hi, "d_num": d_num, "d_den": d_den,
+        "d_eff": round(d_num / d_den, 6)}]) \
+        .astype({"t_hi": "int64", "d_num": "int64", "d_den": "int64"})
