@@ -85,9 +85,7 @@ def test_wav_pcm16_round_trip_and_stereo_fold():
     stereo = np.stack([mono, mono + 10], axis=1).astype(np.int16)
     _, folded = decode_wav(encode_wav_pcm16(stereo, rate=8000,
                                             n_channels=2))
-    want = np.floor_divide(mono.astype(np.int64) * 2 + 10, 2)
-    neg = (mono.astype(np.int64) * 2 + 10) < 0
-    # library folds with truncation toward zero for negatives
+    # the library folds channels with truncation toward zero
     s = mono.astype(np.int64) + (mono.astype(np.int64) + 10)
     want = np.where(s >= 0, s // 2, -((-s) // 2))
     assert (folded == want).all()
