@@ -3321,6 +3321,31 @@ def _effective_diameter(sf_dir: str):
     return effective_diameter(edges, rounds=3, b=4, pct=90)
 
 
+def _k_anonymity_audit(sf_dir: str):
+    """k-anonymity / l-diversity audit over documents with
+    quasi-identifiers (lang, source) and the derived sensitive bucket
+    n_chars % 10 (ops/profile.k_anonymity, k=5, l=2): how many rows a
+    release would re-identify and how many groups leak their
+    sensitive attribute."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.profile import k_anonymity
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source", "n_chars"])
+
+    def sens(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": batch["lang"],
+            "source": batch["source"],
+            "sens": (batch["n_chars"].astype("int64") % 10)})
+
+    return k_anonymity(ds.map_batches(sens, batch_format="pandas"),
+                       ["lang", "source"], sensitive_col="sens",
+                       k=5, l_div=2)
+
+
 def _warc_fixture_paths(sf_dir: str):
     """pages -> cached per-sf WARC shards (one response record per
     document); shared by the warc_rec_types and cdxj_index queries."""
@@ -5716,6 +5741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_top20": _harmonic_top20,
         "landmark_hist": _landmark_hist,
         "effective_diameter": _effective_diameter,
+        "k_anonymity_audit": _k_anonymity_audit,
     }
     out = {k: base[k] for k in ROUND5_FIRST50}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -10492,6 +10518,29 @@ def oracle_sql() -> dict[str, str]:
     # effective_diameter: the pct-crossing interpolation over the same
     # generated HyperBall chain, exact-rational
     out["effective_diameter"] = _effective_diameter_sql()
+    # k_anonymity_audit: group sizes + distinct-sensitive counts by
+    # definition over the same derived sensitive bucket
+    out["k_anonymity_audit"] = """
+        WITH q AS (SELECT lang, source, n_chars % 10 AS sens
+                   FROM documents),
+        per AS (SELECT lang, source, COUNT(*) AS n,
+                       COUNT(DISTINCT sens) AS div
+                FROM q GROUP BY lang, source)
+        SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(MIN(n) AS BIGINT) AS min_group,
+               CAST(5 AS BIGINT) AS k,
+               CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_viol_groups,
+               CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                 AS n_viol_rows,
+               CAST(2 AS BIGINT) AS l,
+               CAST(SUM(CASE WHEN div < 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_lowdiv_groups,
+               CAST(SUM(CASE WHEN div < 2 THEN n ELSE 0 END)
+                 AS BIGINT) AS n_lowdiv_rows
+        FROM per
+    """
     # landmark_hist: depth-capped recursive distance closure from the
     # 4 smallest sample nodes (set-dedupe on (landmark, node, dist)
     # keeps the recursion finite on cycles), MIN(dist) per node = BFS

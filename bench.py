@@ -554,7 +554,8 @@ def run_bench() -> dict:
                            ("hyperball_counts", "op_hyperball_s"),
                            ("harmonic_top20", "op_harmonic_s"),
                            ("landmark_hist", "op_landmark_s"),
-                           ("effective_diameter", "op_effdiam_s")):
+                           ("effective_diameter", "op_effdiam_s"),
+                           ("k_anonymity_audit", "op_kanon_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \

@@ -7995,3 +7995,29 @@ def test_effective_diameter_triangle(ray_session):
             == float(r["d_eff"])
         outs.append(tuple(r))
     assert outs[0] == outs[1]
+
+
+def test_k_anonymity_audit(ray_session):
+    """Hand-built table: group sizes {a:3, b:5, c:1}, sensitive
+    diversity {a:1, b:2, c:1}; k=3/l=2 classifies exactly;
+    partitioning-invariant; no-sensitive mode zeroes diversity."""
+    import ray.data
+
+    from warcio_ray.ops.profile import k_anonymity
+
+    df = pd.DataFrame({
+        "g": ["a"] * 3 + ["b"] * 5 + ["c"],
+        "s": [1, 1, 1, 1, 2, 2, 2, 2, 7]})
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = k_anonymity(ds, ["g"], sensitive_col="s",
+                          k=3, l_div=2).iloc[0]
+        assert (int(out["n_rows"]), int(out["n_groups"]),
+                int(out["min_group"])) == (9, 3, 1)
+        assert (int(out["n_viol_groups"]),
+                int(out["n_viol_rows"])) == (1, 1)     # only c
+        assert (int(out["n_lowdiv_groups"]),
+                int(out["n_lowdiv_rows"])) == (2, 4)   # a and c
+    out = k_anonymity(ray.data.from_pandas(df), ["g"], k=3).iloc[0]
+    assert int(out["n_lowdiv_groups"]) == 0
+    assert int(out["n_viol_rows"]) == 1

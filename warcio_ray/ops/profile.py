@@ -178,3 +178,95 @@ def frontcode_gain(ds, key_col: str) -> pd.DataFrame:
         "n_keys": int(parts["n"].sum()),
         "total_bytes": int(parts["b"].sum()),
         "saved_bytes": saved}]).astype("int64")
+
+
+def k_anonymity(ds, quasi_cols, sensitive_col=None, k: int = 5,
+                l_div: int = 2, num_partitions=None) -> pd.DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    2007) — the governance check a training-data release runs over its
+    quasi-identifier columns: a row is re-identifiable when its
+    quasi-identifier combination is shared by fewer than ``k`` rows,
+    and a group leaks its sensitive attribute when it carries fewer
+    than ``l_div`` distinct sensitive values. Counts both, exactly.
+
+    Shape at scale: per-batch pandas fold collapses each batch to its
+    distinct (quasi..., sensitive) combos with counts; ONE hash
+    aggregate merges the combos; ONE key-hash partition sweep (quasi
+    key) computes per-group size + diversity and emits a single
+    partial stats row per partition; the driver folds a handful of
+    rows. Nothing row-sized leaves the combiner pass.
+
+    Returns ONE row (n_rows, n_groups, min_group, k, n_viol_groups,
+    n_viol_rows, l, n_lowdiv_groups, n_lowdiv_rows); the diversity
+    fields are zero when ``sensitive_col`` is None."""
+    import zlib
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from warcio_ray.ops.blocks import arrow_blocks
+
+    if num_partitions is None:
+        num_partitions = min(
+            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    quasi_cols = list(quasi_cols)
+    combo_cols = quasi_cols + ([sensitive_col] if sensitive_col else [])
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(combo_cols, dropna=False, sort=False,
+                          as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    combos = arrow_blocks(ds.map_batches(fold, batch_format="pandas")) \
+        .groupby(combo_cols).aggregate(Sum("n", alias_name="n"))
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        key = batch[quasi_cols].astype(str).agg("\x1f".join, axis=1)
+        h = np.fromiter((zlib.crc32(s.encode("utf-8")) for s in key),
+                        dtype=np.uint64, count=len(batch))
+        batch["_part"] = (h % np.uint64(num_partitions)).astype("int32")
+        return batch
+
+    def sweep(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop(columns=["_part"])
+        g = part.groupby(quasi_cols, dropna=False, sort=False)
+        sizes = g["n"].sum()
+        viol = sizes < k
+        row = {
+            "n_rows": np.int64(sizes.sum()),
+            "n_groups": np.int64(len(sizes)),
+            "neg_min": np.int64(-sizes.min()) if len(sizes)
+            else np.int64(-(1 << 62)),
+            "n_viol_groups": np.int64(viol.sum()),
+            "n_viol_rows": np.int64(sizes[viol].sum()),
+        }
+        if sensitive_col:
+            divs = g.size()          # one combo row per sensitive value
+            low = divs < l_div
+            row["n_lowdiv_groups"] = np.int64(low.sum())
+            row["n_lowdiv_rows"] = np.int64(sizes[low].sum())
+        else:
+            row["n_lowdiv_groups"] = np.int64(0)
+            row["n_lowdiv_rows"] = np.int64(0)
+        return pd.DataFrame([row])
+
+    parts = combos.map_batches(add_part, batch_format="pandas") \
+        .groupby("_part") \
+        .map_groups(sweep, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame([{
+            "n_rows": 0, "n_groups": 0, "min_group": 0, "k": k,
+            "n_viol_groups": 0, "n_viol_rows": 0, "l": l_div,
+            "n_lowdiv_groups": 0, "n_lowdiv_rows": 0}]).astype("int64")
+    return pd.DataFrame([{
+        "n_rows": int(parts["n_rows"].sum()),
+        "n_groups": int(parts["n_groups"].sum()),
+        "min_group": int(-parts["neg_min"].max()),
+        "k": k,
+        "n_viol_groups": int(parts["n_viol_groups"].sum()),
+        "n_viol_rows": int(parts["n_viol_rows"].sum()),
+        "l": l_div,
+        "n_lowdiv_groups": int(parts["n_lowdiv_groups"].sum()),
+        "n_lowdiv_rows": int(parts["n_lowdiv_rows"].sum()),
+    }]).astype("int64")
