@@ -3346,6 +3346,39 @@ def _k_anonymity_audit(sf_dir: str):
                        k=5, l_div=2)
 
 
+def _rich_club(sf_dir: str):
+    """Rich-club profile of the undirected wcc edge sample
+    (ops/graph.rich_club, thresholds 1/2/4/8): exact-rational
+    phi(d) = 2*E_d / (N_d*(N_d-1)) — do the sampled web's hubs link
+    to each other?"""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from warcio_ray.ops.graph import rich_club
+    from warcio_ray.pages import read_pages
+    from warcio_ray.stages.text import extract_links_stage
+
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    edge_urls = pages.map_batches(extract_links_stage,
+                                  batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            s = pc.cast(batch[col], pa.large_string())
+            ex = pc.extract_regex(s, r"/doc/(?P<id>\d+)$")
+            return pc.cast(pc.struct_field(ex, "id"), pa.int64())
+        return pa.table({"src": ids("src_url"), "dst": ids("dst_url")})
+
+    def sample(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (batch["src"] % 10 < 3) & (batch["src"] != batch["dst"])
+        return batch.loc[keep, ["src", "dst"]]
+
+    edges = edge_urls.map_batches(to_ids, batch_format="pyarrow") \
+        .map_batches(sample, batch_format="pandas")
+    return rich_club(edges, degrees=(1, 2, 4, 8))
+
+
 def _warc_fixture_paths(sf_dir: str):
     """pages -> cached per-sf WARC shards (one response record per
     document); shared by the warc_rec_types and cdxj_index queries."""
@@ -5742,6 +5775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "landmark_hist": _landmark_hist,
         "effective_diameter": _effective_diameter,
         "k_anonymity_audit": _k_anonymity_audit,
+        "rich_club": _rich_club,
     }
     out = {k: base[k] for k in ROUND5_FIRST50}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -10518,6 +10552,46 @@ def oracle_sql() -> dict[str, str]:
     # effective_diameter: the pct-crossing interpolation over the same
     # generated HyperBall chain, exact-rational
     out["effective_diameter"] = _effective_diameter_sql()
+    # rich_club: by-definition degree-threshold profile over the
+    # undirected wcc sample (distinct pairs, degree join, exact pairs
+    # denominator clipped at 1 for empty clubs)
+    out["rich_club"] = """
+        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        edges0 AS (
+          SELECT doc_id AS src,
+                 ((doc_id * 31 + 7 * (j + 1)) % (SELECT n FROM nn))
+                   AS dst
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(3)) AS j) js
+          WHERE j < doc_id % 4),
+        e AS (SELECT src, dst FROM edges0
+              WHERE src % 10 < 3 AND src <> dst),
+        p AS (SELECT DISTINCT LEAST(src, dst) AS lo,
+                              GREATEST(src, dst) AS hi FROM e),
+        deg AS (SELECT node, COUNT(*) AS d FROM (
+                  SELECT lo AS node FROM p
+                  UNION ALL SELECT hi FROM p) GROUP BY node),
+        thr AS (SELECT unnest([1, 2, 4, 8]) AS d),
+        nodes_t AS (
+          SELECT t.d, COUNT(*) AS n_nodes
+          FROM thr t JOIN deg g ON g.d > t.d GROUP BY t.d),
+        edges_t AS (
+          SELECT t.d, COUNT(*) AS n_edges
+          FROM thr t, p
+          JOIN deg gl ON gl.node = p.lo
+          JOIN deg gh ON gh.node = p.hi
+          WHERE gl.d > t.d AND gh.d > t.d GROUP BY t.d)
+        SELECT t.d,
+               CAST(COALESCE(n.n_nodes, 0) AS BIGINT) AS n_nodes,
+               CAST(COALESCE(e2.n_edges, 0) AS BIGINT) AS n_edges,
+               CAST(2 * COALESCE(e2.n_edges, 0) AS BIGINT) AS phi_num,
+               CAST(GREATEST(COALESCE(n.n_nodes, 0)
+                    * (COALESCE(n.n_nodes, 0) - 1), 1) AS BIGINT)
+                 AS phi_den
+        FROM thr t LEFT JOIN nodes_t n ON n.d = t.d
+        LEFT JOIN edges_t e2 ON e2.d = t.d
+        ORDER BY t.d
+    """
     # k_anonymity_audit: group sizes + distinct-sensitive counts by
     # definition over the same derived sensitive bucket
     out["k_anonymity_audit"] = """

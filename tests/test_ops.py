@@ -8021,3 +8021,30 @@ def test_k_anonymity_audit(ray_session):
     out = k_anonymity(ray.data.from_pandas(df), ["g"], k=3).iloc[0]
     assert int(out["n_lowdiv_groups"]) == 0
     assert int(out["n_viol_rows"]) == 1
+
+
+def test_rich_club_star_plus_clique(ray_session):
+    """A 4-clique with pendant leaves: clique nodes have degree > 3
+    only counting leaves; thresholds classify exactly and phi is the
+    exact rational; partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.graph import rich_club
+
+    # K4 on {1,2,3,4}; two leaves on node 1 (deg 5), one on node 2
+    # (deg 4); nodes 3,4 have deg 3; leaves deg 1
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (1, 10), (1, 11), (2, 12)]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = rich_club(ds, degrees=(1, 3, 4))
+        got = {int(r.d): (int(r.n_nodes), int(r.n_edges),
+                          int(r.phi_num), int(r.phi_den))
+               for r in out.itertuples()}
+        # d>1: the 4 clique nodes; all 6 clique edges
+        assert got[1] == (4, 6, 12, 12)
+        # d>3: nodes 1 (deg 5) and 2 (deg 4); edge (1,2)
+        assert got[3] == (2, 1, 2, 2)
+        # d>4: only node 1; zero edges, den clipped to 1
+        assert got[4] == (1, 0, 0, 1)

@@ -2447,3 +2447,94 @@ def landmark_distances(edges_ds, n_landmarks: int = 4,
     hist = arrow_blocks(dist).groupby(["landmark", "dist"]) \
         .aggregate(Count(alias_name="n_nodes"))
     return hist
+
+
+def rich_club(edges_ds, degrees=(1, 2, 4, 8),
+              num_partitions: Optional[int] = None):
+    """Rich-club coefficient profile (Colizza et al. 2006): for each
+    degree threshold d, phi(d) = 2*E_d / (N_d*(N_d-1)) where N_d
+    counts nodes of degree > d in the undirected simple graph and E_d
+    the edges BETWEEN them — do the web's hubs link to each other
+    (phi -> 1) or only downward (phi -> 0)? The one-table complement
+    to assortativity's single scalar.
+
+    Exact-rational contract: returned as (d, n_nodes, n_edges,
+    phi_num, phi_den) with phi = phi_num/phi_den = 2*E_d scaled
+    against the exact pair count — all int64, partitioning-invariant,
+    by-definition SQL oracle.
+
+    Shape at scale: one distinct-edge fold, one degree aggregate, two
+    narrow edges⋈degree hash joins (the assortativity idiom), then a
+    bounded per-threshold count fold — no node-sized worker or driver
+    state; thresholds are a tiny static list, so the per-threshold
+    masks ride the same joined stream."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from warcio_ray.ops.blocks import arrow_blocks, safe_join, \
+        tree_aggregate
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch[["src", "dst"]].dropna().astype("int64")
+        df = df[df["src"] != df["dst"]]
+        out = pd.DataFrame({"lo": np.minimum(df["src"], df["dst"]),
+                            "hi": np.maximum(df["src"], df["dst"])})
+        return out.drop_duplicates()
+
+    und = arrow_blocks(edges_ds.map_batches(fold, batch_format="pandas")) \
+        .groupby(["lo", "hi"]).aggregate(Count(alias_name="_c")) \
+        .drop_columns(["_c"]).materialize()
+    if num_partitions is None:
+        num_partitions = _data_partitions(und.count())
+
+    def ends(batch: pd.DataFrame) -> pd.DataFrame:
+        lo = batch["lo"].to_numpy(dtype="int64")
+        hi = batch["hi"].to_numpy(dtype="int64")
+        return pd.DataFrame({"node": np.concatenate([lo, hi]),
+                             "d": np.ones(2 * len(lo), dtype="int64")})
+
+    deg = arrow_blocks(und.map_batches(ends, batch_format="pandas")) \
+        .groupby("node").aggregate(Sum("d", alias_name="d")) \
+        .materialize()
+
+    # per-threshold node counts: bounded fold over the degree table
+    def node_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        dv = batch["d"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "thr": np.array(list(degrees), dtype="int64"),
+            "n_nodes": np.array([(dv > t).sum() for t in degrees],
+                                dtype="int64")})
+
+    nodes_tbl = tree_aggregate(
+        deg.map_batches(node_partial, batch_format="pandas"),
+        ["thr"], sums=("n_nodes",))
+
+    # stamp both endpoint degrees, then fold per-threshold edge counts
+    j = safe_join(und, deg.map_batches(
+        lambda b: b.rename(columns={"node": "lo", "d": "dlo"}),
+        batch_format="pandas"), "inner", num_partitions, ("lo",))
+    j = safe_join(j.map_batches(lambda b: b[["lo", "hi", "dlo"]],
+                                batch_format="pandas"),
+                  deg.map_batches(
+        lambda b: b.rename(columns={"node": "hi", "d": "dhi"}),
+        batch_format="pandas"), "inner", num_partitions, ("hi",))
+
+    def edge_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        dlo = batch["dlo"].to_numpy(dtype="int64")
+        dhi = batch["dhi"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "thr": np.array(list(degrees), dtype="int64"),
+            "n_edges": np.array([((dlo > t) & (dhi > t)).sum()
+                                 for t in degrees], dtype="int64")})
+
+    edges_tbl = tree_aggregate(
+        j.map_batches(edge_partial, batch_format="pandas"),
+        ["thr"], sums=("n_edges",))
+
+    out = nodes_tbl.merge(edges_tbl, on="thr", how="left")
+    out["n_edges"] = out["n_edges"].fillna(0).astype("int64")
+    out = out.sort_values("thr").reset_index(drop=True)
+    out["phi_num"] = 2 * out["n_edges"]
+    out["phi_den"] = (out["n_nodes"] * (out["n_nodes"] - 1)) \
+        .clip(lower=1)
+    return out.rename(columns={"thr": "d"}).astype("int64")
