@@ -234,3 +234,36 @@ def test_resize_real_round_trip():
     # luma of a gray image up to the 77/150/29 >> 8 luma floor
     luma = (77 * want + 150 * want + 29 * want) >> 8
     assert (small == luma).all()
+
+
+def test_bmp_gray_luma_is_identity():
+    """For gray payloads the integer luma weights sum to 256, so
+    gray_from_bmp(encode_bmp_gray8(g)) == g exactly."""
+    rng = np.random.RandomState(7)
+    g = rng.randint(0, 256, size=(9, 13), dtype=np.uint8)
+    assert (gray_from_bmp(encode_bmp_gray8(g)) == g).all()
+
+
+def test_mediacodec_round_trip_properties():
+    """Hypothesis: arbitrary gray images and int16 tracks round-trip
+    exactly through the stdlib containers."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=25, deadline=None)
+    @given(arrays(np.uint8, st.tuples(st.integers(1, 12),
+                                      st.integers(1, 12))))
+    def bmp_rt(g):
+        assert (gray_from_bmp(encode_bmp_gray8(g)) == g).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(arrays(np.int16, st.integers(0, 64)),
+           st.sampled_from([8000, 16000, 44100]))
+    def wav_rt(samples, rate):
+        got_rate, got = decode_wav(encode_wav_pcm16(samples, rate=rate))
+        assert got_rate == rate
+        assert (got == samples.astype(np.int64)).all()
+
+    bmp_rt()
+    wav_rt()
