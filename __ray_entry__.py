@@ -3379,6 +3379,32 @@ def _rich_club(sf_dir: str):
     return rich_club(edges, degrees=(1, 2, 4, 8))
 
 
+def _t_closeness_top5(sf_dir: str):
+    """Worst-5 t-closeness groups over documents, quasi =
+    (lang, source), sensitive = the ordinal n_chars % 10 bucket
+    (ops/profile.t_closeness_topk): the groups whose sensitive-value
+    distribution sits farthest (ordinal EMD) from the corpus-wide
+    one, ranked by the exact 2^40-scaled integer distance."""
+    import pandas as pd
+    import ray.data
+
+    from warcio_ray.ops.profile import t_closeness_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source", "n_chars"])
+
+    def sens(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": batch["lang"],
+            "source": batch["source"],
+            "sens": (batch["n_chars"].astype("int64") % 10)})
+
+    return t_closeness_topk(ds.map_batches(sens,
+                                           batch_format="pandas"),
+                            ["lang", "source"], "sens",
+                            m_buckets=10, k=5)
+
+
 def _warc_fixture_paths(sf_dir: str):
     """pages -> cached per-sf WARC shards (one response record per
     document); shared by the warc_rec_types and cdxj_index queries."""
@@ -5776,6 +5802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "effective_diameter": _effective_diameter,
         "k_anonymity_audit": _k_anonymity_audit,
         "rich_club": _rich_club,
+        "t_closeness_top5": _t_closeness_top5,
     }
     out = {k: base[k] for k in ROUND5_FIRST50}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -10591,6 +10618,40 @@ def oracle_sql() -> dict[str, str]:
         FROM thr t LEFT JOIN nodes_t n ON n.d = t.d
         LEFT JOIN edges_t e2 ON e2.d = t.d
         ORDER BY t.d
+    """
+    # t_closeness_top5: exact ordinal-EMD replay — per-group and
+    # global cumulative bucket counts, HUGEINT cross-multiplied
+    # numerator, identical 2^40-scaled floor division
+    out["t_closeness_top5"] = """
+        WITH q AS (SELECT lang, source, n_chars % 10 AS b
+                   FROM documents),
+        cell AS (SELECT lang, source, b, COUNT(*) AS n
+                 FROM q GROUP BY lang, source, b),
+        grp AS (SELECT lang, source, SUM(n) AS ng
+                FROM cell GROUP BY lang, source),
+        gtab AS (SELECT b, SUM(n) AS n FROM cell GROUP BY b),
+        tot AS (SELECT SUM(n) AS nn FROM gtab),
+        bk AS (SELECT unnest(range(10)) AS j),
+        gcum AS (SELECT j, COALESCE(SUM(gl.n), 0) AS ccg
+                 FROM bk LEFT JOIN gtab gl ON gl.b <= j GROUP BY j),
+        ccum AS (SELECT g.lang, g.source, g.ng, bk.j,
+                        COALESCE(SUM(c.n), 0) AS cc
+                 FROM grp g CROSS JOIN bk
+                 LEFT JOIN cell c ON c.lang = g.lang
+                   AND c.source = g.source AND c.b <= bk.j
+                 GROUP BY g.lang, g.source, g.ng, bk.j),
+        tnum AS (SELECT lang, source, ANY_VALUE(ng) AS ng,
+                        SUM(ABS(CAST(cc AS HUGEINT)
+                                  * (SELECT nn FROM tot)
+                                - CAST(gc.ccg AS HUGEINT) * ng))
+                          AS num
+                 FROM ccum JOIN gcum gc USING (j)
+                 GROUP BY lang, source)
+        SELECT lang, source, CAST(ng AS BIGINT) AS n,
+               CAST((num * (1::HUGEINT << 40))
+                    // (9 * CAST(ng AS HUGEINT)
+                        * (SELECT nn FROM tot)) AS BIGINT) AS t_q
+        FROM tnum ORDER BY t_q DESC, lang, source LIMIT 5
     """
     # k_anonymity_audit: group sizes + distinct-sensitive counts by
     # definition over the same derived sensitive bucket

@@ -556,7 +556,8 @@ def run_bench() -> dict:
                            ("landmark_hist", "op_landmark_s"),
                            ("effective_diameter", "op_effdiam_s"),
                            ("k_anonymity_audit", "op_kanon_s"),
-                           ("rich_club", "op_richclub_s")):
+                           ("rich_club", "op_richclub_s"),
+                           ("t_closeness_top5", "op_tclose_s")):
             t0 = time.time()
             out = qs[qname](SF_DIR)
             n_rows = out.count() if isinstance(out, ray.data.Dataset) \

@@ -8048,3 +8048,28 @@ def test_rich_club_star_plus_clique(ray_session):
         assert got[3] == (2, 1, 2, 2)
         # d>4: only node 1; zero edges, den clipped to 1
         assert got[4] == (1, 0, 0, 1)
+
+
+def test_t_closeness_topk(ray_session):
+    """Hand-built: group 'skew' holds only bucket 0, group 'match'
+    mirrors the global distribution; skew ranks first with the exact
+    scaled EMD; partitioning-invariant."""
+    import ray.data
+
+    from warcio_ray.ops.profile import t_closeness_topk
+
+    # global: bucket0 x6, bucket1 x6 (N=12); skew: 4x b0;
+    # match: 2x b0 + 2x b1; rest: balanced filler
+    df = pd.DataFrame({
+        "g": ["skew"] * 4 + ["match"] * 4 + ["fill"] * 4,
+        "s": [0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1]})
+    # recompute: skew -> b0 x4; match -> b0 x2, b1 x2; fill -> b1 x4
+    df["s"] = [0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1]
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = t_closeness_topk(ds, ["g"], "s", m_buckets=2, k=3)
+        # skew and fill both sit at t = 1/2 (mirror-image skews);
+        # the tie breaks by key asc, match (t = 0) comes last
+        assert out["g"].tolist() == ["fill", "skew", "match"], nparts
+        # |4*12 - 6*4| / (1*4*12) = 24/48 = 1/2 -> t_q = 2^39
+        assert out["t_q"].tolist() == [1 << 39, 1 << 39, 0]

@@ -270,3 +270,107 @@ def k_anonymity(ds, quasi_cols, sensitive_col=None, k: int = 5,
         "n_lowdiv_groups": int(parts["n_lowdiv_groups"].sum()),
         "n_lowdiv_rows": int(parts["n_lowdiv_rows"].sum()),
     }]).astype("int64")
+
+
+def t_closeness_topk(ds, quasi_cols, sensitive_col, m_buckets: int,
+                     k: int = 5, scale_bits: int = 40,
+                     num_partitions=None) -> pd.DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the rung
+    above l-diversity: a quasi-identifier group leaks when its
+    SENSITIVE-VALUE DISTRIBUTION sits far from the corpus-wide one,
+    measured by the ordinal Earth Mover's Distance
+
+        t(g) = (1/(m-1)) * sum_j |Pcum_g(j) - Qcum(j)|
+
+    over ``m_buckets`` ordered sensitive buckets (0..m-1). Returns the
+    ``k`` WORST groups — the concrete rows a release review reads.
+
+    Exact-integer contract: with group counts c, group size n, global
+    counts C, corpus size N, the per-group numerator
+    sum_j |ccum_j*N - Ccum_j*n| and denominator (m-1)*n*N are exact
+    ints; ranking uses t_q = (num << scale_bits) // den (identical
+    floor division in Python and HUGEINT SQL), ties by quasi key asc.
+
+    Shape at scale: the same combo combiner as ``k_anonymity`` (one
+    hash aggregate over distinct (quasi, bucket) combos); the global
+    bucket histogram is a bounded ``tree_aggregate`` broadcast; one
+    quasi-keyed partition sweep computes every group's t_q and keeps
+    its partition's top-k, and the driver merges P*k candidate rows.
+    """
+    import zlib
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from warcio_ray.ops.blocks import arrow_blocks, tree_aggregate
+
+    if num_partitions is None:
+        num_partitions = min(
+            32, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    quasi_cols = list(quasi_cols)
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(quasi_cols + [sensitive_col], dropna=False,
+                          sort=False, as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    combos = arrow_blocks(ds.map_batches(fold, batch_format="pandas")) \
+        .groupby(quasi_cols + [sensitive_col]) \
+        .aggregate(Sum("n", alias_name="n")).materialize()
+
+    def glob_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(sensitive_col, as_index=False)["n"].sum()
+        return pd.DataFrame({"b": g[sensitive_col].astype("int64"),
+                             "n": g["n"].astype("int64")})
+
+    gl = tree_aggregate(
+        combos.map_batches(glob_partial, batch_format="pandas"),
+        ["b"], sums=("n",))
+    glob = np.zeros(m_buckets, dtype=np.int64)
+    glob[gl["b"].to_numpy(dtype="int64")] = gl["n"].to_numpy("int64")
+    glob_cum = np.cumsum(glob)
+    n_total = int(glob_cum[-1]) if m_buckets else 0
+    gref = ray.put(glob_cum)
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        key = batch[quasi_cols].astype(str).agg("\x1f".join, axis=1)
+        h = np.fromiter((zlib.crc32(s.encode("utf-8")) for s in key),
+                        dtype=np.uint64, count=len(batch))
+        batch["_part"] = (h % np.uint64(num_partitions)).astype("int32")
+        return batch
+
+    def sweep(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop(columns=["_part"])
+        ccum_g = ray.get(gref)
+        rows = []
+        for keys, grp in part.groupby(quasi_cols, dropna=False,
+                                      sort=False):
+            keys = keys if isinstance(keys, tuple) else (keys,)
+            c = np.zeros(m_buckets, dtype=np.int64)
+            c[grp[sensitive_col].to_numpy(dtype="int64")] = \
+                grp["n"].to_numpy(dtype="int64")
+            ccum = np.cumsum(c)
+            n_g = int(ccum[-1])
+            # exact Python ints: ccum*N overflows int64 at web scale
+            num = sum(abs(int(a) * n_total - int(b) * n_g)
+                      for a, b in zip(ccum, ccum_g))
+            den = (m_buckets - 1) * n_g * n_total
+            t_q = (num << scale_bits) // den if den else 0
+            rows.append(keys + (n_g, t_q))
+        out = pd.DataFrame(rows, columns=quasi_cols + ["n", "t_q"])
+        return out.sort_values(["t_q"] + quasi_cols,
+                               ascending=[False] + [True] * len(
+                                   quasi_cols),
+                               kind="mergesort").head(k)
+
+    parts = combos.map_batches(add_part, batch_format="pandas") \
+        .groupby("_part") \
+        .map_groups(sweep, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(columns=quasi_cols + ["n", "t_q"])
+    out = parts.sort_values(
+        ["t_q"] + quasi_cols,
+        ascending=[False] + [True] * len(quasi_cols),
+        kind="mergesort").head(k).reset_index(drop=True)
+    return out.astype({"n": "int64", "t_q": "int64"})
